@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: times every registered query at the given SF dir and
+  * prints one JSON line. Each query is fully materialized — the result
+  * is reduced through a row-hash aggregate so Catalyst cannot prune the
+  * output columns or short-circuit to a metadata count — and failures
+  * are reported as failed (time -1), never as fast successes. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +15,41 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results: Seq[(String, Double, Boolean)] =
+      SparkEntry.registry.map { q =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            val df = q.fn(spark, sfDir)
+            // Force full evaluation of every column of every row. The
+            // row hashes fold through bit_xor, which cannot overflow
+            // under ANSI mode (sum of longs would).
+            df.select(xxhash64(df.columns.map(c => col(s"`$c`").cast("string")): _*)
+                .as("h"))
+              .agg(expr("bit_xor(h)")).collect()
+            true
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+              false
+          }
+        val secs = (System.nanoTime() - t0) / 1e9
+        (q.name, if (ok) secs else -1.0, ok)
+      }
+
+    val qs = results
+      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(!_._3)
+    val total = results.filter(_._3).map(_._2).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

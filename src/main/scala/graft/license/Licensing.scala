@@ -1,0 +1,167 @@
+package graft.license
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** License tagging — the reference's `span-tag` semantics (SURVEY §2.2
+  * P8/P11, §2.3 J3/J4) re-expressed as a driver-side compiler from a
+  * per-ISIL boolean filter tree to Catalyst `Column` predicates plus
+  * broadcast range joins for holdings entitlements.
+  *
+  * Filter-tree shape (ref: sources/amsl.py:1286-1343):
+  * `{"DE-15": {"or": [{"and": [{"source": ["55"]}, {"collection": [...]},
+  * {"holdings": {"urls": [...]}}]}]}}`
+  *
+  * Scale: predicates over source/collection/issn are literal-set
+  * membership (broadcast to every executor inside the codegen'd plan —
+  * the reference's "lists of collections" speedup, amsl.py:906-922, is
+  * the natural form here). Holdings files are small DataFrames,
+  * broadcast-joined once per referenced file, each producing one boolean
+  * flag column; the record side streams through unreplicated.
+  */
+sealed trait FilterExpr
+object FilterExpr {
+  case class And(children: Seq[FilterExpr]) extends FilterExpr
+  case class Or(children: Seq[FilterExpr]) extends FilterExpr
+  case class Not(child: FilterExpr) extends FilterExpr
+  /** finc.source_id ∈ ids */
+  case class SourceIn(ids: Seq[String]) extends FilterExpr
+  /** finc.mega_collection ∩ names ≠ ∅ */
+  case class CollectionIn(names: Seq[String]) extends FilterExpr
+  /** rft.issn ∩ issns ≠ ∅ */
+  case class IssnIn(issns: Seq[String]) extends FilterExpr
+  /** subjects ∩ names ≠ ∅ */
+  case class SubjectIn(names: Seq[String]) extends FilterExpr
+  /** entitled by a named KBART holdings table (ISSN + coverage window) */
+  case class Holdings(names: Seq[String]) extends FilterExpr
+  /** matches everything (span's `{"any": {}}`) */
+  case object Any extends FilterExpr
+
+  /** Parse the reference JSON config shape into trees, one per ISIL. */
+  def parseConfig(json: String): Map[String, FilterExpr] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def node(v: JValue): FilterExpr = v match {
+      case JObject(fields) =>
+        val exprs = fields.map {
+          case ("and", JArray(xs))        => And(xs.map(node))
+          case ("or", JArray(xs))         => Or(xs.map(node))
+          case ("not", x)                 => Not(node(x))
+          case ("source", JArray(xs))     => SourceIn(xs.map(str))
+          case ("collection", JArray(xs)) => CollectionIn(xs.map(str))
+          case ("issn", JArray(xs))       => IssnIn(xs.map(str))
+          case ("subject", JArray(xs))    => SubjectIn(xs.map(str))
+          case ("any", _)                 => Any
+          case ("holdings", JObject(h)) =>
+            Holdings(h.collect { case (k, JArray(xs)) if k == "urls" || k == "files" =>
+              xs.map(str)
+            }.flatten)
+          case (k, _) => throw new IllegalArgumentException(s"unknown filter key: $k")
+        }
+        if (exprs.size == 1) exprs.head else And(exprs)
+      case other => throw new IllegalArgumentException(s"expected object, got $other")
+    }
+    def str(v: JValue): String = v match {
+      case JString(s) => s
+      case other      => other.values.toString
+    }
+    JsonMethods.parse(json) match {
+      case JObject(fields) => fields.map { case (isil, tree) => isil -> node(tree) }.toMap
+      case other => throw new IllegalArgumentException(s"expected object, got $other")
+    }
+  }
+
+  /** All holdings names referenced anywhere in a tree. */
+  def holdingsRefs(e: FilterExpr): Set[String] = e match {
+    case And(cs)      => cs.flatMap(holdingsRefs).toSet
+    case Or(cs)       => cs.flatMap(holdingsRefs).toSet
+    case Not(c)       => holdingsRefs(c)
+    case Holdings(ns) => ns.toSet
+    case _            => Set.empty
+  }
+}
+
+/** Column bindings: which record columns the predicates read. */
+case class RecordCols(
+    id: Column,
+    sourceId: Column,
+    collections: Column, // array<string>
+    issns: Column,       // array<string>
+    subjects: Column,    // array<string>
+    date: Column)        // date/timestamp for holdings coverage
+
+object Licensing {
+  import FilterExpr._
+
+  /** Compile a filter tree to a boolean Column. `holdingsFlag` maps a
+    * holdings name to the pre-joined per-record boolean flag column. */
+  def compile(e: FilterExpr, r: RecordCols,
+              holdingsFlag: String => Column): Column = e match {
+    case Any               => lit(true)
+    case And(cs)           => cs.map(compile(_, r, holdingsFlag)).reduceLeft(_ && _)
+    case Or(cs)            => cs.map(compile(_, r, holdingsFlag)).reduceLeft(_ || _)
+    case Not(c)            => !compile(c, r, holdingsFlag)
+    case SourceIn(ids)     => r.sourceId.isin(ids: _*)
+    case CollectionIn(ns)  => arrays_overlap(r.collections, array(ns.map(lit): _*))
+    case IssnIn(ns)        => arrays_overlap(r.issns, array(ns.map(lit): _*))
+    case SubjectIn(ns)     => arrays_overlap(r.subjects, array(ns.map(lit): _*))
+    case Holdings(ns)      => ns.map(holdingsFlag).reduceLeft(_ || _)
+  }
+
+  /** Attach `x.labels`: for each ISIL whose compiled tree accepts the
+    * record, add the ISIL. `dropUnlabeled=true` is span-tag's `-D`
+    * (P11). Returns the input plus an array<string> `labelCol`. */
+  def tag(records: DataFrame, r: RecordCols,
+          configs: Map[String, FilterExpr],
+          holdings: Map[String, DataFrame],
+          asOf: String,
+          labelCol: String = "x_labels",
+          dropUnlabeled: Boolean = false): DataFrame = {
+    val refs = configs.values.flatMap(FilterExpr.holdingsRefs).toSeq.distinct.sorted
+    // One broadcast range join per referenced holdings file → boolean flag.
+    val (withFlags, flagOf) = refs.zipWithIndex.foldLeft((records, Map.empty[String, String])) {
+      case ((df, m), (name, i)) =>
+        val flag = s"__holdings_$i"
+        val hd = holdings.getOrElse(name,
+          throw new IllegalArgumentException(s"missing holdings table: $name"))
+        val matched = holdingsEntitledIds(df, r, hd, lit(asOf))
+          .withColumn(flag, lit(true))
+        (df.join(matched.withColumnRenamed("__rid", "__jid"),
+                 r.id === col("__jid"), "left")
+           .withColumn(flag, coalesce(col(flag), lit(false)))
+           .drop("__jid"),
+         m + (name -> flag))
+    }
+    val labels = configs.toSeq.sortBy(_._1).map { case (isil, tree) =>
+      when(compile(tree, r, n => col(flagOf(n))), lit(isil))
+    }
+    val tagged = withFlags
+      .withColumn(labelCol, array_compact(array(labels: _*)))
+      .drop(refs.indices.map(i => s"__holdings_$i"): _*)
+    if (dropUnlabeled) tagged.filter(size(col(labelCol)) > 0) else tagged
+  }
+
+  /** Ids of records entitled by one holdings table — KBART coverage
+    * semantics (J3): record ISSN appears in the file and the record date
+    * lies in [date_first, date_last] (null date_last = open range) and
+    * clears the embargo moving wall (date ≤ asOf - embargo_days).
+    * Holdings frame columns: issn, date_first, date_last, embargo_days.
+    * Ref: sources/jstor.py:546-580 (KBART fields), workflows/ai.py:228-244
+    * (span-tag invocation). */
+  def holdingsEntitledIds(records: DataFrame, r: RecordCols,
+                          holdings: DataFrame, asOf: Column): DataFrame = {
+    val rec = records.select(r.id.as("__rid"), explode(r.issns).as("__issn"),
+                             r.date.cast("date").as("__rdate"))
+    val h = broadcast(holdings.select(
+      col("issn").as("__issn"),
+      col("date_first").cast("date").as("__from"),
+      col("date_last").cast("date").as("__to"),
+      coalesce(col("embargo_days"), lit(0)).cast("int").as("__embargo")))
+    rec.join(h, Seq("__issn"))
+      .filter(col("__rdate") >= col("__from") &&
+              (col("__to").isNull || col("__rdate") <= col("__to")) &&
+              col("__rdate") <= date_sub(asOf.cast("date"), col("__embargo")))
+      .select(col("__rid"))
+      .distinct()
+  }
+}

@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Scalars
+
+/** Deduplication ops for training-data pipelines.
+  *
+  * Scale design: every variant is blocked/bucketed — candidate pairs come
+  * from an equi-join on a bucket key (hash groups, LSH bands), never from
+  * a cross join, so the shuffle is proportional to data + true-duplicate
+  * mass, not N². The expensive exact verification (Jaccard) runs only on
+  * bucket-cohabiting pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by order-insensitive content fingerprint:
+    * one hash shuffle on md5(sorted tokens). Emits one row per document
+    * with its group's canonical (minimum) doc id and group size —
+    * the "keep canonical, drop the rest" decision is a filter away. */
+  def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id), TextAnalysis.fingerprint(col(text)).as("fp"))
+      .groupBy("fp")
+      .agg(min(col(id)).as("canonical_id"),
+           count(lit(1)).as("group_size"),
+           sort_array(collect_list(col(id))).as("member_ids"))
+
+  /** Word n-gram shingles of a text column; texts shorter than n tokens
+    * collapse to a single whole-text shingle (sequence() would otherwise
+    * run descending and slice() negatively). */
+  def shingles(text: Column, n: Int): Column = {
+    val t = Scalars.tokens(text)
+    when(size(t) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + 1, lit(n)), " "))))
+      .otherwise(array(array_join(t, " ")))
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes of the
+    * shingle set. Hash family = xxhash64(shingle, seed) — deterministic,
+    * codegen'd, no UDF. Returns array<bigint> of length numHashes. */
+  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = shingles(text, shingleN)
+    array((0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }: _*)
+  }
+
+  /** MinHash + LSH banding: documents sharing any band bucket become
+    * candidate pairs; candidates are verified with exact token-set
+    * Jaccard and kept at `threshold`.
+    *
+    * Banding math: with `bands` bands of `rowsPerBand` rows, a pair at
+    * true Jaccard j collides w.p. 1-(1-j^r)^b — defaults (16×4) put the
+    * S-curve knee near j≈0.55, comfortably below the 0.8 default
+    * threshold. The band join key is (band index, hash of the band
+    * slice), so the shuffle key space is wide and skew-resistant.
+    *
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, exact and
+    * duplicate-free (candidates deduped before verification).
+    */
+  def minhashLshPairs(docs: DataFrame, id: String, text: String,
+                      threshold: Double = 0.8, shingleN: Int = 3,
+                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs.select(
+      col(id).as("doc"),
+      Scalars.tokens(col(text)).as("toks"),
+      minhashSignature(col(text), shingleN, numHashes).as("sig"))
+
+    // Band table carries only (band, bucket, doc) — token arrays would
+    // otherwise be replicated ×bands through the shuffle. Tokens rejoin
+    // only for the (much smaller) deduped candidate set.
+    val banded = sig.select(
+      col("doc"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+               xxhash64(array_join(
+                 transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+                           _.cast("string")), ",")).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    val toks = sig.select(col("doc"), col("toks"))
+    candidates
+      .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
+      .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact token-set Jaccard similarity of two token arrays. Left as the
+    * raw double: an integer-ratio division is IEEE-exact and therefore
+    * engine-portable, while round() tie-breaking is not. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da) + size(db) - size(array_intersect(da, db)))
+  }
+
+  /** All-pairs exact n-gram Jaccard within an id-bounded subset —
+    * the oracle-checkable baseline for the LSH variant (bounded input:
+    * the broadcast self-join is only for the verification subset, the
+    * scale path is [[minhashLshPairs]]). */
+  def jaccardPairsExact(docs: DataFrame, id: String, text: String,
+                        threshold: Double): DataFrame = {
+    val t = docs.select(col(id).as("doc"), Scalars.tokens(col(text)).as("toks"))
+    val a = t.select(col("doc").as("id_a"), col("toks").as("toks_a"))
+    val b = t.select(col("doc").as("id_b"), col("toks").as("toks_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint over tokens: per bit position, sum +1/-1 votes
+    * weighted by token hash bits; the sign vector is the fingerprint.
+    * `bits` ≤ 60 (hash bits drawn from the low bits of a 64-bit hash).
+    * Near-dups differ in few bits (Hamming distance), so bucketing by
+    * bit-blocks gives the scale path, mirroring the MinHash banding. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    require(bits <= 60, "simhash bits drawn from a 64-bit hash")
+    val t = Scalars.tokens(text)
+    // Bit positions are unrolled statically (shift amounts must be Scala
+    // ints); the vote vector is one array-aggregate over the tokens.
+    val votes = aggregate(
+      t,
+      array_repeat(lit(0L), bits),
+      (acc, tok) => {
+        val h = xxhash64(tok)
+        array((0 until bits).map { i =>
+          element_at(acc, i + 1) +
+            when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+        }: _*)
+      })
+    (0 until bits).map { i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Scalars
+
+/** Text-analysis ops for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * All pure Column expressions (codegen'd, no UDFs) — at 100 TB these run
+  * inside the scan stage with zero extra shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(Scalars.tokens(text))
+
+  /** Distinct-token ratio — a repetition/quality signal. */
+  def distinctRatio(text: Column): Column = {
+    val t = Scalars.tokens(text)
+    size(array_distinct(t)).cast("double") / size(t)
+  }
+
+  /** Mean token length (characters per token). */
+  def avgTokenLen(text: Column): Column = {
+    val t = Scalars.tokens(text)
+    aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
+  }
+
+  /** Ratio of non-alphanumeric, non-space characters — punctuation /
+    * markup noise signal. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / greatest(length(text), lit(1))
+
+  /** Stopword ratio against a small built-in English profile. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "on", "for")
+  def stopwordRatio(text: Column): Column = {
+    val t = Scalars.tokens(text)
+    size(filter(t, x => EnStopwords.map(s => x === s).reduce(_ || _)))
+      .cast("double") / size(t)
+  }
+
+  /** Composite quality score in [0,1]: rewards lexical diversity and
+    * clean characters, penalizes stopword stuffing. Weights are the
+    * usual heuristic mix (Gopher/C4-style rule-of-thumb filters). */
+  def qualityScore(text: Column): Column =
+    distinctRatio(text) * lit(0.5) +
+      (lit(1.0) - punctRatio(text)) * lit(0.3) +
+      (lit(1.0) - stopwordRatio(text)) * lit(0.2)
+
+  /** Language-ID heuristic: score text against tiny per-language
+    * stopword profiles, pick the best; no hits → "und" (ties resolve to
+    * the alphabetically-last language, deterministically).
+    * (A real deployment swaps in bigger profiles — the plumbing is the
+    * same single codegen'd expression.) */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "de", "que", "es"))
+  def langId(text: Column): Column = {
+    val t = Scalars.tokens(text)
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(filter(t, x => words.map(w => x === w).reduce(_ || _))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the token-sorted canonical form —
+    * an order-insensitive content identity (exact-dedup key). */
+  def fingerprint(text: Column): Column = md5(Scalars.canonicalText(text))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Scalars
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline ops over `documents` and `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed ANN), text analysis.
+  *
+  * Oracle strategy: everything whose math is engine-portable gets a
+  * DuckDB oracle (integer-ratio doubles are IEEE-exact in both engines);
+  * hash-family-dependent ops (xxhash64 has no DuckDB twin) are
+  * rows-only here and covered by golden ScalaTest specs instead. */
+object LlmQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // Exact dedup groups by order-insensitive fingerprint.
+    Q("d1_exact_dup_groups",
+      """SELECT md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS fp,
+        |       min(doc_id) AS canonical_id,
+        |       CAST(count(*) AS BIGINT) AS group_size,
+        |       array_to_string(list_sort(array_agg(doc_id)), ',') AS members
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .select(col("fp"), col("canonical_id"), col("group_size"),
+          array_join(transform(col("member_ids"), _.cast("string")), ",").as("members"))
+    },
+
+    // Exact n-gram (token-set) Jaccard pairs on a bounded subset — the
+    // oracle-checkable baseline for the LSH scale path below.
+    Q("d2_jaccard_pairs",
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       len(list_intersect(a.toks, b.toks)) /
+        |       (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.85""".stripMargin) { (s, d) =>
+      Dedup.jaccardPairsExact(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 0.85)
+    },
+
+    // MinHash + LSH banded near-dup pairs — the 100 TB path (bucket
+    // join on band hashes, never all-pairs). Hash family is xxhash64 →
+    // no SQL oracle; verified by spec against the exact-Jaccard op.
+    Q.rowsOnly("d3_minhash_lsh_pairs") { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+    },
+
+    // SimHash fingerprints (rows-only: xxhash64 family).
+    Q.rowsOnly("d4_simhash") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("simhash32"))
+    },
+
+    // Token counting + lexical stats per document.
+    Q("t1_token_stats",
+      """SELECT doc_id,
+        |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_distinct,
+        |       len(list_distinct(string_split(trim(text), ' '))) /
+        |       len(string_split(trim(text), ' ')) AS distinct_ratio
+        |FROM documents""".stripMargin) { (s, d) =>
+      val t = Scalars.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        TextAnalysis.distinctRatio(col("text")).as("distinct_ratio"))
+    },
+
+    // Quality scoring — identical IEEE arithmetic on both sides (raw
+    // integer-ratio terms, same operation order, no rounding — round()
+    // tie-breaking is engine-specific), so the doubles match
+    // bit-for-bit.
+    Q("t2_quality_score",
+      s"""SELECT doc_id,
+         |  (len(list_distinct(toks)) / len(toks)) * 0.5
+         |  + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         |           / greatest(length(text), 1)) * 0.3
+         |  + (1.0 - len(list_filter(toks, t -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, t)))
+         |           / len(toks)) * 0.2
+         |  AS quality
+         |FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+    },
+
+    // Language-ID heuristic via stopword profiles.
+    Q("t3_lang_id",
+      s"""SELECT doc_id,
+         |  CASE WHEN best = 0 THEN 'und'
+         |       WHEN h_fr = best THEN 'fr' WHEN h_es = best THEN 'es'
+         |       WHEN h_en = best THEN 'en' ELSE 'de' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, greatest(h_en, h_de, h_fr, h_es) AS best,
+         |         h_en, h_de, h_fr, h_es
+         |  FROM (SELECT doc_id,
+         |    ${langHitsSql("en")} AS h_en, ${langHitsSql("de")} AS h_de,
+         |    ${langHitsSql("fr")} AS h_fr, ${langHitsSql("es")} AS h_es
+         |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)))""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    // Document fingerprint (portable md5 — oracle-checked).
+    Q("t4_fingerprint",
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+
+    // Brute-force cosine top-k for a small query set (exact baseline).
+    Q("e1_ann_brute_topk",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank, round(sim, 4) AS sim
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS INT) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    },
+
+    // LSH-bucketed ANN — the scale path (bucket equi-join, corpus
+    // streams once). Bucket membership is hash-family-dependent →
+    // rows-only; recall is spec-tested against e1.
+    Q.rowsOnly("e2_ann_lsh_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5, planes = 6)
+    },
+
+    // Per-label embedding stats (vector-column handling).
+    Q("e3_label_stats",
+      """SELECT label, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(avg(CAST(embedding[1] AS DOUBLE)), 3) AS avg_first
+        |FROM embeddings GROUP BY label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+             round(avg(element_at(col("embedding"), 1).cast("double")), 3).as("avg_first"))
+    })
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def langHitsSql(lang: String): String = {
+    val words = sqlList(TextAnalysis.LangProfiles(lang))
+    s"len(list_filter(toks, t -> list_contains($words, t)))"
+  }
+}
