@@ -24,7 +24,7 @@ object Scalars {
     * Ref: conversions.py:338-360. Input here is already an array column;
     * scalar inputs should be wrapped with `array()` by the caller. */
   def deListify(arr: Column, default: Column): Column =
-    coalesce(element_at(arr, 1), default)
+    coalesce(try_element_at(arr, lit(1)), default)
 
   /** F4 — canonical id synthesis `ai-<sid>-<id>`.
     * Ref: conversions.py:316,487,546. */

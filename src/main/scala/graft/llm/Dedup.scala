@@ -52,21 +52,32 @@ object Dedup {
     * Jaccard and kept at `threshold`.
     *
     * Banding math: with `bands` bands of `rowsPerBand` rows, a pair at
-    * true Jaccard j collides w.p. 1-(1-j^r)^b — defaults (16×4) put the
-    * S-curve knee near j≈0.55, comfortably below the 0.8 default
-    * threshold. The band join key is (band index, hash of the band
-    * slice), so the shuffle key space is wide and skew-resistant.
+    * true Jaccard j collides w.p. 1-(1-j^r)^b — defaults (16×8) put the
+    * S-curve knee near j≈0.71: recall ≈0.95 at the 0.8 default
+    * threshold while pairs at j≈0.5 collide <7% of the time, which is
+    * what keeps the candidate set sub-quadratic on corpora with high
+    * background similarity. The band join key is (band index, hash of
+    * the band slice), so the shuffle key space is wide.
+    *
+    * `maxBucketSize` (optional) drops band buckets larger than the cap
+    * before the self-join — the standard LSH skew guard for pathological
+    * keys (boilerplate/empty docs) at 100 TB; it trades bounded recall
+    * loss inside oversized buckets for a hard bound on join fan-out.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, exact and
     * duplicate-free (candidates deduped before verification).
     */
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
-                      threshold: Double = 0.8, shingleN: Int = 3,
-                      bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+                      threshold: Double = 0.8, shingleN: Int = 1,
+                      bands: Int = 16, rowsPerBand: Int = 8,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // Signature and verification MUST use the same unit set (shingleN=1
+    // → distinct tokens): LSH over n-grams with token-level verification
+    // would miss reordered near-dups entirely.
     val sig = docs.select(
       col(id).as("doc"),
-      Scalars.tokens(col(text)).as("toks"),
+      shingles(col(text), shingleN).as("toks"),
       minhashSignature(col(text), shingleN, numHashes).as("sig"))
 
     // Band table carries only (band, bucket, doc) — token arrays would
@@ -82,8 +93,15 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val a = banded.select(col("band"), col("bucket"), col("doc").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc").as("id_b"))
+    val capped = maxBucketSize match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+        banded.withColumn("__bs", count(lit(1)).over(w))
+          .filter(col("__bs") <= cap).drop("__bs")
+      case None => banded
+    }
+    val a = capped.select(col("band"), col("bucket"), col("doc").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("doc").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

@@ -44,33 +44,54 @@ object Similarity {
               round(col("sim"), 4).as("sim"))
   }
 
-  /** Sign-pattern LSH bucket id: `planes` pseudo-random hyperplanes with
-    * ±1 components derived deterministically from xxhash64(plane, dim) —
-    * no stored model, identical on every executor. */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+  /** Sign-pattern LSH bucket id for one hash table: `planes`
+    * pseudo-random hyperplanes with ±1 components derived
+    * deterministically from xxhash64(table, plane, dim) — no stored
+    * model, identical on every executor. */
+  def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
       val dotSign = aggregate(
         zip_with(vec, sequence(lit(0), lit(dim - 1)),
           (x, i) => x.cast("double") *
-            when(xxhash64(lit(p), i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+            when(xxhash64(lit(table), lit(p), i).bitwiseAND(1) === 1, 1.0)
+              .otherwise(-1.0)),
         lit(0.0), (acc, v) => acc + v)
       when(dotSign > 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** Approximate top-k via LSH buckets: candidates are corpus vectors in
-    * the same bucket as the query; scored exactly, ranked per query.
-    * Fewer planes → bigger buckets → better recall, more compute. */
+  /** All (table, bucket) assignments of a vector — one row per table
+    * after explode. */
+  private def buckets(vec: Column, tables: Int, planes: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(vec, t, planes, dim).as("bkt"))
+    }: _*)
+
+  /** Approximate top-k via multi-table sign-LSH: a pair is a candidate
+    * if it collides in ANY of the `tables` hash tables (recall at
+    * per-plane agreement p is 1-(1-p^planes)^tables — 4 planes × 8
+    * tables ≈ 0.84 for 60°-apart vectors); candidates are scored
+    * exactly and ranked per query. The corpus is replicated ×tables
+    * into the bucket index (classic LSH space/recall trade) but never
+    * pairwise-joined: the join key is (table, bucket). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               id: String, vec: String, k: Int,
-              planes: Int = 8, dim: Int = 64): DataFrame = {
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"),
-                          lshBucket(col(vec), planes, dim).as("bucket"))
-    val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv"),
-                          lshBucket(col(vec), planes, dim).as("bucket")))
-    val scored = c.join(q, Seq("bucket"))
+              planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"),
+              explode(buckets(col(vec), tables, planes, dim)).as("tb"))
+      .select(col("neighbor_id"), col("cv"),
+              col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val q = broadcast(queries
+      .select(col(id).as("query_id"), col(vec).as("qv"),
+              explode(buckets(col(vec), tables, planes, dim)).as("tb"))
+      .select(col("query_id"), col("qv"),
+              col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt")))
+    val scored = c.join(q, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{Dedup, Similarity}
+
+/** LLM-pipeline dedup/similarity: LSH candidate recall against the
+  * exact baseline, simhash invariants, ANN recall, and plan-shape
+  * guards (no cartesian products on the scale paths). */
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, Sf).filter(col("doc_id") < 120).cache()
+
+  test("exactGroups: identical-after-reorder texts share a group") {
+    val df = Seq(
+      (1L, "b a c"), (2L, "a b c"), (3L, "a b c d")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .select("canonical_id", "group_size").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH pairs recall >= 0.9 vs exact pairs at high threshold") {
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain near-dups")
+    // LSH never invents pairs (verification is exact)…
+    assert(lsh.subsetOf(exact))
+    // …and banding (16×8) misses at most a sliver above threshold.
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("minhash LSH plan has no cartesian product") {
+    val plan = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("bucket cap bounds candidate work without inventing pairs") {
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9,
+        maxBucketSize = Some(10))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(uncapped))
+  }
+
+  test("simhash: deterministic, order-insensitive, small hamming for near-dups") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "theta eta zeta epsilon delta gamma beta alpha"), // permutation
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // 1 token swap
+      (4L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), Dedup.simhash(col("text"), 32).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fp(1L) == fp(2L))
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("shingles handles short texts without negative sequence") {
+    val df = Seq("one two", "a", "").toDF("text")
+    val got = df.select(Dedup.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("one two"))
+    assert(got(1) == Seq("a"))
+  }
+
+  test("ANN brute-force agrees with driver-side computation") {
+    val emb = Tables.embeddings(spark, Sf).filter(col("vec_id") < 50).cache()
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val want = vecs.keys.filter(_ != 0L).toSeq
+      .sortBy(k => (-cos(vecs(0L), vecs(k)), k)).take(3)
+    val got = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == want)
+  }
+
+  test("ANN LSH: bucket join plan (no cartesian), decent recall@5") {
+    val emb = Tables.embeddings(spark, Sf).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5, planes = 4, tables = 8)
+    assert(!lsh.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = lsh.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    // 4 planes × 8 tables → union-of-buckets recall ≈0.8 for close
+    // vectors; assert a safe floor.
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}

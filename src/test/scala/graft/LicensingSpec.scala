@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.license._
+
+/** License tagging: filter-tree compiler truth table, JSON config
+  * parsing (amsl.py:1286-1343 shape), KBART holdings semantics
+  * (coverage range, open range, embargo wall), and the 8-case AMSL
+  * dispatch (amsl.py:924-935). */
+class LicensingSpec extends AnyFunSuite {
+  import FilterExpr._
+  import TestSpark.spark
+  import spark.implicits._
+
+  def recs = Seq(
+    // id, source, collections, issns, subjects, date
+    ("r1", "55", Seq("JSTOR Music Archive"), Seq("1111-1111"), Seq.empty[String], "1996-05-01"),
+    ("r2", "55", Seq("Other"), Seq("1111-1111"), Seq.empty[String], "1996-05-01"),
+    ("r3", "28", Seq("DOAJ"), Seq("2222-2222"), Seq.empty[String], "2001-01-01"),
+    ("r4", "49", Seq.empty[String], Seq("3333-3333"), Seq("Film studies"), "1994-01-01"),
+    ("r5", "55", Seq("JSTOR Music Archive"), Seq("1111-1111"), Seq.empty[String], "1999-12-31"))
+    .toDF("id", "source_id", "collections", "issns", "subjects", "rdate")
+    .withColumn("rdate", col("rdate").cast("timestamp"))
+
+  val rc = RecordCols(col("id"), col("source_id"), col("collections"),
+    col("issns"), col("subjects"), col("rdate"))
+
+  // kbart: 1111-1111 covered 1995..1997; 2222-2222 open from 2000.
+  def kbart = Seq(
+    ("1111-1111", "1995-01-01", "1997-12-31", 0),
+    ("2222-2222", "2000-01-01", null, 0))
+    .toDF("issn", "date_first", "date_last", "embargo_days")
+
+  def tagLabels(configs: Map[String, FilterExpr]): Map[String, Seq[String]] =
+    Licensing.tag(recs, rc, configs, Map("k" -> kbart), "2002-01-01")
+      .select("id", "x_labels").as[(String, Seq[String])].collect().toMap
+
+  test("source+collection predicate") {
+    val got = tagLabels(Map("DE-15" ->
+      And(Seq(SourceIn(Seq("55")), CollectionIn(Seq("JSTOR Music Archive"))))))
+    assert(got("r1") == Seq("DE-15"))
+    assert(got("r2") == Seq.empty)
+    assert(got("r3") == Seq.empty)
+  }
+
+  test("or / not / subject / issn / any predicates") {
+    val got = tagLabels(Map(
+      "A" -> Or(Seq(SubjectIn(Seq("Film studies")), IssnIn(Seq("2222-2222")))),
+      "B" -> Not(SourceIn(Seq("55"))),
+      "C" -> Any))
+    assert(got("r4").contains("A") && got("r3").contains("A") && !got("r1").contains("A"))
+    assert(got("r3").contains("B") && !got("r1").contains("B"))
+    assert(recs.count() == got.values.count(_.contains("C")))
+  }
+
+  test("holdings coverage window: in-range matches, out-of-range and closed-range-expired do not") {
+    val got = tagLabels(Map("H" -> Holdings(Seq("k"))))
+    assert(got("r1") == Seq("H"))   // 1996 in [1995,1997]
+    assert(got("r5") == Seq.empty)  // 1999 after closed range
+    assert(got("r3") == Seq("H"))   // open range from 2000, 2001 ok
+    assert(got("r4") == Seq.empty)  // issn not held
+  }
+
+  test("embargo moving wall excludes recent records") {
+    val kb = Seq(("2222-2222", "2000-01-01", null, 365))
+      .toDF("issn", "date_first", "date_last", "embargo_days")
+    val got = Licensing.tag(recs, rc, Map("H" -> Holdings(Seq("k"))),
+        Map("k" -> kb), "2001-06-01")
+      .select("id", "x_labels").as[(String, Seq[String])].collect().toMap
+    // r3 dated 2001-01-01 > 2001-06-01 minus 365d = 2000-06-01 → embargoed.
+    assert(got("r3") == Seq.empty)
+  }
+
+  test("dropUnlabeled keeps only labeled records (span-tag -D)") {
+    val got = Licensing.tag(recs, rc,
+        Map("DE-15" -> SourceIn(Seq("55"))), Map.empty, "2002-01-01",
+        dropUnlabeled = true)
+      .select("id").as[String].collect().toSet
+    assert(got == Set("r1", "r2", "r5"))
+  }
+
+  test("JSON config parses the reference shape") {
+    val json =
+      """{"DE-15": {"or": [
+        |  {"and": [{"source": ["55"]}, {"collection": ["JSTOR Music Archive"]},
+        |           {"holdings": {"urls": ["file:///kbart_de15.tsv"]}}]},
+        |  {"and": [{"source": ["28"]}, {"collection": ["DOAJ"]}]}]},
+        | "DE-14": {"any": {}}}""".stripMargin
+    val cfg = FilterExpr.parseConfig(json)
+    assert(cfg("DE-14") == Any)
+    cfg("DE-15") match {
+      case Or(Seq(And(a), And(b))) =>
+        assert(a.contains(SourceIn(Seq("55"))))
+        assert(a.contains(Holdings(Seq("file:///kbart_de15.tsv"))))
+        assert(b == Seq(SourceIn(Seq("28")), CollectionIn(Seq("DOAJ"))))
+      case other => fail(s"unexpected tree: $other")
+    }
+    assert(FilterExpr.holdingsRefs(cfg("DE-15")) == Set("file:///kbart_de15.tsv"))
+  }
+
+  test("AMSL 8-case dispatch builds the expected trees") {
+    def row(lthf: Option[String] = None, ltcf: Option[String] = None,
+            eltcf: Option[String] = None, pi: Option[String] = None,
+            ev: Option[String] = None, sid: String = "55", coll: String = "C1") =
+      AmslRow("DE-15", sid, coll, None, lthf, ltcf, eltcf, pi, ev)
+
+    // Case 1: bare → source+collection.
+    assert(AmslConfigBuilder.build(Seq(row()))("DE-15")
+      == And(Seq(SourceIn(Seq("55")), CollectionIn(Seq("C1")))))
+    // Case 2: productISIL present but ignored.
+    assert(AmslConfigBuilder.build(Seq(row(pi = Some("X"))))("DE-15")
+      == And(Seq(SourceIn(Seq("55")), CollectionIn(Seq("C1")))))
+    // Cases 3/4: holdings link with evaluate=yes → +holdings; =no → dropped.
+    assert(AmslConfigBuilder.build(Seq(row(lthf = Some("L"), ev = Some("yes"))))("DE-15")
+      == And(Seq(SourceIn(Seq("55")), CollectionIn(Seq("C1")), Holdings(Seq("L")))))
+    assert(!AmslConfigBuilder.build(Seq(row(lthf = Some("L"), ev = Some("no"))))
+      .contains("DE-15"))
+    // Cases 5/6: content files → source+holdings, collections ignored.
+    assert(AmslConfigBuilder.build(Seq(row(ltcf = Some("CF"))))("DE-15")
+      == And(Seq(SourceIn(Seq("55")), Holdings(Seq("CF")))))
+    assert(AmslConfigBuilder.build(Seq(row(eltcf = Some("EF"))))("DE-15")
+      == And(Seq(SourceIn(Seq("55")), Holdings(Seq("EF")))))
+    // Cases 7/8: link + (external) content file, evaluate=yes.
+    assert(AmslConfigBuilder.build(
+      Seq(row(lthf = Some("L"), eltcf = Some("EF"), ev = Some("yes"))))("DE-15")
+      == And(Seq(SourceIn(Seq("55")), Holdings(Seq("EF")), Holdings(Seq("L")))))
+    assert(AmslConfigBuilder.build(
+      Seq(row(lthf = Some("L"), ltcf = Some("CF"), ev = Some("yes"))))("DE-15")
+      == And(Seq(SourceIn(Seq("55")), Holdings(Seq("CF")), Holdings(Seq("L")))))
+    // Broad source (49): collection list dropped in link bucket.
+    assert(AmslConfigBuilder.build(
+      Seq(row(lthf = Some("L"), ev = Some("yes"), sid = "49")))("DE-15")
+      == And(Seq(SourceIn(Seq("49")), Holdings(Seq("L")))))
+    // Bare broad source: contributes nothing.
+    assert(!AmslConfigBuilder.build(Seq(row(sid = "49"))).contains("DE-15"))
+    // Unhandled: all three links set → error.
+    intercept[AmslConfigBuilder.UnhandledAmslRow](
+      AmslConfigBuilder.build(Seq(row(lthf = Some("L"), ltcf = Some("C"),
+        eltcf = Some("E"), ev = Some("yes")))))
+    // Same (isil,sid) collections merge into one sorted list.
+    assert(AmslConfigBuilder.build(Seq(row(coll = "C2"), row(coll = "C1")))("DE-15")
+      == And(Seq(SourceIn(Seq("55")), CollectionIn(Seq("C1", "C2")))))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Plan-shape guards — the 100 TB design assertions from VERDICT.md:
+  * mapping-table joins must broadcast, window dedup must not global
+  * sort, filters/projections must reach the parquet scan, and the
+  * LSH/ANN paths must never plan a cartesian product. */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+
+  private def plan(name: String): String = {
+    val q = SparkEntry.registry.find(_.name == name).get
+    q.fn(spark, Sf).queryExecution.executedPlan.toString
+  }
+
+  test("J1 dimension lookups are broadcast joins") {
+    val p = plan("j1_broadcast_lookup")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("J4 whitelist/blacklist flags are broadcast joins") {
+    val p = plan("j4_oa_flag")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("P5/P6 semi and anti joins broadcast the id list") {
+    assert(plan("p5_whitelist_semi").contains("BroadcastHashJoin"))
+    assert(plan("p6_blacklist_anti").contains("BroadcastHashJoin"))
+  }
+
+  test("W3 latest-per-key is window rank, not a global sort") {
+    val p = plan("w3_snapshot_latest_per_customer")
+    assert(p.contains("Window"))
+    // The only Sort allowed is the partition-local one under the
+    // window (global sort would show an Exchange rangepartitioning).
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+  }
+
+  test("P3 narrow extract pushes filter and prunes columns at the scan") {
+    val p = plan("p3_local_extract")
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]"),
+      p.take(1500))
+    assert(p.contains("ReadSchema") && !p.contains("text"), p.take(1500))
+  }
+
+  test("LSH dedup and ANN never plan a cartesian product") {
+    assert(!plan("d3_minhash_lsh_pairs").contains("CartesianProduct"))
+    assert(!plan("e2_ann_lsh_topk").contains("CartesianProduct"))
+  }
+
+  test("license tagging holdings joins are broadcast") {
+    val p = plan("l1_license_tag")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("every registered query has a distinct name and compiles a plan") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size)
+    // Oracle coverage: the rows-only set stays the known hash-family
+    // exceptions.
+    val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(rowsOnly == Set("f13_provenance", "d3_minhash_lsh_pairs",
+      "d4_simhash", "e2_ann_lsh_topk"))
+  }
+}
