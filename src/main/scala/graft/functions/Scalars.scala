@@ -65,6 +65,23 @@ object Scalars {
   /** P10 — strip `=` from ids. Ref: sources/base.py:182. */
   def stripEquals(c: Column): Column = translate(c, "=", "")
 
+  /** F2 — HTML entity unescape for the small named-entity set the
+    * reference handles (ref: conversions.py:67-78). `&amp;` is decoded
+    * last so `&amp;lt;` round-trips as the literal text `&lt;`. */
+  def htmlUnescape(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
+
+  /** F9 — literal mapping-table lookup with default (ref:
+    * conversions.py:579-1017 author_role_mapping): a when-chain over a
+    * broadcast-literal map, fully codegen'd. */
+  def mapLookup(c: Column, mapping: Map[String, String], default: Column): Column =
+    mapping.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(null))) {
+        case (acc, (k, v)) => acc.when(c === k, lit(v))
+      }.otherwise(default)
+
   /** F11 — JSON field extraction from a string column.
     * Ref: sources/doaj.py:305-313 (jq flatten). */
   def jsonField(c: Column, path: String): Column =

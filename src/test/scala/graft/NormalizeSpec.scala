@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.normalize.{Olc, Osf}
+import graft.export.SolrExport
+import graft.sources.Ndjson
+import graft.core.Schema
+
+/** Golden tests for the per-source normalizers (the shape of
+  * test_conversions.py:59-300, with our own fixtures), the Solr export
+  * mapping, and the NDJSON codec. */
+class NormalizeSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def olcFixture: DataFrame = {
+    val json = Seq(
+      """{"id": "0-123", "title": ["Zur Geschichte der Philosophie"],
+        | "title_sub": ["Ein Abriss"],
+        | "abstract": ["Erster Teil."], "author2": ["Meier, Hans", "Schmidt, Eva"],
+        | "format": ["electronic Article"],
+        | "collection_details": ["SSG-OLC-PHI", "SSG-OLC-UNKNOWN", "FID-XYZ"],
+        | "lang_code": ["ger"], "issn": ["1234-5678"],
+        | "container_issue": "4", "container_title": "Zeitschrift für Philosophie",
+        | "container_volume": "12", "publisher": ["Akademie Verlag"],
+        | "url": ["https://example.org/a"], "publishDateSort": "1999"}""".stripMargin
+        .replaceAll("\n", ""))
+    import spark.implicits._
+    spark.read.schema(Olc.InputSchema).json(json.toDS())
+  }
+
+  test("OLC: golden record") {
+    val r = Olc.normalize(olcFixture).collect()(0)
+    def f(n: String) = r.getAs[Any](n)
+    assert(f("finc.id") == "ai-68-0-123")
+    assert(f("finc.source_id") == "68")
+    assert(f("finc.format") == "Article")
+    assert(f("finc.mega_collection") == Seq("OLC SSG Philosophie"))
+    assert(f("rft.atitle") == "Zur Geschichte der Philosophie")
+    assert(f("x.subtitle") == "Ein Abriss")
+    assert(f("abstract") == "Erster Teil.")
+    assert(f("rft.issn") == Seq("1234-5678"))
+    assert(f("rft.jtitle") == "Zeitschrift für Philosophie")
+    assert(f("rft.issue") == "4")
+    assert(f("rft.volume") == "12")
+    assert(f("languages") == Seq("ger"))
+    assert(f("x.date") == "1999-01-01T00:00:00Z")
+    assert(f("rft.date") == "1999")
+    assert(r.getAs[scala.collection.Seq[Row]]("authors").toSeq.map(_.getAs[String]("rft.au"))
+      == Seq("Meier, Hans", "Schmidt, Eva"))
+  }
+
+  test("OLC: missing fields default; 5-digit year dropped") {
+    import spark.implicits._
+    val df = spark.read.schema(Olc.InputSchema)
+      .json(Seq("""{"id": "9", "publishDateSort": "19999"}""").toDS())
+    val r = Olc.normalize(df).collect()(0)
+    assert(r.getAs[String]("finc.id") == "ai-68-9")
+    assert(r.getAs[String]("rft.atitle") == "")
+    assert(r.getAs[scala.collection.Seq[String]]("finc.mega_collection").toSeq == Seq.empty)
+    // Unmapped default format "Article" maps to "Article".
+    assert(r.getAs[String]("finc.format") == "Article")
+    assert(r.getAs[String]("x.date") == null)
+    assert(r.getAs[String]("rft.date") == null)
+  }
+
+  private def osfFixture: (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val pre = spark.read.schema(Osf.InputSchema).json(Seq(
+      """{"id": "egcsk",
+        | "attributes": {"title": "A Study of the Data",
+        |   "description": "We present the results of the analysis and the data.",
+        |   "tags": ["data", "science"],
+        |   "preprint_doi_created": "2020-05-04T10:20:30"},
+        | "relationships": {"provider": {"data": {"id": "socarxiv"}}},
+        | "links": {"preprint_doi": "https://doi.org/10.31235/osf.io/egcsk"}}"""
+        .stripMargin.replaceAll("\n", "")).toDS())
+    val contrib = spark.createDataFrame(
+      Seq(("egcsk", "Ada", "Lovelace"), ("egcsk", "Alan", "Turing")))
+      .toDF("preprint_id", "given_name", "family_name")
+    (pre, contrib)
+  }
+
+  test("OSF: golden record") {
+    val (pre, contrib) = osfFixture
+    val r = Osf.normalize(pre, contrib).collect()(0)
+    def f(n: String) = r.getAs[Any](n)
+    assert(f("finc.id") == "ai-179-egcsk")
+    assert(f("finc.format") == "Preprint")
+    assert(f("doi") == "10.31235/osf.io/egcsk")
+    assert(f("finc.mega_collection") == Seq("sid-179-col-soc", "Socarxiv"))
+    assert(f("rft.jtitle") == "socarxiv")
+    assert(f("rft.atitle") == "A Study of the Data")
+    assert(f("languages") == Seq("eng"))
+    assert(f("x.date") == "2020-05-04T10:20:30Z")
+    assert(f("rft.date") == "2020-05-04")
+    assert(f("subjects") == Seq("data", "science"))
+    assert(f("url") == Seq("https://doi.org/10.31235/osf.io/egcsk"))
+    val authors = r.getAs[scala.collection.Seq[Row]]("authors").toSeq
+    assert(authors.map(a => (a.getAs[String]("rft.aufirst"), a.getAs[String]("rft.aulast"))).toSet
+      == Set(("Ada", "Lovelace"), ("Alan", "Turing")))
+  }
+
+  test("OSF: unknown provider gets default tcid; no contributors -> empty authors") {
+    import spark.implicits._
+    val pre = spark.read.schema(Osf.InputSchema).json(Seq(
+      """{"id": "zz", "attributes": {"title": "T"},
+        | "relationships": {"provider": {"data": {"id": "novel"}}},
+        | "links": {"preprint_doi": "https://doi.org/10.1/zz"}}"""
+        .stripMargin.replaceAll("\n", "")).toDS())
+    val contrib = spark.createDataFrame(Seq.empty[(String, String, String)])
+      .toDF("preprint_id", "given_name", "family_name")
+    val r = Osf.normalize(pre, contrib).collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("finc.mega_collection").toSeq
+      == Seq("sid-179-col-novel", "Novel"))
+    assert(r.getAs[scala.collection.Seq[Row]]("authors").toSeq == Seq.empty)
+    assert(r.getAs[scala.collection.Seq[String]]("languages").toSeq == Seq("eng"))
+    assert(r.getAs[String]("x.date") == null)
+  }
+
+  test("Solr export embeds the full record as JSON") {
+    val (pre, contrib) = osfFixture
+    val is = Osf.normalize(pre, contrib)
+      .withColumn("x.labels", array(lit("DE-15")))
+    val r = SolrExport.solr5vu3(is).collect()(0)
+    assert(r.getAs[String]("id") == "ai-179-egcsk")
+    assert(r.getAs[scala.collection.Seq[String]]("institution").toSeq == Seq("DE-15"))
+    assert(r.getAs[String]("publishDateSort") == "2020")
+    val full = r.getAs[String]("fullrecord")
+    assert(full.contains("\"finc.id\":\"ai-179-egcsk\""))
+    assert(r.getAs[scala.collection.Seq[String]]("author_facet").toSeq.toSet
+      == Set("Lovelace, Ada", "Turing, Alan"))
+  }
+
+  test("NDJSON round-trip with zstd preserves sparse records") {
+    val (pre, contrib) = osfFixture
+    val is = Osf.normalize(pre, contrib)
+    val dir = java.nio.file.Files.createTempDirectory("ndjson").toString + "/out"
+    Ndjson.write(is, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".gz")), files.mkString(","))
+    val back = Ndjson.read(spark, is.schema, dir)
+    assert(back.count() == 1)
+    assert(back.select("`finc.id`").collect()(0).getString(0) == "ai-179-egcsk")
+  }
+
+  test("NDJSON permissive read surfaces corrupt lines") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ndjson2")
+    val p = dir.resolve("data.json")
+    java.nio.file.Files.writeString(p,
+      """{"finc.id": "ok1"}
+        |this is not json
+        |{"finc.id": "ok2"}""".stripMargin)
+    val df = Ndjson.readPermissive(spark, Schema.IntermediateSchema, p.toString).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+  }
+}
