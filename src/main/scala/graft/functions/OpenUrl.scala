@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** F12 — OpenURL (Z39.88 KEV) link builder over intermediate-schema
+  * columns, re-expressing openurl.py:31-175 as one codegen'd
+  * expression: genre-dispatched parameter assembly, null-dropping, and
+  * form-urlencoding (url_encode = application/x-www-form-urlencoded,
+  * matching Python's urlencode).
+  */
+object OpenUrl {
+
+  val DefaultBase = "http://www.redi-bw.de/links/ubl?rl_site=ubl&"
+  val DefaultRfrId = "www.ub.uni-leipzig.de"
+
+  private def pair(k: String, v: Column): Column =
+    when(v.isNotNull, concat(lit(k + "="), url_encode(v.cast("string"))))
+
+  private def kev(pairs: Seq[(String, Column)]): Column =
+    concat_ws("&", array_compact(array(pairs.map { case (k, v) => pair(k, v) }: _*)))
+
+  /** Build the OpenURL query string. Column arguments follow the
+    * intermediate schema; arrays (issn, languages, pub) contribute
+    * their first element like the reference's `update_on_value`. */
+  def queryString(
+      genre: Column, recordId: Column, doi: Column, atitle: Column,
+      jtitle: Column, date: Column, issns: Column, eissns: Column,
+      volume: Column, issue: Column, pages: Column, places: Column,
+      pubs: Column, languages: Column, authors: Column,
+      fincFormat: Column, rfrId: String = DefaultRfrId): Column = {
+
+    val g = coalesce(genre, lit("article"))
+    // proceeding is linked like an article (openurl.py:73-74).
+    val eff = when(g === "proceeding", "article").otherwise(g)
+    val author = try_element_at(authors, lit(1))
+    def au(field: String): Column = author.getField(field)
+    val rftId = when(doi.isNotNull, concat(lit("info:doi/"), doi))
+      .otherwise(recordId)
+
+    val common: Seq[(String, Column)] = Seq(
+      "url_ver" -> lit("Z39.88-2004"),
+      "ctx_ver" -> lit("Z39.88-2004"),
+      "ctx_enc" -> lit("info:ofi/enc:UTF-8"),
+      "rfr_id" -> lit(s"info:sid/$rfrId:generator"),
+      "rft.date" -> date,
+      "rft.language" -> try_element_at(languages, lit(1)),
+      "rft.place" -> when(places.isNotNull, array_join(places, ", ")))
+
+    val authorPairs: Seq[(String, Column)] = Seq(
+      "rft.au" -> au("rft.au"), "rft.aucorp" -> au("rft.aucorp"),
+      "rft.aufirst" -> au("rft.aufirst"), "rft.aulast" -> au("rft.aulast"))
+
+    val article = kev(common ++ Seq(
+      "rft_val_fmt" -> lit("info:ofi/fmt:kev:mtx:journal"),
+      "rft.genre" -> eff,
+      "rft_id" -> rftId,
+      "rft.atitle" -> atitle,
+      "rft.jtitle" -> jtitle,
+      "rft.issn" -> try_element_at(issns, lit(1)),
+      "rft.eissn" -> try_element_at(eissns, lit(1)),
+      "rft.volume" -> volume,
+      "rft.issue" -> issue,
+      "rft.pages" -> pages) ++ authorPairs)
+
+    val book = kev(common ++ Seq(
+      "rft_val_fmt" -> lit("info:ofi/fmt:kev:mtx:book"),
+      "rft.genre" -> lit("book"),
+      "rft_id" -> rftId,
+      "rft.btitle" -> atitle,
+      "rft.isbn" -> try_element_at(eissns, lit(1)),
+      "rft.issn" -> try_element_at(issns, lit(1)),
+      "rft.volume" -> volume,
+      "rft.pages" -> pages,
+      "rft.pub" -> try_element_at(pubs, lit(1))) ++ authorPairs)
+
+    val journal = kev(common ++ Seq(
+      "rft.genre" -> lit("journal"),
+      "rft.title" -> jtitle,
+      "rft.issn" -> try_element_at(issns, lit(1))))
+
+    val fallback = kev(common ++ Seq(
+      "rft_val_fmt" -> lit("info:ofi/fmt:kev:mtx:book"),
+      "rft.title" -> atitle,
+      "rft.creator" -> au("rft.au"),
+      "rft.pub" -> try_element_at(pubs, lit(1)),
+      "rft.format" -> fincFormat))
+
+    when(eff === "article", article)
+      .when(eff === "book", book)
+      .when(eff === "journal", journal)
+      .otherwise(fallback)
+  }
+
+  /** Full resolver link. */
+  def link(qs: Column, base: String = DefaultBase): Column =
+    concat(lit(base), qs)
+}

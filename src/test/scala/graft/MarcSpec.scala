@@ -1,0 +1,161 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.marc._
+import graft.sources.Archives
+import graft.functions.OpenUrl
+import org.apache.spark.sql.functions._
+
+/** S9 MARC codec + P7 predicate filter, S5/S6 archive scans, and the
+  * F12 OpenURL builder. Fixtures are hand-authored (MARCXML is a public
+  * standard; shapes follow sources/b3kat.py:190-202 semantics). */
+class MarcSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def rec(id: String, ssgA: String, with912: Boolean): String = {
+    val f912 =
+      if (with912)
+        """<datafield tag="912" ind1=" " ind2=" ">
+          |  <subfield code="a">digit</subfield></datafield>""".stripMargin
+      else ""
+    s"""<record>
+       |  <leader>00000nam a2200000 c 4500</leader>
+       |  <controlfield tag="001">$id</controlfield>
+       |  <datafield tag="084" ind1=" " ind2=" ">
+       |    <subfield code="a">$ssgA</subfield>
+       |    <subfield code="2">ssgn</subfield>
+       |  </datafield>
+       |  <datafield tag="245" ind1="1" ind2="0">
+       |    <subfield code="a">Ein Titel</subfield>
+       |  </datafield>
+       |  $f912
+       |</record>""".stripMargin
+  }
+
+  test("MARCXML decode: leader, controlfields, datafields, subfields") {
+    val r = Marc.parseRecordXml(rec("b-1", "9,2", with912 = true))
+    assert(r.leader.contains("nam"))
+    assert(r.controlfields == Seq(MarcControlfield("001", "b-1")))
+    assert(r.datafields.map(_.tag) == Seq("084", "245", "912"))
+    assert(r.datafields.head.subfields
+      == Seq(MarcSubfield("a", "9,2"), MarcSubfield("2", "ssgn")))
+  }
+
+  test("namespace-prefixed records parse identically") {
+    val xml =
+      """<marc:record xmlns:marc="http://www.loc.gov/MARC21/slim">
+        |  <marc:leader>L</marc:leader>
+        |  <marc:controlfield tag="001">x</marc:controlfield>
+        |  <marc:datafield tag="084" ind1=" " ind2=" ">
+        |    <marc:subfield code="a">9,2</marc:subfield>
+        |  </marc:datafield>
+        |</marc:record>""".stripMargin
+    val r = Marc.parseRecordXml(xml)
+    assert(r.controlfields.head.value == "x")
+    assert(r.datafields.head.subfields.head.value == "9,2")
+  }
+
+  test("P7 SSG filter keeps only 084.2=ssgn ∧ 084.a=9,2 ∧ 912.a=digit") {
+    val xmls = Seq(
+      rec("keep", "9,2", with912 = true),
+      rec("wrong-ssg", "8,1", with912 = true),
+      rec("no-912", "9,2", with912 = false)).toDF("xml")
+    val ds = Marc.fromMarcXml(xmls, "xml")
+    val kept = Marc.ssgFilter(ds, "9,2")
+      .select(Marc.controlValue("001")).as[String].collect().toSeq
+    assert(kept == Seq("keep"))
+  }
+
+  test("values() and collection split") {
+    val coll = s"""<collection>${rec("a", "9,2", true)}${rec("b", "7", false)}</collection>"""
+    val parts = Marc.splitCollection(coll)
+    assert(parts.size == 2)
+    val ds = Marc.fromMarcXml(parts.toDF("xml"), "xml")
+    val titles = ds.select(Marc.values("245.a").as("t"))
+      .as[Seq[String]].collect().flatten.toSet
+    assert(titles == Set("Ein Titel"))
+  }
+
+  test("S5 zip member scan lists and reads members without extraction") {
+    val dir = java.nio.file.Files.createTempDirectory("zips")
+    val zipPath = dir.resolve("a.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipPath))
+    Seq("x/one.txt" -> "first", "x/two.txt" -> "second-longer").foreach {
+      case (name, content) =>
+        zout.putNextEntry(new java.util.zip.ZipEntry(name))
+        zout.write(content.getBytes("UTF-8"))
+        zout.closeEntry()
+    }
+    zout.close()
+    val members = Archives.zipMembers(spark, dir.toString + "/*.zip")
+    val got = members.select("member", "size").as[(String, Long)].collect().toSet
+    assert(got == Set(("x/one.txt", 5L), ("x/two.txt", 13L)))
+    val content = members.filter(col("member") === "x/one.txt")
+      .select(col("content").cast("string")).as[String].head()
+    assert(content == "first")
+  }
+
+  test("S6 gzip line scan with provenance") {
+    val dir = java.nio.file.Files.createTempDirectory("gz")
+    val p = dir.resolve("data.ldj.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    out.write("line1\nline2\n".getBytes("UTF-8")); out.close()
+    val lines = Archives.gzipLines(spark, p.toString)
+    assert(lines.select("line").as[String].collect().toSeq == Seq("line1", "line2"))
+    assert(lines.select("path").as[String].head().endsWith("data.ldj.gz"))
+  }
+
+  test("F12 OpenURL builder: article KEV params") {
+    val df = Seq((
+      "article", "rec-1", "10.1/x", "A Title", "J Title", "2016-01-01",
+      Seq("1672-5123"), Seq.empty[String], "16", "9", "1737-1740",
+      Seq.empty[String], Seq("Pub"), Seq("zho")))
+      .toDF("genre", "rid", "doi", "atitle", "jtitle", "date",
+            "issns", "eissns", "vol", "iss", "pages", "places", "pubs", "langs")
+      .withColumn("authors", array(struct(
+        lit(null).cast("string").as("rft.au"),
+        lit(null).cast("string").as("rft.aucorp"),
+        lit("L").as("rft.aufirst"), lit("Wang").as("rft.aulast"))))
+    val qs = df.select(OpenUrl.queryString(
+      col("genre"), col("rid"), col("doi"), col("atitle"), col("jtitle"),
+      col("date"), col("issns"), col("eissns"), col("vol"), col("iss"),
+      col("pages"), col("places"), col("pubs"), col("langs"),
+      col("authors"), lit("x")).as("qs")).as[String].head()
+    val params = qs.split("&").map(_.split("=", 2))
+      .map(kv => kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8")).toMap
+    assert(params("url_ver") == "Z39.88-2004")
+    assert(params("rft.genre") == "article")
+    assert(params("rft_id") == "info:doi/10.1/x")
+    assert(params("rft.atitle") == "A Title")
+    assert(params("rft.issn") == "1672-5123")
+    assert(params("rft.aulast") == "Wang")
+    assert(params("rft.language") == "zho")
+    assert(!params.contains("rft.eissn"))
+    // Reference semantics: a non-null (even empty) place list emits the
+    // param (", ".join([]) == "") — openurl.py:66-67.
+    assert(params("rft.place") == "")
+  }
+
+  test("F12 OpenURL builder: book and journal dispatch") {
+    val base = Seq(("book", "r2", null.asInstanceOf[String], "B Title"))
+      .toDF("genre", "rid", "doi", "atitle")
+      .withColumn("empty", array().cast("array<string>"))
+      .withColumn("authors", array().cast(
+        "array<struct<`rft.au`:string,`rft.aucorp`:string,`rft.aufirst`:string,`rft.aulast`:string>>"))
+    val qs = base.select(OpenUrl.queryString(
+      col("genre"), col("rid"), col("doi"), col("atitle"), lit(null),
+      lit(null), col("empty"), col("empty"), lit(null), lit(null),
+      lit(null), lit(null).cast("array<string>"), col("empty"),
+      col("empty"), col("authors"), lit(null).cast("string")).as("qs"))
+      .as[String].head()
+    val params = qs.split("&").map(_.split("=", 2))
+      .map(kv => kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8")).toMap
+    assert(params("rft_val_fmt") == "info:ofi/fmt:kev:mtx:book")
+    assert(params("rft.genre") == "book")
+    assert(params("rft.btitle") == "B Title")
+    assert(params("rft_id") == "r2") // no DOI → record id
+  }
+}
