@@ -23,6 +23,7 @@ object Bench {
 
     val results: Seq[(String, Double, Boolean)] =
       SparkEntry.registry.map { q =>
+        System.err.println(s"[bench] running ${q.name}")
         val t0 = System.nanoTime()
         val ok =
           try {

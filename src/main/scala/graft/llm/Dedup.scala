@@ -75,10 +75,20 @@ object Dedup {
     // Signature and verification MUST use the same unit set (shingleN=1
     // → distinct tokens): LSH over n-grams with token-level verification
     // would miss reordered near-dups entirely.
-    val sig = docs.select(
-      col(id).as("doc"),
-      shingles(col(text), shingleN).as("toks"),
-      minhashSignature(col(text), shingleN, numHashes).as("sig"))
+    //
+    // The signature is computed as explode → hash-aggregate (one min()
+    // per hash seed over the exploded shingles), NOT as numHashes
+    // array_min(transform(...)) expressions over a shingle column:
+    // CollapseProject would inline the shingle expression into every
+    // hash (and every band), exploding the plan ~bands×numHashes-fold —
+    // janino then spends minutes compiling one projection. The
+    // Aggregate is also the scale shape: map-side partial min, shuffle
+    // only (doc × numHashes) longs.
+    val exploded = docs.select(col(id).as("doc"),
+      explode(shingles(col(text), shingleN)).as("sh"))
+    val sig = exploded.groupBy("doc").agg(
+      array((0 until numHashes).map(i =>
+        min(xxhash64(col("sh"), lit(i)))): _*).as("sig"))
 
     // Band table carries only (band, bucket, doc) — token arrays would
     // otherwise be replicated ×bands through the shuffle. Tokens rejoin
@@ -107,7 +117,8 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    val toks = sig.select(col("doc"), col("toks"))
+    val toks = docs.select(col(id).as("doc"),
+      shingles(col(text), shingleN).as("toks"))
     candidates
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))

@@ -1,0 +1,91 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: media as opaque
+  * `binary` payloads plus a typed metadata struct, with
+  * decode/feature/resize/frame-sample stages as columnar transforms.
+  *
+  * The actual codec work is STUBBED — this container has no image/audio
+  * libraries — behind [[decodeStub]]: a deterministic fake that derives
+  * "pixels" from the payload hash. Everything around the stub is real
+  * and tested: the schema contract, the per-stage column signatures,
+  * the partitioning story (media rows are large — repartition by
+  * byte-size budget before wide stages), and the frame explosion shape.
+  * A deployment swaps [[decodeStub]] for a real codec in a
+  * `mapPartitions` over the same schema.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every payload. */
+  val MetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("meta", MetaType)))
+
+  /** Wrap raw binary files (spark.read.format("binaryFile")) into the
+    * media schema, deriving ids and mime from the path. */
+  def fromBinaryFiles(files: DataFrame): DataFrame =
+    files.select(
+      xxhash64(col("path")).as("media_id"),
+      col("content"),
+      struct(
+        when(col("path").endsWith(".png"), "image/png")
+          .when(col("path").endsWith(".jpg"), "image/jpeg")
+          .when(col("path").endsWith(".wav"), "audio/wav")
+          .when(col("path").endsWith(".mp4"), "video/mp4")
+          .otherwise("application/octet-stream").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** STUB decode: a real deployment replaces this with an image codec.
+    * Deterministic fake "decode" — features are seeded by the payload
+    * hash, so tests and oracles are stable. Returns array<double> of
+    * length `dim`. */
+  def decodeStub(content: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(content, i), lit(1000)).cast("double") / 500.0) - 1.0)
+
+  /** Feature extraction stage: payload → fixed-dim embedding (stubbed
+    * decode, real shape). */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame =
+    media.withColumn("features", decodeStub(col("content"), dim))
+
+  /** Resize stage: pure metadata + (stubbed) payload transform. The
+    * real contract is the signature: same schema out, width/height
+    * updated. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta",
+      struct(col("meta.mime").as("mime"), lit(w).as("width"),
+             lit(h).as("height"), col("meta.duration_ms").as("duration_ms")))
+
+  /** Frame sampling: one row per sampled frame timestamp — an explode
+    * over the duration, payload NOT replicated (frame decode is the
+    * stub; carrying the full video bytes per frame would blow the
+    * shuffle). */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media
+      .filter(col("meta.duration_ms").isNotNull)
+      .select(col("media_id"), col("meta"),
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs)))
+          .as("frame_ms"))
+      .withColumn("frame_id",
+        xxhash64(col("media_id"), col("frame_ms")))
+
+  /** Partition media rows so each task holds roughly `budgetBytes` of
+    * payload — large-blob hygiene before any wide stage. */
+  def repartitionByBytes(media: DataFrame, budgetBytes: Long): DataFrame = {
+    val total = media.select(sum(length(col("content")))).collect()(0).getLong(0)
+    val parts = math.max(1, (total / budgetBytes).toInt)
+    media.repartition(parts, col("media_id"))
+  }
+}

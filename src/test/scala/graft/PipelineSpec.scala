@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipeline.{Task, TaskRunner}
+import graft.streaming.IncrementalSnapshot
+
+/** Task-graph memoization semantics and the streaming incremental
+  * snapshot (latest-per-key parity with the batch compaction). */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  test("task graph: builds once, memoizes by output existence, rebuilds when stale removed") {
+    val base = java.nio.file.Files.createTempDirectory("tasks").toString
+    var builds = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    class Src extends Task("src", "2026-08-12") {
+      def build(s: SparkSession, in: Map[String, DataFrame]) = {
+        builds += name
+        Tables.nation(s, Sf).select("n_nationkey", "n_name")
+      }
+    }
+    class Agg(src: Task) extends Task("agg", "2026-08-12") {
+      override def requires = Seq(src)
+      def build(s: SparkSession, in: Map[String, DataFrame]) = {
+        builds += name
+        in("src").agg(count(lit(1)).as("n"))
+      }
+    }
+    val runner = new TaskRunner(spark, base)
+    val out = runner.run(new Agg(new Src))
+    assert(out.as[Long].head() == 25L)
+    assert(builds.toSeq == Seq("src", "agg"))
+
+    // Second run: everything complete → zero builds.
+    builds.clear()
+    runner.run(new Agg(new Src))
+    assert(builds.isEmpty)
+
+    // Remove the downstream artifact only → upstream stays memoized.
+    builds.clear()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/agg"), true)
+    runner.run(new Agg(new Src))
+    assert(builds.toSeq == Seq("agg"))
+  }
+
+  test("task graph: cycle detection") {
+    val base = java.nio.file.Files.createTempDirectory("tasks2").toString
+    lazy val a: Task = new Task("a", "d") {
+      override def requires = Seq(b)
+      def build(s: SparkSession, in: Map[String, DataFrame]) = spark.range(1).toDF()
+    }
+    lazy val b: Task = new Task("b", "d") {
+      override def requires = Seq(a)
+      def build(s: SparkSession, in: Map[String, DataFrame]) = spark.range(1).toDF()
+    }
+    intercept[IllegalArgumentException](new TaskRunner(spark, base).run(a))
+  }
+
+  test("incremental snapshot merge equals full batch compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("snap")
+    val landing = dir.resolve("landing").toString
+    val snapshot = dir.resolve("snapshot").toString
+    val checkpoint = dir.resolve("chk").toString
+    new java.io.File(landing).mkdirs()
+
+    // Harvest slice 1: keys a,b; slice 2 arrives later with newer a.
+    def writeSlice(n: String, rows: Seq[(String, Long, String)]): Unit = {
+      val f = java.nio.file.Paths.get(landing, n)
+      java.nio.file.Files.writeString(f, rows.map { case (k, ts, v) =>
+        s"""{"key": "$k", "ts": $ts, "val": "$v"}"""
+      }.mkString("\n"))
+    }
+    writeSlice("s1.json", Seq(("a", 1L, "old-a"), ("b", 1L, "b1")))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.StringType)))
+
+    def runOnce(): Unit = {
+      val q = IncrementalSnapshot.start(spark, schema, landing, snapshot,
+        checkpoint, "key", "ts", "val")
+      q.awaitTermination()
+    }
+    runOnce()
+    val after1 = spark.read.parquet(snapshot)
+      .select("key", "val").as[(String, String)].collect().toMap
+    assert(after1 == Map("a" -> "old-a", "b" -> "b1"))
+
+    writeSlice("s2.json", Seq(("a", 5L, "new-a"), ("c", 2L, "c1")))
+    runOnce()
+    val after2 = spark.read.parquet(snapshot)
+      .select("key", "val").as[(String, String)].collect().toMap
+    assert(after2 == Map("a" -> "new-a", "b" -> "b1", "c" -> "c1"))
+
+    // Parity: identical to compacting the full landing dir in batch.
+    val full = IncrementalSnapshot.compact(
+      spark.read.schema(schema).json(landing), "key", "ts", "val")
+      .select("key", "val").as[(String, String)].collect().toMap
+    assert(full == after2)
+  }
+}
