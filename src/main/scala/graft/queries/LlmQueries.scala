@@ -48,9 +48,13 @@ object LlmQueries {
     // MinHash + LSH banded near-dup pairs — the 100 TB path (bucket
     // join on band hashes, never all-pairs). Hash family is xxhash64 →
     // no SQL oracle; verified by spec against the exact-Jaccard op.
+    // The bucket cap is ON here: this synthetic corpus is pathologically
+    // self-similar (~25% of ALL pairs exceed the threshold), so the true
+    // pair set is quadratic — the cap is exactly the guard a production
+    // dedup runs with to bound fan-out on boilerplate-heavy shards.
     Q.rowsOnly("d3_minhash_lsh_pairs") { (s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.8)
+        threshold = 0.8, maxBucketSize = Some(100))
     },
 
     // SimHash fingerprints (rows-only: xxhash64 family).
