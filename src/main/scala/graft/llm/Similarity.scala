@@ -68,6 +68,51 @@ object Similarity {
       struct(lit(t).as("tbl"), lshBucket(vec, t, planes, dim).as("bkt"))
     }: _*)
 
+  /** IVF-style ANN: corpus vectors are pre-assigned to clusters
+    * (`clusterCol` — here the data's label column; a deployment uses
+    * k-means assignments computed the same way); per-cluster centroids
+    * are averaged per dimension, queries probe their `nprobe` nearest
+    * centroids, and only those clusters' members are scored exactly.
+    *
+    * Scale shape: centroids are tiny (clusters × dim) and broadcast;
+    * the corpus joins on its cluster id (equi-join, no pairwise work
+    * outside probed clusters). Recall is tunable via nprobe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              id: String, vec: String, clusterCol: String,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    // Per-dimension mean per cluster: posexplode → avg → re-assemble.
+    val centroids = corpus
+      .select(col(clusterCol).as("cluster"), posexplode(col(vec)).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos")
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cluster")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+    // Each query → its nprobe closest centroids.
+    val probes = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cluster"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+
+    val scored = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"),
+              col(clusterCol).as("cluster"))
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+              round(col("sim"), 4).as("sim"))
+  }
+
   /** Approximate top-k via multi-table sign-LSH: a pair is a candidate
     * if it collides in ANY of the `tables` hash tables (recall at
     * per-plane agreement p is 1-(1-p^planes)^tables — 4 planes × 8

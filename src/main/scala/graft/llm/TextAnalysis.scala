@@ -74,4 +74,26 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the token-sorted canonical form —
     * an order-insensitive content identity (exact-dedup key). */
   def fingerprint(text: Column): Column = md5(Scalars.canonicalText(text))
+
+  /** BPE-ish subword segmentation count: GPT-2-style pre-tokenizer
+    * regex — word pieces, number runs, punctuation runs — a far better
+    * token-cost estimate than whitespace splitting on code/markup. */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Order-SENSITIVE rolling-hash fingerprint (Rabin–Karp polynomial
+    * over token hashes, mod 2^40 so the ANSI-mode multiply can't
+    * overflow a long): distinguishes permuted texts that [[fingerprint]]
+    * deliberately identifies. Token hash = first 10 hex chars of md5 —
+    * portable to the SQL oracle. */
+  def rollingFingerprint(text: Column): Column = {
+    val mod = 1099511627776L // 2^40
+    aggregate(
+      Scalars.tokens(text),
+      lit(0L),
+      (acc, tok) => pmod(
+        acc * 31 + conv(substring(md5(tok), 1, 10), 16, 10).cast("long"),
+        lit(mod)))
+  }
 }

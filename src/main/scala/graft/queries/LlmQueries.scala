@@ -122,6 +122,31 @@ object LlmQueries {
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
+    // BPE-ish subword token counting (token-cost estimation).
+    Q("t5_bpeish_token_count",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT)
+         |    AS bpeish_tokens
+         |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
+    },
+
+    // Rolling-hash (order-sensitive) document fingerprint. Both engines
+    // fold (acc*31 + md5-derived 40-bit token hash) mod 2^40; DuckDB's
+    // 2-arg list_reduce seeds with the first element, which equals
+    // Spark's 0-seeded fold because v1 < 2^40.
+    Q("t6_rolling_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(trim(text), ' '),
+        |                   x -> CAST(('0x' || substr(md5(x), 1, 10)) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1099511627776) AS rolling_fp
+        |FROM documents""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+    },
+
     // Brute-force cosine top-k for a small query set (exact baseline).
     Q("e1_ann_brute_topk",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv
@@ -147,6 +172,14 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5, planes = 6)
+    },
+
+    // IVF-bucketed ANN over label clusters (rows-only: ranking depends
+    // on probed-cluster membership; recall spec-tested against e1).
+    Q.rowsOnly("e4_ann_ivf_topk") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", 5, nprobe = 3)
     },
 
     // Per-label embedding stats (vector-column handling).

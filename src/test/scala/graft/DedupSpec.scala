@@ -88,6 +88,39 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("text: bpeish count exceeds whitespace count on punctuated text; rolling fp is order-sensitive") {
+    val df = Seq(
+      (1L, "hello world, it's 2024!"),
+      (2L, "alpha beta gamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val bpe = df.select(col("doc_id"),
+      graft.llm.TextAnalysis.bpeishTokenCount(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    // hello|world|,|it|'|s|2024|! = 8 pieces vs 4 whitespace tokens.
+    assert(bpe(1L) == 8)
+    val fp = df.select(col("doc_id"),
+      graft.llm.TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(2L) != fp(3L)) // order-sensitive, unlike md5 fingerprint
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 40)))
+  }
+
+  test("ANN IVF: probes nearest clusters only, good recall with nprobe=3") {
+    val emb = Tables.embeddings(spark, Sf).cache()
+    val queries = emb.filter(col("vec_id") < 20)
+    // The fixture's label column is only weakly geometric, so recall
+    // tracks probed-cluster fraction; nprobe=5 of 10 clusters must
+    // clear half. (Real IVF uses k-means labels, where recall at low
+    // nprobe is far higher.)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "label", 5, nprobe = 5)
+    assert(!ivf.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("ANN LSH: bucket join plan (no cartesian), decent recall@5") {
     val emb = Tables.embeddings(spark, Sf).cache()
     val queries = emb.filter(col("vec_id") < 20)
