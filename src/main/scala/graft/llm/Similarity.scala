@@ -27,15 +27,27 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** The native codegen'd cosine (graft.plans.CosineSimilarityExpr) —
+    * bit-identical to [[cosine]] but a fused float loop inside
+    * whole-stage codegen instead of interpreted HOF lambdas. Registers
+    * the function on first use (idempotent). */
+  def cosineNative(spark: org.apache.spark.sql.SparkSession,
+                   a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.Name, a, b)
+  }
+
   /** Exact top-k neighbors for each query vector (queries broadcast;
     * excludes self-matches when ids collide). Ties broken by neighbor id
-    * so results are deterministic. */
+    * so results are deterministic. `cosineFn` lets callers swap in the
+    * native expression. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     id: String, vec: String, k: Int): DataFrame = {
+                     id: String, vec: String, k: Int,
+                     cosineFn: (Column, Column) => Column = cosine): DataFrame = {
     val q = broadcast(queries.select(col(id).as("query_id"), col(vec).as("qv")))
     val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineFn(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

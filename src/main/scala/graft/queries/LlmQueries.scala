@@ -63,6 +63,29 @@ object LlmQueries {
         .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("simhash32"))
     },
 
+    // Portable SimHash (md5-derived token bits) — fully oracle-checked:
+    // both engines vote per bit over the multiset of tokens.
+    Q("d5_simhash_portable",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(tok), 1, 10)) AS BIGINT) AS th
+        |      FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.j,
+        |         sum(CASE WHEN (th >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b
+        |  GROUP BY doc_id, b.j)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN v > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
+        |         AS simhash16
+        |FROM votes GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simhashPortable(col("text"), 16).as("simhash16"))
+    },
+
     // Token counting + lexical stats per document.
     Q("t1_token_stats",
       """SELECT doc_id,
@@ -163,6 +186,27 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
+    },
+
+    // Same brute-force top-k through the native codegen'd cosine
+    // Expression — bit-identical accumulation, so it shares e1's
+    // oracle shape.
+    Q("e5_ann_brute_native",
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |         list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+        |                                CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        |SELECT qid AS query_id, nid AS neighbor_id, rank, round(sim, 4) AS sim
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, nid) AS INT) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5,
+        cosineFn = (a, b) => Similarity.cosineNative(s, a, b))
     },
 
     // LSH-bucketed ANN — the scale path (bucket equi-join, corpus

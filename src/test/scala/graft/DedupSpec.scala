@@ -121,6 +121,26 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("native cosine Expression matches the HOF formulation bit-for-bit and codegens") {
+    val emb = Tables.embeddings(spark, Sf).filter(col("vec_id") < 80).cache()
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .join(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")),
+        col("ia") < col("ib"))
+    val both = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("hof"),
+      Similarity.cosineNative(spark, col("va"), col("vb")).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() == 0)
+    // The HOF column is CodegenFallback and poisons any projection it
+    // appears in — the native expression alone stays in codegen.
+    val nativeOnly = pairs.select(
+      Similarity.cosineNative(spark, col("va"), col("vb")).as("native"))
+    nativeOnly.collect() // finalize the adaptive plan before inspecting
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    // "*(n) Project [cosine_sim(...)" = the projection runs inside a
+    // whole-stage-codegen stage (the * prefix is codegen notation).
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"), plan.take(800))
+  }
+
   test("ANN LSH: bucket join plan (no cartesian), decent recall@5") {
     val emb = Tables.embeddings(spark, Sf).cache()
     val queries = emb.filter(col("vec_id") < 20)
