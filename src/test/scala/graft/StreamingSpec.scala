@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Streaming ops over a MemoryStream: watermark drops late data,
+  * sessionization closes on gap. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked windowed counts: on-time aggregates appear, too-late rows dropped") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val counts = EventStreams.windowedCounts(
+      input.toDF(), windowLen = "10 minutes", lateness = "5 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("wc").outputMode("append").start()
+
+    // Batch 1: two events in [10:00,10:10), watermark advances to 10:25.
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(3), 7, "click", 2.0),
+      Event(3, ts(30), 7, "click", 4.0))
+    q.processAllAvailable()
+    // Batch 2: a too-late event for the closed 10:00 window (ignored)
+    // plus watermark push to finalize nothing new.
+    input.addData(Event(4, ts(2), 7, "click", 100.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wc")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+              col("cnt"), col("sum_value"))
+      .as[(String, Long, Double)].collect().toSet
+    // The 10:00 window was finalized with exactly the two on-time rows.
+    assert(rows.contains(("10:00", 2L, 3.0)), rows.toString)
+    assert(!rows.exists { case (_, _, s) => s >= 100.0 })
+  }
+
+  test("sessionization: gap closes sessions, state emits complete sessions") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 5 * 60 * 1000)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess").outputMode("append").start()
+
+    // User 7: events at 10:01,10:03 (one session), then 10:30 (new
+    // session after >5 min gap closes the first).
+    input.addData(
+      Event(1, ts(1), 7, "click", 1.0),
+      Event(2, ts(3), 7, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(30), 7, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val done = spark.table("sess")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(done == Set((7L, 2L, 3.0)), done.toString)
+  }
+}
