@@ -84,6 +84,25 @@ object Ops {
       .drop(facts.map { case (name, _, _) => s"__has_$name" }: _*)
   }
 
+  /** Skew-resistant aggregation: two-phase group-by with a salt on the
+    * hot key space. Phase 1 aggregates (key, salt) partials — hot keys
+    * spread over `salts` reducers — phase 2 merges partials per key.
+    * Use for algebraic aggregates over keys with power-law frequency
+    * (AQE's skew handling covers joins, not aggregations). */
+  def saltedAgg(df: DataFrame, key: String, salts: Int,
+                aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
+    val phase1 = df
+      .withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(aggs.head._2.as(aggs.head._1),
+           aggs.tail.map { case (a, p, _) => p.as(a) }: _*)
+    phase1
+      .groupBy(col(key))
+      .agg(aggs.head._3(col(aggs.head._1)).as(aggs.head._1),
+           aggs.tail.map { case (a, _, m) => m(col(a)).as(a) }: _*)
+  }
+
   /** J5/A6 — pairwise key-overlap statistics between tagged sources:
     * one aggregation over the self-join on the shared key, grouped by the
     * unordered tag pair. Ref: workflows/ai.py:432-513. */

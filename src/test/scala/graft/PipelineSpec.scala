@@ -61,6 +61,36 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](new TaskRunner(spark, base).run(a))
   }
 
+  test("AiUpdate DAG: end-to-end artifacts, memoized re-run, labeled export") {
+    val base = java.nio.file.Files.createTempDirectory("aiupdate").toString
+    val out = graft.pipeline.AiUpdate.run(spark, Sf, base, "2026-08-12")
+    assert(out.count() == 500)
+    assert(out.columns.toSet ==
+      Set("id", "doc_id", "institution", "x_oa", "quality", "fullrecord"))
+    // Artifacts for every stage exist with _SUCCESS markers.
+    for (t <- Seq("source_union", "analyzed", "deduplicated", "export"))
+      assert(new java.io.File(s"$base/$t/date=2026-08-12/_SUCCESS").exists(), t)
+    // Re-run touches nothing (memoized) and returns the same artifact.
+    val again = graft.pipeline.AiUpdate.run(spark, Sf, base, "2026-08-12")
+    assert(again.count() == 500)
+    val sample = out.filter(col("x_oa")).select("fullrecord").as[String].head()
+    assert(sample.contains("\"quality\""))
+  }
+
+  test("saltedAgg equals plain groupBy aggregation") {
+    val ev = Tables.events(spark, Sf)
+    val plain = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, c, s) => (k, c, math.round(s * 100)) }.toSet
+    val salted = graft.operators.Ops.saltedAgg(ev, "event_type", 8, Seq(
+      ("cnt", count(lit(1)), (c: org.apache.spark.sql.Column) => sum(c)),
+      ("sv", sum(col("value")), (c: org.apache.spark.sql.Column) => sum(c))))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, c, s) => (k, c, math.round(s * 100)) }.toSet
+    assert(salted == plain)
+  }
+
   test("incremental snapshot merge equals full batch compaction") {
     val dir = java.nio.file.Files.createTempDirectory("snap")
     val landing = dir.resolve("landing").toString
