@@ -84,6 +84,17 @@ object Ops {
       .drop(facts.map { case (name, _, _) => s"__has_$name" }: _*)
   }
 
+  /** A4 — counter/stats side output without a second pass: attach
+    * `observe` metrics to the flowing plan (the reference keeps a
+    * Python Counter while streaming records — sources/jstor.py:696-785;
+    * here the metrics ride the same job, zero extra scans). Read the
+    * values from `Observation.get` after the action. */
+  def withQualityMetrics(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                         errorCond: Column): DataFrame =
+    df.observe(obs,
+      count(lit(1)).as("n_records"),
+      sum(when(errorCond, 1L).otherwise(0L)).as("n_errors"))
+
   /** Skew-resistant aggregation: two-phase group-by with a salt on the
     * hot key space. Phase 1 aggregates (key, salt) partials — hot keys
     * spread over `salts` reducers — phase 2 merges partials per key.

@@ -133,6 +133,44 @@ class NormalizeSpec extends AnyFunSuite {
       == Set("Lovelace, Ada", "Turing, Alan"))
   }
 
+  test("EastView: blob split + golden record + filters") {
+    val blob =
+      """<add>
+        |  <doc>
+        |    <field name="id">ev:001</field>
+        |    <field name="title">О социологии</field>
+        |    <field name="url">https://example.org/ev1</field>
+        |    <field name="author">Иванов И.,Петров П.</field>
+        |    <field name="source">Вопросы социологии</field>
+        |    <field name="year">2005</field>
+        |    <field name="pages">-</field>
+        |    <field name="volume">7</field>
+        |    <field name="language">rus</field>
+        |    <field name="content">Длинный текст статьи</field>
+        |  </doc>
+        |  <doc>
+        |    <field name="id">ev:002</field>
+        |    <field name="url">https://example.org/no-title</field>
+        |  </doc>
+        |</add>""".stripMargin
+    import spark.implicits._
+    val rows = graft.normalize.EastView.explodeBlobs(
+      spark, Seq(blob).toDF("xml"), "xml")
+    assert(rows.count() == 2)
+    val out = graft.normalize.EastView.normalize(rows).collect()
+    assert(out.length == 1) // no-title doc dropped
+    val r = out(0)
+    assert(r.getAs[String]("finc.record_id") == "ev:001")
+    assert(r.getAs[String]("finc.id").startsWith("ai-210-"))
+    assert(!r.getAs[String]("finc.id").endsWith("="))
+    assert(r.getAs[String]("rft.pages") == null) // "-" filtered
+    assert(r.getAs[String]("rft.volume") == "7")
+    assert(r.getAs[String]("x.date") == "2005-01-01T00:00:00Z")
+    assert(r.getAs[String]("abstract").endsWith("..."))
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("authors").size == 2)
+    assert(r.getAs[scala.collection.Seq[String]]("languages").toSeq == Seq("rus"))
+  }
+
   test("NDJSON round-trip with zstd preserves sparse records") {
     val (pre, contrib) = osfFixture
     val is = Osf.normalize(pre, contrib)

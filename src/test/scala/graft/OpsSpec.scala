@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Observation, SaveMode}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ops
+
+/** Operator-kit details not covered by the oracle queries: observe
+  * metrics side-channel and bucketed co-located joins. */
+class OpsSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  test("A4 observe metrics ride the job without a second scan") {
+    val obs = Observation("quality")
+    val df = Ops.withQualityMetrics(
+      Tables.documents(spark, Sf), obs, col("n_chars") < 150)
+    val n = df.count()
+    val row = obs.get
+    assert(row("n_records") == n)
+    val errs = row("n_errors").asInstanceOf[Long]
+    assert(errs > 0 && errs < n)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    Tables.orders(spark, Sf)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    Tables.customer(spark, Sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_customer")
+
+    // Disable broadcast so the join would otherwise shuffle both sides.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), Seq("o_custkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
