@@ -151,6 +151,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact, over a bounded
+    * subset — the oracle baseline (the query side broadcasts; at full
+    * scale use [[embeddingNearDupPairsLsh]]). */
+  def embeddingNearDupPairsExact(emb: DataFrame, id: String, vec: String,
+                                 threshold: Double): DataFrame = {
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Embedding-cosine near-dup at scale: candidates from multi-table
+    * sign-LSH buckets (equi-join on (table, bucket) — never all-pairs),
+    * verified with exact cosine. */
+  def embeddingNearDupPairsLsh(emb: DataFrame, id: String, vec: String,
+                               threshold: Double, planes: Int = 8,
+                               tables: Int = 6, dim: Int = 64): DataFrame = {
+    val withBuckets = emb.select(col(id).as("doc"), col(vec).as("v"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+               Similarity.lshBucket(col(vec), t, planes, dim).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("doc"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val a = withBuckets.select(col("tbl"), col("bkt"), col("doc").as("id_a"))
+    val b = withBuckets.select(col("tbl"), col("bkt"), col("doc").as("id_b"))
+    val candidates = a.join(b, Seq("tbl", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
+    candidates
+      .join(vecs.withColumnsRenamed(Map("doc" -> "id_a", "v" -> "va")), Seq("id_a"))
+      .join(vecs.withColumnsRenamed(Map("doc" -> "id_b", "v" -> "vb")), Seq("id_b"))
+      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** SimHash fingerprint over tokens: per bit position, sum +1/-1 votes
     * weighted by token hash bits; the sign vector is the fingerprint.
     * `bits` ≤ 60 (hash bits drawn from the low bits of a 64-bit hash).

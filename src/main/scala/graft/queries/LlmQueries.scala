@@ -86,6 +86,26 @@ object LlmQueries {
           Dedup.simhashPortable(col("text"), 16).as("simhash16"))
     },
 
+    // Embedding-cosine near-dup, exact on an id-bounded subset (oracle
+    // baseline; sim computed in double in both engines and rounded).
+    Q("d6_embedding_neardup",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.55""".stripMargin) { (s, d) =>
+      Dedup.embeddingNearDupPairsExact(
+        Tables.embeddings(s, d).filter(col("vec_id") < 300),
+        "vec_id", "embedding", 0.55)
+    },
+
+    // Scale path: LSH-bucketed embedding near-dup (rows-only).
+    Q.rowsOnly("d7_embedding_neardup_lsh") { (s, d) =>
+      Dedup.embeddingNearDupPairsLsh(Tables.embeddings(s, d),
+        "vec_id", "embedding", 0.55)
+    },
+
     // Token counting + lexical stats per document.
     Q("t1_token_stats",
       """SELECT doc_id,
