@@ -190,6 +190,30 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** Table-level SimHash: explode tokens once, hash each token once,
+    * aggregate per-bit votes as `bits` sum() columns (map-side partial
+    * aggregation), then assemble the sign fingerprint. Scales like the
+    * MinHash signature aggregate and avoids the per-row Column form's
+    * repeated token hashing (`bits`× per token inside the lambda). */
+  def simhashTable(docs: DataFrame, id: String, text: String,
+                   bits: Int = 32, portable: Boolean = false): DataFrame = {
+    require(bits <= (if (portable) 40 else 60))
+    val tok = docs.select(col(id).as("doc"),
+      explode(Scalars.tokens(col(text))).as("tok"))
+    val h =
+      if (portable) conv(substring(md5(col("tok")), 1, 10), 16, 10).cast("long")
+      else xxhash64(col("tok"))
+    val withHash = tok.select(col("doc"), h.as("h"))
+    val votes = withHash.groupBy("doc").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("v0"),
+      (1 until bits).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$i")): _*)
+    val fp = (0 until bits).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    votes.select(col("doc").as(id), fp.as("simhash"))
+  }
+
   /** SimHash fingerprint over tokens: per bit position, sum +1/-1 votes
     * weighted by token hash bits; the sign vector is the fingerprint.
     * `bits` ≤ 60 (hash bits drawn from the low bits of a 64-bit hash).

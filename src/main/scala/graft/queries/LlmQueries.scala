@@ -59,8 +59,8 @@ object LlmQueries {
 
     // SimHash fingerprints (rows-only: xxhash64 family).
     Q.rowsOnly("d4_simhash") { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash(col("text"), 32).as("simhash32"))
+      Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text", 32)
+        .withColumnRenamed("simhash", "simhash32")
     },
 
     // Portable SimHash (md5-derived token bits) — fully oracle-checked:
@@ -81,9 +81,9 @@ object LlmQueries {
         |       CAST(sum(CASE WHEN v > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
         |         AS simhash16
         |FROM votes GROUP BY doc_id""".stripMargin) { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          Dedup.simhashPortable(col("text"), 16).as("simhash16"))
+      Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text", 16,
+          portable = true)
+        .withColumnRenamed("simhash", "simhash16")
     },
 
     // Embedding-cosine near-dup, exact on an id-bounded subset (oracle
