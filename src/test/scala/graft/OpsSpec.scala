@@ -25,6 +25,14 @@ class OpsSpec extends AnyFunSuite {
   test("bucketed tables co-locate the join: no shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
+    // A previous JVM's warehouse dirs survive the in-memory catalog —
+    // saveAsTable refuses to reuse the location.
+    for (t <- Seq("b_orders", "b_customer")) {
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
     Tables.orders(spark, Sf)
       .write.mode(SaveMode.Overwrite)
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
