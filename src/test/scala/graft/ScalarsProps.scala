@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.functions.Scalars
+import graft.llm.Dedup
+
+/** ScalaCheck properties for the scalar library (SURVEY §5: property
+  * tests the reference lacks). Each check evaluates the Column against
+  * the shared local session; sample counts are kept small because every
+  * case is a (tiny) Spark job. */
+object ScalarsProps extends Properties("Scalars") {
+  import TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(15)
+
+  private def eval1(c: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("v").select(c.as("r")).as[String].head()
+
+  private val word: Gen[String] =
+    Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text: Gen[String] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  property("base64Id never emits padding and is decodable") = Prop.forAll(word) { s =>
+    val b64 = eval1(Scalars.base64Id(col("v")), s)
+    val pad = "=" * ((4 - b64.length % 4) % 4)
+    !b64.endsWith("=") &&
+      new String(java.util.Base64.getDecoder.decode(b64 + pad), "UTF-8") == s
+  }
+
+  property("normalizeDoi is idempotent") = Prop.forAll(word, word) { (a, b) =>
+    val doi = s"https://doi.org/10.$a/$b"
+    val once = eval1(Scalars.normalizeDoi(col("v")), doi)
+    val twice = eval1(Scalars.normalizeDoi(col("v")), once)
+    once == twice && once == s"10.${a.toLowerCase}/${b.toLowerCase}"
+  }
+
+  property("isIssn accepts all well-formed ISSNs") = Prop.forAll(
+    Gen.listOfN(7, Gen.numChar).map(_.mkString),
+    Gen.oneOf(Gen.numChar, Gen.oneOf('x', 'X'))) { (digits, check) =>
+    val issn = s"${digits.take(4)}-${digits.drop(4)}$check"
+    Seq(issn).toDF("v").filter(Scalars.isIssn(col("v"))).count() == 1
+  }
+
+  property("canonicalText is invariant under token permutation") =
+    Prop.forAll(text, Gen.long) { (t, seed) =>
+      val shuffled = new scala.util.Random(seed)
+        .shuffle(t.split(" ").toSeq).mkString(" ")
+      eval1(Scalars.canonicalText(col("v")), t) ==
+        eval1(Scalars.canonicalText(col("v")), shuffled)
+    }
+
+  property("jaccard is symmetric and in [0,1]") = Prop.forAll(text, text) { (a, b) =>
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(split(col("a"), " ").as("ta"), split(col("b"), " ").as("tb"))
+    val (ab, ba) = df.select(
+      Dedup.jaccard(col("ta"), col("tb")).as("ab"),
+      Dedup.jaccard(col("tb"), col("ta")).as("ba"))
+      .as[(Double, Double)].head()
+    ab == ba && ab >= 0.0 && ab <= 1.0
+  }
+
+  property("htmlUnescape round-trips the named entities") = Prop.forAll(word) { s =>
+    val escaped = s"&lt;p&gt;$s&amp;$s&quot;"
+    eval1(Scalars.htmlUnescape(col("v")), escaped) == s"<p>$s&$s\""
+  }
+
+  property("extractYear finds a planted year") = Prop.forAll(
+    Gen.chooseNum(1000, 2999), word) { (y, w) =>
+    eval1(Scalars.extractYear(col("v")), s"$w $y $w") == y.toString
+  }
+}
