@@ -17,6 +17,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** All tables by name — derived from `names` so the list and the
+    * loaders cannot drift (ADVICE r01). `events` routes through its
+    * ns-timestamp-aware loader. */
+  def all(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    names.map { n =>
+      n -> (if (n == "events") events(spark, dir) else load(spark, dir, n))
+    }.toMap
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

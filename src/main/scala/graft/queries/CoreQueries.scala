@@ -62,6 +62,26 @@ object CoreQueries {
                 date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
     },
 
+    // W3 as a sort-free hash aggregate (max_by over the row, order key
+    // = days×1e8 + orderkey so ties cannot exist): the preferred
+    // snapshot-compaction plan when groups are small.
+    Q("w4_snapshot_latest_agg",
+      """SELECT o_custkey,
+        |       arg_max(o_orderkey, okey) AS o_orderkey,
+        |       arg_max(o_totalprice, okey) AS o_totalprice,
+        |       arg_max(strftime(o_orderdate, '%Y-%m-%d'), okey) AS o_date
+        |FROM (SELECT *,
+        |        datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |          * 100000000 + o_orderkey AS okey
+        |      FROM orders)
+        |GROUP BY o_custkey""".stripMargin) { (s, d) =>
+      val okey = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long") *
+        100000000L + col("o_orderkey")
+      Ops.latestPerKeyAgg(Seq("o_custkey"), okey)(Tables.orders(s, d))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    },
+
     // A1 — group-count + sums (ref: sources/crossref.py:296-330).
     // sum_qty is exact (whole-number doubles); money sums rounded.
     Q("a1_group_agg",
