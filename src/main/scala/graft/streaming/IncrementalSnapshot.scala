@@ -24,6 +24,49 @@ object IncrementalSnapshot {
     graft.operators.Ops.latestPerKey(
       Seq(col(key)), Seq(col(orderCol), col(tiebreak)))(df)
 
+  /** The 100 TB form of the merge: the snapshot is stored partitioned
+    * by `pmod(xxhash64(key), buckets)` and each micro-batch rewrites
+    * ONLY the partitions its keys touch (dynamic partition overwrite) —
+    * batch cost scales with batch size × bucket fraction, not snapshot
+    * size. Same newest-wins result as the full rewrite. */
+  def startPartitioned(spark: SparkSession, schema: StructType,
+                       landingDir: String, snapshotDir: String,
+                       checkpointDir: String, key: String, orderCol: String,
+                       tiebreak: String, buckets: Int = 64,
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).json(landingDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val batch = batch0
+          .withColumn("__bucket", pmod(xxhash64(col(key)), lit(buckets)))
+        val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists =
+          fs.exists(new org.apache.hadoop.fs.Path(snapshotDir, "_SUCCESS")) ||
+            fs.globStatus(new org.apache.hadoop.fs.Path(
+              snapshotDir, "__bucket=*")).nonEmpty
+        val merged =
+          if (!exists) batch
+          else {
+            val touched = batch.select("__bucket").distinct()
+            val existing = spark.read.parquet(snapshotDir)
+              // Partition-pruned read: only the touched buckets rejoin.
+              .join(broadcast(touched), Seq("__bucket"), "left_semi")
+            existing.unionByName(batch, allowMissingColumns = true)
+          }
+        val compacted = graft.operators.Ops.latestPerKey(
+          Seq(col(key)), Seq(col(orderCol), col(tiebreak)))(merged)
+        val staging = snapshotDir + "__staging"
+        compacted.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging)
+          .write.mode("overwrite").partitionBy("__bucket").parquet(snapshotDir)
+      }
+      .start()
+  }
+
   /** Start the incremental merge: watch `landingDir` for new NDJSON
     * harvest slices, fold each micro-batch into the parquet snapshot at
     * `snapshotDir`. Late/updated records are resolved by

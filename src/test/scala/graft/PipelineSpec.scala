@@ -91,6 +91,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("partitioned incremental merge: parity + untouched buckets not rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("snapp")
+    val landing = dir.resolve("landing").toString
+    val snapshot = dir.resolve("snapshot").toString
+    val checkpoint = dir.resolve("chk").toString
+    new java.io.File(landing).mkdirs()
+    def writeSlice(n: String, rows: Seq[(String, Long, String)]): Unit = {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(landing, n),
+        rows.map { case (k, t, v) => s"""{"key": "$k", "ts": $t, "val": "$v"}""" }
+          .mkString("\n"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.StringType)))
+    def runOnce(): Unit = {
+      val q = IncrementalSnapshot.startPartitioned(spark, schema, landing,
+        snapshot, checkpoint, "key", "ts", "val", buckets = 8)
+      q.awaitTermination()
+    }
+    // 40 keys in batch 1 → most of the 8 buckets populated.
+    writeSlice("s1.json", (0 until 40).map(i => (s"k$i", 1L, s"v$i")))
+    runOnce()
+    val before = new java.io.File(snapshot).listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.listFiles().map(f => f.getName).toSet).toMap
+    assert(before.size >= 4)
+
+    // Batch 2 touches exactly one key → at most one bucket rewritten.
+    writeSlice("s2.json", Seq(("k1", 9L, "v1-new")))
+    runOnce()
+    val after = new java.io.File(snapshot).listFiles()
+      .filter(_.getName.startsWith("__bucket="))
+      .map(d => d.getName -> d.listFiles().map(f => f.getName).toSet).toMap
+    val changed = before.keySet.filter(b => before(b) != after.getOrElse(b, Set.empty))
+    assert(changed.size <= 1, s"rewrote buckets: $changed")
+
+    val got = spark.read.parquet(snapshot)
+      .select("key", "val").as[(String, String)].collect().toMap
+    assert(got("k1") == "v1-new" && got("k2") == "v2" && got.size == 40)
+  }
+
   test("incremental snapshot merge equals full batch compaction") {
     val dir = java.nio.file.Files.createTempDirectory("snap")
     val landing = dir.resolve("landing").toString
