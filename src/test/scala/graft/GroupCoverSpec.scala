@@ -60,6 +60,21 @@ class GroupCoverSpec extends AnyFunSuite {
     assert(ch("ai-49-aHR0cDo") == Seq.empty)
   }
 
+  test("A5+J7 spine: applying the changes file reproduces direct groupcover") {
+    import org.apache.spark.sql.functions._
+    val df = fixture.toDF("id", "source", "doi", "labels")
+    val direct = GroupCover(df, "id", "source", "doi", "labels", Prefs)
+      .select("id", "labels").as[(String, Seq[String])].collect().toMap
+    val changes = GroupCover.changes(df, "id", "source", "doi", "labels", Prefs)
+      .withColumnRenamed("labels", "new_labels")
+    // span-update-labels semantics: replace labels by id where a change
+    // exists (workflows/ai.py:310-342).
+    val applied = df.join(changes, Seq("id"), "left")
+      .withColumn("labels", coalesce(col("new_labels"), col("labels")))
+      .select("id", "labels").as[(String, Seq[String])].collect().toMap
+    assert(applied == direct)
+  }
+
   test("unknown sources rank after all known, tie broken by id") {
     val df = Seq(
       ("b-unknown", "999", "10.7/k", Seq("X")),

@@ -99,6 +99,19 @@ class LicensingSpec extends AnyFunSuite {
     assert(FilterExpr.holdingsRefs(cfg("DE-15")) == Set("file:///kbart_de15.tsv"))
   }
 
+  test("JSON config end-to-end: parse then tag") {
+    val json =
+      """{"ISIL-J": {"or": [
+        |  {"and": [{"source": ["55"]}, {"holdings": {"urls": ["k"]}}]},
+        |  {"and": [{"source": ["28"]}, {"collection": ["DOAJ"]}]}]}}""".stripMargin
+    val cfg = FilterExpr.parseConfig(json)
+    val got = Licensing.tag(recs, rc, cfg, Map("k" -> kbart), "2002-01-01")
+      .select("id", "x_labels").as[(String, Seq[String])].collect().toMap
+    assert(got("r1") == Seq("ISIL-J")) // 55 + holdings match
+    assert(got("r3") == Seq("ISIL-J")) // 28 + DOAJ collection
+    assert(got("r5") == Seq.empty)     // 55 but holdings range expired
+  }
+
   test("AMSL 8-case dispatch builds the expected trees") {
     def row(lthf: Option[String] = None, ltcf: Option[String] = None,
             eltcf: Option[String] = None, pi: Option[String] = None,
