@@ -51,8 +51,9 @@ object OpenUrl {
       "rft.au" -> au("rft.au"), "rft.aucorp" -> au("rft.aucorp"),
       "rft.aufirst" -> au("rft.aufirst"), "rft.aulast" -> au("rft.aulast"))
 
+    // Reference sets no rft_val_fmt for articles (only the book/else
+    // branches carry one — openurl.py:74-131).
     val article = kev(common ++ Seq(
-      "rft_val_fmt" -> lit("info:ofi/fmt:kev:mtx:journal"),
       "rft.genre" -> eff,
       "rft_id" -> rftId,
       "rft.atitle" -> atitle,
@@ -74,9 +75,10 @@ object OpenUrl {
       "rft.pages" -> pages,
       "rft.pub" -> try_element_at(pubs, lit(1))) ++ authorPairs)
 
+    // Journal branch (openurl.py:155-156): the common rft.title (from
+    // atitle) stays, only the ISSN is added — no genre parameter.
     val journal = kev(common ++ Seq(
-      "rft.genre" -> lit("journal"),
-      "rft.title" -> jtitle,
+      "rft.title" -> atitle,
       "rft.issn" -> try_element_at(issns, lit(1))))
 
     val fallback = kev(common ++ Seq(

@@ -98,6 +98,10 @@ object Licensing {
   def compile(e: FilterExpr, r: RecordCols,
               holdingsFlag: String => Column): Column = e match {
     case Any               => lit(true)
+    // Empty clauses come from malformed external configs; fail with
+    // the offending node rather than an opaque empty.reduceLeft.
+    case And(Nil) | Or(Nil) | Holdings(Nil) =>
+      throw new IllegalArgumentException(s"empty filter clause: $e")
     case And(cs)           => cs.map(compile(_, r, holdingsFlag)).reduceLeft(_ && _)
     case Or(cs)            => cs.map(compile(_, r, holdingsFlag)).reduceLeft(_ || _)
     case Not(c)            => !compile(c, r, holdingsFlag)

@@ -37,16 +37,6 @@ object Dedup {
       .otherwise(array(array_join(t, " ")))
   }
 
-  /** MinHash signature: `numHashes` independent min-hashes of the
-    * shingle set. Hash family = xxhash64(shingle, seed) — deterministic,
-    * codegen'd, no UDF. Returns array<bigint> of length numHashes. */
-  def minhashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
-    val sh = shingles(text, shingleN)
-    array((0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }: _*)
-  }
-
   /** MinHash + LSH banding: documents sharing any band bucket become
     * candidate pairs; candidates are verified with exact token-set
     * Jaccard and kept at `threshold`.
@@ -214,32 +204,12 @@ object Dedup {
     votes.select(col("doc").as(id), fp.as("simhash"))
   }
 
-  /** SimHash fingerprint over tokens: per bit position, sum +1/-1 votes
-    * weighted by token hash bits; the sign vector is the fingerprint.
-    * `bits` ≤ 60 (hash bits drawn from the low bits of a 64-bit hash).
+  /** Per-row SimHash Column form: per bit position, sum +1/-1 votes
+    * from the token hash bits; the sign vector is the fingerprint.
     * Near-dups differ in few bits (Hamming distance), so bucketing by
-    * bit-blocks gives the scale path, mirroring the MinHash banding. */
-  /** Engine-portable SimHash variant: token hash = 40 md5-derived bits
-    * instead of xxhash64, so a SQL oracle can replicate it exactly.
-    * Same vote/sign construction as [[simhash]]. */
-  def simhashPortable(text: Column, bits: Int = 16): Column = {
-    require(bits <= 40, "portable token hash carries 40 bits")
-    val t = Scalars.tokens(text)
-    val votes = aggregate(
-      t,
-      array_repeat(lit(0L), bits),
-      (acc, tok) => {
-        val h = conv(substring(md5(tok), 1, 10), 16, 10).cast("long")
-        array((0 until bits).map { i =>
-          element_at(acc, i + 1) +
-            when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-        }: _*)
-      })
-    (0 until bits).map { i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
-
+    * bit-blocks gives the scale path, mirroring the MinHash banding.
+    * Prefer [[simhashTable]] on whole tables — it hashes each token
+    * once; this form rehashes per bit inside the lambda. */
   def simhash(text: Column, bits: Int = 32): Column = {
     require(bits <= 60, "simhash bits drawn from a 64-bit hash")
     val t = Scalars.tokens(text)

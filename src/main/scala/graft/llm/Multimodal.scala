@@ -74,7 +74,9 @@ object Multimodal {
     * shuffle). */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media
-      .filter(col("meta.duration_ms").isNotNull)
+      // > 0, not just non-null: sequence(0, -1, step) rejects the
+      // inverted bounds at runtime for zero-duration media.
+      .filter(col("meta.duration_ms") > 0)
       .select(col("media_id"), col("meta"),
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs)))
           .as("frame_ms"))
@@ -84,7 +86,8 @@ object Multimodal {
   /** Partition media rows so each task holds roughly `budgetBytes` of
     * payload — large-blob hygiene before any wide stage. */
   def repartitionByBytes(media: DataFrame, budgetBytes: Long): DataFrame = {
-    val total = media.select(sum(length(col("content")))).collect()(0).getLong(0)
+    val total = media.select(coalesce(sum(length(col("content"))), lit(0L)))
+      .collect()(0).getLong(0)
     val parts = math.max(1, (total / budgetBytes).toInt)
     media.repartition(parts, col("media_id"))
   }

@@ -38,13 +38,20 @@ class TaskRunner(spark: SparkSession, baseDir: String) {
     * predicate-pushdown-capable, so downstream tasks scan only what
     * they project (unlike the reference's opaque NDJSON chain). */
   def run(target: Task): DataFrame = {
-    val done = scala.collection.mutable.Map.empty[String, DataFrame]
+    // Memoize by (name, date) — the artifact key; a DAG may legally
+    // contain the same task name at two dates (incremental patterns).
+    // build() inputs stay keyed by bare name: duplicate names within
+    // ONE task's requires are ambiguous and rejected.
+    val done = scala.collection.mutable.Map.empty[(String, String), DataFrame]
 
-    def visit(t: Task, stack: Set[String]): DataFrame = {
-      require(!stack.contains(t.name), s"dependency cycle at ${t.name}")
-      done.getOrElseUpdate(t.name, {
+    def visit(t: Task, stack: Set[(String, String)]): DataFrame = {
+      val k = (t.name, t.date)
+      require(!stack.contains(k), s"dependency cycle at ${t.name}@${t.date}")
+      done.getOrElseUpdate(k, {
+        require(t.requires.map(_.name).distinct.size == t.requires.size,
+          s"${t.name}: duplicate dependency names in requires")
         val inputs = t.requires
-          .map(d => d.name -> visit(d, stack + t.name)).toMap
+          .map(d => d.name -> visit(d, stack + k)).toMap
         if (!isComplete(t)) {
           t.build(spark, inputs)
             .write.mode("overwrite").parquet(outputPath(t))

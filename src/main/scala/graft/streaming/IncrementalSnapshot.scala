@@ -39,30 +39,42 @@ object IncrementalSnapshot {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val prevMode =
+          spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        val batch = batch0
-          .withColumn("__bucket", pmod(xxhash64(col(key)), lit(buckets)))
         val fs = new org.apache.hadoop.fs.Path(snapshotDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val exists =
-          fs.exists(new org.apache.hadoop.fs.Path(snapshotDir, "_SUCCESS")) ||
-            fs.globStatus(new org.apache.hadoop.fs.Path(
-              snapshotDir, "__bucket=*")).nonEmpty
-        val merged =
-          if (!exists) batch
-          else {
-            val touched = batch.select("__bucket").distinct()
-            val existing = spark.read.parquet(snapshotDir)
-              // Partition-pruned read: only the touched buckets rejoin.
-              .join(broadcast(touched), Seq("__bucket"), "left_semi")
-            existing.unionByName(batch, allowMissingColumns = true)
-          }
-        val compacted = graft.operators.Ops.latestPerKey(
-          Seq(col(key)), Seq(col(orderCol), col(tiebreak)))(merged)
         val staging = snapshotDir + "__staging"
-        compacted.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging)
-          .write.mode("overwrite").partitionBy("__bucket").parquet(snapshotDir)
+        try {
+          val batch = batch0
+            .withColumn("__bucket", pmod(xxhash64(col(key)), lit(buckets)))
+          val exists =
+            fs.exists(new org.apache.hadoop.fs.Path(snapshotDir, "_SUCCESS")) ||
+              fs.globStatus(new org.apache.hadoop.fs.Path(
+                snapshotDir, "__bucket=*")).nonEmpty
+          val merged =
+            if (!exists) batch
+            else {
+              val touched = batch.select("__bucket").distinct()
+              val existing = spark.read.parquet(snapshotDir)
+                // Partition-pruned read: only the touched buckets rejoin.
+                .join(broadcast(touched), Seq("__bucket"), "left_semi")
+              existing.unionByName(batch, allowMissingColumns = true)
+            }
+          val compacted = graft.operators.Ops.latestPerKey(
+            Seq(col(key)), Seq(col(orderCol), col(tiebreak)))(merged)
+          compacted.write.mode("overwrite").parquet(staging)
+          spark.read.parquet(staging)
+            .write.mode("overwrite").partitionBy("__bucket").parquet(snapshotDir)
+        } finally {
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+          prevMode match {
+            case Some(m) =>
+              spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+            case None =>
+              spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
       }
       .start()
   }
@@ -98,6 +110,10 @@ object IncrementalSnapshot {
         val staging = snapshotDir + "__staging"
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write.mode("overwrite").parquet(snapshotDir)
+        new org.apache.hadoop.fs.Path(staging)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(staging), true)
+        ()
       }
       .start()
   }

@@ -139,6 +139,27 @@ class MarcSpec extends AnyFunSuite {
     assert(params("rft.place") == "")
   }
 
+  test("F12 OpenURL builder: journal branch keeps common title, no genre param") {
+    val df = Seq(("journal", "r3", "Annual Index", "Nature", Seq("0028-0836")))
+      .toDF("genre", "rid", "atitle", "jtitle", "issns")
+      .withColumn("empty", array().cast("array<string>"))
+      .withColumn("authors", array().cast(
+        "array<struct<`rft.au`:string,`rft.aucorp`:string,`rft.aufirst`:string,`rft.aulast`:string>>"))
+    val qs = df.select(OpenUrl.queryString(
+      col("genre"), col("rid"), lit(null), col("atitle"), col("jtitle"),
+      lit(null), col("issns"), col("empty"), lit(null), lit(null),
+      lit(null), lit(null).cast("array<string>"), col("empty"),
+      col("empty"), col("authors"), lit(null).cast("string")).as("qs"))
+      .as[String].head()
+    val params = qs.split("&").map(_.split("=", 2))
+      .map(kv => kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8")).toMap
+    // openurl.py:155-156: common rft.title (from atitle) + rft.issn only.
+    assert(params("rft.title") == "Annual Index")
+    assert(params("rft.issn") == "0028-0836")
+    assert(!params.contains("rft.genre"))
+    assert(!params.contains("rft_val_fmt"))
+  }
+
   test("F12 OpenURL builder: book and journal dispatch") {
     val base = Seq(("book", "r2", null.asInstanceOf[String], "B Title"))
       .toDF("genre", "rid", "doi", "atitle")

@@ -59,8 +59,9 @@ def main():
             print(f"FAIL {name}: columns spark={s_sorted} duck={d_sorted}")
             n_fail += 1
         elif s_rows != d_rows:
-            only_s = [r for r in s_rows if r not in set(map(tuple, d_rows))][:3]
-            only_d = [r for r in d_rows if r not in set(map(tuple, s_rows))][:3]
+            d_set, s_set = set(d_rows), set(s_rows)
+            only_s = [r for r in s_rows if r not in d_set][:3]
+            only_d = [r for r in d_rows if r not in s_set][:3]
             print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
             for r in only_s:
                 print(f"   spark-only: {r}")
