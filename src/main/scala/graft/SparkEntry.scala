@@ -11,7 +11,8 @@ object SparkEntry {
     * pipeline ops + license tagging). */
   val registry: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ FilterQueries.all ++
-      MiscQueries.all ++ LlmQueries.all ++ LicenseQueries.all
+      MiscQueries.all ++ LlmQueries.all ++ LicenseQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. A miniature AIUpdate spine (workflows/ai.py:116-342):

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.TextAnalysis
+
+/** Composite pipeline-shaped queries: the end-to-end flows a user of
+  * the engine actually runs, each still oracle-checkable. */
+object PipelineQueries {
+
+  def all: Seq[Q] = Seq(
+
+    // Training-data curation: quality-filter → canonical-per-fingerprint
+    // dedup → per-doc stats. One scan + one hash shuffle on the
+    // fingerprint; at 100 TB this is the whole curation pass.
+    Q("pipe1_curation",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS fp,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         |    (len(list_distinct(toks)) / len(toks)) * 0.5
+         |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         |             / greatest(length(text), 1)) * 0.3
+         |    + (1.0 - len(list_filter(toks, t -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, t)))
+         |             / len(toks)) * 0.2 AS quality
+         |  FROM (SELECT *, string_split(trim(text), ' ') AS toks FROM documents)),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.6),
+         |canon AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
+         |SELECT k.doc_id, k.lang, k.n_tokens, k.quality
+         |FROM kept k JOIN canon c ON k.doc_id = c.doc_id""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val kept = scored.filter(col("quality") >= 0.6)
+      val canon = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      kept.join(canon, Seq("fp", "doc_id"), "left_semi")
+        .select("doc_id", "lang", "n_tokens", "quality")
+    },
+
+    // Batch gap-sessionization via window functions (the batch twin of
+    // streaming.EventStreams.sessionize): lag → new-session flag →
+    // running sum = session id → per-session aggregates. One shuffle on
+    // user_id; both window functions share it.
+    Q("pipe2_batch_sessions",
+      """WITH e AS (
+        |  SELECT user_id, event_id, value,
+        |         epoch(date_trunc('second', ts)) AS tsec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN tsec - lag(tsec) OVER w > 1800 OR
+        |                      lag(tsec) OVER w IS NULL
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(tsec) AS BIGINT) AS start_sec,
+        |       round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+      val tsec = unix_timestamp(date_trunc("second", col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"), tsec.as("tsec"))
+        .withColumn("new_session",
+          when(col("tsec") - lag("tsec", 1).over(w) > 1800 ||
+               lag("tsec", 1).over(w).isNull, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      e.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             min("tsec").as("start_sec"),
+             round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+                col("n_events"), col("start_sec"), col("sum_value"))
+    })
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+}
