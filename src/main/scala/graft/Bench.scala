@@ -21,6 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm up the JVM/codegen and the table page cache so the first
+    // timed query doesn't absorb session startup (~5 s otherwise).
+    try {
+      Tables.all(spark, sfDir).values.foreach(_.limit(1).collect())
+      spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
+        .as("k")).count().collect()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
+
     val results: Seq[(String, Double, Boolean)] =
       SparkEntry.registry.map { q =>
         System.err.println(s"[bench] running ${q.name}")

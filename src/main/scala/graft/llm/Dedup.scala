@@ -74,11 +74,25 @@ object Dedup {
     // janino then spends minutes compiling one projection. The
     // Aggregate is also the scale shape: map-side partial min, shuffle
     // only (doc × numHashes) longs.
-    val exploded = docs.select(col(id).as("doc"),
-      explode(shingles(col(text), shingleN)).as("sh"))
+    // One string hash per shingle; the numHashes family is the
+    // universal (a·h + b) mod p permutation over the 31-bit core —
+    // 31×31-bit products stay inside a signed long (no ANSI overflow)
+    // and hashing the string happens once, not once per seed. The mod
+    // by the Mersenne prime is what makes each function an independent
+    // permutation: without it a·h+b is monotonic in h and every
+    // "hash" would rank shingles identically (one-permutation
+    // signatures in disguise).
+    val p = 2147483647L // 2^31 - 1
+    val exploded = docs
+      .select(col(id).as("doc"), explode(shingles(col(text), shingleN)).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    val rnd = new scala.util.Random(42)
+    val coeffs = Seq.fill(numHashes)(
+      ((rnd.nextInt(Int.MaxValue - 1) + 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
     val sig = exploded.groupBy("doc").agg(
-      array((0 until numHashes).map(i =>
-        min(xxhash64(col("sh"), lit(i)))): _*).as("sig"))
+      array(coeffs.map { case (a, b) =>
+        min(pmod(col("h") * a + b, lit(p)))
+      }: _*).as("sig"))
 
     // Band table carries only (band, bucket, doc) — token arrays would
     // otherwise be replicated ×bands through the shuffle. Tokens rejoin

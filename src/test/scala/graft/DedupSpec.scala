@@ -32,6 +32,17 @@ class DedupSpec extends AnyFunSuite {
     // …and banding (16×8) misses at most a sliver above threshold.
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+
+    // Sensitivity guard: at the 0.8 threshold the S-curve still must
+    // clear 0.9 recall — a degenerate hash family (e.g. hashes that
+    // rank shingles identically, behaving like one permutation) passes
+    // the 0.9-threshold check but collapses here.
+    val exact08 = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh08 = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall08 = lsh08.size.toDouble / exact08.size
+    assert(recall08 >= 0.9, s"recall@0.8 $recall08 (${lsh08.size}/${exact08.size})")
   }
 
   test("minhash LSH plan has no cartesian product") {
