@@ -22,6 +22,18 @@ class OpsSpec extends AnyFunSuite {
     assert(errs > 0 && errs < n)
   }
 
+  test("latestPerKeyAgg (max_by) equals latestPerKey (window rank)") {
+    val o = Tables.orders(spark, Sf)
+    val okey = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long") *
+      100000000L + col("o_orderkey")
+    val viaWindow = Ops.latestPerKey(
+        Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")))(o)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    val viaAgg = Ops.latestPerKeyAgg(Seq("o_custkey"), okey)(o)
+      .select("o_custkey", "o_orderkey").as[(Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_customer")
