@@ -21,18 +21,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm up the JVM/codegen and the table page cache so the first
-    // timed query doesn't absorb session startup (~5 s otherwise).
-    try {
-      Tables.all(spark, sfDir).values.foreach(_.limit(1).collect())
-      spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
-        .as("k")).count().collect()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    // Optional comma-separated name filter for iterating on one query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name)))
+
+    // Warm up before timing: first uses of expression families carry
+    // multi-second one-time JVM costs (e.g. `lower` triggers collation/
+    // ICU init ~7 s; first window/join/codegen paths similar) that would
+    // otherwise be charged to an arbitrary query. Running every selected
+    // query once at the smallest SF warms exactly the code paths being
+    // timed, so the timed pass measures steady-state throughput — the
+    // regime that matters on a long-running 100 TB job.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory) {
+      selected.foreach { q =>
+        try q.fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
+        }
+      }
+    }
+    // Touch the timed tables so the page cache is hot like it would be
+    // mid-pipeline.
+    try Tables.all(spark, sfDir).values.foreach(_.limit(1).collect())
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }
 
     val results: Seq[(String, Double, Boolean)] =
-      SparkEntry.registry.map { q =>
+      selected.map { q =>
         System.err.println(s"[bench] running ${q.name}")
         val t0 = System.nanoTime()
         val ok =
@@ -55,7 +73,10 @@ object Bench {
       }
 
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+      }
       .mkString("{", ",", "}")
     val failed = results.count(!_._3)
     val total = results.filter(_._3).map(_._2).sum
