@@ -27,14 +27,44 @@ object Dedup {
 
   /** Word n-gram shingles of a text column; texts shorter than n tokens
     * collapse to a single whole-text shingle (sequence() would otherwise
-    * run descending and slice() negatively). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = Scalars.tokens(text)
-    when(size(t) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(t) - n),
-          i => array_join(slice(t, i + 1, lit(n)), " "))))
-      .otherwise(array(array_join(t, " ")))
+    * run descending and slice() negatively). n=1 takes the direct
+    * distinct-tokens path: the general slice/join machinery allocates a
+    * one-element slice plus a joined string per token, which at corpus
+    * scale dominates the whole signature stage. */
+  def shingles(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(Scalars.tokens(text))
+    else {
+      val t = Scalars.tokens(text)
+      when(size(t) >= n,
+        array_distinct(
+          transform(sequence(lit(0), size(t) - n),
+            i => array_join(slice(t, i + 1, lit(n)), " "))))
+        .otherwise(array(array_join(t, " ")))
+    }
+
+  /** Candidate pairs from a (key..., doc) bucket assignment table: one
+    * aggregation per bucket (map-side partial collect), pairs emitted by
+    * a lambda over the sorted member array — no per-bucket window, no
+    * two-branch self-join (which would recompute the whole upstream
+    * lineage twice), and the join fan-out is bounded by `maxBucketSize`
+    * inside the same aggregate. Output columns: (id_a, id_b), distinct,
+    * id_a < id_b. */
+  private[graft] def bucketPairs(assignments: DataFrame, keyCols: Seq[String],
+                               doc: String,
+                               maxBucketSize: Option[Int]): DataFrame = {
+    val grouped = assignments
+      .groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_set(col(doc))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val capped = maxBucketSize
+      .map(cap => grouped.filter(size(col("ds")) <= cap))
+      .getOrElse(grouped)
+    capped
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** MinHash + LSH banding: documents sharing any band bucket become
@@ -50,9 +80,10 @@ object Dedup {
     * the band slice), so the shuffle key space is wide.
     *
     * `maxBucketSize` (optional) drops band buckets larger than the cap
-    * before the self-join — the standard LSH skew guard for pathological
-    * keys (boilerplate/empty docs) at 100 TB; it trades bounded recall
-    * loss inside oversized buckets for a hard bound on join fan-out.
+    * before pair generation — the standard LSH skew guard for
+    * pathological keys (boilerplate/empty docs) at 100 TB; it trades
+    * bounded recall loss inside oversized buckets for a hard bound on
+    * candidate fan-out.
     *
     * Output: (id_a, id_b, jaccard) with id_a < id_b, exact and
     * duplicate-free (candidates deduped before verification).
@@ -107,26 +138,16 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val capped = maxBucketSize match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-        banded.withColumn("__bs", count(lit(1)).over(w))
-          .filter(col("__bs") <= cap).drop("__bs")
-      case None => banded
-    }
-    val a = capped.select(col("band"), col("bucket"), col("doc").as("id_a"))
-    val b = capped.select(col("band"), col("bucket"), col("doc").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val candidates = bucketPairs(banded, Seq("band", "bucket"), "doc",
+      maxBucketSize)
 
     val toks = docs.select(col(id).as("doc"),
       shingles(col(text), shingleN).as("toks"))
     candidates
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      // shingles() output is already distinct — skip jaccard's re-distinct.
+      .withColumn("jaccard", jaccardDistinct(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -134,10 +155,13 @@ object Dedup {
   /** Exact token-set Jaccard similarity of two token arrays. Left as the
     * raw double: an integer-ratio division is IEEE-exact and therefore
     * engine-portable, while round() tie-breaking is not. */
-  def jaccard(a: Column, b: Column): Column = {
-    val da = array_distinct(a); val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    inter / (size(da) + size(db) - size(array_intersect(da, db)))
+  def jaccard(a: Column, b: Column): Column =
+    jaccardDistinct(array_distinct(a), array_distinct(b))
+
+  /** Jaccard over arrays the caller guarantees are already duplicate-free. */
+  private def jaccardDistinct(da: Column, db: Column): Column = {
+    val inter = size(array_intersect(da, db))
+    inter.cast("double") / (size(da) + size(db) - inter)
   }
 
   /** All-pairs exact n-gram Jaccard within an id-bounded subset —
@@ -174,17 +198,10 @@ object Dedup {
   def embeddingNearDupPairsLsh(emb: DataFrame, id: String, vec: String,
                                threshold: Double, planes: Int = 8,
                                tables: Int = 6, dim: Int = 64): DataFrame = {
-    val withBuckets = emb.select(col(id).as("doc"), col(vec).as("v"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-               Similarity.lshBucket(col(vec), t, planes, dim).as("bkt"))
-      }: _*)).as("tb"))
-      .select(col("doc"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val a = withBuckets.select(col("tbl"), col("bkt"), col("doc").as("id_a"))
-    val b = withBuckets.select(col("tbl"), col("bkt"), col("doc").as("id_b"))
-    val candidates = a.join(b, Seq("tbl", "bkt"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val withBuckets = emb.select(col(id).as("doc"),
+      posexplode(Similarity.lshBucketsAll(emb.sparkSession, col(vec),
+        tables, planes, dim)).as(Seq("tbl", "bkt")))
+    val candidates = bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", None)
     val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
     candidates
       .join(vecs.withColumnsRenamed(Map("doc" -> "id_a", "v" -> "va")), Seq("id_a"))

@@ -80,6 +80,18 @@ object Similarity {
       struct(lit(t).as("tbl"), lshBucket(vec, t, planes, dim).as("bkt"))
     }: _*)
 
+  /** All tables' bucket ids as one array<int> (index = table), via the
+    * native fused expression [[graft.plans.SignLshBucketsExpr]] —
+    * bucket-for-bucket identical to [[lshBucket]] but ~tables×planes×dim
+    * interpreted hash calls per row cheaper. Pair with `posexplode` to
+    * recover (tbl, bkt) rows. */
+  def lshBucketsAll(spark: org.apache.spark.sql.SparkSession, vec: Column,
+                    tables: Int, planes: Int, dim: Int): Column = {
+    graft.plans.GraftFunctions.register(spark)
+    call_function(graft.plans.GraftFunctions.LshName,
+      vec, lit(tables), lit(planes), lit(dim))
+  }
+
   /** IVF-style ANN: corpus vectors are pre-assigned to clusters
     * (`clusterCol` — here the data's label column; a deployment uses
     * k-means assignments computed the same way); per-cluster centroids
@@ -135,16 +147,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               id: String, vec: String, k: Int,
               planes: Int = 4, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
     val c = corpus
       .select(col(id).as("neighbor_id"), col(vec).as("cv"),
-              explode(buckets(col(vec), tables, planes, dim)).as("tb"))
-      .select(col("neighbor_id"), col("cv"),
-              col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+              posexplode(lshBucketsAll(spark, col(vec), tables, planes, dim))
+                .as(Seq("tbl", "bkt")))
     val q = broadcast(queries
       .select(col(id).as("query_id"), col(vec).as("qv"),
-              explode(buckets(col(vec), tables, planes, dim)).as("tb"))
-      .select(col("query_id"), col("qv"),
-              col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt")))
+              posexplode(lshBucketsAll(spark, col(vec), tables, planes, dim))
+                .as(Seq("tbl", "bkt"))))
     val scored = c.join(q, Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv")

@@ -81,22 +81,44 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * `spark.sql.extensions` mechanism with [[GraftExtensions]]. */
 object GraftFunctions {
   val Name = "cosine_sim"
+  val LshName = "lsh_buckets"
   private val info =
     new ExpressionInfo(classOf[CosineSimilarityExpr].getName, Name)
   private val builder =
     (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))
+  private val lshInfo =
+    new ExpressionInfo(classOf[SignLshBucketsExpr].getName, LshName)
+  private def litInt(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+  // lsh_buckets(vec, tables, planes, dim) — the last three must be
+  // integer literals (the sign matrix is built at plan time).
+  private val lshBuilder = (children: Seq[Expression]) =>
+    SignLshBucketsExpr(children(0), litInt(children(1)),
+      litInt(children(2)), litInt(children(3)))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(Name), info, builder)
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(LshName), lshInfo, lshBuilder)
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier(GraftFunctions.Name),
        new ExpressionInfo(classOf[CosineSimilarityExpr].getName, GraftFunctions.Name),
        (children: Seq[Expression]) =>
          CosineSimilarityExpr(children.head, children(1))))
+    ext.injectFunction(
+      (FunctionIdentifier(GraftFunctions.LshName),
+       new ExpressionInfo(classOf[SignLshBucketsExpr].getName, GraftFunctions.LshName),
+       (children: Seq[Expression]) =>
+         SignLshBucketsExpr(children.head,
+           children(1).eval(null).asInstanceOf[Number].intValue(),
+           children(2).eval(null).asInstanceOf[Number].intValue(),
+           children(3).eval(null).asInstanceOf[Number].intValue())))
+  }
 }

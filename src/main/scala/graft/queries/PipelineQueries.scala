@@ -34,9 +34,13 @@ object PipelineQueries {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
+      // Canonical-per-fingerprint as a window min: one shuffle on fp and
+      // the scoring projection runs once (the groupBy+semi-join form
+      // recomputes the whole scored lineage for each join side).
       val kept = scored.filter(col("quality") >= 0.6)
-      val canon = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      kept.join(canon, Seq("fp", "doc_id"), "left_semi")
+      kept
+        .withColumn("__min_id", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("__min_id"))
         .select("doc_id", "lang", "n_tokens", "quality")
     },
 
