@@ -35,7 +35,14 @@ object Tables {
   /** events.ts is nanosecond-precision parquet, which Spark 4 rejects
     * as a timestamp type; read it as long nanos (legacy conf) and
     * convert to a µs timestamp with integer division (a double round
-    * trip would lose precision at 1.7e18 ns). */
+    * trip would lose precision at 1.7e18 ns).
+    *
+    * The nanosAsLong conf is session-wide with no per-read form
+    * (ADVICE r02): [[localSession]] sets it at build time; setting it
+    * here as well keeps this loader correct under externally-built
+    * sessions (the driver's harness constructs its own). The only
+    * observable effect on other reads is that ns-timestamp parquet
+    * loads as long instead of throwing. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
@@ -55,6 +62,7 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -26,8 +26,8 @@ object OpenUrl {
   def queryString(
       genre: Column, recordId: Column, doi: Column, atitle: Column,
       jtitle: Column, date: Column, issns: Column, eissns: Column,
-      volume: Column, issue: Column, pages: Column, places: Column,
-      pubs: Column, languages: Column, authors: Column,
+      isbns: Column, volume: Column, issue: Column, pages: Column,
+      places: Column, pubs: Column, languages: Column, authors: Column,
       fincFormat: Column, rfrId: String = DefaultRfrId): Column = {
 
     val g = coalesce(genre, lit("article"))
@@ -53,8 +53,13 @@ object OpenUrl {
 
     // Reference sets no rft_val_fmt for articles (only the book/else
     // branches carry one — openurl.py:74-131).
+    // rft.genre carries the document's RAW genre (null-dropped) — a
+    // proceeding linked through the article branch still says
+    // `rft.genre=proceeding`, and a genre-less record emits no genre
+    // param (openurl.py:148: update_on_value from doc, not the
+    // coalesced branch selector).
     val article = kev(common ++ Seq(
-      "rft.genre" -> eff,
+      "rft.genre" -> genre,
       "rft_id" -> rftId,
       "rft.atitle" -> atitle,
       "rft.jtitle" -> jtitle,
@@ -64,13 +69,16 @@ object OpenUrl {
       "rft.issue" -> issue,
       "rft.pages" -> pages) ++ authorPairs)
 
+    // isbn comes from the record's own isbn field and eissn is emitted
+    // separately (openurl.py:86-90) — not isbn-from-eissn.
     val book = kev(common ++ Seq(
       "rft_val_fmt" -> lit("info:ofi/fmt:kev:mtx:book"),
       "rft.genre" -> lit("book"),
       "rft_id" -> rftId,
       "rft.btitle" -> atitle,
-      "rft.isbn" -> try_element_at(eissns, lit(1)),
+      "rft.isbn" -> try_element_at(isbns, lit(1)),
       "rft.issn" -> try_element_at(issns, lit(1)),
+      "rft.eissn" -> try_element_at(eissns, lit(1)),
       "rft.volume" -> volume,
       "rft.pages" -> pages,
       "rft.pub" -> try_element_at(pubs, lit(1))) ++ authorPairs)

@@ -36,7 +36,13 @@ object GroupCover {
     val w = Window.partitionBy(col(key))
       .orderBy(col("__rank").asc, col(id).asc)
 
-    df.withColumn("__rank", rank)
+    // Labels are normalized to sets up front (first-occurrence order):
+    // array_except deduplicates its left side as a side effect, so
+    // without this a loser carrying duplicate labels would shrink even
+    // with zero winner overlap — a silent deviation from
+    // `labels := labels -- winner.labels` (ADVICE r02).
+    df.withColumn(labels, array_distinct(col(labels)))
+      .withColumn("__rank", rank)
       .withColumn("__winner_labels", when(keyed, first(col(labels)).over(w)))
       .withColumn("__rn", when(keyed, row_number().over(w)).otherwise(1))
       .withColumn(labels,
@@ -50,10 +56,12 @@ object GroupCover {
     * Ref: workflows/ai.py:310-342. */
   def changes(df: DataFrame, id: String, source: String, key: String,
               labels: String, prefs: Seq[String]): DataFrame = {
-    val before = df.select(col(id), col(labels).as("__before"))
+    // Compare against the normalized input, by content rather than
+    // size, so only rows whose label *set* actually changed are emitted.
+    val before = df.select(col(id), array_distinct(col(labels)).as("__before"))
     apply(df, id, source, key, labels, prefs)
       .join(before, Seq(id))
-      .filter(size(col(labels)) =!= size(col("__before")))
+      .filter(sort_array(col(labels)) =!= sort_array(col("__before")))
       .select(col(id), col(labels))
   }
 }

@@ -63,8 +63,11 @@ object CoreQueries {
     },
 
     // W3 as a sort-free hash aggregate (max_by over the row, order key
-    // = days×1e8 + orderkey so ties cannot exist): the preferred
-    // snapshot-compaction plan when groups are small.
+    // = days×2^40 + orderkey so ties cannot exist): the preferred
+    // snapshot-compaction plan when groups are small. The day shift
+    // leaves 40 bits for the tiebreak id, so keys stay collision-free
+    // up to ~10^12 orders (TPC-H sf≈150k) — a 10^8 multiplier would
+    // collide at large SF (ADVICE r02).
     Q("w4_snapshot_latest_agg",
       """SELECT o_custkey,
         |       arg_max(o_orderkey, okey) AS o_orderkey,
@@ -72,11 +75,11 @@ object CoreQueries {
         |       arg_max(strftime(o_orderdate, '%Y-%m-%d'), okey) AS o_date
         |FROM (SELECT *,
         |        datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-        |          * 100000000 + o_orderkey AS okey
+        |          * 1099511627776 + o_orderkey AS okey
         |      FROM orders)
         |GROUP BY o_custkey""".stripMargin) { (s, d) =>
       val okey = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long") *
-        100000000L + col("o_orderkey")
+        (1L << 40) + col("o_orderkey")
       Ops.latestPerKeyAgg(Seq("o_custkey"), okey)(Tables.orders(s, d))
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
                 date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))

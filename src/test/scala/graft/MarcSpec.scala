@@ -121,7 +121,8 @@ class MarcSpec extends AnyFunSuite {
         lit("L").as("rft.aufirst"), lit("Wang").as("rft.aulast"))))
     val qs = df.select(OpenUrl.queryString(
       col("genre"), col("rid"), col("doi"), col("atitle"), col("jtitle"),
-      col("date"), col("issns"), col("eissns"), col("vol"), col("iss"),
+      col("date"), col("issns"), col("eissns"),
+      lit(null).cast("array<string>"), col("vol"), col("iss"),
       col("pages"), col("places"), col("pubs"), col("langs"),
       col("authors"), lit("x")).as("qs")).as[String].head()
     val params = qs.split("&").map(_.split("=", 2))
@@ -147,8 +148,8 @@ class MarcSpec extends AnyFunSuite {
         "array<struct<`rft.au`:string,`rft.aucorp`:string,`rft.aufirst`:string,`rft.aulast`:string>>"))
     val qs = df.select(OpenUrl.queryString(
       col("genre"), col("rid"), lit(null), col("atitle"), col("jtitle"),
-      lit(null), col("issns"), col("empty"), lit(null), lit(null),
-      lit(null), lit(null).cast("array<string>"), col("empty"),
+      lit(null), col("issns"), col("empty"), col("empty"), lit(null),
+      lit(null), lit(null), lit(null).cast("array<string>"), col("empty"),
       col("empty"), col("authors"), lit(null).cast("string")).as("qs"))
       .as[String].head()
     val params = qs.split("&").map(_.split("=", 2))
@@ -164,12 +165,14 @@ class MarcSpec extends AnyFunSuite {
     val base = Seq(("book", "r2", null.asInstanceOf[String], "B Title"))
       .toDF("genre", "rid", "doi", "atitle")
       .withColumn("empty", array().cast("array<string>"))
+      .withColumn("eissns", array(lit("2049-3630")))
+      .withColumn("isbns", array(lit("978-3-16-148410-0")))
       .withColumn("authors", array().cast(
         "array<struct<`rft.au`:string,`rft.aucorp`:string,`rft.aufirst`:string,`rft.aulast`:string>>"))
     val qs = base.select(OpenUrl.queryString(
       col("genre"), col("rid"), col("doi"), col("atitle"), lit(null),
-      lit(null), col("empty"), col("empty"), lit(null), lit(null),
-      lit(null), lit(null).cast("array<string>"), col("empty"),
+      lit(null), col("empty"), col("eissns"), col("isbns"), lit(null),
+      lit(null), lit(null), lit(null).cast("array<string>"), col("empty"),
       col("empty"), col("authors"), lit(null).cast("string")).as("qs"))
       .as[String].head()
     val params = qs.split("&").map(_.split("=", 2))
@@ -178,5 +181,33 @@ class MarcSpec extends AnyFunSuite {
     assert(params("rft.genre") == "book")
     assert(params("rft.btitle") == "B Title")
     assert(params("rft_id") == "r2") // no DOI → record id
+    // openurl.py:86-90 — isbn from the isbn field, eissn separately.
+    assert(params("rft.isbn") == "978-3-16-148410-0")
+    assert(params("rft.eissn") == "2049-3630")
+  }
+
+  test("F12 OpenURL builder: proceeding keeps raw genre through article branch") {
+    val df = Seq(("proceeding", "r4", "Proc Title"))
+      .toDF("genre", "rid", "atitle")
+      .withColumn("empty", array().cast("array<string>"))
+      .withColumn("authors", array().cast(
+        "array<struct<`rft.au`:string,`rft.aucorp`:string,`rft.aufirst`:string,`rft.aulast`:string>>"))
+    def qsOf(genreCol: org.apache.spark.sql.Column) =
+      df.select(OpenUrl.queryString(
+        genreCol, col("rid"), lit(null), col("atitle"), lit(null),
+        lit(null), col("empty"), col("empty"), col("empty"), lit(null),
+        lit(null), lit(null), lit(null).cast("array<string>"), col("empty"),
+        col("empty"), col("authors"), lit(null).cast("string")).as("qs"))
+        .as[String].head()
+    val params = qsOf(col("genre")).split("&").map(_.split("=", 2))
+      .map(kv => kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8")).toMap
+    // Article-branch params, but the raw genre value (openurl.py:148).
+    assert(params("rft.genre") == "proceeding")
+    assert(params("rft.atitle") == "Proc Title")
+    // A genre-less record takes the article branch with no genre param.
+    val noGenre = qsOf(lit(null).cast("string")).split("&").map(_.split("=", 2))
+      .map(kv => kv(0) -> java.net.URLDecoder.decode(kv(1), "UTF-8")).toMap
+    assert(!noGenre.contains("rft.genre"))
+    assert(noGenre("rft.atitle") == "Proc Title")
   }
 }
