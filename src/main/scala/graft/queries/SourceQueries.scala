@@ -1,0 +1,244 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.OpenUrl
+import graft.marc.Marc
+import graft.sources.{Archives, Ndjson}
+
+/** Registered queries for the source/sink and codec operators that need
+  * a materialized fixture or an in-plan synthesized payload: S5/S6
+  * archive scans, S9 MARC codec + P7 MARC predicate, S10 NDJSON
+  * round-trip, F12 OpenURL assembly, J5 overlap stats.
+  *
+  * Archive fixtures are derived deterministically from the `documents`
+  * table and built once per SF dir under java.io.tmpdir (driver-side
+  * fixture prep, not engine work — the reference's zips/tars arrive
+  * from ingest, SURVEY §2.1); the oracle then checks the engine's scan
+  * output against the same rows read relationally.
+  */
+object SourceQueries {
+
+  private def fixtureDir(sfDir: String): java.nio.file.Path = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixtures_$tag")
+    Files.createDirectories(p)
+    p
+  }
+
+  /** One zip holding doc-<id>.txt per documents row with doc_id < 200. */
+  private def zipFixture(s: SparkSession, d: String): String = {
+    val path = fixtureDir(d).resolve("docs.zip")
+    if (!Files.exists(path)) {
+      val rows = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val tmp = Files.createTempFile(fixtureDir(d), "docs", ".zip.part")
+      val zout = new java.util.zip.ZipOutputStream(Files.newOutputStream(tmp))
+      rows.foreach { r =>
+        zout.putNextEntry(new java.util.zip.ZipEntry(s"doc-${r.getLong(0)}.txt"))
+        zout.write(r.getString(1).getBytes("UTF-8"))
+        zout.closeEntry()
+      }
+      zout.close()
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp) }
+    }
+    path.toString
+  }
+
+  /** One .tar.gz holding doc-<id>.txt per documents row in [200, 400). */
+  private def tarFixture(s: SparkSession, d: String): String = {
+    val path = fixtureDir(d).resolve("docs.tar.gz")
+    if (!Files.exists(path)) {
+      val rows = Tables.documents(s, d)
+        .filter(col("doc_id") >= 200 && col("doc_id") < 400)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val tmp = Files.createTempFile(fixtureDir(d), "docs", ".tar.gz.part")
+      val tout = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+        new java.util.zip.GZIPOutputStream(Files.newOutputStream(tmp)))
+      rows.foreach { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry(
+          s"doc-${r.getLong(0)}.txt")
+        e.setSize(bytes.length.toLong)
+        tout.putArchiveEntry(e)
+        tout.write(bytes)
+        tout.closeArchiveEntry()
+      }
+      tout.close()
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp) }
+    }
+    path.toString
+  }
+
+  /** MARCXML synthesized in-plan from customer rows: 001=c-<custkey>,
+    * 084 $a per market segment $2 ssgn, 245 $a = name, 912 $a=digit on
+    * even keys — the b3kat fixture shape (sources/b3kat.py:190-202). */
+  private def marcXml(): Column =
+    concat(
+      lit("""<record><leader>00000nam a2200000 c 4500</leader>"""),
+      lit("""<controlfield tag="001">c-"""), col("c_custkey"),
+      lit("""</controlfield><datafield tag="084" ind1=" " ind2=" "><subfield code="a">"""),
+      when(col("c_mktsegment") === "BUILDING", "9,2").otherwise("8,1"),
+      lit("""</subfield><subfield code="2">ssgn</subfield></datafield>"""),
+      lit("""<datafield tag="245" ind1="1" ind2="0"><subfield code="a">"""),
+      col("c_name"),
+      lit("""</subfield></datafield>"""),
+      when(col("c_custkey") % 2 === 0,
+        lit("""<datafield tag="912" ind1=" " ind2=" "><subfield code="a">digit</subfield></datafield>"""))
+        .otherwise(lit("")),
+      lit("</record>"))
+
+  def all: Seq[Q] = Seq(
+
+    // S5 — zip member scan without extraction (ref: sources/jstor.py:156-374).
+    Q("s5_zip_member_scan",
+      """SELECT concat('doc-', doc_id, '.txt') AS member,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS size
+        |FROM documents WHERE doc_id < 200""".stripMargin) { (s, d) =>
+      Archives.zipMemberList(s, zipFixture(s, d)).select("member", "size")
+    },
+
+    // S6 — tarball member scan without extraction (ref: conversions.py:81-129).
+    Q("s6_tar_member_scan",
+      """SELECT concat('doc-', doc_id, '.txt') AS member,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS size
+        |FROM documents WHERE doc_id >= 200 AND doc_id < 400""".stripMargin) { (s, d) =>
+      Archives.tarMembers(s, tarFixture(s, d)).select("member", "size")
+    },
+
+    // S9 — MARC codec round-trip: synthesize MARCXML in-plan, decode
+    // through the codec, project fields back out (ref:
+    // sources/b3kat.py:133-138, conversions.py:98-115).
+    Q("s9_marc_roundtrip",
+      """SELECT concat('c-', c_custkey) AS rec_id, c_name AS title,
+        |       CAST(CASE WHEN c_custkey % 2 = 0 THEN 3 ELSE 2 END AS INT)
+        |         AS n_fields
+        |FROM customer""".stripMargin) { (s, d) =>
+      val ds = Marc.fromMarcXml(Tables.customer(s, d).select(marcXml().as("xml")), "xml")
+      ds.select(
+        Marc.controlValue("001").as("rec_id"),
+        try_element_at(Marc.values("245.a"), lit(1)).as("title"),
+        size(col("datafields")).as("n_fields"))
+    },
+
+    // P7 — MARC predicate filter: 084.2=ssgn ∧ 084.a=9,2 ∧ 912.a=digit
+    // (ref: sources/b3kat.py:151-205).
+    Q("p7_marc_filter",
+      """SELECT concat('c-', c_custkey) AS rec_id FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey % 2 = 0""".stripMargin) { (s, d) =>
+      val ds = Marc.fromMarcXml(Tables.customer(s, d).select(marcXml().as("xml")), "xml")
+      Marc.ssgFilter(ds, "9,2").select(Marc.controlValue("001").as("rec_id"))
+    },
+
+    // S10 — NDJSON sink + schema-first source round-trip (ref:
+    // workflows/ai.py:159-165). The write targets a per-SF temp dir;
+    // the read back must reproduce the relational view exactly.
+    Q("s10_ndjson_roundtrip",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      val out = fixtureDir(d).resolve("docs_ndjson").toString
+      Ndjson.write(Tables.documents(s, d).select("doc_id", "lang", "n_chars"), out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, n_chars BIGINT")
+      Ndjson.read(s, schema, out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+    },
+
+    // F12 — OpenURL KEV assembly, genre-dispatched, over URL-safe
+    // synthesized fields so both engines' encodings coincide (the
+    // percent-escaping itself is covered by the golden spec). Encoded
+    // chars here are only ':' and '/' (rft_id, fixed context params).
+    Q("f12_openurl", {
+      val enc = (x: String) => s"replace(replace($x, ':', '%3A'), '/', '%2F')"
+      val common =
+        "'url_ver=Z39.88-2004&ctx_ver=Z39.88-2004&ctx_enc=info%3Aofi%2Fenc%3AUTF-8" +
+          "&rfr_id=info%3Asid%2Fwww.ub.uni-leipzig.de%3Agenerator" +
+          "&rft.date=2016-01-02&rft.language=eng'"
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 5 WHEN 0 THEN 'article' WHEN 1 THEN 'book'
+         |         WHEN 2 THEN 'journal' WHEN 3 THEN 'proceeding' END AS genre,
+         |    concat('rec', doc_id) AS rid,
+         |    CASE WHEN doc_id % 2 = 0 THEN concat('10.1000/x', doc_id) END AS doi,
+         |    concat('T', doc_id) AS atitle,
+         |    concat('0000-', lpad(CAST(doc_id % 10 AS VARCHAR), 4, '0')) AS issn,
+         |    concat('978-', doc_id) AS isbn,
+         |    concat('A', doc_id) AS aulast
+         |  FROM documents),
+         |p AS (SELECT doc_id, genre, atitle, issn, isbn, aulast,
+         |  ${enc("CASE WHEN doi IS NOT NULL THEN concat('info:doi/', doi) ELSE rid END")} AS rftid
+         |  FROM f)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN genre = 'book' THEN concat($common,
+         |      '&rft_val_fmt=info%3Aofi%2Ffmt%3Akev%3Amtx%3Abook',
+         |      '&rft.genre=book&rft_id=', rftid, '&rft.btitle=', atitle,
+         |      '&rft.isbn=', isbn, '&rft.issn=', issn, '&rft.pub=Pub',
+         |      '&rft.aulast=', aulast)
+         |    WHEN genre = 'journal' THEN concat($common,
+         |      '&rft.title=', atitle, '&rft.issn=', issn)
+         |    WHEN genre IS NULL THEN concat($common,
+         |      '&rft_id=', rftid, '&rft.atitle=', atitle,
+         |      '&rft.issn=', issn, '&rft.aulast=', aulast)
+         |    ELSE concat($common, '&rft.genre=', genre, '&rft_id=', rftid,
+         |      '&rft.atitle=', atitle, '&rft.issn=', issn,
+         |      '&rft.aulast=', aulast)
+         |  END AS openurl
+         |FROM p""".stripMargin
+    }) { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        col("doc_id"),
+        try_element_at(
+          map(lit(0), lit("article"), lit(1), lit("book"),
+              lit(2), lit("journal"), lit(3), lit("proceeding")),
+          (col("doc_id") % 5).cast("int")).as("genre"),
+        concat(lit("rec"), col("doc_id")).as("rid"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("10.1000/x"), col("doc_id"))).as("doi"),
+        concat(lit("T"), col("doc_id")).as("atitle"),
+        concat(lit("0000-"), lpad((col("doc_id") % 10).cast("string"), 4, "0"))
+          .as("issn"),
+        concat(lit("978-"), col("doc_id")).as("isbn"),
+        concat(lit("A"), col("doc_id")).as("aulast"))
+      val nullStr = lit(null).cast("string")
+      val nullArr = lit(null).cast("array<string>")
+      f.select(
+        col("doc_id"),
+        OpenUrl.queryString(
+          genre = col("genre"), recordId = col("rid"), doi = col("doi"),
+          atitle = col("atitle"), jtitle = nullStr, date = lit("2016-01-02"),
+          issns = array(col("issn")), eissns = nullArr,
+          isbns = array(col("isbn")), volume = nullStr, issue = nullStr,
+          pages = nullStr, places = nullArr, pubs = array(lit("Pub")),
+          languages = array(lit("eng")),
+          authors = array(struct(
+            nullStr.as("rft.au"), nullStr.as("rft.aucorp"),
+            nullStr.as("rft.aufirst"), col("aulast").as("rft.aulast"))),
+          fincFormat = nullStr).as("openurl"))
+    },
+
+    // J5 — set-intersection stats between two sources' fingerprint
+    // sets (ref: workflows/ai.py:432-513 DOI overlap).
+    Q("j5_overlap_stats",
+      """SELECT CAST(count(*) AS BIGINT) AS overlap FROM
+        |  (SELECT DISTINCT md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS fp
+        |   FROM documents WHERE source = 'src1') a
+        |JOIN
+        |  (SELECT DISTINCT md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS fp
+        |   FROM documents WHERE source = 'src2') b
+        |USING (fp)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def fps(src: String) = docs.filter(col("source") === src)
+        .select(graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .distinct()
+      fps("src1").intersect(fps("src2"))
+        .agg(count(lit(1)).as("overlap"))
+    })
+}

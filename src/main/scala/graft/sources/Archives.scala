@@ -50,6 +50,29 @@ object Archives {
   def zipMemberList(spark: SparkSession, path: String): DataFrame =
     zipMembers(spark, path).select("path", "member", "size")
 
+  /** All members of every (optionally gzipped) tar under `path` —
+    * S6's iterate-without-extraction (conversions.py:81-129). Uses the
+    * commons-compress tar reader that ships with Spark. */
+  def tarMembers(spark: SparkSession, path: String, gzipped: Boolean = true): DataFrame = {
+    import spark.implicits._
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val raw = new ByteArrayInputStream(bytes)
+        val tin = new TarArchiveInputStream(
+          if (gzipped) new GZIPInputStream(raw) else raw)
+        Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .map { e =>
+            val content = readAll(tin)
+            Member(p, e.getName, content.length.toLong, content)
+          }.toSeq
+      }
+      .toDF()
+  }
+
   /** Lines of text members of gzip files under `path` (`.ldj.gz`-style
     * artifacts), with file provenance (F13). */
   def gzipLines(spark: SparkSession, path: String): DataFrame = {
