@@ -186,8 +186,11 @@ object Dedup {
                                  threshold: Double): DataFrame = {
     val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
     val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    // Native fused cosine — bit-identical to the HOF form (same
+    // accumulation order), so the DuckDB oracle is unaffected.
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("sim",
+        Similarity.cosineNative(emb.sparkSession, col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
@@ -206,9 +209,53 @@ object Dedup {
     candidates
       .join(vecs.withColumnsRenamed(Map("doc" -> "id_a", "v" -> "va")), Seq("id_a"))
       .join(vecs.withColumnsRenamed(Map("doc" -> "id_b", "v" -> "vb")), Seq("id_b"))
-      .withColumn("sim", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("sim",
+        Similarity.cosineNative(emb.sparkSession, col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Duplicate-group clustering: connected components over an
+    * undirected near-dup pair list (the step that turns `minhashLshPairs`
+    * output into "keep one per group" decisions), as iterative min-label
+    * propagation: each round every node takes the min label among itself
+    * and its neighbors, until fixpoint.
+    *
+    * Scale shape: one equi-join + one hash aggregate per round, lineage
+    * truncated per round with localCheckpoint (a cluster deployment
+    * points this at a checkpoint dir). Rounds = component diameter —
+    * near-dup components are near-cliques (diameter 1-2), so 2-3 rounds
+    * in practice; a pathological chain topology would call for the
+    * alternating large-star/small-star variant instead.
+    *
+    * Output: (node, group) — group is the component's minimum id; only
+    * ids that appear in `pairs` are emitted (singletons are their own
+    * group by definition; callers left-join + coalesce). */
+  def duplicateGroups(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("s"), col(idB).as("d"))
+      .union(pairs.select(col(idB).as("s"), col(idA).as("d")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "s"), Seq("s"))
+        .select(col("d").as("node"), col("label"))
+      val newLabels = labels.union(neighborMin)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = newLabels
+        .join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = newLabels
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("group"))
   }
 
   /** Table-level SimHash: explode tokens once, hash each token once,

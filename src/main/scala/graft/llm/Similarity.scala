@@ -128,7 +128,10 @@ object Similarity {
               col(clusterCol).as("cluster"))
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      // Exact scoring through the fused native cosine; the probe-side
+      // centroid cosine above stays the HOF form (centroids are
+      // array<double> from avg()).
+      .withColumn("sim", cosineNative(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -160,7 +163,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "neighbor_id", "cv")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosineNative(spark, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

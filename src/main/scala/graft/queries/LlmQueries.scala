@@ -57,6 +57,33 @@ object LlmQueries {
         threshold = 0.8, maxBucketSize = Some(100))
     },
 
+    // Duplicate-group clustering: connected components over the exact
+    // Jaccard pair graph (bounded subset so the oracle's recursive-CTE
+    // transitive closure stays cheap). The Spark side is the iterative
+    // min-label propagation a 100 TB dedup ends with.
+    Q("d8_dup_groups",
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) /
+        |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.85),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS group_id
+        |FROM reach GROUP BY s""".stripMargin) { (s, d) =>
+      val pairs = Dedup.jaccardPairsExact(
+        Tables.documents(s, d).filter(col("doc_id") < 100), "doc_id", "text", 0.85)
+      Dedup.duplicateGroups(pairs)
+        .select(col("node").as("doc_id"), col("group").as("group_id"))
+    },
+
     // SimHash fingerprints (rows-only: xxhash64 family).
     Q.rowsOnly("d4_simhash") { (s, d) =>
       Dedup.simhashTable(Tables.documents(s, d), "doc_id", "text", 32)

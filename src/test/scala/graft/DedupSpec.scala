@@ -21,6 +21,17 @@ class DedupSpec extends AnyFunSuite {
     assert(groups == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("duplicateGroups: chains collapse to one component, disjoint pairs stay apart") {
+    // Path graph 1-2-3-4-5 (diameter 4 — exercises multi-round
+    // propagation) plus the disjoint pair (10, 11).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("minhash LSH pairs recall >= 0.9 vs exact pairs at high threshold") {
     val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
