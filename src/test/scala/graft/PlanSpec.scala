@@ -67,4 +67,22 @@ class PlanSpec extends AnyFunSuite {
       "d4_simhash", "e2_ann_lsh_topk", "e4_ann_ivf_topk",
       "d7_embedding_neardup_lsh"))
   }
+
+  test("no registered query plans a cartesian product, sort-merge join, or UDF") {
+    // Nested-loop joins are allowed ONLY in the bounded exact baselines
+    // (broadcast theta-joins over id-filtered subsets / tiny query sets);
+    // everything else must be hash-keyed or broadcast-equi.
+    val bnljAllowed = Set("d2_jaccard_pairs", "d6_embedding_neardup",
+      "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk")
+    SparkEntry.registry.foreach { q =>
+      val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian")
+      assert(!plan.contains("SortMergeJoin"), s"${q.name}: sort-merge join")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"${q.name}: UDF in plan")
+      if (!bnljAllowed(q.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${q.name}: unexpected nested-loop join")
+    }
+  }
 }
