@@ -137,5 +137,31 @@ object LicenseQueries {
       Licensing.tag(records(s, d), recordCols, configs,
           Map("h1" -> h1(s), "h2" -> h2(s)), AsOf, dropUnlabeled = true)
         .select(col("o_orderkey"), array_join(col("x_labels"), ",").as("labels"))
+    },
+
+    // SURVEY §7.2's minimum end-to-end slice (AIDOIList,
+    // workflows/ai.py:801-826): records → OA whitelist semi-join →
+    // license-tag one ISIL (incl. holdings range joins) → keep rows
+    // carrying the ISIL → project the DOI list. Every join broadcasts;
+    // one scan of the records side.
+    Q("pipe3_doilist",
+      s"""WITH $holdingsSql
+         |SELECT '10.1000/o' || o_orderkey AS doi FROM f
+         |WHERE ((sid = 'F' AND m1) OR (coll = '5-LOW' AND m2))
+         |  AND issn IN ('ISSN-0', 'ISSN-3', 'ISSN-6', 'ISSN-9',
+         |               'ISSN-12', 'ISSN-15', 'ISSN-18')""".stripMargin) { (s, d) =>
+      val configs = Map(
+        "ISIL-B" -> Or(Seq(
+          And(Seq(SourceIn(Seq("F")), Holdings(Seq("h1")))),
+          And(Seq(CollectionIn(Seq("5-LOW")), Holdings(Seq("h2")))))))
+      val oaIssns = s.range(0, 20, 3)
+        .select(concat(lit("ISSN-"), col("id")).as("issn1"))
+      val flagged = records(s, d)
+        .withColumn("issn1", try_element_at(col("issns"), lit(1)))
+        .join(broadcast(oaIssns), Seq("issn1"), "left_semi")
+      Licensing.tag(flagged, recordCols, configs,
+          Map("h1" -> h1(s), "h2" -> h2(s)), AsOf)
+        .filter(array_contains(col("x_labels"), "ISIL-B"))
+        .select(concat(lit("10.1000/o"), col("o_orderkey")).as("doi"))
     })
 }
