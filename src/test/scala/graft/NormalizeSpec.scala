@@ -183,6 +183,66 @@ class NormalizeSpec extends AnyFunSuite {
     assert(back.select("`finc.id`").collect()(0).getString(0) == "ai-179-egcsk")
   }
 
+  test("IMSLP XML→MARC golden record (ref: test_conversions.py:9-44)") {
+    val example =
+      """<?xml version="1.0"?>
+        |<document docID="imslpvalsskramstadhans">
+        |  <localClass localClassName="col">imslp</localClass>
+        |  <localClass localClassName="vifa">vifamusik</localClass>
+        |  <identifier identifierEncodingSchema="originalID">valsskramstadhans</identifier>
+        |  <creator>
+        |    <mainForm>Skramstad, Hans</mainForm>
+        |  </creator>
+        |  <title>Vals for pianoforte</title>
+        |  <subject>
+        |    <mainForm>Romantic</mainForm>
+        |  </subject>
+        |  <music_arrangement_of>Piano</music_arrangement_of>
+        |  <url urlEncodingSchema="originalDetailView">http://imslp.org/wiki/Vals_(Skramstad,_Hans)</url>
+        |  <vifatype>Internetressource</vifatype>
+        |</document>""".stripMargin
+    val r = normalize.Imslp.xmlToMarc(example)
+    def sub(tag: String, code: String): Seq[String] =
+      r.datafields.filter(_.tag == tag)
+        .flatMap(_.subfields.filter(_.code == code).map(_.value))
+    assert(r.controlfields.find(_.tag == "001").map(_.value)
+      .contains("finc-15-dmFsc3NrcmFtc3RhZGhhbnM"))
+    assert(sub("100", "a") == Seq("Skramstad, Hans"))
+    assert(sub("100", "e") == Seq("cmp"))
+    assert(sub("245", "a") == Seq("Vals for pianoforte"))
+    assert(sub("856", "u") == Seq("http://imslp.org/wiki/Vals_(Skramstad,_Hans)"))
+    assert(sub("590", "a") == Seq("Romantic") && sub("590", "b") == Seq("Piano"))
+    assert(sub("689", "a").toSet == Set("Romantic", "Piano"))
+    assert(sub("980", "a") == Seq("valsskramstadhans") && sub("980", "b") == Seq("15"))
+    // No languages element → no 008/041.
+    assert(!r.controlfields.exists(_.tag == "008"))
+    assert(!r.datafields.exists(_.tag == "041"))
+  }
+
+  test("IMSLP conversion edge semantics: title required, unbekannt filtered, second-of-two subjects") {
+    def doc(body: String) =
+      s"""<document><identifier>idx</identifier>
+         |<creator><mainForm>C</mainForm></creator>
+         |<url>http://x</url>$body</document>""".stripMargin
+    intercept[IllegalArgumentException] { normalize.Imslp.xmlToMarc(doc("")) }
+    val r = normalize.Imslp.xmlToMarc(doc(
+      """<title>T</title>
+        |<languages>unbekannt</languages><languages>ger</languages>
+        |<subject><mainForm>First</mainForm></subject>
+        |<subject><mainForm>second thing</mainForm></subject>""".stripMargin))
+    // unbekannt dropped; first remaining language drives 008.
+    assert(r.controlfields.find(_.tag == "008").exists(_.value.contains("ger")))
+    assert(r.datafields.filter(_.tag == "041").flatMap(_.subfields).map(_.value) == Seq("ger"))
+    // Two subjects → the reference keeps the SECOND; Python .title().
+    val s590 = r.datafields.find(_.tag == "590").get.subfields
+    assert(s590.find(_.code == "a").map(_.value).contains("Second Thing"))
+    // Dataset-level conversion runs through the codec boundary.
+    import spark.implicits._
+    val ds = normalize.Imslp.fromXml(
+      Seq(doc("<title>T</title>")).toDF("xml"), "xml")
+    assert(ds.count() == 1)
+  }
+
   test("NDJSON permissive read surfaces corrupt lines") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ndjson2")
