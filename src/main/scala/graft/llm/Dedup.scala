@@ -67,6 +67,42 @@ object Dedup {
       .distinct()
   }
 
+  val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** The deterministic universal-hash family (a·h + b) mod p shared by
+    * every MinHash variant (and by the portable oracle SQL). */
+  def minhashCoeffs(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)(
+      ((rnd.nextInt(Int.MaxValue - 1) + 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** numHashes-wide min aggregate over a (doc, h) exploded hash table →
+    * (doc, sig array<long>). Map-side partial min; shuffles only
+    * doc × numHashes longs. */
+  private def signatureAgg(exploded: DataFrame, numHashes: Int): DataFrame =
+    exploded.groupBy("doc").agg(
+      array(minhashCoeffs(numHashes).map { case (a, b) =>
+        min(pmod(col("h") * a + b, lit(MinhashPrime)))
+      }: _*).as("sig"))
+
+  /** Portable MinHash signature: the same permutation family over an
+    * md5-derived 31-bit token core instead of xxhash64, so the whole
+    * signature computation is oracle-checkable in any engine with md5
+    * (the production path keeps xxhash64 — one cheap hash per token).
+    * Output: (id, sig) with the signature joined to a comma string. */
+  def minhashSignaturePortable(docs: DataFrame, id: String, text: String,
+                               numHashes: Int = 32): DataFrame = {
+    val exploded = docs
+      .select(col(id).as("doc"), explode(shingles(col(text), 1)).as("tok"))
+      .select(col("doc"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    signatureAgg(exploded, numHashes)
+      .select(col("doc").as(id),
+        array_join(transform(col("sig"), _.cast("string")), ",").as("sig"))
+  }
+
   /** MinHash + LSH banding: documents sharing any band bucket become
     * candidate pairs; candidates are verified with exact token-set
     * Jaccard and kept at `threshold`.
@@ -113,17 +149,10 @@ object Dedup {
     // permutation: without it a·h+b is monotonic in h and every
     // "hash" would rank shingles identically (one-permutation
     // signatures in disguise).
-    val p = 2147483647L // 2^31 - 1
     val exploded = docs
       .select(col(id).as("doc"), explode(shingles(col(text), shingleN)).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
-    val rnd = new scala.util.Random(42)
-    val coeffs = Seq.fill(numHashes)(
-      ((rnd.nextInt(Int.MaxValue - 1) + 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-    val sig = exploded.groupBy("doc").agg(
-      array(coeffs.map { case (a, b) =>
-        min(pmod(col("h") * a + b, lit(p)))
-      }: _*).as("sig"))
+    val sig = signatureAgg(exploded, numHashes)
 
     // Band table carries only (band, bucket, doc) — token arrays would
     // otherwise be replicated ×bands through the shuffle. Tokens rejoin

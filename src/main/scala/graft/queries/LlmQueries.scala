@@ -57,6 +57,28 @@ object LlmQueries {
         threshold = 0.8, maxBucketSize = Some(100))
     },
 
+    // Portable MinHash signatures — the same (a·h+b) mod p permutation
+    // family as d3 over an md5 token core, fully oracle-checked, so the
+    // signature math itself has a green gate (d3's xxhash64 family is
+    // rows-only by necessity).
+    Q("d9_minhash_portable_sig", {
+      val seedRows = Dedup.minhashCoeffs(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483648 AS hc
+         |      FROM toks),
+         |seeds(i, a, b) AS (VALUES $seedRows),
+         |m AS (SELECT doc_id, i, min((hc * a + b) % 2147483647) AS mh
+         |      FROM h CROSS JOIN seeds GROUP BY doc_id, i)
+         |SELECT doc_id, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+         |FROM m GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+      Dedup.minhashSignaturePortable(Tables.documents(s, d), "doc_id", "text")
+    },
+
     // Duplicate-group clustering: connected components over the exact
     // Jaccard pair graph (bounded subset so the oracle's recursive-CTE
     // transitive closure stays cheap). The Spark side is the iterative

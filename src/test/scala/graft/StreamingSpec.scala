@@ -66,4 +66,24 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(done == Set((7L, 2L, 3.0)), done.toString)
   }
+
+  test("streaming fingerprint dedup drops within-watermark duplicates, keeps distinct") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val deduped = EventStreams.dedupByFingerprint(
+      input.toDF().toDF("ts", "fp", "doc_id"), "ts", "fp",
+      lateness = "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dd").outputMode("append").start()
+    input.addData(
+      (ts(1), "fpA", 1L), (ts(2), "fpA", 2L), (ts(3), "fpB", 3L))
+    q.processAllAvailable()
+    // Same fingerprint again within the horizon: dropped.
+    input.addData((ts(4), "fpA", 4L), (ts(5), "fpC", 5L))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dd").select("fp", "doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(kept == Set(("fpA", 1L), ("fpB", 3L), ("fpC", 5L)))
+  }
 }
