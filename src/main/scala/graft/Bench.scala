@@ -41,6 +41,21 @@ object Bench {
           System.err.println(s"[bench] warmup ${q.name} failed: ${e.getMessage}")
         }
       }
+    } else {
+      // No small-SF dir: still absorb the generic one-time JVM costs
+      // (codegen pipeline, shuffle machinery, collation/ICU init via
+      // lower()) so the first timed query isn't charged for them.
+      System.err.println(s"[bench] warm dir $warmDir missing — generic warmup only")
+      try spark.range(1000)
+        .select(org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.concat_ws("-",
+            org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.md5(
+              org.apache.spark.sql.functions.col("id").cast("string")))).as("k"))
+        .groupBy("k").count().collect()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] generic warmup failed: ${e.getMessage}")
+      }
     }
     // Touch the timed tables so the page cache is hot like it would be
     // mid-pipeline.

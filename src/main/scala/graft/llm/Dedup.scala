@@ -284,6 +284,14 @@ object Dedup {
       labels = newLabels
       i += 1
     }
+    // Never return silently-wrong components: a chain longer than
+    // maxIter would leave one component under several labels and a
+    // downstream keep-one-per-group step would retain duplicates.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"duplicateGroups did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter or use a " +
+          "star-contraction variant for chain-shaped components")
     labels.select(col("node"), col("label").as("group"))
   }
 

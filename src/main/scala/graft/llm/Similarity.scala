@@ -73,13 +73,6 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** All (table, bucket) assignments of a vector — one row per table
-    * after explode. */
-  private def buckets(vec: Column, tables: Int, planes: Int, dim: Int): Column =
-    array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(vec, t, planes, dim).as("bkt"))
-    }: _*)
-
   /** All tables' bucket ids as one array<int> (index = table), via the
     * native fused expression [[graft.plans.SignLshBucketsExpr]] —
     * bucket-for-bucket identical to [[lshBucket]] but ~tables×planes×dim

@@ -81,8 +81,14 @@ object Imslp {
 
     val (viaf, legacyTitle) = legacy.getOrElse(identifier, ("", ""))
 
-    def df(tag: String, subs: (String, String)*): MarcDatafield =
-      MarcDatafield(tag, " ", " ", subs.map { case (c, v) => MarcSubfield(c, v) })
+    // marcx in non-strict mode (record.strict = False,
+    // conversions.py:148) drops falsy subfield values — empty strings
+    // never become subfields; a field whose subfields are all empty is
+    // not added at all.
+    def df(tag: String, subs: (String, String)*): Option[MarcDatafield] = {
+      val kept = subs.collect { case (c, v) if v.nonEmpty => MarcSubfield(c, v) }
+      if (kept.isEmpty) None else Some(MarcDatafield(tag, " ", " ", kept))
+    }
 
     val controls = Seq(
       Some(MarcControlfield("001", s"finc-15-$encodedId")),
@@ -90,7 +96,7 @@ object Imslp {
       langs.headOption.map(l =>
         MarcControlfield("008", s"130227uu20uuuuuuxx uuup$l  c"))).flatten
 
-    val subjectFields: Seq[MarcDatafield] = subjectHead match {
+    val subjectFields: Seq[Option[MarcDatafield]] = subjectHead match {
       case None => Seq.empty
       case Some(subj) =>
         val for689 = (Seq(subj, arrangement)).distinct
@@ -98,7 +104,7 @@ object Imslp {
           for689.map(s => df("689", "a" -> pyTitle(s)))
     }
 
-    val datas =
+    val datas = (
       langs.map(l => df("041", "a" -> l)) ++ Seq(
         df("100", "a" -> mainForm("creator").getOrElse(""), "e" -> "cmp",
            "0" -> viaf),
@@ -114,7 +120,7 @@ object Imslp {
            "u" -> (doc \ "url").head.text),
         df("970", "c" -> "PN"),
         df("980", "a" -> identifier, "b" -> SourceId,
-           "c" -> "Petrucci Musikbibliothek"))
+           "c" -> "Petrucci Musikbibliothek"))).flatten
 
     MarcRecord("     ncs  22        450 ", controls, datas)
   }

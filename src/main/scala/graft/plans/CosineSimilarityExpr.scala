@@ -86,15 +86,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSimilarityExpr].getName, Name)
   private val builder =
     (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))
-  private val lshInfo =
+  private[plans] val lshInfo =
     new ExpressionInfo(classOf[SignLshBucketsExpr].getName, LshName)
   private def litInt(e: Expression): Int =
     e.eval(null).asInstanceOf[Number].intValue()
   // lsh_buckets(vec, tables, planes, dim) — the last three must be
   // integer literals (the sign matrix is built at plan time).
-  private val lshBuilder = (children: Seq[Expression]) =>
+  private[plans] val lshBuilder = (children: Seq[Expression]) =>
     SignLshBucketsExpr(children(0), litInt(children(1)),
       litInt(children(2)), litInt(children(3)))
+  private[plans] val cosineInfo = info
+  private[plans] val cosineBuilder = builder
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
@@ -107,18 +109,13 @@ object GraftFunctions {
 /** `--conf spark.sql.extensions=graft.plans.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Same info/builder instances as the per-session registration path,
+    // so the two can't drift.
     ext.injectFunction(
       (FunctionIdentifier(GraftFunctions.Name),
-       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, GraftFunctions.Name),
-       (children: Seq[Expression]) =>
-         CosineSimilarityExpr(children.head, children(1))))
+       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction(
       (FunctionIdentifier(GraftFunctions.LshName),
-       new ExpressionInfo(classOf[SignLshBucketsExpr].getName, GraftFunctions.LshName),
-       (children: Seq[Expression]) =>
-         SignLshBucketsExpr(children.head,
-           children(1).eval(null).asInstanceOf[Number].intValue(),
-           children(2).eval(null).asInstanceOf[Number].intValue(),
-           children(3).eval(null).asInstanceOf[Number].intValue())))
+       GraftFunctions.lshInfo, GraftFunctions.lshBuilder))
   }
 }

@@ -22,9 +22,13 @@ import graft.sources.{Archives, Ndjson}
   */
 object SourceQueries {
 
+  /** Fixture cache key includes the source parquet's (size, mtime) so a
+    * regenerated testdata dir can never serve stale archives. */
   private def fixtureDir(sfDir: String): java.nio.file.Path = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixtures_$tag")
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val stamp = s"${src.length()}_${src.lastModified()}"
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixtures_${tag}_$stamp")
     Files.createDirectories(p)
     p
   }

@@ -163,6 +163,27 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosine_sim.*"), plan.take(800))
   }
 
+  test("native sign-LSH buckets match the HOF lshBucket bucket-for-bucket") {
+    // The native expression precomputes the hyperplane sign matrix
+    // driver-side from XXH64 seed-chaining; this pins it to Spark's
+    // interpreted xxhash64 so a drift in either path fails loudly
+    // (recall tests alone can't see it — both join sides would shift
+    // together).
+    val (tables, planes, dim) = (6, 8, 64)
+    val emb = Tables.embeddings(spark, Sf).filter(col("vec_id") < 60)
+    val hof = emb.select(
+      array((0 until tables).map(t =>
+        Similarity.lshBucket(col("embedding"), t, planes, dim)): _*).as("b"))
+    val native = emb.select(
+      Similarity.lshBucketsAll(spark, col("embedding"), tables, planes, dim)
+        .as("b"))
+    assert(emb.count() > 0)
+    val a = hof.collect().map(_.getSeq[Int](0))
+    val b = native.collect().map(_.getSeq[Int](0))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("ANN LSH: bucket join plan (no cartesian), decent recall@5") {
     val emb = Tables.embeddings(spark, Sf).cache()
     val queries = emb.filter(col("vec_id") < 20)

@@ -217,6 +217,10 @@ class NormalizeSpec extends AnyFunSuite {
     // No languages element → no 008/041.
     assert(!r.controlfields.exists(_.tag == "008"))
     assert(!r.datafields.exists(_.tag == "041"))
+    // Non-strict marcx semantics: falsy subfield values are dropped, so
+    // no empty subfields and no 240 (no legacy mapping) anywhere.
+    assert(r.datafields.forall(_.subfields.forall(_.value.nonEmpty)))
+    assert(!r.datafields.exists(_.tag == "240"))
   }
 
   test("IMSLP conversion edge semantics: title required, unbekannt filtered, second-of-two subjects") {
@@ -236,6 +240,9 @@ class NormalizeSpec extends AnyFunSuite {
     // Two subjects → the reference keeps the SECOND; Python .title().
     val s590 = r.datafields.find(_.tag == "590").get.subfields
     assert(s590.find(_.code == "a").map(_.value).contains("Second Thing"))
+    // No arrangement → 590 carries no $b and the empty 689 is dropped.
+    assert(!s590.exists(_.code == "b"))
+    assert(r.datafields.count(_.tag == "689") == 1)
     // Dataset-level conversion runs through the codec boundary.
     import spark.implicits._
     val ds = normalize.Imslp.fromXml(
