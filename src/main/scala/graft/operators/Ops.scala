@@ -33,14 +33,19 @@ object Ops {
       .drop("__rn")
   }
 
-  /** W3 alternative — latest-per-key as a pure hash aggregate
-    * (`max_by` over the full row): no sort anywhere, map-side partial
-    * aggregation, one shuffle of one row per (partition, key). For
+  /** W3 alternative — latest-per-key as an aggregate (`max_by` over the
+    * full row) with map-side partial aggregation: the shuffle carries
+    * one row per (map partition, key) instead of every input row. For
     * high-cardinality snapshot compaction (the 6 TB Crossref shape,
-    * 930M→150M rows) this beats the window form whenever groups are
-    * small: the window needs the rows of a group co-sorted, max_by
-    * reduces them before the shuffle. `orderCol` must be totally
-    * ordered (encode tiebreaks into it) for a deterministic winner. */
+    * 930M→150M rows) this beats the window form whenever groups span
+    * map partitions — the window must co-locate and rank ALL rows of a
+    * group, max_by reduces them before the shuffle. Physical note:
+    * max_by over a struct payload is not hash-aggregatable (struct
+    * agg buffer), so Spark plans SortAggregate — a within-partition
+    * sort by grouping key only, on the already-reduced data; there is
+    * still no global sort and no per-group rank state. `orderCol` must
+    * be totally ordered (encode tiebreaks into it) for a deterministic
+    * winner. */
   def latestPerKeyAgg(keys: Seq[String], orderCol: Column)(df: DataFrame): DataFrame = {
     val payload = struct(df.columns.map(c => col(s"`$c`")): _*)
     df.groupBy(keys.map(col): _*)

@@ -62,9 +62,10 @@ object CoreQueries {
                 date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
     },
 
-    // W3 as a sort-free hash aggregate (max_by over the row, order key
-    // = days×2^40 + orderkey so ties cannot exist): the preferred
-    // snapshot-compaction plan when groups are small. The day shift
+    // W3 as a max_by aggregate (order key = days×2^40 + orderkey so
+    // ties cannot exist): partial aggregation reduces groups map-side
+    // before the shuffle — the preferred snapshot-compaction plan when
+    // groups span partitions (see Ops.latestPerKeyAgg). The day shift
     // leaves 40 bits for the tiebreak id, so keys stay collision-free
     // up to ~10^12 orders (TPC-H sf≈150k) — a 10^8 multiplier would
     // collide at large SF (ADVICE r02).
