@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.OpenUrl
 import graft.marc.Marc
-import graft.sources.{Archives, Ndjson}
+import graft.sources.{Archives, Ndjson, Xml}
 
 /** Registered queries for the source/sink and codec operators that need
   * a materialized fixture or an in-plan synthesized payload: S5/S6
@@ -79,6 +79,28 @@ object SourceQueries {
     path.toString
   }
 
+  /** One OAI-ish XML collection file holding a <record> per documents
+    * row with doc_id < 150 (CDATA exercises the splitter's lexical
+    * handling on every run). */
+  private def xmlFixture(s: SparkSession, d: String): String = {
+    val path = fixtureDir(d).resolve("docs.xml")
+    if (!Files.exists(path)) {
+      val rows = Tables.documents(s, d).filter(col("doc_id") < 150)
+        .select("doc_id", "lang").orderBy("doc_id").collect()
+      val sb = new StringBuilder("<?xml version=\"1.0\"?>\n<collection>\n")
+      rows.foreach { r =>
+        sb.append(s"""<record><id>${r.getLong(0)}</id><lang>${r.getString(1)}</lang>""")
+          .append("<raw><![CDATA[</record>]]></raw></record>\n")
+      }
+      sb.append("</collection>\n")
+      val tmp = Files.createTempFile(fixtureDir(d), "docs", ".xml.part")
+      Files.writeString(tmp, sb.toString)
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp) }
+    }
+    path.toString
+  }
+
   /** MARCXML synthesized in-plan from customer rows: 001=c-<custkey>,
     * 084 $a per market segment $2 ssgn, 245 $a = name, 912 $a=digit on
     * even keys — the b3kat fixture shape (sources/b3kat.py:190-202). */
@@ -98,6 +120,17 @@ object SourceQueries {
       lit("</record>"))
 
   def all: Seq[Q] = Seq(
+
+    // S2 (engine half) — streaming XML record scan: xmlstream-style
+    // splitter over a landing file, then columnar field extraction
+    // (ref: utils.py:448-507; sources/doaj.py:60-77 harvest shape).
+    Q("s2_xml_stream_scan",
+      """SELECT doc_id, lang FROM documents WHERE doc_id < 150""") { (s, d) =>
+      Xml.recordsFromFiles(s, xmlFixture(s, d), "record")
+        .select(
+          regexp_extract(col("xml"), "<id>([0-9]+)</id>", 1).cast("long").as("doc_id"),
+          regexp_extract(col("xml"), "<lang>([a-z]+)</lang>", 1).as("lang"))
+    },
 
     // S5 — zip member scan without extraction (ref: sources/jstor.py:156-374).
     Q("s5_zip_member_scan",
