@@ -79,6 +79,42 @@ object FilterExpr {
     case Holdings(ns) => ns.toSet
     case _            => Set.empty
   }
+
+  /** Config patching — the reference maintains site-specific fixups on
+    * the compiled config (the DE-14 external-holdings append,
+    * amsl.py:1345-1355, and AMSLFilterConfigPatched's term rewrite,
+    * amsl.py:1364-1391). Both are tree rewrites here:
+    *
+    * [[appendHoldings]] adds `extra` to every Holdings term of one
+    * ISIL's tree unless already present; [[replaceTerm]] swaps an exact
+    * subtree for another across all ISILs. */
+  def appendHoldings(configs: Map[String, FilterExpr], isil: String,
+                     extra: String): Map[String, FilterExpr] = {
+    def walk(e: FilterExpr): FilterExpr = e match {
+      case And(cs)      => And(cs.map(walk))
+      case Or(cs)       => Or(cs.map(walk))
+      case Not(c)       => Not(walk(c))
+      case Holdings(ns) => Holdings(if (ns.contains(extra)) ns else ns :+ extra)
+      case leaf         => leaf
+    }
+    configs.get(isil) match {
+      case Some(tree) => configs.updated(isil, walk(tree))
+      case None       => configs
+    }
+  }
+
+  def replaceTerm(configs: Map[String, FilterExpr], from: FilterExpr,
+                  to: FilterExpr): Map[String, FilterExpr] = {
+    def walk(e: FilterExpr): FilterExpr =
+      if (e == from) to
+      else e match {
+        case And(cs) => And(cs.map(walk))
+        case Or(cs)  => Or(cs.map(walk))
+        case Not(c)  => Not(walk(c))
+        case leaf    => leaf
+      }
+    configs.map { case (isil, tree) => isil -> walk(tree) }
+  }
 }
 
 /** Column bindings: which record columns the predicates read. */

@@ -155,4 +155,29 @@ class LicensingSpec extends AnyFunSuite {
     assert(AmslConfigBuilder.build(Seq(row(coll = "C2"), row(coll = "C1")))("DE-15")
       == And(Seq(SourceIn(Seq("55")), CollectionIn(Seq("C1", "C2")))))
   }
+
+  test("config patching: holdings append (DE-14 fixup) and term replace") {
+    // amsl.py:1345-1355 — append an external holdings file to every
+    // holdings term of one ISIL; idempotent; other ISILs untouched.
+    val cfg = Map(
+      "DE-14" -> Or(Seq(
+        And(Seq(SourceIn(Seq("49")), Holdings(Seq("h1")))),
+        And(Seq(SourceIn(Seq("55")), Holdings(Seq("h1", "SLUB-EZB")))))),
+      "DE-15" -> And(Seq(SourceIn(Seq("49")), Holdings(Seq("h1")))))
+    val patched = FilterExpr.appendHoldings(cfg, "DE-14", "SLUB-EZB")
+    assert(patched("DE-14") == Or(Seq(
+      And(Seq(SourceIn(Seq("49")), Holdings(Seq("h1", "SLUB-EZB")))),
+      And(Seq(SourceIn(Seq("55")), Holdings(Seq("h1", "SLUB-EZB")))))))
+    assert(patched("DE-15") == cfg("DE-15"))
+    assert(FilterExpr.appendHoldings(patched, "DE-14", "SLUB-EZB") == patched)
+    assert(FilterExpr.appendHoldings(cfg, "DE-XX", "SLUB-EZB") == cfg)
+
+    // amsl.py:1364-1391 — exact-subtree replacement across all ISILs.
+    val from = And(Seq(SourceIn(Seq("49")), Holdings(Seq("h1"))))
+    val to = And(Seq(SourceIn(Seq("49")), IssnIn(Seq("1234-5678"))))
+    val swapped = FilterExpr.replaceTerm(cfg, from, to)
+    assert(swapped("DE-15") == to)
+    assert(swapped("DE-14") == Or(Seq(to,
+      And(Seq(SourceIn(Seq("55")), Holdings(Seq("h1", "SLUB-EZB")))))))
+  }
 }
