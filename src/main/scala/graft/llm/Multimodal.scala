@@ -55,10 +55,24 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(content, i), lit(1000)).cast("double") / 500.0) - 1.0)
 
+  /** Portable twin of [[decodeStub]]: md5-derived features, so the
+    * whole decode→feature pipeline is checkable against an external
+    * SQL oracle (the production stub keeps xxhash64). */
+  def decodeStubPortable(content: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), { i =>
+      val core = conv(
+        substring(md5(concat(content.cast("string"), lit("|"),
+          i.cast("string"))), 1, 8), 16, 10).cast("long")
+      pmod(core, lit(1000)).cast("double") / 500.0 - 1.0
+    })
+
   /** Feature extraction stage: payload → fixed-dim embedding (stubbed
     * decode, real shape). */
-  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame =
-    media.withColumn("features", decodeStub(col("content"), dim))
+  def extractFeatures(media: DataFrame, dim: Int = 16,
+                      portable: Boolean = false): DataFrame =
+    media.withColumn("features",
+      if (portable) decodeStubPortable(col("content"), dim)
+      else decodeStub(col("content"), dim))
 
   /** Resize stage: pure metadata + (stubbed) payload transform. The
     * real contract is the signature: same schema out, width/height

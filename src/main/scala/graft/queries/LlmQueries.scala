@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline ops over `documents` and `embeddings`:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
@@ -293,6 +293,42 @@ object LlmQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", "label", 5, nprobe = 3)
+    },
+
+    // Multimodal: binary payload → fixed-dim feature vector through the
+    // portable decode stub (real schema/partitioning plumbing, fake
+    // codec — this container ships no image libs). One feature row per
+    // (media, dim) so the oracle compares scalars.
+    Q("m1_media_features",
+      """SELECT doc_id AS media_id, CAST(j AS INT) AS pos,
+        |       (CAST(('0x' || substr(md5(text || '|' || j), 1, 8)) AS BIGINT)
+        |        % 1000) / 500.0 - 1.0 AS feature
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)""".stripMargin) { (s, d) =>
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"),
+        struct(lit("text/plain").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("n_chars").cast("long").as("duration_ms")).as("meta"))
+      Multimodal.extractFeatures(media, dim = 8, portable = true)
+        .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "feature")))
+    },
+
+    // Multimodal: frame sampling — one row per sampled timestamp, the
+    // payload never replicated per frame.
+    Q("m2_frame_sample",
+      """SELECT doc_id AS media_id,
+        |       unnest(generate_series(0, CAST(n_chars AS BIGINT) - 1, 100))
+        |         AS frame_ms
+        |FROM documents WHERE n_chars > 0""".stripMargin) { (s, d) =>
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"),
+        struct(lit("video/mp4").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("n_chars").cast("long").as("duration_ms")).as("meta"))
+      Multimodal.sampleFrames(media, everyMs = 100L)
+        .select(col("media_id"), col("frame_ms"))
     },
 
     // Per-label embedding stats (vector-column handling).
