@@ -250,12 +250,14 @@ object Dedup {
     * propagation: each round every node takes the min label among itself
     * and its neighbors, until fixpoint.
     *
-    * Scale shape: one equi-join + one hash aggregate per round, lineage
-    * truncated per round with localCheckpoint (a cluster deployment
-    * points this at a checkpoint dir). Rounds = component diameter —
-    * near-dup components are near-cliques (diameter 1-2), so 2-3 rounds
-    * in practice; a pathological chain topology would call for the
-    * alternating large-star/small-star variant instead.
+    * Scale shape: one equi-join + one hash aggregate per round for the
+    * neighbor min, plus one self-join for pointer jumping
+    * (label(u) ← label(label(u))), lineage truncated per round with
+    * localCheckpoint (a cluster deployment points this at a checkpoint
+    * dir). The jump collapses label chains geometrically, so rounds =
+    * O(log diameter) — a 1000-link chain converges in ~10 rounds, not
+    * 1000 — while near-dup components (near-cliques) still finish in
+    * 2-3.
     *
     * Output: (node, group) — group is the component's minimum id; only
     * ids that appear in `pairs` are emitted (singletons are their own
@@ -275,8 +277,14 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "s"), Seq("s"))
         .select(col("d").as("node"), col("label"))
-      val newLabels = labels.union(neighborMin)
+      val reduced = labels.union(neighborMin)
         .groupBy("node").agg(min("label").as("label"))
+      // Pointer jump: every label is itself a node id, so label(label)
+      // exists; following it halves chain depth each round.
+      val newLabels = reduced
+        .join(reduced.select(col("node").as("label"), col("label").as("__l2")),
+          Seq("label"))
+        .select(col("node"), col("__l2").as("label"))
         .localCheckpoint()
       changed = newLabels
         .join(labels.withColumnRenamed("label", "old"), Seq("node"))

@@ -32,6 +32,14 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateGroups: pointer jumping converges a 120-link chain within the round cap") {
+    // Without the label(label) jump this needs ~120 rounds and throws;
+    // with it, O(log n) rounds suffice under the default cap of 20.
+    val pairs = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs).as[(Long, Long)].collect()
+    assert(groups.length == 121 && groups.forall(_._2 == 0L))
+  }
+
   test("minhash LSH pairs recall >= 0.9 vs exact pairs at high threshold") {
     val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
