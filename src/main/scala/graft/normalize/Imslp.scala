@@ -24,7 +24,7 @@ object Imslp {
   /** Python str.title() semantics: a letter starts upper iff preceded
     * by a non-letter, otherwise lowercased (conversions.py:198 uses
     * .title() on subjects/arrangements). */
-  private[normalize] def pyTitle(s: String): String = {
+  private[graft] def pyTitle(s: String): String = {
     val sb = new StringBuilder(s.length)
     var prevLetter = false
     s.foreach { c =>
@@ -37,7 +37,7 @@ object Imslp {
   /** The named-entity subset the reference's html_unescape handles in
     * record content (conversions.py:67-78); `&amp;` last so `&amp;lt;`
     * round-trips literally. */
-  private[normalize] def htmlUnescape(s: String): String =
+  private[graft] def htmlUnescape(s: String): String =
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
       .foldLeft(s) { case (acc, (ent, ch)) => acc.replace(ent, ch) }

@@ -72,4 +72,55 @@ object ScalarsProps extends Properties("Scalars") {
     Gen.chooseNum(1000, 2999), word) { (y, w) =>
     eval1(Scalars.extractYear(col("v")), s"$w $y $w") == y.toString
   }
+
+  property("pyTitle matches Python str.title() semantics") = Prop.forAll(text) { t =>
+    val r = graft.normalize.Imslp.pyTitle(t)
+    // Letter after non-letter is upper, letter after letter is lower,
+    // non-letters pass through; idempotent.
+    val expected = {
+      val sb = new StringBuilder; var prev = false
+      t.foreach { c =>
+        sb.append(if (c.isLetter && !prev) c.toUpper else c.toLower)
+        prev = c.isLetter
+      }
+      sb.toString
+    }
+    r == expected && graft.normalize.Imslp.pyTitle(r) == r
+  }
+
+  property("pyTitle golden cases (Python quirks included)") = Prop.passed && {
+    graft.normalize.Imslp.pyTitle("don't stop") == "Don'T Stop" &&
+    graft.normalize.Imslp.pyTitle("3m co") == "3M Co" &&
+    graft.normalize.Imslp.pyTitle("HELLO world") == "Hello World" &&
+    graft.normalize.Imslp.pyTitle("") == ""
+  }
+
+  property("duplicateGroups labels every node with its component minimum") =
+    Prop.forAll(Gen.chooseNum(2, 12), Gen.long) { (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // Random graph over ids 0..n-1 with ~n edges.
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      edges.isEmpty || {
+        val got = Dedup.duplicateGroups(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        // Driver-side union-find oracle.
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val expected = nodes.groupBy(find).flatMap { case (_, ns) =>
+          val m = ns.min; ns.map(_ -> m)
+        }.toMap
+        got == expected
+      }
+    }
 }
