@@ -86,4 +86,37 @@ class StreamingSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet
     assert(kept == Set(("fpA", 1L), ("fpB", 3L), ("fpC", 5L)))
   }
+
+  test("expression-config license tagging + static OA semi-join run unchanged on a stream") {
+    import graft.license._
+    import graft.license.FilterExpr._
+    implicit val sc = spark.sqlContext
+    // (id, source_id, collection, issn)
+    val input = MemoryStream[(Long, String, String, String)]
+    val recs = input.toDF().toDF("id", "sid", "coll", "issn")
+      .withColumn("colls", array($"coll"))
+      .withColumn("issns", array($"issn"))
+      .withColumn("subjects", array().cast("array<string>"))
+      .withColumn("rdate", lit("2020-01-01").cast("date"))
+    val cols = RecordCols(id = col("id"), sourceId = col("sid"),
+      collections = col("colls"), issns = col("issns"),
+      subjects = col("subjects"), date = col("rdate"))
+    val configs = Map(
+      "ISIL-A" -> And(Seq(SourceIn(Seq("49")), CollectionIn(Seq("c1")))))
+    val oa = Seq("1111-1111").toDF("issn") // static whitelist
+    val tagged = Licensing.tag(recs, cols, configs, Map.empty, "2020-06-01")
+      .join(org.apache.spark.sql.functions.broadcast(oa), Seq("issn"), "left_semi")
+    val q = tagged.writeStream.format("memory")
+      .queryName("lt").outputMode("append").start()
+    input.addData(
+      (1L, "49", "c1", "1111-1111"),  // tagged + OA -> kept, labeled
+      (2L, "49", "c2", "1111-1111"),  // wrong collection -> kept, unlabeled
+      (3L, "49", "c1", "2222-2222"))  // not OA -> dropped by semi-join
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lt").select($"id", $"x_labels")
+      .as[(Long, Seq[String])].collect().toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == Seq("ISIL-A") && rows(2L).isEmpty)
+  }
 }
