@@ -135,8 +135,10 @@ object Licensing {
               holdingsFlag: String => Column): Column = e match {
     case Any               => lit(true)
     // Empty clauses come from malformed external configs; fail with
-    // the offending node rather than an opaque empty.reduceLeft.
-    case And(Nil) | Or(Nil) | Holdings(Nil) =>
+    // the offending node rather than an opaque empty.reduceLeft or a
+    // silent always-false predicate.
+    case And(Nil) | Or(Nil) | Holdings(Nil) | SourceIn(Nil) |
+         CollectionIn(Nil) | IssnIn(Nil) | SubjectIn(Nil) =>
       throw new IllegalArgumentException(s"empty filter clause: $e")
     case And(cs)           => cs.map(compile(_, r, holdingsFlag)).reduceLeft(_ && _)
     case Or(cs)            => cs.map(compile(_, r, holdingsFlag)).reduceLeft(_ || _)
@@ -158,26 +160,43 @@ object Licensing {
           labelCol: String = "x_labels",
           dropUnlabeled: Boolean = false): DataFrame = {
     val refs = configs.values.flatMap(FilterExpr.holdingsRefs).toSeq.distinct.sorted
-    // One broadcast range join per referenced holdings file → boolean flag.
-    val (withFlags, flagOf) = refs.zipWithIndex.foldLeft((records, Map.empty[String, String])) {
-      case ((df, m), (name, i)) =>
-        val flag = s"__holdings_$i"
-        val hd = holdings.getOrElse(name,
-          throw new IllegalArgumentException(s"missing holdings table: $name"))
-        val matched = holdingsEntitledIds(df, r, hd, lit(asOf))
-          .withColumn(flag, lit(true))
-        (df.join(matched.withColumnRenamed("__rid", "__jid"),
-                 r.id === col("__jid"), "left")
-           .withColumn(flag, coalesce(col(flag), lit(false)))
-           .drop("__jid"),
-         m + (name -> flag))
-    }
+    // ONE pass over the records for every referenced holdings file: the
+    // (small) holdings tables union with a name tag, the record issns
+    // explode once, one broadcast join + coverage filter yields the set
+    // of entitling file names per record. The per-file fold this
+    // replaces re-exploded the record frame and chained one left join
+    // per file.
+    val (withFlags, holdingsFlag: (String => Column)) =
+      if (refs.isEmpty) (records, (_: String) => lit(false))
+      else {
+        val hAll = refs.map { name =>
+          val hd = holdings.getOrElse(name,
+            throw new IllegalArgumentException(s"missing holdings table: $name"))
+          hd.select(
+            col("issn").as("__issn"),
+            col("date_first").cast("date").as("__from"),
+            col("date_last").cast("date").as("__to"),
+            coalesce(col("embargo_days"), lit(0)).cast("int").as("__embargo"),
+            lit(name).as("__hname"))
+        }.reduce(_.unionByName(_))
+        val rec = records.select(r.id.as("__rid"), explode(r.issns).as("__issn"),
+                                 r.date.cast("date").as("__rdate"))
+        val matched = rec.join(broadcast(hAll), Seq("__issn"))
+          .filter((col("__from").isNull || col("__rdate") >= col("__from")) &&
+                  (col("__to").isNull || col("__rdate") <= col("__to")) &&
+                  col("__rdate") <= date_sub(lit(asOf).cast("date"), col("__embargo")))
+          .groupBy("__rid")
+          .agg(collect_set(col("__hname")).as("__hset"))
+        (records.join(matched.withColumnRenamed("__rid", "__jid"),
+                      r.id === col("__jid"), "left").drop("__jid"),
+         (n: String) => coalesce(array_contains(col("__hset"), n), lit(false)))
+      }
     val labels = configs.toSeq.sortBy(_._1).map { case (isil, tree) =>
-      when(compile(tree, r, n => col(flagOf(n))), lit(isil))
+      when(compile(tree, r, holdingsFlag), lit(isil))
     }
     val tagged = withFlags
       .withColumn(labelCol, array_compact(array(labels: _*)))
-      .drop(refs.indices.map(i => s"__holdings_$i"): _*)
+      .drop("__hset")
     if (dropUnlabeled) tagged.filter(size(col(labelCol)) > 0) else tagged
   }
 
@@ -198,7 +217,10 @@ object Licensing {
       col("date_last").cast("date").as("__to"),
       coalesce(col("embargo_days"), lit(0)).cast("int").as("__embargo")))
     rec.join(h, Seq("__issn"))
-      .filter(col("__rdate") >= col("__from") &&
+      // Null date_first/date_last = open-ended coverage on that side
+      // (KBART leaves either bound blank); a bare >= against null would
+      // silently entitle nothing.
+      .filter((col("__from").isNull || col("__rdate") >= col("__from")) &&
               (col("__to").isNull || col("__rdate") <= col("__to")) &&
               col("__rdate") <= date_sub(asOf.cast("date"), col("__embargo")))
       .select(col("__rid"))

@@ -47,7 +47,12 @@ object GroupCover {
       .withColumn("__rn", when(keyed, row_number().over(w)).otherwise(1))
       .withColumn(labels,
         when(col("__rn") === 1, col(labels))
-          .otherwise(array_except(col(labels), col("__winner_labels"))))
+          // A null winner label set removes nothing — without the
+          // guard, array_except(_, null) would null out every loser's
+          // labels in the group.
+          .otherwise(when(col("__winner_labels").isNotNull,
+              array_except(col(labels), col("__winner_labels")))
+            .otherwise(col(labels))))
       .drop("__rank", "__winner_labels", "__rn")
   }
 

@@ -50,6 +50,12 @@ object Ops {
     val payload = struct(df.columns.map(c => col(s"`$c`")): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, orderCol).as("__row"))
+      // max_by ignores null-ordered rows, so a group whose orderCol is
+      // entirely null yields a null struct; exploding that would emit a
+      // ghost row of all nulls (including the key). Such groups violate
+      // the totally-ordered contract — drop them instead of emitting
+      // corrupt rows (the window form would keep an arbitrary row).
+      .filter(col("__row").isNotNull)
       .select("__row.*")
   }
 
@@ -65,8 +71,10 @@ object Ops {
 
   /** U1 — union heterogeneous per-source frames, null-filling missing
     * columns. Ref: workflows/ai.py:116-165 (the AI merge). */
-  def unionSources(dfs: Seq[DataFrame]): DataFrame =
+  def unionSources(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionSources: no input frames")
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** P9 — record redaction: drop sensitive fields.
     * Ref: workflows/ai.py:168-190 (`span-redact` deletes x.fulltext). */
@@ -118,13 +126,21 @@ object Ops {
   /** Skew-resistant aggregation: two-phase group-by with a salt on the
     * hot key space. Phase 1 aggregates (key, salt) partials — hot keys
     * spread over `salts` reducers — phase 2 merges partials per key.
-    * Use for algebraic aggregates over keys with power-law frequency
-    * (AQE's skew handling covers joins, not aggregations). */
+    * Use for holistic aggregates (collect_list/set-style) over keys
+    * with power-law frequency — algebraic aggs already reduce map-side
+    * (AQE's skew handling covers joins, not aggregations). The salt is
+    * a content hash, so byte-identical duplicate rows share a salt —
+    * deterministic under retry at the cost of not spreading literal
+    * duplicates (which map-side partials absorb anyway). */
   def saltedAgg(df: DataFrame, key: String, salts: Int,
                 aggs: Seq[(String, Column, Column => Column)]): DataFrame = {
+    // The salt MUST be a deterministic function of the row: a
+    // nondeterministic salt (partition id / monotonic id) re-routes
+    // rows to different reducers when a stage retry replays a map task,
+    // double-counting or dropping them (the SPARK-23207 class of bug).
+    val rowHash = xxhash64(df.columns.map(c => col(s"`$c`")): _*)
     val phase1 = df
-      .withColumn("__salt",
-        pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .withColumn("__salt", pmod(rowHash, lit(salts)))
       .groupBy(col(key), col("__salt"))
       .agg(aggs.head._2.as(aggs.head._1),
            aggs.tail.map { case (a, p, _) => p.as(a) }: _*)

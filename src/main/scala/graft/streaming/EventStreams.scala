@@ -69,7 +69,13 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.nEvents + 1,
+                  // A late-but-within-watermark event from an earlier
+                  // micro-batch must never move the session window
+                  // backward: lastTs only advances (and start only
+                  // retreats), else the next on-time event can split
+                  // the session spuriously.
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.lastTs, t), s.nEvents + 1,
                     s.sumValue + e.value))
                 case Some(s) =>
                   closed += Session(user, s.start, s.lastTs, s.nEvents, s.sumValue)

@@ -85,4 +85,18 @@ class GroupCoverSpec extends AnyFunSuite {
     assert(r("a-unknown") == Seq("X", "Y"))
     assert(r("b-unknown") == Seq.empty)
   }
+
+  test("null winner labels remove nothing from losers") {
+    val df = Seq(
+      ("w", "85", "k1", null.asInstanceOf[Seq[String]]),
+      ("l", "55", "k1", Seq("DE-15", "DE-14")))
+      .toDF("id", "source", "key", "labels")
+    val r = GroupCover(df, "id", "source", "key", "labels", Prefs)
+      .select("id", "labels").as[(String, Seq[String])].collect().toMap
+    assert(r("w") == null)
+    assert(r("l") == Seq("DE-15", "DE-14"))
+    // And such rows are not spurious "changes".
+    val ch = GroupCover.changes(df, "id", "source", "key", "labels", Prefs)
+    assert(ch.count() == 0)
+  }
 }

@@ -180,4 +180,31 @@ class LicensingSpec extends AnyFunSuite {
     assert(swapped("DE-14") == Or(Seq(to,
       And(Seq(SourceIn(Seq("55")), Holdings(Seq("h1", "SLUB-EZB")))))))
   }
+
+  test("null date_first is an open start (KBART blank lower bound)") {
+    val recs = Seq((1L, "49", "c1", "3333-3333", "2005-01-01"))
+      .toDF("id", "sid", "coll", "issn", "d")
+      .select($"id", $"sid", array($"coll").as("colls"),
+        array($"issn").as("issns"), array().cast("array<string>").as("subjects"),
+        $"d".cast("date").as("rdate"))
+    val cols = RecordCols(col("id"), col("sid"), col("colls"), col("issns"),
+      col("subjects"), col("rdate"))
+    val h = Seq(("3333-3333", null.asInstanceOf[String], "2010-12-31", 0))
+      .toDF("issn", "date_first", "date_last", "embargo_days")
+      .select($"issn", $"date_first".cast("date"), $"date_last".cast("date"),
+        $"embargo_days")
+      .toDF("issn", "date_first", "date_last", "embargo_days")
+    val tagged = Licensing.tag(recs, cols,
+      Map("ISIL-O" -> Holdings(Seq("h"))), Map("h" -> h), "2012-01-01")
+    assert(tagged.select("x_labels").as[Seq[String]].head() == Seq("ISIL-O"))
+  }
+
+  test("empty predicate lists fail fast like empty clauses") {
+    val cols = RecordCols(col("id"), col("sid"), col("colls"), col("issns"),
+      col("subjects"), col("rdate"))
+    for (bad <- Seq(SourceIn(Nil), CollectionIn(Nil), IssnIn(Nil),
+                    SubjectIn(Nil), And(Nil), Or(Nil), Holdings(Nil)))
+      intercept[IllegalArgumentException](
+        Licensing.compile(bad, cols, _ => lit(true)))
+  }
 }

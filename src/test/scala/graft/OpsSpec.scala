@@ -68,4 +68,21 @@ class OpsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("latestPerKeyAgg drops all-null-order groups instead of emitting ghost rows") {
+    val df = Seq(
+      ("k1", Some(5L), "a"), ("k1", Some(7L), "b"),
+      ("k2", None, "c"), ("k2", None, "d"))
+      .toDF("k", "ord", "v")
+      .select($"k", $"ord".cast("long").as("ord"), $"v")
+    val got = Ops.latestPerKeyAgg(Seq("k"), col("ord"))(df)
+      .select("k", "v").as[(String, String)].collect().toSet
+    // k2 has no orderable row -> no row at all (never an all-null row).
+    assert(got == Set(("k1", "b")))
+  }
+
+  test("unionSources on empty input fails with a named error") {
+    val e = intercept[IllegalArgumentException](Ops.unionSources(Seq.empty))
+    assert(e.getMessage.contains("unionSources"))
+  }
 }
