@@ -21,9 +21,16 @@ object SolrExport {
       col("`x.labels`").as("institution"),
       col("`rft.atitle`").as("title"),
       col("`rft.jtitle`").as("container_title"),
-      transform(coalesce(col("authors"), array()),
-        a => coalesce(a.getField("rft.au"),
-          concat_ws(", ", a.getField("rft.aulast"), a.getField("rft.aufirst"))))
+      // Corporate authors fall back to aucorp; authors with no usable
+      // name drop out entirely (concat_ws never returns null, so the
+      // empty-string result must be nulled before the coalesce and the
+      // facet filtered — blank facet values pollute the index).
+      filter(
+        transform(coalesce(col("authors"), array()),
+          a => coalesce(a.getField("rft.au"), a.getField("rft.aucorp"),
+            nullif(concat_ws(", ", a.getField("rft.aulast"),
+              a.getField("rft.aufirst")), lit("")))),
+        _.isNotNull)
         .as("author_facet"),
       coalesce(col("`rft.issn`"), array()).as("issn"),
       substring(col("`rft.date`"), 1, 4).as("publishDateSort"),

@@ -35,7 +35,10 @@ object OpenUrl {
     val eff = when(g === "proceeding", "article").otherwise(g)
     val author = try_element_at(authors, lit(1))
     def au(field: String): Column = author.getField(field)
-    val rftId = when(doi.isNotNull, concat(lit("info:doi/"), doi))
+    // Falsy check like the reference's `if doc.get("doi"):` — an
+    // empty-string DOI falls back to the record id, never a dangling
+    // `info:doi/` (openurl.py:149).
+    val rftId = when(doi.isNotNull && doi =!= "", concat(lit("info:doi/"), doi))
       .otherwise(recordId)
 
     val common: Seq[(String, Column)] = Seq(
@@ -70,17 +73,22 @@ object OpenUrl {
       "rft.pages" -> pages) ++ authorPairs)
 
     // isbn comes from the record's own isbn field and eissn is emitted
-    // separately (openurl.py:86-90) — not isbn-from-eissn.
+    // separately (openurl.py:86-90) — not isbn-from-eissn. The book
+    // branch also carries rft.atitle and rft.issue (openurl.py:85,95):
+    // a book-genre record with a chapter title emits both btitle and
+    // atitle.
     val book = kev(common ++ Seq(
       "rft_val_fmt" -> lit("info:ofi/fmt:kev:mtx:book"),
       "rft.genre" -> lit("book"),
       "rft_id" -> rftId,
       "rft.btitle" -> atitle,
+      "rft.atitle" -> atitle,
       "rft.isbn" -> try_element_at(isbns, lit(1)),
       "rft.issn" -> try_element_at(issns, lit(1)),
       "rft.eissn" -> try_element_at(eissns, lit(1)),
       "rft.volume" -> volume,
       "rft.pages" -> pages,
+      "rft.issue" -> issue,
       "rft.pub" -> try_element_at(pubs, lit(1))) ++ authorPairs)
 
     // Journal branch (openurl.py:155-156): the common rft.title (from
@@ -89,10 +97,13 @@ object OpenUrl {
       "rft.title" -> atitle,
       "rft.issn" -> try_element_at(issns, lit(1))))
 
+    // No rft.creator: the reference reads a DOC-level "rft.au" for it
+    // (openurl.py:160-161), a key the intermediate schema never carries
+    // (authors are structs), so the parameter is effectively never
+    // emitted — emitting the first author here would diverge.
     val fallback = kev(common ++ Seq(
       "rft_val_fmt" -> lit("info:ofi/fmt:kev:mtx:book"),
       "rft.title" -> atitle,
-      "rft.creator" -> au("rft.au"),
       "rft.pub" -> try_element_at(pubs, lit(1)),
       "rft.format" -> fincFormat))
 

@@ -65,12 +65,15 @@ object Scalars {
   /** P10 — strip `=` from ids. Ref: sources/base.py:182. */
   def stripEquals(c: Column): Column = translate(c, "=", "")
 
-  /** F2 — HTML entity unescape for the small named-entity set the
-    * reference handles (ref: conversions.py:67-78). `&amp;` is decoded
-    * last so `&amp;lt;` round-trips as the literal text `&lt;`. */
+  /** F2 — HTML entity unescape for exactly the named-entity set the
+    * reference handles: saxutils.unescape defaults (amp/lt/gt) plus
+    * quot/apos (ref: conversions.py:67-78). Numeric references like
+    * `&#39;` stay literal — saxutils does not decode them. `&amp;` is
+    * decoded last so `&amp;lt;` round-trips as the literal text
+    * `&lt;`. */
   def htmlUnescape(c: Column): Column =
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+        "&apos;" -> "'", "&amp;" -> "&")
       .foldLeft(c) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
 
   /** F9 — literal mapping-table lookup with default (ref:

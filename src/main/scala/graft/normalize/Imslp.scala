@@ -34,12 +34,13 @@ object Imslp {
     sb.toString
   }
 
-  /** The named-entity subset the reference's html_unescape handles in
-    * record content (conversions.py:67-78); `&amp;` last so `&amp;lt;`
-    * round-trips literally. */
+  /** Exactly the named-entity set the reference's html_unescape handles
+    * (saxutils.unescape defaults plus quot/apos, conversions.py:67-78);
+    * numeric references like `&#39;` stay literal, as there. `&amp;`
+    * last so `&amp;lt;` round-trips literally. */
   private[graft] def htmlUnescape(s: String): String =
     Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+        "&apos;" -> "'", "&amp;" -> "&")
       .foldLeft(s) { case (acc, (ent, ch)) => acc.replace(ent, ch) }
 
   /** Convert one IMSLP XML document string to a MARC record.
@@ -104,9 +105,16 @@ object Imslp {
           for689.map(s => df("689", "a" -> pyTitle(s)))
     }
 
+    // The reference indexes doc["creator"]["mainForm"] unconditionally
+    // (conversions.py:168) — a creator-less record is a hard conversion
+    // failure there, so it is here too.
+    val creator = mainForm("creator").getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot find creator mainForm: ${xml.take(300)} ..."))
+
     val datas = (
       langs.map(l => df("041", "a" -> l)) ++ Seq(
-        df("100", "a" -> mainForm("creator").getOrElse(""), "e" -> "cmp",
+        df("100", "a" -> creator, "e" -> "cmp",
            "0" -> viaf),
         df("240", "a" -> legacyTitle),
         df("245", "a" -> htmlUnescape(title)),

@@ -87,6 +87,10 @@ object Olc {
       coalesce(col("container_issue"), lit("")).as("rft.issue"),
       coalesce(col("container_title"), lit("")).as("rft.jtitle"),
       coalesce(col("publisher"), array()).as("rft.pub"),
+      // The reference emits rft.place: [] on every record
+      // (conversions.py:330 defaults to an empty list) — match it
+      // rather than leaving a null from Schema.conform.
+      array().cast("array<string>").as("rft.place"),
       coalesce(col("container_volume"), lit("")).as("rft.volume"),
       coalesce(col("url"), array()).as("url"),
       first(col("title_sub")).as("x.subtitle"),

@@ -44,9 +44,13 @@ object Osf {
     StructField("links", StructType(Seq(
       StructField("preprint_doi", StringType))))))
 
-  /** Contributors sidecar schema: one row per (preprint, author). */
+  /** Contributors sidecar schema: one row per (preprint, author).
+    * `position` is the author's order in the API response — collect_list
+    * after a shuffle has no defined order, so ordering must ride the
+    * data to keep first-author deterministic across runs. */
   val ContributorSchema: StructType = StructType(Seq(
     StructField("preprint_id", StringType),
+    StructField("position", IntegerType),
     StructField("given_name", StringType),
     StructField("family_name", StringType)))
 
@@ -69,11 +73,15 @@ object Osf {
 
     val authors = contributors
       .groupBy(col("preprint_id").as("id"))
-      .agg(collect_list(struct(
-        lit(null).cast("string").as("rft.au"),
-        col("given_name").as("rft.aufirst"),
-        col("family_name").as("rft.aulast"),
-        lit(null).cast("string").as("rft.aucorp"))).as("authors"))
+      .agg(transform(
+        array_sort(collect_list(struct(
+          col("position"),
+          struct(
+            lit(null).cast("string").as("rft.au"),
+            col("given_name").as("rft.aufirst"),
+            col("family_name").as("rft.aulast"),
+            lit(null).cast("string").as("rft.aucorp")).as("a")))),
+        s => s.getField("a")).as("authors"))
 
     preprints
       .join(broadcast(authors), Seq("id"), "left")

@@ -48,11 +48,15 @@ class TaskRunner(spark: SparkSession, baseDir: String) {
       val k = (t.name, t.date)
       require(!stack.contains(k), s"dependency cycle at ${t.name}@${t.date}")
       done.getOrElseUpdate(k, {
-        require(t.requires.map(_.name).distinct.size == t.requires.size,
-          s"${t.name}: duplicate dependency names in requires")
-        val inputs = t.requires
-          .map(d => d.name -> visit(d, stack + k)).toMap
+        // Short-circuit on an already-complete target BEFORE resolving
+        // dependencies: Luigi prunes the whole subtree in that case, so
+        // a complete artifact must never trigger rebuilds of cleaned-up
+        // upstream intermediates.
         if (!isComplete(t)) {
+          require(t.requires.map(_.name).distinct.size == t.requires.size,
+            s"${t.name}: duplicate dependency names in requires")
+          val inputs = t.requires
+            .map(d => d.name -> visit(d, stack + k)).toMap
           t.build(spark, inputs)
             .write.mode("overwrite").parquet(outputPath(t))
         }

@@ -23,9 +23,9 @@ object MiscQueries {
     // is synthesized from documents so both engines see identical text.
     Q("f2_html_unescape",
       """SELECT doc_id,
-        |  replace(replace(replace(replace(replace(replace(
+        |  replace(replace(replace(replace(replace(
         |    '&lt;p&gt;' || substring(text, 1, 20) || '&amp;amp; &quot;q&quot;',
-        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |    '&apos;', ''''), '&amp;', '&') AS unescaped
         |FROM documents""".stripMargin) { (s, d) =>
       val escaped = concat(lit("&lt;p&gt;"), substring(col("text"), 1, 20),

@@ -217,6 +217,7 @@ object SourceQueries {
          |    WHEN genre = 'book' THEN concat($common,
          |      '&rft_val_fmt=info%3Aofi%2Ffmt%3Akev%3Amtx%3Abook',
          |      '&rft.genre=book&rft_id=', rftid, '&rft.btitle=', atitle,
+         |      '&rft.atitle=', atitle,
          |      '&rft.isbn=', isbn, '&rft.issn=', issn, '&rft.pub=Pub',
          |      '&rft.aulast=', aulast)
          |    WHEN genre = 'journal' THEN concat($common,

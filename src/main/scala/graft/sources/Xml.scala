@@ -77,7 +77,10 @@ object Xml {
           if (lt < 0) { pos = s.length; return }
           val skipped = skipNonElement(s, lt)
           if (skipped >= 0) pos = skipped
-          else if (lt + 1 < s.length && s.charAt(lt + 1) == '/')
+          // A trailing '<' with nothing after it (truncated feed):
+          // treat as end of input, like any other unterminated tail.
+          else if (lt + 1 >= s.length) pos = s.length
+          else if (s.charAt(lt + 1) == '/')
             pos = tagEnd(s, lt)._1
           else if (localName(nameAt(s, lt)) != tag)
             pos = tagEnd(s, lt)._1
@@ -95,6 +98,7 @@ object Xml {
                 else {
                   val sk = skipNonElement(s, k)
                   if (sk >= 0) i = sk
+                  else if (k + 1 >= s.length) i = s.length
                   else {
                     val closing = s.charAt(k + 1) == '/'
                     val same = localName(nameAt(s, k)) == tag

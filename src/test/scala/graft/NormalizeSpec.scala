@@ -77,8 +77,8 @@ class NormalizeSpec extends AnyFunSuite {
         | "links": {"preprint_doi": "https://doi.org/10.31235/osf.io/egcsk"}}"""
         .stripMargin.replaceAll("\n", "")).toDS())
     val contrib = spark.createDataFrame(
-      Seq(("egcsk", "Ada", "Lovelace"), ("egcsk", "Alan", "Turing")))
-      .toDF("preprint_id", "given_name", "family_name")
+      Seq(("egcsk", 0, "Ada", "Lovelace"), ("egcsk", 1, "Alan", "Turing")))
+      .toDF("preprint_id", "position", "given_name", "family_name")
     (pre, contrib)
   }
 
@@ -98,8 +98,10 @@ class NormalizeSpec extends AnyFunSuite {
     assert(f("subjects") == Seq("data", "science"))
     assert(f("url") == Seq("https://doi.org/10.31235/osf.io/egcsk"))
     val authors = r.getAs[scala.collection.Seq[Row]]("authors").toSeq
-    assert(authors.map(a => (a.getAs[String]("rft.aufirst"), a.getAs[String]("rft.aulast"))).toSet
-      == Set(("Ada", "Lovelace"), ("Alan", "Turing")))
+    // Order is the API contributor order (position column), not
+    // whatever collect_list happened to see.
+    assert(authors.map(a => (a.getAs[String]("rft.aufirst"), a.getAs[String]("rft.aulast")))
+      == Seq(("Ada", "Lovelace"), ("Alan", "Turing")))
   }
 
   test("OSF: unknown provider gets default tcid; no contributors -> empty authors") {
@@ -109,8 +111,8 @@ class NormalizeSpec extends AnyFunSuite {
         | "relationships": {"provider": {"data": {"id": "novel"}}},
         | "links": {"preprint_doi": "https://doi.org/10.1/zz"}}"""
         .stripMargin.replaceAll("\n", "")).toDS())
-    val contrib = spark.createDataFrame(Seq.empty[(String, String, String)])
-      .toDF("preprint_id", "given_name", "family_name")
+    val contrib = spark.createDataFrame(Seq.empty[(String, Int, String, String)])
+      .toDF("preprint_id", "position", "given_name", "family_name")
     val r = Osf.normalize(pre, contrib).collect()(0)
     assert(r.getAs[scala.collection.Seq[String]]("finc.mega_collection").toSeq
       == Seq("sid-179-col-novel", "Novel"))

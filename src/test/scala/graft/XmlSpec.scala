@@ -50,6 +50,14 @@ class XmlSpec extends AnyFunSuite {
       Seq("""<record attr="x>y"/>""", """<record a="1">z</record>"""))
   }
 
+  test("truncated inputs never crash: trailing '<' inside and outside records") {
+    assert(Xml.splitByTag("<d><record><id>1</id></record><", "record").toSeq ==
+      Seq("<record><id>1</id></record>"))
+    assert(Xml.splitByTag("<d><record>partial<", "record").toSeq == Seq.empty)
+    assert(Xml.splitByTag("<", "record").toSeq == Seq.empty)
+    assert(Xml.splitByTag("", "record").toSeq == Seq.empty)
+  }
+
   test("recordsFromFiles streams records with provenance") {
     val dir = java.nio.file.Files.createTempDirectory("xmlsrc")
     java.nio.file.Files.writeString(dir.resolve("a.xml"),
