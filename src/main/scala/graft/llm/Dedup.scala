@@ -327,6 +327,40 @@ object Dedup {
     votes.select(col("doc").as(id), fp.as("simhash"))
   }
 
+  /** SimHash near-dup pairs via bit-block LSH: fingerprints agreeing on
+    * at least one of `blocks` contiguous bit blocks become candidates
+    * (a pair within Hamming distance d must agree on ≥1 block when
+    * d < blocks — pigeonhole), verified exactly with bit_count(xor).
+    * Candidates come from [[bucketPairs]] on (block index, block
+    * value) — the same aggregation shape as the MinHash banding, never
+    * a cross join. Portable=true uses the md5 fingerprint family so the
+    * whole pipeline is oracle-checkable. */
+  def simhashNearDupPairs(docs: DataFrame, id: String, text: String,
+                          bits: Int = 16, blocks: Int = 4,
+                          maxHamming: Int = 2, portable: Boolean = false,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
+    require(bits % blocks == 0, "bits must divide into equal blocks")
+    require(maxHamming < blocks,
+      "pigeonhole guarantee needs maxHamming < blocks")
+    val blockBits = bits / blocks
+    val fp = simhashTable(docs, id, text, bits, portable)
+      .withColumnRenamed(id, "doc")
+    val banded = fp.select(col("doc"),
+      posexplode(array((0 until blocks).map { j =>
+        shiftright(col("simhash"), j * blockBits)
+          .bitwiseAND((1L << blockBits) - 1)
+      }: _*)).as(Seq("blk_idx", "blk")))
+    val candidates = bucketPairs(banded, Seq("blk_idx", "blk"), "doc",
+      maxBucketSize)
+    val fps = fp.select(col("doc"), col("simhash"))
+    candidates
+      .join(fps.withColumnsRenamed(Map("doc" -> "id_a", "simhash" -> "fp_a")), Seq("id_a"))
+      .join(fps.withColumnsRenamed(Map("doc" -> "id_b", "simhash" -> "fp_b")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Per-row SimHash Column form: per bit position, sum +1/-1 votes
     * from the token hash bits; the sign vector is the fingerprint.
     * Near-dups differ in few bits (Hamming distance), so bucketing by

@@ -135,6 +135,40 @@ object LlmQueries {
         .withColumnRenamed("simhash", "simhash16")
     },
 
+    // SimHash bit-block near-dup pairs over the portable fingerprint —
+    // candidates from block agreement (pigeonhole: Hamming ≤ 2 over 4
+    // blocks forces ≥1 equal block), verified by bit_count(xor). Fully
+    // oracle-checked end to end.
+    Q("d10_simhash_neardup",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(tok), 1, 10)) AS BIGINT) AS th
+        |      FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b.j,
+        |         sum(CASE WHEN (th >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b
+        |  GROUP BY doc_id, b.j),
+        |f AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN v > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS fp
+        |      FROM votes GROUP BY doc_id),
+        |blk AS (SELECT doc_id, fp, b.j AS blk_idx, (fp >> (b.j * 4)) & 15 AS blk
+        |        FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS j) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |         FROM blk a JOIN blk c
+        |           ON a.blk_idx = c.blk_idx AND a.blk = c.blk
+        |              AND a.doc_id < c.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(bit_count(CAST(xor(fa.fp, fb.fp) AS BIGINT)) AS INT) AS hamming
+        |FROM cand JOIN f fa ON cand.id_a = fa.doc_id
+        |          JOIN f fb ON cand.id_b = fb.doc_id
+        |WHERE bit_count(CAST(xor(fa.fp, fb.fp) AS BIGINT)) <= 2""".stripMargin) { (s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        bits = 16, blocks = 4, maxHamming = 2, portable = true)
+    },
+
     // Embedding-cosine near-dup, exact on an id-bounded subset (oracle
     // baseline; sim computed in double in both engines and rounded).
     Q("d6_embedding_neardup",

@@ -79,6 +79,21 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.subsetOf(uncapped))
   }
 
+  test("simhash block-LSH pairs equal brute-force hamming pairs (pigeonhole recall=1)") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        bits = 16, blocks = 4, maxHamming = 2, portable = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fps = Dedup.simhashTable(docs, "doc_id", "text", 16, portable = true)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= 2
+    } yield (a, b)).toSet
+    // maxHamming(2) < blocks(4) → every qualifying pair shares a block.
+    assert(pairs == brute)
+    assert(brute.nonEmpty, "fixture should contain simhash near-dups")
+  }
+
   test("simhash: deterministic, order-insensitive, small hamming for near-dups") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
