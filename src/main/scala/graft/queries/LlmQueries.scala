@@ -138,7 +138,10 @@ object LlmQueries {
     // SimHash bit-block near-dup pairs over the portable fingerprint —
     // candidates from block agreement (pigeonhole: Hamming ≤ 2 over 4
     // blocks forces ≥1 equal block), verified by bit_count(xor). Fully
-    // oracle-checked end to end.
+    // oracle-checked end to end. 32-bit fingerprints / 8-bit blocks:
+    // the block-value space (256 per position) is what keeps bucket
+    // sizes — and candidate fan-out — sublinear as the corpus grows
+    // (4-bit blocks have 16 values and collapse to near-all-pairs).
     Q("d10_simhash_neardup",
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
@@ -149,12 +152,13 @@ object LlmQueries {
         |votes AS (
         |  SELECT doc_id, b.j,
         |         sum(CASE WHEN (th >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) b
         |  GROUP BY doc_id, b.j),
         |f AS (SELECT doc_id,
-        |        CAST(sum(CASE WHEN v > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS fp
+        |        CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+        |          AS BIGINT) AS fp
         |      FROM votes GROUP BY doc_id),
-        |blk AS (SELECT doc_id, fp, b.j AS blk_idx, (fp >> (b.j * 4)) & 15 AS blk
+        |blk AS (SELECT doc_id, fp, b.j AS blk_idx, (fp >> (b.j * 8)) & 255 AS blk
         |        FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS j) b),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |         FROM blk a JOIN blk c
@@ -166,7 +170,7 @@ object LlmQueries {
         |          JOIN f fb ON cand.id_b = fb.doc_id
         |WHERE bit_count(CAST(xor(fa.fp, fb.fp) AS BIGINT)) <= 2""".stripMargin) { (s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-        bits = 16, blocks = 4, maxHamming = 2, portable = true)
+        bits = 32, blocks = 4, maxHamming = 2, portable = true)
     },
 
     // Embedding-cosine near-dup, exact on an id-bounded subset (oracle

@@ -81,9 +81,9 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash block-LSH pairs equal brute-force hamming pairs (pigeonhole recall=1)") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
-        bits = 16, blocks = 4, maxHamming = 2, portable = true)
+        bits = 32, blocks = 4, maxHamming = 2, portable = true)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val fps = Dedup.simhashTable(docs, "doc_id", "text", 16, portable = true)
+    val fps = Dedup.simhashTable(docs, "doc_id", "text", 32, portable = true)
       .as[(Long, Long)].collect()
     val brute = (for {
       (a, fa) <- fps; (b, fb) <- fps if a < b
