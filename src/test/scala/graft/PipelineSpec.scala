@@ -46,6 +46,14 @@ class PipelineSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/agg"), true)
     runner.run(new Agg(new Src))
     assert(builds.toSeq == Seq("agg"))
+
+    // Luigi subtree pruning: a complete TARGET must not rebuild
+    // cleaned-up upstream intermediates (the dependency is never even
+    // visited).
+    builds.clear()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/src"), true)
+    runner.run(new Agg(new Src))
+    assert(builds.isEmpty)
   }
 
   test("task graph: cycle detection") {
