@@ -58,9 +58,12 @@ object Bench {
       }
     }
     // Touch the timed tables so the page cache is hot like it would be
-    // mid-pipeline.
-    try Tables.all(spark, sfDir).values.foreach(_.limit(1).collect())
-    catch { case e: Throwable =>
+    // mid-pipeline, and pre-build the timed SF's archive fixtures
+    // (driver-side prep, not engine work — must not land in a timing).
+    try {
+      Tables.all(spark, sfDir).values.foreach(_.limit(1).collect())
+      queries.SourceQueries.ensureFixtures(spark, sfDir)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }
 
@@ -95,8 +98,9 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(!_._3)
     val total = results.filter(_._3).map(_._2).sum
+    val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

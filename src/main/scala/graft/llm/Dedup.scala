@@ -15,9 +15,10 @@ import graft.functions.Scalars
 object Dedup {
 
   /** Exact duplicate groups by order-insensitive content fingerprint:
-    * one hash shuffle on md5(sorted tokens). Emits one row per document
-    * with its group's canonical (minimum) doc id and group size —
-    * the "keep canonical, drop the rest" decision is a filter away. */
+    * one hash shuffle on md5(sorted tokens). Emits one row per GROUP
+    * (fp, canonical_id = min doc id, group_size, member_ids); the
+    * "keep canonical, drop the rest" decision is an explode of
+    * member_ids (or a semi-join of docs against canonical_id). */
   def exactGroups(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id), TextAnalysis.fingerprint(col(text)).as("fp"))
       .groupBy("fp")

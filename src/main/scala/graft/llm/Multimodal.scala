@@ -57,7 +57,10 @@ object Multimodal {
 
   /** Portable twin of [[decodeStub]]: md5-derived features, so the
     * whole decode→feature pipeline is checkable against an external
-    * SQL oracle (the production stub keeps xxhash64). */
+    * SQL oracle (the production stub keeps xxhash64). Only valid for
+    * UTF-8-text payloads: the binary→string cast substitutes
+    * replacement chars in arbitrary media bytes, so real binaries must
+    * go through [[decodeStub]] (which hashes raw bytes). */
   def decodeStubPortable(content: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)), { i =>
       val core = conv(
@@ -102,7 +105,8 @@ object Multimodal {
   def repartitionByBytes(media: DataFrame, budgetBytes: Long): DataFrame = {
     val total = media.select(coalesce(sum(length(col("content"))), lit(0L)))
       .collect()(0).getLong(0)
-    val parts = math.max(1, (total / budgetBytes).toInt)
+    // Ceil division: flooring would let a task carry up to 2× budget.
+    val parts = math.max(1L, (total + budgetBytes - 1) / budgetBytes).toInt
     media.repartition(parts, col("media_id"))
   }
 }

@@ -380,8 +380,7 @@ object LlmQueries {
              round(avg(element_at(col("embedding"), 1).cast("double")), 3).as("avg_first"))
     })
 
-  private def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)
 
   private def langHitsSql(lang: String): String = {
     val words = sqlList(TextAnalysis.LangProfiles(lang))

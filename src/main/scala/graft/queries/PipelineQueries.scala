@@ -84,6 +84,5 @@ object PipelineQueries {
                 col("n_events"), col("start_sec"), col("sum_value"))
     })
 
-  private def sqlList(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)
 }

@@ -16,4 +16,8 @@ object Q {
     Q(name, fn, Some(oracle))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+
+  /** Render a string list as a SQL array literal for oracle queries. */
+  def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
 }

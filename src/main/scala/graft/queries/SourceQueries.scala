@@ -22,6 +22,16 @@ import graft.sources.{Archives, Ndjson, Xml}
   */
 object SourceQueries {
 
+  /** Build every archive/XML fixture for `sfDir` if missing — called by
+    * Bench's warmup so driver-side fixture construction (collect + zip/
+    * tar/xml writes — not engine work) is never charged to a timed
+    * query. */
+  def ensureFixtures(s: SparkSession, sfDir: String): Unit = {
+    zipFixture(s, sfDir)
+    tarFixture(s, sfDir)
+    xmlFixture(s, sfDir)
+  }
+
   /** Fixture cache key includes the source parquet's (size, mtime) so a
     * regenerated testdata dir can never serve stale archives. */
   private def fixtureDir(sfDir: String): java.nio.file.Path = {

@@ -85,4 +85,16 @@ class OpsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Ops.unionSources(Seq.empty))
     assert(e.getMessage.contains("unionSources"))
   }
+
+  test("testdata invariant: documents.text has no multi-space/tab/newline runs") {
+    // Every text-op oracle tokenizes with string_split(trim(text), ' ')
+    // while the Spark side splits on \\s+ — parity holds only while the
+    // driver's synthetic text uses single spaces. Fail loudly here if a
+    // regenerated testdata set ever breaks that, instead of letting a
+    // dozen oracle rows silently diverge.
+    val bad = Tables.documents(spark, Sf)
+      .filter(col("text").rlike("[\\t\\n\\r]| {2,}"))
+      .count()
+    assert(bad == 0, s"$bad documents contain whitespace runs")
+  }
 }
