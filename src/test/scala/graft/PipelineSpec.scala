@@ -190,4 +190,45 @@ class PipelineSpec extends AnyFunSuite {
       .select("key", "val").as[(String, String)].collect().toMap
     assert(full == after2)
   }
+
+  test("incremental snapshot crash recovery: completed staging restores a destroyed snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("snaprec")
+    val landing = dir.resolve("landing").toString
+    val snapshot = dir.resolve("snapshot").toString
+    val checkpoint = dir.resolve("chk").toString
+    new java.io.File(landing).mkdirs()
+    def writeSlice(n: String, rows: Seq[(String, Long, String)]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(landing, n),
+        rows.map { case (k, ts, v) =>
+          s"""{"key": "$k", "ts": $ts, "val": "$v"}"""
+        }.mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key STRING, ts BIGINT, val STRING")
+    def runOnce(): Unit = {
+      val q = IncrementalSnapshot.start(spark, schema, landing, snapshot,
+        checkpoint, "key", "ts", "val")
+      q.awaitTermination()
+    }
+    writeSlice("s1.json", Seq(("a", 1L, "a1"), ("b", 1L, "b1")))
+    runOnce()
+
+    // Simulate the crash window: the merge completed into staging but
+    // the snapshot overwrite died halfway. Rebuild staging from the
+    // current snapshot, then destroy the snapshot.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = snapshot.replaceAll("/+$", "") + "__staging"
+    spark.read.parquet(snapshot).write.mode("overwrite").parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(snapshot), true)
+
+    // Next batch must first restore from staging, then merge the new
+    // slice — nothing from batch 1 may be lost.
+    writeSlice("s2.json", Seq(("a", 5L, "a2"), ("c", 2L, "c1")))
+    runOnce()
+    val got = spark.read.parquet(snapshot)
+      .select("key", "val").as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a2", "b" -> "b1", "c" -> "c1"))
+    // Staging is cleaned up after the successful swap.
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+  }
 }
