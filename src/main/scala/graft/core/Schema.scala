@@ -57,7 +57,10 @@ object Schema {
   def conform(df: DataFrame): DataFrame = {
     val have = df.columns.toSet
     df.select(IntermediateSchema.fields.map { f =>
-      if (have.contains(f.name)) col(s"`${f.name}`")
+      // Present columns are cast to the canonical type too — a
+      // normalizer emitting e.g. a scalar where the schema says array
+      // must fail (or coerce) HERE, not at some later unionByName.
+      if (have.contains(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
   }

@@ -20,9 +20,12 @@ object Scalars {
   def base64Id(c: Column): Column =
     regexp_replace(base64(c.cast("binary")), "=+$", "")
 
-  /** F3 — `de_listify`: first element of a list-or-scalar with default.
-    * Ref: conversions.py:338-360. Input here is already an array column;
-    * scalar inputs should be wrapped with `array()` by the caller. */
+  /** F3 — `de_listify`: first element of a list with default for
+    * null/empty lists. Ref: conversions.py:338-360, the LIST branch:
+    * `v[0]` is returned as-is even when it is an empty string (only the
+    * scalar-string branch substitutes the default for ""). Input here
+    * is always an array column; callers wrapping scalars with `array()`
+    * get list semantics, not the scalar-string falsy check. */
   def deListify(arr: Column, default: Column): Column =
     coalesce(try_element_at(arr, lit(1)), default)
 
@@ -91,7 +94,11 @@ object Scalars {
     get_json_object(c, path)
 
   /** Tokenize whitespace-delimited text; trims first so a trailing
-    * separator can't create empty tokens (documents.text ends in " "). */
+    * separator can't create empty tokens (documents.text ends in " ").
+    * Empty/whitespace-only input yields [""] — split never returns an
+    * empty array — which deliberately matches DuckDB's
+    * `string_split(trim(text), ' ')` so every text-op oracle agrees;
+    * callers needing true emptiness filter on `text != ''`. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Canonical token-sorted form of a text — the exact-dedup key used by

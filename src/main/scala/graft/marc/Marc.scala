@@ -50,18 +50,20 @@ object Marc {
   }
 
   /** Split a concatenated MARCXML collection string into per-record
-    * elements (the reference streams records out of multi-GB XML with
-    * a tag splitter, utils.py:448-507). */
-  def splitCollection(xml: String): Seq[String] = {
-    val root = scala.xml.XML.loadString(xml)
-    (root \\ "record").map(_.toString)
-  }
+    * elements via the streaming tag scanner (utils.py:448-507 parity —
+    * no DOM of the full collection, so multi-GB inputs don't
+    * materialize twice; records come out as raw substrings). */
+  def splitCollection(xml: String): Seq[String] =
+    graft.sources.Xml.splitByTag(xml, "record").toSeq
 
   /** All values of `tag.code` (e.g. "084.a"), as an array column over
     * the nested record — marcx `record.values()` semantics
     * (ref: sources/b3kat.py:190-202). */
   def values(spec: String): Column = {
-    val Array(tag, code) = spec.split("\\.", 2)
+    val parts = spec.split("\\.", 2)
+    require(parts.length == 2,
+      s"""Marc.values expects a "tag.code" spec (e.g. "245.a"), got "$spec"""")
+    val Array(tag, code) = parts
     flatten(transform(
       filter(col("datafields"), f => f.getField("tag") === tag),
       f => transform(

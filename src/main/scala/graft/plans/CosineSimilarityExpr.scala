@@ -36,6 +36,13 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // A zero-norm side yields NULL, matching the HOF form exactly:
+  // Spark's Divide returns NULL on a zero divisor, while raw Java
+  // division would give NaN — and NaN sorts ABOVE every real similarity
+  // in a descending top-k, which would silently promote zero/empty
+  // vectors to rank 1.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -48,7 +55,8 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,6 +68,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
@@ -68,7 +77,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })
 
@@ -84,17 +95,26 @@ object GraftFunctions {
   val LshName = "lsh_buckets"
   private val info =
     new ExpressionInfo(classOf[CosineSimilarityExpr].getName, Name)
-  private val builder =
-    (children: Seq[Expression]) => CosineSimilarityExpr(children(0), children(1))
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 2,
+      s"cosine_sim expects 2 arguments, got ${children.size}")
+    CosineSimilarityExpr(children(0), children(1))
+  }
   private[plans] val lshInfo =
     new ExpressionInfo(classOf[SignLshBucketsExpr].getName, LshName)
-  private def litInt(e: Expression): Int =
+  private def litInt(e: Expression): Int = {
+    require(e.foldable,
+      s"lsh_buckets: tables/planes/dim must be integer literals, got $e")
     e.eval(null).asInstanceOf[Number].intValue()
+  }
   // lsh_buckets(vec, tables, planes, dim) — the last three must be
   // integer literals (the sign matrix is built at plan time).
-  private[plans] val lshBuilder = (children: Seq[Expression]) =>
+  private[plans] val lshBuilder = (children: Seq[Expression]) => {
+    require(children.size == 4,
+      s"lsh_buckets expects 4 arguments (vec, tables, planes, dim), got ${children.size}")
     SignLshBucketsExpr(children(0), litInt(children(1)),
       litInt(children(2)), litInt(children(3)))
+  }
   private[plans] val cosineInfo = info
   private[plans] val cosineBuilder = builder
 

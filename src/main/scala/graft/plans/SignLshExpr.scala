@@ -28,6 +28,12 @@ case class SignLshBucketsExpr(child: Expression, tables: Int, planes: Int,
                               dim: Int)
     extends UnaryExpression {
 
+  // Bucket bits live in an Int: planes > 31 would alias (1 << 32 == 1
+  // in JVM int arithmetic) and silently collide hyperplanes.
+  require(tables > 0 && dim > 0 && planes > 0 && planes <= 31,
+    s"lsh_buckets: need tables>0, dim>0, 0<planes<=31; got " +
+      s"tables=$tables planes=$planes dim=$dim")
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

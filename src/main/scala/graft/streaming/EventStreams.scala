@@ -37,63 +37,56 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
-  case class SessionState(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  case class SessionAcc(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  case class SessionBuffer(sessions: Seq[SessionAcc])
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,
                      n_events: Long, sum_value: Double)
 
-  /** Gap-based sessionization via flatMapGroupsWithState: a session
-    * closes after `gapMs` of event-time inactivity — either when a
-    * later event for the key arrives past the gap, or when the
-    * watermark passes the gap deadline (event-time timeout; a
-    * processing-time timeout would keep the engine triggering empty
-    * batches forever). Emitted once, complete. Per-key state lives in
-    * the state store, sized by active keys, not history. */
+  /** Gap-based sessionization via flatMapGroupsWithState. A session is
+    * emitted ONLY once the watermark passes its gap deadline
+    * (lastTs + gap ≤ watermark): any event that could still legally
+    * arrive (ts ≥ watermark) is then too far away to extend it, so the
+    * emitted session is genuinely complete. Gap-exceeding events open a
+    * NEW accumulator but never force-emit the old one — a
+    * late-but-within-watermark straggler may still belong to it (and
+    * may even bridge two open accumulators, which the interval merge
+    * below handles). Per-key state is the open accumulators only —
+    * sized by active sessions, not history. */
   def sessionize(events: Dataset[Event], gapMs: Long,
                  lateness: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
+
+    // Sort accumulators and merge any whose gap-windows touch.
+    def normalize(accs: Seq[SessionAcc]): Seq[SessionAcc] =
+      accs.sortBy(a => (a.start, a.lastTs)).foldLeft(List.empty[SessionAcc]) {
+        case (h :: t, a) if a.start - h.lastTs <= gapMs =>
+          SessionAcc(h.start, math.max(h.lastTs, a.lastTs),
+            h.nEvents + a.nEvents, h.sumValue + a.sumValue) :: t
+        case (out, a) => a :: out
+      }.reverse
+
     events
       .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuffer, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, s.start, s.lastTs, s.nEvents, s.sumValue))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
-                  // A late-but-within-watermark event from an earlier
-                  // micro-batch must never move the session window
-                  // backward: lastTs only advances (and start only
-                  // retreats), else the next on-time event can split
-                  // the session spuriously.
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.lastTs, t), s.nEvents + 1,
-                    s.sumValue + e.value))
-                case Some(s) =>
-                  closed += Session(user, s.start, s.lastTs, s.nEvents, s.sumValue)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // Close when the watermark passes the gap deadline; the
-              // max() guards the must-be-after-watermark contract.
-              state.setTimeoutTimestamp(
-                math.max(s.lastTs + gapMs,
-                  state.getCurrentWatermarkMs() + 1))
-            }
-            closed.iterator
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val incoming = rows.map(e =>
+            SessionAcc(e.ts.getTime, e.ts.getTime, 1, e.value)).toSeq
+          val merged = normalize(existing ++ incoming)
+          val wm = state.getCurrentWatermarkMs()
+          // Closeable: no admissible future event (ts ≥ wm) can be
+          // within gap of lastTs once lastTs + gap ≤ wm.
+          val (closed, open) = merged.partition(_.lastTs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionBuffer(open))
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastTs + gapMs).min, wm + 1))
           }
+          closed.iterator.map(s =>
+            Session(user, s.start, s.lastTs, s.nEvents, s.sumValue))
       }
   }
 }

@@ -119,4 +119,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.keySet == Set(1L, 2L))
     assert(rows(1L) == Seq("ISIL-A") && rows(2L).isEmpty)
   }
+
+  test("sessionization: late in-watermark event bridges two open sessions, emission waits for watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(),
+      gapMs = 5 * 60 * 1000, lateness = "15 minutes")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessb").outputMode("append").start()
+    input.addData(Event(1, ts(0), 9, "click", 1.0))
+    q.processAllAvailable()
+    // Gap-exceeding event: opens a second accumulator but must NOT
+    // force-emit the first (a straggler may still belong to it).
+    input.addData(Event(3, ts(10), 9, "view", 4.0))
+    q.processAllAvailable()
+    assert(spark.table("sessb").count() == 0)
+    // The straggler at 10:05 is within gap of BOTH accumulators and
+    // bridges them into one session 10:00-10:10.
+    input.addData(Event(2, ts(5), 9, "click", 2.0))
+    q.processAllAvailable()
+    // Far event advances the watermark past 10:15 -> bridged session emits.
+    input.addData(Event(4, ts(59), 9, "click", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val done = spark.table("sessb")
+      .select("n_events", "sum_value").as[(Long, Double)].collect().toSet
+    assert(done == Set((3L, 7.0)), done.toString)
+  }
 }
