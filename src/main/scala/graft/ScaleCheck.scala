@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev tool (not part of the driver contract): scale-sanity sweep.
+  *
+  * Replicates the synthetic tables in memory at ×1/×4/×16 with id and
+  * content perturbation and times the scale-critical operators, so
+  * "would this hold at 100×?" is answered with measured scaling factors
+  * instead of plan-reading alone. A healthy operator scales ~linearly
+  * in input rows (constant rows/s); candidate-bounded ops (LSH with a
+  * bucket cap) may grow faster on this pathologically self-similar
+  * corpus but must stay far from quadratic.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleCheck"
+  */
+object ScaleCheck {
+
+  private def replicateDocs(docs: DataFrame, n: Int): DataFrame =
+    if (n == 1) docs
+    else docs
+      .select(col("doc_id"), col("text"),
+        posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one")))
+      .select(
+        (col("doc_id") * n + col("i")).as("doc_id"),
+        // Perturb content per replica so replicas are near-dups of the
+        // original, not byte-identical (keeps the dedup workload
+        // realistic instead of collapsing to exact groups).
+        concat(col("text"), lit(" zrep"), col("i").cast("string")).as("text"))
+
+  private def replicateEvents(ev: DataFrame, n: Int): DataFrame =
+    if (n == 1) ev
+    else ev
+      .select(col("user_id"), col("event_id"), col("ts"),
+        posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one")))
+      .select(
+        (col("user_id") * n + col("i")).as("user_id"),
+        (col("event_id") * n + col("i")).as("event_id"),
+        col("ts"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Tables.localSession("scalecheck", 32)
+    val factors = Seq(1, 4, 16)
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    case class Op(name: String, run: Int => Long)
+    val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text").cache()
+    val ev0 = Tables.events(spark, sfDir)
+      .select("user_id", "event_id", "ts").cache()
+    docs0.count(); ev0.count()
+
+    val ops = Seq(
+      Op("exact_dedup_groups", n =>
+        llm.Dedup.exactGroups(replicateDocs(docs0, n), "doc_id", "text").count()),
+      Op("minhash_lsh_pairs(cap=100)", n =>
+        llm.Dedup.minhashLshPairs(replicateDocs(docs0, n), "doc_id", "text",
+          threshold = 0.8, maxBucketSize = Some(100)).count()),
+      Op("simhash_block_neardup", n =>
+        llm.Dedup.simhashNearDupPairs(replicateDocs(docs0, n), "doc_id", "text",
+          bits = 32, blocks = 4, maxHamming = 2, portable = false,
+          maxBucketSize = Some(200)).count()),
+      Op("latest_per_key(window)", n =>
+        operators.Ops.latestPerKey(Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")))(replicateEvents(ev0, n)).count()),
+      Op("latest_per_key(max_by)", n =>
+        operators.Ops.latestPerKeyAgg(Seq("user_id"),
+          // second-resolution ts in the high bits, event id below —
+          // stays inside a signed long (µs × 2^23 would overflow).
+          unix_timestamp(col("ts")) * (1L << 23) + col("event_id"))(
+          replicateEvents(ev0, n)).count()))
+
+    println(f"${"operator"}%-28s ${"x"}%3s ${"rows_out"}%10s ${"sec"}%8s ${"sec/x1"}%7s")
+    ops.foreach { op =>
+      op.run(1) // warm codegen for this op's plan shape
+      var base = 0.0
+      factors.foreach { n =>
+        val (secs, rows) = time(op.run(n))
+        if (n == 1) base = secs
+        println(f"${op.name}%-28s $n%3d $rows%10d $secs%8.2f ${secs / base}%7.2f")
+      }
+    }
+    spark.stop()
+  }
+}
