@@ -9,7 +9,11 @@ import scala.collection.mutable
   * not data-plane work, so plain Scala collections are the right tool
   * (the reference reaches the same conclusion with Python dicts).
   *
-  * Case table (SID/COLL/ISIL always present; o = optional TCID):
+  * Case table (SID/COLL/ISIL always present; o = optional TCID; rows
+  * with a holdings link and evaluate=no are skipped like the
+  * reference's warning path; any combination outside the table —
+  * including productISIL on a content-file row — raises
+  * [[AmslConfigBuilder.UnhandledAmslRow]]):
   * {{{
   *   LTHF LTCF ELTCF PI   action
   *   -    -    -     -    collect (sid → collections)
@@ -18,8 +22,8 @@ import scala.collection.mutable
   *   X    -    -     X    holdings-link bucket (if evaluate=yes)
   *   -    X    -     -    AND(source, holdings(contentFile))
   *   -    -    X     -    AND(source, holdings(externalContentFile))
-  *   X    -    X     -    AND(source, holdings(ext), holdings(lthf))
-  *   X    X    -     -    AND(source, holdings(ltcf), holdings(lthf))
+  *   X    -    X     -    AND(source, holdings(ext), holdings(lthf)) (if evaluate=yes)
+  *   X    X    -     -    AND(source, holdings(ltcf), holdings(lthf)) (if evaluate=yes)
   * }}}
   * Collected (isil, sid) → collections become AND(source, collection);
   * holdings-link buckets become AND(source, collection, holdings(link))
@@ -67,6 +71,11 @@ object AmslConfigBuilder {
       val evaluate = row.evaluateHoldingsFileForLibrary.contains("yes")
       val colls = Seq(row.megaCollection) ++ nonEmpty(row.technicalCollectionID)
 
+      // Only the link-free and holdings-link cases tolerate productISIL
+      // (amsl.py cases 1-4); every content-file case requires it absent
+      // (dictcheck absent=[..., "productISIL"], amsl.py:1163-1254) —
+      // such rows fall through to the reference's RuntimeError.
+      val pi = nonEmpty(row.productISIL)
       (lthf, ltcf, eltcf) match {
         case (None, None, None) => // with or without productISIL: collect
           sidColls.getOrElseUpdate((row.isil, row.sourceId),
@@ -76,17 +85,17 @@ object AmslConfigBuilder {
             linkColls.getOrElseUpdate((row.isil, row.sourceId, link),
               mutable.LinkedHashSet.empty) ++= colls
           // evaluate=no + link → skip (reference logs a warning)
-        case (None, Some(content), None) =>
+        case (None, Some(content), None) if pi.isEmpty =>
           addFilter(row.isil,
             And(Seq(SourceIn(Seq(row.sourceId)), Holdings(Seq(content)))))
-        case (None, None, Some(ext)) =>
+        case (None, None, Some(ext)) if pi.isEmpty =>
           addFilter(row.isil,
             And(Seq(SourceIn(Seq(row.sourceId)), Holdings(Seq(ext)))))
-        case (Some(link), None, Some(ext)) =>
+        case (Some(link), None, Some(ext)) if pi.isEmpty =>
           if (evaluate)
             addFilter(row.isil, And(Seq(SourceIn(Seq(row.sourceId)),
               Holdings(Seq(ext)), Holdings(Seq(link)))))
-        case (Some(link), Some(content), None) =>
+        case (Some(link), Some(content), None) if pi.isEmpty =>
           if (evaluate)
             addFilter(row.isil, And(Seq(SourceIn(Seq(row.sourceId)),
               Holdings(Seq(content)), Holdings(Seq(link)))))

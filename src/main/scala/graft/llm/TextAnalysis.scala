@@ -27,10 +27,13 @@ object TextAnalysis {
     aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t)
   }
 
-  /** Ratio of non-alphanumeric, non-space characters — punctuation /
-    * markup noise signal. */
+  /** Ratio of non-letter, non-digit, non-whitespace characters —
+    * punctuation / markup noise signal. Unicode classes, not ASCII:
+    * an `[^a-zA-Z0-9 ]` form would count every accented/Cyrillic/CJK
+    * letter (and newlines) as "punctuation" and torpedo the quality
+    * score of clean non-English text. */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+    (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", "")))
       .cast("double") / greatest(length(text), lit(1))
 
   /** Stopword ratio against a small built-in English profile. */
@@ -44,11 +47,15 @@ object TextAnalysis {
 
   /** Composite quality score in [0,1]: rewards lexical diversity and
     * clean characters, penalizes stopword stuffing. Weights are the
-    * usual heuristic mix (Gopher/C4-style rule-of-thumb filters). */
+    * usual heuristic mix (Gopher/C4-style rule-of-thumb filters).
+    * Empty/whitespace-only text scores 0 — without the guard the
+    * phantom [""] token gives junk rows a perfect 1.0 and a
+    * quality-ranked curation would keep them preferentially. */
   def qualityScore(text: Column): Column =
-    distinctRatio(text) * lit(0.5) +
-      (lit(1.0) - punctRatio(text)) * lit(0.3) +
-      (lit(1.0) - stopwordRatio(text)) * lit(0.2)
+    when(length(trim(text)) === 0, 0.0).otherwise(
+      distinctRatio(text) * lit(0.5) +
+        (lit(1.0) - punctRatio(text)) * lit(0.3) +
+        (lit(1.0) - stopwordRatio(text)) * lit(0.2))
 
   /** Language-ID heuristic: score text against tiny per-language
     * stopword profiles, pick the best; no hits → "und" (ties resolve to
@@ -68,7 +75,11 @@ object TextAnalysis {
         lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    // Null text stays null (not "und" — absence of text is not a
+    // detected-unknown language).
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("hits") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** Document fingerprint: md5 of the token-sorted canonical form —

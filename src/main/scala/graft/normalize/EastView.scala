@@ -17,17 +17,24 @@ object EastView {
   val DefaultCollection =
     "Universal Database of Social Sciences & Humanities (UDB-EDU)"
 
-  /** Split a `<add><doc>...` blob into per-doc field maps. */
-  def parseBlob(xml: String): Seq[Map[String, String]] = {
-    val root = scala.xml.XML.loadString(xml)
-    (root \\ "doc").map { doc =>
-      (doc \ "field").flatMap { f =>
-        val k = f \@ "name"
-        val v = f.text
-        if (k.nonEmpty && v.nonEmpty) Some(k -> v) else None
-      }.toMap
-    }
-  }
+  /** Split a `<add><doc>...` blob into per-doc field maps. Null or
+    * unparseable blobs yield no rows — the budgeted-skip semantics of
+    * the reference's conversion loop (conversions.py:117-123 allows a
+    * bounded number of per-record failures) rather than failing the
+    * whole batch on one corrupt blob; pair with an `observe` error
+    * counter (Ops.withQualityMetrics) where the skip rate matters. */
+  def parseBlob(xml: String): Seq[Map[String, String]] =
+    if (xml == null) Seq.empty
+    else scala.util.Try {
+      val root = scala.xml.XML.loadString(xml)
+      (root \\ "doc").map { doc =>
+        (doc \ "field").flatMap { f =>
+          val k = f \@ "name"
+          val v = f.text
+          if (k.nonEmpty && v.nonEmpty) Some(k -> v) else None
+        }.toMap
+      }
+    }.getOrElse(Seq.empty)
 
   /** Blob column → one row per contained doc, fields as a map column. */
   def explodeBlobs(spark: SparkSession, blobs: DataFrame, xmlCol: String): DataFrame = {
@@ -37,8 +44,9 @@ object EastView {
       .toDF("fields")
   }
 
-  /** Field-map rows → intermediate schema. Docs without title or url
-    * are dropped (reference behavior). */
+  /** Field-map rows → intermediate schema. Docs without id, title, or
+    * url are dropped (title/url per reference behavior; an id-less doc
+    * would otherwise emit a null finc.id into id-keyed dedup/export). */
   def normalize(fieldRows: DataFrame,
                 tcid: String = DefaultTcid,
                 collectionName: String = DefaultCollection): DataFrame = {
@@ -46,12 +54,12 @@ object EastView {
     val pages = f("pages")
     val year = f("year")
     fieldRows
-      .filter(f("title").isNotNull && f("url").isNotNull)
+      .filter(f("id").isNotNull && f("title").isNotNull && f("url").isNotNull)
       .select(
         lit("0.9").as("version"),
         lit("Article").as("finc.format"),
         f("id").as("finc.record_id"),
-        concat(lit(s"ai-$SourceId-"), Scalars.base64Id(f("id"))).as("finc.id"),
+        Scalars.synthesizeId(lit(SourceId), Scalars.base64Id(f("id"))).as("finc.id"),
         lit(SourceId).as("finc.source_id"),
         f("title").as("rft.atitle"),
         coalesce(f("source"), lit("")).as("rft.jtitle"),

@@ -76,7 +76,7 @@ object Olc {
           lit(null).cast("string").as("rft.aucorp"))).as("authors"),
       Scalars.mapLookup(coalesce(first(col("format")), lit("Article")),
         FormatMap, lit(null).cast("string")).as("finc.format"),
-      concat(lit(s"ai-$SourceId-"), col("id")).as("finc.id"),
+      Scalars.synthesizeId(lit(SourceId), col("id")).as("finc.id"),
       col("id").as("finc.record_id"),
       mc.as("finc.mega_collection"),
       lit(SourceId).as("finc.source_id"),

@@ -3,6 +3,7 @@ package graft.normalize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.Scalars
 import graft.llm.TextAnalysis
 
 /** OSF preprints (source id 179) API JSON → intermediate schema,
@@ -89,7 +90,7 @@ object Osf {
         coalesce(col("attributes.description"), lit("")).as("abstract"),
         coalesce(col("authors"), array()).as("authors"),
         lit("Preprint").as("finc.format"),
-        concat(lit(s"ai-$SourceId-"), col("id")).as("finc.id"),
+        Scalars.synthesizeId(lit(SourceId), col("id")).as("finc.id"),
         col("id").as("finc.record_id"),
         array(tcid(provider), initcap(provider)).as("finc.mega_collection"),
         lit(SourceId).as("finc.source_id"),

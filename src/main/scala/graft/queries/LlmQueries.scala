@@ -215,12 +215,13 @@ object LlmQueries {
     // bit-for-bit.
     Q("t2_quality_score",
       s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
          |  (len(list_distinct(toks)) / len(toks)) * 0.5
-         |  + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         |  + (1.0 - (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
          |           / greatest(length(text), 1)) * 0.3
          |  + (1.0 - len(list_filter(toks, t -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, t)))
          |           / len(toks)) * 0.2
-         |  AS quality
+         |  END AS quality
          |FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -229,16 +230,18 @@ object LlmQueries {
     // Language-ID heuristic via stopword profiles.
     Q("t3_lang_id",
       s"""SELECT doc_id,
-         |  CASE WHEN best = 0 THEN 'und'
+         |  CASE WHEN tnull THEN NULL
+         |       WHEN best = 0 THEN 'und'
          |       WHEN h_fr = best THEN 'fr' WHEN h_es = best THEN 'es'
          |       WHEN h_en = best THEN 'en' ELSE 'de' END AS lang_pred
          |FROM (
-         |  SELECT doc_id, greatest(h_en, h_de, h_fr, h_es) AS best,
+         |  SELECT doc_id, tnull, greatest(h_en, h_de, h_fr, h_es) AS best,
          |         h_en, h_de, h_fr, h_es
-         |  FROM (SELECT doc_id,
+         |  FROM (SELECT doc_id, tnull,
          |    ${langHitsSql("en")} AS h_en, ${langHitsSql("de")} AS h_de,
          |    ${langHitsSql("fr")} AS h_fr, ${langHitsSql("es")} AS h_es
-         |    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)))""".stripMargin) { (s, d) =>
+         |    FROM (SELECT doc_id, text IS NULL AS tnull,
+         |          string_split(trim(text), ' ') AS toks FROM documents)))""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
     },

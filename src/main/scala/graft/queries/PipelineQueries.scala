@@ -19,11 +19,12 @@ object PipelineQueries {
          |  SELECT doc_id, lang,
          |    md5(array_to_string(list_sort(string_split(trim(text), ' ')), ' ')) AS fp,
          |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
          |    (len(list_distinct(toks)) / len(toks)) * 0.5
-         |    + (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+         |    + (1.0 - (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
          |             / greatest(length(text), 1)) * 0.3
          |    + (1.0 - len(list_filter(toks, t -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, t)))
-         |             / len(toks)) * 0.2 AS quality
+         |             / len(toks)) * 0.2 END AS quality
          |  FROM (SELECT *, string_split(trim(text), ' ') AS toks FROM documents)),
          |kept AS (SELECT * FROM scored WHERE quality >= 0.6),
          |canon AS (SELECT fp, min(doc_id) AS doc_id FROM kept GROUP BY fp)
