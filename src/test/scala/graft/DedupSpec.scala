@@ -220,4 +220,24 @@ class DedupSpec extends AnyFunSuite {
     // vectors; assert a safe floor.
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("quality/lang semantics: empty text scores 0, unicode text not penalized, null lang propagates") {
+    val df = Seq(
+      (1L, ""), (2L, "   "),
+      (3L, "der Wert über die Größe ist"),         // clean German, accented
+      (4L, "a;b;c!d?e:f,g.h(i)j[k]l{m}n")          // punctuation-heavy
+    ).toDF("doc_id", "text")
+    val q = df.select(col("doc_id"),
+      graft.llm.TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) == 0.0 && q(2L) == 0.0)
+    // Accented letters are letters, not punctuation: near-full punct score.
+    assert(q(3L) > 0.8, q(3L).toString)
+    assert(q(4L) < q(3L))
+    val lang = Seq((1L, null.asInstanceOf[String]), (2L, "der die das und ist"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.llm.TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(lang(1L) == null && lang(2L) == "de")
+  }
 }

@@ -207,4 +207,13 @@ class LicensingSpec extends AnyFunSuite {
       intercept[IllegalArgumentException](
         Licensing.compile(bad, cols, _ => lit(true)))
   }
+
+  test("AMSL: productISIL on a content-file row is unhandled, like the reference") {
+    intercept[AmslConfigBuilder.UnhandledAmslRow](
+      AmslConfigBuilder.build(Seq(AmslRow("DE-15", "55", "C1",
+        linkToContentFile = Some("u"), productISIL = Some("DE-X")))))
+    intercept[AmslConfigBuilder.UnhandledAmslRow](
+      AmslConfigBuilder.build(Seq(AmslRow("DE-15", "55", "C1",
+        externalLinkToContentFile = Some("u"), productISIL = Some("DE-X")))))
+  }
 }

@@ -264,4 +264,21 @@ class NormalizeSpec extends AnyFunSuite {
     assert(df.count() == 3)
     assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
   }
+
+  test("EastView: null and corrupt blobs skipped; id-less docs dropped") {
+    import spark.implicits._
+    val blobs = Seq(
+      null.asInstanceOf[String],
+      "<not xml",
+      """<add><doc><field name="title">T</field>
+        |<field name="url">u</field></doc>
+        |<doc><field name="id">x1</field><field name="title">T2</field>
+        |<field name="url">u2</field></doc></add>""".stripMargin)
+      .toDF("xml")
+    val rows = graft.normalize.EastView.explodeBlobs(spark, blobs, "xml")
+    assert(rows.count() == 2) // two docs from the one good blob
+    val out = graft.normalize.EastView.normalize(rows).collect()
+    assert(out.length == 1) // id-less doc dropped
+    assert(out(0).getAs[String]("finc.record_id") == "x1")
+  }
 }
