@@ -33,21 +33,25 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.ts is nanosecond-precision parquet, which Spark 4 rejects
-    * as a timestamp type; read it as long nanos (legacy conf) and
-    * convert to a µs timestamp with integer division (a double round
-    * trip would lose precision at 1.7e18 ns).
+    * as a timestamp type; read it as long nanos and convert to a µs
+    * timestamp with integer division (a double round trip would lose
+    * precision at 1.7e18 ns).
     *
-    * The nanosAsLong conf is session-wide with no per-read form
-    * (ADVICE r02): [[localSession]] sets it at build time; setting it
-    * here as well keeps this loader correct under externally-built
-    * sessions (the driver's harness constructs its own). The only
-    * observable effect on other reads is that ns-timestamp parquet
-    * loads as long instead of throwing. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    * The read is fully isolated (ADVICE r02/r03): an explicit user
+    * schema skips footer-schema inference (the step that throws
+    * PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)), and the legacy
+    * nanosAsLong switch rides along as a per-read option merged into
+    * the scan's hadoop conf — no session-global conf is mutated, so
+    * externally-built sessions (the driver's harness) are untouched. */
+  private val eventsSchema =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+  def events(s: SparkSession, d: String): DataFrame =
+    s.read
+      .schema(eventsSchema)
+      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .parquet(s"$d/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
@@ -62,7 +66,6 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -138,7 +138,10 @@ object LlmQueries {
     // SimHash bit-block near-dup pairs over the portable fingerprint —
     // candidates from block agreement (pigeonhole: Hamming ≤ 2 over 4
     // blocks forces ≥1 equal block), verified by bit_count(xor). Fully
-    // oracle-checked end to end. 32-bit fingerprints / 8-bit blocks:
+    // oracle-checked end to end, including the bucket cap (block buckets
+    // larger than 200 distinct docs are dropped on BOTH sides — the
+    // production skew guard against boilerplate-heavy shards at scale).
+    // 32-bit fingerprints / 8-bit blocks:
     // the block-value space (256 per position) is what keeps bucket
     // sizes — and candidate fan-out — sublinear as the corpus grows
     // (4-bit blocks have 16 values and collapse to near-all-pairs).
@@ -160,17 +163,21 @@ object LlmQueries {
         |      FROM votes GROUP BY doc_id),
         |blk AS (SELECT doc_id, fp, b.j AS blk_idx, (fp >> (b.j * 8)) & 255 AS blk
         |        FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS j) b),
+        |ok AS (SELECT blk_idx, blk FROM blk GROUP BY blk_idx, blk
+        |       HAVING count(DISTINCT doc_id) <= 200),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |         FROM blk a JOIN blk c
         |           ON a.blk_idx = c.blk_idx AND a.blk = c.blk
-        |              AND a.doc_id < c.doc_id)
+        |              AND a.doc_id < c.doc_id
+        |         JOIN ok ON ok.blk_idx = a.blk_idx AND ok.blk = a.blk)
         |SELECT id_a, id_b,
         |       CAST(bit_count(CAST(xor(fa.fp, fb.fp) AS BIGINT)) AS INT) AS hamming
         |FROM cand JOIN f fa ON cand.id_a = fa.doc_id
         |          JOIN f fb ON cand.id_b = fb.doc_id
         |WHERE bit_count(CAST(xor(fa.fp, fb.fp) AS BIGINT)) <= 2""".stripMargin) { (s, d) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
-        bits = 32, blocks = 4, maxHamming = 2, portable = true)
+        bits = 32, blocks = 4, maxHamming = 2, portable = true,
+        maxBucketSize = Some(200))
     },
 
     // Embedding-cosine near-dup, exact on an id-bounded subset (oracle
