@@ -159,15 +159,18 @@ object SourceQueries {
     },
 
     // S9 — MARC codec round-trip: synthesize MARCXML in-plan, decode
-    // through the codec, project fields back out (ref:
-    // sources/b3kat.py:133-138, conversions.py:98-115).
+    // through the codec, then through the FULL binary leg — struct →
+    // ISO 2709 bytes → struct (the `yaz-marcdump -i marcxml -o marc`
+    // pipeline, ref: sources/b3kat.py:133-138, conversions.py:98-115)
+    // — and project fields back out. A hash match here certifies the
+    // whole XML→binary→struct chain.
     Q("s9_marc_roundtrip",
       """SELECT concat('c-', c_custkey) AS rec_id, c_name AS title,
         |       CAST(CASE WHEN c_custkey % 2 = 0 THEN 3 ELSE 2 END AS INT)
         |         AS n_fields
         |FROM customer""".stripMargin) { (s, d) =>
       val ds = Marc.fromMarcXml(Tables.customer(s, d).select(marcXml().as("xml")), "xml")
-      ds.select(
+      Marc.fromIso2709(Marc.toIso2709(ds)).select(
         Marc.controlValue("001").as("rec_id"),
         try_element_at(Marc.values("245.a"), lit(1)).as("title"),
         size(col("datafields")).as("n_fields"))

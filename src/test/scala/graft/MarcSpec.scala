@@ -56,6 +56,56 @@ class MarcSpec extends AnyFunSuite {
     assert(r.datafields.head.subfields.head.value == "9,2")
   }
 
+  test("ISO 2709 round trip preserves every field, including multibyte UTF-8") {
+    val orig = MarcRecord("00000nam a2200000 c 4500",
+      Seq(MarcControlfield("001", "b-ü-1"), MarcControlfield("008", "220101s2022")),
+      Seq(
+        MarcDatafield("100", "1", " ", Seq(MarcSubfield("a", "Müller, Jürgen"))),
+        MarcDatafield("245", "1", "0", Seq(
+          MarcSubfield("a", "Größenordnungen"), MarcSubfield("b", "eine Übersicht"))),
+        MarcDatafield("912", " ", " ", Seq(MarcSubfield("a", "digit")))))
+    val bytes = Marc.encodeIso2709(orig)
+    // leader digits: total record length and base address are coherent
+    val total = new String(bytes.take(5), "UTF-8").toInt
+    assert(total == bytes.length)
+    assert(bytes.last == 0x1d.toByte)
+    val back = Marc.decodeIso2709(bytes)
+    assert(back.controlfields == orig.controlfields)
+    assert(back.datafields == orig.datafields)
+    // leader payload (bytes 5-11, 17-23) survives; lengths recomputed
+    assert(back.leader.substring(5, 12) == "nam a22")
+    // binary leg is stable: encode(decode(encode(x))) == encode(x)
+    assert(Marc.encodeIso2709(back).sameElements(bytes))
+  }
+
+  test("ISO 2709 stream splits on leader length, not terminator bytes") {
+    val r1 = Marc.encodeIso2709(MarcRecord("00000nam a2200000 c 4500",
+      Seq(MarcControlfield("001", "a")), Nil))
+    val r2 = Marc.encodeIso2709(MarcRecord("00000nam a2200000 c 4500",
+      Seq(MarcControlfield("001", "b")),
+      Seq(MarcDatafield("245", " ", " ", Seq(MarcSubfield("a", "T"))))))
+    val recs = Marc.splitIso2709(r1 ++ r2).toSeq
+    assert(recs.length == 2)
+    assert(Marc.decodeIso2709(recs(0)).controlfields.head.value == "a")
+    assert(Marc.decodeIso2709(recs(1)).controlfields.head.value == "b")
+  }
+
+  test("ISO 2709 dataset legs: XML → struct → binary → struct") {
+    val xml = Seq(rec("b-1", "9,2", with912 = true),
+      rec("b-2", "8,1", with912 = false))
+    val ds = Marc.fromMarcXml(xml.toDF("xml"), "xml")
+    val back = Marc.fromIso2709(Marc.toIso2709(ds))
+    val pairs = back.select(Marc.controlValue("001"),
+      try_element_at(Marc.values("245.a"), lit(1))).as[(String, String)]
+      .collect().sortBy(_._1)
+    assert(pairs.toSeq == Seq(("b-1", "Ein Titel"), ("b-2", "Ein Titel")))
+  }
+
+  test("ISO 2709 encode rejects fields over the format's digit limits") {
+    val big = MarcRecord("", Seq(MarcControlfield("001", "x" * 10000)), Nil)
+    assertThrows[IllegalArgumentException](Marc.encodeIso2709(big))
+  }
+
   test("P7 SSG filter keeps only 084.2=ssgn ∧ 084.a=9,2 ∧ 912.a=digit") {
     val xmls = Seq(
       rec("keep", "9,2", with912 = true),
