@@ -12,7 +12,8 @@ object SparkEntry {
   val registry: Seq[Q] =
     CoreQueries.all ++ JoinQueries.all ++ FilterQueries.all ++
       MiscQueries.all ++ LlmQueries.all ++ LicenseQueries.all ++
-      PipelineQueries.all ++ SourceQueries.all ++ CrossrefQueries.all
+      PipelineQueries.all ++ SourceQueries.all ++ CrossrefQueries.all ++
+      FeedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. A miniature AIUpdate spine (workflows/ai.py:116-342):

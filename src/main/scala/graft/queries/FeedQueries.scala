@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.normalize.{Doaj, Jstor}
+
+/** Registered queries for the DOAJ normalizer pipeline (parse →
+  * ISSN-exclusion → title-dedup, sources/doaj.py:80-218) and the JSTOR
+  * ISSN→collection refinement (sources/jstor.py:618-788). Fixtures are
+  * synthesized in-plan from `documents` (the s9/pipe4 pattern); mapping
+  * dimensions are literal VALUES on both engines. */
+object FeedQueries {
+
+  // JSTOR mapping fixtures — cover every path: multi-name ISSN (3),
+  // name without an AMSL-valid tcid (7 → Ghost), unmapped ISSNs.
+  private val IssnNames = Seq(
+    "ISSN-0" -> "JSTOR Arts & Sciences I",
+    "ISSN-1" -> "JSTOR Business I",
+    "ISSN-2" -> "JSTOR Music",
+    "ISSN-3" -> "JSTOR Ireland",
+    "ISSN-3" -> "JSTOR Business I",
+    "ISSN-7" -> "JSTOR Ghost")
+  private val JstorTcid = Seq(
+    "JSTOR Arts & Sciences I" -> "sid-55-col-as1",
+    "JSTOR Business I" -> "sid-55-col-bus1",
+    "JSTOR Music" -> "sid-55-col-music",
+    "JSTOR Ireland" -> "sid-55-col-ireland",
+    "JSTOR Ghost" -> "sid-55-col-ghost")
+  private val TcidMega = Seq(
+    "sid-55-col-as1" -> "JSTOR Arts & Sciences I Archive",
+    "sid-55-col-bus1" -> "JSTOR Business & Economics",
+    "sid-55-col-music" -> "JSTOR Music Archive",
+    "sid-55-col-ireland" -> "JSTOR Ireland")
+
+  private val DoajExcludedIssns = Seq("ISSN-3", "ISSN-7")
+
+  private def dim(s: SparkSession, rows: Seq[(String, String)],
+                  c1: String, c2: String): DataFrame = {
+    import s.implicits._
+    rows.toDF(c1, c2)
+  }
+
+  private def sqlValues(rows: Seq[(String, String)]): String =
+    rows.map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+
+  /** One DOAJ article-dump JSON string per documents row. Titles repeat
+    * every 150 ids so the dedup stage has real work; ids ≡ 3,7 (mod 10)
+    * carry excluded ISSNs. */
+  private def doajJson: Column = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    to_json(struct(
+      concat(lit("doaj-"), s(id)).as("id"),
+      concat(lit("2024-01-"), lpad(s(id % 28 + 1), 2, "0")).as("created_date"),
+      struct(
+        concat(lit("T"), s(id % 150)).as("title"),
+        s(lit(2000) + id % 20).as("year"),
+        when(id % 4 === 0, lit(null).cast("string"))
+          .otherwise(s(id % 12 + 1)).as("month"),
+        concat(lit("About "), col("lang")).as("abstract"),
+        s(id % 30 + 1).as("start_page"),
+        s(id % 30 + 3).as("end_page"),
+        struct(
+          concat(lit("Journal of "), col("source")).as("title"),
+          concat(lit("Pub"), s(id % 5)).as("publisher"),
+          array(upper(col("lang"))).as("language"),
+          array(concat(lit("ISSN-"), s(id % 10)),
+            concat(lit("EISSN-"), s(id % 10))).as("issns")).as("journal"),
+        array(
+          struct(lit("doi").as("type"),
+            concat(lit("10.123/DOAJ."), s(id)).as("id")),
+          struct(lit("pissn").as("type"),
+            concat(lit("ISSN-"), s(id % 10)).as("id"))).as("identifier"),
+        array(struct(concat(lit("A-"), s(id)).as("name"))).as("author"),
+        array(concat(lit("k"), s(id % 4))).as("keywords"),
+        array(struct(lit("fulltext").as("type"),
+          concat(lit("https://doaj.example/"), s(id)).as("url"))).as("link")
+      ).as("bibjson")))
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // DOAJ: parse → intermediate → ISSN exclusion (broadcast anti-join)
+    // → newest-per-title dedup (window latest-per-key).
+    Q("pipe6_doaj", {
+      val excl = DoajExcludedIssns.map(i => s"'$i'").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id AS id, lang, source FROM documents
+         |  WHERE ('ISSN-' || (doc_id % 10)) NOT IN ($excl)),
+         |v AS (
+         |  SELECT id, lang, source,
+         |    'ai-28-doaj-' || id AS record_id,
+         |    'T' || (id % 150) AS title,
+         |    printf('%04d-%02d-01', 2000 + id % 20,
+         |      CASE WHEN id % 4 = 0 THEN 1 ELSE id % 12 + 1 END) AS date
+         |  FROM base),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY title ORDER BY date DESC, record_id DESC) AS rn
+         |  FROM v)
+         |SELECT record_id, '28' AS source_id, 'ElectronicArticle' AS format,
+         |  '10.123/doaj.' || id AS doi,
+         |  title,
+         |  'Journal of ' || source AS jtitle,
+         |  'EISSN-' || (id % 10) || ',ISSN-' || (id % 10) AS issns,
+         |  'Pub' || (id % 5) AS publisher,
+         |  date,
+         |  CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'deu'
+         |    WHEN 'fr' THEN 'fra' WHEN 'es' THEN 'spa' WHEN 'zh' THEN 'zho'
+         |    ELSE 'eng' END AS lang,
+         |  CAST(id % 30 + 1 AS VARCHAR) AS spage,
+         |  CAST(id % 30 + 3 AS VARCHAR) AS epage,
+         |  'A-' || id AS authors,
+         |  'k' || (id % 4) AS keywords
+         |FROM r WHERE rn = 1""".stripMargin
+    }) { (s, d) =>
+      val parsed = Doaj.parse(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(doajJson.as("doc_json")), "doc_json")
+      val is = Doaj.dedupByTitle(Doaj.excludeByIssn(
+        Doaj.toIntermediate(parsed), DoajExcludedIssns))
+      is.withColumn("issns", array_join(col("issns"), ","))
+    },
+
+    // JSTOR: per-record ISSN set → collection names → tcids → AMSL
+    // validity → tcids + mega names; OA-URL fallback; untouched
+    // otherwise. Every mapping join broadcasts.
+    Q("pipe7_jstor_collections",
+      s"""WITH base AS (SELECT doc_id AS id FROM documents),
+         |rec_issn AS (
+         |  SELECT id, 'ISSN-' || (id % 10) AS issn FROM base
+         |  UNION
+         |  SELECT id, 'ISSN-' || ((id + 3) % 10) FROM base WHERE id % 2 = 0),
+         |issn_names(issn, name) AS (VALUES ${sqlValues(IssnNames)}),
+         |jstor_tcid(name, tcid) AS (VALUES ${sqlValues(JstorTcid)}),
+         |tcid_mega(tcid, mega) AS (VALUES ${sqlValues(TcidMega)}),
+         |matched AS (
+         |  SELECT DISTINCT r.id, t.tcid, m.mega
+         |  FROM rec_issn r
+         |  JOIN issn_names n ON r.issn = n.issn
+         |  JOIN jstor_tcid t ON n.name = t.name
+         |  JOIN tcid_mega m ON t.tcid = m.tcid),
+         |agg AS (
+         |  SELECT id, list_sort(list([tcid, mega])) AS tm
+         |  FROM matched GROUP BY id),
+         |named AS (
+         |  SELECT DISTINCT r.id FROM rec_issn r
+         |  JOIN issn_names n ON r.issn = n.issn)
+         |SELECT 'ai-55-' || b.id AS rec_id,
+         |  CASE
+         |    WHEN a.tm IS NOT NULL THEN array_to_string(
+         |      list_transform(a.tm, x -> x[1]) ||
+         |      list_transform(a.tm, x -> x[2]), '; ')
+         |    WHEN h.id IS NOT NULL THEN ''
+         |    WHEN b.id % 5 = 0 THEN 'Open JSTOR Collection; sid-55-col-jstoropen'
+         |    ELSE 'JSTOR'
+         |  END AS collections
+         |FROM base b
+         |LEFT JOIN agg a ON b.id = a.id
+         |LEFT JOIN named h ON b.id = h.id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      def str(c: Column): Column = c.cast("string")
+      val records = Tables.documents(s, d).select(
+        concat(lit("ai-55-"), str(id)).as("rec_id"),
+        when(id % 2 === 0, array_distinct(array(
+          concat(lit("ISSN-"), str(id % 10)),
+          concat(lit("ISSN-"), str((id + 3) % 10)))))
+          .otherwise(array(concat(lit("ISSN-"), str(id % 10)))).as("issns"),
+        when(id % 5 === 0,
+          array(concat(lit("https://www.jstor.org/stable/"), str(id + 10000))))
+          .otherwise(array(concat(
+            lit("https://www.jstor.org/stable/10.5250/xy."), str(id))))
+          .as("urls"),
+        array(lit("JSTOR")).as("collections"))
+      Jstor.refineCollections(records, "rec_id", "issns", "urls", "collections",
+          dim(s, IssnNames, "issn", "name"),
+          dim(s, JstorTcid, "name", "tcid"),
+          dim(s, TcidMega, "tcid", "mega"))
+        .select(col("rec_id"), array_join(col("collections"), "; ").as("collections"))
+    })
+}

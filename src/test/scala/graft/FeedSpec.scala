@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.normalize.{Doaj, Jstor}
+
+/** Golden tests for the JSTOR collection refinement paths
+  * (sources/jstor.py:618-788 semantics) and the DOAJ pipeline stages
+  * (sources/doaj.py:80-218). */
+class FeedSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val issnNames = Seq(
+    "0001-0001" -> "JSTOR Arts & Sciences I",
+    "0002-0002" -> "JSTOR Ghost").toDF("issn", "name")
+  private val jstorTcid = Seq(
+    "JSTOR Arts & Sciences I" -> "sid-55-col-as1",
+    "JSTOR Ghost" -> "sid-55-col-ghost").toDF("name", "tcid")
+  private val tcidMega = Seq(
+    "sid-55-col-as1" -> "JSTOR Arts & Sciences I Archive").toDF("tcid", "mega")
+
+  private def refine(rows: Seq[(String, Seq[String], Seq[String])]) =
+    Jstor.refineCollections(
+      rows.toDF("rec_id", "issns", "urls")
+        .withColumn("collections", array(lit("JSTOR"))),
+      "rec_id", "issns", "urls", "collections",
+      issnNames, jstorTcid, tcidMega)
+      .select("rec_id", "collections").as[(String, Seq[String])]
+      .collect().toMap
+
+  test("JSTOR: mapped ISSN yields tcids + mega names") {
+    val out = refine(Seq(("r1", Seq("0001-0001"), Seq.empty)))
+    assert(out("r1") ==
+      Seq("sid-55-col-as1", "JSTOR Arts & Sciences I Archive"))
+  }
+
+  test("JSTOR: name without AMSL-valid tcid yields empty collections") {
+    val out = refine(Seq(("r2", Seq("0002-0002"),
+      Seq("https://www.jstor.org/stable/12345"))))
+    // named-but-invalid beats the OA fallback (reference order)
+    assert(out("r2") == Seq.empty)
+  }
+
+  test("JSTOR: unmapped + OA-shaped URL falls back to Open JSTOR") {
+    val out = refine(Seq(
+      ("r3", Seq("9999-9999"), Seq("https://www.jstor.org/stable/26167842")),
+      ("r4", Seq("9999-9999"),
+        Seq("https://www.jstor.org/stable/10.5250/femigermstud.35.0147"))))
+    assert(out("r3") == Jstor.OpenJstorCollections)
+    // non-OA URL → original collections untouched
+    assert(out("r4") == Seq("JSTOR"))
+  }
+
+  private def doajIs(rows: Seq[String]) =
+    Doaj.toIntermediate(Doaj.parse(rows.toDF("doc_json"), "doc_json"))
+
+  test("DOAJ: field mapping incl. doi pick, issn sort, month default") {
+    val json =
+      """{"id": "abc", "bibjson": {"title": "A Study",
+        | "year": "2015",
+        | "journal": {"title": "J", "publisher": "P",
+        |   "language": ["EN"], "issns": ["2222-2222", "1111-1111"]},
+        | "identifier": [{"type": "pissn", "id": "1111-1111"},
+        |                {"type": "doi", "id": "10.5/ABC"}],
+        | "author": [{"name": "Ada"}, {"name": "Bob"}],
+        | "keywords": ["x"]}}""".stripMargin.replaceAll("\n", "")
+    val r = doajIs(Seq(json)).collect()(0)
+    assert(r.getAs[String]("record_id") == "ai-28-abc")
+    assert(r.getAs[String]("doi") == "10.5/abc")
+    assert(r.getAs[scala.collection.Seq[String]]("issns").toSeq ==
+      Seq("1111-1111", "2222-2222"))
+    assert(r.getAs[String]("date") == "2015-01-01")
+    assert(r.getAs[String]("lang") == "eng")
+    assert(r.getAs[String]("authors") == "Ada; Bob")
+  }
+
+  test("DOAJ: exclusion drops any record carrying a listed ISSN") {
+    val mk = (id: String, issn: String) =>
+      s"""{"id": "$id", "bibjson": {"title": "T", "year": "2000",
+         | "journal": {"issns": ["$issn", "0000-0000"]}}}"""
+        .stripMargin.replaceAll("\n", "")
+    val is = doajIs(Seq(mk("a", "1111-1111"), mk("b", "2222-2222")))
+    val kept = Doaj.excludeByIssn(is, Seq("1111-1111"))
+      .select("record_id").as[String].collect()
+    assert(kept.toSeq == Seq("ai-28-b"))
+  }
+
+  test("DOAJ: title dedup keeps newest date, id-tiebroken") {
+    val mk = (id: String, y: String, t: String) =>
+      s"""{"id": "$id", "bibjson": {"title": "$t", "year": "$y",
+         | "journal": {"issns": []}}}""".stripMargin.replaceAll("\n", "")
+    val is = doajIs(Seq(
+      mk("a1", "2001", "X"), mk("a2", "2005", "X"),
+      mk("b1", "2003", "Y"), mk("b2", "2003", "Y")))
+    val kept = Doaj.dedupByTitle(is)
+      .select("record_id").as[String].collect().sorted
+    assert(kept.toSeq == Seq("ai-28-a2", "ai-28-b2"))
+  }
+}
