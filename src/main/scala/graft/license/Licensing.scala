@@ -177,6 +177,8 @@ object Licensing {
             col("date_first").cast("date").as("__from"),
             col("date_last").cast("date").as("__to"),
             coalesce(col("embargo_days"), lit(0)).cast("int").as("__embargo"),
+            (if (hd.columns.contains("embargo_method")) col("embargo_method")
+             else lit("R")).as("__emethod"),
             lit(name).as("__hname"))
         }.reduce(_.unionByName(_))
         val rec = records.select(r.id.as("__rid"), explode(r.issns).as("__issn"),
@@ -184,7 +186,8 @@ object Licensing {
         val matched = rec.join(broadcast(hAll), Seq("__issn"))
           .filter((col("__from").isNull || col("__rdate") >= col("__from")) &&
                   (col("__to").isNull || col("__rdate") <= col("__to")) &&
-                  col("__rdate") <= date_sub(lit(asOf).cast("date"), col("__embargo")))
+                  Kbart.clearsWall(col("__rdate"), lit(asOf).cast("date"),
+                    col("__emethod"), col("__embargo")))
           .groupBy("__rid")
           .agg(collect_set(col("__hname")).as("__hset"))
         (records.join(matched.withColumnRenamed("__rid", "__jid"),
@@ -203,8 +206,11 @@ object Licensing {
   /** Ids of records entitled by one holdings table — KBART coverage
     * semantics (J3): record ISSN appears in the file and the record date
     * lies in [date_first, date_last] (null date_last = open range) and
-    * clears the embargo moving wall (date ≤ asOf - embargo_days).
-    * Holdings frame columns: issn, date_first, date_last, embargo_days.
+    * clears the embargo wall ([[Kbart.clearsWall]] — `R` moving wall:
+    * date ≤ asOf − days; `P` availability window: date ≥ asOf − days).
+    * Holdings frame columns: issn, date_first, date_last, embargo_days
+    * [, embargo_method — absent = R]. Feeds carrying raw KBART
+    * embargo_info strings derive both via [[Kbart.parseEmbargo]].
     * Ref: sources/jstor.py:546-580 (KBART fields), workflows/ai.py:228-244
     * (span-tag invocation). */
   def holdingsEntitledIds(records: DataFrame, r: RecordCols,
@@ -215,14 +221,17 @@ object Licensing {
       col("issn").as("__issn"),
       col("date_first").cast("date").as("__from"),
       col("date_last").cast("date").as("__to"),
-      coalesce(col("embargo_days"), lit(0)).cast("int").as("__embargo")))
+      coalesce(col("embargo_days"), lit(0)).cast("int").as("__embargo"),
+      (if (holdings.columns.contains("embargo_method")) col("embargo_method")
+       else lit("R")).as("__emethod")))
     rec.join(h, Seq("__issn"))
       // Null date_first/date_last = open-ended coverage on that side
       // (KBART leaves either bound blank); a bare >= against null would
       // silently entitle nothing.
       .filter((col("__from").isNull || col("__rdate") >= col("__from")) &&
               (col("__to").isNull || col("__rdate") <= col("__to")) &&
-              col("__rdate") <= date_sub(asOf.cast("date"), col("__embargo")))
+              Kbart.clearsWall(col("__rdate"), asOf.cast("date"),
+                col("__emethod"), col("__embargo")))
       .select(col("__rid"))
       .distinct()
   }

@@ -38,14 +38,18 @@ object LicenseQueries {
       when(col("id") % 2 === 0, lit("1997-12-31").cast("date")).as("date_last"),
       lit(0).as("embargo_days"))
 
-  /** KBART h2: ISSN-5..14, open range from 1992 with a 365-day
-    * embargo moving wall. */
+  /** KBART h2: ISSN-5..14, open range from 1992 with a one-year
+    * embargo moving wall — carried as the raw KBART embargo_info
+    * string "R1Y" and parsed in-plan ([[Kbart.parseEmbargo]] folds to
+    * 365 at optimization time), so l1/l2/l3's oracles exercise the
+    * parser end to end. */
   def h2(s: SparkSession): DataFrame =
     s.range(5, 15).select(
       concat(lit("ISSN-"), col("id")).as("issn"),
       lit("1992-01-01").cast("date").as("date_first"),
       lit(null).cast("date").as("date_last"),
-      lit(365).as("embargo_days"))
+      Kbart.embargoDays(lit("R1Y")).as("embargo_days"),
+      Kbart.embargoMethod(lit("R1Y")).as("embargo_method"))
 
   val AsOf = "1998-06-01"
 
@@ -163,5 +167,37 @@ object LicenseQueries {
           Map("h1" -> h1(s), "h2" -> h2(s)), AsOf)
         .filter(array_contains(col("x_labels"), "ISIL-B"))
         .select(concat(lit("10.1000/o"), col("o_orderkey")).as("doi"))
+    },
+
+    // L4 — KBART embargo_info strings parsed in-plan, both wall
+    // directions: R (rolling embargo, record must predate the wall)
+    // and P (availability window, record must postdate it), plus the
+    // blank-string no-embargo case (ref: sources/jstor.py:546-580
+    // field 12; Kbart.parseEmbargo).
+    Q("l4_kbart_embargo",
+      """WITH h3 AS (
+        |  SELECT 'ISSN-' || k AS issn,
+        |    CASE WHEN k % 4 = 1 THEN 'P' ELSE 'R' END AS m,
+        |    CASE k % 4 WHEN 0 THEN 365 WHEN 1 THEN 180
+        |      WHEN 2 THEN 0 ELSE 90 END AS d
+        |  FROM range(0, 20) t(k)),
+        |r AS (SELECT o_orderkey, 'ISSN-' || (o_custkey % 20) AS issn,
+        |             CAST(o_orderdate AS DATE) AS rdate FROM orders)
+        |SELECT DISTINCT o_orderkey
+        |FROM r JOIN h3 ON r.issn = h3.issn
+        |WHERE rdate >= DATE '1992-01-01'
+        |  AND ((m = 'P' AND date_diff('day', rdate, DATE '1998-06-01') <= d)
+        |    OR (m = 'R' AND date_diff('day', rdate, DATE '1998-06-01') >= d))"""
+        .stripMargin) { (s, d) =>
+      val info = element_at(
+        typedLit(Seq("R1Y", "P6M", "", "R90D")), (col("id") % 4 + 1).cast("int"))
+      val h3 = s.range(0, 20).select(
+        concat(lit("ISSN-"), col("id")).as("issn"),
+        lit("1992-01-01").cast("date").as("date_first"),
+        lit(null).cast("date").as("date_last"),
+        Kbart.embargoDays(info).as("embargo_days"),
+        Kbart.embargoMethod(info).as("embargo_method"))
+      Licensing.holdingsEntitledIds(records(s, d), recordCols, h3, lit(AsOf))
+        .withColumnRenamed("__rid", "o_orderkey")
     })
 }

@@ -216,4 +216,29 @@ class LicensingSpec extends AnyFunSuite {
       AmslConfigBuilder.build(Seq(AmslRow("DE-15", "55", "C1",
         externalLinkToContentFile = Some("u"), productISIL = Some("DE-X")))))
   }
+
+  test("KBART embargo_info parses method + days; dirt yields null") {
+    import spark.implicits._
+    val out = Seq("R1Y", "p6m", "R90D", "", null, "XYZ", "R12M")
+      .toDF("e")
+      .select(Kbart.embargoMethod(col("e")).as("m"),
+        Kbart.embargoDays(col("e")).as("d"))
+      .as[(Option[String], Option[Int])].collect().toSeq
+    assert(out == Seq(
+      Some("R") -> Some(365), Some("P") -> Some(180), Some("R") -> Some(90),
+      Some("R") -> Some(0), Some("R") -> Some(0), None -> None,
+      Some("R") -> Some(360)))
+  }
+
+  test("KBART wall: R excludes the newest window, P includes only it") {
+    import spark.implicits._
+    val asOf = lit("2000-01-01").cast("date")
+    val rows = Seq("1999-10-01", "1998-01-01").toDF("rd")
+      .select(col("rd").cast("date").as("rd"))
+    def wall(m: String) = rows.select(
+      Kbart.clearsWall(col("rd"), asOf, lit(m), lit(180)).as("ok"))
+      .as[Boolean].collect().toSeq
+    assert(wall("R") == Seq(false, true)) // recent blocked, old clears
+    assert(wall("P") == Seq(true, false)) // recent clears, old blocked
+  }
 }
