@@ -234,20 +234,26 @@ object LlmQueries {
         col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
     },
 
-    // Language-ID heuristic via stopword profiles.
+    // Language-ID via the (data-driven) stopword profiles + Han-script
+    // pre-check; the oracle renders the SAME profile lists from
+    // TextAnalysis.LangProfiles, so profile swaps can't silently
+    // diverge the two sides.
     Q("t3_lang_id",
       s"""SELECT doc_id,
          |  CASE WHEN tnull THEN NULL
+         |       WHEN has_han THEN 'zh'
          |       WHEN best = 0 THEN 'und'
          |       WHEN h_fr = best THEN 'fr' WHEN h_es = best THEN 'es'
          |       WHEN h_en = best THEN 'en' ELSE 'de' END AS lang_pred
          |FROM (
-         |  SELECT doc_id, tnull, greatest(h_en, h_de, h_fr, h_es) AS best,
+         |  SELECT doc_id, tnull, has_han,
+         |         greatest(h_en, h_de, h_fr, h_es) AS best,
          |         h_en, h_de, h_fr, h_es
-         |  FROM (SELECT doc_id, tnull,
+         |  FROM (SELECT doc_id, tnull, has_han,
          |    ${langHitsSql("en")} AS h_en, ${langHitsSql("de")} AS h_de,
          |    ${langHitsSql("fr")} AS h_fr, ${langHitsSql("es")} AS h_es
          |    FROM (SELECT doc_id, text IS NULL AS tnull,
+         |          coalesce(regexp_matches(text, '\\p{Han}'), false) AS has_han,
          |          string_split(trim(text), ' ') AS toks FROM documents)))""".stripMargin) { (s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -392,8 +398,10 @@ object LlmQueries {
 
   private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)
 
+  /** Distinct-stopword hit count — list_intersect dedups in both
+    * engines (set semantics), mirroring Spark's array_intersect. */
   private def langHitsSql(lang: String): String = {
     val words = sqlList(TextAnalysis.LangProfiles(lang))
-    s"len(list_filter(toks, t -> list_contains($words, t)))"
+    s"len(list_intersect(toks, $words))"
   }
 }

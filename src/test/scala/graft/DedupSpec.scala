@@ -240,4 +240,47 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(lang(1L) == null && lang(2L) == "de")
   }
+
+  test("language-ID accuracy on labeled fixtures (profile + script paths)") {
+    // Natural sentences per language — function-word rich, as real prose
+    // is. The expanded profiles must classify ALL of them correctly;
+    // this is the documented accuracy gate for profile swaps.
+    val labeled: Seq[(String, String)] = Seq(
+      "en" -> "the results show that most of the samples were stable",
+      "en" -> "we found that it was not possible to measure this effect",
+      "en" -> "there are many reasons why these methods could fail",
+      "en" -> "each of them should have been tested before the release",
+      "en" -> "what happens when the data does not fit into memory",
+      "en" -> "this is one of the most important questions for our field",
+      "de" -> "die ergebnisse zeigen dass die meisten proben stabil sind",
+      "de" -> "wir haben nicht alle daten aus dem ersten versuch",
+      "de" -> "es gibt viele gründe warum diese methode nicht immer geht",
+      "de" -> "der einfluss von temperatur auf das system ist noch unklar",
+      "de" -> "nach dem test wurde die anlage wieder unter druck gesetzt",
+      "de" -> "man kann diese frage nur mit einem weiteren versuch klären",
+      "fr" -> "les résultats montrent que la plupart des échantillons sont stables",
+      "fr" -> "nous avons fait une mesure avec les mêmes instruments",
+      "fr" -> "il y a beaucoup de raisons pour ce choix dans cette étude",
+      "fr" -> "cette méthode ne peut pas être utilisée sans une validation",
+      "fr" -> "le système est plus rapide que la version précédente",
+      "fr" -> "après le test nous avons encore des questions sur ce point",
+      "es" -> "los resultados muestran que la mayoría de las muestras son estables",
+      "es" -> "no es posible medir este efecto sin más datos del sistema",
+      "es" -> "hay muchas razones para usar este método en el estudio",
+      "es" -> "la temperatura del agua es muy importante para el proceso",
+      "es" -> "todos los valores están entre los límites esperados",
+      "es" -> "esta pregunta no tiene una respuesta simple para nosotros",
+      "zh" -> "这些结果表明大多数样品是稳定的",
+      "zh" -> "我们无法在没有更多数据的情况下测量这种效应",
+      "zh" -> "mixed latin text 与中文混合的句子",
+      "und" -> "zzz qqq xxx vvv kkk 12345")
+    val preds = labeled.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("i", "expected", "text")
+      .select(col("expected"),
+        graft.llm.TextAnalysis.langId(col("text")).as("got"))
+      .as[(String, String)].collect()
+    val wrong = preds.filter { case (exp, got) => exp != got }
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+  }
 }
