@@ -133,6 +133,30 @@ class NormalizeSpec extends AnyFunSuite {
     assert(full.contains("\"finc.id\":\"ai-179-egcsk\""))
     assert(r.getAs[scala.collection.Seq[String]]("author_facet").toSeq.toSet
       == Set("Lovelace, Ada", "Turing, Alan"))
+    // widened facet set (solr5vu3 schema superset)
+    assert(r.getAs[String]("format") == "Preprint") // finc.format pass-through
+    assert(r.getAs[String]("publishDate") == "2020")
+    assert(r.getAs[String]("access_facet") == "Electronic Resources")
+    assert(r.getAs[scala.collection.Seq[String]]("facet_avail").toSeq
+      == Seq("Online")) // x.oa unset → no Free facet
+    assert(r.getAs[scala.collection.Seq[String]]("language").toSeq == Seq("eng"))
+  }
+
+  test("Solr export: OA flag adds the Free availability facet; containers map") {
+    import spark.implicits._
+    val is = graft.core.Schema.conform(Seq(
+      ("ai-49-x", "49", "Some Title", "J of X", "12", "3", "100-110",
+        "10.1/x", "2001-05-01", true))
+      .toDF("finc.id", "finc.source_id", "rft.atitle", "rft.jtitle",
+        "rft.volume", "rft.issue", "rft.pages", "doi", "rft.date", "x.oa"))
+    val r = SolrExport.solr5vu3(is).collect()(0)
+    assert(r.getAs[scala.collection.Seq[String]]("facet_avail").toSeq
+      == Seq("Online", "Free"))
+    assert(r.getAs[String]("container_volume") == "12")
+    assert(r.getAs[String]("container_issue") == "3")
+    assert(r.getAs[String]("container_pages") == "100-110")
+    assert(r.getAs[String]("doi") == "10.1/x")
+    assert(r.getAs[String]("publishDate") == "2001")
   }
 
   test("EastView: blob split + golden record + filters") {
