@@ -37,11 +37,14 @@ object Tables {
     * timestamp with integer division (a double round trip would lose
     * precision at 1.7e18 ns).
     *
-    * The read is fully isolated (ADVICE r02/r03): an explicit user
-    * schema skips footer-schema inference (the step that throws
-    * PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS)), and the legacy
-    * nanosAsLong switch rides along as a per-read option merged into
-    * the scan's hadoop conf — no session-global conf is mutated, so
+    * The read is fully isolated (ADVICE r02/r03): the explicit user
+    * schema skips footer-schema inference — the step that throws
+    * PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) — and the vectorized
+    * reader then surfaces the INT64 values as longs directly. That is
+    * sufficient on its own (verified empirically on a session with the
+    * legacy conf unset; a per-read nanosAsLong option would be a no-op
+    * anyway — ParquetFileFormat overwrites that hadoop-conf key from
+    * the session SQLConf). No session-global conf is mutated, so
     * externally-built sessions (the driver's harness) are untouched. */
   private val eventsSchema =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
@@ -49,7 +52,6 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame =
     s.read
       .schema(eventsSchema)
-      .option("spark.sql.legacy.parquet.nanosAsLong", "true")
       .parquet(s"$d/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * constant-folds to nothing at optimization time. */
 object Kbart {
 
-  private val Pattern = "^([RP])([0-9]+)([DMY])$"
+  /** 1-4 digits: a 5+-digit unit count is not a plausible embargo and,
+    * under ANSI mode, an unbounded digit run could overflow the int
+    * cast into a job-killing exception instead of the documented
+    * null-on-unparseable. 9999Y × 365 still fits an int comfortably. */
+  private val Pattern = "^([RP])([0-9]{1,4})([DMY])$"
 
   /** embargo_info string → struct(method: string, days: int).
     * Blank/null → (R, 0) (no embargo); unparseable → null struct, so
@@ -42,12 +46,19 @@ object Kbart {
   /** Convenience: the wall direction (null on unparseable). */
   def embargoMethod(c: Column): Column = parseEmbargo(c)("method")
 
-  /** Does `rdate` clear the embargo wall at `asOf`? Null-safe: missing
-    * method defaults to R, missing days to 0 (no embargo). */
+  /** Does `rdate` clear the embargo wall at `asOf`?
+    *
+    * Null handling is fail-closed where it matters: method AND days
+    * both null is the [[parseEmbargo]] unparseable signature → NOT
+    * entitled (silently treating a broken "R2Y "-style wall as no
+    * embargo would drop a paywall). A null days alongside a concrete
+    * method (holdings tables that carry a plain int column with blanks)
+    * still means no embargo, and a null method alone defaults to R. */
   def clearsWall(rdate: Column, asOf: Column,
                  method: Column, days: Column): Column = {
     val wall = date_sub(asOf, coalesce(days, lit(0)).cast("int"))
-    when(upper(coalesce(method, lit("R"))) === "P", rdate >= wall)
+    when(method.isNull && days.isNull, lit(false))
+      .when(upper(coalesce(method, lit("R"))) === "P", rdate >= wall)
       .otherwise(rdate <= wall)
   }
 }

@@ -176,7 +176,9 @@ object Licensing {
             col("issn").as("__issn"),
             col("date_first").cast("date").as("__from"),
             col("date_last").cast("date").as("__to"),
-            coalesce(col("embargo_days"), lit(0)).cast("int").as("__embargo"),
+            // Nulls pass through: (method, days) both null is the
+            // parse-failure signature Kbart.clearsWall fails closed on.
+            col("embargo_days").cast("int").as("__embargo"),
             (if (hd.columns.contains("embargo_method")) col("embargo_method")
              else lit("R")).as("__emethod"),
             lit(name).as("__hname"))
@@ -221,7 +223,9 @@ object Licensing {
       col("issn").as("__issn"),
       col("date_first").cast("date").as("__from"),
       col("date_last").cast("date").as("__to"),
-      coalesce(col("embargo_days"), lit(0)).cast("int").as("__embargo"),
+      // Nulls pass through: (method, days) both null is the
+      // parse-failure signature Kbart.clearsWall fails closed on.
+      col("embargo_days").cast("int").as("__embargo"),
       (if (holdings.columns.contains("embargo_method")) col("embargo_method")
        else lit("R")).as("__emethod")))
     rec.join(h, Seq("__issn"))

@@ -133,6 +133,12 @@ object Marc {
       fb += indByte(d.ind1)
       fb += indByte(d.ind2)
       d.subfields.foreach { sf =>
+        // A subfield code is exactly one byte on the wire; encoding an
+        // empty/multibyte code would silently shift value bytes into
+        // the code position on decode — corrupt, so refuse.
+        require(sf.code != null && bytesOf(sf.code).length == 1,
+          s"ISO 2709 datafield ${d.tag}: subfield code must be one byte, " +
+            s"got '${sf.code}'")
         fb += SubfieldDelim
         fb ++= bytesOf(sf.code)
         fb ++= bytesOf(sf.value)
@@ -181,6 +187,11 @@ object Marc {
           var q = p + 1
           while (q < end && bytes(q) != SubfieldDelim) q += 1
           val chunk = new String(bytes, p + 1, q - p - 1, Utf8)
+          // Two adjacent delimiters (dirty feed) → a code-less chunk;
+          // fail with context like the surrounding requires, not a raw
+          // StringIndexOutOfBoundsException.
+          require(chunk.nonEmpty,
+            s"ISO 2709 datafield $tag: empty subfield (adjacent delimiters)")
           subs += MarcSubfield(chunk.substring(0, 1), chunk.substring(1))
           p = q
         }

@@ -107,7 +107,9 @@ object Crossref {
     val m = col("msg")
     val doi = Scalars.normalizeDoi(m("DOI"))
     val title0 = try_element_at(m("title"), lit(1))
-    val subtitle0 = try_element_at(m("subtitle"), lit(1))
+    // Live Crossref frequently ships "subtitle": [""] — an empty
+    // subtitle must not leave a dangling " : " separator.
+    val subtitle0 = nullif(try_element_at(m("subtitle"), lit(1)), lit(""))
     val firstParts = try_element_at(m("issued")("date-parts"), lit(1))
     val year = try_element_at(firstParts, lit(1))
     val month = coalesce(try_element_at(firstParts, lit(2)), lit(1))

@@ -1,7 +1,6 @@
 package graft.normalize
 
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Scalars
@@ -57,8 +56,10 @@ object Doaj {
     val b = col("doc")("bibjson")
     val doi = try_element_at(transform(
       filter(b("identifier"), i => i("type") === "doi"), i => i("id")), lit(1))
-    val year = b("year").cast("int")
-    val month = coalesce(b("month").cast("int"), lit(1))
+    // try_cast: real DOAJ dumps carry dirt like year "2015?" — a plain
+    // cast under ANSI mode would abort the whole job on one bad record.
+    val year = b("year").try_cast("int")
+    val month = coalesce(b("month").try_cast("int"), lit(1))
     parsed
       .filter(col("doc")("id").isNotNull &&
         length(trim(coalesce(b("title"), lit("")))) > 0)
@@ -71,7 +72,12 @@ object Doaj {
         b("journal")("title").as("jtitle"),
         sort_array(b("journal")("issns")).as("issns"),
         b("journal")("publisher").as("publisher"),
-        format_string("%04d-%02d-01", year, month).as("date"),
+        // Null year must yield a NULL date — format_string would print
+        // the literal text "null-01-01", which sorts AFTER every real
+        // date and would make undated records win the newest-per-title
+        // dedup. A true null sorts last under desc (nulls-last).
+        when(year.isNull, lit(null).cast("string"))
+          .otherwise(format_string("%04d-%02d-01", year, month)).as("date"),
         Scalars.mapLookup(
           lower(try_element_at(b("journal")("language"), lit(1))),
           Crossref.Lang3, lit("eng")).as("lang"),
@@ -91,13 +97,11 @@ object Doaj {
     is.filter(!coalesce(
       arrays_overlap(col("issns"), typedLit(excluded)), lit(false)))
 
-  /** Newest record per title (DOAJWhitelist ∘ filter): window
-    * latest-per-key on (date, record_id) — hash-partition by title,
-    * in-partition sort only, no global sort. */
-  def dedupByTitle(is: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("title"))
-      .orderBy(col("date").desc, col("record_id").desc)
-    is.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
-  }
+  /** Newest record per title (DOAJWhitelist ∘ filter): the shared
+    * latest-per-key operator on (date, record_id) — hash-partition by
+    * title, in-partition sort only, no global sort; null dates sort
+    * last (desc default), so dated records always beat undated ones. */
+  def dedupByTitle(is: DataFrame): DataFrame =
+    graft.operators.Ops.latestPerKey(
+      Seq(col("title")), Seq(col("date"), col("record_id")))(is)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.export.SolrExport
 import graft.functions.Scalars
 import graft.operators.Ops
 
@@ -122,6 +123,61 @@ object FilterQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("fullrecord"))
+    },
+
+    // S11b — the full solr5vu3 export mapping under the oracle: IS
+    // records synthesized from documents, conformed to the canonical
+    // schema, projected through SolrExport.solr5vu3 (facets, container
+    // fields, availability) — a regression in the export columns now
+    // fails the driver gate, not only unit specs.
+    Q("s11b_solr5vu3",
+      """SELECT 'ai-28-' || doc_id AS id,
+        |  'ElectronicArticle' AS format,
+        |  'Study ' || doc_id AS title,
+        |  CAST(doc_id % 40 + 1 AS VARCHAR) AS container_volume,
+        |  CAST(doc_id % 12 + 1 AS VARCHAR) AS container_issue,
+        |  (doc_id % 90 + 1) || '-' || (doc_id % 90 + 5) AS container_pages,
+        |  '10.28/d' || doc_id AS doi,
+        |  CAST(1990 + doc_id % 30 AS VARCHAR) AS publishDate,
+        |  'Electronic Resources' AS access_facet,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'Online,Free' ELSE 'Online' END
+        |    AS facet_avail,
+        |  'Subj' || (doc_id % 7) AS topic,
+        |  'F' || doc_id || ', G' || doc_id AS author_facet,
+        |  lang AS language
+        |FROM documents""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val is = graft.core.Schema.conform(Tables.documents(s, d).select(
+        concat(lit("ai-28-"), str(id)).as("finc.id"),
+        lit("28").as("finc.source_id"),
+        lit("ElectronicArticle").as("finc.format"),
+        concat(lit("Study "), str(id)).as("rft.atitle"),
+        str(id % 40 + 1).as("rft.volume"),
+        str(id % 12 + 1).as("rft.issue"),
+        concat(str(id % 90 + 1), lit("-"), str(id % 90 + 5)).as("rft.pages"),
+        concat(lit("10.28/d"), str(id)).as("doi"),
+        concat(str(lit(1990) + id % 30), lit("-01-01")).as("rft.date"),
+        (id % 3 === 0).as("x.oa"),
+        array(concat(lit("Subj"), str(id % 7))).as("subjects"),
+        array(col("lang")).as("languages"),
+        // Author struct field order must match Schema.Author (struct
+        // casts are positional): rft.au, rft.aufirst, rft.aulast, rft.aucorp.
+        array(struct(
+          lit(null).cast("string").as("rft.au"),
+          concat(lit("G"), str(id)).as("rft.aufirst"),
+          concat(lit("F"), str(id)).as("rft.aulast"),
+          lit(null).cast("string").as("rft.aucorp"))).as("authors"),
+        array(lit("DE-15")).as("x.labels")))
+      SolrExport.solr5vu3(is).select(
+        col("id"), col("format"), col("title"),
+        col("container_volume"), col("container_issue"),
+        col("container_pages"), col("doi"),
+        col("publishDate"), col("access_facet"),
+        array_join(col("facet_avail"), ",").as("facet_avail"),
+        array_join(col("topic"), ",").as("topic"),
+        array_join(col("author_facet"), "; ").as("author_facet"),
+        array_join(col("language"), ",").as("language"))
     },
 
     // S13 — report sink (ref: workflows/adhoc.py:106-148).

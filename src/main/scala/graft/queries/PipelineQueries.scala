@@ -123,6 +123,16 @@ object PipelineQueries {
     val snapshot = base.resolve("snapshot").toString
     val done = base.resolve("_done")
     if (!Files.exists(done)) {
+      // No _done marker but the dir exists → a previous build died
+      // mid-way (slices partially landed, checkpoint half-written).
+      // The stamp never changes for an unchanged SF dir, so a partial
+      // state would otherwise wedge every future run (Files.move onto
+      // an existing slice throws). Wipe and rebuild from scratch.
+      if (Files.exists(base)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      }
       Files.createDirectories(landing)
       val orders = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")

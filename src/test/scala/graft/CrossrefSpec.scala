@@ -85,6 +85,14 @@ class CrossrefSpec extends AnyFunSuite {
     assert(r.getAs[String]("authors") == null)
   }
 
+  test("empty-string subtitle leaves no dangling separator") {
+    val msg =
+      """{"DOI": "10.5555/x9", "title": ["Plain"], "subtitle": [""],
+        | "issued": {"date-parts": [[2001]]}}""".stripMargin
+        .replaceAll("\n", "")
+    assert(normalize(Seq(msg)).collect()(0).getAs[String]("title") == "Plain")
+  }
+
   test("single page value sets spage without epage") {
     val msg =
       """{"DOI": "10.5555/x2", "title": ["T"], "page": "42",

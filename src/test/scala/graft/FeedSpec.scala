@@ -86,6 +86,23 @@ class FeedSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq("ai-28-b"))
   }
 
+  test("DOAJ: dirty year strings survive (try_cast) and undated loses dedup") {
+    val mk = (id: String, yr: String, t: String) =>
+      s"""{"id": "$id", "bibjson": {"title": "$t", $yr
+         | "journal": {"issns": []}}}""".stripMargin.replaceAll("\n", "")
+    val is = doajIs(Seq(
+      mk("dirty", """"year": "2015?",""", "X"), // non-numeric year → null date
+      mk("dated", """"year": "2001",""", "X")))
+    // no crash under ANSI, and the dated record must WIN the dedup
+    // (a null date sorts last, never beats a real one)
+    val kept = Doaj.dedupByTitle(is)
+      .select("record_id").as[String].collect()
+    assert(kept.toSeq == Seq("ai-28-dated"))
+    val dirtyDate = is.filter(col("record_id") === "ai-28-dirty")
+      .select("date").collect()(0).getString(0)
+    assert(dirtyDate == null)
+  }
+
   test("DOAJ: title dedup keeps newest date, id-tiebroken") {
     val mk = (id: String, y: String, t: String) =>
       s"""{"id": "$id", "bibjson": {"title": "$t", "year": "$y",

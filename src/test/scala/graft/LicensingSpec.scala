@@ -230,6 +230,23 @@ class LicensingSpec extends AnyFunSuite {
       Some("R") -> Some(360)))
   }
 
+  test("KBART: unparseable embargo fails closed; oversized digits are unparseable") {
+    import spark.implicits._
+    // parse: >4-digit unit counts don't regex-match (ANSI overflow guard)
+    val parsed = Seq("R99999999999D", "R9999Y").toDF("e")
+      .select(Kbart.embargoDays(col("e")).as("d"))
+      .as[Option[Int]].collect().toSeq
+    assert(parsed == Seq(None, Some(9999 * 365)))
+    // wall: (method, days) both null — the unparseable signature —
+    // entitles NOTHING, instead of silently dropping the paywall
+    val ok = Seq(("1990-01-01")).toDF("rd")
+      .select(Kbart.clearsWall(col("rd").cast("date"),
+        lit("2000-01-01").cast("date"),
+        lit(null).cast("string"), lit(null).cast("int")).as("ok"))
+      .as[Boolean].collect()
+    assert(ok.toSeq == Seq(false))
+  }
+
   test("KBART wall: R excludes the newest window, P includes only it") {
     import spark.implicits._
     val asOf = lit("2000-01-01").cast("date")

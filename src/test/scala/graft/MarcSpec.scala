@@ -106,6 +106,23 @@ class MarcSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Marc.encodeIso2709(big))
   }
 
+  test("ISO 2709: bad subfield codes refuse to encode; dirty bytes decode with context") {
+    // empty / multibyte codes would silently shift value bytes on decode
+    for (code <- Seq("", "ab", "ü"))
+      assertThrows[IllegalArgumentException](Marc.encodeIso2709(
+        MarcRecord("", Nil,
+          Seq(MarcDatafield("245", " ", " ", Seq(MarcSubfield(code, "v")))))))
+    // adjacent subfield delimiters (dirty feed) → contextual error,
+    // not a raw StringIndexOutOfBoundsException
+    val good = Marc.encodeIso2709(MarcRecord("00000nam a2200000 c 4500", Nil,
+      Seq(MarcDatafield("245", " ", " ", Seq(MarcSubfield("a", "x"))))))
+    val base = new String(good.slice(12, 17), "UTF-8").trim.toInt
+    val dirty = good.clone()
+    dirty(base + 3) = 0x1f.toByte // overwrite code byte with a delimiter
+    val e = intercept[IllegalArgumentException](Marc.decodeIso2709(dirty))
+    assert(e.getMessage.contains("245"))
+  }
+
   test("P7 SSG filter keeps only 084.2=ssgn ∧ 084.a=9,2 ∧ 912.a=digit") {
     val xmls = Seq(
       rec("keep", "9,2", with912 = true),
