@@ -73,7 +73,47 @@ object ScaleCheck {
           // second-resolution ts in the high bits, event id below —
           // stays inside a signed long (µs × 2^23 would overflow).
           unix_timestamp(col("ts")) * (1L << 23) + col("event_id"))(
-          replicateEvents(ev0, n)).count()))
+          replicateEvents(ev0, n)).count()),
+      // Round-4 feed operators: the JSON parse+project chain, the
+      // explode→broadcast-dims→one-agg refinement, and the windowed
+      // title dedup (group size held constant as input scales).
+      Op("crossref_normalize", { n =>
+        val js = replicateDocs(docs0, n).select(to_json(struct(
+          concat(lit("10.1/x"), col("doc_id").cast("string")).as("DOI"),
+          array(substring(col("text"), 1, 60)).as("title"),
+          struct(array(array(lit(2000))).as("date-parts")).as("issued")))
+          .as("m"))
+        normalize.Crossref.toIntermediate(
+          normalize.Crossref.parse(js, "m")).count()
+      }),
+      Op("jstor_refine_collections", { n =>
+        val recs = replicateDocs(docs0, n).select(
+          col("doc_id").as("rid"),
+          array(concat(lit("IS-"), (col("doc_id") % 1000).cast("string")))
+            .as("issns"),
+          array(concat(lit("https://www.jstor.org/stable/"),
+            col("doc_id").cast("string"))).as("urls"),
+          array(lit("JSTOR")).as("collections"))
+        def dim(rows: Long, f: Long => (String, String),
+                c1: String, c2: String) = {
+          import spark.implicits._
+          (0L until rows).map(f).toDF(c1, c2)
+        }
+        normalize.Jstor.refineCollections(recs, "rid", "issns", "urls",
+          "collections",
+          dim(500, i => (s"IS-$i", s"Name${i % 50}"), "issn", "name"),
+          dim(50, i => (s"Name$i", s"tcid$i"), "name", "tcid"),
+          dim(40, i => (s"tcid$i", s"Mega $i"), "tcid", "mega")).count()
+      }),
+      Op("doaj_title_dedup", { n =>
+        val is = replicateDocs(docs0, n).select(
+          concat(lit("r"), col("doc_id").cast("string")).as("record_id"),
+          concat(lit("T"), (col("doc_id") % lit(150 * n)).cast("string"))
+            .as("title"),
+          date_format(date_add(lit("2000-01-01").cast("date"),
+            (col("doc_id") % 3650).cast("int")), "yyyy-MM-dd").as("date"))
+        normalize.Doaj.dedupByTitle(is).count()
+      }))
 
     println(f"${"operator"}%-28s ${"x"}%3s ${"rows_out"}%10s ${"sec"}%8s ${"sec/x1"}%7s")
     ops.foreach { op =>
