@@ -61,6 +61,8 @@ object Crossref {
       StructField("type", StringType))))),
     StructField("issued", StructType(Seq(
       StructField("date-parts", ArrayType(ArrayType(IntegerType)))))),
+    StructField("indexed", StructType(Seq(
+      StructField("date-time", StringType)))),
     StructField("author", ArrayType(StructType(Seq(
       StructField("given", StringType),
       StructField("family", StringType),
@@ -96,6 +98,17 @@ object Crossref {
   /** Parse a raw message-JSON string column into a typed `msg` struct. */
   def parse(raw: DataFrame, jsonCol: String): DataFrame =
     raw.withColumn("msg", from_json(col(jsonCol), MessageSchema))
+
+  /** CrossrefUniqItems/Snapshot (ref: sources/crossref.py:136-214):
+    * newest message per DOI by indexed timestamp — the step that turns
+    * an append-only harvest into the current-state feed. Hash shuffle
+    * on DOI + in-partition sort; never a global sort. Messages without
+    * a DOI collapse into one null-keyed group here and are dropped by
+    * [[toIntermediate]]'s validity filter anyway. */
+  def snapshotLatest(parsed: DataFrame): DataFrame =
+    graft.operators.Ops.latestPerKey(
+      Seq(col("msg")("DOI")),
+      Seq(col("msg")("indexed")("date-time")))(parsed)
 
   private def urlSafeBase64(c: Column): Column =
     translate(Scalars.base64Id(c), "+/", "-_")

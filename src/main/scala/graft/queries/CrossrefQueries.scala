@@ -51,8 +51,11 @@ object CrossrefQueries {
     CurrentCollections.toDF("prefix", "current_collection")
   }
 
-  /** One works-message JSON string per documents row. */
-  private def messageJson: Column = {
+  /** One works-message JSON string per documents row. `version` varies
+    * only the title (a " [v1]" suffix) and the indexed timestamp, so a
+    * snapshot that picks the newer version is detectable field-for-field
+    * while every other expectation stays shared with pipe4's oracle. */
+  private def messageJson(version: Column = lit(0)): Column = {
     val id = col("doc_id")
     def s(c: Column): Column = c.cast("string")
     val toks = Scalars.tokens(col("text"))
@@ -62,7 +65,8 @@ object CrossrefQueries {
     val doiStr = concat(prefix, lit("/graft."), s(id))
 
     val titleEntry = concat(lit("Study "), s(id), lit(" of "),
-      tok(1), lit(" "), tok(2))
+      tok(1), lit(" "), tok(2),
+      when(version === 1, lit(" [v1]")).otherwise(lit("")))
     val subEntry = concat(lit("a "), tok(3), lit(" perspective"))
 
     val year = when(id % 97 === 0, lit(1200))
@@ -125,6 +129,8 @@ object CrossrefQueries {
       page.as("page"),
       issnType.as("issn-type"),
       struct(dateParts.as("date-parts")).as("issued"),
+      struct(concat(lit("2024-01-0"), s(version + 1), lit("T00:00:00Z"))
+        .as("date-time")).as("indexed"),
       authors.as("author"),
       license.as("license"),
       array(concat(lit("Subj"), s(id % 7)),
@@ -150,7 +156,7 @@ object CrossrefQueries {
     Crossref.toIntermediate(Crossref.parse(
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(messageJson.as("msg_json")), "msg_json"))
+        .select(messageJson().as("msg_json")), "msg_json"))
 
   /** The shared arithmetic of the oracle side, as a DuckDB CTE. */
   private val OracleBase =
@@ -170,15 +176,10 @@ object CrossrefQueries {
       |    (id % 90 + 1) + (id % 30 + 1) AS ep
       |  FROM base)""".stripMargin
 
-  def all: Seq[Q] = Seq(
-
-    // The span-import analog end to end: synthesize message JSON,
-    // parse with the typed schema, reject invalid records, project the
-    // intermediate schema, attach mega_collection from the broadcast
-    // members dimension. 483 of 500 sf0.01 docs survive the three
-    // reject rules.
-    Q("pipe4_crossref",
-      OracleBase + """
+  /** The shared IS expectation list; `titleSuffix` is the only field
+    * the message version changes (pipe8's snapshot must pick v1). */
+  private def isSelectSql(titleSuffix: String): String =
+    s"""
         |SELECT
         |  'ai-49-' || translate(rtrim(to_base64(encode(doi)), '='), '+/', '-_')
         |    AS record_id,
@@ -191,7 +192,7 @@ object CrossrefQueries {
         |    WHEN 2 THEN 'proceedings-article' WHEN 3 THEN 'book'
         |    ELSE 'dataset' END AS doc_type,
         |  doi, prefix,
-        |  'Study ' || id || ' of ' || toks[1] || ' ' || toks[2] ||
+        |  'Study ' || id || ' of ' || toks[1] || ' ' || toks[2] || '$titleSuffix' ||
         |    CASE WHEN id % 3 = 0
         |      THEN ' : a ' || toks[3] || ' perspective' ELSE '' END AS title,
         |  'Journal of ' || source AS jtitle,
@@ -222,8 +223,33 @@ object CrossrefQueries {
         |    WHEN 2 THEN 'Gamma Publishing' WHEN 3 THEN 'Delta House'
         |    WHEN 4 THEN 'Epsilon Media' ELSE 'UNDEFINED' END ||
         |    ' (CrossRef)' AS mega_collection
-        |FROM v""".stripMargin) { (s, d) =>
+        |FROM v""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // The span-import analog end to end: synthesize message JSON,
+    // parse with the typed schema, reject invalid records, project the
+    // intermediate schema, attach mega_collection from the broadcast
+    // members dimension. 483 of 500 sf0.01 docs survive the three
+    // reject rules.
+    Q("pipe4_crossref", OracleBase + isSelectSql("")) { (s, d) =>
       Crossref.withCollections(intermediate(s, d), members(s))
+    },
+
+    // The §3.2 lifecycle end to end (CrossrefUniqItems ∘
+    // IntermediateSchema): every document arrives as TWO message
+    // versions (v1 indexed later, title tagged " [v1]"); the snapshot
+    // keeps the newest per DOI, then the same parse→normalize→collections
+    // chain runs. The oracle expects exactly the v1 fields — a snapshot
+    // picking the wrong version hash-fails.
+    Q("pipe8_crossref_snapshot", OracleBase + isSelectSql(" [v1]")) { (s, d) =>
+      val versioned = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(explode(array(lit(0), lit(1))).as("v"), col("doc_id"),
+          col("text"), col("lang"), col("source"))
+        .select(messageJson(col("v")).as("msg_json"))
+      val snap = Crossref.snapshotLatest(Crossref.parse(versioned, "msg_json"))
+      Crossref.withCollections(Crossref.toIntermediate(snap), members(s))
     },
 
     // CrossrefPrefixMapping ∘ Diff: distinct data prefixes × canonical

@@ -131,6 +131,23 @@ class CrossrefSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("10.1/ok"))
   }
 
+  test("snapshot keeps the newest message per DOI by indexed timestamp") {
+    import spark.implicits._
+    def msg(doi: String, title: String, indexed: String) =
+      s"""{"DOI": "$doi", "title": ["$title"],
+         | "indexed": {"date-time": "$indexed"},
+         | "issued": {"date-parts": [[2020]]}}""".stripMargin
+        .replaceAll("\n", "")
+    val snap = Crossref.snapshotLatest(Crossref.parse(Seq(
+      msg("10.1/a", "old", "2023-01-01T00:00:00Z"),
+      msg("10.1/a", "new", "2024-06-01T00:00:00Z"),
+      msg("10.1/b", "only", "2022-01-01T00:00:00Z"))
+      .toDF("msg_json"), "msg_json"))
+    val out = Crossref.toIntermediate(snap)
+      .select("doi", "title").as[(String, String)].collect().toMap
+    assert(out == Map("10.1/a" -> "new", "10.1/b" -> "only"))
+  }
+
   test("prefix mapping diff emits only drifted prefixes") {
     import spark.implicits._
     val is = normalize(Seq(fullMessage,
