@@ -64,6 +64,7 @@ object Bench {
       Tables.all(spark, sfDir).values.foreach(_.limit(1).collect())
       queries.SourceQueries.ensureFixtures(spark, sfDir)
       queries.PipelineQueries.ensureSnapshotFixture(spark, sfDir)
+      queries.CrossrefQueries.ensureMessageFixture(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }

@@ -142,21 +142,46 @@ object CrossrefQueries {
         lit("</jats:p>")).as("abstract")))
   }
 
-  /** The sf tables arrive as one parquet row-group → one input split,
-    * which would serialize the (deliberately heavy) to_json/from_json
-    * fixture chain onto a single core; a production crossref snapshot
-    * is thousands of splits, so there parallelism is free. One small
-    * round-robin repartition of the 5-column input BEFORE synthesis
-    * spreads both CodegenFallback JSON passes across cores. (No 24×
-    * re-parse risk from the many `msg` field references: Spark 4's
-    * CollapseProject refuses to inline non-cheap expressions that are
-    * referenced more than once.) The normalizer itself stays
-    * shuffle-free. */
+  /** Materialize the message fixtures once per SF dir (stamped like
+    * SourceQueries' archive fixtures): `single/` holds one v0 message
+    * per document, `versioned/` holds v0+v1 pairs for the snapshot
+    * query. The registered queries then READ the landed JSON-string
+    * parquet — scan → from_json → normalize, the exact production
+    * path — instead of re-synthesizing messages in-plan on every run
+    * (fixture prep, not engine work; the synthesis also serializes
+    * onto one core because an sf table is a single parquet split).
+    * Bench pre-builds this in warmup. Returns (singleDir, versionedDir). */
+  def ensureMessageFixture(s: SparkSession, d: String): (String, String) = {
+    import java.nio.file.{Files, Paths}
+    val src = new java.io.File(s"$d/documents.parquet")
+    val tag = d.replaceAll("[^a-zA-Z0-9.]", "_")
+    val base = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_xrmsg_${tag}_${src.length()}_${src.lastModified()}")
+    val single = base.resolve("single").toString
+    val versioned = base.resolve("versioned").toString
+    val done = base.resolve("_done")
+    if (!Files.exists(done)) {
+      val n = s.sparkContext.defaultParallelism
+      Tables.documents(s, d).repartition(n)
+        .select(messageJson().as("msg_json"))
+        .write.mode("overwrite").parquet(single)
+      Tables.documents(s, d).repartition(n)
+        .select(explode(array(lit(0), lit(1))).as("v"), col("doc_id"),
+          col("text"), col("lang"), col("source"))
+        .select(messageJson(col("v")).as("msg_json"))
+        .write.mode("overwrite").parquet(versioned)
+      Files.createFile(done)
+    }
+    (single, versioned)
+  }
+
+  /** scan → typed parse → validity filter → projection: the span-import
+    * path over landed messages. (No 24× re-parse risk from the many
+    * `msg` field references: Spark 4's CollapseProject refuses to
+    * inline non-cheap expressions referenced more than once.) */
   private def intermediate(s: SparkSession, d: String): DataFrame =
     Crossref.toIntermediate(Crossref.parse(
-      Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(messageJson().as("msg_json")), "msg_json"))
+      s.read.parquet(ensureMessageFixture(s, d)._1), "msg_json"))
 
   /** The shared arithmetic of the oracle side, as a DuckDB CTE. */
   private val OracleBase =
@@ -243,11 +268,7 @@ object CrossrefQueries {
     // chain runs. The oracle expects exactly the v1 fields — a snapshot
     // picking the wrong version hash-fails.
     Q("pipe8_crossref_snapshot", OracleBase + isSelectSql(" [v1]")) { (s, d) =>
-      val versioned = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(array(lit(0), lit(1))).as("v"), col("doc_id"),
-          col("text"), col("lang"), col("source"))
-        .select(messageJson(col("v")).as("msg_json"))
+      val versioned = s.read.parquet(ensureMessageFixture(s, d)._2)
       val snap = Crossref.snapshotLatest(Crossref.parse(versioned, "msg_json"))
       Crossref.withCollections(Crossref.toIntermediate(snap), members(s))
     },
