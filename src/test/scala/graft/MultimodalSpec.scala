@@ -57,4 +57,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!frames.columns.contains("content"))
     assert(frames.select("frame_id").distinct().count() == 3)
   }
+
+  test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
+    val plan = Multimodal.rebalanceBySize(media)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("RebalancePartitions") ||
+      plan.contains("rebalance"), plan)
+    // rows and payload untouched
+    assert(Multimodal.rebalanceBySize(media).count() == media.count())
+  }
 }
