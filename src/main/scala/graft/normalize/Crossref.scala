@@ -102,13 +102,26 @@ object Crossref {
   /** CrossrefUniqItems/Snapshot (ref: sources/crossref.py:136-214):
     * newest message per DOI by indexed timestamp — the step that turns
     * an append-only harvest into the current-state feed. Hash shuffle
-    * on DOI + in-partition sort; never a global sort. Messages without
-    * a DOI collapse into one null-keyed group here and are dropped by
-    * [[toIntermediate]]'s validity filter anyway. */
-  def snapshotLatest(parsed: DataFrame): DataFrame =
+    * on DOI + in-partition sort; never a global sort.
+    *
+    * Keying and ordering details that matter for a correct snapshot:
+    *  - the key is the NORMALIZED DOI ([[Scalars.normalizeDoi]]) — the
+    *    same form [[toIntermediate]] dedups on; raw-form keying would
+    *    let case/URL variants of one work both survive and emit two
+    *    rows with the same record_id, one stale;
+    *  - ordering parses the timestamp (try_to_timestamp — lexicographic
+    *    string order misranks mixed-precision ISO stamps), falls back
+    *    to the raw string, and ends with the whole message struct so
+    *    equal-timestamp re-deliveries resolve deterministically
+    *    (latestPerKey's documented unique-tiebreaker contract).
+    * Messages without a DOI collapse into one null-keyed group here and
+    * are dropped by [[toIntermediate]]'s validity filter anyway. */
+  def snapshotLatest(parsed: DataFrame): DataFrame = {
+    val dt = col("msg")("indexed")("date-time")
     graft.operators.Ops.latestPerKey(
-      Seq(col("msg")("DOI")),
-      Seq(col("msg")("indexed")("date-time")))(parsed)
+      Seq(Scalars.normalizeDoi(col("msg")("DOI"))),
+      Seq(try_to_timestamp(dt), dt, col("msg")))(parsed)
+  }
 
   private def urlSafeBase64(c: Column): Column =
     translate(Scalars.base64Id(c), "+/", "-_")

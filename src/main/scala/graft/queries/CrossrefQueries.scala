@@ -151,28 +151,35 @@ object CrossrefQueries {
     * (fixture prep, not engine work; the synthesis also serializes
     * onto one core because an sf table is a single parquet split).
     * Bench pre-builds this in warmup. Returns (singleDir, versionedDir). */
+  /** Bump when messageJson's synthesis logic changes — part of the
+    * cache stamp, so stale materializations can't shadow an edit. */
+  private val MessageFixtureVersion = 1
+
   def ensureMessageFixture(s: SparkSession, d: String): (String, String) = {
-    import java.nio.file.{Files, Paths}
-    val src = new java.io.File(s"$d/documents.parquet")
-    val tag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-    val base = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_xrmsg_${tag}_${src.length()}_${src.lastModified()}")
-    val single = base.resolve("single").toString
-    val versioned = base.resolve("versioned").toString
-    val done = base.resolve("_done")
-    if (!Files.exists(done)) {
-      val n = s.sparkContext.defaultParallelism
-      Tables.documents(s, d).repartition(n)
+    import java.nio.file.Files
+    val base = Fixtures.stampedDir(d, "documents", "xrmsg", MessageFixtureVersion)
+    val single = base.resolve("single")
+    val versioned = base.resolve("versioned")
+    val pid = ProcessHandle.current().pid()
+    if (!Files.exists(single)) {
+      val tmp = base.resolve(s"single_tmp_$pid")
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(messageJson().as("msg_json"))
-        .write.mode("overwrite").parquet(single)
-      Tables.documents(s, d).repartition(n)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Fixtures.publish(tmp, single)
+    }
+    if (!Files.exists(versioned)) {
+      val tmp = base.resolve(s"versioned_tmp_$pid")
+      Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(array(lit(0), lit(1))).as("v"), col("doc_id"),
           col("text"), col("lang"), col("source"))
         .select(messageJson(col("v")).as("msg_json"))
-        .write.mode("overwrite").parquet(versioned)
-      Files.createFile(done)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Fixtures.publish(tmp, versioned)
     }
-    (single, versioned)
+    (single.toString, versioned.toString)
   }
 
   /** scan → typed parse → validity filter → projection: the span-import

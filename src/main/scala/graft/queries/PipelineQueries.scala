@@ -112,27 +112,24 @@ object PipelineQueries {
     * the snapshot path. Bench pre-builds this in warmup so the timed
     * w5 measures the steady-state snapshot read, not fixture prep;
     * replays on an unchanged checkpoint are no-ops. */
+  private val SnapshotFixtureVersion = 1
   def ensureSnapshotFixture(s: org.apache.spark.sql.SparkSession,
                             d: String): String = {
-    import java.nio.file.{Files, Paths}
-    val src = new java.io.File(s"$d/orders.parquet")
-    val tag = d.replaceAll("[^a-zA-Z0-9.]", "_")
-    val base = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_snap_${tag}_${src.length()}_${src.lastModified()}")
+    import java.nio.file.Files
+    val base = Fixtures.stampedDir(d, "orders", "snap", SnapshotFixtureVersion)
     val landing = base.resolve("landing")
     val snapshot = base.resolve("snapshot").toString
     val done = base.resolve("_done")
     if (!Files.exists(done)) {
-      // No _done marker but the dir exists → a previous build died
+      // No _done marker but content exists → a previous build died
       // mid-way (slices partially landed, checkpoint half-written).
       // The stamp never changes for an unchanged SF dir, so a partial
       // state would otherwise wedge every future run (Files.move onto
       // an existing slice throws). Wipe and rebuild from scratch.
-      if (Files.exists(base)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-      }
+      // (The streaming checkpoint makes a marker necessary here — the
+      // atomic-move publication the other fixtures use can't cover a
+      // multi-dir build with external state.)
+      Fixtures.deleteRecursively(base)
       Files.createDirectories(landing)
       val orders = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
@@ -160,7 +157,8 @@ object PipelineQueries {
       runOnce()
       writeSlice("b", orders.filter(col("o_orderkey") % 3 === 2))
       runOnce()
-      Files.createFile(done)
+      try Files.createFile(done)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
     }
     snapshot
   }

@@ -32,16 +32,13 @@ object SourceQueries {
     xmlFixture(s, sfDir)
   }
 
-  /** Fixture cache key includes the source parquet's (size, mtime) so a
-    * regenerated testdata dir can never serve stale archives. */
-  private def fixtureDir(sfDir: String): java.nio.file.Path = {
-    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val src = new java.io.File(s"$sfDir/documents.parquet")
-    val stamp = s"${src.length()}_${src.lastModified()}"
-    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_fixtures_${tag}_$stamp")
-    Files.createDirectories(p)
-    p
-  }
+  /** Shared stamped cache dir (see [[Fixtures.stampedDir]]): source
+    * (size, mtime) + builder version key the cache, so neither a
+    * regenerated testdata dir nor an edited builder can serve stale
+    * archives. */
+  private val ArchiveFixtureVersion = 1
+  private def fixtureDir(sfDir: String): java.nio.file.Path =
+    Fixtures.stampedDir(sfDir, "documents", "fixtures", ArchiveFixtureVersion)
 
   /** One zip holding doc-<id>.txt per documents row with doc_id < 200. */
   private def zipFixture(s: SparkSession, d: String): String = {
