@@ -148,6 +148,23 @@ class CrossrefSpec extends AnyFunSuite {
     assert(out == Map("10.1/a" -> "new", "10.1/b" -> "only"))
   }
 
+  test("snapshot collapses DOI case/URL variants of the same work") {
+    import spark.implicits._
+    def msg(doi: String, title: String, indexed: String) =
+      s"""{"DOI": "$doi", "title": ["$title"],
+         | "indexed": {"date-time": "$indexed"},
+         | "issued": {"date-parts": [[2020]]}}""".stripMargin
+        .replaceAll("\n", "")
+    val snap = Crossref.snapshotLatest(Crossref.parse(Seq(
+      msg("10.1/ABC", "stale-upper", "2023-01-01T00:00:00Z"),
+      msg("https://doi.org/10.1/abc", "fresh-url-form", "2024-01-01T00:00:00Z"))
+      .toDF("msg_json"), "msg_json"))
+    val out = Crossref.toIntermediate(snap)
+      .select("doi", "title").as[(String, String)].collect()
+    // one row, the newer variant, under the normalized doi
+    assert(out.toSeq == Seq(("10.1/abc", "fresh-url-form")))
+  }
+
   test("prefix mapping diff emits only drifted prefixes") {
     import spark.implicits._
     val is = normalize(Seq(fullMessage,
