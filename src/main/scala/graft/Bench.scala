@@ -106,7 +106,7 @@ object Bench {
     val total = results.filter(_._3).map(_._2).sum
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfJson"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2","queries":$qs,"failed":$failed,"sf":"$sfJson"}""")
     spark.stop()
   }
 }

@@ -111,16 +111,22 @@ object Crossref {
     *    rows with the same record_id, one stale;
     *  - ordering parses the timestamp (try_to_timestamp — lexicographic
     *    string order misranks mixed-precision ISO stamps), falls back
-    *    to the raw string, and ends with the whole message struct so
+    *    to the raw string, and ends with the raw message column
+    *    (`rawCol`, the string the caller parsed from) so
     *    equal-timestamp re-deliveries resolve deterministically
-    *    (latestPerKey's documented unique-tiebreaker contract).
+    *    (latestPerKey's documented unique-tiebreaker contract). The raw
+    *    string fully determines the parsed struct and is an EXISTING
+    *    attribute — tie-breaking on `msg` itself would make the window
+    *    analyzer project a second materialized copy of the whole struct
+    *    as a sort key, ~doubling shuffle width on the 6 TB-shaped path.
     * Messages without a DOI collapse into one null-keyed group here and
     * are dropped by [[toIntermediate]]'s validity filter anyway. */
-  def snapshotLatest(parsed: DataFrame): DataFrame = {
+  def snapshotLatest(parsed: DataFrame,
+                     rawCol: String = "msg_json"): DataFrame = {
     val dt = col("msg")("indexed")("date-time")
     graft.operators.Ops.latestPerKey(
       Seq(Scalars.normalizeDoi(col("msg")("DOI"))),
-      Seq(try_to_timestamp(dt), dt, col("msg")))(parsed)
+      Seq(try_to_timestamp(dt), dt, col(rawCol)))(parsed)
   }
 
   private def urlSafeBase64(c: Column): Column =

@@ -31,12 +31,16 @@ object Fixtures {
   }
 
   /** Publish `tmp` as `target` atomically; on a lost race, keep the
-    * winner's copy (content is deterministic per stamp) and drop ours. */
+    * winner's copy (content is deterministic per stamp) and drop ours.
+    * A lost race can surface as more than FileAlreadyExistsException:
+    * rename(2) onto a directory that appeared between the JDK's
+    * pre-check and the syscall returns ENOTEMPTY (FileSystemException),
+    * so any IO failure with the target now present counts as losing. */
   def publish(tmp: Path, target: Path): Unit =
     try Files.move(tmp, target)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        deleteRecursively(tmp)
+      case e: java.io.IOException =>
+        if (Files.exists(target)) deleteRecursively(tmp) else throw e
     }
 
   def deleteRecursively(p: Path): Unit = if (Files.exists(p)) {
