@@ -61,6 +61,9 @@ object ScaleCheck {
       Op("minhash_lsh_pairs(cap=100)", n =>
         llm.Dedup.minhashLshPairs(replicateDocs(docs0, n), "doc_id", "text",
           threshold = 0.8, maxBucketSize = Some(100)).count()),
+      Op("minhash_oph_pairs(cap=100)", n =>
+        llm.Dedup.minhashLshPairsOph(replicateDocs(docs0, n), "doc_id", "text",
+          threshold = 0.8, maxBucketSize = Some(100)).count()),
       Op("simhash_block_neardup", n =>
         llm.Dedup.simhashNearDupPairs(replicateDocs(docs0, n), "doc_id", "text",
           bits = 32, blocks = 4, maxHamming = 2, portable = false,

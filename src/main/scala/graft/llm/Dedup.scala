@@ -154,7 +154,17 @@ object Dedup {
       .select(col(id).as("doc"), explode(shingles(col(text), shingleN)).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
     val sig = signatureAgg(exploded, numHashes)
+    lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
+      rowsPerBand, maxBucketSize)
+  }
 
+  /** Shared LSH back-half: band the (doc, sig) table, bucket-join for
+    * candidates, verify with exact Jaccard. Factored so every signature
+    * family (classic permutation, OPH) runs the identical scale path. */
+  private def lshVerifiedPairs(docs: DataFrame, id: String, text: String,
+                               sig: DataFrame, threshold: Double,
+                               shingleN: Int, bands: Int, rowsPerBand: Int,
+                               maxBucketSize: Option[Int]): DataFrame = {
     // Band table carries only (band, bucket, doc) — token arrays would
     // otherwise be replicated ×bands through the shuffle. Tokens rejoin
     // only for the (much smaller) deduped candidate set.
@@ -180,6 +190,55 @@ object Dedup {
       .withColumn("jaccard", jaccardDistinct(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** One-permutation MinHash signature (OPH): ONE hash per shingle,
+    * binned into `bins` ranges, per-bin min — one aggregate-buffer
+    * update per (doc, shingle) where the classic family above pays
+    * numHashes (128×), which is the difference that matters on a
+    * 100 TB signature pass. Empty bins densify by borrowing the next
+    * occupied bin's value (circular rotation). Shape: one (doc, bin)
+    * hash aggregation, then one per-doc aggregation of the
+    * (occupied-bin, min) pairs — both map-side combinable; the
+    * densification is a pure array expression over ≤bins entries.
+    *
+    * REGIME: OPH is for documents whose distinct-shingle count is well
+    * above `bins` (web pages, full texts — <1% empty bins). On short
+    * documents the occupancy pattern itself differs between near-dups,
+    * densified bins mismatch, and banded recall collapses: measured on
+    * the ~200-token synthetic corpus, the OPH pair count at threshold
+    * 0.8 is ~13% of the classic family's. Use [[minhashLshPairs]]
+    * below roughly 10× `bins` distinct tokens; switch to OPH for the
+    * long-document corpora where the signature pass dominates cost. */
+  def minhashOphSignature(docs: DataFrame, id: String, text: String,
+                          bins: Int = 128, shingleN: Int = 1): DataFrame = {
+    val exploded = docs
+      .select(col(id).as("doc"), explode(shingles(col(text), shingleN)).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    exploded
+      .groupBy(col("doc"), pmod(col("h"), lit(bins.toLong)).as("bin"))
+      .agg(min(col("h")).as("mh"))
+      .groupBy("doc")
+      .agg(sort_array(collect_list(struct(col("bin"), col("mh")))).as("occ"))
+      .select(col("doc"),
+        transform(sequence(lit(0L), lit(bins - 1L)), i =>
+          coalesce(
+            try_element_at(filter(col("occ"), o => o("bin") >= i), lit(1))("mh"),
+            element_at(col("occ"), 1)("mh"))).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup pairs over the OPH signature — identical
+    * banding/candidate/verification path as [[minhashLshPairs]], ~128×
+    * cheaper signature stage. Subject to [[minhashOphSignature]]'s
+    * long-document regime caveat; high-similarity recall is spec-gated,
+    * and emitted pairs are always exact-verified regardless. */
+  def minhashLshPairsOph(docs: DataFrame, id: String, text: String,
+                         threshold: Double = 0.8, shingleN: Int = 1,
+                         bands: Int = 16, rowsPerBand: Int = 8,
+                         maxBucketSize: Option[Int] = None): DataFrame = {
+    val sig = minhashOphSignature(docs, id, text, bands * rowsPerBand, shingleN)
+    lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
+      rowsPerBand, maxBucketSize)
   }
 
   /** Exact token-set Jaccard similarity of two token arrays. Left as the

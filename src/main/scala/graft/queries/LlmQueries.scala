@@ -57,6 +57,19 @@ object LlmQueries {
         threshold = 0.8, maxBucketSize = Some(100))
     },
 
+    // One-permutation MinHash variant of d3: one aggregate update per
+    // (doc, shingle) instead of 128, through the identical banding/
+    // candidate/exact-verification back-half — the signature pass for
+    // LONG-document corpora where that stage dominates. On THIS
+    // short-document corpus (~200 tokens vs 128 bins) OPH's banded
+    // recall is deliberately the documented weak regime (~13% of d3's
+    // pairs at 0.8) — registered to gate the plumbing, with d3 as the
+    // short-doc default; every emitted pair is still exact-verified.
+    Q.rowsOnly("d11_minhash_oph_pairs") { (s, d) =>
+      Dedup.minhashLshPairsOph(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, maxBucketSize = Some(100))
+    },
+
     // Portable MinHash signatures — the same (a·h+b) mod p permutation
     // family as d3 over an md5 token core, fully oracle-checked, so the
     // signature math itself has a green gate (d3's xxhash64 family is

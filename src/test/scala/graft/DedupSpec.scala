@@ -40,6 +40,54 @@ class DedupSpec extends AnyFunSuite {
     assert(groups.length == 121 && groups.forall(_._2 == 0L))
   }
 
+  test("OPH minhash LSH: never invents pairs, recall >= 0.9 vs exact") {
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val oph = Dedup.minhashLshPairsOph(docs, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(oph.subsetOf(exact)) // verification is exact
+    val recall = oph.size.toDouble / exact.size
+    assert(recall >= 0.9, s"OPH recall $recall (${oph.size}/${exact.size})")
+    // determinism: the densified signature has no runtime randomness
+    val again = Dedup.minhashLshPairsOph(docs, "doc_id", "text", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again == oph)
+  }
+
+  test("OPH in its regime: long docs (tokens >> bins) match exact recall") {
+    // 8 near-dup pairs of 2000-distinct-token docs (J ≈ 0.905) — the
+    // long-document regime the operator documents. Bins ≈ 128, so
+    // occupancy is ~15 tokens/bin and densification is negligible.
+    val rows = (0 until 8).flatMap { k =>
+      Seq(0, 1).map { off =>
+        ((k * 2 + off).toLong,
+          (k * 3000 + off * 100 until k * 3000 + off * 100 + 2000)
+            .map(i => s"w$i").mkString(" "))
+      }
+    }
+    val df = rows.toDF("doc_id", "text")
+    val exact = Dedup.jaccardPairsExact(df, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val oph = Dedup.minhashLshPairsOph(df, "doc_id", "text", 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 8)
+    assert(oph == exact, s"OPH found ${oph.size}/8 in its own regime")
+  }
+
+  test("OPH signature: full width, empty bins densified from neighbors") {
+    val sigs = Dedup.minhashOphSignature(
+      Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+        (3L, "totally different words here")).toDF("doc_id", "text"),
+      "doc_id", "text", bins = 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    // 3 tokens into 32 bins → ~29 empty bins, all densified (no nulls)
+    assert(sigs.values.forall(s => s.length == 32 && !s.contains(null)))
+    // identical docs → identical signatures; different docs differ
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
   test("minhash LSH pairs recall >= 0.9 vs exact pairs at high threshold") {
     val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -64,8 +64,8 @@ class PlanSpec extends AnyFunSuite {
     // exceptions.
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnly == Set("f13_provenance", "d3_minhash_lsh_pairs",
-      "d4_simhash", "e2_ann_lsh_topk", "e4_ann_ivf_topk",
-      "d7_embedding_neardup_lsh"))
+      "d11_minhash_oph_pairs", "d4_simhash", "e2_ann_lsh_topk",
+      "e4_ann_ivf_topk", "d7_embedding_neardup_lsh"))
   }
 
   test("no registered query plans a cartesian product, sort-merge join, or UDF") {
