@@ -150,13 +150,19 @@ object Dedup {
     // permutation: without it a·h+b is monotonic in h and every
     // "hash" would rank shingles identically (one-permutation
     // signatures in disguise).
-    val exploded = docs
-      .select(col(id).as("doc"), explode(shingles(col(text), shingleN)).as("sh"))
-      .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
-    val sig = signatureAgg(exploded, numHashes)
+    val sig = signatureAgg(hashedShingles(docs, id, text, shingleN), numHashes)
     lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
       rowsPerBand, maxBucketSize)
   }
+
+  /** Shared front-half of every MinHash family: (doc, 31-bit shingle
+    * hash core) — one string hash per shingle, masked so downstream
+    * permutation products stay inside a signed long under ANSI. */
+  private def hashedShingles(docs: DataFrame, id: String, text: String,
+                             shingleN: Int): DataFrame =
+    docs
+      .select(col(id).as("doc"), explode(shingles(col(text), shingleN)).as("sh"))
+      .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
 
   /** Shared LSH back-half: band the (doc, sig) table, bucket-join for
     * candidates, verify with exact Jaccard. Factored so every signature
@@ -212,19 +218,37 @@ object Dedup {
     * long-document corpora where the signature pass dominates cost. */
   def minhashOphSignature(docs: DataFrame, id: String, text: String,
                           bins: Int = 128, shingleN: Int = 1): DataFrame = {
-    val exploded = docs
-      .select(col(id).as("doc"), explode(shingles(col(text), shingleN)).as("sh"))
-      .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
-    exploded
+    hashedShingles(docs, id, text, shingleN)
       .groupBy(col("doc"), pmod(col("h"), lit(bins.toLong)).as("bin"))
       .agg(min(col("h")).as("mh"))
       .groupBy("doc")
       .agg(sort_array(collect_list(struct(col("bin"), col("mh")))).as("occ"))
-      .select(col("doc"),
-        transform(sequence(lit(0L), lit(bins - 1L)), i =>
-          coalesce(
-            try_element_at(filter(col("occ"), o => o("bin") >= i), lit(1))("mh"),
-            element_at(col("occ"), 1)("mh"))).as("sig"))
+      .select(col("doc"), {
+        // Linear densification: occ is sorted by (unique) bin, so each
+        // occupied entry k fills the positions (bin_{k-1}, bin_k] with
+        // its min, and the tail past the last occupied bin wraps to the
+        // first entry — one segment expansion totalling exactly `bins`
+        // values, instead of re-filtering occ per output position
+        // (which would be O(bins²) struct comparisons per doc on the
+        // stage OPH exists to make cheap).
+        val occ = col("occ")
+        val segs = concat(
+          transform(occ, (o, k) => struct(
+            when(k === 0, lit(0L))
+              // element_at is 1-based: index k = the previous entry
+              .otherwise(element_at(occ, k)("bin") + 1L).as("s"),
+            o("bin").as("e"),
+            o("mh").as("v"))),
+          array(struct(
+            (element_at(occ, size(occ))("bin") + 1L).as("s"),
+            lit(bins - 1L).as("e"),
+            element_at(occ, 1)("mh").as("v"))))
+        flatten(transform(
+          // the wrap segment is empty when the last bin IS bins-1 —
+          // and sequence() would run descending on s > e
+          filter(segs, s => s("s") <= s("e")),
+          s => transform(sequence(s("s"), s("e")), _ => s("v")))).as("sig")
+      })
   }
 
   /** MinHash-LSH near-dup pairs over the OPH signature — identical
