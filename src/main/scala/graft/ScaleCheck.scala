@@ -87,7 +87,8 @@ object ScaleCheck {
           struct(array(array(lit(2000))).as("date-parts")).as("issued")))
           .as("m"))
         normalize.Crossref.toIntermediate(
-          normalize.Crossref.parse(js, "m")).count()
+          normalize.Crossref.parse(js, "m"),
+          java.time.LocalDate.of(2026, 1, 1)).count()
       }),
       Op("jstor_refine_collections", { n =>
         val recs = replicateDocs(docs0, n).select(

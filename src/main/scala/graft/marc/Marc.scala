@@ -119,6 +119,12 @@ object Marc {
     val buf = new scala.collection.mutable.ArrayBuffer[Byte]()
     val entries = new StringBuilder
     def addField(tag: String, data: Array[Byte]): Unit = {
+      // A directory entry is exactly 12 bytes (3 tag + 4 len + 5 start);
+      // a 2- or 4-byte tag would silently shift every later entry and
+      // only surface as a confusing decode failure — refuse here,
+      // mirroring the one-byte subfield-code check below.
+      require(tag != null && bytesOf(tag).length == 3,
+        s"ISO 2709 tag must be exactly 3 bytes, got '$tag'")
       require(data.length <= 9999,
         s"ISO 2709 field $tag exceeds 9999 bytes (${data.length})")
       entries.append(tag)
@@ -203,15 +209,29 @@ object Marc {
 
   /** Split a concatenated ISO 2709 stream on the leader's own length
     * prefix (never by scanning for 0x1D, which may legally appear
-    * inside fixed-field data in dirty feeds). */
+    * inside fixed-field data in dirty feeds). Truncation is an error
+    * with stream context, not a silent drop: 1-4 trailing junk bytes
+    * and a record cut short by EOF both fail here rather than
+    * confusing decodeIso2709 later. */
   def splitIso2709(stream: Array[Byte]): Iterator[Array[Byte]] =
     new Iterator[Array[Byte]] {
       private var off = 0
-      def hasNext: Boolean = off + 5 <= stream.length
+      def hasNext: Boolean = {
+        require(off + 5 <= stream.length || off == stream.length,
+          s"ISO 2709 stream: ${stream.length - off} trailing bytes at " +
+            s"byte $off (not a length prefix)")
+        off < stream.length
+      }
       def next(): Array[Byte] = {
-        val len = new String(stream, off, 5, Utf8).trim.toInt
+        val prefix = new String(stream, off, 5, Utf8)
+        require(prefix.forall(_.isDigit),
+          s"ISO 2709 stream: non-numeric length prefix '$prefix' at byte $off")
+        val len = prefix.toInt
         require(len >= 24, s"ISO 2709 stream: bad record length $len at byte $off")
-        val rec = stream.slice(off, math.min(off + len, stream.length))
+        require(off + len <= stream.length,
+          s"ISO 2709 stream: record at byte $off declares $len bytes but " +
+            s"only ${stream.length - off} remain (truncated stream)")
+        val rec = stream.slice(off, off + len)
         off += len
         rec
       }

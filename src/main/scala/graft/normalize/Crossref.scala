@@ -32,15 +32,24 @@ import graft.functions.Scalars
   *  - genre       work `type` via [[GenreMap]], default "document"
   *  - abstract    JATS markup stripped
   *  - validity    records without a DOI, without a non-empty title, or
-  *                with an implausible year (outside [1500, 2028]) are
-  *                dropped — the converter-rejection analog
+  *                with an implausible year (outside
+  *                [1500, year(asOf)+2]) are dropped — the
+  *                converter-rejection analog. Publishers routinely
+  *                post-date next-year issues, hence the +2 headroom;
+  *                the bound is derived from a caller-supplied `asOf`
+  *                rather than a constant so the filter never silently
+  *                starts dropping legitimate records as wall-clock
+  *                time passes a hardcoded year.
   */
 object Crossref {
 
   val SourceId = "49"
   val Format = "ElectronicArticle"
   val MinYear = 1500
-  val MaxYear = 2028
+
+  /** Upper plausibility bound for the issued year, relative to the
+    * pipeline's reference date. */
+  def maxYear(asOf: java.time.LocalDate): Int = asOf.getYear + 2
 
   /** The message fields the mapping reads (a works-message subset).
     * Parsing with an explicit schema keeps the JSON scan pruned: Jackson
@@ -119,14 +128,18 @@ object Crossref {
     *    attribute — tie-breaking on `msg` itself would make the window
     *    analyzer project a second materialized copy of the whole struct
     *    as a sort key, ~doubling shuffle width on the 6 TB-shaped path.
-    * Messages without a DOI collapse into one null-keyed group here and
-    * are dropped by [[toIntermediate]]'s validity filter anyway. */
+    * Messages without a DOI are filtered BEFORE the window: they are
+    * dropped by [[toIntermediate]]'s validity filter regardless, and
+    * letting them through would collapse every null-DOI message into
+    * one null-keyed partition — at the 6 TB production shape that is a
+    * single straggler task ranking rows that get discarded anyway. */
   def snapshotLatest(parsed: DataFrame,
                      rawCol: String = "msg_json"): DataFrame = {
     val dt = col("msg")("indexed")("date-time")
     graft.operators.Ops.latestPerKey(
       Seq(Scalars.normalizeDoi(col("msg")("DOI"))),
-      Seq(try_to_timestamp(dt), dt, col(rawCol)))(parsed)
+      Seq(try_to_timestamp(dt), dt, col(rawCol)))(
+      parsed.filter(col("msg")("DOI").isNotNull))
   }
 
   private def urlSafeBase64(c: Column): Column =
@@ -134,8 +147,11 @@ object Crossref {
 
   /** The span-import analog: one validity filter + one projection.
     * Every output is a plain string/column (arrays joined) so the frame
-    * is sink- and oracle-friendly as-is. */
-  def toIntermediate(parsed: DataFrame): DataFrame = {
+    * is sink- and oracle-friendly as-is. `asOf` anchors the year
+    * plausibility bound (see [[maxYear]]); callers pass their pipeline
+    * reference date explicitly so reruns are reproducible. */
+  def toIntermediate(parsed: DataFrame,
+                     asOf: java.time.LocalDate): DataFrame = {
     val m = col("msg")
     val doi = Scalars.normalizeDoi(m("DOI"))
     val title0 = try_element_at(m("title"), lit(1))
@@ -159,7 +175,7 @@ object Crossref {
     parsed
       .filter(doi.isNotNull &&
         length(trim(coalesce(title0, lit("")))) > 0 &&
-        year.between(MinYear, MaxYear))
+        year.between(MinYear, maxYear(asOf)))
       .select(
         concat(lit(s"ai-$SourceId-"), urlSafeBase64(doi)).as("record_id"),
         lit(SourceId).as("source_id"),

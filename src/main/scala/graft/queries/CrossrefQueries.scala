@@ -182,13 +182,20 @@ object CrossrefQueries {
     (single.toString, versioned.toString)
   }
 
+  /** Pinned pipeline reference date: the oracle's fixture years are
+    * deterministic (1990-2024 valid, 1200 invalid), so the registered
+    * queries anchor Crossref's year-plausibility bound to a constant
+    * date instead of wall-clock — reruns of the same binary produce
+    * the same rows in any calendar year. */
+  private val AsOf = java.time.LocalDate.of(2026, 1, 1)
+
   /** scan → typed parse → validity filter → projection: the span-import
     * path over landed messages. (No 24× re-parse risk from the many
     * `msg` field references: Spark 4's CollapseProject refuses to
     * inline non-cheap expressions referenced more than once.) */
   private def intermediate(s: SparkSession, d: String): DataFrame =
     Crossref.toIntermediate(Crossref.parse(
-      s.read.parquet(ensureMessageFixture(s, d)._1), "msg_json"))
+      s.read.parquet(ensureMessageFixture(s, d)._1), "msg_json"), AsOf)
 
   /** The shared arithmetic of the oracle side, as a DuckDB CTE. */
   private val OracleBase =
@@ -277,7 +284,8 @@ object CrossrefQueries {
     Q("pipe8_crossref_snapshot", OracleBase + isSelectSql(" [v1]")) { (s, d) =>
       val versioned = s.read.parquet(ensureMessageFixture(s, d)._2)
       val snap = Crossref.snapshotLatest(Crossref.parse(versioned, "msg_json"))
-      Crossref.withCollections(Crossref.toIntermediate(snap), members(s))
+      Crossref.withCollections(Crossref.toIntermediate(snap, AsOf),
+        members(s))
     },
 
     // CrossrefPrefixMapping ∘ Diff: distinct data prefixes × canonical

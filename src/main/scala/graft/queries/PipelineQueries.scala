@@ -110,32 +110,33 @@ object PipelineQueries {
     * over them — the second round exercises the snapshot-exists path
     * (touched-bucket semi-join + dynamic partition overwrite). Returns
     * the snapshot path. Bench pre-builds this in warmup so the timed
-    * w5 measures the steady-state snapshot read, not fixture prep;
-    * replays on an unchanged checkpoint are no-ops. */
-  private val SnapshotFixtureVersion = 1
+    * w5 measures the steady-state snapshot read, not fixture prep.
+    *
+    * Race-hardened per the [[Fixtures.publish]] contract: the entire
+    * multi-dir build (landing slices, streaming checkpoint, snapshot)
+    * happens under a pid-suffixed temp sibling, and only a COMPLETE
+    * build is published with one atomic directory move. Two racing
+    * JVMs both build; exactly one wins; neither ever reads — or
+    * wipes — a half-written tree. (v1 built in place behind a _done
+    * marker and could wipe a concurrent builder; the version bump
+    * retires those dirs.) */
+  private val SnapshotFixtureVersion = 2
   def ensureSnapshotFixture(s: org.apache.spark.sql.SparkSession,
                             d: String): String = {
     import java.nio.file.Files
     val base = Fixtures.stampedDir(d, "orders", "snap", SnapshotFixtureVersion)
-    val landing = base.resolve("landing")
-    val snapshot = base.resolve("snapshot").toString
-    val done = base.resolve("_done")
-    if (!Files.exists(done)) {
-      // No _done marker but content exists → a previous build died
-      // mid-way (slices partially landed, checkpoint half-written).
-      // The stamp never changes for an unchanged SF dir, so a partial
-      // state would otherwise wedge every future run (Files.move onto
-      // an existing slice throws). Wipe and rebuild from scratch.
-      // (The streaming checkpoint makes a marker necessary here — the
-      // atomic-move publication the other fixtures use can't cover a
-      // multi-dir build with external state.)
-      Fixtures.deleteRecursively(base)
+    val pub = base.resolve("pub")
+    if (!Files.exists(pub)) {
+      val build = base.resolve(
+        s"build_${ProcessHandle.current().pid()}")
+      Fixtures.deleteRecursively(build) // stale same-pid leftover only
+      val landing = build.resolve("landing")
       Files.createDirectories(landing)
       val orders = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
       def writeSlice(name: String,
                      df: org.apache.spark.sql.DataFrame): Unit = {
-        val tmp = base.resolve(s"out_$name")
+        val tmp = build.resolve(s"out_$name")
         df.write.mode("overwrite").json(tmp.toString)
         new java.io.File(tmp.toString).listFiles()
           .filter(f => f.getName.startsWith("part-") &&
@@ -149,18 +150,17 @@ object PipelineQueries {
           "o_orderdate DATE")
       def runOnce(): Unit =
         graft.streaming.IncrementalSnapshot.startPartitioned(
-          s, schema, landing.toString, snapshot,
-          base.resolve("chk").toString,
+          s, schema, landing.toString, build.resolve("snapshot").toString,
+          build.resolve("chk").toString,
           "o_custkey", "o_orderdate", "o_orderkey")
           .awaitTermination()
       writeSlice("a", orders.filter(col("o_orderkey") % 3 < 2))
       runOnce()
       writeSlice("b", orders.filter(col("o_orderkey") % 3 === 2))
       runOnce()
-      try Files.createFile(done)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      Fixtures.publish(build, pub)
     }
-    snapshot
+    pub.resolve("snapshot").toString
   }
 
   private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)

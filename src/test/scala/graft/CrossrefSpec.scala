@@ -11,10 +11,12 @@ import graft.normalize.Crossref
 class CrossrefSpec extends AnyFunSuite {
   import TestSpark.spark
 
+  private val AsOf = java.time.LocalDate.of(2026, 1, 1)
+
   private def normalize(messages: Seq[String]): DataFrame = {
     import spark.implicits._
     Crossref.toIntermediate(Crossref.parse(
-      messages.toDF("msg_json"), "msg_json"))
+      messages.toDF("msg_json"), "msg_json"), AsOf)
   }
 
   private val fullMessage =
@@ -131,6 +133,23 @@ class CrossrefSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("10.1/ok"))
   }
 
+  test("year plausibility bound follows asOf, not wall-clock") {
+    import spark.implicits._
+    // Post-dated next-year issues are legitimate: asOf 2026 accepts
+    // 2028 (year+2) and rejects 2029; asOf 2027 accepts 2029.
+    def msg(doi: String, year: Int) =
+      s"""{"DOI": "$doi", "title": ["T"], "issued": {"date-parts": [[$year]]}}"""
+    val parsed = Crossref.parse(
+      Seq(msg("10.1/a", 2028), msg("10.1/b", 2029)).toDF("msg_json"),
+      "msg_json")
+    def dois(asOf: java.time.LocalDate): Seq[String] =
+      Crossref.toIntermediate(parsed, asOf)
+        .select("doi").collect().map(_.getString(0)).toSeq.sorted
+    assert(dois(java.time.LocalDate.of(2026, 6, 1)) == Seq("10.1/a"))
+    assert(dois(java.time.LocalDate.of(2027, 6, 1)) ==
+      Seq("10.1/a", "10.1/b"))
+  }
+
   test("snapshot keeps the newest message per DOI by indexed timestamp") {
     import spark.implicits._
     def msg(doi: String, title: String, indexed: String) =
@@ -143,7 +162,7 @@ class CrossrefSpec extends AnyFunSuite {
       msg("10.1/a", "new", "2024-06-01T00:00:00Z"),
       msg("10.1/b", "only", "2022-01-01T00:00:00Z"))
       .toDF("msg_json"), "msg_json"))
-    val out = Crossref.toIntermediate(snap)
+    val out = Crossref.toIntermediate(snap, AsOf)
       .select("doi", "title").as[(String, String)].collect().toMap
     assert(out == Map("10.1/a" -> "new", "10.1/b" -> "only"))
   }
@@ -159,7 +178,7 @@ class CrossrefSpec extends AnyFunSuite {
       msg("10.1/ABC", "stale-upper", "2023-01-01T00:00:00Z"),
       msg("https://doi.org/10.1/abc", "fresh-url-form", "2024-01-01T00:00:00Z"))
       .toDF("msg_json"), "msg_json"))
-    val out = Crossref.toIntermediate(snap)
+    val out = Crossref.toIntermediate(snap, AsOf)
       .select("doi", "title").as[(String, String)].collect()
     // one row, the newer variant, under the normalized doi
     assert(out.toSeq == Seq(("10.1/abc", "fresh-url-form")))

@@ -106,6 +106,36 @@ class MarcSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Marc.encodeIso2709(big))
   }
 
+  test("ISO 2709 encode rejects non-3-byte tags before corrupting the directory") {
+    // a 2- or 4-char tag would shift every later 12-byte entry
+    for (tag <- Seq("24", "2455", "", "24ü")) {
+      assertThrows[IllegalArgumentException](Marc.encodeIso2709(
+        MarcRecord("", Nil,
+          Seq(MarcDatafield(tag, " ", " ", Seq(MarcSubfield("a", "v")))))))
+      assertThrows[IllegalArgumentException](Marc.encodeIso2709(
+        MarcRecord("", Seq(MarcControlfield(tag, "v")), Nil)))
+    }
+  }
+
+  test("ISO 2709 stream split flags trailing junk, truncation, bad prefixes") {
+    val rec1 = Marc.encodeIso2709(MarcRecord("00000nam a2200000 c 4500",
+      Seq(MarcControlfield("001", "a")), Nil))
+    // 1-4 trailing bytes: not silently dropped
+    val junk = rec1 ++ "xy".getBytes("UTF-8")
+    val itJunk = Marc.splitIso2709(junk)
+    itJunk.next()
+    assert(intercept[IllegalArgumentException](itJunk.hasNext)
+      .getMessage.contains("trailing"))
+    // record declares more bytes than remain: truncation with context
+    val cut = rec1.dropRight(3)
+    assert(intercept[IllegalArgumentException](
+      Marc.splitIso2709(cut).next()).getMessage.contains("truncated"))
+    // non-digit length prefix: contextual error, not NumberFormatException
+    val bad = "ab123".getBytes("UTF-8") ++ rec1.drop(5)
+    assert(intercept[IllegalArgumentException](
+      Marc.splitIso2709(bad).next()).getMessage.contains("length prefix"))
+  }
+
   test("ISO 2709: bad subfield codes refuse to encode; dirty bytes decode with context") {
     // empty / multibyte codes would silently shift value bytes on decode
     for (code <- Seq("", "ab", "ü"))
