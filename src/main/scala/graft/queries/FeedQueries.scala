@@ -3,11 +3,12 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.normalize.{Doaj, Jstor}
+import graft.normalize.{Doaj, Jstor, Lissa}
 
 /** Registered queries for the DOAJ normalizer pipeline (parse →
-  * ISSN-exclusion → title-dedup, sources/doaj.py:80-218) and the JSTOR
-  * ISSN→collection refinement (sources/jstor.py:618-788). Fixtures are
+  * ISSN-exclusion → title-dedup, sources/doaj.py:80-218), the JSTOR
+  * ISSN→collection refinement (sources/jstor.py:618-788), and the
+  * LISSA ES-hits normalizer (sources/lissa.py:98-180). Fixtures are
   * synthesized in-plan from `documents` (the s9/pipe4 pattern); mapping
   * dimensions are literal VALUES on both engines. */
 object FeedQueries {
@@ -79,7 +80,117 @@ object FeedQueries {
       ).as("bibjson")))
   }
 
+  /** One LISSA `_source` JSON per documents row, covering every branch
+    * of the reference converter: ids ≡ 0 (mod 11) have no dx-DOI, ≡ 0
+    * (mod 13) carry a second (https, unstripped) DOI, ≡ 0 (mod 7) have
+    * a too-short abstract (no language detection), ≡ 0 (mod 5) fall
+    * back from date_published to date_created, ≡ 0 (mod 85) have no
+    * date at all (dropped), ≡ 0 (mod 6) have no publisher. Subjects,
+    * synonyms and tags overlap (incl. a `|`-packed entry) so the
+    * split-union-dedup has real work. */
+  private def lissaJson: Column = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val none = typedLit(Seq.empty[String])
+    val pageUrl = concat(lit("https://lissarchive.org/item/"), s(id))
+    val dxDoi = concat(lit("http://dx.doi.org/10.31235/lissa."), s(id))
+    val altDoi = concat(lit("https://doi.org/10.5555/alt."), s(id))
+    val identifiers = concat(
+      array(pageUrl),
+      when(id % 11 =!= 0, array(dxDoi)).otherwise(none),
+      when(id % 13 === 0, array(altDoi)).otherwise(none),
+      array(concat(lit("oai:lissa:"), s(id))))
+    val mm = lpad(s(id % 12 + 1), 2, "0")
+    val dd = lpad(s(id % 28 + 1), 2, "0")
+    to_json(struct(
+      concat(lit("lissa-"), s(id)).as("id"),
+      concat(lit("Preprint "), s(id)).as("title"),
+      when(id % 7 === 0, lit("tiny")).otherwise(col("text"))
+        .as("description"),
+      array(concat(lit("C-"), s(id % 50)), concat(lit("D-"), s(id % 7)))
+        .as("contributors"),
+      when(id % 6 === 0, none)
+        .otherwise(array(concat(lit("Pub"), s(id % 5)))).as("publishers"),
+      identifiers.as("identifiers"),
+      array(concat(lit("s"), s(id % 4), lit("|shared")),
+        concat(lit("t"), s(id % 3))).as("subjects"),
+      when(id % 2 === 0, array(concat(lit("s"), s(id % 4))))
+        .otherwise(none).as("subject_synonyms"),
+      array(lit("shared")).as("tags"),
+      when(id % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("2023-"), mm, lit("-"), dd,
+          lit("T10:11:12.345"))).as("date_published"),
+      when(id % 5 === 0 && id % 17 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("2022-"), mm, lit("-01T00:00:00")))
+        .as("date_created")))
+  }
+
   def all: Seq[Q] = Seq(
+
+    // LISSA: ES `_source` JSON → IS with DOI extraction,
+    // subject union/split/dedup, date fallback, and abstract language
+    // detection through the engine's stopword-profile expression —
+    // the profile lists render into the oracle from the same data.
+    Q("pipe9_lissa",
+      s"""WITH base AS (
+         |  SELECT doc_id AS id,
+         |    coalesce(CASE WHEN doc_id % 7 = 0 THEN 'tiny' ELSE text END,
+         |             '') AS abstr
+         |  FROM documents WHERE doc_id % 85 <> 0),
+         |scored AS (
+         |  SELECT *, greatest(h_en, h_de, h_fr, h_es) AS best FROM (
+         |    SELECT id, abstr, has_han,
+         |      ${LlmQueries.langHitsSql("en")} AS h_en,
+         |      ${LlmQueries.langHitsSql("de")} AS h_de,
+         |      ${LlmQueries.langHitsSql("fr")} AS h_fr,
+         |      ${LlmQueries.langHitsSql("es")} AS h_es
+         |    FROM (SELECT id, abstr,
+         |      coalesce(regexp_matches(abstr, '\\p{Han}'), false) AS has_han,
+         |      string_split(trim(abstr), ' ') AS toks FROM base))),
+         |dated AS (
+         |  SELECT *, CASE WHEN id % 5 = 0
+         |      THEN printf('2022-%02d-01T00:00:00', id % 12 + 1)
+         |      ELSE printf('2023-%02d-%02dT10:11:12.345',
+         |                  id % 12 + 1, id % 28 + 1) END AS picked
+         |  FROM scored)
+         |SELECT 'ai-179-lissa-' || id AS record_id,
+         |  '179' AS source_id,
+         |  'lissa-' || id AS local_id,
+         |  'Preprint' AS format,
+         |  'article' AS genre,
+         |  'EJOUR' AS ris_type,
+         |  'LISSA,sid-179-col-lissa' AS mega_collection,
+         |  'Preprint ' || id AS title,
+         |  CASE WHEN id % 11 <> 0 THEN '10.31235/lissa.' || id
+         |       WHEN id % 13 = 0 THEN 'https://doi.org/10.5555/alt.' || id
+         |       END AS doi,
+         |  'https://lissarchive.org/item/' || id
+         |    || CASE WHEN id % 11 <> 0
+         |            THEN ',http://dx.doi.org/10.31235/lissa.' || id
+         |            ELSE '' END
+         |    || CASE WHEN id % 13 = 0
+         |            THEN ',https://doi.org/10.5555/alt.' || id
+         |            ELSE '' END AS urls,
+         |  'C-' || (id % 50) || '; D-' || (id % 7) AS authors,
+         |  CASE WHEN id % 6 = 0 THEN '' ELSE 'Pub' || (id % 5) END
+         |    AS publishers,
+         |  abstr AS abstract,
+         |  CASE WHEN length(abstr) > ${Lissa.MinDetectLen} THEN
+         |    CASE WHEN has_han THEN 'chi'
+         |         WHEN best = 0 THEN 'und'
+         |         WHEN h_fr = best THEN 'fre' WHEN h_es = best THEN 'spa'
+         |         WHEN h_en = best THEN 'eng' ELSE 'ger' END
+         |    END AS lang,
+         |  array_to_string(list_sort(list_distinct(
+         |    ['s' || (id % 4), 'shared', 't' || (id % 3)])), ',') AS subjects,
+         |  substr(picked, 1, 19) || 'Z' AS x_date,
+         |  substr(picked, 1, 10) AS date
+         |FROM dated""".stripMargin) { (s, d) =>
+      Lissa.toIntermediate(Lissa.parse(
+        Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(lissaJson.as("src_json")), "src_json"))
+    },
 
     // DOAJ: parse → intermediate → ISSN exclusion (broadcast anti-join)
     // → newest-per-title dedup (window latest-per-key).

@@ -412,8 +412,11 @@ object LlmQueries {
   private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)
 
   /** Distinct-stopword hit count — list_intersect dedups in both
-    * engines (set semantics), mirroring Spark's array_intersect. */
-  private def langHitsSql(lang: String): String = {
+    * engines (set semantics), mirroring Spark's array_intersect.
+    * Shared with FeedQueries' pipe9 oracle (LISSA language detection
+    * runs the same profiles over the abstract). Expects a `toks`
+    * list column in scope. */
+  private[queries] def langHitsSql(lang: String): String = {
     val words = sqlList(TextAnalysis.LangProfiles(lang))
     s"len(list_intersect(toks, $words))"
   }
