@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.normalize.{Doaj, Jstor, Lissa}
+import graft.normalize.{Doaj, Jstor, Lissa, Perinorm}
 
 /** Registered queries for the DOAJ normalizer pipeline (parse →
   * ISSN-exclusion → title-dedup, sources/doaj.py:80-218), the JSTOR
@@ -126,6 +126,48 @@ object FeedQueries {
   }
 
   def all: Seq[Q] = Seq(
+
+    // Perinorm: NDJSON docs that are NOT intermediate schema get their
+    // ISILs attached by a literal-map lookup on the FIRST collection
+    // name — no join in the plan; the CASE on the oracle side renders
+    // from the same attachment data. ids ≡ 4 (mod 6) carry a matching
+    // name in position 2 (must NOT match); ≡ 5 have an empty
+    // collection array (null institution, no crash).
+    Q("pipe10_perinorm", {
+      val keys = Perinorm.DefaultAttachments.map(_._1)
+      val firstCase = keys.zipWithIndex
+        .map { case (k, i) => s"WHEN $i THEN '$k'" }.mkString(" ")
+      val instCase = Perinorm.DefaultAttachments.zipWithIndex
+        .map { case ((_, isils), i) =>
+          s"WHEN $i THEN '${isils.mkString(",")}'" }.mkString(" ")
+      s"""SELECT 'peri-' || doc_id AS record_id,
+         |  CASE doc_id % 6 $firstCase
+         |    WHEN 4 THEN 'Other Collection' END AS first_collection,
+         |  CASE doc_id % 6 $instCase END AS institution
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+      val id = col("doc_id")
+      def str(c: Column): Column = c.cast("string")
+      val keys = Perinorm.DefaultAttachments.map(_._1)
+      val firstKey = keys.zipWithIndex.foldLeft(lit(null).cast("string")) {
+        case (acc, (k, i)) => when(id % 6 === i, lit(k)).otherwise(acc)
+      }
+      val mega = when(id % 6 === 4,
+        array(lit("Other Collection"), lit(keys(2))))
+        .when(id % 6 === 5, typedLit(Seq.empty[String]))
+        .otherwise(array(firstKey))
+      val docJson = to_json(struct(
+        concat(lit("peri-"), str(id)).as("record_id"),
+        concat(lit("Norm "), str(id)).as("title"),
+        mega.as("mega_collection")))
+      val parsed = Perinorm.parse(
+        Tables.documents(s, d).select(docJson.as("line")), "line")
+      Perinorm.attachInstitutions(parsed).select(
+        col("doc")("record_id").as("record_id"),
+        try_element_at(col("doc")("mega_collection"), lit(1))
+          .as("first_collection"),
+        array_join(col("institution"), ",").as("institution"))
+    },
 
     // LISSA: ES `_source` JSON → IS with DOI extraction,
     // subject union/split/dedup, date fallback, and abstract language

@@ -114,4 +114,40 @@ class FeedSpec extends AnyFunSuite {
       .select("record_id").as[String].collect().sorted
     assert(kept.toSeq == Seq("ai-28-a2", "ai-28-b2"))
   }
+
+  private def periDocs(megas: Seq[Seq[String]]) = {
+    import graft.normalize.Perinorm
+    val rows = megas.zipWithIndex.map { case (m, i) =>
+      s"""{"record_id": "p$i", "title": "T",
+         | "mega_collection": [${m.map(x => s""""$x"""").mkString(",")}]}"""
+        .stripMargin.replaceAll("\n", "")
+    }
+    Perinorm.attachInstitutions(
+      Perinorm.parse(rows.toDF("line"), "line"))
+  }
+
+  test("Perinorm: institution attaches by FIRST collection name only") {
+    val out = periDocs(Seq(
+      Seq("Perinorm (DIN-Normen)"),
+      Seq("Other Collection", "Perinorm (ISO Standards)"), // [1] ignored
+      Seq("Perinorm (DWA-Regelwerk)", "Perinorm (DIN-Normen)"),
+      Seq.empty)) // reference would crash; we null out
+      .select(col("doc")("record_id"), col("institution"))
+      .as[(String, Option[Seq[String]])].collect().toMap
+    assert(out("p0").contains(Seq("DE-Gla1", "DE-Zi4")))
+    assert(out("p1").isEmpty)
+    assert(out("p2").contains(Seq("DE-Gla1")))
+    assert(out("p3").isEmpty)
+  }
+
+  test("Perinorm: NDJSON re-emission omits institution for unmatched docs") {
+    val json = periDocs(Seq(
+      Seq("Perinorm (ISO Standards)"), Seq("Other Collection")))
+      .select(to_json(struct(
+        col("doc")("record_id").as("record_id"),
+        col("institution"))).as("j"))
+      .as[String].collect()
+    assert(json(0).contains(""""institution":["DE-Gla1"]"""))
+    assert(!json(1).contains("institution")) // untouched, Python parity
+  }
 }
