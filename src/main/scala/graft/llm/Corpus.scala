@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines: deterministic
+  * sampling, shard assignment (the distributed analog of "shuffle the
+  * dataset"), and weighted source mixing.
+  *
+  * All three are built on one stable 40-bit key hash (md5-derived, the
+  * same construction [[TextAnalysis.rollingFingerprint]] uses), because
+  * at 100 TB the only sane sampling/shuffling primitive is a
+  * DETERMINISTIC function of the row key:
+  *  - no `rand()`: resampling a grown corpus keeps previously selected
+  *    rows selected (stable train/eval splits across harvest rounds);
+  *  - no global sort: a training-order "shuffle" becomes a shard id +
+  *    an in-shard hash order — hash-partition + in-partition sort,
+  *    embarrassingly parallel at any scale;
+  *  - every executor computes the same answer with zero coordination,
+  *    and the whole thing is a codegen'd filter/projection sitting on
+  *    the scan.
+  *
+  * The seed is part of the hashed text, so independent samples (e.g.
+  * train vs held-out) come from different seeds, and a row's fate in
+  * one sample says nothing about another.
+  */
+object Corpus {
+
+  /** Stable 40-bit hash of (key, seed) — portable: both Spark and
+    * DuckDB compute `int(hex_prefix_10(md5(key || ':' || seed)))`. */
+  def stableHash(key: Column, seed: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + seed))),
+      1, 10), 16, 10).cast("long")
+
+  /** Keep ~`pct`% of rows, deterministically by key. */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int,
+                 seed: String): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct out of range: $pct")
+    df.filter(stableHash(col(keyCol), seed) % 100 < pct)
+  }
+
+  /** Assign every row to one of `numShards` shards plus a
+    * deterministic in-shard position — together a reproducible global
+    * "shuffle" for training order without any global sort. Consumers
+    * `repartition($"shard").sortWithinPartitions($"pos")` to
+    * materialize epoch order; the window here shuffles once on the
+    * shard id and sorts within partitions only. */
+  def shardAssign(df: DataFrame, keyCol: String, numShards: Int,
+                  seed: String): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val h = stableHash(col(keyCol), seed)
+    val shard = (h % numShards).cast("int")
+    df.withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          // key breaks 40-bit hash ties so pos is total and stable
+          .orderBy(h, col(keyCol))))
+  }
+
+  /** Weighted mixture: per-source keep rates in percent (e.g. web 10%,
+    * reference 100%). Sources absent from `weights` are dropped —
+    * explicit inclusion, the convention mixture configs use. One
+    * codegen'd filter, no join, no union of N branches: at 100 TB a
+    * per-source-DataFrame union would re-scan the corpus once per
+    * source, this scans once total. */
+  def mixByWeights(df: DataFrame, keyCol: String, sourceCol: String,
+                   weights: Map[String, Int], seed: String): DataFrame = {
+    weights.values.foreach(p =>
+      require(p >= 0 && p <= 100, s"weight out of range: $p"))
+    val rate = graft.functions.Scalars.mapLookup(
+      col(sourceCol), weights.map { case (k, v) => k -> v.toString },
+      lit("-1")).cast("int")
+    df.filter(stableHash(col(keyCol), seed) % 100 < rate)
+  }
+}

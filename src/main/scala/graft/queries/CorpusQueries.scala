@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.llm.Corpus
+
+/** Registered queries for the corpus-assembly operators
+  * ([[graft.llm.Corpus]]): deterministic hash sampling, shard
+  * assignment (reproducible training-order "shuffle"), and weighted
+  * source mixing. All three are oracle-backed — the 40-bit md5 key
+  * hash is computed identically in DuckDB (`'0x' || substr(md5(..)`),
+  * so sampling decisions hash-match row for row. */
+object CorpusQueries {
+
+  /** Mixture config for c3 — sources absent from the map are dropped
+    * (explicit inclusion). */
+  val MixWeights: Map[String, Int] = Map(
+    "src0" -> 100, "src1" -> 60, "src2" -> 25, "src3" -> 10, "src4" -> 5)
+
+  private def hashSql(seed: String): String =
+    s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'), 1, 10)) AS BIGINT)"
+
+  def all: Seq[Q] = Seq(
+
+    // Deterministic ~10% sample: a codegen'd filter on the scan, no
+    // rand() (stable across reruns and corpus growth), no shuffle.
+    Q("c1_hash_sample",
+      s"""SELECT doc_id, source
+         |FROM (SELECT doc_id, source, ${hashSql("train")} AS hv
+         |      FROM documents)
+         |WHERE hv % 100 < 10""".stripMargin) { (s, d) =>
+      Corpus.hashSample(Tables.documents(s, d), "doc_id", 10, "train")
+        .select("doc_id", "source")
+    },
+
+    // Shard + in-shard position: the distributed "shuffle the
+    // dataset" — one hash shuffle on the shard id, in-partition sort
+    // only, never a global sort.
+    Q("c2_shard_assign",
+      s"""SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hv % 8
+         |       ORDER BY hv, doc_id) AS INT) AS pos
+         |FROM (SELECT doc_id, ${hashSql("epoch0")} AS hv FROM documents)"""
+        .stripMargin) { (s, d) =>
+      Corpus.shardAssign(Tables.documents(s, d), "doc_id", 8, "epoch0")
+        .select("doc_id", "shard", "pos")
+    },
+
+    // Weighted mixture in ONE scan: per-source keep-rate via a literal
+    // CASE, rather than per-source unions that would re-scan the
+    // corpus once per source.
+    Q("c3_weighted_mix", {
+      val rateCase = MixWeights.toSeq.sorted
+        .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+      s"""SELECT doc_id, source
+         |FROM (SELECT doc_id, source, ${hashSql("mix")} AS hv
+         |      FROM documents)
+         |WHERE hv % 100 < CASE source $rateCase ELSE -1 END""".stripMargin
+    }) { (s, d) =>
+      Corpus.mixByWeights(Tables.documents(s, d), "doc_id", "source",
+        MixWeights, "mix").select("doc_id", "source")
+    })
+}

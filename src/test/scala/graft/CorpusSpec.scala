@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.llm.Corpus
+
+/** Semantics of the corpus-assembly operators: determinism, seed
+  * independence, rate accuracy, shard totality. */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val docs = (0L until 2000L).map(i => (i, s"src${i % 4}"))
+    .toDF("doc_id", "source")
+
+  test("hash sample is deterministic and ~rate-accurate") {
+    val a = Corpus.hashSample(docs, "doc_id", 10, "s")
+      .select("doc_id").as[Long].collect().sorted
+    val b = Corpus.hashSample(docs, "doc_id", 10, "s")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq) // rerun-stable, no rand()
+    assert(a.length > 140 && a.length < 260) // ~200 ± sampling noise
+    // growing the corpus never evicts previously sampled keys
+    val grown = Corpus.hashSample(
+      (0L until 4000L).map(i => (i, "s")).toDF("doc_id", "source"),
+      "doc_id", 10, "s").select("doc_id").as[Long].collect()
+    assert(a.toSet.subsetOf(grown.toSet))
+  }
+
+  test("different seeds give independent samples") {
+    val a = Corpus.hashSample(docs, "doc_id", 50, "train")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Corpus.hashSample(docs, "doc_id", 50, "eval")
+      .select("doc_id").as[Long].collect().toSet
+    val overlap = (a & b).size.toDouble / 2000
+    // independent 50% samples overlap ~25% of the corpus
+    assert(overlap > 0.15 && overlap < 0.35,
+      s"suspicious overlap $overlap")
+  }
+
+  test("shard assignment is total, balanced, with contiguous positions") {
+    val out = Corpus.shardAssign(docs, "doc_id", 8, "e0")
+      .select("doc_id", "shard", "pos")
+      .as[(Long, Int, Int)].collect()
+    assert(out.length == 2000) // total: every row gets a shard
+    val byShard = out.groupBy(_._2)
+    assert(byShard.keySet == (0 until 8).toSet)
+    byShard.values.foreach { rows =>
+      assert(rows.length > 150 && rows.length < 350) // ~250 each
+      // positions are exactly 1..n within the shard
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // rerun gives the identical epoch order
+    val again = Corpus.shardAssign(docs, "doc_id", 8, "e0")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("weighted mix: rates per source, absent sources dropped") {
+    val out = Corpus.mixByWeights(docs, "doc_id", "source",
+      Map("src0" -> 100, "src1" -> 40, "src2" -> 0), "m")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(out("src0") == 500) // 100% keeps everything
+    assert(out("src1") > 140 && out("src1") < 260) // ~200
+    assert(!out.contains("src2")) // 0% rate
+    assert(!out.contains("src3")) // absent from config
+  }
+
+  test("sampling/mixing plans are pure scan filters (no shuffle)") {
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    assert(!plan(Corpus.hashSample(docs, "doc_id", 10, "s"))
+      .contains("Exchange"))
+    assert(!plan(Corpus.mixByWeights(docs, "doc_id", "source",
+      Map("src0" -> 50), "m")).contains("Exchange"))
+  }
+}
