@@ -117,7 +117,27 @@ object ScaleCheck {
           date_format(date_add(lit("2000-01-01").cast("date"),
             (col("doc_id") % 3650).cast("int")), "yyyy-MM-dd").as("date"))
         normalize.Doaj.dedupByTitle(is).count()
-      }))
+      }),
+      // Round-5 additions: the LISSA parse+lang-ID projection (pure
+      // map, should scale ~linearly) and the corpus shard assignment
+      // (one hash shuffle + in-partition sort — the window must not
+      // introduce a global sort as shards grow).
+      Op("lissa_normalize", { n =>
+        val js = replicateDocs(docs0, n).select(to_json(struct(
+          col("doc_id").cast("string").as("id"),
+          substring(col("text"), 1, 40).as("title"),
+          col("text").as("description"),
+          array(concat(lit("http://dx.doi.org/10.1/l"),
+            col("doc_id").cast("string"))).as("identifiers"),
+          array(lit("a|b"), lit("c")).as("subjects"),
+          lit("2023-01-02T03:04:05").as("date_published")))
+          .as("j"))
+        normalize.Lissa.toIntermediate(normalize.Lissa.parse(js, "j"))
+          .count()
+      }),
+      Op("corpus_shard_assign", n =>
+        llm.Corpus.shardAssign(replicateDocs(docs0, n), "doc_id",
+          64, "e0").count()))
 
     println(f"${"operator"}%-28s ${"x"}%3s ${"rows_out"}%10s ${"sec"}%8s ${"sec/x1"}%7s")
     ops.foreach { op =>
