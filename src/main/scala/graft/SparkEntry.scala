@@ -13,7 +13,7 @@ object SparkEntry {
     CoreQueries.all ++ JoinQueries.all ++ FilterQueries.all ++
       MiscQueries.all ++ LlmQueries.all ++ LicenseQueries.all ++
       PipelineQueries.all ++ SourceQueries.all ++ CrossrefQueries.all ++
-      FeedQueries.all ++ CorpusQueries.all
+      FeedQueries.all ++ CorpusQueries.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. A miniature AIUpdate spine (workflows/ai.py:116-342):

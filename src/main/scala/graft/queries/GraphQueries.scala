@@ -1,0 +1,135 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.Citations
+
+/** Registered queries for the citation edge-list family
+  * ([[graft.graph.Citations]], ref: sources/oci.py). The edge fixture
+  * renders from `lineitem`: each line cites (order → part), DOIs carry
+  * a 7-way registrant prefix so self-citation has real structure, and
+  * the Spark side goes through the raw CSV dump shape (header lines,
+  * blank lines, short rows) while the oracle builds the clean relation
+  * directly — the parse filter is exactly the part under test. */
+object GraphQueries {
+
+  /** SQL edge relation: citing DOI from the order, cited DOI from the
+    * part, prefixes `10.1000`–`10.1006`. Raw duplicates are kept, as in
+    * the reference dump. */
+  private val EdgeSql =
+    """edges AS (
+      |  SELECT '10.' || (l_orderkey % 7 + 1000) || '/O' || l_orderkey AS citing,
+      |         '10.' || (l_partkey % 7 + 1000) || '/P' || l_partkey AS cited
+      |  FROM lineitem)""".stripMargin
+
+  /** The same edges on the Spark side, but through the dump-file shape:
+    * one CSV line per lineitem row plus injected header/junk lines that
+    * [[Citations.fromCsvLines]] must drop. */
+  private def edgesFromDump(s: SparkSession, d: String): DataFrame = {
+    def doi(prefixOf: Column, tag: String, key: Column): Column =
+      concat(lit("10."), (prefixOf % 7 + 1000).cast("string"),
+        lit("/" + tag), key.cast("string"))
+    val line = concat(
+      lit("oci:"), col("l_orderkey").cast("string"),
+      lit("-"), col("l_partkey").cast("string"), lit(","),
+      doi(col("l_orderkey"), "O", col("l_orderkey")), lit(","),
+      doi(col("l_partkey"), "P", col("l_partkey")),
+      lit(",2023-01-01,P1Y"))
+    val junk = Seq(
+      "oci,citing,cited,creation,timespan", // header (grep -vF target)
+      "", // blank line
+      "oci:broken-row") // too few fields
+    import s.implicits._
+    val lines = Tables.lineitem(s, d).select(line.as("line"))
+      .unionAll(junk.toDF("line"))
+    Citations.fromCsvLines(lines, "line")
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Dump parse: header/junk filtering + field cut. Raw duplicate
+    // edges survive (dedup is downstream), so the oracle keeps them too.
+    Q("g1_citation_edges",
+      s"""WITH $EdgeSql
+         |SELECT citing, cited FROM edges""".stripMargin) { (s, d) =>
+      edgesFromDump(s, d)
+    },
+
+    // Unique citing list (ref: sources/oci.py:132-151) — projection +
+    // one hash-distinct, no global sort.
+    Q("g2_citing_unique",
+      s"""WITH $EdgeSql
+         |SELECT DISTINCT citing FROM edges""".stripMargin) { (s, d) =>
+      Citations.citingUnique(edgesFromDump(s, d))
+    },
+
+    // All DOIs either side (ref: sources/oci.py:176-196): union before
+    // the distinct — one shuffle, not three.
+    Q("g3_all_dois",
+      s"""WITH $EdgeSql
+         |SELECT DISTINCT doi FROM (
+         |  SELECT citing AS doi FROM edges
+         |  UNION ALL SELECT cited FROM edges)""".stripMargin) { (s, d) =>
+      Citations.allDoisUnique(edgesFromDump(s, d))
+    },
+
+    // In-degree top-100: map-side-combinable count + TakeOrdered (never
+    // a global sort), DOI tie-break for a deterministic cut.
+    Q("g4_most_cited",
+      s"""WITH $EdgeSql
+         |SELECT cited, count(*) AS n_citations FROM edges
+         |GROUP BY cited ORDER BY n_citations DESC, cited LIMIT 100"""
+        .stripMargin) { (s, d) =>
+      Citations.mostCited(edgesFromDump(s, d), 100)
+    },
+
+    // Co-citation pairs: cited works sharing a citing work, >= 2 shared
+    // citers. Pair generation is ONE aggregation per citing doc with a
+    // 64-reference hub cap — mirrored in the oracle's HAVING.
+    Q("g5_cocitation",
+      s"""WITH $EdgeSql,
+         |e AS (SELECT DISTINCT citing, cited FROM edges),
+         |ok AS (SELECT citing FROM e GROUP BY citing
+         |       HAVING count(*) BETWEEN 2 AND 64)
+         |SELECT x.cited AS a, y.cited AS b, count(*) AS n_shared
+         |FROM e x JOIN e y ON x.citing = y.citing AND x.cited < y.cited
+         |JOIN ok ON x.citing = ok.citing
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, d) =>
+      Citations.coCitedPairs(edgesFromDump(s, d), minShared = 2,
+        maxReferences = 64)
+    },
+
+    // Bibliographic coupling: citing works sharing >= 3 references —
+    // the transpose, with the heavily-cited-hub cap binding for real
+    // (parts are cited by ~30 orders at sf0.1).
+    Q("g6_coupling",
+      s"""WITH $EdgeSql,
+         |e AS (SELECT DISTINCT citing, cited FROM edges),
+         |ok AS (SELECT cited FROM e GROUP BY cited
+         |       HAVING count(*) BETWEEN 2 AND 64)
+         |SELECT x.citing AS a, y.citing AS b, count(*) AS n_shared
+         |FROM e x JOIN e y ON x.cited = y.cited AND x.citing < y.citing
+         |JOIN ok ON x.cited = ok.cited
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin) { (s, d) =>
+      Citations.couplingPairs(edgesFromDump(s, d), minShared = 3,
+        maxCiters = 64)
+    },
+
+    // Publisher-prefix self-citation share: one aggregation, two
+    // counters, exact double division on both engines.
+    Q("g7_self_citation",
+      s"""WITH $EdgeSql
+         |SELECT split_part(citing, '/', 1) AS prefix,
+         |  count(*) AS n_edges,
+         |  CAST(sum(CASE WHEN split_part(citing, '/', 1) =
+         |                     split_part(cited, '/', 1)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+         |  CAST(sum(CASE WHEN split_part(citing, '/', 1) =
+         |                     split_part(cited, '/', 1)
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS self_share
+         |FROM edges GROUP BY 1""".stripMargin) { (s, d) =>
+      Citations.selfCitationByPrefix(edgesFromDump(s, d))
+    })
+}
