@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.normalize.{Doaj, Jstor, Lissa, Perinorm}
+import graft.normalize.{Doaj, Jstor, Lissa, Oadoi, Perinorm}
 
 /** Registered queries for the DOAJ normalizer pipeline (parse →
   * ISSN-exclusion → title-dedup, sources/doaj.py:80-218), the JSTOR
@@ -125,7 +125,76 @@ object FeedQueries {
         .as("date_created")))
   }
 
+  /** One Unpaywall dump line per documents row. Branch coverage: ids ≡
+    * 0 (mod 23) are corrupt JSON (the 2018-07-05 dump really shipped
+    * one — parse must count, not crash), ≡ 0 (mod 19) lack a DOI, ≡ 0
+    * (mod 29) have a null is_oa, ≡ 0 (mod 5) carry an uppercase DOI
+    * (normalization under test); best_oa_location exists only on OA
+    * rows and its license is null for ids ≡ 2 (mod 4). */
+  private def oadoiJson: Column = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val isOa = id % 29 =!= 0 && id % 3 === 0
+    val tail = when(id % 5 === 0, concat(lit("/DOC."), s(id)))
+      .otherwise(concat(lit("/doc."), s(id)))
+    val doi = concat(lit("10."), s(id % 7 + 1000), tail)
+    val best = struct(
+      concat(lit("https://repo.example/"), s(id)).as("url"),
+      lit("repository").as("host_type"),
+      when(id % 4 === 0, "cc-by").when(id % 4 === 1, "cc-by-nc")
+        .when(id % 4 === 3, "cc0").as("license"),
+      when(id % 2 === 0, "publishedVersion").otherwise("submittedVersion")
+        .as("version"))
+    when(id % 23 === 0, lit("{corrupt-line")).otherwise(to_json(struct(
+      when(id % 19 =!= 0, doi).as("doi"),
+      (lit(2000) + id % 25).cast("int").as("year"),
+      lit("journal-article").as("genre"),
+      when(id % 29 =!= 0, id % 3 === 0).as("is_oa"),
+      concat(lit("Title "), s(id)).as("title"),
+      concat(lit("https://doi.org/"), doi).as("doi_url"),
+      concat(lit("Pub"), s(id % 5)).as("publisher"),
+      (id % 6 === 0).as("journal_is_in_doaj"),
+      array(struct(lit("A.").as("given"),
+        concat(lit("Fam"), s(id % 40)).as("family"))).as("z_authors"),
+      when(isOa, best).as("best_oa_location"),
+      // slice-to-zero keeps the element type for the closed-access
+      // rows' empty oa_locations (the dump ships `[]`, not null).
+      when(isOa, array(best)).otherwise(slice(array(best), 1, 0))
+        .as("oa_locations"))))
+  }
+
   def all: Seq[Q] = Seq(
+
+    // OADOI/Unpaywall: JSONL dump → (doi, OA evidence) → x_oa flag join
+    // onto a record stream by normalized DOI. Corrupt lines and DOI-less
+    // rows fall out of the evidence list; unmatched records default to
+    // x_oa = false; the evidence side broadcasts.
+    Q("pipe11_oadoi",
+      """SELECT 'rec-' || doc_id AS record_id,
+        |  '10.' || (doc_id % 7 + 1000) || '/doc.' || doc_id AS doi,
+        |  (doc_id % 23 <> 0 AND doc_id % 19 <> 0 AND doc_id % 29 <> 0
+        |   AND doc_id % 3 = 0) AS x_oa,
+        |  CASE WHEN doc_id % 23 <> 0 AND doc_id % 19 <> 0
+        |            AND doc_id % 29 <> 0 AND doc_id % 3 = 0
+        |       THEN 'https://repo.example/' || doc_id END AS oa_url,
+        |  CASE WHEN doc_id % 23 <> 0 AND doc_id % 19 <> 0
+        |            AND doc_id % 29 <> 0 AND doc_id % 3 = 0
+        |       THEN CASE WHEN doc_id % 4 = 0 THEN 'cc-by'
+        |                 WHEN doc_id % 4 = 1 THEN 'cc-by-nc'
+        |                 WHEN doc_id % 4 = 3 THEN 'cc0' END
+        |  END AS oa_license
+        |FROM documents""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      def str(c: Column): Column = c.cast("string")
+      val evidence = Oadoi.bestOa(Oadoi.parse(
+        Tables.documents(s, d).select(oadoiJson.as("line")), "line"))
+      val records = Tables.documents(s, d).select(
+        concat(lit("rec-"), str(id)).as("record_id"),
+        concat(lit("10."), str(id % 7 + 1000), lit("/doc."), str(id))
+          .as("doi"))
+      Oadoi.oaFlag(records, "doi", evidence)
+        .select("record_id", "doi", "x_oa", "oa_url", "oa_license")
+    },
 
     // Perinorm: NDJSON docs that are NOT intermediate schema get their
     // ISILs attached by a literal-map lookup on the FIRST collection

@@ -305,4 +305,35 @@ class NormalizeSpec extends AnyFunSuite {
     assert(out.length == 1) // id-less doc dropped
     assert(out(0).getAs[String]("finc.record_id") == "x1")
   }
+
+  test("oadoi: corrupt and DOI-less lines drop; flag join defaults false") {
+    import spark.implicits._
+    import graft.normalize.Oadoi
+    val lines = Seq(
+      """{"doi": "10.1/A", "is_oa": true,
+        | "best_oa_location": {"url": "u1", "license": "cc-by",
+        | "version": "publishedVersion", "host_type": "repository"}}""",
+      """{"doi": "10.1/b", "is_oa": false, "oa_locations": []}""",
+      """{"doi": null, "is_oa": true}""", // DOI-less: dropped from list
+      """{corrupt""", // the 2018-07-05 dump line: dropped, not thrown
+      """{"doi": "10.1/c"}""" // null is_oa -> false
+    ).map(_.stripMargin.replaceAll("\n", "")).toDF("line")
+    val parsed = Oadoi.parse(lines, "line")
+    assert(Oadoi.corruptLines(parsed).as[String].collect().toSeq ==
+      Seq("{corrupt"))
+    val list = Oadoi.doiOaList(parsed).as[(String, Boolean)].collect().toMap
+    assert(list == Map("10.1/a" -> true, "10.1/b" -> false,
+      "10.1/c" -> false)) // DOI normalized to lowercase
+    val ev = Oadoi.bestOa(parsed)
+    val records = Seq(("r1", "10.1/A"), ("r2", "10.1/b"), ("r3", "10.9/zz"),
+      ("r4", null)).toDF("record_id", "doi")
+    val flagged = Oadoi.oaFlag(records, "doi", ev)
+      .select("record_id", "x_oa", "oa_url")
+      .as[(String, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(flagged("r1") == ((true, Some("u1")))) // case-insensitive match
+    assert(flagged("r2") == ((false, None)))
+    assert(flagged("r3") == ((false, None))) // unmatched -> default
+    assert(flagged("r4") == ((false, None))) // null DOI survives the join
+  }
 }
