@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.normalize.{Doaj, Jstor, Lissa, Oadoi, Perinorm}
+import graft.normalize.{Dblp, Doaj, Jstor, Lissa, Oadoi, Perinorm, Zdb}
 
 /** Registered queries for the DOAJ normalizer pipeline (parse →
   * ISSN-exclusion → title-dedup, sources/doaj.py:80-218), the JSTOR
@@ -164,6 +164,69 @@ object FeedQueries {
   }
 
   def all: Seq[Q] = Seq(
+
+    // ZDB: RDF Description XML → (short title → title) map with
+    // lowercase twin keys and the Go tool's last-wins fold, expressed
+    // as a max_by aggregation on record position. Records ≡ 0 (mod 11)
+    // lack a shortTitle (skipped); ≡ 0 (mod 4) carry two titles (last
+    // wins); ≡ 0 (mod 3) carry a second, mixed-case short title.
+    Q("pipe12_zdb",
+      """WITH recs AS (
+        |  SELECT doc_id AS pos,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'T' || doc_id || 'b'
+        |         ELSE 'T' || doc_id END AS t
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |shorts AS (
+        |  SELECT pos, 'ZsT ' || (pos % 80) AS s, t FROM recs
+        |  UNION ALL
+        |  SELECT pos, 'Mix' || (pos % 40), t FROM recs WHERE pos % 3 = 0),
+        |keys AS (
+        |  SELECT pos, s AS k, t FROM shorts
+        |  UNION ALL SELECT pos, lower(s), t FROM shorts)
+        |SELECT k AS short, arg_max(t, pos) AS title
+        |FROM keys GROUP BY k""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      def str(c: Column): Column = c.cast("string")
+      val shortTags = concat(
+        when(id % 11 =!= 0,
+          concat(lit("<shortTitle>ZsT "), str(id % 80),
+            lit("</shortTitle>"))).otherwise(lit("")),
+        when(id % 11 =!= 0 && id % 3 === 0,
+          concat(lit("<shortTitle>Mix"), str(id % 40), lit("</shortTitle>")))
+          .otherwise(lit("")))
+      val titleTags = concat(
+        lit("<title>T"), str(id), lit("</title>"),
+        when(id % 4 === 0, concat(lit("<title>T"), str(id), lit("b</title>")))
+          .otherwise(lit("")))
+      val xml = concat(
+        lit("<Description><issn>1234-567"), str(id % 10), lit("</issn>"),
+        shortTags, titleTags, lit("</Description>"))
+      val parsed = Zdb.parseDescriptions(
+        Tables.documents(s, d).select(id.as("pos"), xml.as("xml")), "xml")
+      Zdb.shortTitleMap(parsed, "pos")
+    },
+
+    // DBLP: the reference's QnD DOI-list pipeline (grep doi.org → strip
+    // the https prefix/ee suffix → keep ^10), duplicates preserved.
+    // Lines ≡ 0 (mod 3) are <title> rows (no doi.org), ≡ 1 (mod 9) are
+    // dx.doi.org/http rows that survive the grep but fail ^10.
+    Q("pipe13_dblp",
+      """SELECT '10.1145/dblp.' || doc_id AS doi
+        |FROM documents
+        |WHERE doc_id % 3 <> 0 AND doc_id % 9 <> 1""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      def str(c: Column): Column = c.cast("string")
+      val line =
+        when(id % 3 === 0,
+          concat(lit("<title>Paper "), str(id), lit("</title>")))
+        .when(id % 9 === 1,
+          concat(lit("<ee>http://dx.doi.org/10.1145/dblp."), str(id),
+            lit("</ee>")))
+        .otherwise(
+          concat(lit("<ee>https://doi.org/10.1145/dblp."), str(id),
+            lit("</ee>")))
+      Dblp.doiList(Tables.documents(s, d).select(line.as("line")), "line")
+    },
 
     // OADOI/Unpaywall: JSONL dump → (doi, OA evidence) → x_oa flag join
     // onto a record stream by normalized DOI. Corrupt lines and DOI-less

@@ -150,4 +150,36 @@ class FeedSpec extends AnyFunSuite {
     assert(json(0).contains(""""institution":["DE-Gla1"]"""))
     assert(!json(1).contains("institution")) // untouched, Python parity
   }
+
+  test("zdb: last-wins fold with lowercase twin keys; titleless skipped") {
+    import graft.normalize.Zdb
+    val recs = Seq(
+      (1L, "<Description><shortTitle>Zs A</shortTitle>" +
+        "<title>Old</title><title>Mid</title></Description>"),
+      (2L, "<Description><shortTitle>Zs A</shortTitle>" +
+        "<shortTitle>Zs B</shortTitle><title>New</title></Description>"),
+      (3L, "<Description><issn>1-1</issn><title>NoShort</title></Description>"),
+      (4L, "<Description><shortTitle>zs a</shortTitle>" +
+        "<title>Lower</title></Description>")
+    ).toDF("pos", "xml")
+    val m = Zdb.shortTitleMap(Zdb.parseDescriptions(recs, "xml"), "pos")
+      .as[(String, String)].collect().toMap
+    // Record 2 overwrites record 1 for "Zs A"; record 4 overwrites the
+    // lowercase twin only; record 1's two titles fold to the last.
+    assert(m == Map(
+      "Zs A" -> "New", "zs a" -> "Lower", "Zs B" -> "New", "zs b" -> "New"))
+  }
+
+  test("dblp: doi pipeline strips https form only, keeps duplicates") {
+    import graft.normalize.Dblp
+    val lines = Seq(
+      "<ee>https://doi.org/10.1/x</ee>",
+      "<ee>https://doi.org/10.1/x</ee>", // duplicate kept
+      "<ee>http://dx.doi.org/10.1/y</ee>", // greps, fails ^10
+      "<title>doi.org in prose</title>", // greps, fails ^10
+      "<ee>https://example.com/z</ee>" // no doi.org
+    ).toDF("line")
+    val out = Dblp.doiList(lines, "line").as[String].collect().toSeq
+    assert(out == Seq("10.1/x", "10.1/x"))
+  }
 }
