@@ -39,6 +39,20 @@ object ScaleCheck {
         (col("event_id") * n + col("i")).as("event_id"),
         col("ts"))
 
+  /** Edges from lineitem: citing ids are fresh per replica, cited ids
+    * stay in the ORIGINAL part keyspace — replication makes hubs
+    * hotter, not just the table longer. */
+  private def replicateEdges(li: DataFrame, n: Int): DataFrame = {
+    val base =
+      if (n == 1) li.withColumn("i", lit(0))
+      else li.select(col("l_orderkey"), col("l_partkey"),
+        posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one")))
+    base.select(
+      concat(lit("O"), (col("l_orderkey") * n + col("i")).cast("string"))
+        .as("citing"),
+      concat(lit("P"), col("l_partkey").cast("string")).as("cited"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.localSession("scalecheck", 32)
@@ -53,7 +67,9 @@ object ScaleCheck {
     val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text").cache()
     val ev0 = Tables.events(spark, sfDir)
       .select("user_id", "event_id", "ts").cache()
-    docs0.count(); ev0.count()
+    val li0 = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").cache()
+    docs0.count(); ev0.count(); li0.count()
 
     val ops = Seq(
       Op("exact_dedup_groups", n =>
@@ -137,7 +153,19 @@ object ScaleCheck {
       }),
       Op("corpus_shard_assign", n =>
         llm.Corpus.shardAssign(replicateDocs(docs0, n), "doc_id",
-          64, "e0").count()))
+          64, "e0").count()),
+      // Citation pair generation under growth. Co-citation: fresh
+      // citing ids per replica (group count scales, size constant) —
+      // must stay ~linear. Coupling: the cited keyspace is held FIXED,
+      // so per-key fan-in grows ×n and the hub cap is what keeps the
+      // pair explosion bounded — time must stay ~linear in input even
+      // as uncapped pairs would grow ×n².
+      Op("cocitation_pairs(cap=64)", n =>
+        graph.Citations.coCitedPairs(replicateEdges(li0, n),
+          minShared = 2, maxReferences = 64).count()),
+      Op("coupling_pairs(cap=64)", n =>
+        graph.Citations.couplingPairs(replicateEdges(li0, n),
+          minShared = 2, maxCiters = 64).count()))
 
     println(f"${"operator"}%-28s ${"x"}%3s ${"rows_out"}%10s ${"sec"}%8s ${"sec/x1"}%7s")
     ops.foreach { op =>
