@@ -120,6 +120,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1L) == Seq("ISIL-A") && rows(2L).isEmpty)
   }
 
+  test("foreachBatch holdings tagging matches the batch operator exactly") {
+    import graft.license._
+    import graft.license.FilterExpr._
+    implicit val sc = spark.sqlContext
+    // (id, issn, date)
+    val input = MemoryStream[(Long, String, String)]
+    val recs = input.toDF().toDF("id", "issn", "rd")
+      .withColumn("sid", lit("49"))
+      .withColumn("colls", array().cast("array<string>"))
+      .withColumn("issns", array($"issn"))
+      .withColumn("subjects", array().cast("array<string>"))
+      .withColumn("rdate", $"rd".cast("date"))
+    val cols = RecordCols(id = col("id"), sourceId = col("sid"),
+      collections = col("colls"), issns = col("issns"),
+      subjects = col("subjects"), date = col("rdate"))
+    val holdings = Map("h1" -> Seq(
+      ("1111-1111", "2019-01-01", "2021-12-31", 0),
+      ("3333-3333", "2019-01-01", null.asInstanceOf[String], 365))
+      .toDF("issn", "date_first", "date_last", "embargo_days"))
+    val configs: Map[String, FilterExpr] =
+      Map("ISIL-H" -> Holdings(Seq("h1")))
+
+    val batchRows = Seq(
+      (1L, "1111-1111", "2020-06-01"), // in coverage -> labeled
+      (2L, "1111-1111", "2022-06-01"), // past date_last -> unlabeled
+      (3L, "3333-3333", "2020-06-01"), // open range, clears 365d wall
+      (4L, "3333-3333", "2024-09-01"), // inside embargo wall -> unlabeled
+      (5L, "9999-9999", "2020-06-01")) // unknown issn -> unlabeled
+    val asOf = "2025-01-01"
+
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-slt").toString
+    input.addData(batchRows: _*)
+    val q = graft.streaming.StreamingLicense.start(
+      recs, cols, configs, holdings, asOf, ckpt) { (tagged, _) =>
+      got.synchronized {
+        got ++= tagged.select($"id", $"x_labels")
+          .as[(Long, Seq[String])].collect()
+      }
+    }
+    q.awaitTermination()
+
+    val expected = Licensing.tag(
+      batchRows.toDF("id", "issn", "rd")
+        .withColumn("sid", lit("49"))
+        .withColumn("colls", array().cast("array<string>"))
+        .withColumn("issns", array($"issn"))
+        .withColumn("subjects", array().cast("array<string>"))
+        .withColumn("rdate", $"rd".cast("date")),
+      cols, configs, holdings, asOf)
+      .select($"id", $"x_labels").as[(Long, Seq[String])].collect()
+
+    assert(got.toMap == expected.toMap)
+    assert(got.toMap.view.filterKeys(Set(1L, 3L)).toMap ==
+      Map(1L -> Seq("ISIL-H"), 3L -> Seq("ISIL-H")))
+    val gotMap = got.toMap
+    assert(Set(2L, 4L, 5L).forall(id => gotMap(id).isEmpty))
+  }
+
   test("sessionization: late in-watermark event bridges two open sessions, emission waits for watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
