@@ -116,6 +116,48 @@ object GraphQueries {
         maxCiters = 64)
     },
 
+    // Fixed-iteration PageRank (2 rounds, d=0.85, dangling mass
+    // ignored on both sides), in exact integer mass units: float-sum
+    // ordering differs between engines and flips exact-tie exports
+    // (observed on 3/16743 rows at ppm precision), while integer
+    // div/sum is bit-exact everywhere. The vertex-keyed join/agg per
+    // iteration is the plan under test.
+    Q("g8_pagerank",
+      s"""WITH $EdgeSql,
+         |e AS (SELECT DISTINCT citing, cited FROM edges),
+         |v AS (SELECT DISTINCT doi FROM (
+         |  SELECT citing AS doi FROM e UNION ALL SELECT cited FROM e)),
+         |deg AS (SELECT citing, count(*) AS deg FROM e GROUP BY 1),
+         |r1 AS (
+         |  SELECT v.doi, 150000000 + (85 * coalesce(i.inflow, 0)) // 100
+         |    AS mass
+         |  FROM v LEFT JOIN (
+         |    SELECT cited AS doi, sum(1000000000 // deg) AS inflow
+         |    FROM e JOIN deg USING (citing) GROUP BY 1) i USING (doi)),
+         |r2 AS (
+         |  SELECT v.doi, 150000000 + (85 * coalesce(i.inflow, 0)) // 100
+         |    AS mass
+         |  FROM v LEFT JOIN (
+         |    SELECT e.cited AS doi, sum(r1.mass // deg.deg) AS inflow
+         |    FROM e JOIN deg USING (citing) JOIN r1 ON e.citing = r1.doi
+         |    GROUP BY 1) i USING (doi))
+         |SELECT doi, CAST(mass AS BIGINT) AS mass FROM r2""".stripMargin) {
+      (s, d) =>
+      Citations.pageRankExact(edgesFromDump(s, d), iterations = 2)
+    },
+
+    // HLL approximate distinct counts — the 930M-snapshot answer to
+    // "how many DOIs" without a full distinct shuffle. Sketch values
+    // are engine-specific (Spark HLL++ vs DuckDB), so rows-only here;
+    // GraphSpec bounds the relative error against the exact g2/g3
+    // twins at 5%.
+    Q.rowsOnly("g9_distinct_approx") { (s, d) =>
+      val e = edgesFromDump(s, d)
+      e.agg(
+        approx_count_distinct(col("citing"), 0.02).as("n_citing"),
+        approx_count_distinct(col("cited"), 0.02).as("n_cited"))
+    },
+
     // Publisher-prefix self-citation share: one aggregation, two
     // counters, exact double division on both engines.
     Q("g7_self_citation",

@@ -67,6 +67,52 @@ class GraphSpec extends AnyFunSuite {
     assert(pairs == Set(("a", "b", 2L)))
   }
 
+  test("pageRank matches hand-computed two-iteration values") {
+    // a -> b, a -> c, b -> c  (c dangles; its mass is ignored)
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
+    // Normalized (mean-1) ranks, d = 0.85:
+    //  r1: a = 0.15, b = 0.15 + 0.85*(1/2) = 0.575,
+    //      c = 0.15 + 0.85*(1/2 + 1/1) = 1.425
+    //  r2: a = 0.15, b = 0.15 + 0.85*(0.15/2) = 0.21375,
+    //      c = 0.15 + 0.85*(0.15/2 + 0.575/1) = 0.7025
+    val r = Citations.pageRank(e, iterations = 2)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("a") - 0.15) < 1e-12)
+    assert(math.abs(r("b") - 0.21375) < 1e-12)
+    assert(math.abs(r("c") - 0.7025) < 1e-12)
+  }
+
+  test("pageRankExact reproduces the float recurrence in integer mass units") {
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
+    val r = Citations.pageRankExact(e, iterations = 2)
+      .as[(String, Long)].collect().toMap
+    // Same hand-computation as the float test, ×1e9 (all divisions
+    // here are exact, so no truncation shows).
+    assert(r == Map("a" -> 150000000L, "b" -> 213750000L,
+      "c" -> 702500000L))
+  }
+
+  test("pageRank with zero iterations returns uniform normalized ranks") {
+    val e = edges("a" -> "b")
+    val r = Citations.pageRank(e, 0).as[(String, Double)].collect().toMap
+    assert(r == Map("a" -> 1.0, "b" -> 1.0))
+  }
+
+  test("approximate distinct counts stay within 5% of exact") {
+    val sfEdges = {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(spark, TestSpark.Sf).select(
+        concat(lit("O"), col("l_orderkey")).as("citing"),
+        concat(lit("P"), col("l_partkey")).as("cited"))
+    }
+    val exact = Citations.citingUnique(sfEdges).count().toDouble
+    val approx = sfEdges
+      .agg(approx_count_distinct(col("citing"), 0.02).as("n"))
+      .head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("selfCitationByPrefix computes per-prefix share") {
     val e = edges(
       "10.1/a" -> "10.1/b", "10.1/a" -> "10.2/c",

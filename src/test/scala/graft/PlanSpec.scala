@@ -65,7 +65,7 @@ class PlanSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnly == Set("f13_provenance", "d3_minhash_lsh_pairs",
       "d11_minhash_oph_pairs", "d4_simhash", "e2_ann_lsh_topk",
-      "e4_ann_ivf_topk", "d7_embedding_neardup_lsh"))
+      "e4_ann_ivf_topk", "d7_embedding_neardup_lsh", "g9_distinct_approx"))
   }
 
   test("no registered query plans a cartesian product, sort-merge join, or UDF") {
