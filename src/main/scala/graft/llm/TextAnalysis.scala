@@ -152,6 +152,49 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /** Non-distinct word n-grams, order kept (unlike [[graft.llm.Dedup]]'s
+    * `shingles`, which dedups for set-similarity) — repetition analysis
+    * needs the multiplicities. Texts shorter than n grams yield an
+    * empty array. */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, "ngram order must be >= 1")
+    val t = Scalars.tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
+  /** Fraction of n-grams that are repeats of an earlier one —
+    * the Gopher/MassiveText repetition signal (boilerplate, keyword
+    * stuffing, decode loops). 0.0 for texts with no n-grams. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val ng = ngrams(text, n)
+    when(size(ng) === 0, lit(0.0))
+      .otherwise((size(ng) - size(array_distinct(ng))) / size(ng))
+  }
+
+  /** Frequency share of the single most common token. Per-row HOF over
+    * the distinct tokens — quadratic in tokens-per-document, which for
+    * bounded-length documents is linear overall and keeps the whole
+    * filter inside the scan (zero shuffle); the explode→count→max form
+    * is the fallback for unbounded documents. */
+  def topTokenFrac(text: Column): Column = {
+    val t = Scalars.tokens(text)
+    array_max(transform(array_distinct(t),
+      d => size(filter(t, x => x === d)))) / size(t)
+  }
+
+  /** Gopher-inspired repetition gate (simplified thresholds): drop
+    * documents dominated by one token or by repeated 2/3-grams. */
+  def repetitionKeep(text: Column,
+                     maxTopTokenFrac: Double = 0.20,
+                     maxDup2Frac: Double = 0.20,
+                     maxDup3Frac: Double = 0.18): Column =
+    topTokenFrac(text) <= maxTopTokenFrac &&
+      dupNgramFrac(text, 2) <= maxDup2Frac &&
+      dupNgramFrac(text, 3) <= maxDup3Frac
+
   /** Order-SENSITIVE rolling-hash fingerprint (Rabin–Karp polynomial
     * over token hashes, mod 2^40 so the ANSI-mode multiply can't
     * overflow a long): distinguishes permuted texts that [[fingerprint]]

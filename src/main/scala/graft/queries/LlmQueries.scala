@@ -306,6 +306,51 @@ object LlmQueries {
         TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
     },
 
+    // Gopher-style repetition filters: top-token share + duplicate
+    // 2/3-gram fractions + the keep gate, all per-row expressions
+    // inside the scan (zero shuffle — documents are bounded-length, so
+    // the per-row quadratic is linear overall). Raw integer-ratio
+    // doubles, identical operation order on both engines, no round().
+    Q("t7_repetition",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)),
+        |                     i -> array_to_string(toks[i:i+1], ' '))
+        |      ELSE []::VARCHAR[] END AS g2,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(range(1, len(toks) - 1),
+        |                     i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE []::VARCHAR[] END AS g3
+        |  FROM base),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_aggregate(list_transform(list_distinct(toks),
+        |      d -> len(list_filter(toks, x -> x = d))), 'max')
+        |      / len(toks) AS top_token_frac,
+        |    CASE WHEN len(g2) = 0 THEN 0.0
+        |      ELSE (len(g2) - len(list_distinct(g2))) / len(g2)
+        |      END AS dup_2gram_frac,
+        |    CASE WHEN len(g3) = 0 THEN 0.0
+        |      ELSE (len(g3) - len(list_distinct(g3))) / len(g3)
+        |      END AS dup_3gram_frac
+        |  FROM ng)
+        |SELECT doc_id, top_token_frac, dup_2gram_frac, dup_3gram_frac,
+        |  (top_token_frac <= 0.20 AND dup_2gram_frac <= 0.20
+        |   AND dup_3gram_frac <= 0.18) AS keep
+        |FROM m""".stripMargin) { (s, d) =>
+      val t = col("text")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.topTokenFrac(t).as("top_token_frac"),
+        TextAnalysis.dupNgramFrac(t, 2).as("dup_2gram_frac"),
+        TextAnalysis.dupNgramFrac(t, 3).as("dup_3gram_frac"),
+        TextAnalysis.repetitionKeep(t).as("keep"))
+    },
+
     // Brute-force cosine top-k for a small query set (exact baseline).
     Q("e1_ann_brute_topk",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv

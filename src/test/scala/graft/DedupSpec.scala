@@ -331,4 +331,28 @@ class DedupSpec extends AnyFunSuite {
     val wrong = preds.filter { case (exp, got) => exp != got }
     assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
   }
+
+  test("repetition filters: clean text kept, stuffed/looped text dropped") {
+    import graft.llm.TextAnalysis
+    val rows = Seq(
+      // id, text
+      (1L, "the quick brown fox jumps over a lazy dog near the river"),
+      (2L, "buy now buy now buy now buy now buy now buy now"), // loop
+      (3L, "spam spam spam spam spam spam spam spam spam spam"), // one token
+      (4L, "ab"), // single token: top frac 1.0 -> dropped, no crash
+      (5L, "one two")) // 2 tokens, no 3-grams: dup3 = 0
+      .toDF("id", "text")
+    val out = rows.select(col("id"),
+        TextAnalysis.topTokenFrac(col("text")).as("tf"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("d2"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("d3"),
+        TextAnalysis.repetitionKeep(col("text")).as("keep"))
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._5) // clean -> kept
+    assert(!out(2L)._5 && out(2L)._2 > 0.4) // "buy"/"now" each ~0.5
+    assert(!out(3L)._5 && out(3L)._2 == 1.0 && out(3L)._3 == 1.0)
+    assert(!out(4L)._5 && out(4L)._3 == 0.0 && out(4L)._4 == 0.0)
+    assert(out(5L)._4 == 0.0) // no 3-grams -> 0, not NaN
+  }
 }
