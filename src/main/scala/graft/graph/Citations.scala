@@ -51,10 +51,12 @@ object Citations {
     edges.select("cited").distinct()
 
   /** All DOIs appearing on either side (ref: sources/oci.py:176-196).
-    * Union BEFORE the distinct: one shuffle instead of three. */
+    * One explode pass over the edge list (a two-branch union would
+    * scan — and at 100 TB, decompress — the edges twice), then one
+    * hash-distinct. */
   def allDoisUnique(edges: DataFrame): DataFrame =
-    edges.select(col("citing").as("doi"))
-      .unionAll(edges.select(col("cited").as("doi")))
+    edges
+      .select(explode(array(col("citing"), col("cited"))).as("doi"))
       .distinct()
 
   /** Most-cited ranking: in-degree per cited DOI, top k. Counting is a
@@ -122,7 +124,12 @@ object Citations {
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    // The deduped edge list is read 2 + 2·iterations times (vertices,
+    // degrees, per-iteration contributions); localCheckpoint
+    // materializes it once instead of re-running the upstream parse
+    // lineage on every use (the d8 connected-components pattern).
     val e = edges.select(col("citing"), col("cited")).distinct()
+      .localCheckpoint()
     val verts = allDoisUnique(e)
     val outdeg = e.groupBy("citing").agg(count(lit(1)).as("deg"))
     // Normalized start: every vertex at rank 1 (= N × 1/N).
@@ -165,7 +172,9 @@ object Citations {
   def pageRankExact(edges: DataFrame, iterations: Int,
                     massUnit: Long = 1000000000L): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
+    // Same lineage truncation as [[pageRank]].
     val e = edges.select(col("citing"), col("cited")).distinct()
+      .localCheckpoint()
     val verts = allDoisUnique(e)
     val outdeg = e.groupBy("citing").agg(count(lit(1)).as("deg"))
     var ranks = verts.withColumn("mass", lit(massUnit))

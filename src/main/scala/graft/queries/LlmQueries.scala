@@ -342,13 +342,9 @@ object LlmQueries {
         |  (top_token_frac <= 0.20 AND dup_2gram_frac <= 0.20
         |   AND dup_3gram_frac <= 0.18) AS keep
         |FROM m""".stripMargin) { (s, d) =>
-      val t = col("text")
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextAnalysis.topTokenFrac(t).as("top_token_frac"),
-        TextAnalysis.dupNgramFrac(t, 2).as("dup_2gram_frac"),
-        TextAnalysis.dupNgramFrac(t, 3).as("dup_3gram_frac"),
-        TextAnalysis.repetitionKeep(t).as("keep"))
+      TextAnalysis.repetitionStats(Tables.documents(s, d), "text")
+        .select("doc_id", "top_token_frac", "dup_2gram_frac",
+          "dup_3gram_frac", "keep")
     },
 
     // Brute-force cosine top-k for a small query set (exact baseline).

@@ -351,8 +351,17 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r._1 -> r).toMap
     assert(out(1L)._5) // clean -> kept
     assert(!out(2L)._5 && out(2L)._2 > 0.4) // "buy"/"now" each ~0.5
-    assert(!out(3L)._5 && out(3L)._2 == 1.0 && out(3L)._3 == 1.0)
+    // 10×"spam": top frac 1.0; 9 bigrams, 1 distinct -> dup 8/9.
+    assert(!out(3L)._5 && out(3L)._2 == 1.0 && out(3L)._3 == 8.0 / 9)
     assert(!out(4L)._5 && out(4L)._3 == 0.0 && out(4L)._4 == 0.0)
     assert(out(5L)._4 == 0.0) // no 3-grams -> 0, not NaN
+
+    // The hot-path dataframe form computes the identical stats.
+    val fast = TextAnalysis.repetitionStats(rows, "text")
+      .select(col("id"), col("top_token_frac"), col("dup_2gram_frac"),
+        col("dup_3gram_frac"), col("keep"))
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fast == out)
   }
 }
