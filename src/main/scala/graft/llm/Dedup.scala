@@ -33,15 +33,22 @@ object Dedup {
     * one-element slice plus a joined string per token, which at corpus
     * scale dominates the whole signature stage. */
   def shingles(text: Column, n: Int): Column =
-    if (n == 1) array_distinct(Scalars.tokens(text))
-    else {
-      val t = Scalars.tokens(text)
+    shinglesOfTokens(Scalars.tokens(text), n)
+
+  /** Same over an already-materialized token-array column. For n > 1
+    * the caller should bind `t` to an ATTRIBUTE (e.g. staged behind an
+    * `explode(array(tokens))` generator barrier): a non-attribute
+    * column referenced inside the transform lambda is re-evaluated per
+    * element — an O(tokens²) re-tokenize, measured 30× on the t7 path
+    * before the same fix. */
+  private[graft] def shinglesOfTokens(t: Column, n: Int): Column =
+    if (n == 1) array_distinct(t)
+    else
       when(size(t) >= n,
         array_distinct(
           transform(sequence(lit(0), size(t) - n),
             i => array_join(slice(t, i + 1, lit(n)), " "))))
         .otherwise(array(array_join(t, " ")))
-    }
 
   /** Candidate pairs from a (key..., doc) bucket assignment table: one
     * aggregation per bucket (map-side partial collect), pairs emitted by
@@ -161,7 +168,12 @@ object Dedup {
   private def hashedShingles(docs: DataFrame, id: String, text: String,
                              shingleN: Int): DataFrame =
     docs
-      .select(col(id).as("doc"), explode(shingles(col(text), shingleN)).as("sh"))
+      // Token array staged as an attribute so the n>1 shingle lambda
+      // doesn't re-tokenize per element (see shinglesOfTokens).
+      .select(col(id).as("doc"),
+        explode(array(Scalars.tokens(col(text)))).as("__t"))
+      .select(col("doc"),
+        explode(shinglesOfTokens(col("__t"), shingleN)).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
 
   /** Shared LSH back-half: band the (doc, sig) table, bucket-join for
@@ -187,8 +199,10 @@ object Dedup {
     val candidates = bucketPairs(banded, Seq("band", "bucket"), "doc",
       maxBucketSize)
 
-    val toks = docs.select(col(id).as("doc"),
-      shingles(col(text), shingleN).as("toks"))
+    val toks = docs
+      .select(col(id).as("doc"),
+        explode(array(Scalars.tokens(col(text)))).as("__t"))
+      .select(col("doc"), shinglesOfTokens(col("__t"), shingleN).as("toks"))
     candidates
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
