@@ -65,6 +65,7 @@ object Bench {
       queries.SourceQueries.ensureFixtures(spark, sfDir)
       queries.PipelineQueries.ensureSnapshotFixture(spark, sfDir)
       queries.CrossrefQueries.ensureMessageFixture(spark, sfDir)
+      queries.GraphQueries.ensureCitationFixture(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }

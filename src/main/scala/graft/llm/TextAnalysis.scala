@@ -167,7 +167,11 @@ object TextAnalysis {
 
   /** Fraction of n-grams that are repeats of an earlier one —
     * the Gopher/MassiveText repetition signal (boilerplate, keyword
-    * stuffing, decode loops). 0.0 for texts with no n-grams. */
+    * stuffing, decode loops). 0.0 for texts with no n-grams.
+    *
+    * Scalar/test form — on hot paths use [[repetitionStats]]: here the
+    * n-gram lambda re-tokenizes per element and each consuming column
+    * repeats the construction (measured 34× slower at corpus scale). */
   def dupNgramFrac(text: Column, n: Int): Column = {
     val ng = ngrams(text, n)
     when(size(ng) === 0, lit(0.0))

@@ -23,10 +23,9 @@ object GraphQueries {
       |         '10.' || (l_partkey % 7 + 1000) || '/P' || l_partkey AS cited
       |  FROM lineitem)""".stripMargin
 
-  /** The same edges on the Spark side, but through the dump-file shape:
-    * one CSV line per lineitem row plus injected header/junk lines that
-    * [[Citations.fromCsvLines]] must drop. */
-  private def edgesFromDump(s: SparkSession, d: String): DataFrame = {
+  /** The dump lines: one CSV row per lineitem edge plus injected
+    * header/junk lines that [[Citations.fromCsvLines]] must drop. */
+  private def dumpLines(s: SparkSession, d: String): DataFrame = {
     def doi(prefixOf: Column, tag: String, key: Column): Column =
       concat(lit("10."), (prefixOf % 7 + 1000).cast("string"),
         lit("/" + tag), key.cast("string"))
@@ -41,10 +40,37 @@ object GraphQueries {
       "", // blank line
       "oci:broken-row") // too few fields
     import s.implicits._
-    val lines = Tables.lineitem(s, d).select(line.as("line"))
+    Tables.lineitem(s, d).select(line.as("line"))
       .unionAll(junk.toDF("line"))
-    Citations.fromCsvLines(lines, "line")
   }
+
+  /** Materialize the dump as a text-file fixture once per (sf, builder
+    * version) — the reference's OCISingleFile IS a file of lines, so
+    * the g-queries then time the real dump-scan shape (read + parse)
+    * instead of re-synthesizing the CSV in-plan on every query. Built
+    * lazily by the queries and eagerly by Bench's (untimed) prep;
+    * concurrent builders race safely through [[Fixtures.publish]]
+    * (line ORDER may differ between builds, content as a set does
+    * not — every consumer is order-insensitive). */
+  private val CitationFixtureVersion = 1
+  def ensureCitationFixture(s: SparkSession, d: String): String = {
+    import java.nio.file.Files
+    val base = Fixtures.stampedDir(d, "lineitem", "oci_dump",
+      CitationFixtureVersion)
+    val target = base.resolve("dump")
+    if (!Files.exists(target)) {
+      val tmp = Files.createTempDirectory(base, "dump.part")
+      val built = tmp.resolve("txt")
+      dumpLines(s, d).coalesce(4).write.text(built.toString)
+      Fixtures.publish(built, target)
+      Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
+  private def edgesFromDump(s: SparkSession, d: String): DataFrame =
+    Citations.fromCsvLines(
+      s.read.text(ensureCitationFixture(s, d)), "value")
 
   def all: Seq[Q] = Seq(
 
