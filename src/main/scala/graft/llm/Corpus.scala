@@ -58,6 +58,41 @@ object Corpus {
           .orderBy(h, col(keyCol))))
   }
 
+  /** Sequence packing — the GPT-style concat-and-chunk: documents are
+    * laid out in the deterministic shard order (same hash order as
+    * [[shardAssign]]) and the token stream is cut into training
+    * sequences of `budgetTokens`. Each doc gets (shard, seq_idx,
+    * tok_offset): the sequence its FIRST token lands in and the offset
+    * within it — exactly the metadata a loader needs to assemble fixed-
+    * length batches without re-tokenizing.
+    *
+    * Scale shape: one hash shuffle on the shard id and a running-sum
+    * window WITHIN each shard (in-partition sort only, no global sort
+    * — shards bound the sort size by construction). All-integer
+    * arithmetic, so the assignment is bit-stable across engines,
+    * retries, and reruns. */
+  def packSequences(df: DataFrame, keyCol: String, tokenCountCol: Column,
+                    numShards: Int, budgetTokens: Int,
+                    seed: String): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val h = stableHash(col(keyCol), seed)
+    val shard = (h % numShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(h, col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__ntok", tokenCountCol.cast("long"))
+      .withColumn("shard", shard)
+      .withColumn("__cum", sum(col("__ntok")).over(w))
+      .withColumn("seq_idx",
+        expr(s"(__cum - __ntok) div ${budgetTokens.toLong}").cast("int"))
+      .withColumn("tok_offset",
+        ((col("__cum") - col("__ntok")) % budgetTokens).cast("int"))
+      .drop("__ntok", "__cum")
+  }
+
   /** Weighted mixture: per-source keep rates in percent (e.g. web 10%,
     * reference 100%). Sources absent from `weights` are dropped —
     * explicit inclusion, the convention mixture configs use. One

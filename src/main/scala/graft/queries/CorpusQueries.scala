@@ -46,6 +46,30 @@ object CorpusQueries {
         .select("doc_id", "shard", "pos")
     },
 
+    // Sequence packing: concat-and-chunk layout metadata (shard,
+    // seq_idx, tok_offset) from a per-shard running token sum — one
+    // hash shuffle, in-partition sort only, all-integer arithmetic.
+    Q("c4_sequence_pack",
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ntok,
+         |    ${hashSql("pack")} AS hv
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(hv % 8 AS INT) AS shard, ntok,
+         |    sum(ntok) OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard,
+         |  CAST((cum - ntok) // 2048 AS INT) AS seq_idx,
+         |  CAST((cum - ntok) % 2048 AS INT) AS tok_offset
+         |FROM c""".stripMargin) { (s, d) =>
+      Corpus.packSequences(Tables.documents(s, d), "doc_id",
+        size(graft.functions.Scalars.tokens(col("text"))),
+        numShards = 8, budgetTokens = 2048, seed = "pack")
+        .select("doc_id", "shard", "seq_idx", "tok_offset")
+    },
+
     // Weighted mixture in ONE scan: per-source keep-rate via a literal
     // CASE, rather than per-source unions that would re-scan the
     // corpus once per source.

@@ -66,6 +66,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out.contains("src3")) // absent from config
   }
 
+  test("sequence packing: contiguous fill, budget boundaries, stability") {
+    import org.apache.spark.sql.functions._
+    // Single shard so the layout is the full hash order; budget 10.
+    val df = Seq((1L, 4), (2L, 3), (3L, 6), (4L, 5), (5L, 2))
+      .toDF("id", "ntok")
+    val out = Corpus.packSequences(df, "id", col("ntok"),
+        numShards = 1, budgetTokens = 10, seed = "t")
+      .orderBy("seq_idx", "tok_offset")
+      .select("id", "seq_idx", "tok_offset")
+      .as[(Long, Int, Int)].collect().toSeq
+    // Offsets are the running sum of preceding docs (mod 10) in hash
+    // order; seq boundaries at every 10 tokens of the concat stream.
+    val totalToks = 4 + 3 + 6 + 5 + 2
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out.head._2 == 0 && out.head._3 == 0) // stream starts at 0,0
+    assert(out.last._2 <= totalToks / 10) // no doc starts past the stream end
+    // Deterministic: identical on rerun.
+    val again = Corpus.packSequences(df, "id", col("ntok"),
+        1, 10, "t").orderBy("seq_idx", "tok_offset")
+      .select("id", "seq_idx", "tok_offset")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(out == again)
+    // Cross-check the invariant directly: offset/seq of each doc equal
+    // the cumulative tokens before it in layout order.
+    val ntok = Map(1L -> 4, 2L -> 3, 3L -> 6, 4L -> 5, 5L -> 2)
+    var cum = 0
+    out.sortBy(r => (r._2.toLong * 10) + r._3).foreach { case (id, sq, off) =>
+      assert(sq == cum / 10 && off == cum % 10, s"doc $id")
+      cum += ntok(id)
+    }
+  }
+
   test("sampling/mixing plans are pure scan filters (no shuffle)") {
     def plan(df: org.apache.spark.sql.DataFrame): String =
       df.queryExecution.executedPlan.toString
