@@ -81,9 +81,7 @@ object Citations {
       .groupBy(key)
       .agg(sort_array(collect_set(col(member))).as("ms"))
       .filter(size(col("ms")).between(2, maxGroupSize))
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + 2, size(col("ms"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(graft.llm.Dedup.sortedMemberPairs(col("ms")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -121,33 +119,44 @@ object Citations {
     * count is a parameter, not a convergence loop — the caller bounds
     * work explicitly (the d8 connected-components operator shows the
     * convergence-loop variant with lineage truncation). */
-  def pageRank(edges: DataFrame, iterations: Int,
-               damping: Double = 0.85): DataFrame = {
+  /** Shared iteration skeleton for both PageRank variants. The value
+    * column is named `__v` inside the loop; `contribution` is an
+    * expression over (`__v`, `deg`), `update` over (`inflow`). The
+    * deduped edge list is read 2 + 2·iterations times (vertices,
+    * degrees, per-iteration contributions); localCheckpoint
+    * materializes it once instead of re-running the upstream parse
+    * lineage on every use (the d8 connected-components pattern). */
+  private def pageRankLoop(edges: DataFrame, iterations: Int,
+                           init: Column, contribution: Column,
+                           update: Column, valueName: String): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    // The deduped edge list is read 2 + 2·iterations times (vertices,
-    // degrees, per-iteration contributions); localCheckpoint
-    // materializes it once instead of re-running the upstream parse
-    // lineage on every use (the d8 connected-components pattern).
     val e = edges.select(col("citing"), col("cited")).distinct()
       .localCheckpoint()
     val verts = allDoisUnique(e)
     val outdeg = e.groupBy("citing").agg(count(lit(1)).as("deg"))
-    // Normalized start: every vertex at rank 1 (= N × 1/N).
-    var ranks = verts.withColumn("rank", lit(1.0))
+    var ranks = verts.withColumn("__v", init)
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("doi", "citing"), Seq("citing"))
         .join(outdeg, Seq("citing"))
-        .select(col("cited").as("doi"), (col("rank") / col("deg")).as("c"))
+        .select(col("cited").as("doi"), contribution.as("c"))
         .groupBy("doi").agg(sum(col("c")).as("inflow"))
       ranks = verts
         .join(contrib, Seq("doi"), "left")
-        .select(col("doi"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .select(col("doi"), update.as("__v"))
     }
-    ranks
+    ranks.withColumnRenamed("__v", valueName)
   }
+
+  def pageRank(edges: DataFrame, iterations: Int,
+               damping: Double = 0.85): DataFrame =
+    pageRankLoop(edges, iterations,
+      // Normalized start: every vertex at rank 1 (= N × 1/N).
+      init = lit(1.0),
+      contribution = col("__v") / col("deg"),
+      update = lit(1.0 - damping) +
+        lit(damping) * coalesce(col("inflow"), lit(0.0)),
+      valueName = "rank")
 
   /** Fixed-point (integer-mass) PageRank: identical recurrence to
     * [[pageRank]] but in exact integer arithmetic — every vertex
@@ -170,28 +179,13 @@ object Citations {
     * multiply peaks at 85·(worst single-vertex inflow) ≤ 85·N·massUnit
     * — at massUnit 1e9 that allows N up to ~10⁸ vertices. */
   def pageRankExact(edges: DataFrame, iterations: Int,
-                    massUnit: Long = 1000000000L): DataFrame = {
-    require(iterations >= 0, "iterations must be >= 0")
-    // Same lineage truncation as [[pageRank]].
-    val e = edges.select(col("citing"), col("cited")).distinct()
-      .localCheckpoint()
-    val verts = allDoisUnique(e)
-    val outdeg = e.groupBy("citing").agg(count(lit(1)).as("deg"))
-    var ranks = verts.withColumn("mass", lit(massUnit))
-    for (_ <- 1 to iterations) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("doi", "citing"), Seq("citing"))
-        .join(outdeg, Seq("citing"))
-        .select(col("cited").as("doi"), expr("mass div deg").as("c"))
-        .groupBy("doi").agg(sum(col("c")).as("inflow"))
-      ranks = verts
-        .join(contrib, Seq("doi"), "left")
-        .select(col("doi"),
-          (lit(15L * massUnit / 100) +
-            expr(s"(85 * coalesce(inflow, 0L)) div 100")).as("mass"))
-    }
-    ranks
-  }
+                    massUnit: Long = 1000000000L): DataFrame =
+    pageRankLoop(edges, iterations,
+      init = lit(massUnit),
+      contribution = expr("__v div deg"),
+      update = lit(15L * massUnit / 100) +
+        expr("(85 * coalesce(inflow, 0L)) div 100"),
+      valueName = "mass")
 
   /** Per citing-prefix self-citation share: of the edges a registrant
     * prefix emits, how many stay within the same prefix. One

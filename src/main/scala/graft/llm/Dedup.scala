@@ -50,6 +50,17 @@ object Dedup {
             i => array_join(slice(t, i + 1, lit(n)), " "))))
         .otherwise(array(array_join(t, " ")))
 
+  /** All ordered pairs (a, b) with a < b from a sorted member array,
+    * as one exploded struct column with fields `a`/`b` — the shared
+    * pair-emission core of every bucketed candidate generator (LSH
+    * buckets here, co-citation groups in [[graft.graph.Citations]]).
+    * The `i + 2` is 1-based `slice` arithmetic: element i (0-based)
+    * pairs with everything strictly after it. */
+  private[graft] def sortedMemberPairs(ms: Column): Column =
+    explode(flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + 2, size(ms)),
+        y => struct(x.as("a"), y.as("b"))))))
+
   /** Candidate pairs from a (key..., doc) bucket assignment table: one
     * aggregation per bucket (map-side partial collect), pairs emitted by
     * a lambda over the sorted member array — no per-bucket window, no
@@ -68,10 +79,8 @@ object Dedup {
       .map(cap => grouped.filter(size(col("ds")) <= cap))
       .getOrElse(grouped)
     capped
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + 2, size(col("ds"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(sortedMemberPairs(col("ds")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
   }
 

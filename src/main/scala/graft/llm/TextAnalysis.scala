@@ -156,9 +156,13 @@ object TextAnalysis {
     * `shingles`, which dedups for set-similarity) — repetition analysis
     * needs the multiplicities. Texts shorter than n grams yield an
     * empty array. */
-  def ngrams(text: Column, n: Int): Column = {
+  def ngrams(text: Column, n: Int): Column =
+    ngramsOfTokens(Scalars.tokens(text), n)
+
+  /** Same over an already-materialized token-array column — bind `t`
+    * to an attribute on hot paths (see [[repetitionStats]]). */
+  def ngramsOfTokens(t: Column, n: Int): Column = {
     require(n >= 1, "ngram order must be >= 1")
-    val t = Scalars.tokens(text)
     when(size(t) >= n,
       transform(sequence(lit(0), size(t) - n),
         i => array_join(slice(t, i + 1, lit(n)), " ")))
@@ -172,11 +176,13 @@ object TextAnalysis {
     * Scalar/test form — on hot paths use [[repetitionStats]]: here the
     * n-gram lambda re-tokenizes per element and each consuming column
     * repeats the construction (measured 34× slower at corpus scale). */
-  def dupNgramFrac(text: Column, n: Int): Column = {
-    val ng = ngrams(text, n)
+  def dupNgramFrac(text: Column, n: Int): Column =
+    dupFracOf(ngrams(text, n))
+
+  /** Repeat fraction of a pre-built n-gram array column. */
+  def dupFracOf(ng: Column): Column =
     when(size(ng) === 0, lit(0.0))
       .otherwise((size(ng) - size(array_distinct(ng))) / size(ng))
-  }
 
   /** Frequency share of the single most common token, still inside the
     * scan (zero shuffle): sort the tokens and fold for the longest run
@@ -184,10 +190,14 @@ object TextAnalysis {
     * distinct×filter HOF is quadratic per row and measured 33 s on the
     * sf0.1 corpus vs sub-second for this form; the explode→count→max
     * aggregation remains the fallback for unbounded documents.) */
-  def topTokenFrac(text: Column): Column = {
-    val t = Scalars.tokens(text)
+  def topTokenFrac(text: Column): Column =
+    longestRunFrac(array_sort(Scalars.tokens(text)))
+
+  /** Longest-equal-run share of a SORTED array column — the mode
+    * frequency without a quadratic distinct×filter scan. */
+  def longestRunFrac(sorted: Column): Column = {
     val folded = aggregate(
-      array_sort(t),
+      sorted,
       struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
         lit(0).as("best")),
       (acc, x) => {
@@ -196,7 +206,7 @@ object TextAnalysis {
         struct(x.as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
       })
-    folded.getField("best") / size(t)
+    folded.getField("best") / size(sorted)
   }
 
   /** Gopher-inspired repetition gate (simplified thresholds): drop
@@ -225,44 +235,21 @@ object TextAnalysis {
   def repetitionStats(df: DataFrame, text: String,
                       maxTopTokenFrac: Double = 0.20,
                       maxDup2Frac: Double = 0.20,
-                      maxDup3Frac: Double = 0.18): DataFrame = {
-    def ngramsOf(t: Column, n: Int): Column =
-      when(size(t) >= n,
-        transform(sequence(lit(0), size(t) - n),
-          i => array_join(slice(t, i + 1, lit(n)), " ")))
-        .otherwise(typedLit(Seq.empty[String]))
-    def dupFrac(ng: Column): Column =
-      when(size(ng) === 0, lit(0.0))
-        .otherwise((size(ng) - size(array_distinct(ng))) / size(ng))
-    val topFrac = {
-      val s = col("__rep.sorted")
-      val folded = aggregate(
-        s,
-        struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
-          lit(0).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"),
-            acc.getField("run") + 1).otherwise(lit(1))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        })
-      folded.getField("best") / size(s)
-    }
+                      maxDup3Frac: Double = 0.18): DataFrame =
     df
       .withColumn("__toks", explode(array(Scalars.tokens(col(text)))))
       .withColumn("__rep", explode(array(struct(
         array_sort(col("__toks")).as("sorted"),
-        ngramsOf(col("__toks"), 2).as("g2"),
-        ngramsOf(col("__toks"), 3).as("g3")))))
-      .withColumn("top_token_frac", topFrac)
-      .withColumn("dup_2gram_frac", dupFrac(col("__rep.g2")))
-      .withColumn("dup_3gram_frac", dupFrac(col("__rep.g3")))
+        ngramsOfTokens(col("__toks"), 2).as("g2"),
+        ngramsOfTokens(col("__toks"), 3).as("g3")))))
+      .withColumn("top_token_frac", longestRunFrac(col("__rep.sorted")))
+      .withColumn("dup_2gram_frac", dupFracOf(col("__rep.g2")))
+      .withColumn("dup_3gram_frac", dupFracOf(col("__rep.g3")))
       .withColumn("keep",
         col("top_token_frac") <= maxTopTokenFrac &&
           col("dup_2gram_frac") <= maxDup2Frac &&
           col("dup_3gram_frac") <= maxDup3Frac)
       .drop("__toks", "__rep")
-  }
 
   /** Order-SENSITIVE rolling-hash fingerprint (Rabin–Karp polynomial
     * over token hashes, mod 2^40 so the ANSI-mode multiply can't

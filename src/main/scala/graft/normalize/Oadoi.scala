@@ -99,14 +99,24 @@ object Oadoi {
         col("rec")("best_oa_location")("version").as("oa_version"))
 
   /** Attach `x_oa` (+ evidence columns when `evidence` holds them) to
-    * records by normalized DOI. Unmatched and DOI-less records get
-    * `x_oa = false`, mirroring the flag-join default (J4 family). */
+    * records by normalized DOI — both sides are normalized here, so
+    * evidence from any provenance (re-read CSVs with original-case
+    * DOIs included) matches. Unmatched and DOI-less records get
+    * `x_oa = false`, mirroring the flag-join default (J4 family).
+    *
+    * Contract: evidence DOIs should be unique after normalization — a
+    * duplicate (dump ∪ changefile unions are the usual cause) fans the
+    * matching record out into one row per duplicate, as any left join
+    * would; resolve with a latest-per-DOI compaction first. No
+    * broadcast hint: dimension-sized evidence broadcasts by size,
+    * a full ~100 M-row dump correctly falls back to a shuffled hash
+    * join on the pre-partitioned DOI key. */
   def oaFlag(records: DataFrame, recDoi: String,
              evidence: DataFrame): DataFrame = {
     val keyed = evidence.withColumnRenamed("doi", "__oadoi_doi")
     records
-      .join(broadcast(keyed),
-        normDoi(col(recDoi)) === col("__oadoi_doi"), "left")
+      .join(keyed, normDoi(col(recDoi)) === normDoi(col("__oadoi_doi")),
+        "left")
       .withColumn("x_oa", coalesce(col("is_oa"), lit(false)))
       .drop("__oadoi_doi", "is_oa")
   }

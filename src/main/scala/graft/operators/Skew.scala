@@ -47,7 +47,6 @@ object Skew {
     val saltedFact = fact.withColumn("__salt", saltOf(saltBy, factor))
     val saltedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
-      .withColumn("__salt", col("__salt").cast("int"))
     saltedFact
       .join(saltedDim, Seq(key, "__salt"), joinType)
       .drop("__salt")

@@ -26,17 +26,20 @@ object StreamingLicense {
 
   /** Tag each micro-batch with the full batch operator and hand the
     * result to `sink` (e.g. an idempotent partitioned write). Returns
-    * the started query. */
+    * the started query. The default trigger drains what's available
+    * and stops (the batch-parity / catch-up shape); pass e.g.
+    * `Trigger.ProcessingTime("1 minute")` for a continuous feed. */
   def start(records: DataFrame, r: RecordCols,
             configs: Map[String, FilterExpr],
             holdings: Map[String, DataFrame],
             asOf: String,
             checkpoint: String,
-            dropUnlabeled: Boolean = false)(
+            dropUnlabeled: Boolean = false,
+            trigger: Trigger = Trigger.AvailableNow())(
             sink: (DataFrame, Long) => Unit): StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink(Licensing.tag(batch, r, configs, holdings, asOf,
           dropUnlabeled = dropUnlabeled), batchId)

@@ -18,13 +18,7 @@ class BucketingSpec extends AnyFunSuite {
     val wh = new java.io.File(
       java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath,
       table)
-    if (wh.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(wh)
-    }
+    graft.queries.Fixtures.deleteRecursively(wh.toPath)
   }
 
   test("same-bucketed tables join with zero shuffle exchanges") {
