@@ -154,6 +154,10 @@ object ScaleCheck {
       Op("corpus_shard_assign", n =>
         llm.Corpus.shardAssign(replicateDocs(docs0, n), "doc_id",
           64, "e0").count()),
+      Op("corpus_pack_sequences", n =>
+        llm.Corpus.packSequences(replicateDocs(docs0, n), "doc_id",
+          size(split(trim(col("text")), "\\s+")), 64, 2048, "p")
+          .count()),
       // Citation pair generation under growth. Co-citation: fresh
       // citing ids per replica (group count scales, size constant) —
       // must stay ~linear. Coupling: the cited keyspace is held FIXED,
