@@ -66,6 +66,7 @@ object Bench {
       queries.PipelineQueries.ensureSnapshotFixture(spark, sfDir)
       queries.CrossrefQueries.ensureMessageFixture(spark, sfDir)
       queries.GraphQueries.ensureCitationFixture(spark, sfDir)
+      queries.FeedQueries.ensureUnpaywallFixture(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }

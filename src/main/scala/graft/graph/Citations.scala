@@ -28,12 +28,26 @@ import org.apache.spark.sql.functions._
   */
 object Citations {
 
+  /** Rounds between lineage truncations inside iterative loops — small
+    * enough that plan depth stays bounded, large enough that the
+    * materialization cost amortizes over several joins. */
+  private val LineageTruncateEvery = 5
+
   /** Parse raw OCI dump lines into (citing, cited) edges. Mirrors the
     * reference's stream filter: any line containing the header prefix
     * `oci,citing` is dropped wholesale (grep -vF semantics, ref:
-    * sources/oci.py:76), blank and short rows are dropped, and only the
-    * 2nd and 3rd comma fields survive (ref: sources/oci.py:98,120).
-    * Raw duplicates are kept — dedup is a downstream choice. */
+    * sources/oci.py:76) and only the 2nd and 3rd comma fields survive
+    * (ref: sources/oci.py:98,120). Raw duplicates are kept — dedup is a
+    * downstream choice.
+    *
+    * DELIBERATE DIVERGENCE from the reference on malformed rows: its
+    * `cut -d, -f2`/`-f3` passes a line WITHOUT any delimiter through
+    * unchanged (cut's no-delimiter rule) and emits an empty field for a
+    * short row, so a corrupt dump line becomes a garbage "DOI" in the
+    * reference's lists. Here blank and <3-field rows are dropped — an
+    * edge list with empty endpoints is never what a downstream graph
+    * op wants. Only strict parity on dirty dumps would warrant the cut
+    * behavior. */
   def fromCsvLines(lines: DataFrame, lineCol: String): DataFrame = {
     val f = split(col(lineCol), ",")
     lines
@@ -135,7 +149,7 @@ object Citations {
     val verts = allDoisUnique(e)
     val outdeg = e.groupBy("citing").agg(count(lit(1)).as("deg"))
     var ranks = verts.withColumn("__v", init)
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("doi", "citing"), Seq("citing"))
         .join(outdeg, Seq("citing"))
@@ -144,6 +158,16 @@ object Citations {
       ranks = verts
         .join(contrib, Seq("doi"), "left")
         .select(col("doi"), update.as("__v"))
+      // Truncate the rank table's lineage periodically: each iteration
+      // nests the previous one's joins into the plan, so past ~10
+      // rounds analysis/optimization time grows superlinearly even
+      // though execution per round is flat (same failure d8's
+      // duplicateGroups guards against). Materializing every few
+      // rounds bounds plan depth at O(k) while amortizing the
+      // checkpoint cost; a cluster deployment points this at a
+      // checkpoint dir.
+      if (i % LineageTruncateEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks.withColumnRenamed("__v", valueName)
   }

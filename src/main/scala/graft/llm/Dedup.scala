@@ -171,18 +171,32 @@ object Dedup {
       rowsPerBand, maxBucketSize)
   }
 
+  /** Shingle array per doc, staged appropriately for `shingleN`: at
+    * n == 1 `shinglesOfTokens` references the token array exactly once
+    * (a single `array_distinct`), so the expression inlines directly;
+    * at n > 1 the token array is staged as an attribute behind an
+    * `explode(array(tokens))` generator barrier so the shingle lambda
+    * doesn't re-tokenize per element (see shinglesOfTokens) — that
+    * barrier costs two extra generator stages, which is why the n=1
+    * path must not pay it. */
+  private def shingleArrays(docs: DataFrame, id: String, text: String,
+                            shingleN: Int): DataFrame =
+    if (shingleN == 1)
+      docs.select(col(id).as("doc"),
+        shinglesOfTokens(Scalars.tokens(col(text)), shingleN).as("toks"))
+    else
+      docs
+        .select(col(id).as("doc"),
+          explode(array(Scalars.tokens(col(text)))).as("__t"))
+        .select(col("doc"), shinglesOfTokens(col("__t"), shingleN).as("toks"))
+
   /** Shared front-half of every MinHash family: (doc, 31-bit shingle
     * hash core) — one string hash per shingle, masked so downstream
     * permutation products stay inside a signed long under ANSI. */
   private def hashedShingles(docs: DataFrame, id: String, text: String,
                              shingleN: Int): DataFrame =
-    docs
-      // Token array staged as an attribute so the n>1 shingle lambda
-      // doesn't re-tokenize per element (see shinglesOfTokens).
-      .select(col(id).as("doc"),
-        explode(array(Scalars.tokens(col(text)))).as("__t"))
-      .select(col("doc"),
-        explode(shinglesOfTokens(col("__t"), shingleN)).as("sh"))
+    shingleArrays(docs, id, text, shingleN)
+      .select(col("doc"), explode(col("toks")).as("sh"))
       .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
 
   /** Shared LSH back-half: band the (doc, sig) table, bucket-join for
@@ -208,10 +222,7 @@ object Dedup {
     val candidates = bucketPairs(banded, Seq("band", "bucket"), "doc",
       maxBucketSize)
 
-    val toks = docs
-      .select(col(id).as("doc"),
-        explode(array(Scalars.tokens(col(text)))).as("__t"))
-      .select(col("doc"), shinglesOfTokens(col("__t"), shingleN).as("toks"))
+    val toks = shingleArrays(docs, id, text, shingleN)
     candidates
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))

@@ -113,11 +113,28 @@ object Oadoi {
     * join on the pre-partitioned DOI key. */
   def oaFlag(records: DataFrame, recDoi: String,
              evidence: DataFrame): DataFrame = {
-    val keyed = evidence.withColumnRenamed("doi", "__oadoi_doi")
-    records
-      .join(keyed, normDoi(col(recDoi)) === normDoi(col("__oadoi_doi")),
+    // EVERY evidence column is prefixed before the join — not just the
+    // doi key: a record-side column named `is_oa` (or `oa_url`, …)
+    // would otherwise collide silently, and the trailing drop("is_oa")
+    // could remove the RECORD's column. Surviving evidence columns
+    // rename back to their bare names on output, with a loud guard
+    // instead of an ambiguous-duplicate schema if the record side
+    // already carries one of those names.
+    val prefixed = evidence.columns.foldLeft(evidence)((df, c) =>
+      df.withColumnRenamed(c, s"__oadoi_$c"))
+    val evidenceOut = evidence.columns.filterNot(Set("doi", "is_oa"))
+    evidenceOut.filter(records.columns.contains(_)) match {
+      case clash if clash.nonEmpty => throw new IllegalArgumentException(
+        s"oaFlag: record columns ${clash.mkString(", ")} collide with " +
+          "evidence output columns — rename one side first")
+      case _ =>
+    }
+    val joined = records
+      .join(prefixed, normDoi(col(recDoi)) === normDoi(col("__oadoi_doi")),
         "left")
-      .withColumn("x_oa", coalesce(col("is_oa"), lit(false)))
-      .drop("__oadoi_doi", "is_oa")
+      .withColumn("x_oa", coalesce(col("__oadoi_is_oa"), lit(false)))
+      .drop("__oadoi_doi", "__oadoi_is_oa")
+    evidenceOut.foldLeft(joined)((df, c) =>
+      df.withColumnRenamed(s"__oadoi_$c", c))
   }
 }

@@ -125,6 +125,31 @@ object FeedQueries {
         .as("date_created")))
   }
 
+  /** Materialize the Unpaywall JSONL as a text-file fixture once per
+    * (sf, version) — the reference's dump IS a file of lines
+    * (ref: sources/oadoi.py:55-91), so pipe11 times the dump-scan
+    * shape (read + typed from_json) rather than paying the wide
+    * in-plan to_json synthesis (measured ~3-4 s of constant janino +
+    * projection overhead) on every run. Same publish/race/cleanup
+    * discipline as GraphQueries.ensureCitationFixture. */
+  private val UnpaywallFixtureVersion = 1
+  def ensureUnpaywallFixture(s: SparkSession, d: String): String = {
+    import java.nio.file.Files
+    val base = Fixtures.stampedDir(d, "documents", "unpaywall_jsonl",
+      UnpaywallFixtureVersion)
+    val target = base.resolve("dump")
+    if (!Files.exists(target)) {
+      val tmp = Files.createTempDirectory(base, "dump.part")
+      try {
+        val built = tmp.resolve("txt")
+        Tables.documents(s, d).select(oadoiJson.as("value"))
+          .coalesce(4).write.text(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
   /** One Unpaywall dump line per documents row. Branch coverage: ids ≡
     * 0 (mod 23) are corrupt JSON (the 2018-07-05 dump really shipped
     * one — parse must count, not crash), ≡ 0 (mod 19) lack a DOI, ≡ 0
@@ -250,7 +275,7 @@ object FeedQueries {
       val id = col("doc_id")
       def str(c: Column): Column = c.cast("string")
       val evidence = Oadoi.bestOa(Oadoi.parse(
-        Tables.documents(s, d).select(oadoiJson.as("line")), "line"))
+        s.read.text(ensureUnpaywallFixture(s, d)), "value"))
       val records = Tables.documents(s, d).select(
         concat(lit("rec-"), str(id)).as("record_id"),
         concat(lit("10."), str(id % 7 + 1000), lit("/doc."), str(id))

@@ -60,10 +60,13 @@ object GraphQueries {
     val target = base.resolve("dump")
     if (!Files.exists(target)) {
       val tmp = Files.createTempDirectory(base, "dump.part")
-      val built = tmp.resolve("txt")
-      dumpLines(s, d).coalesce(4).write.text(built.toString)
-      Fixtures.publish(built, target)
-      Fixtures.deleteRecursively(tmp)
+      // finally, not success-path-only: a failed write would otherwise
+      // leak the dump.part* dir under the stamped base across runs.
+      try {
+        val built = tmp.resolve("txt")
+        dumpLines(s, d).coalesce(4).write.text(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
     }
     target.toString
   }

@@ -92,6 +92,33 @@ class GraphSpec extends AnyFunSuite {
       "c" -> 702500000L))
   }
 
+  test("pageRank at 10 iterations crosses lineage truncation and converges") {
+    // 10 iterations crosses the every-5-rounds localCheckpoint twice;
+    // the truncation must be semantically invisible. On the 3-node
+    // chain the recurrence converges geometrically, so iteration 10 is
+    // within 1e-3 of the closed-form fixpoint:
+    //  a = 0.15, b = 0.15 + 0.85·a/2, c = 0.15 + 0.85·(a/2 + b).
+    val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
+    val a = 0.15
+    val b = 0.15 + 0.85 * a / 2
+    val c = 0.15 + 0.85 * (a / 2 + b)
+    val r = Citations.pageRank(e, iterations = 10)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r("a") - a) < 1e-3)
+    assert(math.abs(r("b") - b) < 1e-3)
+    assert(math.abs(r("c") - c) < 1e-3)
+    // Truncation signature: at iterations = 7 and 12 the final plan
+    // nests exactly the 2 rounds past the last checkpoint (i=5 resp.
+    // i=10), so the optimized plans have the SAME node count — without
+    // truncation the 12-iteration plan would be ~5 rounds of joins
+    // deeper.
+    def planNodes(iters: Int): Int =
+      Citations.pageRank(e, iterations = iters)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planNodes(12) == planNodes(7),
+      "lineage not truncated: plan keeps growing across checkpoints")
+  }
+
   test("pageRank with zero iterations returns uniform normalized ranks") {
     val e = edges("a" -> "b")
     val r = Citations.pageRank(e, 0).as[(String, Double)].collect().toMap
