@@ -67,6 +67,7 @@ object Bench {
       queries.CrossrefQueries.ensureMessageFixture(spark, sfDir)
       queries.GraphQueries.ensureCitationFixture(spark, sfDir)
       queries.FeedQueries.ensureUnpaywallFixture(spark, sfDir)
+      queries.PipelineQueries.ensureAiUpdateExport(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }

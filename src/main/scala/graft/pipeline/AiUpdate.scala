@@ -52,18 +52,24 @@ object AiUpdate {
   }
 
   /** Export with embedded fullrecord (AIExport analog,
-    * workflows/ai.py:375-408). */
+    * workflows/ai.py:375-408). The embed carries the RECORD fields
+    * (identity, provenance, labels, flag) in a fixed order; the
+    * floating-point analysis sidecar (`quality`) stays a top-level
+    * column OUTSIDE the embed — JSON double rendering is
+    * engine-specific (shortest-round-trip differs), while every
+    * embedded field has one canonical text form, which is what keeps
+    * the export byte-reproducible across engines and retries. */
   class Export(up: Task, date: String) extends Task("export", date) {
     override def requires: Seq[Task] = Seq(up)
-    def build(s: SparkSession, in: Map[String, DataFrame]): DataFrame = {
-      val d = in("deduplicated")
-      d.select(
+    def build(s: SparkSession, in: Map[String, DataFrame]): DataFrame =
+      in("deduplicated").select(
         concat(lit("ai-"), regexp_extract(col("source"), "[0-9]+", 0),
                lit("-"), col("fp")).as("id"),
         col("doc_id"), col("labels").as("institution"), col("x_oa"),
         col("quality"),
-        to_json(struct(d.columns.map(c => col(s"`$c`")): _*)).as("fullrecord"))
-    }
+        to_json(struct(col("doc_id"), col("source"), col("lang"),
+          col("n_chars"), col("fp"), col("labels"), col("x_oa")))
+          .as("fullrecord"))
   }
 
   /** Build the full DAG and run it; returns the export artifact. */

@@ -102,6 +102,60 @@ object PipelineQueries {
       s.read.parquet(snapshot)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+    },
+
+    // The flagship end-to-end gate: the full AiUpdate DAG (SourceUnion
+    // → Analyzed → Deduplicated → Export, the AIUpdate analog of
+    // workflows/ai.py:116-425) materialized through the memoized Task
+    // layer and hash-compared stage-for-stage in one oracle query —
+    // union null-fill, fingerprint, quality score, OA flag, groupcover
+    // label-diff on the preference ladder, and the canonical-text
+    // fullrecord embed all under the same gate.
+    Q("pipe14_ai_update",
+      s"""WITH u AS (
+         |  SELECT doc_id, text, lang, source,
+         |         CASE WHEN doc_id % 2 = 0 THEN n_chars END AS n_chars,
+         |         string_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    ['L-' || lang, 'S-' || source] AS labels,
+         |    md5(array_to_string(list_sort(toks), ' ')) AS fp,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         |      (len(list_distinct(toks)) / len(toks)) * 0.5
+         |      + (1.0 - (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+         |               / greatest(length(text), 1)) * 0.3
+         |      + (1.0 - len(list_filter(toks, t -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, t)))
+         |               / len(toks)) * 0.2 END AS quality
+         |  FROM u),
+         |o AS (
+         |  SELECT *, (source IN ('src1', 'src3', 'src5') OR quality > 0.8) AS x_oa,
+         |         ${CoreQueries.prefCaseSql("source", CoreQueries.DocPrefs)} AS rank
+         |  FROM a),
+         |w AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY fp ORDER BY rank, doc_id) AS rn,
+         |    first_value(labels) OVER (PARTITION BY fp ORDER BY rank, doc_id) AS wl
+         |  FROM o),
+         |dd AS (
+         |  SELECT doc_id, source, lang, n_chars, fp, quality, x_oa,
+         |    CASE WHEN rn = 1 THEN labels
+         |         ELSE list_filter(labels, x -> NOT list_contains(wl, x)) END AS labels
+         |  FROM w)
+         |SELECT 'ai-' || regexp_extract(source, '[0-9]+') || '-' || fp AS id,
+         |  doc_id,
+         |  coalesce(array_to_string(labels, ','), '') AS institution,
+         |  x_oa, quality,
+         |  '{"doc_id":' || doc_id || ',"source":"' || source || '","lang":"' || lang || '"'
+         |  || CASE WHEN n_chars IS NOT NULL THEN ',"n_chars":' || n_chars ELSE '' END
+         |  || ',"fp":"' || fp || '","labels":['
+         |  || coalesce(array_to_string(list_transform(labels, x -> '"' || x || '"'), ','), '')
+         |  || '],"x_oa":' || CASE WHEN x_oa THEN 'true' ELSE 'false' END || '}' AS fullrecord
+         |FROM dd""".stripMargin) { (s, d) =>
+      s.read.parquet(ensureAiUpdateExport(s, d))
+        .select(col("id"), col("doc_id"),
+          array_join(col("institution"), ",").as("institution"),
+          col("x_oa"), col("quality"), col("fullrecord"))
     })
 
   /** Build the w5 incremental snapshot for `d` if missing (stamped per
@@ -161,6 +215,30 @@ object PipelineQueries {
       Fixtures.publish(build, pub)
     }
     pub.resolve("snapshot").toString
+  }
+
+  /** Run the full AiUpdate DAG into a stamped artifact tree if missing
+    * and return the export artifact path. The Task layer's own
+    * memoization handles within-tree re-runs; the stamped dir + atomic
+    * publish handle cross-JVM races and testdata regeneration (the
+    * ensureSnapshotFixture discipline). A version bump here — or an
+    * AiUpdate stage edit shipping with one — invalidates the cache. */
+  private val AiUpdateVersion = 1
+  def ensureAiUpdateExport(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    import java.nio.file.Files
+    val base = Fixtures.stampedDir(d, "documents", "ai_update",
+      AiUpdateVersion)
+    val pub = base.resolve("pub")
+    if (!Files.exists(pub)) {
+      val build = base.resolve(s"build_${ProcessHandle.current().pid()}")
+      Fixtures.deleteRecursively(build) // stale same-pid leftover only
+      try {
+        graft.pipeline.AiUpdate.run(s, d, build.toString, "r6")
+        Fixtures.publish(build, pub)
+      } finally Fixtures.deleteRecursively(build)
+    }
+    s"$pub/export/date=r6"
   }
 
   private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)

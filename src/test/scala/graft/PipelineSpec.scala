@@ -81,8 +81,11 @@ class PipelineSpec extends AnyFunSuite {
     // Re-run touches nothing (memoized) and returns the same artifact.
     val again = graft.pipeline.AiUpdate.run(spark, Sf, base, "2026-08-12")
     assert(again.count() == 500)
+    // The embed carries record fields in canonical text forms; the
+    // float sidecar stays OUT (engine-specific JSON double rendering).
     val sample = out.filter(col("x_oa")).select("fullrecord").as[String].head()
-    assert(sample.contains("\"quality\""))
+    assert(sample.contains("\"fp\"") && sample.contains("\"labels\""))
+    assert(!sample.contains("\"quality\""))
   }
 
   test("saltedAgg equals plain groupBy aggregation") {
