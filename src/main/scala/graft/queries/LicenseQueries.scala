@@ -169,6 +169,38 @@ object LicenseQueries {
         .select(concat(lit("10.1000/o"), col("o_orderkey")).as("doi"))
     },
 
+    // L5 — the production config path: FOLIO metadata-usage rows →
+    // reduced dispatch (skip GOLD_OA_LISTE / non-AI shards /
+    // evaluate=no, per-ISIL AND(source, holdings), download prefix,
+    // consortium expand) → the same compile/tag spine as L1/L2
+    // (workflows/ai.py:345-371; sources/folio.py:56-77;
+    // sources/amsl.py:722-871). The skipped noise rows reference a
+    // nonexistent holdings file — reaching the tag path at all proves
+    // the dispatch dropped them.
+    Q("l5_folio_tag",
+      s"""WITH $holdingsSql
+         |SELECT o_orderkey, concat_ws(',',
+         |  CASE WHEN sid IN ('F', 'O') AND m1 THEN 'ISIL-F1' END,
+         |  CASE WHEN sid = 'P' AND m2 THEN 'ISIL-F2' END,
+         |  CASE WHEN sid = 'P' AND m2 THEN 'ISIL-F3' END) AS labels
+         |FROM f""".stripMargin) { (s, d) =>
+      val rows = Seq(
+        FolioRow("ISIL-F1", "F", "1"),
+        FolioRow("ISIL-F1", "O", "1"),
+        // consortium group: expands to ISIL-F2 + ISIL-F3
+        FolioRow("finc-G", "P", "2"),
+        // noise the dispatch must drop:
+        FolioRow("ISIL-F1", "F", "9", dokumentLabel = Some("GOLD_OA_LISTE")),
+        FolioRow("ISIL-F1", "F", "9", shardLabel = Some("UBL-main")),
+        FolioRow("ISIL-F1", "F", "9",
+          evaluateHoldingsFileForLibrary = Some("no")))
+      val configs = FolioConfigBuilder.build(rows, prefix = "h",
+        expand = Map("finc-G" -> Seq("ISIL-F2", "ISIL-F3")))
+      Licensing.tag(records(s, d), recordCols, configs,
+          Map("h1" -> h1(s), "h2" -> h2(s)), AsOf)
+        .select(col("o_orderkey"), array_join(col("x_labels"), ",").as("labels"))
+    },
+
     // L4 — KBART embargo_info strings parsed in-plan, both wall
     // directions: R (rolling embargo, record must predate the wall)
     // and P (availability window, record must postdate it), plus the

@@ -19,7 +19,8 @@ class LicensingSpec extends AnyFunSuite {
     ("r2", "55", Seq("Other"), Seq("1111-1111"), Seq.empty[String], "1996-05-01"),
     ("r3", "28", Seq("DOAJ"), Seq("2222-2222"), Seq.empty[String], "2001-01-01"),
     ("r4", "49", Seq.empty[String], Seq("3333-3333"), Seq("Film studies"), "1994-01-01"),
-    ("r5", "55", Seq("JSTOR Music Archive"), Seq("1111-1111"), Seq.empty[String], "1999-12-31"))
+    ("r5", "55", Seq("JSTOR Music Archive"), Seq("1111-1111"), Seq.empty[String], "1999-12-31"),
+    ("r6", "49", Seq.empty[String], Seq("2222-2222"), Seq.empty[String], "2001-03-01"))
     .toDF("id", "source_id", "collections", "issns", "subjects", "rdate")
     .withColumn("rdate", col("rdate").cast("timestamp"))
 
@@ -215,6 +216,60 @@ class LicensingSpec extends AnyFunSuite {
     intercept[AmslConfigBuilder.UnhandledAmslRow](
       AmslConfigBuilder.build(Seq(AmslRow("DE-15", "55", "C1",
         externalLinkToContentFile = Some("u"), productISIL = Some("DE-X")))))
+  }
+
+  test("FOLIO reduced dispatch: skip rules, grouping, prefix, expand") {
+    val rows = Seq(
+      FolioRow("DE-15", "55", "KBART_DE15"),
+      FolioRow("DE-15", "49", "KBART_FREEJOURNALS"),
+      FolioRow("DE-15", "55", "KBART_DE15"), // duplicate row folds
+      // skipped: outdated label / wrong shard / evaluate=no / blanks
+      FolioRow("DE-15", "55", "GOLD", dokumentLabel = Some("GOLD_OA_LISTE")),
+      FolioRow("DE-15", "55", "X", shardLabel = Some("UBL-main")),
+      FolioRow("DE-15", "55", "X", shardLabel = None),
+      FolioRow("DE-15", "55", "X", evaluateHoldingsFileForLibrary = Some("no")),
+      FolioRow("", "55", "X"),
+      FolioRow("DE-15", "55", " "),
+      // consortium group expands to two members
+      FolioRow("finc-DHSN", "28", "KBART_DEGla1"))
+    val cfg = FolioConfigBuilder.build(rows, prefix = "p/",
+      expand = Map("finc-DHSN" -> Seq("DE-Gla1", "DE-Rs1")))
+    assert(cfg("DE-15") == And(Seq(SourceIn(Seq("49", "55")),
+      Holdings(Seq("p/KBART_DE15", "p/KBART_FREEJOURNALS")))))
+    assert(cfg("DE-Gla1") == And(Seq(SourceIn(Seq("28")),
+      Holdings(Seq("p/KBART_DEGla1")))))
+    assert(cfg("DE-Rs1") == cfg("DE-Gla1"))
+    assert(!cfg.contains("finc-DHSN"))
+    assert(cfg.keySet == Set("DE-15", "DE-Gla1", "DE-Rs1"))
+    // explicit evaluate=yes passes like absent
+    assert(FolioConfigBuilder.build(Seq(FolioRow("DE-14", "55", "U",
+      evaluateHoldingsFileForLibrary = Some("yes")))).contains("DE-14"))
+  }
+
+  test("FOLIO/AMSL parity: equivalent configs tag the same records") {
+    // The AMSL broad-source holdings-bucket path emits one
+    // AND(source, holdings(link)) per link; the FOLIO reduced shape
+    // folds the same rows into AND(source, holdings([links])) — the
+    // Holdings list compiles to an OR of flags, so both trees must
+    // accept exactly the same records.
+    val kb2 = Seq(("2222-2222", "2000-01-01", null.asInstanceOf[String], 0))
+      .toDF("issn", "date_first", "date_last", "embargo_days")
+    val holdings = Map("k" -> kbart, "k2" -> kb2)
+    val amsl = AmslConfigBuilder.build(Seq(
+      AmslRow("DE-15", "49", "C1", linkToHoldingsFile = Some("k"),
+        evaluateHoldingsFileForLibrary = Some("yes")),
+      AmslRow("DE-15", "49", "C2", linkToHoldingsFile = Some("k2"),
+        evaluateHoldingsFileForLibrary = Some("yes"))))
+    val folio = FolioConfigBuilder.build(Seq(
+      FolioRow("DE-15", "49", "k"),
+      FolioRow("DE-15", "49", "k2")))
+    // Trees differ in shape but not semantics — wrap AMSL's two ANDs.
+    def labels(cfg: Map[String, FilterExpr]) =
+      Licensing.tag(recs, rc, cfg, holdings, "2002-01-01")
+        .select("id", "x_labels").as[(String, Seq[String])].collect().toMap
+    assert(labels(amsl) == labels(folio))
+    assert(labels(folio)("r6") == Seq("DE-15")) // sid 49, issn held by both
+    assert(labels(folio)("r4") == Seq.empty)    // sid 49, issn not held
   }
 
   test("KBART embargo_info parses method + days; dirt yields null") {
