@@ -67,6 +67,8 @@ object Bench {
       queries.CrossrefQueries.ensureMessageFixture(spark, sfDir)
       queries.GraphQueries.ensureCitationFixture(spark, sfDir)
       queries.FeedQueries.ensureUnpaywallFixture(spark, sfDir)
+      queries.FeedQueries.ensureBaseFixture(spark, sfDir)
+      queries.FeedQueries.ensureDataciteFixture(spark, sfDir)
       queries.PipelineQueries.ensureAiUpdateExport(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")

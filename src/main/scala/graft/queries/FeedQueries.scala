@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.normalize.{Dblp, Doaj, Jstor, Lissa, Oadoi, Perinorm, Zdb}
+import graft.normalize.{Base, Datacite, Dblp, Doaj, Jstor, Lissa, Oadoi, Perinorm, Zdb}
 
 /** Registered queries for the DOAJ normalizer pipeline (parse →
   * ISSN-exclusion → title-dedup, sources/doaj.py:80-218), the JSTOR
@@ -188,7 +188,271 @@ object FeedQueries {
         .as("oa_locations"))))
   }
 
+  /** Materialize the BASE NDJSON dump fixture once per (sf, version) —
+    * the reference's BaseFix consumes a tar-of-gzip NDJSON dump
+    * (sources/base.py:141-160); the fixture is the post-extraction line
+    * file. One line per documents row; branch coverage: ids ≡ 0 (mod 7)
+    * have >4000-char titles, ≡ 0 (mod 2) a string author (long when ≡ 0
+    * mod 14), odd ids a list author with an empty element (long when
+    * ≡ 0 mod 21), ≡ 0 (mod 13/17) long author_sort/author_facet, id
+    * padding `=` varies with id mod 3, publishDate cycles year-in-text /
+    * no-year / ISO-prefix / absent, ≡ 0 (mod 5) carry the DE-15-FID
+    * ISIL to rename. */
+  private val BaseFixtureVersion = 1
+  def ensureBaseFixture(s: SparkSession, d: String): String = {
+    import java.nio.file.Files
+    val base = Fixtures.stampedDir(d, "documents", "base_ndjson",
+      BaseFixtureVersion)
+    val target = base.resolve("dump")
+    if (!Files.exists(target)) {
+      val tmp = Files.createTempDirectory(base, "dump.part")
+      try {
+        val built = tmp.resolve("txt")
+        Tables.documents(s, d).select(baseJson.as("value"))
+          .coalesce(4).write.text(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
+  private def baseJson: Column = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    def long(prefix: Column, pad: String): Column =
+      rpad(concat(prefix, lit("-")), 4100, pad)
+    val title = when(id % 7 === 0, long(concat(lit("T"), s(id)), "x"))
+      .otherwise(concat(lit("T-"), s(id), lit(" "), col("lang")))
+    val common = Seq(
+      concat(lit("base-ftx-"), s(id),
+        when(id % 3 === 0, "").when(id % 3 === 1, "=").otherwise("=="))
+        .as("id"),
+      lit("marc").as("recordtype"),
+      title.as("title"),
+      concat(title, lit(" full")).as("title_full"),
+      when(id % 11 =!= 0, concat(lit("S"), s(id))).as("title_short"),
+      concat(lit("sort-"), s(id)).as("title_sort"),
+      when(id % 13 === 0, long(concat(lit("as-"), s(id)), "s"))
+        .otherwise(concat(lit("as-"), s(id))).as("author_sort"),
+      array(concat(lit("af-"), s(id)),
+        when(id % 17 === 0, long(concat(lit("af2-"), s(id)), "f"))
+          .otherwise(lit(""))).as("author_facet"),
+      when(id % 4 === 0, concat(lit("ca. "), s(lit(1900) + id % 120)))
+        .when(id % 4 === 1, lit("[o.J.]"))
+        .when(id % 4 === 2, concat(s(lit(1950) + id % 70), lit("-05")))
+        .as("publishDate"),
+      when(id % 5 === 0, array(lit("DE-15-FID"), lit("DE-14")))
+        .otherwise(array(lit("DE-14"))).as("institution"))
+    val authorStr = when(id % 14 === 0, long(concat(lit("Astr-"), s(id)), "a"))
+      .otherwise(concat(lit("Astr-"), s(id))).as("author")
+    val authorList = array(concat(lit("A1-"), s(id)), lit(""),
+      when(id % 21 === 0, long(concat(lit("A2-"), s(id)), "b"))
+        .otherwise(concat(lit("A2-"), s(id)))).as("author")
+    when(id % 2 === 0, to_json(struct(common :+ (authorStr: Column): _*)))
+      .otherwise(to_json(struct(common :+ (authorList: Column): _*)))
+  }
+
+  /** Materialize the Datacite OAI harvest fixture once per (sf,
+    * version): one `<Record>` per documents row, the metha-cat
+    * `Records/Record` shape (sources/datacite.py:74-82). Branch
+    * coverage: ids ≡ 0 (mod 23) are deleted-header records (dropped),
+    * ≡ 0 (mod 11) lack a DOI identifier, ≡ 0 (mod 19) lack a dc:type
+    * (format falls back), ≡ 0 (mod 13) lack a date, ≡ 0 (mod 3) lack a
+    * description, ≡ 7 (mod 10) carry an unmapped language, ≡ 0 (mod 4)
+    * have no journal-shaped dc:source, ≡ 0 (mod 5) carry an ISSN
+    * dc:source, ≡ 0 (mod 6) a non-URL non-DOI identifier. */
+  private val DataciteFixtureVersion = 1
+  def ensureDataciteFixture(s: SparkSession, d: String): String = {
+    import java.nio.file.Files
+    val base = Fixtures.stampedDir(d, "documents", "datacite_oai",
+      DataciteFixtureVersion)
+    val target = base.resolve("harvest")
+    if (!Files.exists(target)) {
+      val tmp = Files.createTempDirectory(base, "harvest.part")
+      try {
+        val built = tmp.resolve("xml")
+        Tables.documents(s, d).select(dataciteRecordXml.as("value"))
+          .coalesce(4).write.text(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
+  private def dataciteRecordXml: Column = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    def el(tag: String, body: Column): Column =
+      concat(lit(s"<$tag>"), body, lit(s"</$tag>"))
+    def opt(cond: Column, piece: Column): Column =
+      when(cond, piece).otherwise(lit(""))
+    val header = el("header",
+      el("identifier", concat(lit("oai:datacite.example/"), s(id))))
+    val issn = concat(lpad(s(id % 10000), 4, "0"), lit("-"),
+      lpad(s(id % 1000), 3, "0"),
+      when(id % 11 === 0, "X").otherwise(s(id % 10)))
+    val dcType = element_at(typedLit(Seq("Monograph",
+      "info:eu-repo/semantics/article", "Dataset", "Image")),
+      (id % 4 + 1).cast("int"))
+    val meta = el("metadata", el("oai_dc:dc", concat(
+      el("dc:creator", concat(lit("C"), s(id), lit("-a"))),
+      opt(id % 2 === 1, el("dc:creator", concat(lit("C"), s(id), lit("-b")))),
+      opt(id % 3 =!= 0, el("dc:description", concat(lit("Abstract "), s(id)))),
+      el("dc:language", when(id % 10 === 7, lit("xx")).otherwise(col("lang"))),
+      opt(id % 11 =!= 0,
+        el("dc:identifier", concat(lit("doi:10.5555/dc."), s(id)))),
+      el("dc:identifier", concat(lit("https://example.org/r/"), s(id))),
+      opt(id % 6 === 0, el("dc:identifier", concat(lit("hdl:123/"), s(id)))),
+      el("dc:title", concat(lit("Title "), s(id))),
+      opt(id % 13 =!= 0,
+        el("dc:date", concat(lit("20"), lpad(s(id % 25), 2, "0"), lit("-03-15")))),
+      opt(id % 4 =!= 0,
+        el("dc:source", concat(lit("Journal of "), col("source"),
+          lit("; Vol "), s(id % 20), lit(" ("), s(lit(1950) + id % 70),
+          lit("); "), s(id % 30)))),
+      opt(id % 5 === 0, el("dc:source", issn)),
+      el("dc:publisher", concat(lit("Pub"), s(id % 5))),
+      opt(id % 8 === 0, el("dc:publisher", concat(lit("Press"), s(id % 7)))),
+      el("dc:subject", concat(lit("s"), s(id % 4), lit(", shared"))),
+      el("dc:subject", concat(lit("t"), s(id % 3))),
+      opt(id % 19 =!= 0, el("dc:type", dcType)))))
+    when(id % 23 === 0,
+        concat(lit("<Record><header status=\"deleted\">"),
+          el("identifier", concat(lit("oai:datacite.example/"), s(id))),
+          lit("</header></Record>")))
+      .otherwise(concat(lit("<Record>"), header, meta, lit("</Record>")))
+  }
+
   def all: Seq[Q] = Seq(
+
+    // Datacite OAI harvest → IS (sources/datacite.py:55-120 +
+    // assets/datacite/{flux.flux,morph.xml}): xmlstream Record split →
+    // deleted-record filter → columnar morph (creators, language
+    // lookup with raw fallback, http-identifier urls, format lookup
+    // with flux default, b64url finc.id, ISSN/jtitle/volume from
+    // dc:source, subject split, genre lookup, doi: strip). The oracle
+    // re-derives every branch — including the base64url id — from the
+    // documents table.
+    Q("pipe16_datacite",
+      """WITH b AS (SELECT doc_id AS d, lang, source FROM documents
+        |           WHERE doc_id % 23 <> 0)
+        |SELECT
+        |  'oai:datacite.example/' || d AS record_id,
+        |  'finc-datacite-' || rtrim(replace(replace(
+        |     to_base64(encode('oai:datacite.example/' || d)),
+        |     '+', '-'), '/', '_'), '=') AS finc_id,
+        |  'datacite' AS source_id,
+        |  'Datacite' AS mega_collection,
+        |  CASE WHEN d % 19 = 0 THEN 'ElectronicArticle'
+        |       ELSE CASE d % 4 WHEN 0 THEN 'Book'
+        |                       WHEN 1 THEN 'ElectronicArticle'
+        |                       WHEN 2 THEN 'ElectronicArticle'
+        |                       ELSE 'Image' END END AS format,
+        |  CASE WHEN d % 19 = 0 THEN NULL
+        |       ELSE CASE d % 4 WHEN 0 THEN 'Book'
+        |                       WHEN 1 THEN 'article' END END AS genre,
+        |  'Title ' || d AS title,
+        |  CASE WHEN d % 3 <> 0 THEN 'Abstract ' || d END AS abstract,
+        |  'C' || d || '-a' ||
+        |    CASE WHEN d % 2 = 1 THEN '|C' || d || '-b' ELSE '' END AS authors,
+        |  CASE WHEN d % 10 = 7 THEN 'xx'
+        |       ELSE CASE lang WHEN 'en' THEN 'eng' WHEN 'de' THEN 'ger'
+        |                      WHEN 'es' THEN 'spa' WHEN 'fr' THEN 'fre'
+        |                      WHEN 'zh' THEN 'chi' ELSE lang END
+        |       END AS languages,
+        |  'https://example.org/r/' || d AS url,
+        |  CASE WHEN d % 13 <> 0
+        |       THEN '20' || lpad(CAST(d % 25 AS VARCHAR), 2, '0') || '-03-15'
+        |       END AS rdate,
+        |  CASE WHEN d % 13 <> 0
+        |       THEN '20' || lpad(CAST(d % 25 AS VARCHAR), 2, '0')
+        |            || '-03-15T00:00:00Z' END AS xdate,
+        |  CASE WHEN d % 5 = 0
+        |       THEN lpad(CAST(d % 10000 AS VARCHAR), 4, '0') || '-'
+        |            || lpad(CAST(d % 1000 AS VARCHAR), 3, '0')
+        |            || CASE WHEN d % 11 = 0 THEN 'X'
+        |                    ELSE CAST(d % 10 AS VARCHAR) END
+        |       ELSE '' END AS issn,
+        |  CASE WHEN d % 4 <> 0 THEN 'Journal of ' || source END AS jtitle,
+        |  CASE WHEN d % 4 <> 0 THEN 'Vol ' || (d % 20) END AS volume,
+        |  'Pub' || (d % 5) ||
+        |    CASE WHEN d % 8 = 0 THEN '|Press' || (d % 7) ELSE '' END AS publishers,
+        |  's' || (d % 4) || '|shared|t' || (d % 3) AS subjects,
+        |  CASE WHEN d % 11 <> 0 THEN '10.5555/dc.' || d END AS doi
+        |FROM b""".stripMargin) { (s, d) =>
+      val recs = graft.sources.Xml.recordsFromFiles(
+        s, ensureDataciteFixture(s, d), "Record")
+      Datacite.toIntermediate(recs).select(
+        col("`finc.record_id`").as("record_id"),
+        col("`finc.id`").as("finc_id"),
+        col("`finc.source_id`").as("source_id"),
+        array_join(col("`finc.mega_collection`"), "|").as("mega_collection"),
+        col("`finc.format`").as("format"),
+        col("`rft.genre`").as("genre"),
+        col("`rft.atitle`").as("title"),
+        col("abstract"),
+        array_join(transform(col("authors"), _.getField("rft.au")), "|")
+          .as("authors"),
+        array_join(col("languages"), "|").as("languages"),
+        array_join(col("url"), "|").as("url"),
+        col("`rft.date`").as("rdate"),
+        col("`x.date`").as("xdate"),
+        array_join(col("`rft.issn`"), "|").as("issn"),
+        col("`rft.jtitle`").as("jtitle"),
+        col("`rft.volume`").as("volume"),
+        array_join(col("`rft.pub`"), "|").as("publishers"),
+        array_join(col("`x.subjects`"), "|").as("subjects"),
+        col("doi"))
+    },
+
+    // BASE on-the-fly fixes (sources/base.py:141-215): NDJSON dump scan
+    // → whole-line ISIL rename → id/=-strip, recordtype override, 4000-
+    // char truncation across the title/author families (incl. the
+    // string-or-list author dispatch), 4-digit publishDate year
+    // extraction. Pure projection — no shuffle; the oracle re-derives
+    // every branch from the documents table.
+    Q("pipe15_base",
+      """WITH b AS (
+        |  SELECT doc_id AS d, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN rpad('T' || doc_id || '-', 4100, 'x')
+        |         ELSE 'T-' || doc_id || ' ' || lang END AS title
+        |  FROM documents)
+        |SELECT 'base-ftx-' || d AS id,
+        |  'default' AS recordtype,
+        |  substr(title, 1, 4000) AS title,
+        |  substr(title || ' full', 1, 4000) AS title_full,
+        |  CASE WHEN d % 11 <> 0 THEN 'S' || d END AS title_short,
+        |  'sort-' || d AS title_sort,
+        |  CASE WHEN d % 2 = 0 THEN
+        |    substr(CASE WHEN d % 14 = 0 THEN rpad('Astr-' || d || '-', 4100, 'a')
+        |                ELSE 'Astr-' || d END, 1, 4000)
+        |  ELSE 'A1-' || d || '||' ||
+        |    substr(CASE WHEN d % 21 = 0 THEN rpad('A2-' || d || '-', 4100, 'b')
+        |                ELSE 'A2-' || d END, 1, 4000)
+        |  END AS author,
+        |  (d % 2 = 1) AS author_is_list,
+        |  substr(CASE WHEN d % 13 = 0 THEN rpad('as-' || d || '-', 4100, 's')
+        |              ELSE 'as-' || d END, 1, 4000) AS author_sort,
+        |  'af-' || d || '|' ||
+        |    CASE WHEN d % 17 = 0
+        |         THEN substr(rpad('af2-' || d || '-', 4100, 'f'), 1, 4000)
+        |         ELSE '' END AS author_facet,
+        |  CASE d % 4 WHEN 0 THEN CAST(1900 + d % 120 AS VARCHAR)
+        |             WHEN 1 THEN '[o.J.]'
+        |             WHEN 2 THEN CAST(1950 + d % 70 AS VARCHAR) END AS publish_date,
+        |  CASE WHEN d % 5 = 0 THEN 'FID-MEDIEN-DE-15,DE-14'
+        |       ELSE 'DE-14' END AS institution
+        |FROM b""".stripMargin) { (s, d) =>
+      Base.fix(s.read.text(ensureBaseFixture(s, d)))
+        .select(col("id"), col("recordtype"), col("title"), col("title_full"),
+          col("title_short"), col("title_sort"),
+          array_join(col("author"), "|").as("author"),
+          col("author_is_list"),
+          col("author_sort"),
+          array_join(col("author_facet"), "|").as("author_facet"),
+          col("publish_date"),
+          array_join(col("institution"), ",").as("institution"))
+    },
 
     // ZDB: RDF Description XML → (short title → title) map with
     // lowercase twin keys and the Go tool's last-wins fold, expressed

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.normalize.{Olc, Osf}
+import graft.normalize.{Base, Olc, Osf}
 import graft.export.SolrExport
 import graft.sources.Ndjson
 import graft.core.Schema
@@ -335,5 +335,103 @@ class NormalizeSpec extends AnyFunSuite {
     assert(flagged("r2") == ((false, None)))
     assert(flagged("r3") == ((false, None))) // unmatched -> default
     assert(flagged("r4") == ((false, None))) // null DOI survives the join
+  }
+
+  test("Datacite: golden record, deleted filter, fallbacks") {
+    import spark.implicits._
+    import graft.normalize.Datacite
+    val recs = Seq(
+      """<Record><header><identifier>oai:datacite.org/1</identifier></header>
+        |<metadata><oai_dc:dc>
+        |<dc:creator>Ada L.</dc:creator><dc:creator>Alan T.</dc:creator>
+        |<dc:description>An abstract.</dc:description>
+        |<dc:language>en</dc:language><dc:language>xx</dc:language>
+        |<dc:identifier>doi:10.5072/x.1</dc:identifier>
+        |<dc:identifier>https://example.org/x1</dc:identifier>
+        |<dc:identifier>hdl:11/1</dc:identifier>
+        |<dc:title>The Title</dc:title>
+        |<dc:date>2019-04-01</dc:date>
+        |<dc:source>Intl J of Comm; Vol 5 (2011); 29</dc:source>
+        |<dc:source>1932-8036</dc:source>
+        |<dc:publisher>USC</dc:publisher>
+        |<dc:subject>media, culture</dc:subject>
+        |<dc:type>Monograph</dc:type>
+        |</oai_dc:dc></metadata></Record>""".stripMargin.replaceAll("\n", ""),
+      """<Record><header status="deleted"><identifier>oai:datacite.org/2</identifier></header></Record>""",
+      // minimal: no type/date/doi/source — defaults and nulls
+      """<Record><header><identifier>oai:datacite.org/3</identifier></header>
+        |<metadata><oai_dc:dc><dc:title>T3</dc:title>
+        |</oai_dc:dc></metadata></Record>""".stripMargin.replaceAll("\n", ""))
+      .toDF("xml")
+    val out = Datacite.toIntermediate(recs).collect()
+    assert(out.length == 2) // deleted record dropped
+    val r = out(0)
+    def f(n: String) = r.getAs[Any](n)
+    assert(f("finc.record_id") == "oai:datacite.org/1")
+    assert(f("finc.id") == "finc-datacite-" +
+      java.util.Base64.getUrlEncoder.withoutPadding
+        .encodeToString("oai:datacite.org/1".getBytes("UTF-8")))
+    assert(f("finc.source_id") == "datacite")
+    assert(f("finc.format") == "Book")   // Monograph via formatliste
+    assert(f("rft.genre") == "Book")     // Monograph via genre map
+    assert(f("rft.atitle") == "The Title")
+    assert(f("abstract") == "An abstract.")
+    assert(r.getAs[scala.collection.Seq[Row]]("authors").map(_.getString(0))
+      == Seq("Ada L.", "Alan T."))
+    assert(f("languages") == Seq("eng", "xx")) // lookup + raw fallback
+    assert(f("url") == Seq("https://example.org/x1"))
+    assert(f("rft.date") == "2019-04-01")
+    assert(f("x.date") == "2019-04-01T00:00:00Z")
+    assert(f("rft.issn") == Seq("1932-8036"))
+    assert(f("rft.jtitle") == "Intl J of Comm")
+    assert(f("rft.volume") == "Vol 5")
+    assert(f("rft.pub") == Seq("USC"))
+    assert(f("x.subjects") == Seq("media", "culture"))
+    assert(f("doi") == "10.5072/x.1")
+    val m = out(1)
+    assert(m.getAs[String]("finc.format") == "ElectronicArticle") // default
+    assert(m.getAs[String]("rft.genre") == null)
+    assert(m.getAs[String]("rft.date") == null)
+    assert(m.getAs[String]("x.date") == null)
+    assert(m.getAs[String]("doi") == null)
+    assert(m.getAs[String]("rft.jtitle") == null)
+    assert(m.getAs[scala.collection.Seq[String]]("rft.issn").toSeq == Seq.empty)
+  }
+
+  test("BASE fixes: rename, id strip, truncation, author dispatch, year") {
+    import spark.implicits._
+    val big = "B" * 5000
+    val lines = Seq(
+      // string author, ISIL rename, id padding, year-in-text
+      s"""{"id": "aWQx==", "recordtype": "marc", "title": "$big",
+         | "title_short": "s1", "author": "$big",
+         | "author_sort": "zz", "author_facet": ["$big", ""],
+         | "publishDate": "ca. 1987 [?]",
+         | "institution": ["DE-15-FID", "DE-14"]}""",
+      // list author incl. empty + null elements, no-year date
+      """{"id": "aWQy", "author": ["A", "", null, "B"],
+        | "publishDate": "[o.J.]", "institution": ["DE-14"]}""",
+      // author absent, publishDate absent
+      """{"id": "aWQz", "title": "t3"}"""
+    ).map(_.stripMargin.replaceAll("\n", "")).toDF("value")
+    val out = Base.fix(lines).collect()
+    def r(i: Int) = out(i)
+    assert(r(0).getAs[String]("id") == "aWQx")
+    assert(r(0).getAs[String]("recordtype") == "default")
+    assert(r(0).getAs[String]("title").length == 4000)
+    assert(r(0).getAs[String]("title_short") == "s1")
+    assert(r(0).getAs[scala.collection.Seq[String]]("author").map(_.length) == Seq(4000))
+    assert(r(0).getAs[Boolean]("author_is_list") == false)
+    assert(r(0).getAs[scala.collection.Seq[String]]("author_facet").map(_.length) == Seq(4000, 0))
+    assert(r(0).getAs[String]("publish_date") == "1987")
+    assert(r(0).getAs[scala.collection.Seq[String]]("institution") ==
+      Seq("FID-MEDIEN-DE-15", "DE-14"))
+    assert(r(1).getAs[scala.collection.Seq[String]]("author") == Seq("A", "", null, "B"))
+    assert(r(1).getAs[Boolean]("author_is_list") == true)
+    assert(r(1).getAs[String]("publish_date") == "[o.J.]") // no year: as-is
+    assert(r(2).getAs[scala.collection.Seq[String]]("author") == null)
+    assert(r(2).getAs[Any]("author_is_list") == null)
+    assert(r(2).getAs[String]("publish_date") == null)
+    assert(r(2).getAs[String]("title") == "t3") // short: untouched
   }
 }
