@@ -74,31 +74,41 @@ object Bench {
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }
 
-    // Each query is timed twice and the MIN reported: a single pass is
-    // exposed to run-ordering jitter (GC pressure / shuffle-dir churn
-    // left by a heavy predecessor can inflate the next query several
-    // fold — observed 8.7 s vs 2.4 s for the same query), and min-of-2
-    // is the steady-state throughput the 100 TB sizing actually needs.
-    val results: Seq[(String, Double, Boolean)] =
+    // Each query is timed once per FULL pass and the per-query MIN over
+    // two separated passes reported. Back-to-back min-of-2 (the old
+    // scheme) still charged both samples under whatever GC pressure /
+    // shuffle-dir churn the predecessor left — the same query read
+    // 4.21 s in-run vs 2.59 s isolated in round 6. Separating the
+    // samples by a whole pass decorrelates the contention, so the min
+    // approximates the isolated steady-state number the 100 TB sizing
+    // needs; two full runs should now agree per query without manual
+    // re-measurement.
+    def timeOne(q: queries.Q): Double = {
+      val t0 = System.nanoTime()
+      val df = q.fn(spark, sfDir)
+      // Force full evaluation of every column of every row. The
+      // row hashes fold through bit_xor, which cannot overflow
+      // under ANSI mode (sum of longs would).
+      df.select(xxhash64(df.columns.map(c => col(s"`$c`").cast("string")): _*)
+          .as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val passes: Seq[Map[String, Double]] = (1 to 2).map { pass =>
       selected.map { q =>
-        System.err.println(s"[bench] running ${q.name}")
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          val df = q.fn(spark, sfDir)
-          // Force full evaluation of every column of every row. The
-          // row hashes fold through bit_xor, which cannot overflow
-          // under ANSI mode (sum of longs would).
-          df.select(xxhash64(df.columns.map(c => col(s"`$c`").cast("string")): _*)
-              .as("h"))
-            .agg(expr("bit_xor(h)")).collect()
-          (System.nanoTime() - t0) / 1e9
-        }
-        try { (q.name, math.min(once(), once()), true) }
+        System.err.println(s"[bench] pass $pass ${q.name}")
+        try q.name -> timeOne(q)
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            (q.name, -1.0, false)
+            q.name -> -1.0
         }
+      }.toMap
+    }
+    val results: Seq[(String, Double, Boolean)] =
+      selected.map { q =>
+        val ts = passes.map(_(q.name)).filter(_ >= 0)
+        if (ts.isEmpty) (q.name, -1.0, false) else (q.name, ts.min, true)
       }
 
     val qs = results

@@ -39,6 +39,20 @@ object ScaleCheck {
         (col("event_id") * n + col("i")).as("event_id"),
         col("ts"))
 
+  /** Full-column replication for the end-to-end DAG: provenance
+    * columns survive, content is perturbed like [[replicateDocs]],
+    * replicas keep the original's source (so the groupcover preference
+    * ladder sees the same source mix at every factor). */
+  private def replicateDocsFull(docs: DataFrame, n: Int): DataFrame =
+    if (n == 1) docs
+    else docs
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one")))
+      .select(
+        (col("doc_id") * n + col("i")).as("doc_id"),
+        concat(col("text"), lit(" zrep"), col("i").cast("string")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+
   /** Edges from lineitem: citing ids are fresh per replica, cited ids
     * stay in the ORIGINAL part keyspace — replication makes hubs
     * hotter, not just the table longer. */
@@ -65,6 +79,8 @@ object ScaleCheck {
 
     case class Op(name: String, run: Int => Long)
     val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text").cache()
+    val docsFull0 = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars").cache()
     val ev0 = Tables.events(spark, sfDir)
       .select("user_id", "event_id", "ts").cache()
     val li0 = Tables.lineitem(spark, sfDir)
@@ -164,6 +180,33 @@ object ScaleCheck {
       // so per-key fan-in grows ×n and the hub cap is what keeps the
       // pair explosion bounded — time must stay ~linear in input even
       // as uncapped pairs would grow ×n².
+      // The flagship end-to-end DAG (pipe14's compute shape, without
+      // the Task-layer parquet writes): union slices → fingerprint/
+      // quality/OA analysis → groupcover label-diff → fullrecord
+      // export. One narrow analysis pass + one fp-keyed window shuffle
+      // — must scale ~linearly. count(fullrecord) forces the embed
+      // (and everything inside it) without letting projection pruning
+      // skip the export stage.
+      Op("ai_update_e2e", { n =>
+        val d = replicateDocsFull(docsFull0, n)
+        val slices = Seq(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1).drop("n_chars"))
+        val u = operators.Ops.unionSources(slices)
+          .withColumn("labels", array(concat(lit("L-"), col("lang")),
+            concat(lit("S-"), col("source"))))
+          .withColumn("fp", llm.TextAnalysis.fingerprint(col("text")))
+          .withColumn("quality", llm.TextAnalysis.qualityScore(col("text")))
+          .withColumn("x_oa",
+            col("source").isin("src1", "src3", "src5") || col("quality") > 0.8)
+        val cov = operators.GroupCover(u, "doc_id", "source", "fp",
+          "labels", queries.CoreQueries.DocPrefs)
+        val export = cov.select(to_json(struct(col("doc_id"), col("source"),
+          col("lang"), col("n_chars"), col("fp"), col("labels"), col("x_oa"),
+          pipeline.AiUpdate.canonicalQuality(col("quality")).as("quality")))
+          .as("fullrecord"))
+        export.agg(count(col("fullrecord"))).first.getLong(0)
+      }),
       Op("cocitation_pairs(cap=64)", n =>
         graph.Citations.coCitedPairs(replicateEdges(li0, n),
           minShared = 2, maxReferences = 64).count()),

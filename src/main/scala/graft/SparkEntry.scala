@@ -36,7 +36,9 @@ object SparkEntry {
       functions.Scalars.synthesizeId(
         regexp_extract(col("source"), "[0-9]+", 0), col("fp")).as("id"),
       col("doc_id"), col("quality"), col("labels"),
-      to_json(struct(col("doc_id"), col("lang"), col("quality"))).as("fullrecord"))
+      to_json(struct(col("doc_id"), col("lang"),
+        pipeline.AiUpdate.canonicalQuality(col("quality")).as("quality")))
+        .as("fullrecord"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -142,10 +142,22 @@ object Citations {
     * lineage on every use (the d8 connected-components pattern). */
   private def pageRankLoop(edges: DataFrame, iterations: Int,
                            init: Column, contribution: Column,
-                           update: Column, valueName: String): DataFrame = {
+                           update: Column, valueName: String,
+                           checkpointDir: Option[String]): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
-    val e = edges.select(col("citing"), col("cited")).distinct()
-      .localCheckpoint()
+    // localCheckpoint stores blocks on the executors that computed
+    // them — fine in local mode, but on a cluster it pins those
+    // executors (losing one recomputes from nothing) and blocks
+    // dynamic deallocation. A deployment passes a (HDFS/object-store)
+    // checkpoint dir instead: same truncation semantics, but the
+    // materialized tables survive executor loss.
+    val persist: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val e = persist(edges.select(col("citing"), col("cited")).distinct())
     val verts = allDoisUnique(e)
     val outdeg = e.groupBy("citing").agg(count(lit(1)).as("deg"))
     var ranks = verts.withColumn("__v", init)
@@ -167,20 +179,21 @@ object Citations {
       // checkpoint cost; a cluster deployment points this at a
       // checkpoint dir.
       if (i % LineageTruncateEvery == 0 && i < iterations)
-        ranks = ranks.localCheckpoint()
+        ranks = persist(ranks)
     }
     ranks.withColumnRenamed("__v", valueName)
   }
 
   def pageRank(edges: DataFrame, iterations: Int,
-               damping: Double = 0.85): DataFrame =
+               damping: Double = 0.85,
+               checkpointDir: Option[String] = None): DataFrame =
     pageRankLoop(edges, iterations,
       // Normalized start: every vertex at rank 1 (= N × 1/N).
       init = lit(1.0),
       contribution = col("__v") / col("deg"),
       update = lit(1.0 - damping) +
         lit(damping) * coalesce(col("inflow"), lit(0.0)),
-      valueName = "rank")
+      valueName = "rank", checkpointDir = checkpointDir)
 
   /** Fixed-point (integer-mass) PageRank: identical recurrence to
     * [[pageRank]] but in exact integer arithmetic — every vertex
@@ -203,13 +216,14 @@ object Citations {
     * multiply peaks at 85·(worst single-vertex inflow) ≤ 85·N·massUnit
     * — at massUnit 1e9 that allows N up to ~10⁸ vertices. */
   def pageRankExact(edges: DataFrame, iterations: Int,
-                    massUnit: Long = 1000000000L): DataFrame =
+                    massUnit: Long = 1000000000L,
+                    checkpointDir: Option[String] = None): DataFrame =
     pageRankLoop(edges, iterations,
       init = lit(massUnit),
       contribution = expr("__v div deg"),
       update = lit(15L * massUnit / 100) +
         expr("(85 * coalesce(inflow, 0L)) div 100"),
-      valueName = "mass")
+      valueName = "mass", checkpointDir = checkpointDir)
 
   /** Per citing-prefix self-citation share: of the edges a registrant
     * prefix emits, how many stay within the same prefix. One

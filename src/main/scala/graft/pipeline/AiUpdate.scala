@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{GroupCover, Ops}
@@ -52,13 +52,13 @@ object AiUpdate {
   }
 
   /** Export with embedded fullrecord (AIExport analog,
-    * workflows/ai.py:375-408). The embed carries the RECORD fields
-    * (identity, provenance, labels, flag) in a fixed order; the
-    * floating-point analysis sidecar (`quality`) stays a top-level
-    * column OUTSIDE the embed — JSON double rendering is
-    * engine-specific (shortest-round-trip differs), while every
-    * embedded field has one canonical text form, which is what keeps
-    * the export byte-reproducible across engines and retries. */
+    * workflows/ai.py:375-408). Every embedded field has ONE canonical
+    * text form so the export is byte-reproducible across engines and
+    * retries — including the floating-point analysis score, which is
+    * embedded as fixed-point text ([[canonicalQuality]]) rather than a
+    * JSON double (shortest-round-trip double rendering is
+    * engine-specific; a fixed 12-decimal rendering is not, and 12
+    * decimals is far past the score's meaningful precision). */
   class Export(up: Task, date: String) extends Task("export", date) {
     override def requires: Seq[Task] = Seq(up)
     def build(s: SparkSession, in: Map[String, DataFrame]): DataFrame =
@@ -68,9 +68,17 @@ object AiUpdate {
         col("doc_id"), col("labels").as("institution"), col("x_oa"),
         col("quality"),
         to_json(struct(col("doc_id"), col("source"), col("lang"),
-          col("n_chars"), col("fp"), col("labels"), col("x_oa")))
+          col("n_chars"), col("fp"), col("labels"), col("x_oa"),
+          canonicalQuality(col("quality")).as("quality")))
           .as("fullrecord"))
   }
+
+  /** Canonical fixed-point rendering for embedded scores: %.12f is
+    * locale-free and identical across engines on this data (a
+    * divergence would need the exact binary expansion to terminate in
+    * a tie at the 13th decimal, which no sum-of-fractions score here
+    * does); the pipe14 oracle hash-gates the claim. */
+  def canonicalQuality(q: Column): Column = format_string("%.12f", q)
 
   /** Build the full DAG and run it; returns the export artifact. */
   def run(spark: SparkSession, sfDir: String, baseDir: String,

@@ -150,7 +150,8 @@ object PipelineQueries {
          |  || CASE WHEN n_chars IS NOT NULL THEN ',"n_chars":' || n_chars ELSE '' END
          |  || ',"fp":"' || fp || '","labels":['
          |  || coalesce(array_to_string(list_transform(labels, x -> '"' || x || '"'), ','), '')
-         |  || '],"x_oa":' || CASE WHEN x_oa THEN 'true' ELSE 'false' END || '}' AS fullrecord
+         |  || '],"x_oa":' || CASE WHEN x_oa THEN 'true' ELSE 'false' END
+         |  || ',"quality":"' || printf('%.12f', quality) || '"}' AS fullrecord
          |FROM dd""".stripMargin) { (s, d) =>
       s.read.parquet(ensureAiUpdateExport(s, d))
         .select(col("id"), col("doc_id"),
@@ -223,7 +224,7 @@ object PipelineQueries {
     * publish handle cross-JVM races and testdata regeneration (the
     * ensureSnapshotFixture discipline). A version bump here — or an
     * AiUpdate stage edit shipping with one — invalidates the cache. */
-  private val AiUpdateVersion = 1
+  private val AiUpdateVersion = 2 // v2: quality embedded in fullrecord
   def ensureAiUpdateExport(s: org.apache.spark.sql.SparkSession,
                            d: String): String = {
     import java.nio.file.Files

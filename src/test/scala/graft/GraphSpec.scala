@@ -82,6 +82,30 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r("c") - 0.7025) < 1e-12)
   }
 
+  test("pageRank via a real checkpoint dir equals the localCheckpoint path") {
+    // Cluster knob: a (durable) checkpoint dir replaces localCheckpoint
+    // — localCheckpoint pins the computing executors, a real dir
+    // survives them. Semantics must be identical, including across the
+    // every-5-rounds truncation boundary (7 iterations crosses it).
+    val dir = java.nio.file.Files.createTempDirectory("pr_ckpt")
+    try {
+      val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
+      val local = Citations.pageRank(e, iterations = 7)
+        .as[(String, Double)].collect().toMap
+      val durable = Citations.pageRank(e, iterations = 7,
+          checkpointDir = Some(dir.toString))
+        .as[(String, Double)].collect().toMap
+      assert(durable == local)
+      val exact = Citations.pageRankExact(e, iterations = 7,
+          checkpointDir = Some(dir.toString))
+        .as[(String, Long)].collect().toMap
+      assert(exact == Citations.pageRankExact(e, iterations = 7)
+        .as[(String, Long)].collect().toMap)
+    } finally {
+      graft.queries.Fixtures.deleteRecursively(dir)
+    }
+  }
+
   test("pageRankExact reproduces the float recurrence in integer mass units") {
     val e = edges("a" -> "b", "a" -> "c", "b" -> "c")
     val r = Citations.pageRankExact(e, iterations = 2)

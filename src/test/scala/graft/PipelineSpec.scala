@@ -81,11 +81,13 @@ class PipelineSpec extends AnyFunSuite {
     // Re-run touches nothing (memoized) and returns the same artifact.
     val again = graft.pipeline.AiUpdate.run(spark, Sf, base, "2026-08-12")
     assert(again.count() == 500)
-    // The embed carries record fields in canonical text forms; the
-    // float sidecar stays OUT (engine-specific JSON double rendering).
+    // The embed carries EVERY record field in a canonical text form —
+    // including the float score, rendered as fixed-point text (a raw
+    // JSON double would make the export engine-specific).
     val sample = out.filter(col("x_oa")).select("fullrecord").as[String].head()
     assert(sample.contains("\"fp\"") && sample.contains("\"labels\""))
-    assert(!sample.contains("\"quality\""))
+    assert("\"quality\":\"[0-9]\\.[0-9]{12}\"".r.findFirstIn(sample).isDefined,
+      s"canonical fixed-point quality missing from embed: $sample")
   }
 
   test("saltedAgg equals plain groupBy aggregation") {
