@@ -71,6 +71,33 @@ object FilterExpr {
     }
   }
 
+  /** Serialize trees back to the reference JSON wire shape — the
+    * inverse of [[parseConfig]] (span-freeze ships configs as exactly
+    * this JSON; emitting it lets compiled AMSL/FOLIO configs be frozen
+    * to an artifact and re-loaded elsewhere, the reference's
+    * `*FilterConfigFreeze` contract). Round-trip law:
+    * `parseConfig(toJson(cfg)) == cfg` (spec-pinned). */
+  def toJson(configs: Map[String, FilterExpr]): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def node(e: FilterExpr): JObject = e match {
+      case And(cs)          => JObject("and" -> JArray(cs.map(node).toList))
+      case Or(cs)           => JObject("or" -> JArray(cs.map(node).toList))
+      case Not(c)           => JObject("not" -> node(c))
+      case SourceIn(xs)     => JObject("source" -> strs(xs))
+      case CollectionIn(xs) => JObject("collection" -> strs(xs))
+      case IssnIn(xs)       => JObject("issn" -> strs(xs))
+      case SubjectIn(xs)    => JObject("subject" -> strs(xs))
+      case Holdings(xs)     => JObject("holdings" -> JObject("urls" -> strs(xs)))
+      case Any              => JObject("any" -> JObject())
+    }
+    def strs(xs: Seq[String]): JArray = JArray(xs.map(JString(_): JValue).toList)
+    JsonMethods.compact(JsonMethods.render(
+      JObject(configs.toList.sortBy(_._1).map { case (isil, tree) =>
+        isil -> (node(tree): JValue)
+      })))
+  }
+
   /** All holdings names referenced anywhere in a tree. */
   def holdingsRefs(e: FilterExpr): Set[String] = e match {
     case And(cs)      => cs.flatMap(holdingsRefs).toSet

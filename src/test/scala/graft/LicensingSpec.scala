@@ -218,6 +218,29 @@ class LicensingSpec extends AnyFunSuite {
         externalLinkToContentFile = Some("u"), productISIL = Some("DE-X")))))
   }
 
+  test("config JSON round-trip: toJson is the inverse of parseConfig") {
+    val cfg = Map(
+      "DE-15" -> Or(Seq(
+        And(Seq(SourceIn(Seq("55")), CollectionIn(Seq("C1", "C2")),
+          Holdings(Seq("u1", "u2")))),
+        Not(IssnIn(Seq("1111-1111"))),
+        SubjectIn(Seq("Film studies")))),
+      "DE-14" -> Any,
+      "DE-Gla1" -> And(Seq(SourceIn(Seq("28")), Holdings(Seq("k")))))
+    assert(FilterExpr.parseConfig(FilterExpr.toJson(cfg)) == cfg)
+    // Builder outputs freeze and thaw unchanged (the
+    // *FilterConfigFreeze contract).
+    val folio = FolioConfigBuilder.build(Seq(
+      FolioRow("DE-15", "55", "KBART_DE15"),
+      FolioRow("DE-15", "49", "KBART_FREEJOURNALS")), prefix = "p/")
+    assert(FilterExpr.parseConfig(FilterExpr.toJson(folio)) == folio)
+    val amsl = AmslConfigBuilder.build(Seq(
+      AmslRow("DE-15", "55", "C1"),
+      AmslRow("DE-14", "55", "C1", linkToHoldingsFile = Some("L"),
+        evaluateHoldingsFileForLibrary = Some("yes"))))
+    assert(FilterExpr.parseConfig(FilterExpr.toJson(amsl)) == amsl)
+  }
+
   test("FOLIO reduced dispatch: skip rules, grouping, prefix, expand") {
     val rows = Seq(
       FolioRow("DE-15", "55", "KBART_DE15"),
