@@ -108,4 +108,29 @@ object Corpus {
       lit("-1")).cast("int")
     df.filter(stableHash(col(keyCol), seed) % 100 < rate)
   }
+
+  /** Per-stratum quota sampling: keep at most `quota` rows per stratum
+    * (language, source, length bucket, …), chosen deterministically by
+    * stable-hash order — the "cap the dominant language / oversample
+    * the tail" knob of corpus assembly, reproducible across reruns
+    * and engines (no rand()).
+    *
+    * Scale shape: one hash shuffle on the stratum + an in-partition
+    * sort; stratum size bounds the sort. For a stratum so hot it
+    * overwhelms one partition (English at 100 TB), pre-thin with
+    * [[hashSample]] to ~quota×safety first — the window then ranks a
+    * bounded candidate set; determinism composes because both steps
+    * key on the same stable hash. */
+  def stratifiedQuota(df: DataFrame, keyCol: String, stratumCol: String,
+                      quota: Int, seed: String): DataFrame = {
+    require(quota >= 0, s"quota must be >= 0: $quota")
+    val h = stableHash(col(keyCol), seed)
+    df.withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(stratumCol))
+          // key breaks 40-bit hash ties so the cut is total and stable
+          .orderBy(h, col(keyCol))))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
 }

@@ -265,4 +265,51 @@ object TextAnalysis {
         acc * 31 + conv(substring(md5(tok), 1, 10), 16, 10).cast("long"),
         lit(mod)))
   }
+
+  /** Benchmark decontamination — per-document n-gram overlap against a
+    * held-out set (the standard train/test contamination check a
+    * training-data pipeline runs before every release: a document
+    * sharing too many word n-grams with an eval benchmark leaks the
+    * benchmark into training). Returns the input plus `n_ngrams`
+    * (distinct n-grams in the doc), `n_matched` (of those, how many
+    * occur anywhere in the benchmark set), `contamination`
+    * (matched/total, 0.0 for n-gram-less docs) and `contaminated`
+    * (fraction ≥ threshold).
+    *
+    * Scale shape: benchmark suites are tiny next to a 100 TB corpus,
+    * so the benchmark's distinct n-gram set broadcasts
+    * (`broadcastBench=false` switches to a shuffle join for the rare
+    * huge-benchmark case); the corpus side explodes each doc's
+    * DISTINCT n-grams once and folds straight back down with one
+    * map-side-combinable aggregation on the doc key. Nothing pairwise,
+    * nothing quadratic: cost is O(corpus tokens) + one broadcast.
+    * N-grams join as plain strings so the check is engine-portable
+    * (t8's DuckDB oracle); at extreme scale hash the n-gram column —
+    * the plan shape is unchanged. */
+  def contaminationStats(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 8, threshold: Double = 0.1,
+                         broadcastBench: Boolean = true): DataFrame = {
+    val bench = benchmark
+      .select(explode(array_distinct(ngrams(col(benchTextCol), n))).as("__ng"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    val benchSide = if (broadcastBench) broadcast(bench) else bench
+    val perDoc = docs
+      .select(col(idCol).as("__cid"),
+        explode(array_distinct(ngrams(col(textCol), n))).as("__ng"))
+      .join(benchSide, Seq("__ng"), "left")
+      .groupBy("__cid")
+      .agg(count(lit(1)).as("__n"),
+           sum(coalesce(col("__hit"), lit(0))).as("__m"))
+    docs.join(perDoc, col(idCol) === col("__cid"), "left")
+      .withColumn("n_ngrams", coalesce(col("__n"), lit(0L)))
+      .withColumn("n_matched", coalesce(col("__m"), lit(0L)))
+      .withColumn("contamination",
+        when(col("n_ngrams") > 0,
+          col("n_matched").cast("double") / col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("contamination") >= threshold)
+      .drop("__cid", "__n", "__m")
+  }
 }

@@ -83,5 +83,18 @@ object CorpusQueries {
     }) { (s, d) =>
       Corpus.mixByWeights(Tables.documents(s, d), "doc_id", "source",
         MixWeights, "mix").select("doc_id", "source")
+    },
+
+    // Per-stratum deterministic quota: cap every language at 30 docs,
+    // chosen by stable-hash order (the "cap the dominant language"
+    // corpus-assembly knob). One shuffle on the stratum, in-partition
+    // sort only, rand()-free.
+    Q("c5_stratified_quota",
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${hashSql("cap")}, doc_id) AS rk
+         |  FROM documents) WHERE rk <= 30""".stripMargin) { (s, d) =>
+      Corpus.stratifiedQuota(Tables.documents(s, d), "doc_id", "lang",
+        30, "cap").select("doc_id", "lang")
     })
 }

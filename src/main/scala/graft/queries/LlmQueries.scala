@@ -347,6 +347,43 @@ object LlmQueries {
           "dup_3gram_frac", "keep")
     },
 
+    // Benchmark decontamination: per-doc distinct 5-gram overlap
+    // against a held-out "benchmark" slice (ids ≡ 0 mod 37). The
+    // benchmark n-gram set broadcasts; the corpus side explodes
+    // distinct n-grams once and folds back with one doc-keyed agg —
+    // nothing pairwise. Benchmark members themselves score 1.0, which
+    // also pins the threshold gate.
+    Q("t8_contamination",
+      """WITH sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 5 THEN
+        |      list_distinct(list_transform(range(1, len(t) - 3),
+        |        i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [] END AS gs
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT g FROM
+        |  (SELECT unnest(gs) AS g FROM sh WHERE doc_id % 37 = 0)),
+        |ex AS (SELECT doc_id, unnest(gs) AS g FROM sh),
+        |m AS (SELECT e.doc_id, count(*) AS n, count(b.g) AS nm
+        |      FROM ex e LEFT JOIN bench b ON e.g = b.g GROUP BY e.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(m.n, 0) AS n_ngrams,
+        |  coalesce(m.nm, 0) AS n_matched,
+        |  CASE WHEN coalesce(m.n, 0) > 0
+        |       THEN CAST(m.nm AS DOUBLE) / m.n ELSE 0.0 END AS contamination,
+        |  (CASE WHEN coalesce(m.n, 0) > 0
+        |        THEN CAST(m.nm AS DOUBLE) / m.n ELSE 0.0 END >= 0.2)
+        |    AS contaminated
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin) {
+      (s, d) =>
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationStats(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 37 === 0), "text",
+          n = 5, threshold = 0.2)
+        .select(col("doc_id"), col("n_ngrams"), col("n_matched"),
+          col("contamination"), col("contaminated"))
+    },
+
     // Brute-force cosine top-k for a small query set (exact baseline).
     Q("e1_ann_brute_topk",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv

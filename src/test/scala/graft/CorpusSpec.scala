@@ -106,4 +106,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(!plan(Corpus.mixByWeights(docs, "doc_id", "source",
       Map("src0" -> 50), "m")).contains("Exchange"))
   }
+
+  test("stratified quota: exact cap per stratum, deterministic, seed-sensitive") {
+    val out = Corpus.stratifiedQuota(docs, "doc_id", "source", 25, "cap")
+    val perStratum = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.values.toSet == Set(25L))
+    assert(perStratum.keySet == Set("src0", "src1", "src2", "src3"))
+    // Deterministic: same seed → identical membership.
+    val again = Corpus.stratifiedQuota(docs, "doc_id", "source", 25, "cap")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // Different seed → (overwhelmingly) different membership.
+    val other = Corpus.stratifiedQuota(docs, "doc_id", "source", 25, "other")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again != other)
+    // Quota above the stratum size keeps everything.
+    assert(Corpus.stratifiedQuota(docs, "doc_id", "source", 1000, "cap")
+      .count() == 2000)
+  }
+
+  test("contamination: benchmark members 1.0, disjoint docs 0.0, partial in between") {
+    import graft.llm.TextAnalysis
+    val corpus = Seq(
+      (1L, "a b c d e f"),        // shares 2 of its 2 distinct 5-grams
+      (2L, "a b c d e zz"),       // shares 1 of 2
+      (3L, "p q r s t u"),        // disjoint
+      (4L, "x y"),                // too short: no 5-grams
+      (5L, "a b c d e f")         // exact dup of a benchmark doc
+    ).toDF("id", "text")
+    val bench = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val out = TextAnalysis.contaminationStats(corpus, "id", "text",
+        bench, "text", n = 5, threshold = 0.5)
+      .select("id", "n_ngrams", "n_matched", "contamination", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0, true)))
+    assert(out(2L) == ((2L, 1L, 0.5, true)))
+    assert(out(3L) == ((2L, 0L, 0.0, false)))
+    assert(out(4L) == ((0L, 0L, 0.0, false)))
+    assert(out(5L) == ((2L, 2L, 1.0, true)))
+  }
 }
