@@ -232,6 +232,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental MinHash-LSH — near-dup pairs TOUCHING a new increment
+    * (increment × corpus and increment × increment) without re-pairing
+    * corpus × corpus: the nightly shape at 100 TB, where re-running
+    * [[minhashLshPairs]] over the whole corpus for a 0.1% daily delta
+    * would re-shuffle a thousand times more data than changed.
+    *
+    * Scale shape: in production the corpus band table (doc, band,
+    * bucket) is a persisted artifact — bucketed by (band, bucket) via
+    * [[graft.pipeline.Bucketing]], appended per run — so a nightly run
+    * computes signatures for the INCREMENT only; here both sides are
+    * derived on the fly. The corpus side is semi-join-pruned to the
+    * buckets the increment actually occupies before any pair work, so
+    * candidate generation scales with the increment, not the corpus.
+    * Bucket caps count the FULL bucket membership (pruned-corpus +
+    * increment = everything in a touched bucket), which keeps cap
+    * semantics identical to the full run.
+    *
+    * Exactness contract (spec-pinned): the result equals
+    * `minhashLshPairs(corpus ∪ increment, …)` restricted to pairs with
+    * at least one increment member — same candidates, same caps, same
+    * verification. Ids must be disjoint across the two inputs.
+    *
+    * `portable = true` swaps the xxhash64 token core for the md5 one
+    * and uses the raw band-slice string as the bucket key, making the
+    * ENTIRE path — signature, banding, candidate join, Jaccard verify
+    * — reproducible in any engine with md5 (d12's DuckDB oracle). */
+  def minhashLshPairsIncremental(corpus: DataFrame, increment: DataFrame,
+                                 id: String, text: String,
+                                 threshold: Double = 0.8, shingleN: Int = 1,
+                                 bands: Int = 16, rowsPerBand: Int = 8,
+                                 maxBucketSize: Option[Int] = None,
+                                 portable: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def hashed(df: DataFrame): DataFrame = {
+      val sh = shingleArrays(df, id, text, shingleN)
+        .select(col("doc"), explode(col("toks")).as("sh"))
+      val core =
+        if (portable)
+          conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+        else xxhash64(col("sh"))
+      sh.select(col("doc"), core.bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    }
+    def bandTable(sig: DataFrame): DataFrame =
+      sig.select(col("doc"), explode(array((0 until bands).map { b =>
+        val key = array_join(transform(
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+          _.cast("string")), ",")
+        struct(lit(b).as("band"),
+          (if (portable) key else xxhash64(key).cast("string")).as("bucket"))
+      }: _*)).as("bb"))
+        .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val bOld = bandTable(signatureAgg(hashed(corpus), numHashes))
+    val bNew = bandTable(signatureAgg(hashed(increment), numHashes))
+    val touched = bNew.select("band", "bucket").distinct()
+    val members = bOld.join(touched, Seq("band", "bucket"), "left_semi")
+      .withColumn("nw", lit(false))
+      .unionByName(bNew.withColumn("nw", lit(true)))
+
+    val grouped = members.groupBy("band", "bucket")
+      .agg(sort_array(collect_set(struct(col("doc"), col("nw")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val capped = maxBucketSize
+      .map(cap => grouped.filter(size(col("ms")) <= cap))
+      .getOrElse(grouped)
+    val pairs = capped
+      .select(sortedMemberPairs(col("ms")).as("p"))
+      // corpus×corpus pairs inside touched buckets are generated (the
+      // member arrays carry them; fan-out stays cap-bounded) and
+      // dropped here — only increment-touching pairs verify.
+      .filter(col("p.a.nw") || col("p.b.nw"))
+      .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"))
+      .distinct()
+
+    val toks = shingleArrays(
+      corpus.select(col(id), col(text))
+        .unionByName(increment.select(col(id), col(text))), id, text, shingleN)
+    pairs
+      .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
+      .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccardDistinct(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** One-permutation MinHash signature (OPH): ONE hash per shingle,
     * binned into `bins` ranges, per-bin min — one aggregate-buffer
     * update per (doc, shingle) where the classic family above pays

@@ -92,6 +92,55 @@ object LlmQueries {
       Dedup.minhashSignaturePortable(Tables.documents(s, d), "doc_id", "text")
     },
 
+    // Incremental near-dup dedup — the nightly shape: pairs touching a
+    // new increment against the standing corpus, corpus × corpus never
+    // re-paired. Portable twin: md5 token core + raw band-slice bucket
+    // keys, so the ENTIRE path — signature, banding, candidate
+    // bucket-join, Jaccard verify — replays in SQL. 8 bands × 4 rows
+    // reuses the d9 32-seed family. Bounded to ids < 500 (corpus
+    // < 400, increment 400-499) like d2, so the oracle's self-join
+    // stays cheap at every SF on this pathologically self-similar
+    // corpus.
+    Q("d12_incremental_neardup", {
+      val seedRows = Dedup.minhashCoeffs(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483648 AS hc
+         |      FROM toks),
+         |seeds(i, a, b) AS (VALUES $seedRows),
+         |m AS (SELECT doc_id, i, min((hc * a + b) % 2147483647) AS mh
+         |      FROM h CROSS JOIN seeds WHERE doc_id < 500 GROUP BY doc_id, i),
+         |bt AS (SELECT doc_id, i // 4 AS band,
+         |              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+         |       FROM m GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bt x JOIN bt y ON x.band = y.band AND x.bucket = y.bucket
+         |                      AND x.doc_id < y.doc_id
+         |  WHERE x.doc_id >= 400 OR y.doc_id >= 400),
+         |t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk
+         |      FROM documents WHERE doc_id < 500)
+         |SELECT c.id_a, c.id_b,
+         |       len(list_intersect(a.tk, b.tk)) /
+         |       (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
+         |FROM cand c
+         |JOIN t a ON c.id_a = a.doc_id
+         |JOIN t b ON c.id_b = b.doc_id
+         |WHERE len(list_intersect(a.tk, b.tk)) /
+         |      (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.8"""
+        .stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.minhashLshPairsIncremental(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", threshold = 0.8,
+        bands = 8, rowsPerBand = 4, portable = true)
+    },
+
     // Duplicate-group clustering: connected components over the exact
     // Jaccard pair graph (bounded subset so the oracle's recursive-CTE
     // transitive closure stays cheap). The Spark side is the iterative

@@ -364,4 +364,28 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r._1 -> r).toMap
     assert(fast == out)
   }
+
+  test("incremental LSH equals the full run restricted to increment-touching pairs") {
+    // The exactness contract: incremental(corpus, increment) ==
+    // full(corpus ∪ increment) ∩ {pairs with an increment member} —
+    // production hash path, WITH a bucket cap (cap parity is the
+    // subtle part: incremental buckets must count full membership).
+    val corpus = docs.filter(col("doc_id") < 90)
+    val increment = docs.filter(col("doc_id") >= 90)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    for (cap <- Seq(None, Some(30))) {
+      val full = collect(Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.8, bands = 8, rowsPerBand = 4, maxBucketSize = cap))
+        .filter { case (a, b, _) => a >= 90 || b >= 90 }
+      val inc = collect(Dedup.minhashLshPairsIncremental(corpus, increment,
+        "doc_id", "text", threshold = 0.8, bands = 8, rowsPerBand = 4,
+        maxBucketSize = cap))
+      assert(inc == full, s"cap=$cap")
+      assert(inc.nonEmpty, s"vacuous equivalence at cap=$cap")
+      // and never a corpus×corpus pair
+      assert(inc.forall { case (a, b, _) => a >= 90 || b >= 90 })
+    }
+  }
 }
