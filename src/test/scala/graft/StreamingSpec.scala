@@ -180,6 +180,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(Set(2L, 4L, 5L).forall(id => gotMap(id).isEmpty))
   }
 
+  test("streaming incremental dedup over two rounds equals the full batch pair set") {
+    implicit val sc = spark.sqlContext
+    val all = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 120)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (r1, r2) = all.partition(_._1 < 60)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-sdd")
+    val corpusDir = base.resolve("corpus").toString
+    val ckpt = base.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def round(rows: Seq[(Long, String)]): Unit = {
+      input.addData(rows: _*)
+      val q = graft.streaming.StreamingDedup.start(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        corpusDir, ckpt, threshold = 0.8, bands = 8, rowsPerBand = 4) {
+        (pairs, _) =>
+          got.synchronized {
+            got ++= pairs.as[(Long, Long, Double)].collect()
+          }
+      }
+      q.awaitTermination()
+    }
+    round(r1)
+    round(r2)
+
+    val full = graft.llm.Dedup.minhashLshPairs(
+        Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 120),
+        "doc_id", "text", threshold = 0.8, bands = 8, rowsPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.toSet == full)
+    assert(got.size == got.toSet.size, "a pair was emitted twice")
+    // both rounds contributed (round 2 must pair against the store)
+    assert(full.exists { case (a, b, _) => a < 60 && b >= 60 },
+      "fixture has no cross-round pair — equivalence would be weak")
+    graft.queries.Fixtures.deleteRecursively(base)
+  }
+
   test("sessionization: late in-watermark event bridges two open sessions, emission waits for watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Event]
