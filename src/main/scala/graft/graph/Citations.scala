@@ -151,9 +151,14 @@ object Citations {
     // dynamic deallocation. A deployment passes a (HDFS/object-store)
     // checkpoint dir instead: same truncation semantics, but the
     // materialized tables survive executor loss.
+    // NOTE: Spark's checkpoint dir is SparkContext-global — passing
+    // checkpointDir redirects it for the whole session (documented at
+    // the public pageRank/pageRankExact params). Left untouched when
+    // it already points at `dir`, so repeated calls don't churn it.
     val persist: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = edges.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
@@ -184,6 +189,12 @@ object Citations {
     ranks.withColumnRenamed("__v", valueName)
   }
 
+  /** `checkpointDir` (here and in [[pageRankExact]]): lineage
+    * truncation through a durable dir instead of localCheckpoint —
+    * localCheckpoint pins the computing executors (losing one
+    * recomputes from nothing) and blocks dynamic deallocation, a real
+    * dir survives them. CAVEAT: Spark's checkpoint dir is
+    * SparkContext-GLOBAL; passing one redirects it for the session. */
   def pageRank(edges: DataFrame, iterations: Int,
                damping: Double = 0.85,
                checkpointDir: Option[String] = None): DataFrame =

@@ -1,7 +1,5 @@
 package graft.license
 
-import scala.collection.mutable
-
 /** FOLIO filter-config builder — the engine half of the reference's
   * *production* license-config path (`AILicensingViaFolio`,
   * workflows/ai.py:345-371, consumes `FolioFilterConfigFreeze`,
@@ -66,24 +64,21 @@ object FolioConfigBuilder {
       }
     }
 
-    // isil → (uri, sourceId) pairs, insertion-ordered like the
-    // reference's defaultdict(set) fold (amsl.py:845-853).
-    val hfs = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[(String, String)]]
-    expanded.foreach { row =>
-      val skip =
+    // Output lists are sorted, so no insertion-order machinery: the
+    // reference's defaultdict(set) fold (amsl.py:845-853) reduces to a
+    // filter + groupBy here.
+    expanded
+      .filterNot { row =>
         row.dokumentLabel.exists(SkippedLabels.contains) ||
         !row.shardLabel.contains(AiShard) ||
         row.evaluateHoldingsFileForLibrary.contains("no") ||
         row.isil.trim.isEmpty || row.dokumentURI.trim.isEmpty
-      if (!skip)
-        hfs.getOrElseUpdate(row.isil, mutable.LinkedHashSet.empty) +=
-          ((row.dokumentURI, row.sourceId))
-    }
-
-    hfs.map { case (isil, entries) =>
-      isil -> And(Seq(
-        SourceIn(entries.map(_._2).toSeq.distinct.sorted),
-        Holdings(entries.map(prefix + _._1).toSeq.distinct.sorted)))
-    }.toMap
+      }
+      .groupBy(_.isil)
+      .map { case (isil, rows) =>
+        isil -> And(Seq(
+          SourceIn(rows.map(_.sourceId).distinct.sorted),
+          Holdings(rows.map(prefix + _.dokumentURI).distinct.sorted)))
+      }
   }
 }

@@ -305,10 +305,24 @@ object Dedup {
       .filter(col("p.a.nw") || col("p.b.nw"))
       .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"))
       .distinct()
+      // Materialized once (small: the candidate set, increment-bounded)
+      // — it feeds three consumers below (the id semi-join and both
+      // verify joins); lazy, the whole signature+banding pipeline would
+      // re-run per consumer. The d8 localCheckpoint pattern.
+      .localCheckpoint()
 
+    // Verification must also scale with the increment: tokenize only
+    // docs that actually appear in a candidate pair (bounded by the
+    // increment's bucket fan-out), never the whole corpus — without
+    // the semi-join this step would re-scan and shuffle token arrays
+    // for every corpus document each nightly run.
+    val candidateIds = pairs.select(col("id_a").as(id))
+      .unionByName(pairs.select(col("id_b").as(id)))
+      .distinct()
     val toks = shingleArrays(
       corpus.select(col(id), col(text))
-        .unionByName(increment.select(col(id), col(text))), id, text, shingleN)
+        .unionByName(increment.select(col(id), col(text)))
+        .join(candidateIds, Seq(id), "left_semi"), id, text, shingleN)
     pairs
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))

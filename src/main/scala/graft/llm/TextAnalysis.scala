@@ -290,18 +290,24 @@ object TextAnalysis {
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 8, threshold: Double = 0.1,
                          broadcastBench: Boolean = true): DataFrame = {
-    val bench = benchmark
-      .select(explode(array_distinct(ngrams(col(benchTextCol), n))).as("__ng"))
-      .distinct()
+    // Tokens are staged as an attribute behind a generator barrier on
+    // both sides (the repetitionStats pattern): ngrams() inlining the
+    // tokenizer into the per-element lambda re-splits the text once
+    // per n-gram slot — quadratic in document length on the hot path.
+    def docNgrams(df: DataFrame, idC: Column, textC: Column): DataFrame =
+      df.select(idC.as("__cid"),
+          explode(array(graft.functions.Scalars.tokens(textC))).as("__t"))
+        .select(col("__cid"),
+          explode(array_distinct(ngramsOfTokens(col("__t"), n))).as("__ng"))
+    val bench = docNgrams(benchmark, lit(0), col(benchTextCol))
+      .select("__ng").distinct()
       .withColumn("__hit", lit(1))
     val benchSide = if (broadcastBench) broadcast(bench) else bench
     // One n-gram construction pass: total and matched fold out of the
     // same exploded table (n-gram string building dominates cost — a
     // measured two-pass variant that recomputed the n-grams to shrink
     // the aggregation input ran ~1.5× slower).
-    val perDoc = docs
-      .select(col(idCol).as("__cid"),
-        explode(array_distinct(ngrams(col(textCol), n))).as("__ng"))
+    val perDoc = docNgrams(docs, col(idCol), col(textCol))
       .join(benchSide, Seq("__ng"), "left")
       .groupBy("__cid")
       .agg(count(lit(1)).as("__n"),

@@ -56,10 +56,15 @@ object Base {
     // same here — the token cannot occur inside another value in this
     // feed's shape (it is an ISIL list member).
     val l = replace(col(lineCol), lit("DE-15-FID"), lit("FID-MEDIEN-DE-15"))
-    // get_json_object returns scalars unquoted but arrays as JSON text,
-    // which is exactly the string-or-list dispatch the feed needs.
+    // get_json_object returns scalars unquoted but arrays as JSON text.
+    // Dispatch on PARSE SUCCESS, not on a leading '[': a string author
+    // like "[Verfasser unbekannt]" (bracketed anonymous-author
+    // conventions are real in this feed) starts with '[' but is not
+    // JSON — from_json yields null for it, so it correctly takes the
+    // string branch instead of being silently nulled.
     val authorRaw = jstr(l, "$.author")
-    val authorIsList = when(authorRaw.isNotNull, authorRaw.startsWith("["))
+    val authorParsed = from_json(authorRaw, ArrayType(StringType))
+    val authorIsList = when(authorRaw.isNotNull, authorParsed.isNotNull)
     val pd = jstr(l, "$.publishDate")
     lines.select(
       replace(jstr(l, "$.id"), lit("="), lit("")).as("id"),
@@ -69,8 +74,7 @@ object Base {
       truncate(jstr(l, "$.title_short")).as("title_short"),
       truncate(jstr(l, "$.title_sort")).as("title_sort"),
       when(authorRaw.isNull, lit(null).cast(ArrayType(StringType)))
-        .when(authorIsList,
-          truncateAll(from_json(authorRaw, ArrayType(StringType))))
+        .when(authorIsList, truncateAll(authorParsed))
         .otherwise(array(truncate(authorRaw))).as("author"),
       authorIsList.as("author_is_list"),
       truncate(jstr(l, "$.author_sort")).as("author_sort"),

@@ -99,7 +99,13 @@ object Datacite {
     val xml = col(xmlCol)
     val identifier = firstValue(xml, "identifier")
     val identifiers = values(xml, "dc:identifier")
-    val source1 = firstValue(xml, "dc:source")
+    // The morph applies each dc:source regexp to EVERY value — a
+    // record may list its ISSN before the journal-shaped string, so
+    // jtitle/volume come from the first MATCHING value, not the first.
+    val jtitleSrc = try_element_at(
+      filter(values(xml, "dc:source"), _.rlike(JtitleRe)), lit(1))
+    val volumeSrc = try_element_at(
+      filter(values(xml, "dc:source"), _.rlike(VolumeRe)), lit(1))
     val date1 = firstValue(xml, "dc:date")
     val doiRaw = try_element_at(
       filter(identifiers, _.startsWith("doi:")), lit(1))
@@ -121,11 +127,11 @@ object Datacite {
       when(date1.isNotNull, concat(date1, lit("T00:00:00Z"))).as("x.date"),
       array_distinct(filter(values(xml, "dc:source"), _.rlike(IssnRe)))
         .as("rft.issn"),
-      when(source1.rlike(JtitleRe),
-        regexp_extract(source1, JtitleRe, 1)).as("rft.jtitle"),
+      when(jtitleSrc.isNotNull,
+        regexp_extract(jtitleSrc, JtitleRe, 1)).as("rft.jtitle"),
       values(xml, "dc:publisher").as("rft.pub"),
-      when(source1.rlike(VolumeRe),
-        regexp_extract(source1, VolumeRe, 2)).as("rft.volume"),
+      when(volumeSrc.isNotNull,
+        regexp_extract(volumeSrc, VolumeRe, 2)).as("rft.volume"),
       flatten(transform(values(xml, "dc:subject"),
         s => transform(split(s, ","), t => trim(t)))).as("x.subjects"),
       Scalars.mapLookup(coalesce(firstValue(xml, "dc:type"), lit("")),

@@ -51,7 +51,12 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         val batchDocs = batch.select(col(id), col(text)).localCheckpoint()
-        val corpus = readCorpus(session, corpusDir, batchDocs.schema)
+        // Only batches strictly BEFORE this one: foreachBatch is
+        // at-least-once, so a crash between the corpus write below and
+        // the stream commit replays this batchId — an unfiltered read
+        // would then see the batch's own docs on the corpus side and
+        // emit self-pairs for every replayed doc.
+        val corpus = readCorpus(session, corpusDir, batchDocs.schema, batchId)
         // Materialized eagerly: the sink must see the pre-append pair
         // set even if it evaluates lazily after the corpus write below.
         val pairs = Dedup.minhashLshPairsIncremental(corpus, batchDocs,
@@ -63,12 +68,13 @@ object StreamingDedup {
       }
       .start()
 
-  /** The accumulated store: every published batch subdir, or an empty
-    * frame with the right schema before the first batch lands. */
+  /** The accumulated store as of (but excluding) `beforeBatch`, or an
+    * empty frame with the right schema before the first batch lands. */
   private def readCorpus(spark: SparkSession, dir: String,
-                         schema: StructType): DataFrame = {
+                         schema: StructType, beforeBatch: Long): DataFrame = {
     val parts = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        f.getName.stripPrefix("batch=").toLong < beforeBatch)
       .map(_.toString)
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

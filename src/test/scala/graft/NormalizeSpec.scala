@@ -361,10 +361,18 @@ class NormalizeSpec extends AnyFunSuite {
       // minimal: no type/date/doi/source — defaults and nulls
       """<Record><header><identifier>oai:datacite.org/3</identifier></header>
         |<metadata><oai_dc:dc><dc:title>T3</dc:title>
+        |</oai_dc:dc></metadata></Record>""".stripMargin.replaceAll("\n", ""),
+      // ISSN listed BEFORE the journal-shaped dc:source — the morph
+      // applies its regexes to every value, so jtitle/volume must come
+      // from the matching one, not the first
+      """<Record><header><identifier>oai:datacite.org/4</identifier></header>
+        |<metadata><oai_dc:dc><dc:title>T4</dc:title>
+        |<dc:source>1932-8036</dc:source>
+        |<dc:source>Intl J of Comm; Vol 5 (2011); 29</dc:source>
         |</oai_dc:dc></metadata></Record>""".stripMargin.replaceAll("\n", ""))
       .toDF("xml")
     val out = Datacite.toIntermediate(recs).collect()
-    assert(out.length == 2) // deleted record dropped
+    assert(out.length == 3) // deleted record dropped
     val r = out(0)
     def f(n: String) = r.getAs[Any](n)
     assert(f("finc.record_id") == "oai:datacite.org/1")
@@ -396,6 +404,11 @@ class NormalizeSpec extends AnyFunSuite {
     assert(m.getAs[String]("doi") == null)
     assert(m.getAs[String]("rft.jtitle") == null)
     assert(m.getAs[scala.collection.Seq[String]]("rft.issn").toSeq == Seq.empty)
+    val o = out(2) // ISSN-first ordering
+    assert(o.getAs[String]("rft.jtitle") == "Intl J of Comm")
+    assert(o.getAs[String]("rft.volume") == "Vol 5")
+    assert(o.getAs[scala.collection.Seq[String]]("rft.issn").toSeq
+      == Seq("1932-8036"))
   }
 
   test("BASE fixes: rename, id strip, truncation, author dispatch, year") {
@@ -412,7 +425,10 @@ class NormalizeSpec extends AnyFunSuite {
       """{"id": "aWQy", "author": ["A", "", null, "B"],
         | "publishDate": "[o.J.]", "institution": ["DE-14"]}""",
       // author absent, publishDate absent
-      """{"id": "aWQz", "title": "t3"}"""
+      """{"id": "aWQz", "title": "t3"}""",
+      // bracketed STRING author (library anonymous-author convention):
+      // starts with '[' but is not JSON — must take the string branch
+      """{"id": "aWQ0", "author": "[Verfasser unbekannt]"}"""
     ).map(_.stripMargin.replaceAll("\n", "")).toDF("value")
     val out = Base.fix(lines).collect()
     def r(i: Int) = out(i)
@@ -433,5 +449,8 @@ class NormalizeSpec extends AnyFunSuite {
     assert(r(2).getAs[Any]("author_is_list") == null)
     assert(r(2).getAs[String]("publish_date") == null)
     assert(r(2).getAs[String]("title") == "t3") // short: untouched
+    assert(r(3).getAs[scala.collection.Seq[String]]("author")
+      == Seq("[Verfasser unbekannt]"))
+    assert(r(3).getAs[Boolean]("author_is_list") == false)
   }
 }
