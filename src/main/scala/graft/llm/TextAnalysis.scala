@@ -266,6 +266,28 @@ object TextAnalysis {
         lit(mod)))
   }
 
+  /** PII scrubbing — deterministic regex redaction of emails, IPv4
+    * addresses and phone-like numbers, the standard pre-training
+    * hygiene pass. Patterns stay inside the RE2-compatible subset (no
+    * backreferences/lookaround), so the scrub is engine-portable
+    * (t9's DuckDB oracle) and runs under codegen — pure per-row
+    * projection, no UDF, no shuffle. Replacement order is fixed
+    * (email → IP → phone) so a pattern never eats a prior token's
+    * remnants; counts are taken on the ORIGINAL text. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9()\\s-]{6,}[0-9]"
+
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Benchmark decontamination — per-document n-gram overlap against a
     * held-out set (the standard train/test contamination check a
     * training-data pipeline runs before every release: a document

@@ -433,6 +433,55 @@ object LlmQueries {
           col("contamination"), col("contaminated"))
     },
 
+    // PII scrubbing: emails/IPv4s/phone numbers injected per-id-class
+    // into the (digit-free) corpus text, counted on the original and
+    // redacted in fixed order. Pure codegen'd projection.
+    Q("t9_pii_scrub",
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' Contact user' || doc_id || '@example.org now.'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN ' Node 10.0.' || (doc_id % 256) || '.' || (doc_id % 200)
+        |              || ' logged.' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' Call +49 341 ' || (100000 + doc_id) || ' today.'
+        |         ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
+        |    AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\s-]{6,}[0-9]'))
+        |    AS BIGINT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\s-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |FROM p""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val t = concat(col("text"),
+        when(id % 3 === 0,
+          concat(lit(" Contact user"), str(id), lit("@example.org now.")))
+          .otherwise(""),
+        when(id % 4 === 0,
+          concat(lit(" Node 10.0."), str(id % 256), lit("."), str(id % 200),
+            lit(" logged."))).otherwise(""),
+        when(id % 5 === 0,
+          concat(lit(" Call +49 341 "), str(lit(100000) + id), lit(" today.")))
+          .otherwise(""))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.piiCount(t, TextAnalysis.EmailRe).as("n_emails"),
+        TextAnalysis.piiCount(t, TextAnalysis.Ipv4Re).as("n_ips"),
+        TextAnalysis.piiCount(t, TextAnalysis.PhoneRe).as("n_phones"),
+        TextAnalysis.piiScrub(t).as("scrubbed"))
+    },
+
     // Brute-force cosine top-k for a small query set (exact baseline).
     Q("e1_ann_brute_topk",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv

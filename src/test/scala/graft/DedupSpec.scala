@@ -365,6 +365,26 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == out)
   }
 
+  test("PII scrub: redacts all occurrences in order, counts on original, leaves clean text") {
+    import graft.llm.TextAnalysis._
+    val rows = Seq(
+      "Mail a.b+c@x-y.co and d5@z.org from 192.168.0.1, call +1 (341) 555-0199 now",
+      "no pii here at all",
+      "ips 10.0.0.1 10.0.0.2").toDF("t")
+      .select(col("t"),
+        piiScrub(col("t")).as("s"),
+        piiCount(col("t"), EmailRe).as("ne"),
+        piiCount(col("t"), Ipv4Re).as("ni"),
+        piiCount(col("t"), PhoneRe).as("np"))
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows(0)._2 ==
+      "Mail <EMAIL> and <EMAIL> from <IP>, call <PHONE> now")
+    assert((rows(0)._3, rows(0)._4, rows(0)._5) == ((2L, 1L, 1L)))
+    assert(rows(1)._2 == rows(1)._1) // untouched
+    assert((rows(1)._3, rows(1)._4, rows(1)._5) == ((0L, 0L, 0L)))
+    assert(rows(2)._2 == "ips <IP> <IP>") // global replace, ip not phone
+  }
+
   test("incremental LSH equals the full run restricted to increment-touching pairs") {
     // The exactness contract: incremental(corpus, increment) ==
     // full(corpus ∪ increment) ∩ {pairs with an increment member} —
