@@ -89,6 +89,20 @@ object ScaleCheck {
       .select("l_orderkey", "l_partkey").cache()
     docsFull0.count(); ev0.count(); li0.count()
 
+    // Prebuilt per factor: growing corpus, FIXED ~1250-doc increment,
+    // and the corpus band artifact (materialized here so its
+    // construction never lands inside a timed incremental run).
+    lazy val incrementalFixtures: Map[Int, (DataFrame, DataFrame, DataFrame)] =
+      factors.map { n =>
+        val corpus = replicateDocs(docs0, n)
+          .filter(col("doc_id") % (4L * n) =!= 0)
+        val increment = replicateDocs(docs0, n)
+          .filter(col("doc_id") % (4L * n) === 0)
+        n -> ((corpus, increment,
+          llm.Dedup.minhashBandTable(corpus, "doc_id", "text")
+            .localCheckpoint()))
+      }.toMap
+
     val ops = Seq(
       Op("exact_dedup_groups", n =>
         llm.Dedup.exactGroups(replicateDocs(docs0, n), "doc_id", "text").count()),
@@ -208,6 +222,20 @@ object ScaleCheck {
           pipeline.AiUpdate.canonicalQuality(col("quality")).as("quality")))
           .as("fullrecord"))
         export.agg(count(col("fullrecord"))).first.getLong(0)
+      }),
+      // Incremental dedup against a precomputed corpus band table (the
+      // nightly production shape): the CORPUS grows ×n while the
+      // increment stays fixed. The band artifact is built OUTSIDE the
+      // timing (it stands in for the persisted parquet table a nightly
+      // job reads); the timed run is increment signatures +
+      // touched-bucket pairing + candidate-member verification — time
+      // must grow far sublinearly in corpus size (the curve that
+      // justifies the incremental operator at 100 TB).
+      Op("incremental_lsh(fixed increment)", { n =>
+        val (corpus, increment, bandArtifact) = incrementalFixtures(n)
+        llm.Dedup.minhashLshPairsIncremental(corpus, increment,
+          "doc_id", "text", threshold = 0.8, maxBucketSize = Some(100),
+          corpusBands = Some(bandArtifact)).count()
       }),
       Op("cocitation_pairs(cap=64)", n =>
         graph.Citations.coCitedPairs(replicateEdges(li0, n),

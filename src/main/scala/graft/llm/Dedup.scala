@@ -258,34 +258,51 @@ object Dedup {
     * and uses the raw band-slice string as the bucket key, making the
     * ENTIRE path — signature, banding, candidate join, Jaccard verify
     * — reproducible in any engine with md5 (d12's DuckDB oracle). */
+  /** The persisted corpus artifact of the incremental path: one
+    * (doc, band, bucket) row per document per band. Production keeps
+    * this bucketed by (band, bucket) ([[graft.pipeline.Bucketing]])
+    * and appends each night's increment rows after pairing, so the
+    * corpus is NEVER re-signed; pass it to
+    * [[minhashLshPairsIncremental]] via `corpusBands`. */
+  def minhashBandTable(docs: DataFrame, id: String, text: String,
+                       shingleN: Int = 1, bands: Int = 16,
+                       rowsPerBand: Int = 8,
+                       portable: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingleArrays(docs, id, text, shingleN)
+      .select(col("doc"), explode(col("toks")).as("sh"))
+    val core =
+      if (portable) conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+      else xxhash64(col("sh"))
+    val sig = signatureAgg(
+      sh.select(col("doc"), core.bitwiseAND(lit(0x7FFFFFFFL)).as("h")),
+      numHashes)
+    sig.select(col("doc"), explode(array((0 until bands).map { b =>
+      val key = array_join(transform(
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
+        _.cast("string")), ",")
+      struct(lit(b).as("band"),
+        (if (portable) key else xxhash64(key).cast("string")).as("bucket"))
+    }: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   def minhashLshPairsIncremental(corpus: DataFrame, increment: DataFrame,
                                  id: String, text: String,
                                  threshold: Double = 0.8, shingleN: Int = 1,
                                  bands: Int = 16, rowsPerBand: Int = 8,
                                  maxBucketSize: Option[Int] = None,
-                                 portable: Boolean = false): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    def hashed(df: DataFrame): DataFrame = {
-      val sh = shingleArrays(df, id, text, shingleN)
-        .select(col("doc"), explode(col("toks")).as("sh"))
-      val core =
-        if (portable)
-          conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-        else xxhash64(col("sh"))
-      sh.select(col("doc"), core.bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
-    }
-    def bandTable(sig: DataFrame): DataFrame =
-      sig.select(col("doc"), explode(array((0 until bands).map { b =>
-        val key = array_join(transform(
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-          _.cast("string")), ",")
-        struct(lit(b).as("band"),
-          (if (portable) key else xxhash64(key).cast("string")).as("bucket"))
-      }: _*)).as("bb"))
-        .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-
-    val bOld = bandTable(signatureAgg(hashed(corpus), numHashes))
-    val bNew = bandTable(signatureAgg(hashed(increment), numHashes))
+                                 portable: Boolean = false,
+                                 corpusBands: Option[DataFrame] = None): DataFrame = {
+    // `corpusBands`: the precomputed [[minhashBandTable]] artifact —
+    // the production entry point. Without it the corpus is re-signed
+    // on the fly (convenient at test scale; at 10⁹ docs the nightly
+    // job must pass the persisted table or the signature pass alone
+    // re-scans the corpus).
+    val bOld = corpusBands.getOrElse(
+      minhashBandTable(corpus, id, text, shingleN, bands, rowsPerBand, portable))
+    val bNew = minhashBandTable(increment, id, text, shingleN, bands,
+      rowsPerBand, portable)
     val touched = bNew.select("band", "bucket").distinct()
     val members = bOld.join(touched, Seq("band", "bucket"), "left_semi")
       .withColumn("nw", lit(false))

@@ -406,6 +406,14 @@ class DedupSpec extends AnyFunSuite {
       assert(inc.nonEmpty, s"vacuous equivalence at cap=$cap")
       // and never a corpus×corpus pair
       assert(inc.forall { case (a, b, _) => a >= 90 || b >= 90 })
+      // the production entry point — a precomputed corpus band table —
+      // yields the identical result
+      val pre = collect(Dedup.minhashLshPairsIncremental(corpus, increment,
+        "doc_id", "text", threshold = 0.8, bands = 8, rowsPerBand = 4,
+        maxBucketSize = cap,
+        corpusBands = Some(Dedup.minhashBandTable(corpus, "doc_id", "text",
+          bands = 8, rowsPerBand = 4))))
+      assert(pre == full, s"precomputed-bands path diverged at cap=$cap")
     }
   }
 }
