@@ -164,4 +164,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
               round(col("sim"), 4).as("sim"))
   }
+
+  /** Symmetric per-dimension int8 scalar quantization — the standard
+    * 4× compression for a large embedding store (float32 → int8 with
+    * one scale per dimension). Two passes: a per-dimension max-abs
+    * aggregate (tiny: one row per dimension), then a pure projection
+    * quantizing every vector against the broadcast scale array.
+    * `q_d = floor(x_d · 127 / maxabs_d + 0.5)` — floor(+0.5) instead
+    * of round() because half-up floor is bit-identical across engines
+    * (round() tie-breaking is not), which keeps the whole op
+    * oracle-checkable; all-zero dimensions quantize to 0.
+    *
+    * Output: (id, q array<int>, max_err double) where max_err is the
+    * vector's worst per-element dequantization error |q·s − x| — the
+    * quality metric a store monitors when deciding int8 is enough.
+    * Scale shape at 100 TB: the aggregate shuffles (dims × partial
+    * maxes) only; the quantization pass is codegen'd and shuffle-free.
+    */
+  def scalarQuantize(emb: DataFrame, id: String, vec: String): DataFrame = {
+    val dims = emb
+      .select(posexplode(col(vec)).as(Seq("i", "e")))
+      .groupBy("i").agg(max(abs(col("e"))).as("m"))
+    val maxarr = dims
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("s"))
+      .select(transform(col("s"), _.getField("m")).as("__ma"))
+    emb.crossJoin(broadcast(maxarr))
+      .select(col(id), col(vec).as("__v"), col("__ma"))
+      // One indexed pass computes the quantized value and its
+      // dequantization error together (zip_with has no index).
+      .withColumn("__qe", transform(col("__v"), (x, i) => {
+        val m = element_at(col("__ma"), i + 1)
+        val q = when(m === 0, lit(0.0))
+          .otherwise(floor(x.cast("double") * 127.0 / m + 0.5))
+        struct(q.cast("int").as("q"),
+          abs(q * m / 127.0 - x.cast("double")).as("err"))
+      }))
+      .withColumn("q", transform(col("__qe"), _.getField("q")))
+      .withColumn("max_err", array_max(transform(col("__qe"), _.getField("err"))))
+      .drop("__v", "__ma", "__qe")
+  }
 }

@@ -521,6 +521,33 @@ object LlmQueries {
         cosineFn = (a, b) => Similarity.cosineNative(s, a, b))
     },
 
+    // Symmetric int8 scalar quantization of the embedding store (4×
+    // compression): per-dimension max-abs aggregate + codegen'd
+    // quantize/dequantize pass. floor(+0.5) half-up keeps the math
+    // bit-identical across engines, so codes AND worst-case
+    // reconstruction error are both under the hash gate.
+    Q("e6_scalar_quant",
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding) AS e,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |dims AS (SELECT i, max(abs(e)) AS m FROM ex GROUP BY i),
+        |qd AS (
+        |  SELECT ex.vec_id, ex.i, d.m, ex.e,
+        |    CASE WHEN d.m = 0 THEN 0.0
+        |         ELSE floor(CAST(ex.e AS DOUBLE) * 127.0 / d.m + 0.5)
+        |         END AS qv
+        |  FROM ex JOIN dims d USING (i))
+        |SELECT vec_id,
+        |  string_agg(CAST(CAST(qv AS INT) AS VARCHAR), ',' ORDER BY i) AS q,
+        |  max(abs(qv * m / 127.0 - CAST(e AS DOUBLE))) AS max_err
+        |FROM qd GROUP BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.scalarQuantize(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q"),
+          col("max_err"))
+    },
+
     // LSH-bucketed ANN — the scale path (bucket equi-join, corpus
     // streams once). Bucket membership is hash-family-dependent →
     // rows-only; recall is spec-tested against e1.

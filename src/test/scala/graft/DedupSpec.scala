@@ -365,6 +365,26 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == out)
   }
 
+  test("scalar quantization: codes bounded, error within half-step, zero dims exact") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f, 0.0f)),
+      (2L, Seq(0.5f, 2.0f, 0.0f)),
+      (3L, Seq(-1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(emb, "vec_id", "embedding")
+      .select("vec_id", "q", "max_err")
+      .as[(Long, Seq[Int], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // dim maxabs = (1.0, 2.0, 0.0): full-scale values hit ±127 exactly.
+    assert(out(1L)._1 == Seq(127, -127, 0))
+    assert(out(2L)._1 == Seq(64, 127, 0)) // 0.5*127 = 63.5 → half-up 64
+    assert(out(3L)._1 == Seq(-127, 64, 0))
+    // Worst per-element error is bounded by half a quantization step
+    // (scale/2 = maxabs/254) of the widest dimension.
+    assert(out.values.forall(_._2 <= 2.0 / 254 + 1e-12))
+    assert(out(1L)._2 == 0.0) // all elements of vec 1 are exact multiples
+    assert(out.values.forall(_._1.forall(q => q >= -127 && q <= 127)))
+  }
+
   test("PII scrub: redacts all occurrences in order, counts on original, leaves clean text") {
     import graft.llm.TextAnalysis._
     val rows = Seq(

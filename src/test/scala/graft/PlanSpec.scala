@@ -70,10 +70,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("no registered query plans a cartesian product, sort-merge join, or UDF") {
     // Nested-loop joins are allowed ONLY in the bounded exact baselines
-    // (broadcast theta-joins over id-filtered subsets / tiny query sets);
-    // everything else must be hash-keyed or broadcast-equi.
+    // (broadcast theta-joins over id-filtered subsets / tiny query sets)
+    // and in e6's ONE-ROW broadcast cross join (the standard global-
+    // aggregate attachment: the quantization scale array is a single
+    // broadcast row, so the "nested loop" is a constant-time lookup per
+    // record); everything else must be hash-keyed or broadcast-equi.
     val bnljAllowed = Set("d2_jaccard_pairs", "d6_embedding_neardup",
-      "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk")
+      "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk",
+      "e6_scalar_quant")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian")
