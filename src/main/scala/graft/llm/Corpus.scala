@@ -109,6 +109,36 @@ object Corpus {
     df.filter(stableHash(col(keyCol), seed) % 100 < rate)
   }
 
+  /** Overlapping token-window chunking — the embedding-pipeline
+    * staple: every document explodes into fixed-size chunks of
+    * `size` tokens advancing by `size - overlap`, so consecutive
+    * chunks share `overlap` tokens of context. Chunk count is
+    * `max(1, ceil((n - overlap) / stride))` — every token lands in at
+    * least one chunk and no chunk starts beyond the text; token-less
+    * documents yield no chunks. Pure per-row generator (one explode),
+    * no shuffle; all-integer arithmetic so chunk boundaries are
+    * bit-stable across engines and reruns. */
+  def chunk(df: DataFrame, keyCol: String, textCol: String,
+            size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size: size=$size overlap=$overlap")
+    val stride = size - overlap
+    // Tokens staged behind a generator barrier (the repetitionStats
+    // pattern) so the per-chunk lambda doesn't re-tokenize.
+    df.select(col(keyCol),
+        explode(array(graft.functions.Scalars.tokens(col(textCol)))).as("__t"))
+      .select(col(keyCol), posexplode(
+        when(size_(col("__t")) === 0, typedLit(Seq.empty[String]))
+          .otherwise(transform(
+            sequence(lit(0), greatest(lit(1),
+              ceil((size_(col("__t")) - overlap).cast("double") / stride)
+                .cast("int")) - 1),
+            i => array_join(slice(col("__t"), i * stride + 1, lit(size)), " "))))
+        .as(Seq("chunk_idx", "chunk_text")))
+  }
+
+  private def size_(c: Column) = org.apache.spark.sql.functions.size(c)
+
   /** Per-stratum quota sampling: keep at most `quota` rows per stratum
     * (language, source, length bucket, …), chosen deterministically by
     * stable-hash order — the "cap the dominant language / oversample

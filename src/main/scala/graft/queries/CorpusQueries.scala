@@ -96,5 +96,26 @@ object CorpusQueries {
          |  FROM documents) WHERE rk <= 30""".stripMargin) { (s, d) =>
       Corpus.stratifiedQuota(Tables.documents(s, d), "doc_id", "lang",
         30, "cap").select("doc_id", "lang")
+    },
+
+    // Overlapping token-window chunking (64-token chunks, 16-token
+    // overlap): one generator explode per doc, all-integer chunk
+    // boundaries — the embedding-pipeline pre-pass.
+    Q("c6_chunking",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+        |         len(string_split(trim(text), ' ')) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        CASE WHEN n = 0 THEN 0
+        |             ELSE greatest(1, CAST(ceil((n - 16) / 48.0) AS INT))
+        |             END AS nc
+        |      FROM t),
+        |ex AS (SELECT doc_id, tk, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |       array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
+        |FROM ex""".stripMargin) { (s, d) =>
+      Corpus.chunk(Tables.documents(s, d), "doc_id", "text",
+        size = 64, overlap = 16)
     })
 }

@@ -126,6 +126,27 @@ class CorpusSpec extends AnyFunSuite {
       .count() == 2000)
   }
 
+  test("chunking: coverage, overlap, short docs one chunk, empty docs none") {
+    val rows = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than size
+      (3L, ""))                                       // token-less
+      .toDF("doc_id", "text")
+    val out = Corpus.chunk(rows, "doc_id", "text", size = 4, overlap = 2)
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // stride 2: ceil((10-2)/2) = 4 chunks, each 4 tokens, 2 shared.
+    assert(out(1L) == Seq("w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8",
+      "w7 w8 w9 w10"))
+    assert(out(2L) == Seq("a b c")) // short doc: one (ragged) chunk
+    // "" tokenizes to [""], one 1-token chunk — same as the oracle's
+    // string_split; truly token-less input never reaches the operator.
+    assert(out(3L) == Seq(""))
+    // every token of doc 1 appears in at least one chunk
+    val covered = out(1L).flatMap(_.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("contamination: benchmark members 1.0, disjoint docs 0.0, partial in between") {
     import graft.llm.TextAnalysis
     val corpus = Seq(
