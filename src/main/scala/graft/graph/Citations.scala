@@ -153,12 +153,14 @@ object Citations {
     // materialized tables survive executor loss.
     // NOTE: Spark's checkpoint dir is SparkContext-global — passing
     // checkpointDir redirects it for the whole session (documented at
-    // the public pageRank/pageRankExact params). Left untouched when
-    // it already points at `dir`, so repeated calls don't churn it.
+    // the public pageRank/pageRankExact params). setCheckpointDir
+    // qualifies the path and appends a per-registration UUID subdir,
+    // so there is no reliable "already set to this dir" test — every
+    // call re-registers, which is also what isolates concurrent runs
+    // from each other's checkpoint files.
     val persist: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        val sc = edges.sparkSession.sparkContext
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        edges.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }

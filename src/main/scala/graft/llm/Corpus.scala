@@ -114,10 +114,12 @@ object Corpus {
     * `size` tokens advancing by `size - overlap`, so consecutive
     * chunks share `overlap` tokens of context. Chunk count is
     * `max(1, ceil((n - overlap) / stride))` — every token lands in at
-    * least one chunk and no chunk starts beyond the text; token-less
-    * documents yield no chunks. Pure per-row generator (one explode),
-    * no shuffle; all-integer arithmetic so chunk boundaries are
-    * bit-stable across engines and reruns. */
+    * least one chunk and no chunk starts beyond the text. Empty text
+    * yields ONE empty chunk (the tokenizer's split of "" is [""], the
+    * same contract as the oracle's string_split); null text yields no
+    * chunks. Pure per-row generator (one explode), no shuffle;
+    * all-integer arithmetic so chunk boundaries are bit-stable across
+    * engines and reruns. */
   def chunk(df: DataFrame, keyCol: String, textCol: String,
             size: Int, overlap: Int): DataFrame = {
     require(size > 0 && overlap >= 0 && overlap < size,
@@ -128,7 +130,11 @@ object Corpus {
     df.select(col(keyCol),
         explode(array(graft.functions.Scalars.tokens(col(textCol)))).as("__t"))
       .select(col(keyCol), posexplode(
-        when(size_(col("__t")) === 0, typedLit(Seq.empty[String]))
+        // Null text → null tokens → no chunks (a bare `otherwise`
+        // would emit one phantom (0, null) chunk because
+        // greatest(1, null) = 1); the tokenizer never yields an
+        // empty array for non-null text.
+        when(col("__t").isNull, typedLit(Seq.empty[String]))
           .otherwise(transform(
             sequence(lit(0), greatest(lit(1),
               ceil((size_(col("__t")) - overlap).cast("double") / stride)

@@ -298,7 +298,12 @@ object Dedup {
     // the production entry point. Without it the corpus is re-signed
     // on the fly (convenient at test scale; at 10⁹ docs the nightly
     // job must pass the persisted table or the signature pass alone
-    // re-scans the corpus).
+    // re-scans the corpus). CONTRACT: the artifact must have been
+    // built with the SAME (shingleN, bands, rowsPerBand, portable) as
+    // this call — a mismatched hash family makes the (band, bucket)
+    // join match nothing and increment-vs-corpus pairs silently
+    // vanish. Persist the parameters next to the artifact and check
+    // them at load time (the table itself carries no metadata).
     val bOld = corpusBands.getOrElse(
       minhashBandTable(corpus, id, text, shingleN, bands, rowsPerBand, portable))
     val bNew = minhashBandTable(increment, id, text, shingleN, bands,
@@ -322,11 +327,15 @@ object Dedup {
       .filter(col("p.a.nw") || col("p.b.nw"))
       .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"))
       .distinct()
-      // Materialized once (small: the candidate set, increment-bounded)
-      // — it feeds three consumers below (the id semi-join and both
-      // verify joins); lazy, the whole signature+banding pipeline would
-      // re-run per consumer. The d8 localCheckpoint pattern.
-      .localCheckpoint()
+      // cache(), not localCheckpoint(): the candidate set (small,
+      // increment-bounded) feeds three consumers below (the id
+      // semi-join and both verify joins) and must materialize once —
+      // but an eager checkpoint would truncate the logical plan, hiding
+      // the whole signature/banding half from PlanSpec's cartesian/SMJ/
+      // UDF gate and forcing execution at DataFrame-construction time.
+      // cache() keeps the full plan visible and lazy while still
+      // computing the candidates once at first action.
+      .cache()
 
     // Verification must also scale with the increment: tokenize only
     // docs that actually appear in a candidate pair (bounded by the

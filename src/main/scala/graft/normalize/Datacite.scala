@@ -102,6 +102,9 @@ object Datacite {
     // The morph applies each dc:source regexp to EVERY value — a
     // record may list its ISSN before the journal-shaped string, so
     // jtitle/volume come from the first MATCHING value, not the first.
+    // The three identical values(xml, "dc:source") subtrees (here and
+    // in rft.issn) collapse to one evaluation under whole-stage
+    // codegen's subexpression elimination — no staging needed.
     val jtitleSrc = try_element_at(
       filter(values(xml, "dc:source"), _.rlike(JtitleRe)), lit(1))
     val volumeSrc = try_element_at(

@@ -24,10 +24,13 @@ import graft.llm.Dedup
   * reads the precomputed band artifact instead).
   *
   * Exactly-once: the corpus append is idempotent (each batch
-  * overwrites its own `batch=<id>` subdir — a retried batch replaces
-  * itself, never duplicating membership), and pairs are materialized
-  * BEFORE the batch joins the store, so a batch never pairs against
-  * itself through the corpus side.
+  * overwrites its own checkpoint-namespaced `run=<ns>_batch=<id>`
+  * subdir — a retried batch replaces itself, never duplicating
+  * membership, and a NEW checkpoint over an existing store gets a new
+  * namespace, so earlier runs' batches are neither clobbered nor
+  * ignored), and pairs are materialized BEFORE the batch joins the
+  * store, so a batch never pairs against itself through the corpus
+  * side even on replay.
   *
   * Completeness (spec-pinned): streaming any partition of a document
   * set from an empty store yields exactly the full batch run's pair
@@ -44,19 +47,31 @@ object StreamingDedup {
             bands: Int = 16, rowsPerBand: Int = 8,
             maxBucketSize: Option[Int] = None,
             trigger: Trigger = Trigger.AvailableNow())(
-            sink: (DataFrame, Long) => Unit): StreamingQuery =
+            sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    // Store subdirs are namespaced by the CHECKPOINT's identity:
+    // batchIds are checkpoint-scoped (a fresh checkpoint restarts at
+    // 0), so bare batch=N names would both collide with a previous
+    // run's dirs (overwriting corpus data) and defeat the replay
+    // exclusion below. Same checkpoint → same namespace (replay-safe);
+    // a new checkpoint over an existing store gets a new namespace and
+    // sees every earlier run's batches as corpus.
+    val ns = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         val batchDocs = batch.select(col(id), col(text)).localCheckpoint()
-        // Only batches strictly BEFORE this one: foreachBatch is
+        // Exclude this run's batches >= the current id: foreachBatch is
         // at-least-once, so a crash between the corpus write below and
         // the stream commit replays this batchId — an unfiltered read
         // would then see the batch's own docs on the corpus side and
-        // emit self-pairs for every replayed doc.
-        val corpus = readCorpus(session, corpusDir, batchDocs.schema, batchId)
+        // emit self-pairs for every replayed doc. Other runs' batches
+        // always count as corpus.
+        val corpus = readCorpus(session, corpusDir, batchDocs.schema,
+          ns, batchId)
         // Materialized eagerly: the sink must see the pre-append pair
         // set even if it evaluates lazily after the corpus write below.
         val pairs = Dedup.minhashLshPairsIncremental(corpus, batchDocs,
@@ -64,17 +79,25 @@ object StreamingDedup {
           .localCheckpoint()
         sink(pairs, batchId)
         batchDocs.write.mode("overwrite")
-          .parquet(s"$corpusDir/batch=$batchId")
+          .parquet(s"$corpusDir/run=${ns}_batch=$batchId")
       }
       .start()
+  }
 
-  /** The accumulated store as of (but excluding) `beforeBatch`, or an
-    * empty frame with the right schema before the first batch lands. */
+  /** The accumulated store: every published batch subdir except the
+    * current run's batches at-or-after `batchId` (replay exclusion),
+    * or an empty frame with the right schema before the first batch
+    * lands. */
   private def readCorpus(spark: SparkSession, dir: String,
-                         schema: StructType, beforeBatch: Long): DataFrame = {
+                         schema: StructType, ns: String,
+                         batchId: Long): DataFrame = {
+    val Part = "run=([0-9a-f]+)_batch=([0-9]+)".r
     val parts = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        f.getName.stripPrefix("batch=").toLong < beforeBatch)
+      .filter(_.isDirectory)
+      .filter(_.getName match {
+        case Part(runNs, b) => runNs != ns || b.toLong < batchId
+        case _              => false
+      })
       .map(_.toString)
     if (parts.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

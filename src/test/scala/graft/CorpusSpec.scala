@@ -130,7 +130,8 @@ class CorpusSpec extends AnyFunSuite {
     val rows = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
       (2L, "a b c"),                                  // shorter than size
-      (3L, ""))                                       // token-less
+      (3L, ""),                                       // empty string
+      (4L, null.asInstanceOf[String]))                // null text
       .toDF("doc_id", "text")
     val out = Corpus.chunk(rows, "doc_id", "text", size = 4, overlap = 2)
       .as[(Long, Int, String)].collect()
@@ -140,8 +141,9 @@ class CorpusSpec extends AnyFunSuite {
       "w7 w8 w9 w10"))
     assert(out(2L) == Seq("a b c")) // short doc: one (ragged) chunk
     // "" tokenizes to [""], one 1-token chunk — same as the oracle's
-    // string_split; truly token-less input never reaches the operator.
+    // string_split; null text yields NO chunks (no phantom null row).
     assert(out(3L) == Seq(""))
+    assert(!out.contains(4L))
     // every token of doc 1 appears in at least one chunk
     val covered = out(1L).flatMap(_.split(" ")).toSet
     assert(covered == (1 to 10).map(i => s"w$i").toSet)

@@ -184,14 +184,15 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val all = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 120)
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
-    val (r1, r2) = all.partition(_._1 < 60)
+    val r1 = all.filter(_._1 < 40)
+    val r2 = all.filter(t => t._1 >= 40 && t._1 < 80)
+    val r3 = all.filter(_._1 >= 80)
 
     val base = java.nio.file.Files.createTempDirectory("graft-sdd")
     val corpusDir = base.resolve("corpus").toString
-    val ckpt = base.resolve("ckpt").toString
-    val input = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-    def round(rows: Seq[(Long, String)]): Unit = {
+    def round(input: MemoryStream[(Long, String)], ckpt: String,
+              rows: Seq[(Long, String)]): Unit = {
       input.addData(rows: _*)
       val q = graft.streaming.StreamingDedup.start(
         input.toDF().toDF("doc_id", "text"), "doc_id", "text",
@@ -203,8 +204,16 @@ class StreamingSpec extends AnyFunSuite {
       }
       q.awaitTermination()
     }
-    round(r1)
-    round(r2)
+    // Rounds 1+2 share a checkpoint (the restart/replay path); round 3
+    // runs with a FRESH checkpoint and stream over the same store —
+    // its batchIds restart at 0, and it must still see rounds 1+2 as
+    // corpus (checkpoint-namespaced store dirs) for the totals to add
+    // up to the full batch pair set.
+    val sameCkpt = base.resolve("ckpt").toString
+    val input12 = MemoryStream[(Long, String)]
+    round(input12, sameCkpt, r1)
+    round(input12, sameCkpt, r2)
+    round(MemoryStream[(Long, String)], base.resolve("ckpt2").toString, r3)
 
     val full = graft.llm.Dedup.minhashLshPairs(
         Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 120),
@@ -212,8 +221,11 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(got.toSet == full)
     assert(got.size == got.toSet.size, "a pair was emitted twice")
-    // both rounds contributed (round 2 must pair against the store)
-    assert(full.exists { case (a, b, _) => a < 60 && b >= 60 },
+    // the fresh-checkpoint round must pair against the earlier runs'
+    // store, and the same-checkpoint rounds against each other
+    assert(full.exists { case (a, b, _) => a < 80 && b >= 80 },
+      "fixture has no cross-checkpoint pair — store continuity untested")
+    assert(full.exists { case (a, b, _) => a < 40 && b >= 40 && b < 80 },
       "fixture has no cross-round pair — equivalence would be weak")
     graft.queries.Fixtures.deleteRecursively(base)
   }
