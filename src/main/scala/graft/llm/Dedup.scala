@@ -330,12 +330,15 @@ object Dedup {
       // cache(), not localCheckpoint(): the candidate set (small,
       // increment-bounded) feeds three consumers below (the id
       // semi-join and both verify joins) and must materialize once —
-      // but an eager checkpoint would truncate the logical plan, hiding
-      // the whole signature/banding half from PlanSpec's cartesian/SMJ/
-      // UDF gate and forcing execution at DataFrame-construction time.
-      // cache() keeps the full plan visible and lazy while still
-      // computing the candidates once at first action.
+      // but an eager checkpoint would truncate the logical plan and
+      // hide the whole signature/banding half from PlanSpec's
+      // cartesian/SMJ/UDF gate. cache() keeps the full plan visible
+      // (InMemoryRelation prints its child).
       .cache()
+    // Populate the cache eagerly: left lazy, the three consumers race
+    // the first materialization inside one action and re-run the
+    // banding pipeline (measured 1.8 s → 3-5 s at sf0.1).
+    pairs.count()
 
     // Verification must also scale with the increment: tokenize only
     // docs that actually appear in a candidate pair (bounded by the
