@@ -348,10 +348,15 @@ object Dedup {
     val candidateIds = pairs.select(col("id_a").as(id))
       .unionByName(pairs.select(col("id_b").as(id)))
       .distinct()
+    // Also candidate-bounded and read twice (once per verify side) —
+    // without the cache each side re-runs the semi-join and
+    // re-tokenizes.
     val toks = shingleArrays(
       corpus.select(col(id), col(text))
         .unionByName(increment.select(col(id), col(text)))
         .join(candidateIds, Seq(id), "left_semi"), id, text, shingleN)
+      .cache()
+    toks.count()
     pairs
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
