@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The persisted MinHash band-table artifact of the incremental dedup
+  * path ([[Dedup.minhashBandTable]] rows: one (doc, band, bucket) per
+  * document per band), with its parameter contract ENFORCED instead of
+  * documented: the artifact is only correct to join against when the
+  * reader uses the exact (shingleN, bands, rowsPerBand, portable) it
+  * was built with — a mismatched hash family makes the (band, bucket)
+  * candidate join match nothing and increment-vs-corpus pairs silently
+  * vanish, which in the nightly job this path exists for is an
+  * undetectable wrong answer.
+  *
+  * So every write drops a `_params.json` sidecar next to the parquet
+  * data, and [[read]] refuses to hand back a frame unless the caller's
+  * parameters match the sidecar (loud `IllegalStateException`, in the
+  * reference's own runtime-assertion culture — ref workflows/ai.py:150).
+  * [[append]] (the nightly increment append) checks the same contract
+  * before adding rows. All filesystem access goes through the Hadoop
+  * FileSystem API so the artifact can live on HDFS/object storage.
+  *
+  * For the shuffle-free (band, bucket) join layout at cluster scale,
+  * feed [[read]]'s result through [[graft.pipeline.Bucketing]] — this
+  * store owns the artifact's correctness contract, Bucketing its
+  * physical layout. */
+object BandStore {
+
+  /** The hash-family fingerprint of a band-table artifact. */
+  case class Params(shingleN: Int, bands: Int, rowsPerBand: Int,
+                    portable: Boolean) {
+    def render: String =
+      s"""{"shingleN":$shingleN,"bands":$bands,""" +
+        s""""rowsPerBand":$rowsPerBand,"portable":$portable}"""
+  }
+
+  private val Sidecar = "_params.json"
+  private val DataDir = "data"
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Build the band table for `docs` and persist it (overwrite) with
+    * its parameter sidecar. Returns the row count written. */
+  def build(docs: DataFrame, id: String, text: String, dir: String,
+            params: Params): Long = {
+    val bt = Dedup.minhashBandTable(docs, id, text, params.shingleN,
+      params.bands, params.rowsPerBand, params.portable)
+    write(bt, dir, params)
+  }
+
+  /** Persist an already-computed band table (overwrite) with its
+    * sidecar. The caller asserts `bands` was produced with `params`. */
+  def write(bands: DataFrame, dir: String, params: Params): Long = {
+    val spark = bands.sparkSession
+    bands.write.mode("overwrite").parquet(s"$dir/$DataDir")
+    writeSidecar(fs(spark, dir), new Path(dir, Sidecar), params)
+    spark.read.parquet(s"$dir/$DataDir").count()
+  }
+
+  /** Append the increment's band rows after a nightly pairing run —
+    * the "corpus is never re-signed" half of the incremental contract.
+    * Refuses on parameter mismatch (appending rows from a different
+    * hash family would poison every later run). */
+  def append(increment: DataFrame, id: String, text: String, dir: String,
+             params: Params): Unit = {
+    requireParams(increment.sparkSession, dir, params, "append")
+    Dedup.minhashBandTable(increment, id, text, params.shingleN,
+        params.bands, params.rowsPerBand, params.portable)
+      .write.mode("append").parquet(s"$dir/$DataDir")
+  }
+
+  /** The artifact, verified against the caller's parameters — the only
+    * sanctioned way to obtain a `corpusBands` frame for
+    * [[Dedup.minhashLshPairsIncremental]]. */
+  def read(spark: SparkSession, dir: String, params: Params): DataFrame = {
+    requireParams(spark, dir, params, "read")
+    spark.read.parquet(s"$dir/$DataDir")
+  }
+
+  /** The stored parameters, or None when no artifact exists. */
+  def readParams(spark: SparkSession, dir: String): Option[Params] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, Sidecar)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text =
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes); new String(bytes, "UTF-8")
+      } finally in.close()
+    def intOf(k: String): Int =
+      s""""$k"\\s*:\\s*(-?[0-9]+)""".r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalStateException(
+          s"BandStore: malformed $Sidecar at $dir (missing $k): $text"))
+        .group(1).toInt
+    val portable = s""""portable"\\s*:\\s*(true|false)""".r
+      .findFirstMatchIn(text)
+      .getOrElse(throw new IllegalStateException(
+        s"BandStore: malformed $Sidecar at $dir (missing portable): $text"))
+      .group(1).toBoolean
+    Some(Params(intOf("shingleN"), intOf("bands"), intOf("rowsPerBand"),
+      portable))
+  }
+
+  /** Remove `ids` (first column) from the artifact — the takedown path.
+    * Rewrites the data dir through a temp location; the params sidecar
+    * is untouched (deletion never changes the hash family). Not
+    * concurrency-safe against a running reader — run it in the same
+    * maintenance window as [[CorpusStore.compact]]. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val params = readParams(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"BandStore: no artifact at $dir (missing $Sidecar)"))
+    val key = ids.columns.head
+    val kept = read(spark, dir, params)
+      .join(broadcast(ids.select(col(key).as("doc")).distinct()),
+        Seq("doc"), "left_anti")
+    val f = fs(spark, dir)
+    val tmp = new Path(dir, s"_tmp_$DataDir")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    val data = new Path(dir, DataDir)
+    f.delete(data, true)
+    if (!f.rename(tmp, data))
+      throw new java.io.IOException(s"BandStore.delete: rename failed at $dir")
+  }
+
+  private def writeSidecar(f: FileSystem, p: Path, params: Params): Unit = {
+    // Overwrite is fine here: the sidecar commits the whole-artifact
+    // overwrite in write() and is idempotent per params.
+    val out = f.create(p, /* overwrite = */ true)
+    try out.write(params.render.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireParams(spark: SparkSession, dir: String,
+                            expected: Params, op: String): Unit =
+    readParams(spark, dir) match {
+      case None =>
+        throw new IllegalStateException(
+          s"BandStore.$op: no $Sidecar sidecar at $dir — refusing to " +
+            "use an artifact whose hash family is unknown (a mismatch " +
+            "makes the candidate join silently empty)")
+      case Some(stored) if stored != expected =>
+        throw new IllegalStateException(
+          s"BandStore.$op: parameter mismatch at $dir — artifact built " +
+            s"with ${stored.render}, caller expects ${expected.render}; " +
+            "joining across hash families yields zero candidates and " +
+            "silently drops every pair")
+      case _ => ()
+    }
+}

@@ -293,7 +293,30 @@ object Dedup {
                                  bands: Int = 16, rowsPerBand: Int = 8,
                                  maxBucketSize: Option[Int] = None,
                                  portable: Boolean = false,
-                                 corpusBands: Option[DataFrame] = None): DataFrame = {
+                                 corpusBands: Option[DataFrame] = None): DataFrame =
+    minhashLshPairsIncrementalReleasable(corpus, increment, id, text,
+      threshold, shingleN, bands, rowsPerBand, maxBucketSize, portable,
+      corpusBands)._1
+
+  /** [[minhashLshPairsIncremental]] plus a release handle that
+    * unpersists the operator's two internal caches (candidate pairs,
+    * candidate tokens). Callers that invoke the operator repeatedly
+    * over FRESH data — StreamingDedup runs it once per micro-batch —
+    * MUST materialize the result and then call the handle, or the
+    * session's CacheManager pins two new datasets per invocation
+    * forever (unbounded memory/disk growth in a long-running stream).
+    * Re-invocations over IDENTICAL inputs (Verify/Bench re-running a
+    * registered query) are deduplicated by the CacheManager on the
+    * canonicalized plan and do not grow the cache, which is why the
+    * plain variant above stays safe for those. */
+  def minhashLshPairsIncrementalReleasable(
+      corpus: DataFrame, increment: DataFrame,
+      id: String, text: String,
+      threshold: Double = 0.8, shingleN: Int = 1,
+      bands: Int = 16, rowsPerBand: Int = 8,
+      maxBucketSize: Option[Int] = None,
+      portable: Boolean = false,
+      corpusBands: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     // `corpusBands`: the precomputed [[minhashBandTable]] artifact —
     // the production entry point. Without it the corpus is re-signed
     // on the fly (convenient at test scale; at 10⁹ docs the nightly
@@ -339,6 +362,19 @@ object Dedup {
     // the first materialization inside one action and re-run the
     // banding pipeline (measured 1.8 s → 3-5 s at sf0.1).
     pairs.count()
+    // Disjoint-ids guard (the contract above), piggybacked on the
+    // cached increment-bounded candidate set so it costs one cheap
+    // local scan: an id present in BOTH inputs bands into the same
+    // buckets twice — once nw=false, once nw=true — and surfaces here
+    // as a self-candidate. Fail loudly instead of emitting corrupt
+    // self-pairs and double-counted bucket members downstream. (A
+    // duplicated id whose two texts never share a bucket escapes this
+    // guard; the full check would scan the corpus id column, which the
+    // incremental design exists to avoid.)
+    if (!pairs.filter(col("id_a") === col("id_b")).isEmpty)
+      throw new IllegalArgumentException(
+        "minhashLshPairsIncremental: corpus and increment id sets " +
+          "overlap (self-candidate detected) — the inputs must be disjoint")
 
     // Verification must also scale with the increment: tokenize only
     // docs that actually appear in a candidate pair (bounded by the
@@ -357,12 +393,13 @@ object Dedup {
         .join(candidateIds, Seq(id), "left_semi"), id, text, shingleN)
       .cache()
     toks.count()
-    pairs
+    val result = pairs
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardDistinct(col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (result, () => { pairs.unpersist(false); toks.unpersist(false); () })
   }
 
   /** One-permutation MinHash signature (OPH): ONE hash per shingle,
@@ -484,6 +521,51 @@ object Dedup {
     val withBuckets = emb.select(col(id).as("doc"),
       posexplode(Similarity.lshBucketsAll(emb.sparkSession, col(vec),
         tables, planes, dim)).as(Seq("tbl", "bkt")))
+    val candidates = bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", None)
+    val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
+    candidates
+      .join(vecs.withColumnsRenamed(Map("doc" -> "id_a", "v" -> "va")), Seq("id_a"))
+      .join(vecs.withColumnsRenamed(Map("doc" -> "id_b", "v" -> "vb")), Seq("id_b"))
+      .withColumn("sim",
+        Similarity.cosineNative(emb.sparkSession, col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
+  /** Portable twin of [[embeddingNearDupPairsLsh]] (the d5/d9 pattern:
+    * md5-derived randomness so the ENTIRE path replays in any engine
+    * with md5): hyperplane component signs come from an md5 hex digit's
+    * parity, and — the part that makes the SIGN TEST itself portable —
+    * vector components are quantized to integers
+    * (`floor(x·1000 + 0.5)`, the e6 half-up-floor convention) before
+    * the plane dot product, so the bucketing decision is
+    * order-independent integer arithmetic that cannot flip under a
+    * different float summation order. Candidate generation is the same
+    * (table, bucket) equi-join, verification the same exact cosine
+    * (double, proven engine-portable by d6). Production keeps the
+    * fused native [[graft.plans.SignLshBucketsExpr]] path (d7); this
+    * twin exists to put the LSH-path math under the hash oracle. */
+  def embeddingNearDupPairsLshPortable(emb: DataFrame, id: String,
+                                       vec: String, threshold: Double,
+                                       planes: Int = 8, tables: Int = 6,
+                                       dim: Int = 64): DataFrame = {
+    def bucketOf(table: Int): Column = {
+      val w = transform(col(vec),
+        x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+      val bits = (0 until planes).map { p =>
+        val dot = aggregate(
+          zip_with(w, sequence(lit(0), lit(dim - 1)), (x, i) =>
+            x * when(conv(substring(md5(concat_ws(",", lit(table), lit(p),
+                i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1,
+              1L).otherwise(-1L)),
+          lit(0L), (acc, v) => acc + v)
+        when(dot > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val withBuckets = emb.select(col(id).as("doc"),
+      posexplode(array((0 until tables).map(bucketOf): _*))
+        .as(Seq("tbl", "bkt")))
     val candidates = bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", None)
     val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
     candidates

@@ -1,0 +1,227 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The streaming-dedup corpus store: one `run=<ns>_batch=<id>` parquet
+  * subdir of (id, text) per committed micro-batch (written by
+  * [[StreamingDedup]]), plus the maintenance operations a long-running
+  * deployment needs — compaction (merge the per-batch dirs into one
+  * consolidated generation) and deletion (remove a given id set, the
+  * routine takedown path of a training-data pipeline).
+  *
+  * All filesystem access goes through `org.apache.hadoop.fs.FileSystem`
+  * resolved from the session's Hadoop conf, so the store works wherever
+  * a 100 TB corpus store can actually live (HDFS, object storage) —
+  * batches are written via Spark/Hadoop, so listing them with
+  * `java.io.File` would silently see an empty store on any non-local
+  * default filesystem and drop every cross-batch pair.
+  *
+  * Layout and crash-safety:
+  *  - batch members: `run=<hex-ns>_batch=<n>` (ns = the writing
+  *    checkpoint's identity; see [[StreamingDedup]] for the replay
+  *    semantics).
+  *  - compacted generations: `run=compact_batch=<k>` — the reserved
+  *    `compact` namespace can never collide with a checkpoint namespace
+  *    (those are md5 hex). A generation is COMMITTED only once its
+  *    manifest `_merged-<k>.json` (the list of member dirs it absorbed)
+  *    exists; the manifest is created with an atomic create-no-overwrite,
+  *    so at every crash point readers see exactly one copy of every
+  *    document: data renamed but no manifest → the generation is
+  *    invisible and its sources still count; manifest present → sources
+  *    are excluded even if their dirs have not been deleted yet (deletes
+  *    are best-effort cleanup, retried by the next compact()).
+  *  - compacted rows carry `__run`/`__batch` provenance columns, so
+  *    [[StreamingDedup]]'s replay exclusion (drop this run's batches ≥
+  *    current batchId) keeps working on documents that have been
+  *    compacted mid-stream.
+  */
+object CorpusStore {
+
+  val CompactNs = "compact"
+  private val Part = "run=([0-9a-z]+)_batch=([0-9]+)".r
+  private val Manifest = "_merged-([0-9]+)\\.json".r
+  private val RunCol = "__run"
+  private val BatchCol = "__batch"
+
+  /** One committed store member: its dir name, absolute path, and the
+    * (ns, batch) parsed from the name. */
+  case class Member(name: String, path: String, ns: String, batch: Long) {
+    def isCompacted: Boolean = ns == CompactNs
+  }
+
+  def fileSystem(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** All COMMITTED members of the store: batch dirs not absorbed by a
+    * committed compaction, plus compacted generations whose manifest
+    * exists. Empty if the store dir does not exist yet. */
+  def listMembers(spark: SparkSession, dir: String): Seq[Member] = {
+    val root = new Path(dir)
+    val fs = fileSystem(spark, dir)
+    if (!fs.exists(root)) return Seq.empty
+    val entries = fs.listStatus(root).toSeq
+    val committedGens: Set[Long] = entries.collect {
+      case st if !st.isDirectory => st.getPath.getName
+    }.collect { case Manifest(k) => k.toLong }.toSet
+    val absorbed: Set[String] = committedGens.flatMap(k =>
+      readManifest(fs, new Path(root, s"_merged-$k.json")))
+    entries
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        st.getPath.getName match {
+          case n @ Part(ns, b) =>
+            val m = Member(n, st.getPath.toString, ns, b.toLong)
+            val committed =
+              if (m.isCompacted) committedGens.contains(m.batch)
+              else !absorbed.contains(n)
+            if (committed) Some(m) else None
+          case _ => None
+        }
+      }
+      .sortBy(m => (m.ns, m.batch))
+  }
+
+  /** The store's documents under the given schema, excluding the
+    * writing run's own batches at-or-after `excludeFromBatch` (the
+    * at-least-once replay guard) — enforced via dir names for raw batch
+    * members and via the row-level provenance columns for compacted
+    * generations. Pass `excludeNs = None` for a plain maintenance read
+    * of everything committed. */
+  def readDocs(spark: SparkSession, dir: String, schema: StructType,
+               excludeNs: Option[String] = None,
+               excludeFromBatch: Long = 0L): DataFrame = {
+    val members = listMembers(spark, dir)
+    val keepRaw = members.filterNot(_.isCompacted).filter { m =>
+      excludeNs.forall(ns => m.ns != ns || m.batch < excludeFromBatch)
+    }
+    val compacted = members.filter(_.isCompacted)
+    val cols = schema.fieldNames.map(col).toSeq
+    val rawDf =
+      if (keepRaw.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(keepRaw.map(_.path): _*))
+    val compDf =
+      if (compacted.isEmpty) None
+      else {
+        val d = spark.read.parquet(compacted.map(_.path): _*)
+        val filtered = excludeNs match {
+          case Some(ns) =>
+            d.filter(!(col(RunCol) === ns && col(BatchCol) >= excludeFromBatch))
+          case None => d
+        }
+        Some(filtered.select(cols: _*))
+      }
+    (rawDf, compDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+  }
+
+  /** Merge every committed member into one new compacted generation,
+    * optionally dropping `removeIds` (deletion = compaction with an
+    * anti-join — the only way to remove rows from immutable parquet
+    * batches while keeping exactly-one-copy semantics). Returns the new
+    * generation id, or None when the store is empty (nothing to do; a
+    * pure delete on an empty store is also a no-op).
+    *
+    * Safe to run between stream runs (the nightly maintenance window);
+    * concurrent compactions of the same store are not supported (two
+    * compactors could both absorb the same source dirs). Mid-stream
+    * compaction is safe for READERS (provenance columns preserve replay
+    * exclusion) but a batch committed after the listing here and before
+    * the manifest write would be invisible to this compaction — it
+    * simply stays a raw member, absorbed next time.
+    */
+  def compact(spark: SparkSession, dir: String, idCol: String,
+              removeIds: Option[DataFrame] = None): Option[Long] = {
+    val root = new Path(dir)
+    val fs = fileSystem(spark, dir)
+    if (!fs.exists(root)) return None
+    // Clean up debris from a previous crashed compaction: tmp dirs and
+    // renamed-but-uncommitted generations are invisible to readers, so
+    // deleting them is always safe.
+    val entries = fs.listStatus(root).toSeq
+    val committedGens: Set[Long] = entries.collect {
+      case st if !st.isDirectory => st.getPath.getName
+    }.collect { case Manifest(k) => k.toLong }.toSet
+    entries.filter(_.isDirectory).foreach { st =>
+      st.getPath.getName match {
+        case n if n.startsWith("_tmp_compact_") => fs.delete(st.getPath, true)
+        case Part(CompactNs, b) if !committedGens.contains(b.toLong) =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
+    // Retry the lazy deletes of already-absorbed sources.
+    val absorbed: Set[String] = committedGens.flatMap(k =>
+      readManifest(fs, new Path(root, s"_merged-$k.json")))
+    absorbed.foreach(n => fs.delete(new Path(root, n), true))
+
+    val members = listMembers(spark, dir)
+    if (members.isEmpty) return None
+    val gen = (committedGens + -1L).max + 1
+
+    // Raw members gain provenance columns from their dir names;
+    // compacted members already carry them.
+    val parts = members.map { m =>
+      if (m.isCompacted) spark.read.parquet(m.path)
+      else spark.read.parquet(m.path)
+        .withColumn(RunCol, lit(m.ns)).withColumn(BatchCol, lit(m.batch))
+    }
+    val all = parts.reduce(_ unionByName _)
+    val kept = removeIds match {
+      case Some(ids) =>
+        val key = ids.columns.head
+        all.join(broadcast(ids.select(col(key).as(idCol)).distinct()),
+          Seq(idCol), "left_anti")
+      case None => all
+    }
+
+    val tmp = new Path(root, s"_tmp_compact_$gen")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    val dest = new Path(root, s"run=${CompactNs}_batch=$gen")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"compact: rename $tmp -> $dest failed")
+    // COMMIT POINT: atomic create-no-overwrite of the manifest. Before
+    // this line the new generation is invisible; after it the absorbed
+    // members are excluded.
+    writeManifest(fs, new Path(root, s"_merged-$gen.json"),
+      members.map(_.name))
+    members.foreach(m => fs.delete(new Path(m.path), true))
+    Some(gen)
+  }
+
+  /** Remove `ids` (first column of `ids`, matched against `idCol` in
+    * the store schema) from the corpus store. Implemented as a full
+    * compaction with an anti-join, so afterwards the store is a single
+    * committed generation holding exactly the surviving documents —
+    * a subsequent pairing run behaves as a fresh run over the
+    * remaining docs. */
+  def delete(spark: SparkSession, dir: String, idCol: String,
+             ids: DataFrame): Option[Long] =
+    compact(spark, dir, idCol, Some(ids))
+
+  private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      // Entries are dir names (hex/digits/'=', '_') — no JSON escaping
+      // can occur, so a quoted-string scan is a full parser here.
+      "\"([^\"]+)\"".r.findAllMatchIn(new String(bytes, "UTF-8"))
+        .map(_.group(1)).toSeq
+    } finally in.close()
+  }
+
+  private def writeManifest(fs: FileSystem, p: Path,
+                            names: Seq[String]): Unit = {
+    val json = names.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
+    val out = fs.create(p, /* overwrite = */ false)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+}

@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
 import graft.llm.Dedup
 
 /** Streaming near-dup detection — the continuous form of the nightly
@@ -69,38 +68,26 @@ object StreamingDedup {
         // the stream commit replays this batchId — an unfiltered read
         // would then see the batch's own docs on the corpus side and
         // emit self-pairs for every replayed doc. Other runs' batches
-        // always count as corpus.
-        val corpus = readCorpus(session, corpusDir, batchDocs.schema,
-          ns, batchId)
+        // always count as corpus. The store is listed and read through
+        // [[CorpusStore]] (Hadoop FileSystem, not java.io.File — the
+        // store must work on HDFS/object storage, and compacted
+        // generations carry row-level provenance for this exclusion).
+        val corpus = CorpusStore.readDocs(session, corpusDir,
+          batchDocs.schema, Some(ns), batchId)
         // Materialized eagerly: the sink must see the pre-append pair
         // set even if it evaluates lazily after the corpus write below.
-        val pairs = Dedup.minhashLshPairsIncremental(corpus, batchDocs,
-          id, text, threshold, shingleN, bands, rowsPerBand, maxBucketSize)
-          .localCheckpoint()
+        // The releasable variant hands back an unpersist hook for the
+        // operator's internal caches — each micro-batch is fresh data,
+        // so without it the CacheManager would pin two new datasets per
+        // batch for the life of the stream.
+        val (incPairs, release) = Dedup.minhashLshPairsIncrementalReleasable(
+          corpus, batchDocs, id, text, threshold, shingleN, bands,
+          rowsPerBand, maxBucketSize)
+        val pairs = try incPairs.localCheckpoint() finally release()
         sink(pairs, batchId)
         batchDocs.write.mode("overwrite")
           .parquet(s"$corpusDir/run=${ns}_batch=$batchId")
       }
       .start()
-  }
-
-  /** The accumulated store: every published batch subdir except the
-    * current run's batches at-or-after `batchId` (replay exclusion),
-    * or an empty frame with the right schema before the first batch
-    * lands. */
-  private def readCorpus(spark: SparkSession, dir: String,
-                         schema: StructType, ns: String,
-                         batchId: Long): DataFrame = {
-    val Part = "run=([0-9a-f]+)_batch=([0-9]+)".r
-    val parts = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .filter(_.isDirectory)
-      .filter(_.getName match {
-        case Part(runNs, b) => runNs != ns || b.toLong < batchId
-        case _              => false
-      })
-      .map(_.toString)
-    if (parts.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(parts: _*)
   }
 }

@@ -1,0 +1,237 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.llm.{BandStore, Dedup}
+import graft.streaming.CorpusStore
+
+/** The two persisted dedup artifacts: the band-table store (parameter
+  * contract ENFORCED via the _params.json sidecar) and the streaming
+  * corpus store (Hadoop-FS listing, crash-safe compaction, takedown
+  * deletion). Every filesystem interaction runs through an explicit
+  * `file:` scheme Hadoop path, so the code paths exercised are the ones
+  * a HDFS/object-store deployment hits — java.io.File never resolves a
+  * `file:` URI string, which is exactly the regression this pins. */
+class StoreSpec extends AnyFunSuite {
+  import TestSpark.{spark, Sf}
+  import spark.implicits._
+
+  private lazy val docs =
+    Tables.documents(spark, Sf).filter(col("doc_id") < 120)
+      .select("doc_id", "text").cache()
+
+  private def tmpDir(prefix: String): String =
+    // Explicit scheme: exercises the Hadoop-FS path resolution.
+    "file:" + java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def cleanup(dir: String): Unit =
+    graft.queries.Fixtures.deleteRecursively(
+      java.nio.file.Paths.get(dir.stripPrefix("file:")))
+
+  private val P = BandStore.Params(shingleN = 1, bands = 8,
+    rowsPerBand = 4, portable = false)
+
+  // ---- BandStore ----------------------------------------------------
+
+  test("BandStore round-trip: build + read equals the on-the-fly band table") {
+    val dir = tmpDir("graft-bs")
+    try {
+      BandStore.build(docs, "doc_id", "text", dir, P)
+      val stored = BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet
+      val fresh = Dedup.minhashBandTable(docs, "doc_id", "text",
+          P.shingleN, P.bands, P.rowsPerBand, P.portable)
+        .as[(Long, Int, String)].collect().toSet
+      assert(stored == fresh && stored.nonEmpty)
+    } finally cleanup(dir)
+  }
+
+  test("BandStore refuses a parameter mismatch and a missing sidecar, loudly") {
+    val dir = tmpDir("graft-bs")
+    try {
+      BandStore.build(docs, "doc_id", "text", dir, P)
+      // Any single differing parameter must raise — this is the
+      // silently-empty-join failure turned into an error.
+      for (bad <- Seq(P.copy(bands = 16), P.copy(rowsPerBand = 8),
+                      P.copy(shingleN = 2), P.copy(portable = true))) {
+        val e = intercept[IllegalStateException] {
+          BandStore.read(spark, dir, bad)
+        }
+        assert(e.getMessage.contains("mismatch"), e.getMessage)
+      }
+      // append under a mismatched family must also refuse
+      intercept[IllegalStateException] {
+        BandStore.append(docs.limit(1), "doc_id", "text", dir,
+          P.copy(bands = 16))
+      }
+      // no sidecar at all: refuse rather than guess
+      val fs = CorpusStore.fileSystem(spark, dir)
+      fs.delete(new Path(dir, "_params.json"), false)
+      val e2 = intercept[IllegalStateException] {
+        BandStore.read(spark, dir, P)
+      }
+      assert(e2.getMessage.contains("sidecar"), e2.getMessage)
+    } finally cleanup(dir)
+  }
+
+  test("BandStore nightly cycle: append increments, pairs match the full run; delete = fresh run on survivors") {
+    val dir = tmpDir("graft-bs")
+    try {
+      val c0 = docs.filter(col("doc_id") < 60)
+      val inc1 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+      val inc2 = docs.filter(col("doc_id") >= 90)
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("id_a", "id_b", "jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+
+      BandStore.build(c0, "doc_id", "text", dir, P)
+      val night1 = pairsOf(Dedup.minhashLshPairsIncremental(c0, inc1,
+        "doc_id", "text", threshold = 0.8, bands = P.bands,
+        rowsPerBand = P.rowsPerBand,
+        corpusBands = Some(BandStore.read(spark, dir, P))))
+      BandStore.append(inc1, "doc_id", "text", dir, P)
+      val c1 = c0.unionByName(inc1)
+      val night2 = pairsOf(Dedup.minhashLshPairsIncremental(c1, inc2,
+        "doc_id", "text", threshold = 0.8, bands = P.bands,
+        rowsPerBand = P.rowsPerBand,
+        corpusBands = Some(BandStore.read(spark, dir, P))))
+      val full = pairsOf(Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.8, bands = P.bands, rowsPerBand = P.rowsPerBand))
+      assert(night1.union(night2) ==
+        full.filter { case (a, b, _) => a >= 60 || b >= 60 })
+      assert(night1.nonEmpty && night2.nonEmpty, "vacuous nightly fixture")
+
+      // Takedown: remove inc1's ids from the artifact; pairing a fresh
+      // increment against the store must equal a fresh build over the
+      // survivors (corpus never re-signed, so this is the only way the
+      // pair set stays consistent after a removal).
+      BandStore.append(inc2, "doc_id", "text", dir, P)
+      BandStore.delete(spark, dir, inc1.select(col("doc_id").as("doc")))
+      val survivors = c0.unionByName(inc2)
+      val fresh = Dedup.minhashBandTable(survivors, "doc_id", "text",
+          P.shingleN, P.bands, P.rowsPerBand, P.portable)
+        .as[(Long, Int, String)].collect().toSet
+      val afterDelete = BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet
+      assert(afterDelete == fresh)
+    } finally cleanup(dir)
+  }
+
+  test("incremental dedup rejects overlapping corpus/increment ids") {
+    val corpus = docs.filter(col("doc_id") < 90)
+    val increment = docs.filter(col("doc_id") >= 80) // 80..89 overlap
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsIncremental(corpus, increment, "doc_id", "text",
+        threshold = 0.8, bands = 8, rowsPerBand = 4).count()
+    }
+    assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
+  // ---- CorpusStore --------------------------------------------------
+
+  /** Seed a store with raw batch dirs the way StreamingDedup writes
+    * them (two distinct run namespaces). */
+  private def seedStore(dir: String): Unit = {
+    docs.filter(col("doc_id") < 40)
+      .write.parquet(s"$dir/run=aaaa11_batch=0")
+    docs.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+      .write.parquet(s"$dir/run=aaaa11_batch=1")
+    docs.filter(col("doc_id") >= 80)
+      .write.parquet(s"$dir/run=bbbb22_batch=0")
+  }
+
+  test("CorpusStore: compaction preserves the document set and the pair set") {
+    val dir = tmpDir("graft-cs")
+    try {
+      seedStore(dir)
+      val before = CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet
+      val gen = CorpusStore.compact(spark, dir, "doc_id")
+      assert(gen.contains(0L))
+      val members = CorpusStore.listMembers(spark, dir)
+      assert(members.map(_.name) == Seq("run=compact_batch=0"),
+        members.toString)
+      val after = CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet
+      assert(after == before && after.size == docs.count())
+
+      // An incremental pairing against the compacted store is identical
+      // to one against the raw store (same docs → same pairs).
+      val newDocs = docs.limit(0) // schema carrier
+      val corpus = CorpusStore.readDocs(spark, dir, newDocs.schema)
+      val full = Dedup.minhashLshPairs(docs, "doc_id", "text",
+          threshold = 0.8, bands = 8, rowsPerBand = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      val viaStore = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          threshold = 0.8, bands = 8, rowsPerBand = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaStore == full && full.nonEmpty)
+
+      // Second compaction of a single-generation store is a no-op-shaped
+      // re-merge: still one committed generation, same documents.
+      CorpusStore.compact(spark, dir, "doc_id")
+      assert(CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet == before)
+    } finally cleanup(dir)
+  }
+
+  test("CorpusStore: an uncommitted compacted dir (no manifest) is invisible; sources still count once") {
+    val dir = tmpDir("graft-cs")
+    try {
+      seedStore(dir)
+      val before = CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet
+      // Simulate a crash after the data rename but BEFORE the manifest
+      // write: a fully-written generation dir with no _merged-0.json.
+      CorpusStore.readDocs(spark, dir, docs.schema)
+        .withColumn("__run", lit("aaaa11")).withColumn("__batch", lit(0L))
+        .write.parquet(s"$dir/run=compact_batch=0")
+      val after = CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet
+      assert(after == before, "uncommitted generation leaked into reads")
+      // Recovery: the next compact() discards the orphan and commits a
+      // fresh generation with exactly-one-copy semantics.
+      CorpusStore.compact(spark, dir, "doc_id")
+      val recovered = CorpusStore.readDocs(spark, dir, docs.schema)
+      assert(recovered.as[(Long, String)].collect().toSet == before)
+      assert(recovered.count() == before.size, "duplicate docs after recovery")
+    } finally cleanup(dir)
+  }
+
+  test("CorpusStore: delete-then-pair equals a fresh run on the remaining docs") {
+    val dir = tmpDir("graft-cs")
+    try {
+      seedStore(dir)
+      val dropIds = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+      CorpusStore.delete(spark, dir, "doc_id", dropIds)
+      val remaining = CorpusStore.readDocs(spark, dir, docs.schema)
+      val expectedDocs = docs.join(dropIds, Seq("doc_id"), "left_anti")
+      assert(remaining.as[(Long, String)].collect().toSet ==
+        expectedDocs.as[(Long, String)].collect().toSet)
+      val pairsAfter = Dedup.minhashLshPairs(remaining, "doc_id", "text",
+          threshold = 0.8, bands = 8, rowsPerBand = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      val pairsFresh = Dedup.minhashLshPairs(expectedDocs, "doc_id", "text",
+          threshold = 0.8, bands = 8, rowsPerBand = 4)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pairsAfter == pairsFresh && pairsAfter.nonEmpty)
+    } finally cleanup(dir)
+  }
+
+  test("CorpusStore: replay exclusion survives compaction via provenance columns") {
+    val dir = tmpDir("graft-cs")
+    try {
+      seedStore(dir)
+      CorpusStore.compact(spark, dir, "doc_id")
+      // A replay of run aaaa11's batch 1 must NOT see batch 1's docs
+      // (40..79) on the corpus side even though they now live only
+      // inside the compacted generation.
+      val seen = CorpusStore.readDocs(spark, dir, docs.schema,
+          excludeNs = Some("aaaa11"), excludeFromBatch = 1L)
+        .as[(Long, String)].collect().map(_._1).toSet
+      assert(seen == docs.as[(Long, String)].collect().map(_._1)
+        .filter(id => id < 40 || id >= 80).toSet)
+    } finally cleanup(dir)
+  }
+}
