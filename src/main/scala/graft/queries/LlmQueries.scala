@@ -244,22 +244,74 @@ object LlmQueries {
 
     // Embedding-cosine near-dup, exact on an id-bounded subset (oracle
     // baseline; sim computed in double in both engines and rounded).
+    // Threshold 0.4, not the 0.55 a prod near-dup pass would use: the
+    // synthetic embeddings are near-orthogonal (max pairwise cosine
+    // ≈ 0.46 in this subset), so 0.55 would hash-gate an empty result.
     Q("d6_embedding_neardup",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings WHERE vec_id < 300)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.55""".stripMargin) { (s, d) =>
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin) { (s, d) =>
       Dedup.embeddingNearDupPairsExact(
         Tables.embeddings(s, d).filter(col("vec_id") < 300),
-        "vec_id", "embedding", 0.55)
+        "vec_id", "embedding", 0.4)
     },
 
     // Scale path: LSH-bucketed embedding near-dup (rows-only).
     Q.rowsOnly("d7_embedding_neardup_lsh") { (s, d) =>
       Dedup.embeddingNearDupPairsLsh(Tables.embeddings(s, d),
         "vec_id", "embedding", 0.55)
+    },
+
+    // d7's portable twin, fully oracle-checked (the d5/d9 pattern):
+    // md5-parity hyperplane signs + integer-quantized components
+    // (floor(x·1000+0.5)) make the bucketing decision exact integer
+    // math in both engines; candidates come from the same
+    // (table, bucket) equi-join and verify with the same exact cosine
+    // as d6. Bounded like d6 so the oracle's candidate self-join stays
+    // cheap at every SF. planes=4 / threshold=0.3 because the synthetic
+    // embeddings are near-orthogonal (max pairwise cosine ≈ 0.46 in the
+    // bounded subset): 8 planes at 0.55 would gate an EMPTY result —
+    // these settings keep ~200 rows under the hash at sf0.01.
+    Q("d13_embedding_neardup_lsh_portable",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300),
+        |w AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS wv
+        |      FROM e),
+        |grid AS (SELECT t.t, p.p
+        |         FROM (SELECT unnest(range(0, 6)) AS t) t
+        |         CROSS JOIN (SELECT unnest(range(0, 4)) AS p) p),
+        |signs AS (SELECT t, p,
+        |            list_transform(range(0, 64), i -> CASE
+        |              WHEN CAST(('0x' || substr(md5(
+        |                     CAST(t AS VARCHAR) || ',' || CAST(p AS VARCHAR)
+        |                       || ',' || CAST(i AS VARCHAR)), 1, 1)) AS BIGINT)
+        |                   % 2 = 1
+        |              THEN 1 ELSE -1 END) AS s
+        |          FROM grid),
+        |dots AS (SELECT w.vec_id, g.t, g.p,
+        |           list_sum(list_transform(range(0, 64),
+        |             i -> wv[i + 1] * g.s[i + 1])) AS dot
+        |         FROM w CROSS JOIN signs g),
+        |bk AS (SELECT vec_id, t,
+        |         sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bkt
+        |       FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM bk a JOIN bk b
+        |           ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b,
+        |       round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+        |FROM cand c
+        |JOIN e ea ON c.id_a = ea.vec_id
+        |JOIN e eb ON c.id_b = eb.vec_id
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3""".stripMargin) {
+      (s, d) =>
+      Dedup.embeddingNearDupPairsLshPortable(
+        Tables.embeddings(s, d).filter(col("vec_id") < 300),
+        "vec_id", "embedding", 0.3, planes = 4)
     },
 
     // Token counting + lexical stats per document.
@@ -455,12 +507,12 @@ object LlmQueries {
         |    AS n_emails,
         |  CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
         |    AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(t, '\+?[0-9][0-9()\s-]{6,}[0-9]'))
+        |  CAST(len(regexp_extract_all(t, '\+?([0-9][()\s-]*){8,}[0-9]'))
         |    AS BIGINT) AS n_phones,
         |  regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-        |    '\+?[0-9][0-9()\s-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |    '\+?([0-9][()\s-]*){8,}[0-9]', '<PHONE>', 'g') AS scrubbed
         |FROM p""".stripMargin) { (s, d) =>
       val id = col("doc_id")
       def str(c: org.apache.spark.sql.Column) = c.cast("string")
