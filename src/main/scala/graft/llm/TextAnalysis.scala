@@ -276,7 +276,14 @@ object TextAnalysis {
     * remnants; counts are taken on the ORIGINAL text. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  val PhoneRe = "\\+?[0-9][0-9()\\s-]{6,}[0-9]"
+  // ≥9 digits with optional ()/space/dash separators between them: long
+  // enough that ISO dates (2019-04-01: 8 digits) and years never
+  // redact, short enough to catch any number with a country/area code.
+  // Still recall-biased by design — a 9+-digit id with dashes redacts
+  // as <PHONE>; deliberate for pre-training hygiene (a false <PHONE>
+  // is cheap, a leaked real number is not). 7-digit local numbers
+  // without a prefix are the accepted miss.
+  val PhoneRe = "\\+?([0-9][()\\s-]*){8,}[0-9]"
 
   def piiScrub(text: Column): Column =
     regexp_replace(

@@ -390,7 +390,8 @@ class DedupSpec extends AnyFunSuite {
     val rows = Seq(
       "Mail a.b+c@x-y.co and d5@z.org from 192.168.0.1, call +1 (341) 555-0199 now",
       "no pii here at all",
-      "ips 10.0.0.1 10.0.0.2").toDF("t")
+      "ips 10.0.0.1 10.0.0.2",
+      "dated 2019-04-01 and 2021, revised 2022-12-31").toDF("t")
       .select(col("t"),
         piiScrub(col("t")).as("s"),
         piiCount(col("t"), EmailRe).as("ne"),
@@ -403,6 +404,9 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(1)._2 == rows(1)._1) // untouched
     assert((rows(1)._3, rows(1)._4, rows(1)._5) == ((0L, 0L, 0L)))
     assert(rows(2)._2 == "ips <IP> <IP>") // global replace, ip not phone
+    // ISO dates (8 digits) and bare years must NOT redact as phones.
+    assert(rows(3)._2 == rows(3)._1, rows(3)._2)
+    assert(rows(3)._5 == 0L)
   }
 
   test("incremental LSH equals the full run restricted to increment-touching pairs") {
