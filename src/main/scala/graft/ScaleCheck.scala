@@ -70,7 +70,14 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.localSession("scalecheck", 32)
-    val factors = Seq(1, 4, 16)
+    // ×64 on the sf0.1 documents table is ~6.4 M docs / ~2 GB of text —
+    // the "one big pass" that anchors the scaling curve beyond the
+    // default sweep. Select it with SPARK_GRAFT_FACTORS=1,4,16,64 and
+    // narrow to the ops under study with SPARK_GRAFT_OPS=substr,substr.
+    val factors = sys.env.getOrElse("SPARK_GRAFT_FACTORS", "1,4,16")
+      .split(",").map(_.trim.toInt).toSeq
+    val opFilter = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSeq)
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime(); val rows = f
@@ -242,10 +249,28 @@ object ScaleCheck {
           minShared = 2, maxReferences = 64).count()),
       Op("coupling_pairs(cap=64)", n =>
         graph.Citations.couplingPairs(replicateEdges(li0, n),
-          minShared = 2, maxCiters = 64).count()))
+          minShared = 2, maxCiters = 64).count()),
+      // Integer-exact PageRank under edge growth (the g8 shape, same 2
+      // iterations): replication adds fresh citing vertices but keeps
+      // the cited keyspace fixed, so hubs get ×n hotter — the skewed
+      // inflow aggregation is what must stay ~linear.
+      Op("pagerank_exact(2 iter)", n =>
+        graph.Citations.pageRankExact(replicateEdges(li0, n),
+          iterations = 2).count()),
+      // Stage decomposition of the LSH dedup path: the band-table build
+      // is the signature+banding half of minhash_lsh_pairs; full-op
+      // time minus this is the candidate-join + verify half. Scaling
+      // factors of the halves localize any super-linear growth.
+      Op("lsh_stage_band_table", n =>
+        llm.Dedup.minhashBandTable(replicateDocs(docs0, n), "doc_id", "text")
+          .count()))
 
+    val selectedOps = opFilter match {
+      case Some(subs) => ops.filter(op => subs.exists(op.name.contains))
+      case None       => ops
+    }
     println(f"${"operator"}%-28s ${"x"}%3s ${"rows_out"}%10s ${"sec"}%8s ${"sec/x1"}%7s")
-    ops.foreach { op =>
+    selectedOps.foreach { op =>
       op.run(1) // warm codegen for this op's plan shape
       var base = 0.0
       factors.foreach { n =>
