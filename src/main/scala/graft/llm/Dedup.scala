@@ -194,10 +194,15 @@ object Dedup {
     * hash core) — one string hash per shingle, masked so downstream
     * permutation products stay inside a signed long under ANSI. */
   private def hashedShingles(docs: DataFrame, id: String, text: String,
-                             shingleN: Int): DataFrame =
-    shingleArrays(docs, id, text, shingleN)
+                             shingleN: Int,
+                             portable: Boolean = false): DataFrame = {
+    val sh = shingleArrays(docs, id, text, shingleN)
       .select(col("doc"), explode(col("toks")).as("sh"))
-      .select(col("doc"), xxhash64(col("sh")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    val core =
+      if (portable) conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+      else xxhash64(col("sh"))
+    sh.select(col("doc"), core.bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+  }
 
   /** Shared LSH back-half: band the (doc, sig) table, bucket-join for
     * candidates, verify with exact Jaccard. Factored so every signature
@@ -421,8 +426,12 @@ object Dedup {
     * below roughly 10× `bins` distinct tokens; switch to OPH for the
     * long-document corpora where the signature pass dominates cost. */
   def minhashOphSignature(docs: DataFrame, id: String, text: String,
-                          bins: Int = 128, shingleN: Int = 1): DataFrame = {
-    hashedShingles(docs, id, text, shingleN)
+                          bins: Int = 128, shingleN: Int = 1,
+                          portable: Boolean = false): DataFrame = {
+    // `portable` swaps the xxhash64 shingle core for the md5 one (the
+    // d9 convention), putting the binning + densification math itself
+    // under the DuckDB hash oracle (d14).
+    hashedShingles(docs, id, text, shingleN, portable)
       .groupBy(col("doc"), pmod(col("h"), lit(bins.toLong)).as("bin"))
       .agg(min(col("h")).as("mh"))
       .groupBy("doc")

@@ -70,6 +70,46 @@ object LlmQueries {
         threshold = 0.8, maxBucketSize = Some(100))
     },
 
+    // Portable OPH signatures — d11's signature math (one hash per
+    // shingle, per-bin min, circular next-occupied densification) over
+    // the md5 token core, fully oracle-checked: the oracle rebuilds the
+    // densified signature with a backward-fill window (first occupied
+    // bin at-or-after each position, wrapping to the doc's first
+    // occupied bin), which is exactly the segment expansion the Spark
+    // side performs as a pure array expression. Closes the last
+    // dedup-family member whose signature math had no hash gate.
+    Q("d14_minhash_oph_portable_sig",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483648 AS hc
+        |      FROM toks),
+        |occ AS (SELECT doc_id, hc % 128 AS bin, min(hc) AS mh
+        |        FROM h GROUP BY doc_id, hc % 128),
+        |pos AS (SELECT d.doc_id, p.p
+        |        FROM (SELECT DISTINCT doc_id FROM occ) d
+        |        CROSS JOIN (SELECT unnest(range(0, 128)) AS p) p),
+        |fill AS (SELECT pos.doc_id, pos.p,
+        |           first_value(o.mh IGNORE NULLS) OVER (
+        |             PARTITION BY pos.doc_id ORDER BY pos.p
+        |             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt,
+        |           first_value(o.mh IGNORE NULLS) OVER (
+        |             PARTITION BY pos.doc_id ORDER BY pos.p
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING) AS wrap
+        |         FROM pos LEFT JOIN occ o
+        |           ON o.doc_id = pos.doc_id AND o.bin = pos.p)
+        |SELECT doc_id,
+        |       string_agg(CAST(coalesce(nxt, wrap) AS VARCHAR), ','
+        |                  ORDER BY p) AS sig
+        |FROM fill GROUP BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.minhashOphSignature(Tables.documents(s, d), "doc_id", "text",
+          bins = 128, portable = true)
+        .select(col("doc").as("doc_id"),
+          array_join(transform(col("sig"), _.cast("string")), ",").as("sig"))
+    },
+
     // Portable MinHash signatures — the same (a·h+b) mod p permutation
     // family as d3 over an md5 token core, fully oracle-checked, so the
     // signature math itself has a green gate (d3's xxhash64 family is
