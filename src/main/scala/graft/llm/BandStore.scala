@@ -80,6 +80,26 @@ object BandStore {
     spark.read.parquet(s"$dir/$DataDir")
   }
 
+  /** Write the sidecar if absent, verify it otherwise — the contract
+    * entry point for append-style band stores that grow under a fixed
+    * hash family (e.g. [[graft.streaming.StreamingDedup]]'s per-batch
+    * band dirs, where the data layout is the store's own but the
+    * parameter contract is this one). */
+  def ensureParams(spark: SparkSession, dir: String,
+                   params: Params): Unit =
+    readParams(spark, dir) match {
+      case None =>
+        val f = fs(spark, dir)
+        f.mkdirs(new Path(dir))
+        writeSidecar(f, new Path(dir, Sidecar), params)
+      case Some(stored) if stored != params =>
+        throw new IllegalStateException(
+          s"BandStore.ensureParams: store at $dir was built with " +
+            s"${stored.render}, caller uses ${params.render} — a mixed " +
+            "hash family silently drops pairs")
+      case _ => ()
+    }
+
   /** The stored parameters, or None when no artifact exists. */
   def readParams(spark: SparkSession, dir: String): Option[Params] = {
     val f = fs(spark, dir)

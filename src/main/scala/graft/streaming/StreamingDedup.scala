@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.llm.Dedup
+import graft.llm.{BandStore, Dedup}
 
 /** Streaming near-dup detection — the continuous form of the nightly
   * incremental dedup: documents arrive as a stream, each micro-batch
@@ -16,11 +16,16 @@ import graft.llm.Dedup
   * LSH banding needs aggregations and self-joins that are illegal in a
   * streaming append plan, but every micro-batch is a bounded DataFrame
   * so the full batch operator runs verbatim — identical semantics,
-  * and the cross-batch state is exactly the corpus store (in
-  * production: the persisted band table + token store, bucketed by
-  * (band, bucket); here (id, text) parquet for clarity — the operator
-  * recomputes corpus signatures per batch at test scale, a deployment
-  * reads the precomputed band artifact instead).
+  * and the cross-batch state is exactly the corpus store: the (id,
+  * text) document dirs (read only to tokenize candidate-pair members)
+  * PLUS a parallel `_bands/` store of precomputed (doc, band, bucket)
+  * rows appended per batch, passed to the operator as `corpusBands` —
+  * the corpus is signed exactly once, when its batch arrives, never
+  * re-signed, which is the invariant that makes the stream viable at
+  * corpus sizes where the signature pass dominates cost. The `_bands`
+  * store carries a [[graft.llm.BandStore]] parameter sidecar; starting
+  * a stream with a different hash family against an existing store
+  * fails loudly instead of silently matching zero buckets.
   *
   * Exactly-once: the corpus append is idempotent (each batch
   * overwrites its own checkpoint-namespaced `run=<ns>_batch=<id>`
@@ -63,17 +68,28 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
         val batchDocs = batch.select(col(id), col(text)).localCheckpoint()
+        val bandsRoot = s"$corpusDir/$BandsSubdir"
+        BandStore.ensureParams(session, bandsRoot,
+          BandStore.Params(shingleN, bands, rowsPerBand, portable = false))
         // Exclude this run's batches >= the current id: foreachBatch is
         // at-least-once, so a crash between the corpus write below and
         // the stream commit replays this batchId — an unfiltered read
         // would then see the batch's own docs on the corpus side and
         // emit self-pairs for every replayed doc. Other runs' batches
-        // always count as corpus. The store is listed and read through
-        // [[CorpusStore]] (Hadoop FileSystem, not java.io.File — the
-        // store must work on HDFS/object storage, and compacted
+        // always count as corpus. Both stores are listed and read
+        // through [[CorpusStore]] (Hadoop FileSystem, not java.io.File
+        // — they must work on HDFS/object storage, and compacted
         // generations carry row-level provenance for this exclusion).
         val corpus = CorpusStore.readDocs(session, corpusDir,
           batchDocs.schema, Some(ns), batchId)
+        // The corpus side's signatures come from the persisted band
+        // store under the same replay exclusion — the corpus is never
+        // re-signed; its documents are only read to tokenize
+        // candidate-pair members inside the verify step.
+        val bandSchema = Dedup.minhashBandTable(batchDocs.limit(0), id,
+          text, shingleN, bands, rowsPerBand).schema
+        val corpusBands = CorpusStore.readDocs(session, bandsRoot,
+          bandSchema, Some(ns), batchId)
         // Materialized eagerly: the sink must see the pre-append pair
         // set even if it evaluates lazily after the corpus write below.
         // The releasable variant hands back an unpersist hook for the
@@ -82,12 +98,37 @@ object StreamingDedup {
         // batch for the life of the stream.
         val (incPairs, release) = Dedup.minhashLshPairsIncrementalReleasable(
           corpus, batchDocs, id, text, threshold, shingleN, bands,
-          rowsPerBand, maxBucketSize)
+          rowsPerBand, maxBucketSize, corpusBands = Some(corpusBands))
         val pairs = try incPairs.localCheckpoint() finally release()
         sink(pairs, batchId)
         batchDocs.write.mode("overwrite")
           .parquet(s"$corpusDir/run=${ns}_batch=$batchId")
+        // The increment is signed a second time here (it was signed
+        // inside the operator for pairing) — bounded by the batch, the
+        // price of keeping the operator's signature untouched; the
+        // overwrite makes a replayed batch replace its own band rows.
+        Dedup.minhashBandTable(batchDocs, id, text, shingleN, bands,
+            rowsPerBand)
+          .write.mode("overwrite")
+          .parquet(s"$bandsRoot/run=${ns}_batch=$batchId")
       }
       .start()
+  }
+
+  /** Subdir of the corpus store holding the per-batch band rows (the
+    * persisted signature artifact). Underscore-prefixed so a plain
+    * `spark.read.parquet(corpusDir)` never mistakes it for data. */
+  val BandsSubdir = "_bands"
+
+  /** Remove `ids` from BOTH halves of the store — documents and band
+    * rows — so a takedown leaves the stream's future pair sets
+    * identical to a fresh run over the surviving documents. Run it
+    * while the stream is stopped (the same maintenance window as
+    * [[CorpusStore.compact]]; compaction of the two halves is likewise
+    * independent and safe). */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession,
+                 corpusDir: String, id: String, ids: DataFrame): Unit = {
+    CorpusStore.delete(spark, corpusDir, id, ids)
+    CorpusStore.delete(spark, s"$corpusDir/$BandsSubdir", "doc", ids)
   }
 }

@@ -227,6 +227,63 @@ class StreamingSpec extends AnyFunSuite {
       "fixture has no cross-checkpoint pair — store continuity untested")
     assert(full.exists { case (a, b, _) => a < 40 && b >= 40 && b < 80 },
       "fixture has no cross-round pair — equivalence would be weak")
+
+    // The corpus side of every round above was signed from the
+    // persisted _bands store (corpusBands), so the store must hold one
+    // band dir per committed batch under the parameter sidecar.
+    val bandsRoot = s"$corpusDir/${graft.streaming.StreamingDedup.BandsSubdir}"
+    assert(graft.streaming.CorpusStore.listMembers(spark, bandsRoot)
+      .size == 3)
+    assert(graft.llm.BandStore.readParams(spark, bandsRoot)
+      .contains(graft.llm.BandStore.Params(1, 8, 4, portable = false)))
+
+    // Starting a stream with a DIFFERENT hash family against the same
+    // store must fail loudly (a silent mismatch would drop every
+    // cross-batch pair); the failure surfaces through awaitTermination.
+    val badInput = MemoryStream[(Long, String)]
+    badInput.addData(all.take(2): _*)
+    val bad = graft.streaming.StreamingDedup.start(
+      badInput.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      corpusDir, base.resolve("ckpt3").toString,
+      threshold = 0.8, bands = 16, rowsPerBand = 8) { (_, _) => () }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.awaitTermination()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(messages.contains("hash family"), messages)
+
+    // Takedown: removing ids from both store halves leaves the next
+    // round identical to an incremental run over the surviving corpus.
+    val dropIds = Seq(10L, 45L, 90L, 100L).toDF("doc_id")
+    graft.streaming.StreamingDedup.deleteDocs(spark, corpusDir,
+      "doc_id", dropIds)
+    val nextDocs = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") >= 120 && col("doc_id") < 140)
+      .select("doc_id", "text")
+    val survivors = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") < 120)
+      .filter(!col("doc_id").isin(10L, 45L, 90L, 100L))
+      .select("doc_id", "text")
+    val expected = graft.llm.Dedup.minhashLshPairsIncremental(
+        survivors, nextDocs, "doc_id", "text", threshold = 0.8,
+        bands = 8, rowsPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val got4 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val input4 = MemoryStream[(Long, String)]
+    input4.addData(nextDocs.as[(Long, String)].collect().toSeq: _*)
+    val q4 = graft.streaming.StreamingDedup.start(
+      input4.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      corpusDir, base.resolve("ckpt4").toString,
+      threshold = 0.8, bands = 8, rowsPerBand = 4) { (pairs, _) =>
+      got4.synchronized { got4 ++= pairs.as[(Long, Long, Double)].collect() }
+    }
+    q4.awaitTermination()
+    assert(got4.toSet == expected)
+    assert(expected.nonEmpty, "takedown fixture produced no pairs — vacuous")
+    assert(!got4.exists { case (a, b, _) =>
+      Set(10L, 45L, 90L, 100L).contains(a) || Set(10L, 45L, 90L, 100L).contains(b) })
     graft.queries.Fixtures.deleteRecursively(base)
   }
 
