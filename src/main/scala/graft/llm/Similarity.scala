@@ -133,6 +133,55 @@ object Similarity {
               round(col("sim"), 4).as("sim"))
   }
 
+  /** Deterministic Lloyd k-means over the embedding column — the
+    * assignment builder [[ivfTopK]]'s Scaladoc promises ("a deployment
+    * uses k-means assignments computed the same way"). Seeding is the
+    * `k` smallest ids' vectors (no rand(): retries and hash-compares
+    * reproduce), each iteration is one broadcast of the k×dim centroid
+    * table + one map-side-combinable `max_by` aggregation for the
+    * assignment (never a window sort over the N×k scored rows — the
+    * partial aggregation collapses per partition, which is what
+    * survives N=10⁹) + one posexplode/avg centroid recompute, with
+    * lineage truncated per iteration. Ties break to the smallest
+    * cluster id, so assignment is deterministic. A cluster that loses
+    * all members disappears (standard Lloyd behavior; `k` is an upper
+    * bound). Output: (id, cluster STRING) ready to join back as
+    * [[ivfTopK]]'s `clusterCol`. */
+  def kmeansAssign(emb: DataFrame, id: String, vec: String, k: Int,
+                   iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansAssign needs k >= 1, iters >= 1")
+    val asDouble = transform(col(vec), _.cast("double"))
+    var centroids = emb.orderBy(col(id)).limit(k)
+      .select(col(id).cast("string").as("cluster"), asDouble.as("centroid"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame =
+      emb.select(col(id).as("__id"), col(vec).as("__v"))
+        .join(broadcast(c), lit(true))
+        .withColumn("__csim", cosine(col("__v"), col("centroid")))
+        .groupBy("__id")
+        // min_by on (-similarity, padded-cluster) = best similarity,
+        // ties to the smallest cluster id — deterministic without a
+        // window sort. Cluster ids are seed ids (numeric strings of
+        // bounded length); lpad makes their lexicographic order agree
+        // with their numeric order.
+        .agg(expr("min_by(cluster, struct(-__csim, lpad(cluster, 24, '0')))")
+          .as("__c"))
+        .select(col("__id"), col("__c"))
+    for (_ <- 1 until iters) {
+      val a = assign(centroids)
+      centroids = emb.select(col(id).as("__id"), asDouble.as("__v"))
+        .join(a, Seq("__id"))
+        .select(col("__c").as("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+        .localCheckpoint()
+    }
+    assign(centroids)
+      .select(col("__id").as(id), col("__c").as("cluster"))
+  }
+
   /** Approximate top-k via multi-table sign-LSH: a pair is a candidate
     * if it collides in ANY of the `tables` hash tables (recall at
     * per-plane agreement p is 1-(1-p^planes)^tables — 4 planes × 8

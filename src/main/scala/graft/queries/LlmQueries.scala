@@ -657,6 +657,20 @@ object LlmQueries {
         "vec_id", "embedding", "label", 5, nprobe = 3)
     },
 
+    // IVF over LEARNED clusters: deterministic Lloyd k-means replaces
+    // the data's label column (the production shape when no natural
+    // partitioning exists). Rows-only like e4 — ranking depends on
+    // probed-cluster membership; assignment determinism and recall are
+    // spec-tested (DedupSpec).
+    Q.rowsOnly("e7_ann_ivf_kmeans") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      val withC = emb.join(assign, Seq("vec_id"))
+      Similarity.ivfTopK(withC, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "cluster", 5, nprobe = 3)
+    },
+
     // Multimodal: binary payload → fixed-dim feature vector through the
     // portable decode stub (real schema/partitioning plumbing, fake
     // codec — this container ships no image libs). One feature row per

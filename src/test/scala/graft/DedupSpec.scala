@@ -214,6 +214,32 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("k-means assignment: deterministic, total, and beats label clusters for IVF recall") {
+    val emb = Tables.embeddings(spark, Sf).cache()
+    val n = emb.count()
+    val a1 = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .as[(Long, String)].collect().toMap
+    val a2 = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .as[(Long, String)].collect().toMap
+    assert(a1 == a2, "k-means assignment is not deterministic")
+    assert(a1.size == n, "every vector must be assigned exactly once")
+    val sizes = a1.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.size >= 2 && sizes.size <= 8, sizes.toMap.toString)
+    // Learned clusters are geometric, so IVF recall at nprobe=3 of ≤8
+    // clusters must clear what the weakly-geometric label column needs
+    // nprobe=5 of 10 for.
+    val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val withC = emb.join(assign, Seq("vec_id"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = Similarity.ivfTopK(withC, queries, "vec_id", "embedding",
+      "cluster", 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("native cosine Expression matches the HOF formulation bit-for-bit and codegens") {
     val emb = Tables.embeddings(spark, Sf).filter(col("vec_id") < 80).cache()
     val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))

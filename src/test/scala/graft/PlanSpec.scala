@@ -65,7 +65,8 @@ class PlanSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnly == Set("f13_provenance", "d3_minhash_lsh_pairs",
       "d11_minhash_oph_pairs", "d4_simhash", "e2_ann_lsh_topk",
-      "e4_ann_ivf_topk", "d7_embedding_neardup_lsh", "g9_distinct_approx"))
+      "e4_ann_ivf_topk", "e7_ann_ivf_kmeans",
+      "d7_embedding_neardup_lsh", "g9_distinct_approx"))
   }
 
   test("no registered query plans a cartesian product, sort-merge join, or UDF") {
@@ -75,9 +76,12 @@ class PlanSpec extends AnyFunSuite {
     // aggregate attachment: the quantization scale array is a single
     // broadcast row, so the "nested loop" is a constant-time lookup per
     // record); everything else must be hash-keyed or broadcast-equi.
+    // e7's nested loop is the k-means centroid attach: a broadcast of
+    // k (≤8 here) centroid rows against every vector — same
+    // constant-rows-per-record shape as e4/e6.
     val bnljAllowed = Set("d2_jaccard_pairs", "d6_embedding_neardup",
       "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk",
-      "e6_scalar_quant")
+      "e6_scalar_quant", "e7_ann_ivf_kmeans")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian")
