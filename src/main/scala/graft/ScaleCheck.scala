@@ -257,6 +257,22 @@ object ScaleCheck {
       Op("pagerank_exact(2 iter)", n =>
         graph.Citations.pageRankExact(replicateEdges(li0, n),
           iterations = 2).count()),
+      // k-means assignment under corpus growth: centroid count fixed,
+      // every iteration is broadcast + map-side-combinable min_by —
+      // must stay ~linear in vectors.
+      Op("kmeans_assign(k=8,3 iter)", { n =>
+        val emb = Tables.embeddings(spark, sfDir)
+          .select("vec_id", "embedding")
+        val rep =
+          if (n == 1) emb
+          else emb
+            .select(col("vec_id"), col("embedding"),
+              posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one")))
+            .select((col("vec_id") * n + col("i")).as("vec_id"),
+              col("embedding"))
+        llm.Similarity.kmeansAssign(rep, "vec_id", "embedding",
+          k = 8, iters = 3).count()
+      }),
       // Stage decomposition of the LSH dedup path: the band-table build
       // is the signature+banding half of minhash_lsh_pairs; full-op
       // time minus this is the candidate-join + verify half. Scaling

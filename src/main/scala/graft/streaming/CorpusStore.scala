@@ -166,14 +166,23 @@ object CorpusStore {
     if (members.isEmpty) return None
     val gen = (committedGens + -1L).max + 1
 
-    // Raw members gain provenance columns from their dir names;
-    // compacted members already carry them.
-    val parts = members.map { m =>
-      if (m.isCompacted) spark.read.parquet(m.path)
-      else spark.read.parquet(m.path)
-        .withColumn(RunCol, lit(m.ns)).withColumn(BatchCol, lit(m.batch))
-    }
-    val all = parts.reduce(_ unionByName _)
+    // Raw members gain provenance columns from their dir names —
+    // derived from the file path in ONE multi-path read, not one scan
+    // branch per dir: a year of nightly batches is ~365 dirs, and a
+    // 365-way union makes plan analysis itself the bottleneck.
+    val (compactedM, rawM) = members.partition(_.isCompacted)
+    val rawDf =
+      if (rawM.isEmpty) None
+      else Some(spark.read.parquet(rawM.map(_.path): _*)
+        .withColumn(RunCol,
+          regexp_extract(input_file_name(), "run=([0-9a-z]+)_batch=", 1))
+        .withColumn(BatchCol,
+          regexp_extract(input_file_name(), "_batch=([0-9]+)/", 1)
+            .cast("long")))
+    val compDf =
+      if (compactedM.isEmpty) None
+      else Some(spark.read.parquet(compactedM.map(_.path): _*))
+    val all = (rawDf.toSeq ++ compDf.toSeq).reduce(_ unionByName _)
     val kept = removeIds match {
       case Some(ids) =>
         val key = ids.columns.head
