@@ -558,23 +558,9 @@ object Dedup {
                                        vec: String, threshold: Double,
                                        planes: Int = 8, tables: Int = 6,
                                        dim: Int = 64): DataFrame = {
-    def bucketOf(table: Int): Column = {
-      val w = transform(col(vec),
-        x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
-      val bits = (0 until planes).map { p =>
-        val dot = aggregate(
-          zip_with(w, sequence(lit(0), lit(dim - 1)), (x, i) =>
-            x * when(conv(substring(md5(concat_ws(",", lit(table), lit(p),
-                i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1,
-              1L).otherwise(-1L)),
-          lit(0L), (acc, v) => acc + v)
-        when(dot > 0, shiftleft(lit(1), p)).otherwise(lit(0))
-      }
-      bits.reduce((a, b) => a.bitwiseOR(b))
-    }
     val withBuckets = emb.select(col(id).as("doc"),
-      posexplode(array((0 until tables).map(bucketOf): _*))
-        .as(Seq("tbl", "bkt")))
+      posexplode(Similarity.portableLshBuckets(col(vec), tables, planes,
+        dim)).as(Seq("tbl", "bkt")))
     val candidates = bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", None)
     val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
     candidates

@@ -133,6 +133,63 @@ object Similarity {
               round(col("sim"), 4).as("sim"))
   }
 
+  /** Portable sign-LSH bucket ids, one per table (index = table) — the
+    * engine-portable twin of [[lshBucketsAll]] (d13/e8 oracles):
+    * hyperplane component signs from an md5 hex digit's parity, vector
+    * components quantized to integer weights (`floor(x·1000 + 0.5)`)
+    * before the plane dot product, so the sign test is
+    * order-independent integer arithmetic that cannot flip under a
+    * different float summation order. Production uses the fused native
+    * expression; this exists to put the LSH bucketing math under the
+    * DuckDB hash oracle. */
+  def portableLshBuckets(vec: Column, tables: Int, planes: Int,
+                         dim: Int): Column = {
+    def bucketOf(table: Int): Column = {
+      val w = transform(vec,
+        x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+      val bits = (0 until planes).map { p =>
+        val dot = aggregate(
+          zip_with(w, sequence(lit(0), lit(dim - 1)), (x, i) =>
+            x * when(conv(substring(md5(concat_ws(",", lit(table), lit(p),
+                i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 1,
+              1L).otherwise(-1L)),
+          lit(0L), (acc, v) => acc + v)
+        when(dot > 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    }
+    array((0 until tables).map(bucketOf): _*)
+  }
+
+  /** [[lshTopK]] over the portable bucket family — identical candidate
+    * generation shape (bucket equi-join, never query×corpus), fully
+    * DuckDB-oracle-checkable end to end (e8). */
+  def lshTopKPortable(corpus: DataFrame, queries: DataFrame,
+                      id: String, vec: String, k: Int,
+                      planes: Int = 4, tables: Int = 6,
+                      dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus
+      .select(col(id).as("neighbor_id"), col(vec).as("cv"),
+              posexplode(portableLshBuckets(col(vec), tables, planes, dim))
+                .as(Seq("tbl", "bkt")))
+    val q = broadcast(queries
+      .select(col(id).as("query_id"), col(vec).as("qv"),
+              posexplode(portableLshBuckets(col(vec), tables, planes, dim))
+                .as(Seq("tbl", "bkt"))))
+    val scored = c.join(q, Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "neighbor_id", "cv")
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", cosineNative(spark, col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+              round(col("sim"), 4).as("sim"))
+  }
+
   /** Deterministic Lloyd k-means over the embedding column — the
     * assignment builder [[ivfTopK]]'s Scaladoc promises ("a deployment
     * uses k-means assignments computed the same way"). Seeding is the

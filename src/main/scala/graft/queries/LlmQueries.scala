@@ -657,6 +657,54 @@ object LlmQueries {
         "vec_id", "embedding", "label", 5, nprobe = 3)
     },
 
+    // e2's portable twin (the d13 bucket family): sign-LSH top-k with
+    // md5-parity hyperplanes over integer-quantized components, so
+    // candidate generation AND ranking replay exactly in SQL — ranks
+    // are deterministic because the sim doubles are bit-identical
+    // (d6-proven) and ties break on neighbor id. Corpus bounded like
+    // d6/d13 to keep the oracle's bucket self-join cheap.
+    Q("e8_ann_lsh_portable",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300),
+        |w AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS wv
+        |      FROM e),
+        |grid AS (SELECT t.t, p.p
+        |         FROM (SELECT unnest(range(0, 6)) AS t) t
+        |         CROSS JOIN (SELECT unnest(range(0, 4)) AS p) p),
+        |signs AS (SELECT t, p,
+        |            list_transform(range(0, 64), i -> CASE
+        |              WHEN CAST(('0x' || substr(md5(
+        |                     CAST(t AS VARCHAR) || ',' || CAST(p AS VARCHAR)
+        |                       || ',' || CAST(i AS VARCHAR)), 1, 1)) AS BIGINT)
+        |                   % 2 = 1
+        |              THEN 1 ELSE -1 END) AS s
+        |          FROM grid),
+        |dots AS (SELECT w.vec_id, g.t, g.p,
+        |           list_sum(list_transform(range(0, 64),
+        |             i -> wv[i + 1] * g.s[i + 1])) AS dot
+        |         FROM w CROSS JOIN signs g),
+        |bk AS (SELECT vec_id, t,
+        |         sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bkt
+        |       FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |         FROM bk c JOIN (SELECT * FROM bk WHERE vec_id < 10) q
+        |           ON c.t = q.t AND c.bkt = q.bkt AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT cand.query_id, cand.neighbor_id,
+        |             list_cosine_similarity(eq.v, ec.v) AS sim
+        |           FROM cand
+        |           JOIN e eq ON eq.vec_id = cand.query_id
+        |           JOIN e ec ON ec.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      Similarity.lshTopKPortable(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+    },
+
     // IVF over LEARNED clusters: deterministic Lloyd k-means replaces
     // the data's label column (the production shape when no natural
     // partitioning exists). Rows-only like e4 — ranking depends on
