@@ -103,8 +103,7 @@ object Bench {
       // and read 5× its isolated cost). Distinct per-pass permutations
       // give every query two different predecessors, so the min over
       // passes approximates the isolated steady-state number.
-      val order = new scala.util.Random(0x5DEECE66DL * pass)
-        .shuffle(selected)
+      val order = new scala.util.Random(1000003L * pass).shuffle(selected)
       order.map { q =>
         System.err.println(s"[bench] pass $pass ${q.name}")
         try q.name -> timeOne(q)

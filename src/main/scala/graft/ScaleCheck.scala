@@ -269,7 +269,12 @@ object ScaleCheck {
             .select(col("vec_id"), col("embedding"),
               posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one")))
             .select((col("vec_id") * n + col("i")).as("vec_id"),
-              col("embedding"))
+              // Perturb replicas like replicateDocs does for text —
+              // verbatim copies would make the k smallest ids collapse
+              // to 1-2 distinct seed vectors and the sweep would time
+              // a ~2-cluster problem while claiming k=8.
+              transform(col("embedding"),
+                x => x + col("i").cast("float") * 0.013f).as("embedding"))
         llm.Similarity.kmeansAssign(rep, "vec_id", "embedding",
           k = 8, iters = 3).count()
       }),

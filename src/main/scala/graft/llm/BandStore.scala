@@ -43,9 +43,9 @@ object BandStore {
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Build the band table for `docs` and persist it (overwrite) with
-    * its parameter sidecar. Returns the row count written. */
+    * its parameter sidecar. */
   def build(docs: DataFrame, id: String, text: String, dir: String,
-            params: Params): Long = {
+            params: Params): Unit = {
     val bt = Dedup.minhashBandTable(docs, id, text, params.shingleN,
       params.bands, params.rowsPerBand, params.portable)
     write(bt, dir, params)
@@ -53,11 +53,10 @@ object BandStore {
 
   /** Persist an already-computed band table (overwrite) with its
     * sidecar. The caller asserts `bands` was produced with `params`. */
-  def write(bands: DataFrame, dir: String, params: Params): Long = {
+  def write(bands: DataFrame, dir: String, params: Params): Unit = {
     val spark = bands.sparkSession
     bands.write.mode("overwrite").parquet(s"$dir/$DataDir")
     writeSidecar(fs(spark, dir), new Path(dir, Sidecar), params)
-    spark.read.parquet(s"$dir/$DataDir").count()
   }
 
   /** Append the increment's band rows after a nightly pairing run —
@@ -66,6 +65,7 @@ object BandStore {
     * hash family would poison every later run). */
   def append(increment: DataFrame, id: String, text: String, dir: String,
              params: Params): Unit = {
+    recoverSwap(fs(increment.sparkSession, dir), dir)
     requireParams(increment.sparkSession, dir, params, "append")
     Dedup.minhashBandTable(increment, id, text, params.shingleN,
         params.bands, params.rowsPerBand, params.portable)
@@ -76,8 +76,29 @@ object BandStore {
     * sanctioned way to obtain a `corpusBands` frame for
     * [[Dedup.minhashLshPairsIncremental]]. */
   def read(spark: SparkSession, dir: String, params: Params): DataFrame = {
+    recoverSwap(fs(spark, dir), dir)
     requireParams(spark, dir, params, "read")
     spark.read.parquet(s"$dir/$DataDir")
+  }
+
+  /** Complete a [[delete]] swap interrupted by a crash. The swap order
+    * makes every crash point recoverable without guessing: `_tmp_data`
+    * is only ever a FULLY-written rewrite (the Spark write completes
+    * before any rename), so if `data` is missing, promoting `_tmp_data`
+    * (or, failing that, restoring `_old_data`) is always correct; if
+    * `data` exists, any leftover `_old_data`/`_tmp_data` are stale and
+    * dropped. Idempotent; called by every entry point. */
+  private def recoverSwap(f: FileSystem, dir: String): Unit = {
+    val data = new Path(dir, DataDir)
+    val tmp = new Path(dir, s"_tmp_$DataDir")
+    val old = new Path(dir, s"_old_$DataDir")
+    if (!f.exists(data)) {
+      if (f.exists(tmp)) { f.rename(tmp, data); f.delete(old, true) }
+      else if (f.exists(old)) f.rename(old, data)
+    } else {
+      f.delete(old, true)
+      f.delete(tmp, true)
+    }
   }
 
   /** Write the sidecar if absent, verify it otherwise — the contract
@@ -126,10 +147,13 @@ object BandStore {
   }
 
   /** Remove `ids` (first column) from the artifact — the takedown path.
-    * Rewrites the data dir through a temp location; the params sidecar
-    * is untouched (deletion never changes the hash family). Not
-    * concurrency-safe against a running reader — run it in the same
-    * maintenance window as [[CorpusStore.compact]]. */
+    * Rewrites the data dir via a write-rename-rename-delete swap whose
+    * every crash point [[recoverSwap]] can complete (the rewrite is
+    * fully written before the live dir moves aside — never a window
+    * where the artifact is lost); the params sidecar is untouched
+    * (deletion never changes the hash family). Not concurrency-safe
+    * against a running reader — run it in the same maintenance window
+    * as [[CorpusStore.compact]]. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
     val params = readParams(spark, dir).getOrElse(
       throw new IllegalStateException(
@@ -139,12 +163,13 @@ object BandStore {
       .join(broadcast(ids.select(col(key).as("doc")).distinct()),
         Seq("doc"), "left_anti")
     val f = fs(spark, dir)
-    val tmp = new Path(dir, s"_tmp_$DataDir")
-    kept.write.mode("overwrite").parquet(tmp.toString)
     val data = new Path(dir, DataDir)
-    f.delete(data, true)
-    if (!f.rename(tmp, data))
-      throw new java.io.IOException(s"BandStore.delete: rename failed at $dir")
+    val tmp = new Path(dir, s"_tmp_$DataDir")
+    val old = new Path(dir, s"_old_$DataDir")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    if (!f.rename(data, old) || !f.rename(tmp, data))
+      throw new java.io.IOException(s"BandStore.delete: swap failed at $dir")
+    f.delete(old, true)
   }
 
   private def writeSidecar(f: FileSystem, p: Path, params: Params): Unit = {

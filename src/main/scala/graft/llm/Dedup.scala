@@ -376,10 +376,16 @@ object Dedup {
     // duplicated id whose two texts never share a bucket escapes this
     // guard; the full check would scan the corpus id column, which the
     // incremental design exists to avoid.)
-    if (!pairs.filter(col("id_a") === col("id_b")).isEmpty)
+    if (!pairs.filter(col("id_a") === col("id_b")).isEmpty) {
+      // Release the just-populated cache before failing — the caller
+      // never receives the release handle on this path, and a session
+      // that validates several bad inputs must not pin one orphaned
+      // dataset per attempt.
+      pairs.unpersist(false)
       throw new IllegalArgumentException(
         "minhashLshPairsIncremental: corpus and increment id sets " +
           "overlap (self-candidate detected) — the inputs must be disjoint")
+    }
 
     // Verification must also scale with the increment: tokenize only
     // docs that actually appear in a candidate pair (bounded by the

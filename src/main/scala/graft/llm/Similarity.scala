@@ -226,10 +226,20 @@ object Similarity {
         .select(col("__id"), col("__c"))
     for (_ <- 1 until iters) {
       val a = assign(centroids)
+      // Centroid means accumulate INTEGER-quantized components
+      // (floor(x·10⁶ + 0.5); headroom: |x|·10⁶ ≲ 10⁷ per element × 10⁹
+      // members < 2⁶³) — a float avg() would merge shuffle partials in
+      // fetch-completion order and the last centroid bits would differ
+      // across runs, flipping near-tie assignments and breaking the
+      // determinism promise (the d13/e8 sign-test hazard in aggregate
+      // form). The 1e-6 quantization is far below any meaningful
+      // centroid separation.
       centroids = emb.select(col(id).as("__id"), asDouble.as("__v"))
         .join(a, Seq("__id"))
         .select(col("__c").as("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cluster", "pos")
+        .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") /
+          (count(lit(1)) * 1e6)).as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))

@@ -279,10 +279,12 @@ object TextAnalysis {
   // ≥9 digits with optional ()/space/dash separators between them: long
   // enough that ISO dates (2019-04-01: 8 digits) and years never
   // redact, short enough to catch any number with a country/area code.
-  // Still recall-biased by design — a 9+-digit id with dashes redacts
-  // as <PHONE>; deliberate for pre-training hygiene (a false <PHONE>
-  // is cheap, a leaked real number is not). 7-digit local numbers
-  // without a prefix are the accepted miss.
+  // Still recall-biased for long runs — a 9+-digit id with dashes
+  // redacts as <PHONE>; deliberate for pre-training hygiene. The
+  // accepted miss class is bare national numbers of ≤8 digits (7-digit
+  // US local, 8-digit HK/SG/DK): an 8-digit cutoff cannot coexist with
+  // date safety because yyyy-mm-dd is itself 8 digits — prefixed forms
+  // of those numbers (+45 ..., with area code) still redact.
   val PhoneRe = "\\+?([0-9][()\\s-]*){8,}[0-9]"
 
   def piiScrub(text: Column): Column =

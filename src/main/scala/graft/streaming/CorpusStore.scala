@@ -55,28 +55,45 @@ object CorpusStore {
   def fileSystem(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** All COMMITTED members of the store: batch dirs not absorbed by a
-    * committed compaction, plus compacted generations whose manifest
-    * exists. Empty if the store dir does not exist yet. */
-  def listMembers(spark: SparkSession, dir: String): Seq[Member] = {
-    val root = new Path(dir)
-    val fs = fileSystem(spark, dir)
-    if (!fs.exists(root)) return Seq.empty
+  /** One consistent reading of the store's commit metadata: directory
+    * entries, the committed generation ids (manifest present), and the
+    * union of every committed manifest's absorbed-member names. The
+    * single interpretation of the commit protocol — listMembers and
+    * compact() must never disagree about which members exist. */
+  private case class StoreState(
+      entries: Seq[org.apache.hadoop.fs.FileStatus],
+      committedGens: Set[Long], absorbed: Set[String])
+
+  private def readState(fs: FileSystem, root: Path): StoreState = {
+    if (!fs.exists(root)) return StoreState(Seq.empty, Set.empty, Set.empty)
     val entries = fs.listStatus(root).toSeq
     val committedGens: Set[Long] = entries.collect {
       case st if !st.isDirectory => st.getPath.getName
     }.collect { case Manifest(k) => k.toLong }.toSet
     val absorbed: Set[String] = committedGens.flatMap(k =>
       readManifest(fs, new Path(root, s"_merged-$k.json")))
-    entries
+    StoreState(entries, committedGens, absorbed)
+  }
+
+  /** All COMMITTED members of the store: members (raw batch dirs AND
+    * earlier compacted generations alike) not absorbed by a committed
+    * later compaction, plus compacted generations whose own manifest
+    * exists. The absorbed check applies to compacted generations too —
+    * a generation that a LATER committed compaction merged stays
+    * excluded even if its dir outlives the (best-effort) delete, or
+    * readers would see every document in it twice. Empty if the store
+    * dir does not exist yet. */
+  def listMembers(spark: SparkSession, dir: String): Seq[Member] = {
+    val fs = fileSystem(spark, dir)
+    val st = readState(fs, new Path(dir))
+    st.entries
       .filter(_.isDirectory)
-      .flatMap { st =>
-        st.getPath.getName match {
+      .flatMap { e =>
+        e.getPath.getName match {
           case n @ Part(ns, b) =>
-            val m = Member(n, st.getPath.toString, ns, b.toLong)
-            val committed =
-              if (m.isCompacted) committedGens.contains(m.batch)
-              else !absorbed.contains(n)
+            val m = Member(n, e.getPath.toString, ns, b.toLong)
+            val committed = !st.absorbed.contains(n) &&
+              (!m.isCompacted || st.committedGens.contains(m.batch))
             if (committed) Some(m) else None
           case _ => None
         }
@@ -135,7 +152,13 @@ object CorpusStore {
     * compaction is safe for READERS (provenance columns preserve replay
     * exclusion) but a batch committed after the listing here and before
     * the manifest write would be invisible to this compaction — it
-    * simply stays a raw member, absorbed next time.
+    * simply stays a raw member, absorbed next time. If compaction
+    * absorbs a batch whose stream later REPLAYS it (crash before the
+    * checkpoint commit), the replay re-creates the raw dir under its
+    * original name — which the manifest keeps excluded, so readers
+    * still see exactly one copy (the compacted rows; identical content,
+    * since replayed offsets reproduce the batch) and the next compact()
+    * deletes the orphan dir.
     */
   def compact(spark: SparkSession, dir: String, idCol: String,
               removeIds: Option[DataFrame] = None): Option[Long] = {
@@ -144,27 +167,24 @@ object CorpusStore {
     if (!fs.exists(root)) return None
     // Clean up debris from a previous crashed compaction: tmp dirs and
     // renamed-but-uncommitted generations are invisible to readers, so
-    // deleting them is always safe.
-    val entries = fs.listStatus(root).toSeq
-    val committedGens: Set[Long] = entries.collect {
-      case st if !st.isDirectory => st.getPath.getName
-    }.collect { case Manifest(k) => k.toLong }.toSet
-    entries.filter(_.isDirectory).foreach { st =>
-      st.getPath.getName match {
-        case n if n.startsWith("_tmp_compact_") => fs.delete(st.getPath, true)
-        case Part(CompactNs, b) if !committedGens.contains(b.toLong) =>
-          fs.delete(st.getPath, true)
+    // deleting them is always safe; absorbed sources whose best-effort
+    // delete failed (or which a stream replay re-created under the
+    // same name — the manifest keeps them excluded either way) are
+    // retried here.
+    val st0 = readState(fs, root)
+    st0.entries.filter(_.isDirectory).foreach { e =>
+      e.getPath.getName match {
+        case n if n.startsWith("_tmp_compact_") => fs.delete(e.getPath, true)
+        case Part(CompactNs, b) if !st0.committedGens.contains(b.toLong) =>
+          fs.delete(e.getPath, true)
         case _ => ()
       }
     }
-    // Retry the lazy deletes of already-absorbed sources.
-    val absorbed: Set[String] = committedGens.flatMap(k =>
-      readManifest(fs, new Path(root, s"_merged-$k.json")))
-    absorbed.foreach(n => fs.delete(new Path(root, n), true))
+    st0.absorbed.foreach(n => fs.delete(new Path(root, n), true))
 
     val members = listMembers(spark, dir)
     if (members.isEmpty) return None
-    val gen = (committedGens + -1L).max + 1
+    val gen = (st0.committedGens + -1L).max + 1
 
     // Raw members gain provenance columns from their dir names —
     // derived from the file path in ONE multi-path read, not one scan

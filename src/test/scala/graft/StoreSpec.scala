@@ -219,6 +219,61 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("CorpusStore: an absorbed generation outliving its delete is still excluded") {
+    val dir = tmpDir("graft-cs")
+    try {
+      seedStore(dir)
+      val before = CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet
+      CorpusStore.compact(spark, dir, "doc_id") // gen 0
+      val extra = Tables.documents(spark, TestSpark.Sf)
+        .filter(col("doc_id") >= 120 && col("doc_id") < 125)
+        .select("doc_id", "text")
+      extra.write.parquet(s"$dir/run=cccc33_batch=0")
+      val extraSet = extra.as[(Long, String)].collect().toSet
+      CorpusStore.compact(spark, dir, "doc_id") // gen 1 absorbs gen 0
+      // Simulate gen 0's best-effort delete failing: re-create its dir
+      // (committed manifest _merged-0.json still present). Readers must
+      // NOT count its documents twice.
+      CorpusStore.readDocs(spark, dir, docs.schema)
+        .withColumn("__run", lit(CorpusStore.CompactNs))
+        .withColumn("__batch", lit(0L))
+        .write.parquet(s"$dir/run=compact_batch=0")
+      assert(CorpusStore.listMembers(spark, dir).map(_.name) ==
+        Seq("run=compact_batch=1"))
+      val after = CorpusStore.readDocs(spark, dir, docs.schema)
+      assert(after.count() == before.size + extraSet.size,
+        "absorbed generation double-counted")
+      assert(after.as[(Long, String)].collect().toSet == before.union(extraSet))
+    } finally cleanup(dir)
+  }
+
+  test("BandStore: delete swap is recoverable at every crash point") {
+    val dir = tmpDir("graft-bs")
+    try {
+      BandStore.build(docs, "doc_id", "text", dir, P)
+      val full = BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet
+      val kept = full.filterNot(_._1 % 5 == 0)
+      val f = CorpusStore.fileSystem(spark, dir)
+      // Crash state A: rewrite fully written to _tmp_data, live dir
+      // already moved aside — data/ missing. read() must promote the
+      // rewrite, not throw path-not-found.
+      BandStore.read(spark, dir, P).filter(col("doc") % 5 =!= 0)
+        .write.parquet(s"$dir/_tmp_data")
+      assert(f.rename(new Path(dir, "data"), new Path(dir, "_old_data")))
+      assert(BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet == kept)
+      assert(!f.exists(new Path(dir, "_old_data")))
+      // Crash state B: data/ intact, stale debris from an aborted
+      // rewrite — read() returns the live data and clears the debris.
+      BandStore.read(spark, dir, P).limit(1).write.parquet(s"$dir/_tmp_data")
+      assert(BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet == kept)
+      assert(!f.exists(new Path(dir, "_tmp_data")))
+    } finally cleanup(dir)
+  }
+
   test("CorpusStore: replay exclusion survives compaction via provenance columns") {
     val dir = tmpDir("graft-cs")
     try {
