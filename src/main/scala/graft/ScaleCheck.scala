@@ -123,6 +123,15 @@ object ScaleCheck {
         llm.Dedup.simhashNearDupPairs(replicateDocs(docs0, n), "doc_id", "text",
           bits = 32, blocks = 4, maxHamming = 2, portable = false,
           maxBucketSize = Some(200)).count()),
+      // Repeated-passage coverage is the worst case of the passage
+      // family: the window table twice (repeated-set + fold) plus the
+      // hash join between them. Replicas share their source doc's
+      // windows (the " zrepN" suffix only perturbs the tail window),
+      // so the repeated-hash side grows with n — the boilerplate-heavy
+      // regime this op exists for.
+      Op("passage_coverage(w=8,s=4)", n =>
+        llm.Dedup.passageCoverage(replicateDocs(docs0, n), "doc_id", "text",
+          w = 8, stride = 4).count()),
       Op("latest_per_key(window)", n =>
         operators.Ops.latestPerKey(Seq(col("user_id")),
           Seq(col("ts"), col("event_id")))(replicateEvents(ev0, n)).count()),

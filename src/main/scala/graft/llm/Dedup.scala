@@ -511,6 +511,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** One row per `w`-token window of each document at token stride
+    * `stride`: (doc, pos, h, p) where `pos` is the 0-based window index
+    * (start token = pos·stride), `p` the space-joined window text and
+    * `h` its 31-bit hash core (md5 when `portable`, else xxhash64).
+    * Documents shorter than `w` tokens emit no rows. Window volume is
+    * ~tokens/stride per doc — `stride` is the scale knob that trades
+    * span resolution for output size (stride = w tiles the doc exactly
+    * once). Windows are emitted by ONE generator pass over a staged
+    * token array (the [[shinglesOfTokens]] attribute-binding rule:
+    * tokenizing inside the lambda would re-split per window). */
+  private[graft] def passageWindows(docs: DataFrame, id: String,
+                                    text: String, w: Int, stride: Int,
+                                    portable: Boolean): DataFrame = {
+    require(w >= 2, s"passage window must span >= 2 tokens, got $w")
+    require(stride >= 1 && stride <= w,
+      s"stride must be in [1, w] so windows cover every token, got $stride")
+    val staged = docs.select(col(id).as("doc"),
+      explode(array(Scalars.tokens(col(text)))).as("__t"))
+    val t = col("__t")
+    val passages = when(size(t) >= w,
+      transform(
+        sequence(lit(0L), floor((size(t) - w).cast("double") / stride).cast("long")),
+        i => array_join(slice(t, (i * stride).cast("int") + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val win = staged.select(col("doc"), posexplode(passages).as(Seq("pos", "p")))
+    val core =
+      if (portable) conv(substring(md5(col("p")), 1, 8), 16, 10).cast("long")
+      else xxhash64(col("p"))
+    win.select(col("doc"), col("pos"),
+      core.bitwiseAND(lit(0x7FFFFFFFL)).as("h"), col("p"))
+  }
+
+  /** Cross-document repeated passages — the substring-granularity
+    * complement of the doc-level families (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * approximated at token-window resolution): window hashes occurring
+    * in at least `minDocs` DISTINCT documents, with occurrence stats
+    * and the lexicographically-least instance as a sample. ONE
+    * hash-keyed aggregation with map-side partials — a boilerplate
+    * passage repeated across millions of docs is a count on one key,
+    * never a pair explosion, so the output is bounded by the number of
+    * distinct repeated windows, not by duplicate mass². */
+  def repeatedPassages(docs: DataFrame, id: String, text: String,
+                       w: Int = 8, stride: Int = 1, minDocs: Int = 2,
+                       portable: Boolean = false): DataFrame =
+    passageWindows(docs, id, text, w, stride, portable)
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("p")).as("sample"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h").as("passage_hash"), col("n_docs"), col("n_occ"),
+        col("sample"))
+
+  /** Per-document repeated-passage coverage: the fraction of a doc's
+    * windows whose hash also occurs in >= `minDocs` distinct documents,
+    * and the RefinedWeb-style removal decision `keep = frac <=
+    * threshold`. Docs with fewer than `w` tokens have no windows and
+    * keep with frac 0.0 (nothing to judge). Two hash-keyed shuffles
+    * (repeated-hash set, then a doc-keyed fold over the windows joined
+    * against it); the repeated set aggregates to distinct hashes before
+    * the join, so AQE broadcasts it when small and hash-joins
+    * otherwise. The raw integer-ratio double is deliberately not
+    * rounded (engine-portable as-is; round() tie-breaking is not). */
+  def passageCoverage(docs: DataFrame, id: String, text: String,
+                      w: Int = 8, stride: Int = 1, minDocs: Int = 2,
+                      threshold: Double = 0.5,
+                      portable: Boolean = false): DataFrame = {
+    val win = passageWindows(docs, id, text, w, stride, portable).drop("p")
+    val rep = win.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"), lit(1).as("__rep"))
+    val cov = win.join(rep, Seq("h"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_windows"), count(col("__rep")).as("n_repeated"))
+    val frac = when(coalesce(col("n_windows"), lit(0L)) > 0,
+      col("n_repeated").cast("double") / col("n_windows")).otherwise(lit(0.0))
+    docs.select(col(id).as("doc")).join(cov, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        frac.as("repeated_frac"),
+        (frac <= threshold).as("keep"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact, over a bounded
     * subset — the oracle baseline (the query side broadcasts; at full
     * scale use [[embeddingNearDupPairsLsh]]). */

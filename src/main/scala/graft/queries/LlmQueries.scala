@@ -354,6 +354,71 @@ object LlmQueries {
         "vec_id", "embedding", 0.3, planes = 4)
     },
 
+    // Cross-document repeated passages (substring-granularity dedup,
+    // Lee et al. 2021 approximated at token-window resolution): 8-token
+    // windows, stride 1, hashes shared by >= 2 distinct docs. The md5
+    // portable core keeps the whole path — windowing, hashing, the
+    // distinct-doc count — under the oracle; production uses the
+    // xxhash64 core on the same plan.
+    Q("d15_repeated_passages",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_transform(range(0, len(t) - 7),
+        |                     i -> array_to_string(t[i+1:i+8], ' '))
+        |    ELSE []::VARCHAR[] END) AS p
+        |  FROM base),
+        |h AS (SELECT doc_id, p,
+        |        CAST(('0x' || substr(md5(p), 1, 8)) AS BIGINT)
+        |          % 2147483648 AS h
+        |      FROM win)
+        |SELECT h AS passage_hash, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_occ, min(p) AS sample
+        |FROM h GROUP BY h HAVING count(DISTINCT doc_id) >= 2""".stripMargin) {
+      (s, d) =>
+      Dedup.repeatedPassages(Tables.documents(s, d), "doc_id", "text",
+        w = 8, stride = 1, minDocs = 2, portable = true)
+    },
+
+    // Per-document repeated-passage coverage + RefinedWeb-style keep
+    // decision, at stride 4 (the tiling knob the scale path uses: 4×
+    // less window volume than d15's stride 1). Docs shorter than the
+    // window emit no windows and keep with 0.0 coverage.
+    Q("d16_passage_coverage",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN
+        |      list_transform(range(0, (len(t) - 8) // 4 + 1),
+        |                     i -> array_to_string(t[i*4+1:i*4+8], ' '))
+        |    ELSE []::VARCHAR[] END) AS p
+        |  FROM base),
+        |hh AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(p), 1, 8)) AS BIGINT)
+        |           % 2147483648 AS wh
+        |       FROM win),
+        |rep AS (SELECT wh FROM hh GROUP BY wh
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT hh.doc_id, count(*) AS n_windows,
+        |          count(rep.wh) AS n_repeated
+        |        FROM hh LEFT JOIN rep ON hh.wh = rep.wh
+        |        GROUP BY hh.doc_id)
+        |SELECT d.doc_id AS doc,
+        |  coalesce(cov.n_windows, 0) AS n_windows,
+        |  coalesce(cov.n_repeated, 0) AS n_repeated,
+        |  CASE WHEN coalesce(cov.n_windows, 0) > 0
+        |       THEN CAST(cov.n_repeated AS DOUBLE) / cov.n_windows
+        |       ELSE 0.0 END AS repeated_frac,
+        |  (CASE WHEN coalesce(cov.n_windows, 0) > 0
+        |        THEN CAST(cov.n_repeated AS DOUBLE) / cov.n_windows
+        |        ELSE 0.0 END <= 0.5) AS keep
+        |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin) {
+      (s, d) =>
+      Dedup.passageCoverage(Tables.documents(s, d), "doc_id", "text",
+        w = 8, stride = 4, minDocs = 2, threshold = 0.5, portable = true)
+    },
+
     // Token counting + lexical stats per document.
     Q("t1_token_stats",
       """SELECT doc_id,

@@ -156,6 +156,63 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("repeated passages: shared spans found, window math exact, short docs covered") {
+    // B shares A's "c d e f" span (plus its own tail); C is too short
+    // for any window; D repeats an intra-doc span that no OTHER doc
+    // has — must NOT count as cross-document repeated (n_docs = 1).
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y c d e f q r"),
+      (3L, "a b"),
+      (4L, "m n o p m n o p m n o p")).toDF("doc_id", "text")
+
+    // Window math: doc 1 has 8 tokens -> 5 windows at w=4/stride=1,
+    // 2 windows at stride=4 (exact tiling).
+    val w1 = Dedup.passageWindows(df.filter(col("doc_id") === 1),
+      "doc_id", "text", w = 4, stride = 1, portable = false)
+    assert(w1.count() == 5)
+    assert(w1.filter(col("pos") === 0).select("p").as[String].head() == "a b c d")
+    val w1s = Dedup.passageWindows(df.filter(col("doc_id") === 1),
+      "doc_id", "text", w = 4, stride = 4, portable = false)
+    assert(w1s.select("p").as[String].collect().toSet ==
+      Set("a b c d", "e f g h"))
+
+    val rep = Dedup.repeatedPassages(df, "doc_id", "text",
+      w = 4, stride = 1, minDocs = 2)
+      .select("n_docs", "n_occ", "sample")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rep == Set((2L, 2L, "c d e f")),
+      s"expected exactly the shared span, got $rep")
+
+    // Portable core finds the same span set (different hash family).
+    val repP = Dedup.repeatedPassages(df, "doc_id", "text",
+      w = 4, stride = 1, minDocs = 2, portable = true)
+      .select("sample").as[String].collect().toSet
+    assert(repP == Set("c d e f"))
+
+    val cov = Dedup.passageCoverage(df, "doc_id", "text",
+      w = 4, stride = 1, minDocs = 2, threshold = 0.5)
+      .select("doc", "n_windows", "n_repeated", "repeated_frac", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cov(1L) == ((1L, 5L, 1L, 0.2, true)))
+    assert(cov(2L) == ((2L, 5L, 1L, 0.2, true)))
+    // Doc 3: no windows, kept with zero coverage.
+    assert(cov(3L) == ((3L, 0L, 0L, 0.0, true)))
+    // Doc 4: self-repetition only — zero CROSS-document coverage.
+    assert(cov(4L) == ((4L, 9L, 0L, 0.0, true)))
+
+    // A doc that is one long shared passage gets dropped: clone doc 1.
+    val cloned = df.union(Seq((5L, "a b c d e f g h")).toDF("doc_id", "text"))
+    val cov5 = Dedup.passageCoverage(cloned, "doc_id", "text",
+      w = 4, stride = 1, minDocs = 2, threshold = 0.5)
+      .filter(col("doc").isin(1L, 5L))
+      .select("doc", "repeated_frac", "keep")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cov5 == Map(1L -> ((1.0, false)), 5L -> ((1.0, false))))
+  }
+
   test("shingles handles short texts without negative sequence") {
     val df = Seq("one two", "a", "").toDF("text")
     val got = df.select(Dedup.shingles(col("text"), 3).as("s"))
