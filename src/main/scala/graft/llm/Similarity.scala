@@ -319,4 +319,147 @@ object Similarity {
       .withColumn("max_err", array_max(transform(col("__qe"), _.getField("err"))))
       .drop("__v", "__ma", "__qe")
   }
+
+  /** (subspace, id, subvector) working table for PQ: each vector split
+    * into `m` contiguous dim/m-length subvectors by ONE generator pass
+    * (no per-subspace scan). */
+  private def subvectors(emb: DataFrame, id: String, vec: String,
+                         m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    emb
+      .select(col(id).as("__id"),
+        explode(array(transform(col(vec), _.cast("double")))).as("__v"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("__v"), j * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
+  }
+
+  /** Squared L2 — the PQ training/lookup metric. Evaluated as one fused
+    * sequential fold per row (no cross-row accumulation), so it is
+    * deterministic for a given pair. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Product-quantization codebooks (Jégou et al. 2011, the FAISS PQ
+    * scale path: vectors become `m` one-byte codes, distances become
+    * table lookups). Splits each vector into `m` contiguous subvectors
+    * and learns `k` codewords per subspace with the same deterministic
+    * Lloyd loop as [[kmeansAssign]] — but all subspaces train TOGETHER:
+    * the working table is (subspace, id, subvector), the centroid table
+    * is m×k rows keyed by (subspace, code) broadcast once per
+    * iteration, so adding subspaces adds broadcast rows, not Spark
+    * jobs. Determinism mirrors [[kmeansAssign]]: seeds are the `k`
+    * smallest ids' subvectors (codes = their dense 0-based rank), means
+    * accumulate integer-quantized components, assignment ties break to
+    * the smallest code. `k` is an upper bound (Lloyd can empty a
+    * cluster). Output: (subspace, code, centroid ARRAY<DOUBLE>). */
+  def pqTrain(emb: DataFrame, id: String, vec: String,
+              m: Int = 8, k: Int = 16, iters: Int = 3,
+              dim: Int = 64): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(k >= 1 && iters >= 1, "pqTrain needs k >= 1, iters >= 1")
+    val sv = subvectors(emb, id, vec, m, dim)
+    val seeds = emb.orderBy(col(id)).limit(k)
+      .select(col(id).as("__id"),
+        (row_number().over(Window.orderBy(col(id))) - 1).as("code"))
+    var centroids = sv.join(broadcast(seeds), Seq("__id"))
+      .select(col("subspace"), col("code"), col("sv").as("centroid"))
+      .localCheckpoint()
+    for (_ <- 1 until iters) {
+      val a = pqAssign(sv, centroids)
+      centroids = sv.join(a, Seq("__id", "subspace"))
+        .select(col("subspace"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("subspace", "code", "pos")
+        // Integer-accumulated means — see kmeansAssign for why float
+        // avg() would break run-to-run determinism.
+        .agg((sum(floor(col("x") * 1e6 + 0.5).cast("long")).cast("double") /
+          (count(lit(1)) * 1e6)).as("mn"))
+        .groupBy("subspace", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+          s => s.getField("mn")).as("centroid"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** Nearest codeword per (vector, subspace) against a broadcast
+    * codebook — one equi-join on subspace (fan-out = codewords per
+    * subspace) + one map-side-combinable min_by. */
+  private def pqAssign(sv: DataFrame, codebook: DataFrame): DataFrame =
+    sv.join(broadcast(codebook), Seq("subspace"))
+      .withColumn("__d", l2sq(col("sv"), col("centroid")))
+      .groupBy("__id", "subspace")
+      .agg(expr("min_by(code, struct(__d, code))").as("code"))
+
+  /** PQ-encode a corpus: (id, codes ARRAY<INT>) with codes[j] the
+    * nearest codeword of subvector j. m codes per vector — the 4-byte
+    * float64 store becomes m small ints (the whole point at 100 TB:
+    * the ADC scan below touches codes only, never raw vectors). */
+  def pqEncode(emb: DataFrame, id: String, vec: String,
+               codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame =
+    pqAssign(subvectors(emb, id, vec, m, dim), codebook)
+      .groupBy("__id")
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("__id").as(id), col("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds a
+    * (subspace, code) → squared-L2 lookup table against the codebook
+    * (queries × m × k rows — tiny, broadcast), the corpus explodes its
+    * m codes once, and the approximate distance is ONE doc-keyed sum of
+    * integer-quantized lookups (integer so shuffle merge order cannot
+    * flip near-tie ranks; ties break on neighbor id). The corpus side
+    * streams codes only — no raw-vector access, no pairwise join. */
+  def pqTopK(corpusCodes: DataFrame, codebook: DataFrame,
+             queries: DataFrame, id: String, vec: String, k: Int,
+             m: Int = 8, dim: Int = 64): DataFrame = {
+    val lut = subvectors(queries, id, vec, m, dim)
+      .select(col("__id").as("query_id"), col("subspace"), col("sv"))
+      .join(codebook, Seq("subspace"))
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(l2sq(col("sv"), col("centroid")) * 1e6 + 0.5)
+          .cast("long").as("__dq"))
+    val scored = corpusCodes
+      .select(col(id).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg((sum(col("__dq")).cast("double") / 1e6).as("dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
+  }
+
+  /** PQ search as production runs it (FAISS's ADC + re-rank): the code
+    * scan shortlists `k × overscan` candidates per query by
+    * approximate distance, then ONLY those rows fetch their raw vector
+    * (an equi-join bounded by queries × k × overscan — the corpus
+    * itself is still never scanned as floats) for an exact squared-L2
+    * re-rank. Overscan buys back the quantization error at shortlist
+    * cost, not scan cost — the recall/latency knob. */
+  def pqTopKRerank(corpusCodes: DataFrame, codebook: DataFrame,
+                   corpus: DataFrame, queries: DataFrame,
+                   id: String, vec: String, k: Int, overscan: Int = 4,
+                   m: Int = 8, dim: Int = 64): DataFrame = {
+    val asDouble = (c: Column) => transform(c, _.cast("double"))
+    val shortlist = pqTopK(corpusCodes, codebook, queries, id, vec,
+      k * overscan, m, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries
+      .select(col(id).as("query_id"), asDouble(col(vec)).as("qv")))
+    val scored = shortlist
+      .join(corpus.select(col(id).as("neighbor_id"),
+        asDouble(col(vec)).as("cv")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("dist", l2sq(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
+  }
 }

@@ -722,6 +722,23 @@ object LlmQueries {
         "vec_id", "embedding", "label", 5, nprobe = 3)
     },
 
+    // Product-quantization ANN (FAISS-style IVF-less PQ): train m×k
+    // codebooks (deterministic Lloyd, all subspaces in one loop),
+    // encode the corpus as m small ints per vector, and answer top-k
+    // via asymmetric-distance lookup sums over the codes — the corpus
+    // side never touches a raw vector. Codebook membership is
+    // training-dependent → rows-only; determinism, code bounds and
+    // recall vs exact L2 are spec-gated.
+    Q.rowsOnly("e9_ann_pq") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val codebook = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 3)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebook)
+      Similarity.pqTopKRerank(codes, codebook, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, overscan = 4)
+    },
+
     // e2's portable twin (the d13 bucket family): sign-LSH top-k with
     // md5-parity hyperplanes over integer-quantized components, so
     // candidate generation AND ranking replay exactly in SQL — ranks

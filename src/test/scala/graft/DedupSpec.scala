@@ -297,6 +297,62 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("PQ: deterministic codes, bounded, ADC recall tracks exact L2") {
+    val emb = Tables.embeddings(spark, Sf).cache()
+    val n = emb.count()
+    val (m, kw) = (8, 16)
+    val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = m, k = kw, iters = 3).cache()
+    // Codebook: every (subspace, code) pair at most once, subvector
+    // length dim/m, codes within the seed-rank range.
+    val cbRows = cb.select("subspace", "code").as[(Int, Int)].collect()
+    assert(cbRows.distinct.length == cbRows.length)
+    assert(cbRows.forall { case (s, c) => s >= 0 && s < m && c >= 0 && c < kw })
+    assert(cb.select(size(col("centroid"))).as[Int].collect().forall(_ == 64 / m))
+
+    val codes1 = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val codes2 = Similarity.pqEncode(emb, "vec_id", "embedding",
+        Similarity.pqTrain(emb, "vec_id", "embedding", m = m, k = kw, iters = 3))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes1 == codes2, "PQ codes are not deterministic across runs")
+    assert(codes1.size == n && codes1.values.forall(_.length == m))
+    val valid = cbRows.toSet
+    assert(codes1.values.forall(_.zipWithIndex.forall {
+      case (c, s) => valid((s, c)) }))
+
+    // ADC recall vs exact L2 (the metric PQ approximates), driver-side
+    // oracle over the full corpus.
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val queries = vecs.keys.filter(_ < 10).toSeq
+    val want = queries.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (l2(vecs(q), vecs(c)), c)).take(5).map(q -> _)
+    }.toSet
+    val codesDf = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+    val got = Similarity.pqTopK(codesDf, cb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got.size == queries.size * 5)
+    val adcRecall = (got & want).size.toDouble / want.size
+    // Raw ADC on near-orthogonal random vectors (no cluster structure
+    // = PQ's worst case) keeps only weak signal; the production path
+    // below re-ranks a 4× shortlist exactly and must do much better.
+    assert(adcRecall >= 0.1, s"raw ADC recall vs exact L2: $adcRecall")
+
+    val rr = Similarity.pqTopKRerank(codesDf, cb, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, overscan = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(rr.size == queries.size * 5)
+    val rrRecall = (rr & want).size.toDouble / want.size
+    assert(rrRecall > adcRecall, "re-rank must not lose recall")
+    assert(rrRecall >= 0.4, s"re-ranked recall vs exact L2: $rrRecall")
+  }
+
   test("native cosine Expression matches the HOF formulation bit-for-bit and codegens") {
     val emb = Tables.embeddings(spark, Sf).filter(col("vec_id") < 80).cache()
     val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
