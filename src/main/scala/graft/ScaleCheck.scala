@@ -14,10 +14,38 @@ import org.apache.spark.sql.functions._
   * corpus but must stay far from quadratic.
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleCheck"
+  *
+  * SPARK_GRAFT_MATERIALIZE=/some/dir routes every replicated input
+  * through parquet on disk (written once per table×factor, read back),
+  * so the timed operators consume REAL on-disk tables — scan, column
+  * pruning, partitioned reads — instead of in-memory generated
+  * lineage. This is the "one big pass" mode: the in-memory sweep
+  * answers "is the plan shape right?", the materialized sweep answers
+  * "does it hold when the input actually comes off storage?".
   */
 object ScaleCheck {
 
+  private val materializeDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+
+  /** Write-once-read-back gate for a replicated input (no-op without
+    * SPARK_GRAFT_MATERIALIZE). Existence-checked so repeated Op calls
+    * and repeated runs against the same dir reuse the files. */
+  private def viaDisk(name: String, n: Int, df: => DataFrame): DataFrame =
+    materializeDir match {
+      case None => df
+      case Some(root) =>
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = new org.apache.hadoop.fs.Path(s"$root/${name}_x$n")
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(path)) df.write.parquet(path.toString)
+        spark.read.parquet(path.toString)
+    }
+
   private def replicateDocs(docs: DataFrame, n: Int): DataFrame =
+    viaDisk("docs", n, replicateDocsMem(docs, n))
+
+  private def replicateDocsMem(docs: DataFrame, n: Int): DataFrame =
     if (n == 1) docs
     else docs
       .select(col("doc_id"), col("text"),
@@ -30,6 +58,9 @@ object ScaleCheck {
         concat(col("text"), lit(" zrep"), col("i").cast("string")).as("text"))
 
   private def replicateEvents(ev: DataFrame, n: Int): DataFrame =
+    viaDisk("events", n, replicateEventsMem(ev, n))
+
+  private def replicateEventsMem(ev: DataFrame, n: Int): DataFrame =
     if (n == 1) ev
     else ev
       .select(col("user_id"), col("event_id"), col("ts"),
@@ -44,6 +75,9 @@ object ScaleCheck {
     * replicas keep the original's source (so the groupcover preference
     * ladder sees the same source mix at every factor). */
   private def replicateDocsFull(docs: DataFrame, n: Int): DataFrame =
+    viaDisk("docs_full", n, replicateDocsFullMem(docs, n))
+
+  private def replicateDocsFullMem(docs: DataFrame, n: Int): DataFrame =
     if (n == 1) docs
     else docs
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -56,7 +90,10 @@ object ScaleCheck {
   /** Edges from lineitem: citing ids are fresh per replica, cited ids
     * stay in the ORIGINAL part keyspace — replication makes hubs
     * hotter, not just the table longer. */
-  private def replicateEdges(li: DataFrame, n: Int): DataFrame = {
+  private def replicateEdges(li: DataFrame, n: Int): DataFrame =
+    viaDisk("edges", n, replicateEdgesMem(li, n))
+
+  private def replicateEdgesMem(li: DataFrame, n: Int): DataFrame = {
     val base =
       if (n == 1) li.withColumn("i", lit(0))
       else li.select(col("l_orderkey"), col("l_partkey"),
@@ -95,6 +132,21 @@ object ScaleCheck {
     val li0 = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_partkey").cache()
     docsFull0.count(); ev0.count(); li0.count()
+
+    // Embedding replication for the ANN/k-means ops — perturbed per
+    // replica like replicateDocs, or verbatim copies would collapse
+    // the k smallest ids to 1-2 distinct seed vectors and the sweep
+    // would time a ~2-cluster problem while claiming k=8.
+    def replicateEmb(n: Int): DataFrame = viaDisk("embeddings", n, {
+      val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+      if (n == 1) emb
+      else emb
+        .select(col("vec_id"), col("embedding"),
+          posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one")))
+        .select((col("vec_id") * n + col("i")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("i").cast("float") * 0.013f).as("embedding"))
+    })
 
     // Prebuilt per factor: growing corpus, FIXED ~1250-doc increment,
     // and the corpus band artifact (materialized here so its
@@ -269,23 +321,22 @@ object ScaleCheck {
       // k-means assignment under corpus growth: centroid count fixed,
       // every iteration is broadcast + map-side-combinable min_by —
       // must stay ~linear in vectors.
-      Op("kmeans_assign(k=8,3 iter)", { n =>
-        val emb = Tables.embeddings(spark, sfDir)
-          .select("vec_id", "embedding")
-        val rep =
-          if (n == 1) emb
-          else emb
-            .select(col("vec_id"), col("embedding"),
-              posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one")))
-            .select((col("vec_id") * n + col("i")).as("vec_id"),
-              // Perturb replicas like replicateDocs does for text —
-              // verbatim copies would make the k smallest ids collapse
-              // to 1-2 distinct seed vectors and the sweep would time
-              // a ~2-cluster problem while claiming k=8.
-              transform(col("embedding"),
-                x => x + col("i").cast("float") * 0.013f).as("embedding"))
-        llm.Similarity.kmeansAssign(rep, "vec_id", "embedding",
-          k = 8, iters = 3).count()
+      Op("kmeans_assign(k=8,3 iter)", n =>
+        llm.Similarity.kmeansAssign(replicateEmb(n), "vec_id", "embedding",
+          k = 8, iters = 3).count()),
+      // The full PQ path under corpus growth: train (m subspaces, one
+      // Lloyd loop), encode, ADC shortlist + exact re-rank for a fixed
+      // query set. Codebook size is fixed, so train/encode must stay
+      // ~linear in vectors and search ~linear in codes; re-rank work is
+      // bounded by queries × shortlist regardless of n.
+      Op("pq_train_encode_search", { n =>
+        val rep = replicateEmb(n)
+        val cb = llm.Similarity.pqTrain(rep, "vec_id", "embedding",
+          m = 8, k = 16, iters = 2)
+        val codes = llm.Similarity.pqEncode(rep, "vec_id", "embedding", cb)
+        llm.Similarity.pqTopKRerank(codes, cb, rep,
+          rep.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, overscan = 4).count()
       }),
       // Stage decomposition of the LSH dedup path: the band-table build
       // is the signature+banding half of minhash_lsh_pairs; full-op

@@ -352,7 +352,13 @@ object Similarity {
     * smallest ids' subvectors (codes = their dense 0-based rank), means
     * accumulate integer-quantized components, assignment ties break to
     * the smallest code. `k` is an upper bound (Lloyd can empty a
-    * cluster). Output: (subspace, code, centroid ARRAY<DOUBLE>). */
+    * cluster). Output: (subspace, code, centroid ARRAY<DOUBLE>).
+    *
+    * At scale, train on a deterministic sample and encode everything:
+    * codebooks need thousands of vectors, not billions — pass e.g.
+    * `emb.filter(xxhash64(col(id)) % S === 0)` here and the full frame
+    * to [[pqEncode]] (the FAISS recipe; sampling by id hash keeps
+    * retries reproducible). */
   def pqTrain(emb: DataFrame, id: String, vec: String,
               m: Int = 8, k: Int = 16, iters: Int = 3,
               dim: Int = 64): DataFrame = {

@@ -63,6 +63,20 @@ object ScalarsProps extends Properties("Scalars") {
     ab == ba && ab >= 0.0 && ab <= 1.0
   }
 
+  property("passageWindows matches the sliding-window spec exactly") =
+    Prop.forAll(text, Gen.chooseNum(2, 5), Gen.chooseNum(1, 5)) { (t, w, s0) =>
+      val stride = math.min(s0, w)
+      val toks = t.split(" ").toSeq
+      val got = Dedup.passageWindows(Seq((1L, t)).toDF("doc_id", "text"),
+          "doc_id", "text", w, stride, portable = false)
+        .select("pos", "p").as[(Int, String)].collect().toSeq.sortBy(_._1)
+      val want =
+        if (toks.length < w) Seq.empty
+        else (0 to (toks.length - w) / stride).map(i =>
+          (i, toks.slice(i * stride, i * stride + w).mkString(" ")))
+      got == want
+    }
+
   property("htmlUnescape round-trips the named entities") = Prop.forAll(word) { s =>
     val escaped = s"&lt;p&gt;$s&amp;$s&quot;"
     eval1(Scalars.htmlUnescape(col("v")), escaped) == s"<p>$s&$s\""
