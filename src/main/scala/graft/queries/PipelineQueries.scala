@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.TextAnalysis
+import graft.llm.{Corpus, Dedup, TextAnalysis}
 
 /** Composite pipeline-shaped queries: the end-to-end flows a user of
   * the engine actually runs, each still oracle-checkable. */
@@ -157,6 +157,106 @@ object PipelineQueries {
         .select(col("id"), col("doc_id"),
           array_join(col("institution"), ",").as("institution"),
           col("x_oa"), col("quality"), col("fullrecord"))
+    },
+
+    // LLM corpus curation end-to-end — the pre-training data funnel
+    // composed from the individually-oracled stages: quality score
+    // (t2) + repetition gate (t7) + cross-doc repeated-passage
+    // coverage gate (d16) → exact-dup canonical (pipe1's window-min)
+    // → per-language stratified quota (c5). Corpus-wide coverage runs
+    // BEFORE the row gates (a passage repeated in low-quality docs is
+    // still boilerplate); at 100 TB the whole funnel is the per-row
+    // scoring scan + two hash-keyed aggs (window hashes, fingerprint)
+    // + the bounded per-stratum cut.
+    Q("pipe17_llm_curation",
+      s"""WITH base AS (
+         |  SELECT doc_id, lang, text, string_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         |    (len(list_distinct(toks)) / len(toks)) * 0.5
+         |    + (1.0 - (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+         |             / greatest(length(text), 1)) * 0.3
+         |    + (1.0 - len(list_filter(toks, t -> list_contains(${sqlList(TextAnalysis.EnStopwords)}, t)))
+         |             / len(toks)) * 0.2 END AS quality,
+         |    md5(array_to_string(list_sort(toks), ' ')) AS fp
+         |  FROM base),
+         |ng AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN len(toks) >= 2 THEN
+         |      list_transform(range(1, len(toks)),
+         |                     i -> array_to_string(toks[i:i+1], ' '))
+         |      ELSE []::VARCHAR[] END AS g2,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_transform(range(1, len(toks) - 1),
+         |                     i -> array_to_string(toks[i:i+2], ' '))
+         |      ELSE []::VARCHAR[] END AS g3
+         |  FROM base),
+         |rep AS (
+         |  SELECT doc_id,
+         |    (list_aggregate(list_transform(list_distinct(toks),
+         |       d -> len(list_filter(toks, x -> x = d))), 'max')
+         |       / len(toks) <= 0.20
+         |     AND (CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE (len(g2) - len(list_distinct(g2))) / len(g2) END) <= 0.20
+         |     AND (CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE (len(g3) - len(list_distinct(g3))) / len(g3) END) <= 0.18)
+         |      AS rep_keep
+         |  FROM ng),
+         |win AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN
+         |      list_transform(range(0, (len(toks) - 8) // 4 + 1),
+         |                     i -> array_to_string(toks[i*4+1:i*4+8], ' '))
+         |    ELSE []::VARCHAR[] END) AS p
+         |  FROM base),
+         |hh AS (SELECT doc_id,
+         |         CAST(('0x' || substr(md5(p), 1, 8)) AS BIGINT)
+         |           % 2147483648 AS wh
+         |       FROM win),
+         |rph AS (SELECT wh FROM hh GROUP BY wh
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT hh.doc_id, count(*) AS n_windows,
+         |          count(rph.wh) AS n_repeated
+         |        FROM hh LEFT JOIN rph ON hh.wh = rph.wh
+         |        GROUP BY hh.doc_id),
+         |ckeep AS (SELECT b.doc_id,
+         |            (CASE WHEN coalesce(cov.n_windows, 0) > 0
+         |                  THEN CAST(cov.n_repeated AS DOUBLE) / cov.n_windows
+         |                  ELSE 0.0 END <= 0.5) AS cov_keep
+         |          FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id),
+         |gated AS (
+         |  SELECT b.doc_id, b.lang, q.quality, q.fp
+         |  FROM base b
+         |  JOIN q ON b.doc_id = q.doc_id
+         |  JOIN rep ON b.doc_id = rep.doc_id
+         |  JOIN ckeep ON b.doc_id = ckeep.doc_id
+         |  WHERE q.quality >= 0.6 AND rep.rep_keep AND ckeep.cov_keep),
+         |canon AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
+         |uniq AS (SELECT g.doc_id, g.lang, g.quality
+         |         FROM gated g JOIN canon c ON g.doc_id = c.doc_id)
+         |SELECT doc_id, lang, quality FROM (
+         |  SELECT doc_id, lang, quality, row_number() OVER (
+         |    PARTITION BY lang ORDER BY
+         |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'),
+         |        1, 10)) AS BIGINT), doc_id) AS rk
+         |  FROM uniq) WHERE rk <= 25""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val cov = Dedup.passageCoverage(docs, "doc_id", "text",
+          w = 8, stride = 4, minDocs = 2, threshold = 0.5, portable = true)
+        .select(col("doc").as("doc_id"), col("keep").as("cov_keep"))
+      val gated = TextAnalysis.repetitionStats(docs, "text")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("keep").as("rep_keep"))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .join(cov, Seq("doc_id"))
+        .filter(col("quality") >= 0.6 && col("rep_keep") && col("cov_keep"))
+      val uniq = gated
+        .withColumn("__min_id", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("__min_id"))
+      Corpus.stratifiedQuota(uniq, "doc_id", "lang", 25, "cur")
+        .select("doc_id", "lang", "quality")
     })
 
   /** Build the w5 incremental snapshot for `d` if missing (stamped per
