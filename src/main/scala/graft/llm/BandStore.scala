@@ -93,8 +93,20 @@ object BandStore {
     val tmp = new Path(dir, s"_tmp_$DataDir")
     val old = new Path(dir, s"_old_$DataDir")
     if (!f.exists(data)) {
-      if (f.exists(tmp)) { f.rename(tmp, data); f.delete(old, true) }
-      else if (f.exists(old)) f.rename(old, data)
+      // Rename failure is signalled by RETURN VALUE on HDFS-like
+      // filesystems — checking it here turns a botched promotion into
+      // a loud named error instead of an opaque path-not-found from
+      // the next read (delete() checks its renames the same way).
+      if (f.exists(tmp)) {
+        if (!f.rename(tmp, data))
+          throw new java.io.IOException(
+            s"BandStore.recoverSwap: cannot promote $tmp at $dir")
+        f.delete(old, true)
+      } else if (f.exists(old)) {
+        if (!f.rename(old, data))
+          throw new java.io.IOException(
+            s"BandStore.recoverSwap: cannot restore $old at $dir")
+      }
     } else {
       f.delete(old, true)
       f.delete(tmp, true)

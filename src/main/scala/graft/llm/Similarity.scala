@@ -389,6 +389,23 @@ object Similarity {
     centroids
   }
 
+  /** Loud guard for the codebook ↔ caller (m, dim) contract — the
+    * BandStore.ensureParams discipline for PQ: a mismatched codebook
+    * makes zip_with pad with nulls and min_by pick arbitrary codes, so
+    * every code silently corrupts. One tiny aggregate over the m×k
+    * codebook rows, far cheaper than the silent failure it prevents. */
+  private def requireCodebook(cb: DataFrame, m: Int, dim: Int,
+                              op: String): Unit = {
+    val row = cb.agg(max(col("subspace")), min(size(col("centroid"))),
+      max(size(col("centroid")))).head()
+    val (ms, lo, hi) = (row.getInt(0) + 1, row.getInt(1), row.getInt(2))
+    require(ms == m && lo == dim / m && hi == dim / m,
+      s"$op: codebook was trained with m=$ms, subvector length $lo" +
+        (if (lo != hi) s"-$hi" else "") +
+        s"; caller uses m=$m, dim=$dim (subvector ${dim / m}) — " +
+        "a mismatched codebook silently corrupts every code")
+  }
+
   /** Nearest codeword per (vector, subspace) against a broadcast
     * codebook — one equi-join on subspace (fan-out = codewords per
     * subspace) + one map-side-combinable min_by. */
@@ -403,12 +420,14 @@ object Similarity {
     * float64 store becomes m small ints (the whole point at 100 TB:
     * the ADC scan below touches codes only, never raw vectors). */
   def pqEncode(emb: DataFrame, id: String, vec: String,
-               codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame =
+               codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame = {
+    requireCodebook(codebook, m, dim, "pqEncode")
     pqAssign(subvectors(emb, id, vec, m, dim), codebook)
       .groupBy("__id")
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
         s => s.getField("code")).as("codes"))
       .select(col("__id").as(id), col("codes"))
+  }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds a
     * (subspace, code) → squared-L2 lookup table against the codebook
@@ -420,6 +439,7 @@ object Similarity {
   def pqTopK(corpusCodes: DataFrame, codebook: DataFrame,
              queries: DataFrame, id: String, vec: String, k: Int,
              m: Int = 8, dim: Int = 64): DataFrame = {
+    requireCodebook(codebook, m, dim, "pqTopK")
     val lut = subvectors(queries, id, vec, m, dim)
       .select(col("__id").as("query_id"), col("subspace"), col("sv"))
       .join(codebook, Seq("subspace"))
@@ -457,7 +477,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val q = broadcast(queries
       .select(col(id).as("query_id"), asDouble(col(vec)).as("qv")))
-    val scored = shortlist
+    // The shortlist is the tiny side (queries × k × overscan rows) —
+    // broadcast it explicitly so the corpus-side vector fetch can
+    // never degrade into shuffling the whole raw-vector table when
+    // AQE mis-estimates or is off.
+    val scored = broadcast(shortlist)
       .join(corpus.select(col(id).as("neighbor_id"),
         asDouble(col(vec)).as("cv")), Seq("neighbor_id"))
       .join(q, Seq("query_id"))

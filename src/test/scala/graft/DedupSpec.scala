@@ -351,6 +351,18 @@ class DedupSpec extends AnyFunSuite {
     val rrRecall = (rr & want).size.toDouble / want.size
     assert(rrRecall > adcRecall, "re-rank must not lose recall")
     assert(rrRecall >= 0.4, s"re-ranked recall vs exact L2: $rrRecall")
+
+    // The codebook contract is enforced, not documented: encoding or
+    // searching with a mismatched (m, dim) must fail loudly instead of
+    // silently corrupting every code.
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb, "vec_id", "embedding", cb, m = 4)
+    }
+    assert(e1.getMessage.contains("codebook"))
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(codesDf, cb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 16)
+    }
   }
 
   test("native cosine Expression matches the HOF formulation bit-for-bit and codegens") {
