@@ -739,6 +739,64 @@ object LlmQueries {
         k = 5, overscan = 4)
     },
 
+    // e9's portable twin (the d13/e8 discipline): the ENTIRE PQ
+    // plumbing — subvector split, seed codebook, nearest-codeword
+    // assignment, code assembly, ADC lookup-sum ranking — under the
+    // DuckDB oracle. Input vectors are integer-quantized (floor(x·1000
+    // + 0.5) after a double cast) and the codebook is the seed set
+    // (iters = 1), so every distance is EXACT integer arithmetic that
+    // cannot flip under a different summation order; only the Lloyd
+    // update itself stays outside the oracle (its integer-mean
+    // determinism is spec-gated with kmeansAssign). Assignment ties
+    // break to the smallest code in both engines.
+    Q("e10_ann_pq_portable",
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(CAST(embedding AS DOUBLE[]),
+        |                            x -> floor(x * 1000 + 0.5)) AS v
+        |           FROM embeddings),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id)
+        |            AS INT) - 1 AS code
+        |          FROM e ORDER BY vec_id LIMIT 16),
+        |grid AS (SELECT unnest(range(0, 8)) AS j),
+        |cb AS (SELECT CAST(grid.j AS INT) AS subspace, s.code,
+        |         e.v[grid.j*8+1 : grid.j*8+8] AS c
+        |       FROM seeds s JOIN e ON e.vec_id = s.vec_id CROSS JOIN grid),
+        |sv AS (SELECT e.vec_id, CAST(grid.j AS INT) AS subspace,
+        |         e.v[grid.j*8+1 : grid.j*8+8] AS sv
+        |       FROM e CROSS JOIN grid),
+        |dist AS (SELECT sv.vec_id, sv.subspace, cb.code,
+        |           list_sum(list_transform(range(0, 8),
+        |             i -> (sv.sv[i+1] - cb.c[i+1]) * (sv.sv[i+1] - cb.c[i+1])))
+        |             AS d
+        |         FROM sv JOIN cb ON sv.subspace = cb.subspace),
+        |assign AS (SELECT vec_id, subspace, code FROM (
+        |             SELECT *, row_number() OVER (
+        |               PARTITION BY vec_id, subspace ORDER BY d, code) AS rn
+        |             FROM dist) WHERE rn = 1),
+        |lut AS (SELECT d.vec_id AS query_id, d.subspace, d.code,
+        |          CAST(d.d AS BIGINT) * 1000000 AS dq
+        |        FROM dist d WHERE d.vec_id < 10),
+        |scored AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+        |             sum(l.dq) AS s
+        |           FROM assign a
+        |           JOIN lut l ON a.subspace = l.subspace AND a.code = l.code
+        |           WHERE l.query_id <> a.vec_id
+        |           GROUP BY l.query_id, a.vec_id)
+        |SELECT query_id, neighbor_id, rank, CAST(s AS DOUBLE) / 1e6 AS dist
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY s, neighbor_id) AS INT) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5)).as("qv"))
+      val cb = Similarity.pqTrain(emb, "vec_id", "qv",
+        m = 8, k = 16, iters = 1)
+      val codes = Similarity.pqEncode(emb, "vec_id", "qv", cb)
+      Similarity.pqTopK(codes, cb, emb.filter(col("vec_id") < 10),
+        "vec_id", "qv", k = 5)
+    },
+
     // e2's portable twin (the d13 bucket family): sign-LSH top-k with
     // md5-parity hyperplanes over integer-quantized components, so
     // candidate generation AND ranking replay exactly in SQL — ranks
