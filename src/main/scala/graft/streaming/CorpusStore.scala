@@ -161,7 +161,8 @@ object CorpusStore {
     * deletes the orphan dir.
     */
   def compact(spark: SparkSession, dir: String, idCol: String,
-              removeIds: Option[DataFrame] = None): Option[Long] = {
+              removeIds: Option[DataFrame] = None,
+              removeRuns: Seq[String] = Seq.empty): Option[Long] = {
     val root = new Path(dir)
     val fs = fileSystem(spark, dir)
     if (!fs.exists(root)) return None
@@ -203,13 +204,19 @@ object CorpusStore {
       if (compactedM.isEmpty) None
       else Some(spark.read.parquet(compactedM.map(_.path): _*))
     val all = (rawDf.toSeq ++ compDf.toSeq).reduce(_ unionByName _)
-    val kept = removeIds match {
+    val dropped = removeIds match {
       case Some(ids) =>
         val key = ids.columns.head
         all.join(broadcast(ids.select(col(key).as(idCol)).distinct()),
           Seq(idCol), "left_anti")
       case None => all
     }
+    // Retention: drop whole harvest runs by provenance namespace —
+    // the column survives compaction, so an expired run's documents
+    // disappear even from generations that absorbed it long ago.
+    val kept =
+      if (removeRuns.isEmpty) dropped
+      else dropped.filter(!col(RunCol).isin(removeRuns: _*))
 
     val tmp = new Path(root, s"_tmp_compact_$gen")
     kept.write.mode("overwrite").parquet(tmp.toString)
@@ -234,6 +241,16 @@ object CorpusStore {
   def delete(spark: SparkSession, dir: String, idCol: String,
              ids: DataFrame): Option[Long] =
     compact(spark, dir, idCol, Some(ids))
+
+  /** Retention: remove every document that arrived under one of the
+    * given run namespaces (a superseded harvest, a revoked source) —
+    * the run-granular sibling of the id-granular [[delete]]. Like
+    * delete, a full compaction: afterwards the store is one committed
+    * generation holding exactly the surviving documents, and a
+    * subsequent pairing run behaves as a fresh run over them. */
+  def expireRuns(spark: SparkSession, dir: String, idCol: String,
+                 runs: Seq[String]): Option[Long] =
+    compact(spark, dir, idCol, removeRuns = runs)
 
   private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)

@@ -219,6 +219,25 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("CorpusStore: expiring a run namespace removes its docs even after compaction absorbed it") {
+    val dir = tmpDir("graft-cs")
+    try {
+      seedStore(dir)
+      // gen 0 absorbs both runs — provenance columns must carry the
+      // namespace through, or retention after compaction is impossible.
+      CorpusStore.compact(spark, dir, "doc_id")
+      val gen = CorpusStore.expireRuns(spark, dir, "doc_id", Seq("bbbb22"))
+      assert(gen.contains(1L))
+      val after = CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet
+      val want = docs.filter(col("doc_id") < 80)
+        .as[(Long, String)].collect().toSet
+      assert(after == want, "expired run's documents must be gone")
+      assert(CorpusStore.listMembers(spark, dir).map(_.name) ==
+        Seq("run=compact_batch=1"))
+    } finally cleanup(dir)
+  }
+
   test("CorpusStore: an absorbed generation outliving its delete is still excluded") {
     val dir = tmpDir("graft-cs")
     try {
