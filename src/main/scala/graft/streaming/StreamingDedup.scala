@@ -59,9 +59,7 @@ object StreamingDedup {
     // exclusion below. Same checkpoint → same namespace (replay-safe);
     // a new checkpoint over an existing store gets a new namespace and
     // sees every earlier run's batches as corpus.
-    val ns = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8"))
-      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    val ns = runNamespace(checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -130,5 +128,27 @@ object StreamingDedup {
                  corpusDir: String, id: String, ids: DataFrame): Unit = {
     CorpusStore.delete(spark, corpusDir, id, ids)
     CorpusStore.delete(spark, s"$corpusDir/$BandsSubdir", "doc", ids)
+  }
+
+  /** The store namespace a checkpoint's batches are written under —
+    * the handle for run-granular maintenance ([[expireRun]]). */
+  def runNamespace(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Run-granular retention for BOTH halves — the
+    * [[CorpusStore.expireRuns]] sibling of [[deleteDocs]]: every
+    * document a retired stream run (checkpoint namespace) contributed
+    * disappears from the document store AND the band store, so future
+    * pair sets equal a fresh run over the surviving corpus. Document
+    * and band batches share their run namespace by construction
+    * (start() writes both under `run=$ns`), which is what makes the
+    * symmetric expiry sufficient. Same maintenance window rules as
+    * [[deleteDocs]]. */
+  def expireRun(spark: org.apache.spark.sql.SparkSession,
+                corpusDir: String, id: String, runs: Seq[String]): Unit = {
+    CorpusStore.expireRuns(spark, corpusDir, id, runs)
+    CorpusStore.expireRuns(spark, s"$corpusDir/$BandsSubdir", "doc", runs)
   }
 }

@@ -284,6 +284,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "takedown fixture produced no pairs — vacuous")
     assert(!got4.exists { case (a, b, _) =>
       Set(10L, 45L, 90L, 100L).contains(a) || Set(10L, 45L, 90L, 100L).contains(b) })
+
+    // Retention: expiring ckpt4's run namespace removes its documents
+    // AND band rows from the store, so the next round equals an
+    // incremental run over the corpus without that run's docs (the
+    // survivors of the takedown above).
+    graft.streaming.StreamingDedup.expireRun(spark, corpusDir, "doc_id",
+      Seq(graft.streaming.StreamingDedup.runNamespace(
+        base.resolve("ckpt4").toString)))
+    val next5 = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") >= 140 && col("doc_id") < 150)
+      .select("doc_id", "text")
+    val expected5 = graft.llm.Dedup.minhashLshPairsIncremental(
+        survivors, next5, "doc_id", "text", threshold = 0.8,
+        bands = 8, rowsPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    val got5 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val input5 = MemoryStream[(Long, String)]
+    input5.addData(next5.as[(Long, String)].collect().toSeq: _*)
+    val q5 = graft.streaming.StreamingDedup.start(
+      input5.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      corpusDir, base.resolve("ckpt5").toString,
+      threshold = 0.8, bands = 8, rowsPerBand = 4) { (pairs, _) =>
+      got5.synchronized { got5 ++= pairs.as[(Long, Long, Double)].collect() }
+    }
+    q5.awaitTermination()
+    assert(expected5.nonEmpty, "retention fixture produced no pairs — vacuous")
+    assert(got5.toSet == expected5)
+    assert(!got5.exists { case (a, b, _) =>
+      (a >= 120 && a < 140) || (b >= 120 && b < 140) },
+      "expired run's documents still pairing")
     graft.queries.Fixtures.deleteRecursively(base)
   }
 
