@@ -219,6 +219,22 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("CorpusStore: expiring a run before any compaction works from path provenance") {
+    val dir = tmpDir("graft-cs")
+    try {
+      seedStore(dir)
+      // No prior compact: the expired run's rows are identified from
+      // their dir names (run=aaaa11_batch=*), the other branch of the
+      // provenance logic from the absorbed-generation case below.
+      CorpusStore.expireRuns(spark, dir, "doc_id", Seq("aaaa11"))
+      val after = CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet
+      val want = docs.filter(col("doc_id") >= 80)
+        .as[(Long, String)].collect().toSet
+      assert(after == want)
+    } finally cleanup(dir)
+  }
+
   test("CorpusStore: expiring a run namespace removes its docs even after compaction absorbed it") {
     val dir = tmpDir("graft-cs")
     try {
