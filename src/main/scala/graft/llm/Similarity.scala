@@ -398,6 +398,9 @@ object Similarity {
                               op: String): Unit = {
     val row = cb.agg(max(col("subspace")), min(size(col("centroid"))),
       max(size(col("centroid")))).head()
+    require(!row.isNullAt(0),
+      s"$op: codebook is EMPTY — pqTrain saw no vectors (over-filtered " +
+        "training sample?)")
     val (ms, lo, hi) = (row.getInt(0) + 1, row.getInt(1), row.getInt(2))
     require(ms == m && lo == dim / m && hi == dim / m,
       s"$op: codebook was trained with m=$ms, subvector length $lo" +

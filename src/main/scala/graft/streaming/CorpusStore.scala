@@ -214,9 +214,25 @@ object CorpusStore {
     // Retention: drop whole harvest runs by provenance namespace —
     // the column survives compaction, so an expired run's documents
     // disappear even from generations that absorbed it long ago.
+    // A namespace matching NOTHING is a loud error, not a silent
+    // no-op: the likeliest cause is passing a raw checkpoint path
+    // where the store namespace (e.g. StreamingDedup.runNamespace)
+    // was meant, and "retention reported success but the revoked run
+    // still pairs" is exactly the failure the BandStore sidecar
+    // discipline exists to prevent. One distinct over the provenance
+    // column — maintenance-window cost.
     val kept =
       if (removeRuns.isEmpty) dropped
-      else dropped.filter(!col(RunCol).isin(removeRuns: _*))
+      else {
+        val present = all.select(col(RunCol)).distinct()
+          .collect().map(_.getString(0)).toSet
+        val missing = removeRuns.filterNot(present)
+        require(missing.isEmpty,
+          s"compact: run namespace(s) ${missing.mkString(", ")} match no " +
+            s"documents in $dir (present: ${present.mkString(", ")}) — " +
+            "expected a store run namespace, not a checkpoint path")
+        dropped.filter(!col(RunCol).isin(removeRuns: _*))
+      }
 
     val tmp = new Path(root, s"_tmp_compact_$gen")
     kept.write.mode("overwrite").parquet(tmp.toString)

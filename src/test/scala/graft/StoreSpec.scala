@@ -226,6 +226,14 @@ class StoreSpec extends AnyFunSuite {
       // No prior compact: the expired run's rows are identified from
       // their dir names (run=aaaa11_batch=*), the other branch of the
       // provenance logic from the absorbed-generation case below.
+      // A namespace matching nothing must fail loudly — the likeliest
+      // cause is a checkpoint path passed where runNamespace(checkpoint)
+      // was meant, and silently expiring nothing leaves revoked data
+      // live while the retention job reports success.
+      val e = intercept[IllegalArgumentException] {
+        CorpusStore.expireRuns(spark, dir, "doc_id", Seq("/tmp/ckpt9"))
+      }
+      assert(e.getMessage.contains("match no"))
       CorpusStore.expireRuns(spark, dir, "doc_id", Seq("aaaa11"))
       val after = CorpusStore.readDocs(spark, dir, docs.schema)
         .as[(Long, String)].collect().toSet
