@@ -739,16 +739,18 @@ object LlmQueries {
         k = 5, overscan = 4)
     },
 
-    // e9's portable twin (the d13/e8 discipline): the ENTIRE PQ
-    // plumbing — subvector split, seed codebook, nearest-codeword
-    // assignment, code assembly, ADC lookup-sum ranking — under the
-    // DuckDB oracle. Input vectors are integer-quantized (floor(x·1000
-    // + 0.5) after a double cast) and the codebook is the seed set
-    // (iters = 1), so every distance is EXACT integer arithmetic that
-    // cannot flip under a different summation order; only the Lloyd
-    // update itself stays outside the oracle (its integer-mean
-    // determinism is spec-gated with kmeansAssign). Assignment ties
-    // break to the smallest code in both engines.
+    // e9's portable twin (the d13/e8 discipline): the ENTIRE
+    // production PQ path — subvector split, seed codebook,
+    // nearest-codeword assignment, code assembly, ADC lookup-sum
+    // shortlisting, and the exact-L2 shortlist re-rank
+    // (pqTopKRerank, overscan 4) — under the DuckDB oracle. Input
+    // vectors are integer-quantized (floor(x·1000 + 0.5) after a
+    // double cast) and the codebook is the seed set (iters = 1), so
+    // every distance — ADC and re-rank alike — is EXACT integer
+    // arithmetic that cannot flip under a different summation order;
+    // only the Lloyd update itself stays outside the oracle (its
+    // integer-mean determinism is spec-gated with kmeansAssign).
+    // Assignment ties break to the smallest code in both engines.
     Q("e10_ann_pq_portable",
       """WITH e AS (SELECT vec_id,
         |             list_transform(CAST(embedding AS DOUBLE[]),
@@ -781,11 +783,22 @@ object LlmQueries {
         |           FROM assign a
         |           JOIN lut l ON a.subspace = l.subspace AND a.code = l.code
         |           WHERE l.query_id <> a.vec_id
-        |           GROUP BY l.query_id, a.vec_id)
-        |SELECT query_id, neighbor_id, rank, CAST(s AS DOUBLE) / 1e6 AS dist
+        |           GROUP BY l.query_id, a.vec_id),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY s, neighbor_id) AS rn
+        |            FROM scored) WHERE rn <= 20),
+        |rr AS (SELECT sh.query_id, sh.neighbor_id,
+        |         list_sum(list_transform(range(0, 64),
+        |           i -> (eq.v[i+1] - en.v[i+1]) * (eq.v[i+1] - en.v[i+1])))
+        |           AS dist
+        |       FROM short sh
+        |       JOIN e eq ON eq.vec_id = sh.query_id
+        |       JOIN e en ON en.vec_id = sh.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, dist
         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |        ORDER BY s, neighbor_id) AS INT) AS rank
-        |      FROM scored)
+        |        ORDER BY dist, neighbor_id) AS INT) AS rank
+        |      FROM rr)
         |WHERE rank <= 5""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"),
@@ -793,8 +806,9 @@ object LlmQueries {
       val cb = Similarity.pqTrain(emb, "vec_id", "qv",
         m = 8, k = 16, iters = 1)
       val codes = Similarity.pqEncode(emb, "vec_id", "qv", cb)
-      Similarity.pqTopK(codes, cb, emb.filter(col("vec_id") < 10),
-        "vec_id", "qv", k = 5)
+      Similarity.pqTopKRerank(codes, cb, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "qv",
+        k = 5, overscan = 4)
     },
 
     // e2's portable twin (the d13 bucket family): sign-LSH top-k with
