@@ -873,6 +873,79 @@ object LlmQueries {
         "vec_id", "embedding", "cluster", 5, nprobe = 3)
     },
 
+    // e4/e7's portable twin (the e8/e10 discipline): the ENTIRE
+    // production IVF path — deterministic seed selection
+    // (kmeansAssign's k-smallest-ids seeding at iters = 1), the
+    // broadcast-centroid min_by assignment with its lpad tie-break,
+    // ivfTopK's per-dimension centroid MEANS, nprobe probe selection,
+    // and the exact cosine ranking — under the DuckDB hash oracle.
+    // Inputs are integer-quantized (floor(x·1000 + 0.5), cast back to
+    // float — exact: |x·1000| ≪ 2²⁴), so every sum in every cosine is
+    // exact integer arithmetic and the centroid means are
+    // exact-integer sums divided once by a count — bit-identical in
+    // both engines regardless of accumulation order. The oracle
+    // replays Spark's cosine FORMULA exactly (dot / (√Σa² · √Σb²),
+    // sequential index-order folds), not an engine builtin, so the
+    // doubles agree to the last bit. Only the Lloyd UPDATE loop stays
+    // outside the oracle (iters = 1 never runs it); its integer-mean
+    // determinism is spec-gated with kmeansAssign (DedupSpec).
+    Q("e11_ann_ivf_portable",
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(CAST(embedding AS DOUBLE[]),
+        |                            x -> floor(x * 1000 + 0.5)) AS v
+        |           FROM embeddings),
+        |sc AS (SELECT CAST(vec_id AS VARCHAR) AS cluster, v AS centroid
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT vec_id, cluster FROM (
+        |          SELECT e.vec_id, sc.cluster, row_number() OVER (
+        |            PARTITION BY e.vec_id ORDER BY
+        |              (list_sum(list_transform(range(0, 64),
+        |                 i -> e.v[i+1] * sc.centroid[i+1]))
+        |               / (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |                  sqrt(list_sum(list_transform(sc.centroid,
+        |                    x -> x * x))))) DESC,
+        |              lpad(cluster, 24, '0')) AS rn
+        |          FROM e CROSS JOIN sc) WHERE rn = 1),
+        |ex AS (SELECT a.cluster, unnest(e.v) AS x,
+        |         generate_subscripts(e.v, 1) AS i
+        |       FROM e JOIN asg a ON e.vec_id = a.vec_id),
+        |cm AS (SELECT cluster, i, avg(x) AS m FROM ex GROUP BY cluster, i),
+        |cent AS (SELECT cluster, list(m ORDER BY i) AS centroid
+        |         FROM cm GROUP BY cluster),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pr AS (SELECT query_id, qv, cluster FROM (
+        |         SELECT q.query_id, q.qv, c.cluster, row_number() OVER (
+        |           PARTITION BY q.query_id ORDER BY
+        |             (list_sum(list_transform(range(0, 64),
+        |                i -> q.qv[i+1] * c.centroid[i+1]))
+        |              / (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+        |                 sqrt(list_sum(list_transform(c.centroid,
+        |                   x -> x * x))))) DESC,
+        |             c.cluster) AS crank
+        |         FROM q CROSS JOIN cent c) WHERE crank <= 3),
+        |scored AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+        |             list_sum(list_transform(range(0, 64),
+        |               i -> pr.qv[i+1] * e.v[i+1]))
+        |             / (sqrt(list_sum(list_transform(pr.qv, x -> x * x))) *
+        |                sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS sim
+        |           FROM e JOIN asg a ON e.vec_id = a.vec_id
+        |           JOIN pr ON a.cluster = pr.cluster
+        |           WHERE pr.query_id <> e.vec_id)
+        |SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("float")).as("qv"))
+      val assign = Similarity.kmeansAssign(emb, "vec_id", "qv",
+        k = 8, iters = 1)
+      val withC = emb.join(assign, Seq("vec_id"))
+      Similarity.ivfTopK(withC, emb.filter(col("vec_id") < 10),
+        "vec_id", "qv", "cluster", 5, nprobe = 3)
+    },
+
     // Multimodal: binary payload → fixed-dim feature vector through the
     // portable decode stub (real schema/partitioning plumbing, fake
     // codec — this container ships no image libs). One feature row per

@@ -78,10 +78,11 @@ class PlanSpec extends AnyFunSuite {
     // record); everything else must be hash-keyed or broadcast-equi.
     // e7's nested loop is the k-means centroid attach: a broadcast of
     // k (≤8 here) centroid rows against every vector — same
-    // constant-rows-per-record shape as e4/e6.
+    // constant-rows-per-record shape as e4/e6; e11 is e7's portable
+    // twin, so it inherits the same shape.
     val bnljAllowed = Set("d2_jaccard_pairs", "d6_embedding_neardup",
       "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk",
-      "e6_scalar_quant", "e7_ann_ivf_kmeans")
+      "e6_scalar_quant", "e7_ann_ivf_kmeans", "e11_ann_ivf_portable")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian")
