@@ -55,24 +55,36 @@ object CorpusStore {
   def fileSystem(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Manifest entry recording a retention-expired run namespace (not a
+    * dir name — the prefix keeps it disjoint from member names). */
+  private val ExpiredPrefix = "expired="
+
   /** One consistent reading of the store's commit metadata: directory
-    * entries, the committed generation ids (manifest present), and the
-    * union of every committed manifest's absorbed-member names. The
+    * entries, the committed generation ids (manifest present), the
+    * union of every committed manifest's absorbed-member names, and the
+    * union of every manifest's retention-expired run namespaces. The
     * single interpretation of the commit protocol — listMembers and
     * compact() must never disagree about which members exist. */
   private case class StoreState(
       entries: Seq[org.apache.hadoop.fs.FileStatus],
-      committedGens: Set[Long], absorbed: Set[String])
+      committedGens: Set[Long], absorbed: Set[String],
+      expired: Set[String])
 
   private def readState(fs: FileSystem, root: Path): StoreState = {
-    if (!fs.exists(root)) return StoreState(Seq.empty, Set.empty, Set.empty)
+    if (!fs.exists(root))
+      return StoreState(Seq.empty, Set.empty, Set.empty, Set.empty)
     val entries = fs.listStatus(root).toSeq
     val committedGens: Set[Long] = entries.collect {
       case st if !st.isDirectory => st.getPath.getName
     }.collect { case Manifest(k) => k.toLong }.toSet
-    val absorbed: Set[String] = committedGens.flatMap(k =>
+    val manifestEntries: Set[String] = committedGens.flatMap(k =>
       readManifest(fs, new Path(root, s"_merged-$k.json")))
-    StoreState(entries, committedGens, absorbed)
+    StoreState(entries, committedGens,
+      manifestEntries.filterNot(_.startsWith(ExpiredPrefix)),
+      manifestEntries.collect {
+        case e if e.startsWith(ExpiredPrefix) =>
+          e.substring(ExpiredPrefix.length)
+      })
   }
 
   /** All COMMITTED members of the store: members (raw batch dirs AND
@@ -99,6 +111,53 @@ object CorpusStore {
         }
       }
       .sortBy(m => (m.ns, m.batch))
+  }
+
+  /** Every original (ns, batch) identity that ever contributed to the
+    * committed store, whether its raw dir still exists or a compaction
+    * absorbed it: raw member names plus the union of all manifest
+    * entries. Manifests are never deleted, so identities survive
+    * arbitrary re-compaction; compacted generations' own names are
+    * bookkeeping, not identities, and are excluded. Retention-expired
+    * runs REMAIN identities (their manifests still name them) — which
+    * is exactly right for the doc↔band coverage guard, because expiry
+    * runs symmetrically on both store halves. One listStatus + the
+    * manifest reads; no data scan. */
+  def batchIdentities(spark: SparkSession, dir: String): Set[(String, Long)] = {
+    val fs = fileSystem(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return Set.empty
+    val entries = fs.listStatus(root).toSeq
+    val raw = entries.filter(_.isDirectory).map(_.getPath.getName)
+    val manifested = entries.collect {
+      case st if !st.isDirectory => st.getPath.getName
+    }.collect { case Manifest(k) =>
+      readManifest(fs, new Path(root, s"_merged-$k.json"))
+    }.flatten
+    (raw ++ manifested).collect {
+      case Part(ns, b) if ns != CompactNs => (ns, b.toLong)
+    }.toSet
+  }
+
+  /** The surviving documents of ONE original batch, wherever they live
+    * now: the raw dir if it still exists, else the compacted rows
+    * carrying its provenance (empty if the batch's rows were deleted
+    * or expired — the identity can outlive its documents). The
+    * backfill read of [[graft.streaming.StreamingDedup]]'s coverage
+    * guard. */
+  def readRun(spark: SparkSession, dir: String, schema: StructType,
+              ns: String, batch: Long): DataFrame = {
+    val members = listMembers(spark, dir)
+    members.find(m => m.ns == ns && m.batch == batch) match {
+      case Some(m) => spark.read.schema(schema).parquet(m.path)
+      case None =>
+        val comp = members.filter(_.isCompacted)
+        if (comp.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        else spark.read.parquet(comp.map(_.path): _*)
+          .filter(col(RunCol) === ns && col(BatchCol) === batch)
+          .select(schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 
   /** The store's documents under the given schema, excluding the
@@ -220,17 +279,24 @@ object CorpusStore {
     // was meant, and "retention reported success but the revoked run
     // still pairs" is exactly the failure the BandStore sidecar
     // discipline exists to prevent. One distinct over the provenance
-    // column — maintenance-window cost.
+    // column — maintenance-window cost. BUT a namespace a previous
+    // compaction already expired (recorded in its manifest) is
+    // 'already gone', not 'never present': a retried maintenance job
+    // — or one resumed after a crash just past the manifest commit —
+    // must be an idempotent success, so only namespaces that neither
+    // match documents NOR appear in the expiry record fail.
     val kept =
       if (removeRuns.isEmpty) dropped
       else {
         val present = all.select(col(RunCol)).distinct()
           .collect().map(_.getString(0)).toSet
-        val missing = removeRuns.filterNot(present)
-        require(missing.isEmpty,
-          s"compact: run namespace(s) ${missing.mkString(", ")} match no " +
-            s"documents in $dir (present: ${present.mkString(", ")}) — " +
-            "expected a store run namespace, not a checkpoint path")
+        val unknown = removeRuns.filterNot(present)
+          .filterNot(st0.expired)
+        require(unknown.isEmpty,
+          s"compact: run namespace(s) ${unknown.mkString(", ")} match no " +
+            s"documents in $dir and were never expired (present: " +
+            s"${present.mkString(", ")}) — expected a store run " +
+            "namespace, not a checkpoint path")
         dropped.filter(!col(RunCol).isin(removeRuns: _*))
       }
 
@@ -242,8 +308,13 @@ object CorpusStore {
     // COMMIT POINT: atomic create-no-overwrite of the manifest. Before
     // this line the new generation is invisible; after it the absorbed
     // members are excluded.
+    // The manifest also records this compaction's expired namespaces
+    // (prefixed so they can never collide with member dir names) —
+    // the durable fact that makes a RETRIED expiry of the same runs
+    // succeed idempotently above.
     writeManifest(fs, new Path(root, s"_merged-$gen.json"),
-      members.map(_.name))
+      members.map(_.name) ++
+        removeRuns.distinct.map(ExpiredPrefix + _))
     members.foreach(m => fs.delete(new Path(m.path), true))
     Some(gen)
   }

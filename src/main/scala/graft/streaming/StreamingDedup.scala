@@ -60,6 +60,25 @@ object StreamingDedup {
     // a new checkpoint over an existing store gets a new namespace and
     // sees every earlier run's batches as corpus.
     val ns = runNamespace(checkpoint)
+    // Fail-fast contract checks BEFORE the stream starts: the hash
+    // family must match the band store's sidecar (a mismatch inside
+    // foreachBatch would also fail, but only after checkpoint state
+    // exists), and every doc-store batch must have its band rows — a
+    // crash between the per-batch doc write and band write on a run
+    // whose checkpoint was then ABANDONED (new checkpoint started), or
+    // a corpus written by a pre-_bands layout, leaves committed docs
+    // with no band rows. Since the corpus is never re-signed, those
+    // docs would silently never pair again; the guard backfills them
+    // by signing each uncovered doc batch once under the store's own
+    // hash family. The CURRENT checkpoint's batches are exempt: a doc
+    // dir without band rows under a live checkpoint is an uncommitted
+    // batch the stream itself is about to replay and overwrite.
+    val session = docs.sparkSession
+    val bandsRootStart = s"$corpusDir/$BandsSubdir"
+    BandStore.ensureParams(session, bandsRootStart,
+      BandStore.Params(shingleN, bands, rowsPerBand, portable = false))
+    backfillBands(session, corpusDir, docs.select(col(id), col(text)).schema,
+      id, text, ns, shingleN, bands, rowsPerBand)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -117,6 +136,35 @@ object StreamingDedup {
     * persisted signature artifact). Underscore-prefixed so a plain
     * `spark.read.parquet(corpusDir)` never mistakes it for data. */
   val BandsSubdir = "_bands"
+
+  /** The doc↔band coverage guard: every (ns, batch) identity in the
+    * document store that is NOT the current checkpoint's must have a
+    * matching band-store identity; any that does not gets its band
+    * rows written here by signing the surviving docs of that batch
+    * once (raw dir or compacted provenance — [[CorpusStore.readRun]]).
+    * Identity comparison is metadata-only (dir listings + manifests);
+    * signing happens only for uncovered batches, so a consistent
+    * store pays two listings per stream start. Caller has already
+    * verified the band store's parameter sidecar — backfilling under
+    * a mismatched family would poison the store, never reach this
+    * point. */
+  private def backfillBands(spark: org.apache.spark.sql.SparkSession,
+                            corpusDir: String,
+                            docSchema: org.apache.spark.sql.types.StructType,
+                            id: String, text: String, currentNs: String,
+                            shingleN: Int, bands: Int,
+                            rowsPerBand: Int): Unit = {
+    val bandsRoot = s"$corpusDir/$BandsSubdir"
+    val docIds = CorpusStore.batchIdentities(spark, corpusDir)
+      .filterNot(_._1 == currentNs)
+    val bandIds = CorpusStore.batchIdentities(spark, bandsRoot)
+    (docIds -- bandIds).toSeq.sorted.foreach { case (mns, mb) =>
+      val d = CorpusStore.readRun(spark, corpusDir, docSchema, mns, mb)
+      Dedup.minhashBandTable(d, id, text, shingleN, bands, rowsPerBand)
+        .write.mode("overwrite")
+        .parquet(s"$bandsRoot/run=${mns}_batch=$mb")
+    }
+  }
 
   /** Remove `ids` from BOTH halves of the store — documents and band
     * rows — so a takedown leaves the stream's future pair sets

@@ -262,6 +262,35 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("CorpusStore: retrying an already-done expiry is an idempotent success; unknown ns still loud") {
+    val dir = tmpDir("graft-cs")
+    try {
+      seedStore(dir)
+      CorpusStore.expireRuns(spark, dir, "doc_id", Seq("aaaa11"))
+      // The retry path: a maintenance job re-run after success (or
+      // resumed after a crash just past the manifest commit) must
+      // no-op-succeed, not throw 'match no documents' — the namespace
+      // is recorded as expired in the manifest, distinguishing
+      // 'already gone' from 'never present'.
+      val gen = CorpusStore.expireRuns(spark, dir, "doc_id", Seq("aaaa11"))
+      assert(gen.isDefined, "expiry retry must succeed")
+      val after = CorpusStore.readDocs(spark, dir, docs.schema)
+        .as[(Long, String)].collect().toSet
+      assert(after == docs.filter(col("doc_id") >= 80)
+        .as[(Long, String)].collect().toSet)
+      // Mixed retry: one already-expired + one live namespace drops
+      // the live one and succeeds.
+      CorpusStore.expireRuns(spark, dir, "doc_id", Seq("aaaa11", "bbbb22"))
+      assert(CorpusStore.readDocs(spark, dir, docs.schema).count() == 0)
+      // A namespace that was NEVER present anywhere stays a loud error
+      // even on a store with an expiry history.
+      val e = intercept[IllegalArgumentException] {
+        CorpusStore.expireRuns(spark, dir, "doc_id", Seq("deadf00d99"))
+      }
+      assert(e.getMessage.contains("match no"), e.getMessage)
+    } finally cleanup(dir)
+  }
+
   test("CorpusStore: an absorbed generation outliving its delete is still excluded") {
     val dir = tmpDir("graft-cs")
     try {

@@ -239,20 +239,17 @@ class StreamingSpec extends AnyFunSuite {
 
     // Starting a stream with a DIFFERENT hash family against the same
     // store must fail loudly (a silent mismatch would drop every
-    // cross-batch pair); the failure surfaces through awaitTermination.
+    // cross-batch pair) — and fail FAST, synchronously from start(),
+    // before any checkpoint state exists.
     val badInput = MemoryStream[(Long, String)]
     badInput.addData(all.take(2): _*)
-    val bad = graft.streaming.StreamingDedup.start(
-      badInput.toDF().toDF("doc_id", "text"), "doc_id", "text",
-      corpusDir, base.resolve("ckpt3").toString,
-      threshold = 0.8, bands = 16, rowsPerBand = 8) { (_, _) => () }
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      bad.awaitTermination()
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingDedup.start(
+        badInput.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        corpusDir, base.resolve("ckpt3").toString,
+        threshold = 0.8, bands = 16, rowsPerBand = 8) { (_, _) => () }
     }
-    val messages = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
-      .mkString("; ")
-    assert(messages.contains("hash family"), messages)
+    assert(e.getMessage.contains("hash family"), e.getMessage)
 
     // Takedown: removing ids from both store halves leaves the next
     // round identical to an incremental run over the surviving corpus.
@@ -314,6 +311,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got5.exists { case (a, b, _) =>
       (a >= 120 && a < 140) || (b >= 120 && b < 140) },
       "expired run's documents still pairing")
+    graft.queries.Fixtures.deleteRecursively(base)
+  }
+
+  test("stream start backfills band rows for doc batches that are missing them") {
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-sddb")
+    val corpusDir = base.resolve("corpus").toString
+    val bandsRoot = s"$corpusDir/${graft.streaming.StreamingDedup.BandsSubdir}"
+
+    // An ABANDONED run's committed doc batch with no band rows — the
+    // crash-between-writes / pre-_bands-layout desync: the corpus is
+    // never re-signed, so without the guard these docs never pair.
+    val orphan = docs.filter(col("doc_id") < 40)
+    orphan.write.parquet(s"$corpusDir/run=deadbeef_batch=0")
+
+    def stream(ckpt: String, rows: Seq[(Long, String)]): Set[(Long, Long, Double)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      val q = graft.streaming.StreamingDedup.start(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        corpusDir, ckpt, threshold = 0.8, bands = 8, rowsPerBand = 4) {
+        (pairs, _) =>
+          got.synchronized { got ++= pairs.as[(Long, Long, Double)].collect() }
+      }
+      q.awaitTermination()
+      got.toSet
+    }
+
+    val next = docs.filter(col("doc_id") >= 40 && col("doc_id") < 80)
+    val expected = graft.llm.Dedup.minhashLshPairsIncremental(
+        orphan, next, "doc_id", "text", threshold = 0.8,
+        bands = 8, rowsPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected.nonEmpty, "fixture has no orphan-vs-batch pair — vacuous")
+    val got = stream(base.resolve("ckpt").toString,
+      next.as[(Long, String)].collect().toSeq)
+    assert(got == expected,
+      "orphan doc batch did not pair — band backfill missing")
+    assert(graft.streaming.CorpusStore.listMembers(spark, bandsRoot)
+      .exists(m => m.ns == "deadbeef" && m.batch == 0L),
+      "backfilled band dir not written")
+
+    // Same desync with the doc batch already COMPACTED (raw dir gone,
+    // rows only reachable through provenance columns): delete the
+    // backfilled band dir, compact the document half, and the next
+    // start must rebuild the band rows from the compacted rows.
+    graft.streaming.CorpusStore.compact(spark, corpusDir, "doc_id")
+    val fs = graft.streaming.CorpusStore.fileSystem(spark, bandsRoot)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$bandsRoot/run=deadbeef_batch=0"), true))
+    val next2 = docs.filter(col("doc_id") >= 80 && col("doc_id") < 120)
+    val corpusSoFar = docs.filter(col("doc_id") < 80)
+    val expected2 = graft.llm.Dedup.minhashLshPairsIncremental(
+        corpusSoFar, next2, "doc_id", "text", threshold = 0.8,
+        bands = 8, rowsPerBand = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(expected2.exists { case (a, b, _) => math.min(a, b) < 40 },
+      "fixture has no compacted-orphan pair — provenance branch untested")
+    val got2 = stream(base.resolve("ckpt2").toString,
+      next2.as[(Long, String)].collect().toSeq)
+    assert(got2 == expected2,
+      "compacted orphan batch did not pair — provenance backfill broken")
     graft.queries.Fixtures.deleteRecursively(base)
   }
 
