@@ -28,9 +28,26 @@ object ScaleCheck {
   private val materializeDir: Option[String] =
     sys.env.get("SPARK_GRAFT_MATERIALIZE")
 
+  private val sfDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** Bump when any replicate*Mem generator changes its output — part
+    * of the materialization fingerprint below, so existing
+    * materialized dirs are regenerated instead of silently reused
+    * with the old layout. */
+  private val LayoutVersion = "v1"
+
   /** Write-once-read-back gate for a replicated input (no-op without
-    * SPARK_GRAFT_MATERIALIZE). Existence-checked so repeated Op calls
-    * and repeated runs against the same dir reuse the files. */
+    * SPARK_GRAFT_MATERIALIZE). Reuse requires BOTH a complete write
+    * (_SUCCESS — a bare existence check would accept the partial dir
+    * a killed run left behind) AND a matching `_inputs.json`
+    * fingerprint (source sfDir + generator layout version — the
+    * BandStore sidecar discipline): re-running with the same
+    * materialize dir but a different SPARK_GRAFT_SF_DIR, or after a
+    * generator change, must regenerate, not silently time ops against
+    * stale input. mode(overwrite) clobbers any such debris; the
+    * sidecar is written after the data, so a crash between the two
+    * re-triggers the write. */
   private def viaDisk(name: String, n: Int, df: => DataFrame): DataFrame =
     materializeDir match {
       case None => df
@@ -38,12 +55,25 @@ object ScaleCheck {
         val spark = org.apache.spark.sql.SparkSession.active
         val path = new org.apache.hadoop.fs.Path(s"$root/${name}_x$n")
         val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-        // Reuse only a COMPLETE write (_SUCCESS marker): a bare
-        // existence check would accept the partial dir a killed
-        // previous run left behind and time ops against truncated
-        // input. mode(overwrite) clobbers any such debris.
-        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        val sidecar = new org.apache.hadoop.fs.Path(path, "_inputs.json")
+        val fingerprint = s"""{"sfDir":"$sfDir","layout":"$LayoutVersion"}"""
+        val stored: Option[String] =
+          if (!fs.exists(sidecar)) None
+          else {
+            val in = fs.open(sidecar)
+            try {
+              val bytes = new Array[Byte](
+                fs.getFileStatus(sidecar).getLen.toInt)
+              in.readFully(bytes)
+              Some(new String(bytes, "UTF-8"))
+            } finally in.close()
+          }
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")) ||
+            !stored.contains(fingerprint)) {
           df.write.mode("overwrite").parquet(path.toString)
+          val out = fs.create(sidecar, /* overwrite = */ true)
+          try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+        }
         spark.read.parquet(path.toString)
     }
 
@@ -110,7 +140,6 @@ object ScaleCheck {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.localSession("scalecheck", 32)
     // ×64 on the sf0.1 documents table is ~6.4 M docs / ~2 GB of text —
     // the "one big pass" that anchors the scaling curve beyond the

@@ -276,16 +276,20 @@ object TextAnalysis {
     * remnants; counts are taken on the ORIGINAL text. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-  // ≥9 digits with optional ()/space/dash separators between them: long
-  // enough that ISO dates (2019-04-01: 8 digits) and years never
+  // ≥9 digits with optional ()/space/tab/dash separators between them:
+  // long enough that ISO dates (2019-04-01: 8 digits) and years never
   // redact, short enough to catch any number with a country/area code.
-  // Still recall-biased for long runs — a 9+-digit id with dashes
+  // Separator runs are BOUNDED ({0,3} — real numbers use at most ") "
+  // or " - " between groups) and exclude newlines, so digits scattered
+  // across lines (numeric table rows/columns) can never collapse into
+  // one giant <PHONE>. Still recall-biased within a line — a 9+-digit
+  // id with dashes, or a same-line year list ('2019 2020 2021'),
   // redacts as <PHONE>; deliberate for pre-training hygiene. The
   // accepted miss class is bare national numbers of ≤8 digits (7-digit
   // US local, 8-digit HK/SG/DK): an 8-digit cutoff cannot coexist with
   // date safety because yyyy-mm-dd is itself 8 digits — prefixed forms
   // of those numbers (+45 ..., with area code) still redact.
-  val PhoneRe = "\\+?([0-9][()\\s-]*){8,}[0-9]"
+  val PhoneRe = "\\+?([0-9][ \\t()-]{0,3}){8,}[0-9]"
 
   def piiScrub(text: Column): Column =
     regexp_replace(

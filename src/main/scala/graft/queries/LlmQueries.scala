@@ -612,12 +612,12 @@ object LlmQueries {
         |    AS n_emails,
         |  CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}'))
         |    AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(t, '\+?([0-9][()\s-]*){8,}[0-9]'))
+        |  CAST(len(regexp_extract_all(t, '\+?([0-9][ \t()-]{0,3}){8,}[0-9]'))
         |    AS BIGINT) AS n_phones,
         |  regexp_replace(regexp_replace(regexp_replace(t,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-        |    '\+?([0-9][()\s-]*){8,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        |    '\+?([0-9][ \t()-]{0,3}){8,}[0-9]', '<PHONE>', 'g') AS scrubbed
         |FROM p""".stripMargin) { (s, d) =>
       val id = col("doc_id")
       def str(c: org.apache.spark.sql.Column) = c.cast("string")

@@ -542,7 +542,9 @@ class DedupSpec extends AnyFunSuite {
       "Mail a.b+c@x-y.co and d5@z.org from 192.168.0.1, call +1 (341) 555-0199 now",
       "no pii here at all",
       "ips 10.0.0.1 10.0.0.2",
-      "dated 2019-04-01 and 2021, revised 2022-12-31").toDF("t")
+      "dated 2019-04-01 and 2021, revised 2022-12-31",
+      "years\n2019 2020\n2021 2022\n2023 2024\ntable done",
+      "row 12\nrow 34\nrow 56\nrow 78\nrow 90\nend").toDF("t")
       .select(col("t"),
         piiScrub(col("t")).as("s"),
         piiCount(col("t"), EmailRe).as("ne"),
@@ -558,6 +560,13 @@ class DedupSpec extends AnyFunSuite {
     // ISO dates (8 digits) and bare years must NOT redact as phones.
     assert(rows(3)._2 == rows(3)._1, rows(3)._2)
     assert(rows(3)._5 == 0L)
+    // Digits scattered across NEWLINES (year tables, numeric columns)
+    // must not collapse into one giant <PHONE> — the separator class
+    // is bounded and newline-free.
+    assert(rows(4)._2 == rows(4)._1, rows(4)._2)
+    assert(rows(4)._5 == 0L)
+    assert(rows(5)._2 == rows(5)._1, rows(5)._2)
+    assert(rows(5)._5 == 0L)
   }
 
   test("incremental LSH equals the full run restricted to increment-touching pairs") {
