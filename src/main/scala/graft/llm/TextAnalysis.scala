@@ -251,6 +251,70 @@ object TextAnalysis {
           col("dup_3gram_frac") <= maxDup3Frac)
       .drop("__toks", "__rep")
 
+  /** Gopher/MassiveText rule-based quality signals (Rae et al. 2021,
+    * §A1.1 — public thresholds), completing the t-family beyond the
+    * repetition gate: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (# and ellipsis), bullet-/ellipsis-line
+    * fractions, alphabetic-word fraction, and a minimum distinct-
+    * stopword count. All per-row Column expressions inside the scan —
+    * zero shuffle, codegen'd, no UDFs. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Hash sign or ellipsis (3 dots or the Unicode char) — the two
+    * symbol classes Gopher's symbol-to-word ratio counts. */
+  val SymbolRe = "#|\\.\\.\\.|…"
+  /** A trimmed line whose first char is a bullet marker. */
+  val BulletRe = "^[-*•]"
+  /** A trimmed line ending in an ellipsis. */
+  val EllipsisRe = "(\\.\\.\\.|…)$"
+
+  /** Dataframe-level Gopher stats: adds `n_words`, `mean_word_len`,
+    * `symbol_word_ratio`, `bullet_line_frac`, `ellipsis_line_frac`,
+    * `alpha_word_frac`, `stop_hits`, `keep` to `df`. Tokens and lines
+    * are staged once behind a generator barrier (the
+    * [[repetitionStats]] pattern) so the eight consuming columns don't
+    * re-split the text. Null text yields null stats and keep=false
+    * (absent text is not a keepable document). */
+  def gopherStats(df: DataFrame, text: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame =
+    df
+      .withColumn("__g", explode(array(struct(
+        Scalars.tokens(col(text)).as("toks"),
+        split(col(text), "\n").as("lines")))))
+      .withColumn("n_words", size(col("__g.toks")).cast("long"))
+      .withColumn("mean_word_len",
+        aggregate(col("__g.toks"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / col("n_words"))
+      .withColumn("symbol_word_ratio",
+        size(regexp_extract_all(col(text), lit(SymbolRe), lit(0)))
+          .cast("double") / col("n_words"))
+      .withColumn("bullet_line_frac",
+        size(filter(col("__g.lines"), l => trim(l).rlike(BulletRe)))
+          .cast("double") / size(col("__g.lines")))
+      .withColumn("ellipsis_line_frac",
+        size(filter(col("__g.lines"), l => trim(l).rlike(EllipsisRe)))
+          .cast("double") / size(col("__g.lines")))
+      .withColumn("alpha_word_frac",
+        size(filter(col("__g.toks"), t => t.rlike("\\p{L}")))
+          .cast("double") / col("n_words"))
+      .withColumn("stop_hits",
+        size(array_intersect(col("__g.toks"), typedLit(GopherStopwords)))
+          .cast("long"))
+      .withColumn("keep", coalesce(
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_word_ratio") <= maxSymbolRatio &&
+          col("bullet_line_frac") <= maxBulletFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisFrac &&
+          col("alpha_word_frac") >= minAlphaFrac &&
+          col("stop_hits") >= minStopHits, lit(false)))
+      .drop("__g")
+
   /** Order-SENSITIVE rolling-hash fingerprint (Rabin–Karp polynomial
     * over token hashes, mod 2^40 so the ANSI-mode multiply can't
     * overflow a long): distinguishes permuted texts that [[fingerprint]]

@@ -639,6 +639,71 @@ object LlmQueries {
         TextAnalysis.piiScrub(t).as("scrubbed"))
     },
 
+    // Gopher/MassiveText rule-based quality signals (word-count and
+    // mean-word-length bounds, symbol-to-word ratio, bullet-/ellipsis-
+    // line fractions, alphabetic-word fraction, distinct-stopword
+    // floor). The corpus is single-line and symbol-free, so structure
+    // is injected per id class (the t9 pattern): bullet lines,
+    // an ellipsis line, a #-heavy heading line. The oracle splits
+    // tokens on \s+ (newlines now separate tokens) and lines on
+    // chr(10); every ratio is an integer/integer division so the
+    // doubles are bit-stable across engines.
+    Q("t10_gopher_quality",
+      s"""WITH p AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN chr(10) || '- first item' || chr(10) || '- second item'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0
+         |         THEN chr(10) || 'to be continued ...' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN chr(10) || '### heading # notes …' ELSE '' END AS t
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, t,
+         |         regexp_split_to_array(trim(t), '\\s+') AS toks,
+         |         string_split(t, chr(10)) AS lines
+         |  FROM p),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+         |      / len(toks) AS mean_word_len,
+         |    len(regexp_extract_all(t, '#|\\.\\.\\.|…')) / len(toks)
+         |      AS symbol_word_ratio,
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+         |      / len(lines) AS bullet_line_frac,
+         |    len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+         |      / len(lines) AS ellipsis_line_frac,
+         |    len(list_filter(toks, x -> regexp_matches(x, '\\p{L}')))
+         |      / len(toks) AS alpha_word_frac,
+         |    CAST(len(list_filter(list_distinct(toks),
+         |      x -> list_contains(${sqlList(TextAnalysis.GopherStopwords)}, x)))
+         |      AS BIGINT) AS stop_hits
+         |  FROM s)
+         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+         |  coalesce(n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND symbol_word_ratio <= 0.1
+         |    AND bullet_line_frac <= 0.9
+         |    AND ellipsis_line_frac <= 0.3
+         |    AND alpha_word_frac >= 0.8
+         |    AND stop_hits >= 2, false) AS keep
+         |FROM m""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val t = concat(col("text"),
+        when(id % 5 === 0, lit("\n- first item\n- second item"))
+          .otherwise(""),
+        when(id % 4 === 0, lit("\nto be continued ...")).otherwise(""),
+        when(id % 7 === 0, lit("\n### heading # notes …")).otherwise(""))
+      TextAnalysis.gopherStats(
+          Tables.documents(s, d).select(col("doc_id"), t.as("t")), "t")
+        .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+          "stop_hits", "keep")
+    },
+
     // Brute-force cosine top-k for a small query set (exact baseline).
     Q("e1_ann_brute_topk",
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv

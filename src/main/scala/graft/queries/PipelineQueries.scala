@@ -225,13 +225,34 @@ object PipelineQueries {
          |                  THEN CAST(cov.n_repeated AS DOUBLE) / cov.n_windows
          |                  ELSE 0.0 END <= 0.5) AS cov_keep
          |          FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id),
+         |gop AS (
+         |  SELECT doc_id, coalesce(
+         |    len(toks) BETWEEN 40 AND 100000
+         |    AND list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+         |        / len(toks) BETWEEN 3.0 AND 10.0
+         |    AND len(regexp_extract_all(text, '#|\\.\\.\\.|…'))
+         |        / len(toks) <= 0.1
+         |    AND len(list_filter(string_split(text, chr(10)),
+         |          l -> regexp_matches(trim(l), '^[-*•]')))
+         |        / len(string_split(text, chr(10))) <= 0.9
+         |    AND len(list_filter(string_split(text, chr(10)),
+         |          l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))
+         |        / len(string_split(text, chr(10))) <= 0.3
+         |    AND len(list_filter(toks, x -> regexp_matches(x, '\\p{L}')))
+         |        / len(toks) >= 0.8
+         |    AND len(list_filter(list_distinct(toks),
+         |          x -> list_contains(${sqlList(TextAnalysis.GopherStopwords)}, x)))
+         |        >= 1, false) AS gop_keep
+         |  FROM base),
          |gated AS (
          |  SELECT b.doc_id, b.lang, q.quality, q.fp
          |  FROM base b
          |  JOIN q ON b.doc_id = q.doc_id
          |  JOIN rep ON b.doc_id = rep.doc_id
          |  JOIN ckeep ON b.doc_id = ckeep.doc_id
-         |  WHERE q.quality >= 0.6 AND rep.rep_keep AND ckeep.cov_keep),
+         |  JOIN gop ON b.doc_id = gop.doc_id
+         |  WHERE q.quality >= 0.6 AND rep.rep_keep AND ckeep.cov_keep
+         |    AND gop.gop_keep),
          |canon AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY fp),
          |uniq AS (SELECT g.doc_id, g.lang, g.quality
          |         FROM gated g JOIN canon c ON g.doc_id = c.doc_id)
@@ -245,13 +266,24 @@ object PipelineQueries {
       val cov = Dedup.passageCoverage(docs, "doc_id", "text",
           w = 8, stride = 4, minDocs = 2, threshold = 0.5, portable = true)
         .select(col("doc").as("doc_id"), col("keep").as("cov_keep"))
-      val gated = TextAnalysis.repetitionStats(docs, "text")
+      val rep = TextAnalysis.repetitionStats(docs, "text")
         .select(col("doc_id"), col("lang"), col("text"),
           col("keep").as("rep_keep"))
+      // Gopher gate CHAINED onto the repetition pass (same rows, one
+      // scan — not a second read + join); thresholds tuned to the
+      // synthetic corpus: minWords 40, stopword floor 1 (the corpus
+      // vocabulary carries only "the"/"a" from the stopword set).
+      val gated = TextAnalysis.gopherStats(rep, "text",
+          minWords = 40, minStopHits = 1)
+        .withColumnRenamed("keep", "gop_keep")
+        .drop("n_words", "mean_word_len", "symbol_word_ratio",
+          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+          "stop_hits")
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("fp", TextAnalysis.fingerprint(col("text")))
         .join(cov, Seq("doc_id"))
-        .filter(col("quality") >= 0.6 && col("rep_keep") && col("cov_keep"))
+        .filter(col("quality") >= 0.6 && col("rep_keep") && col("cov_keep")
+          && col("gop_keep"))
       val uniq = gated
         .withColumn("__min_id", min("doc_id").over(Window.partitionBy("fp")))
         .filter(col("doc_id") === col("__min_id"))
