@@ -93,6 +93,80 @@ object Corpus {
       .drop("__ntok", "__cum")
   }
 
+  /** Sequence packing v2 — deterministic first-fit-decreasing BIN
+    * packing to a token budget. Where [[packSequences]] concatenates
+    * the stream and cuts at the budget (splitting documents across
+    * sequence boundaries), this keeps every document whole: within
+    * each hash shard, documents are taken in (token count DESC, key
+    * ASC) order and each is placed into the first open bin with room,
+    * else opens a new bin — the classic FFD layout (≤ 11/9·OPT + 1
+    * bins), reproducible across engines and reruns (no rand()).
+    * Documents larger than the budget always get a bin of their own.
+    *
+    * Output: key, `shard`, `bin_idx` (0-based within the shard),
+    * `bin_offset` (tokens already in the bin when this doc was placed
+    * — the metadata a loader needs to lay out the batch).
+    *
+    * Scale shape: ONE aggregation keyed by the hash shard; the FFD
+    * fold runs as a codegen'd `aggregate` HOF over the shard's
+    * collected (count, key) list — no driver collect, no global sort,
+    * no per-doc shuffle. Shards bound both the sort and the O(docs ×
+    * bins) fold, exactly like [[stratifiedQuota]] bounds its sort:
+    * at 100 TB you raise `numShards` until a shard's (count, key)
+    * pairs — ~16 bytes/doc, not the documents themselves — fit
+    * comfortably in one task. */
+  def packBinsFFD(df: DataFrame, keyCol: String, tokenCountCol: Column,
+                  numShards: Int, budgetTokens: Int,
+                  seed: String): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val h = stableHash(col(keyCol), seed)
+    val shard = (h % numShards).cast("int")
+    // (-n, key) structs sort_array ascending = token count DESC with
+    // the key as a total deterministic tie-break.
+    val perShard = df
+      .withColumn("__ntok", tokenCountCol.cast("long"))
+      .withColumn("shard", shard)
+      .groupBy("shard")
+      .agg(sort_array(collect_list(struct(
+        (-col("__ntok")).as("negn"), col(keyCol).as("k")))).as("ds"))
+    // Typed empty accumulator halves: the assignment list's element
+    // type follows the key column's type (derived from ds itself — no
+    // hand-written schema to drift), the bin-load list is long.
+    val emptyAsg = filter(
+      transform(col("ds"), d => struct(d.getField("k").as("k"),
+        lit(0).as("bin"), lit(0L).as("off"))),
+      _ => lit(false))
+    val emptyBins = typedLit(Seq.empty[Long])
+    val packed = aggregate(
+      col("ds"),
+      struct(emptyAsg.as("asg"), emptyBins.as("bins")),
+      (acc, d) => {
+        val n = -d.getField("negn")
+        val bins = acc.getField("bins")
+        // First bin with room, 1-based; 0 = none fit → open a bin.
+        val pos = array_position(
+          transform(bins, b => b + n <= budgetTokens), lit(true))
+        val isNew = pos === 0
+        val binIdx = when(isNew, size(bins)).otherwise((pos - 1).cast("int"))
+        val off = when(isNew, lit(0L))
+          .otherwise(element_at(bins, pos.cast("int")))
+        struct(
+          concat(acc.getField("asg"), array(struct(
+            d.getField("k").as("k"), binIdx.as("bin"), off.as("off"))))
+            .as("asg"),
+          when(isNew, concat(bins, array(n)))
+            .otherwise(transform(bins,
+              (b, i) => when(i === (pos - 1).cast("int"), b + n)
+                .otherwise(b)))
+            .as("bins"))
+      })
+    perShard
+      .select(col("shard"), explode(packed.getField("asg")).as("a"))
+      .select(col("a.k").as(keyCol), col("shard"),
+        col("a.bin").as("bin_idx"), col("a.off").as("bin_offset"))
+  }
+
   /** Weighted mixture: per-source keep rates in percent (e.g. web 10%,
     * reference 100%). Sources absent from `weights` are dropped —
     * explicit inclusion, the convention mixture configs use. One

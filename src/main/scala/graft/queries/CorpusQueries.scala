@@ -70,6 +70,57 @@ object CorpusQueries {
         .select("doc_id", "shard", "seq_idx", "tok_offset")
     },
 
+    // Sequence packing v2: deterministic first-fit-decreasing BIN
+    // packing (documents kept whole, budget 256 tokens, 8 hash
+    // shards). The oracle replays the same FFD fold in DuckDB via
+    // list_reduce over a flat BIGINT[][] accumulator (acc[1] = bin
+    // loads, acc[2:] = (key, bin, offset) triples — DuckDB 1.0's
+    // list_reduce drops struct-typed accumulator fields, so the state
+    // is list-encoded), placing docs in the same (-n, key) sort order
+    // with the same first-fit rule, so layouts match bit for bit.
+    Q("c7_bin_packing",
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
+         |    CAST(${hashSql("pk")} % 8 AS INT) AS shard
+         |  FROM documents),
+         |g AS (
+         |  SELECT shard, list_sort(list(([-n, doc_id])::BIGINT[])) AS ds
+         |  FROM base GROUP BY shard),
+         |f AS (
+         |  SELECT shard,
+         |    list_reduce(
+         |      list_prepend([[]]::BIGINT[][], list_transform(ds, d -> [d])),
+         |      (acc, d) ->
+         |        CASE WHEN list_position(
+         |               list_transform(acc[1], b -> b - d[1][1] <= 256),
+         |               true) = 0
+         |        THEN list_prepend(list_append(acc[1], -d[1][1]),
+         |             list_append(acc[2:],
+         |               [d[1][2], CAST(len(acc[1]) AS BIGINT), 0]))
+         |        ELSE list_prepend(
+         |             list_transform(acc[1], (b, i) ->
+         |               CASE WHEN i = list_position(list_transform(acc[1],
+         |                 b2 -> b2 - d[1][1] <= 256), true)
+         |               THEN b - d[1][1] ELSE b END),
+         |             list_append(acc[2:],
+         |               [d[1][2],
+         |                CAST(list_position(list_transform(acc[1],
+         |                  b3 -> b3 - d[1][1] <= 256), true) - 1 AS BIGINT),
+         |                acc[1][list_position(list_transform(acc[1],
+         |                  b4 -> b4 - d[1][1] <= 256), true)]]))
+         |        END) AS acc
+         |  FROM g)
+         |SELECT t[1] AS doc_id, shard, CAST(t[2] AS INT) AS bin_idx,
+         |       t[3] AS bin_offset
+         |FROM (SELECT shard, unnest(acc[2:]) AS t FROM f)""".stripMargin) {
+      (s, d) =>
+      Corpus.packBinsFFD(Tables.documents(s, d), "doc_id",
+          size(graft.functions.Scalars.tokens(col("text"))),
+          numShards = 8, budgetTokens = 256, seed = "pk")
+        .select("doc_id", "shard", "bin_idx", "bin_offset")
+    },
+
     // Weighted mixture in ONE scan: per-source keep-rate via a literal
     // CASE, rather than per-source unions that would re-scan the
     // corpus once per source.

@@ -170,4 +170,60 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0.0, false)))
     assert(out(5L) == ((2L, 2L, 1.0, true)))
   }
+
+  test("FFD bin packing: capacity respected, oversize isolated, deterministic") {
+    // Token counts engineered so first-fit must backtrack to earlier
+    // bins: 300 (oversize), 200, 180, 100, 90, 60, 50, 20 on budget 256.
+    val d = Seq((1L, 300L), (2L, 200L), (3L, 180L), (4L, 100L),
+      (5L, 90L), (6L, 60L), (7L, 50L), (8L, 20L)).toDF("doc_id", "ntok")
+    val out = Corpus.packBinsFFD(d, "doc_id", col("ntok"),
+        numShards = 1, budgetTokens = 256, seed = "t")
+      .select("doc_id", "bin_idx", "bin_offset")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val ntok = Map(1L -> 300L, 2L -> 200L, 3L -> 180L, 4L -> 100L,
+      5L -> 90L, 6L -> 60L, 7L -> 50L, 8L -> 20L)
+    // FFD on 256: [300] | [200, 50] | [180, 60] | [100, 90, 20]
+    assert(out(1L) == ((0, 0L)))   // oversize opens its own bin
+    assert(out(2L) == ((1, 0L)))
+    assert(out(3L) == ((2, 0L)))
+    assert(out(4L) == ((3, 0L)))
+    assert(out(5L) == ((3, 100L)))
+    assert(out(6L) == ((2, 180L))) // first fit backtracks to bin 2
+    assert(out(7L) == ((1, 200L))) // ... and to bin 1
+    assert(out(8L) == ((3, 190L)))
+    // every non-oversize bin within budget; offsets consistent
+    val loads = out.toSeq.groupBy(_._2._1)
+      .map { case (b, rs) => b -> rs.map(r => ntok(r._1)).sum }
+    loads.foreach { case (b, load) =>
+      assert(load <= 256 || ntok(out.find(_._2._1 == b).get._1) > 256) }
+    val rerun = Corpus.packBinsFFD(d, "doc_id", col("ntok"),
+        numShards = 1, budgetTokens = 256, seed = "t")
+      .select("doc_id", "bin_idx", "bin_offset")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rerun == out)
+  }
+
+  test("FFD packs at least as tightly as concat-and-chunk's doc-split bound") {
+    // vs c4 (packSequences): concat-and-chunk achieves the information-
+    // theoretic floor ceil(total/budget) per shard by SPLITTING docs
+    // across boundaries; FFD keeps docs whole, so it can't beat the
+    // floor, and its guarantee caps the overhead at 11/9·OPT + 1.
+    val docs = (0L until 400L).map(i => (i, 20L + (i * 37) % 230))
+      .toDF("doc_id", "ntok")
+    val budget = 256
+    val packed = Corpus.packBinsFFD(docs, "doc_id", col("ntok"),
+        numShards = 4, budgetTokens = budget, seed = "eff")
+      .groupBy("shard").agg(max("bin_idx").as("maxBin"))
+      .as[(Int, Int)].collect().toMap
+    val totals = Corpus.shardAssign(docs, "doc_id", 4, "eff")
+      .groupBy("shard").agg(sum("ntok").as("tot"))
+      .as[(Int, Long)].collect().toMap
+    (0 until 4).foreach { sh =>
+      val nBins = packed(sh) + 1
+      val floor = math.ceil(totals(sh).toDouble / budget).toInt
+      assert(nBins >= floor, s"shard $sh: $nBins bins below floor $floor")
+      assert(nBins <= math.ceil(11.0 * floor / 9).toInt + 1,
+        s"shard $sh: $nBins bins vs FFD bound on floor $floor")
+    }
+  }
 }
