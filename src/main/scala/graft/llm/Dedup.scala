@@ -144,7 +144,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: String, text: String,
                       threshold: Double = 0.8, shingleN: Int = 1,
                       bands: Int = 16, rowsPerBand: Int = 8,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
+                      maxBucketSize: Option[Int] = None,
+                      portable: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Signature and verification MUST use the same unit set (shingleN=1
     // → distinct tokens): LSH over n-grams with token-level verification
@@ -166,7 +167,8 @@ object Dedup {
     // permutation: without it a·h+b is monotonic in h and every
     // "hash" would rank shingles identically (one-permutation
     // signatures in disguise).
-    val sig = signatureAgg(hashedShingles(docs, id, text, shingleN), numHashes)
+    val sig = signatureAgg(hashedShingles(docs, id, text, shingleN, portable),
+      numHashes)
     lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
       rowsPerBand, maxBucketSize)
   }
@@ -478,8 +480,10 @@ object Dedup {
   def minhashLshPairsOph(docs: DataFrame, id: String, text: String,
                          threshold: Double = 0.8, shingleN: Int = 1,
                          bands: Int = 16, rowsPerBand: Int = 8,
-                         maxBucketSize: Option[Int] = None): DataFrame = {
-    val sig = minhashOphSignature(docs, id, text, bands * rowsPerBand, shingleN)
+                         maxBucketSize: Option[Int] = None,
+                         portable: Boolean = false): DataFrame = {
+    val sig = minhashOphSignature(docs, id, text, bands * rowsPerBand, shingleN,
+      portable)
     lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
       rowsPerBand, maxBucketSize)
   }

@@ -61,7 +61,20 @@ class PlanSpec extends AnyFunSuite {
     val names = SparkEntry.registry.map(_.name)
     assert(names.distinct.size == names.size)
     // Oracle coverage: the rows-only set stays the known hash-family
-    // exceptions.
+    // exceptions. Every dedup/ANN member is double-gated: its portable
+    // twin is oracle-checked (d9/d14/d5/d13/e8/e10/e11), and
+    // TwinConsistencySpec pins the PRODUCTION path's output to that
+    // twin's, so a production-only edit can't drift behind this list:
+    //   d3_minhash_lsh_pairs   → twin d9,  TwinConsistencySpec "d3/d9"
+    //   d11_minhash_oph_pairs  → twin d14, TwinConsistencySpec "d11/d14"
+    //   d4_simhash             → twin d5,  TwinConsistencySpec "d4/d5"
+    //   d7_embedding_neardup_lsh → twin d13, TwinConsistencySpec "d7/d13"
+    //   e2_ann_lsh_topk        → twin e8,  TwinConsistencySpec "e2/e8"
+    //   e4_ann_ivf_topk        → twin e11, DedupSpec IVF recall spec
+    //   e7_ann_ivf_kmeans      → twin e11, TwinConsistencySpec "e7/e11"
+    //   e9_ann_pq              → twin e10, TwinConsistencySpec "e9/e10"
+    //   f13_provenance         → value env-dependent by nature (rows-only)
+    //   g9_distinct_approx     → approx sketch; rows+error spec (GraphSpec)
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnly == Set("f13_provenance", "d3_minhash_lsh_pairs",
       "d11_minhash_oph_pairs", "d4_simhash", "e2_ann_lsh_topk",
