@@ -129,8 +129,156 @@ object Bench {
     val failed = results.count(!_._3)
     val total = results.filter(_._3).map(_._2).sum
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    val heavyJson = HeavyBench.run(spark, sfDir, only)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2","queries":$qs,"failed":$failed,"sf":"$sfJson"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}""")
     spark.stop()
+  }
+}
+
+/** Second bench block at a throughput-VISIBLE scale: sf0.1 inputs are
+  * sub-MB on disk, so its per-query seconds are scheduling-bound and
+  * say nothing about MB/s. This block replicates the three heavy
+  * tables once (documents ×64 ≈ 320 K docs, embeddings ×16 ≈ 80 K
+  * vectors, lineitem edges ×16 ≈ 9.6 M edges) into a fingerprinted
+  * parquet dir — same write-once-read-back discipline as ScaleCheck's
+  * materialized sweep — and runs the heaviest queries ONCE each
+  * against it, reporting secs, input bytes/rows, and the derived
+  * MB/s / rows/s that the baseline comparison actually needs.
+  * Disable with SPARK_GRAFT_HEAVY=0. */
+object HeavyBench {
+  import queries.Q
+
+  private val Factors = Map("documents" -> 64, "embeddings" -> 16,
+    "lineitem" -> 16)
+  private val Layout = "v1"
+
+  /** (query, tables it reads) — the heavy set from the per-round bench
+    * tail, one member per expensive family. */
+  val HeavySet: Seq[(String, Seq[String])] = Seq(
+    "d3_minhash_lsh_pairs" -> Seq("documents"),
+    "d8_dup_groups" -> Seq("documents"),
+    "d10_simhash_neardup" -> Seq("documents"),
+    "d16_passage_coverage" -> Seq("documents"),
+    "t8_contamination" -> Seq("documents"),
+    "pipe17_llm_curation" -> Seq("documents"),
+    "e9_ann_pq" -> Seq("embeddings"),
+    "e7_ann_ivf_kmeans" -> Seq("embeddings"),
+    "g6_coupling" -> Seq("lineitem"),
+    "g8_pagerank" -> Seq("lineitem"))
+
+  def run(spark: SparkSession, sfDir: String,
+          only: Option[Set[String]]): String = {
+    if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0")) return ""
+    val selected = HeavySet.filter { case (n, _) => only.forall(_.contains(n)) }
+    if (selected.isEmpty) return ""
+    try {
+      val dir = ensureHeavyDir(spark, sfDir)
+      // Graph fixtures derive from the heavy dir's lineitem — prebuilt
+      // here so the first graph query isn't charged for fixture prep.
+      if (selected.exists(_._2.contains("lineitem")))
+        queries.GraphQueries.ensureCitationFixture(spark, dir)
+      val byName = SparkEntry.registry.map(q => q.name -> q).toMap
+      val items = selected.flatMap { case (name, tables) =>
+        byName.get(name).map { q =>
+          System.err.println(s"[bench] heavy $name")
+          val bytes = tables.map(t => duBytes(spark, s"$dir/$t.parquet")).sum
+          val rows = tables.map(t =>
+            spark.read.parquet(s"$dir/$t.parquet").count()).sum
+          val sec = timeOne(spark, q, dir)
+          val mbps = if (sec > 0) bytes / 1e6 / sec else -1.0
+          val rps = if (sec > 0) rows / sec else -1.0
+          f""""$name":{"sec":$sec%.3f,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f}"""
+        }
+      }
+      val f = Factors.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      s""","heavy":{"factors":{$f},"queries":{${items.mkString(",")}}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] heavy block failed: ${e.getMessage}")
+        ""
+    }
+  }
+
+  private def timeOne(spark: SparkSession, q: Q, dir: String): Double = {
+    import org.apache.spark.sql.functions._
+    try {
+      val t0 = System.nanoTime()
+      val df = q.fn(spark, dir)
+      df.select(xxhash64(df.columns.map(c => col(s"`$c`").cast("string")): _*)
+          .as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] heavy ${q.name} FAILED: ${e.getMessage}")
+        -1.0
+    }
+  }
+
+  private def duBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.getContentSummary(p).getLength
+  }
+
+  /** Replicate the heavy tables into an SF-shaped parquet dir, once:
+    * the dir is keyed by the source dir + factors + generator layout,
+    * completion-gated on a fingerprint sidecar written AFTER the data
+    * (the ScaleCheck/BandStore discipline), so partial dirs from a
+    * killed run regenerate and a changed source never reuses stale
+    * replicas. */
+  private def ensureHeavyDir(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val src = new java.io.File(s"$sfDir/documents.parquet")
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_heavy_${Layout}_${tag}_${src.length()}_${src.lastModified()}")
+    val dir = root.toString
+    val fingerprint = s"""{"sf":"$sfDir","layout":"$Layout","factors":"$Factors"}"""
+    val sidecar = new org.apache.hadoop.fs.Path(dir, "_inputs.json")
+    val fs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
+    val stored: Option[String] =
+      if (!fs.exists(sidecar)) None
+      else {
+        val in = fs.open(sidecar)
+        try {
+          val b = new Array[Byte](fs.getFileStatus(sidecar).getLen.toInt)
+          in.readFully(b); Some(new String(b, "UTF-8"))
+        } finally in.close()
+      }
+    if (!stored.contains(fingerprint)) {
+      System.err.println(s"[bench] building heavy tables under $dir")
+      def rep(n: Int) =
+        posexplode(array_repeat(lit(1), n)).as(Seq("i", "__one"))
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), rep(Factors("documents")))
+        .select((col("doc_id") * Factors("documents") + col("i")).as("doc_id"),
+          // Perturbed per replica: near-dups of the original, not
+          // byte-identical copies (keeps the dedup workload honest).
+          concat(col("text"), lit(" zrep"), col("i").cast("string")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          rep(Factors("embeddings")))
+        .select((col("vec_id") * Factors("embeddings") + col("i")).as("vec_id"),
+          transform(col("embedding"),
+            x => x + col("i").cast("float") * 0.013f).as("embedding"),
+          col("label"))
+      // Citing keys fresh per replica, cited keys in the ORIGINAL part
+      // keyspace: growth makes hubs hotter, not just the table longer.
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"),
+          rep(Factors("lineitem")))
+        .select((col("l_orderkey") * Factors("lineitem") + col("i"))
+          .as("l_orderkey"), col("l_partkey"))
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = fs.create(sidecar, true)
+      try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
+    }
+    dir
   }
 }

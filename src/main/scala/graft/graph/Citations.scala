@@ -95,6 +95,15 @@ object Citations {
       .groupBy(key)
       .agg(sort_array(collect_set(col(member))).as("ms"))
       .filter(size(col("ms")).between(2, maxGroupSize))
+      // Explicit fan-out before the pair explosion: the member-array
+      // table is tiny in BYTES (one compact array per key), so AQE's
+      // byte-targeted coalescing would pack it into a handful of
+      // partitions — and the ≤ maxGroupSize²/2-per-row pair explosion
+      // plus its partial aggregation would run near-serially. A
+      // user-specified round-robin repartition is exempt from AQE
+      // coalescing and spreads the CPU-bound explosion across the
+      // cluster; the extra shuffle moves only the small array table.
+      .repartition(assignments.sparkSession.sessionState.conf.numShufflePartitions)
       .select(graft.llm.Dedup.sortedMemberPairs(col("ms")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
