@@ -100,10 +100,14 @@ object Citations {
       // byte-targeted coalescing would pack it into a handful of
       // partitions — and the ≤ maxGroupSize²/2-per-row pair explosion
       // plus its partial aggregation would run near-serially. A
-      // user-specified round-robin repartition is exempt from AQE
-      // coalescing and spreads the CPU-bound explosion across the
-      // cluster; the extra shuffle moves only the small array table.
-      .repartition(assignments.sparkSession.sessionState.conf.numShufflePartitions)
+      // user-specified repartition is exempt from AQE coalescing and
+      // spreads the CPU-bound explosion across the cluster; hashing on
+      // the (unique post-aggregation) group key rather than
+      // round-robin, because round-robin pays sortBeforeRepartition —
+      // a within-partition sort over the member ARRAYS — for retry
+      // determinism the hash layout gets for free.
+      .repartition(assignments.sparkSession.sessionState.conf
+        .numShufflePartitions, col(key))
       .select(graft.llm.Dedup.sortedMemberPairs(col("ms")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -183,6 +183,44 @@ object Corpus {
     df.filter(stableHash(col(keyCol), seed) % 100 < rate)
   }
 
+  /** Temperature-flattened stratum mixing (the multilingual-sampling
+    * standard, mT5/XLM-R style, at temperature α = 0.5): strata are
+    * re-weighted by √count instead of count, so dominant strata
+    * (English at 100 TB) are down-sampled and the tail is kept at a
+    * higher rate, targeting ~`targetRows` total. α is FIXED at 0.5
+    * because √ is the one power IEEE evaluates correctly-rounded in
+    * every engine — an arbitrary-α pow() would break the cross-engine
+    * hash gate. Weights are quantized (⌊√n·1000⌋) before the global
+    * sum so the normalizer is an exact, order-independent integer;
+    * every remaining double op is a single deterministic product/
+    * division of exact integers.
+    *
+    * Scale shape: one tiny count aggregation, a ONE-ROW global-sum
+    * attach, a broadcast rate join keyed by stratum, and the same
+    * codegen'd hash filter as [[hashSample]] on the scan. No per-row
+    * shuffle, no rand(); re-running on a grown corpus re-derives the
+    * rates from the new counts (rates are a function of the data, so
+    * unlike [[hashSample]] membership is only stable while counts
+    * are). */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     targetRows: Long, seed: String): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val counts = df.groupBy(stratumCol)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wq",
+        floor(sqrt(col("__n").cast("double")) * 1000).cast("long"))
+    val total = counts.agg(sum(col("__wq")).as("__W"))
+    val rates = counts.crossJoin(broadcast(total))
+      .withColumn("__rate", least(lit(1.0),
+        (col("__wq").cast("double") * targetRows) /
+          (col("__W").cast("double") * col("__n").cast("double"))))
+      .select(col(stratumCol), col("__rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(stableHash(col(keyCol), seed) % (1L << 20) <
+        floor(col("__rate") * (1L << 20)).cast("long"))
+      .drop("__rate")
+  }
+
   /** Overlapping token-window chunking — the embedding-pipeline
     * staple: every document explodes into fixed-size chunks of
     * `size` tokens advancing by `size - overlap`, so consecutive

@@ -205,27 +205,25 @@ object Similarity {
     * bound). Output: (id, cluster STRING) ready to join back as
     * [[ivfTopK]]'s `clusterCol`. */
   def kmeansAssign(emb: DataFrame, id: String, vec: String, k: Int,
-                   iters: Int = 5): DataFrame = {
-    require(k >= 1 && iters >= 1, "kmeansAssign needs k >= 1, iters >= 1")
+                   iters: Int = 5): DataFrame =
+    assignToCentroids(emb, id, vec, kmeansCentroids(emb, id, vec, k, iters))
+
+  /** The Lloyd training loop alone: (cluster, centroid) from `train`.
+    * Split out so deployments can TRAIN ON A SAMPLE and assign the
+    * full corpus (the production shape at 100 TB — Lloyd iterations
+    * scan the training set, so a deterministic [[Corpus.hashSample]]
+    * bounds that cost while [[assignToCentroids]] stays one broadcast
+    * map-side pass over everything). */
+  def kmeansCentroids(train: DataFrame, id: String, vec: String, k: Int,
+                      iters: Int = 5): DataFrame = {
+    require(k >= 1 && iters >= 1, "kmeansCentroids needs k >= 1, iters >= 1")
     val asDouble = transform(col(vec), _.cast("double"))
-    var centroids = emb.orderBy(col(id)).limit(k)
+    var centroids = train.orderBy(col(id)).limit(k)
       .select(col(id).cast("string").as("cluster"), asDouble.as("centroid"))
       .localCheckpoint()
-    def assign(c: DataFrame): DataFrame =
-      emb.select(col(id).as("__id"), col(vec).as("__v"))
-        .join(broadcast(c), lit(true))
-        .withColumn("__csim", cosine(col("__v"), col("centroid")))
-        .groupBy("__id")
-        // min_by on (-similarity, padded-cluster) = best similarity,
-        // ties to the smallest cluster id — deterministic without a
-        // window sort. Cluster ids are seed ids (numeric strings of
-        // bounded length); lpad makes their lexicographic order agree
-        // with their numeric order.
-        .agg(expr("min_by(cluster, struct(-__csim, lpad(cluster, 24, '0')))")
-          .as("__c"))
-        .select(col("__id"), col("__c"))
     for (_ <- 1 until iters) {
-      val a = assign(centroids)
+      val a = assignToCentroids(train, id, vec, centroids)
+        .select(col(id).as("__id"), col("cluster").as("__c"))
       // Centroid means accumulate INTEGER-quantized components
       // (floor(x·10⁶ + 0.5); headroom: |x|·10⁶ ≲ 10⁷ per element × 10⁹
       // members < 2⁶³) — a float avg() would merge shuffle partials in
@@ -234,7 +232,7 @@ object Similarity {
       // determinism promise (the d13/e8 sign-test hazard in aggregate
       // form). The 1e-6 quantization is far below any meaningful
       // centroid separation.
-      centroids = emb.select(col(id).as("__id"), asDouble.as("__v"))
+      centroids = train.select(col(id).as("__id"), asDouble.as("__v"))
         .join(a, Seq("__id"))
         .select(col("__c").as("cluster"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos")
@@ -245,9 +243,25 @@ object Similarity {
           s => s.getField("m")).as("centroid"))
         .localCheckpoint()
     }
-    assign(centroids)
-      .select(col("__id").as(id), col("__c").as("cluster"))
+    centroids
   }
+
+  /** One broadcast-centroid assignment pass: (id, cluster) for every
+    * row of `emb` against a (cluster, centroid) table. */
+  def assignToCentroids(emb: DataFrame, id: String, vec: String,
+                        centroids: DataFrame): DataFrame =
+    emb.select(col(id).as("__id"), col(vec).as("__v"))
+      .join(broadcast(centroids), lit(true))
+      .withColumn("__csim", cosine(col("__v"), col("centroid")))
+      .groupBy("__id")
+      // min_by on (-similarity, padded-cluster) = best similarity,
+      // ties to the smallest cluster id — deterministic without a
+      // window sort. Cluster ids are seed ids (numeric strings of
+      // bounded length); lpad makes their lexicographic order agree
+      // with their numeric order.
+      .agg(expr("min_by(cluster, struct(-__csim, lpad(cluster, 24, '0')))")
+        .as("__c"))
+      .select(col("__id").as(id), col("__c").as("cluster"))
 
   /** Approximate top-k via multi-table sign-LSH: a pair is a candidate
     * if it collides in ANY of the `tables` hash tables (recall at

@@ -136,6 +136,32 @@ object CorpusQueries {
         MixWeights, "mix").select("doc_id", "source")
     },
 
+    // Temperature-flattened language mixing (α = 0.5): dominant
+    // languages down-weighted by √count, targeting ~200 rows. √ is
+    // correctly-rounded in both engines and the weight sum is an
+    // exact integer, so the per-stratum rates — and therefore the
+    // hash-filter decisions — match bit for bit.
+    Q("c8_temperature_mix",
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT)
+         |      AS wq
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(wq) AS w FROM counts),
+         |rates AS (
+         |  SELECT lang, least(1.0,
+         |    (CAST(wq AS DOUBLE) * 200) / (CAST(w AS DOUBLE)
+         |      * CAST(n AS DOUBLE))) AS rate
+         |  FROM counts CROSS JOIN tot)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN rates r ON d.lang = r.lang
+         |WHERE ${hashSql("temp")} % 1048576
+         |      < CAST(floor(r.rate * 1048576) AS BIGINT)""".stripMargin) {
+      (s, d) =>
+      Corpus.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+        targetRows = 200, seed = "temp").select("doc_id", "lang")
+    },
+
     // Per-stratum deterministic quota: cap every language at 30 docs,
     // chosen by stable-hash order (the "cap the dominant language"
     // corpus-assembly knob). One shuffle on the stratum, in-partition

@@ -796,8 +796,13 @@ object LlmQueries {
     // recall vs exact L2 are spec-gated.
     Q.rowsOnly("e9_ann_pq") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val codebook = Similarity.pqTrain(emb, "vec_id", "embedding",
-        m = 8, k = 16, iters = 3)
+      // Deployment shape (Similarity.pqTrain docstring): codebooks
+      // train on a deterministic ~25% hash sample — Lloyd iterations
+      // scan only the sample — then the FULL corpus encodes and
+      // searches against them.
+      val codebook = Similarity.pqTrain(
+        graft.llm.Corpus.hashSample(emb, "vec_id", 25, "pqtrain"),
+        "vec_id", "embedding", m = 8, k = 16, iters = 3)
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebook)
       Similarity.pqTopKRerank(codes, codebook, emb,
         emb.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -931,8 +936,14 @@ object LlmQueries {
     // spec-tested (DedupSpec).
     Q.rowsOnly("e7_ann_ivf_kmeans") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val assign = Similarity.kmeansAssign(emb, "vec_id", "embedding",
-        k = 8, iters = 3)
+      // Deployment shape: Lloyd trains on a deterministic ~25% hash
+      // sample; the full corpus is then assigned in one broadcast
+      // map-side pass and searched.
+      val cents = Similarity.kmeansCentroids(
+        graft.llm.Corpus.hashSample(emb, "vec_id", 25, "ivftrain"),
+        "vec_id", "embedding", k = 8, iters = 3)
+      val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+        cents)
       val withC = emb.join(assign, Seq("vec_id"))
       Similarity.ivfTopK(withC, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", "cluster", 5, nprobe = 3)

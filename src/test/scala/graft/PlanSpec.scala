@@ -93,9 +93,13 @@ class PlanSpec extends AnyFunSuite {
     // k (≤8 here) centroid rows against every vector — same
     // constant-rows-per-record shape as e4/e6; e11 is e7's portable
     // twin, so it inherits the same shape.
+    // c8's nested loop is the temperatureMix ONE-ROW global-weight-sum
+    // attach (the e6 shape): a single broadcast row per stratum-count
+    // table, constant work per record.
     val bnljAllowed = Set("d2_jaccard_pairs", "d6_embedding_neardup",
       "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk",
-      "e6_scalar_quant", "e7_ann_ivf_kmeans", "e11_ann_ivf_portable")
+      "e6_scalar_quant", "e7_ann_ivf_kmeans", "e11_ann_ivf_portable",
+      "c8_temperature_mix")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian")
