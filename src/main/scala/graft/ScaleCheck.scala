@@ -300,6 +300,37 @@ object ScaleCheck {
         llm.Corpus.packSequences(replicateDocs(docs0, n), "doc_id",
           size(split(trim(col("text")), "\\s+")), 64, 2048, "p")
           .count()),
+      // FFD bin packing: the per-shard fold is O(docs × bins) with a
+      // copied accumulator, so shard count is the scale knob — held at
+      // 64 here, the sweep shows the cost of letting shards grow ×n
+      // (the anti-pattern); production raises numShards with the
+      // corpus to keep per-shard state bounded.
+      Op("corpus_pack_bins_ffd(shards=64)", n =>
+        llm.Corpus.packBinsFFD(replicateDocs(docs0, n), "doc_id",
+          size(split(trim(col("text")), "\\s+")), 64, 2048, "p")
+          .count()),
+      // ... and the production discipline: shards GROW with the corpus
+      // (64·n), so per-shard fold state stays bounded and the op stays
+      // ~linear — the pair of curves is the documented evidence for
+      // the numShards sizing rule.
+      Op("corpus_pack_bins_ffd(shards=64n)", n =>
+        llm.Corpus.packBinsFFD(replicateDocs(docs0, n), "doc_id",
+          size(split(trim(col("text")), "\\s+")), 64 * n, 2048, "p")
+          .count()),
+      // Gopher rule gate: pure per-row Column math behind one
+      // generator barrier — must scale linearly like t7's shape.
+      Op("gopher_stats", n =>
+        llm.TextAnalysis.gopherStats(replicateDocs(docs0, n), "text")
+          .count()),
+      // Temperature mixing: count agg + broadcast rate join + scan
+      // filter — the agg is by stratum (bounded), so this must stay
+      // scan-bound.
+      Op("corpus_temperature_mix", n =>
+        llm.Corpus.temperatureMix(replicateDocs(docs0, n)
+            .withColumn("lang",
+              concat(lit("l"), pmod(col("doc_id"), lit(5))))
+          , "doc_id", "lang", targetRows = 1000L * n, seed = "tm")
+          .count()),
       // Citation pair generation under growth. Co-citation: fresh
       // citing ids per replica (group count scales, size constant) —
       // must stay ~linear. Coupling: the cited keyspace is held FIXED,
