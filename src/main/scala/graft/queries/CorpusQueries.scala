@@ -71,7 +71,7 @@ object CorpusQueries {
     },
 
     // Sequence packing v2: deterministic first-fit-decreasing BIN
-    // packing (documents kept whole, budget 256 tokens, 8 hash
+    // packing (documents kept whole, budget 256 tokens, 32 hash
     // shards). The oracle replays the same FFD fold in DuckDB via
     // list_reduce over a flat BIGINT[][] accumulator (acc[1] = bin
     // loads, acc[2:] = (key, bin, offset) triples — DuckDB 1.0's
@@ -82,7 +82,7 @@ object CorpusQueries {
       s"""WITH base AS (
          |  SELECT doc_id,
          |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n,
-         |    CAST(${hashSql("pk")} % 8 AS INT) AS shard
+         |    CAST(${hashSql("pk")} % 32 AS INT) AS shard
          |  FROM documents),
          |g AS (
          |  SELECT shard, list_sort(list(([-n, doc_id])::BIGINT[])) AS ds
@@ -117,7 +117,7 @@ object CorpusQueries {
       (s, d) =>
       Corpus.packBinsFFD(Tables.documents(s, d), "doc_id",
           size(graft.functions.Scalars.tokens(col("text"))),
-          numShards = 8, budgetTokens = 256, seed = "pk")
+          numShards = 32, budgetTokens = 256, seed = "pk")
         .select("doc_id", "shard", "bin_idx", "bin_offset")
     },
 
