@@ -164,6 +164,7 @@ object HeavyBench {
     "pipe17_llm_curation" -> Seq("documents"),
     "e9_ann_pq" -> Seq("embeddings"),
     "e7_ann_ivf_kmeans" -> Seq("embeddings"),
+    "e12_ann_ivfpq" -> Seq("embeddings"),
     "g6_coupling" -> Seq("lineitem"),
     "g8_pagerank" -> Seq("lineitem"))
 

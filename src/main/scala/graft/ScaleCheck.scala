@@ -415,6 +415,28 @@ object ScaleCheck {
           rep.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, overscan = 4).count()
       }, tables = Seq("embeddings")),
+      // The full IVF-PQ path under corpus growth: coarse Lloyd training
+      // + assignment, residual codebook training, encode, per-probe ADC
+      // over probed lists only, exact re-rank. Coarse-centroid and
+      // codebook sizes are fixed, so everything before search must stay
+      // ~linear in vectors; search cost is bounded by probed-list
+      // membership (~nprobe/k of the codes) and the re-rank by
+      // queries × shortlist regardless of n.
+      Op("ivfpq_train_encode_search", { n =>
+        val rep = replicateEmb(n)
+        val cents = llm.Similarity.kmeansCentroids(rep, "vec_id",
+          "embedding", k = 8, iters = 2)
+        val withC = rep.join(
+          llm.Similarity.assignToCentroids(rep, "vec_id", "embedding",
+            cents), Seq("vec_id"))
+        val cb = llm.Similarity.ivfpqTrain(withC, "vec_id", "embedding",
+          "cluster", cents, m = 8, k = 16, iters = 2)
+        val codes = llm.Similarity.ivfpqEncode(withC, "vec_id", "embedding",
+          "cluster", cents, cb)
+        llm.Similarity.ivfpqTopKRerank(codes, cents, cb, rep,
+          rep.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 3, overscan = 4).count()
+      }, tables = Seq("embeddings")),
       // Stage decomposition of the LSH dedup path: the band-table build
       // is the signature+banding half of minhash_lsh_pairs; full-op
       // time minus this is the candidate-join + verify half. Scaling

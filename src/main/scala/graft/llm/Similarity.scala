@@ -477,6 +477,145 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
   }
 
+  /** Residual vectors for IVF-PQ: rv = v − centroid(cluster), against
+    * the BROADCAST coarse-centroid table. `withCluster` carries the
+    * coarse assignment already joined back (the e7/e11 caller shape:
+    * `emb.join(assignToCentroids(...), id)`), so one assignment pass
+    * can feed train, encode, and any later re-encode without being
+    * recomputed here. */
+  private def residuals(withCluster: DataFrame, id: String, vec: String,
+                        clusterCol: String, centroids: DataFrame): DataFrame =
+    withCluster
+      .select(col(id), col(clusterCol).as("cluster"),
+        transform(col(vec), _.cast("double")).as("__v"))
+      .join(broadcast(centroids), Seq("cluster"))
+      .select(col(id), col("cluster"),
+        zip_with(col("__v"), col("centroid"), (x, c) => x - c).as("rv"))
+
+  /** IVF-PQ codebooks (Jégou et al. 2011 §IV / the FAISS IVFPQ index —
+    * the canonical billion-scale layout): PQ trains on the RESIDUAL
+    * vector − coarse-centroid, which has far lower energy than the raw
+    * vector, so the same m×k code budget quantizes much finer. Same
+    * deterministic Lloyd loop as [[pqTrain]] (seeds = k smallest ids'
+    * residual subvectors, integer-quantized means, smallest-code ties).
+    *
+    * At scale: train on a deterministic [[Corpus.hashSample]] — the
+    * coarse centroids came from a sample too, and codebooks need
+    * thousands of residuals, not billions. */
+  def ivfpqTrain(withCluster: DataFrame, id: String, vec: String,
+                 clusterCol: String, centroids: DataFrame,
+                 m: Int = 8, k: Int = 16, iters: Int = 3,
+                 dim: Int = 64): DataFrame =
+    pqTrain(residuals(withCluster, id, vec, clusterCol, centroids),
+      id, "rv", m, k, iters, dim)
+
+  /** IVF-PQ encode: (id, cluster, codes ARRAY<INT>) — the inverted-list
+    * layout. Each vector stores its coarse cluster plus m small codes
+    * for its residual; the raw vector is never needed again until an
+    * optional exact re-rank. One residual pass + one broadcast-codebook
+    * min_by assignment, both map-side shapes. */
+  def ivfpqEncode(withCluster: DataFrame, id: String, vec: String,
+                  clusterCol: String, centroids: DataFrame,
+                  codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame = {
+    requireCodebook(codebook, m, dim, "ivfpqEncode")
+    val sub = dim / m
+    // The cluster id rides through both aggregations as a grouping key
+    // (it is a function of the vector id, so the groups are unchanged)
+    // — carrying it beats re-deriving the residual frame for a
+    // corpus-sized self-join just to reattach one column.
+    residuals(withCluster, id, vec, clusterCol, centroids)
+      .select(col(id).as("__id"), col("cluster"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("rv"), j * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
+      .join(broadcast(codebook), Seq("subspace"))
+      .withColumn("__d", l2sq(col("sv"), col("centroid")))
+      .groupBy("__id", "cluster", "subspace")
+      .agg(expr("min_by(code, struct(__d, code))").as("code"))
+      .groupBy("__id", "cluster")
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .select(col("__id").as(id), col("cluster"), col("codes"))
+  }
+
+  /** IVF-PQ ADC top-k: each query probes its `nprobe` nearest coarse
+    * centroids (cosine, [[ivfTopK]]'s probe rule), computes its residual
+    * AGAINST EACH PROBED CENTROID, and builds a per-(cluster, subspace,
+    * code) squared-L2 lookup table (queries × nprobe × m × k rows —
+    * tiny, broadcast). The corpus side explodes its m codes once and
+    * joins on (cluster, subspace, code), so only probed inverted lists
+    * are ever touched and they stream codes only — the two pruning
+    * levers (nprobe and code-not-vector scan) compose; no raw-vector
+    * access, no pairwise join. Lookups are integer-quantized like
+    * [[pqTopK]] so shuffle merge order cannot flip near-tie ranks. */
+  def ivfpqTopK(corpusCodes: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, queries: DataFrame,
+                id: String, vec: String, k: Int, nprobe: Int = 2,
+                m: Int = 8, dim: Int = 64): DataFrame = {
+    requireCodebook(codebook, m, dim, "ivfpqTopK")
+    val sub = dim / m
+    val q = queries.select(col(id).as("query_id"),
+      transform(col(vec), _.cast("double")).as("qv"))
+    val probes = broadcast(q).join(broadcast(centroids), lit(true))
+      .withColumn("__csim", cosine(col("qv"), col("centroid")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cluster"))))
+      .filter(col("__crank") <= nprobe)
+      .select(col("query_id"), col("cluster"),
+        zip_with(col("qv"), col("centroid"), (x, c) => x - c).as("qr"))
+    val lut = probes
+      .select(col("query_id"), col("cluster"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("qr"), j * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
+      .join(broadcast(codebook), Seq("subspace"))
+      .select(col("query_id"), col("cluster"), col("subspace"), col("code"),
+        floor(l2sq(col("sv"), col("centroid")) * 1e6 + 0.5)
+          .cast("long").as("__dq"))
+    // A corpus vector lives in exactly one cluster, so each (neighbor,
+    // subspace) matches at most one LUT row per query and the sum is
+    // over exactly m lookups when the neighbor's list is probed.
+    val scored = corpusCodes
+      .select(col(id).as("neighbor_id"), col("cluster"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(lut), Seq("cluster", "subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg((sum(col("__dq")).cast("double") / 1e6).as("dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
+  }
+
+  /** IVF-PQ search as production runs it: ADC shortlist of k × overscan
+    * per query over probed lists only, then ONLY shortlisted rows fetch
+    * their raw vector for an exact squared-L2 re-rank — the
+    * [[pqTopKRerank]] discipline (explicit broadcast of the shortlist
+    * so the raw-vector table can never be shuffled) on top of the IVF
+    * probe pruning. */
+  def ivfpqTopKRerank(corpusCodes: DataFrame, centroids: DataFrame,
+                      codebook: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, id: String, vec: String,
+                      k: Int, nprobe: Int = 2, overscan: Int = 4,
+                      m: Int = 8, dim: Int = 64): DataFrame = {
+    val asDouble = (c: Column) => transform(c, _.cast("double"))
+    val shortlist = ivfpqTopK(corpusCodes, centroids, codebook, queries,
+      id, vec, k * overscan, nprobe, m, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries
+      .select(col(id).as("query_id"), asDouble(col(vec)).as("qv")))
+    val scored = broadcast(shortlist)
+      .join(corpus.select(col(id).as("neighbor_id"),
+        asDouble(col(vec)).as("cv")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("dist", l2sq(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist"))
+  }
+
   /** PQ search as production runs it (FAISS's ADC + re-rank): the code
     * scan shortlists `k × overscan` candidates per query by
     * approximate distance, then ONLY those rows fetch their raw vector

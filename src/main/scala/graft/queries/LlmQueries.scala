@@ -1022,6 +1022,151 @@ object LlmQueries {
         "vec_id", "qv", "cluster", 5, nprobe = 3)
     },
 
+    // IVF-PQ (FAISS IVFPQ, the canonical billion-scale ANN layout):
+    // coarse k-means clusters the corpus, PQ quantizes the RESIDUAL
+    // vector − coarse-centroid (much lower energy than the raw vector,
+    // so the same code budget quantizes finer), queries probe nprobe
+    // lists and scan codes only via per-probe ADC tables, and the
+    // shortlist re-ranks exactly. Rows-only like e7/e9 — membership is
+    // training-dependent; determinism and recall are spec-gated
+    // (TwinConsistencySpec "e12/e13").
+    Q.rowsOnly("e12_ann_ivfpq") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // Deployment shape: coarse centroids AND residual codebooks train
+      // on a deterministic ~25% hash sample; the full corpus is then
+      // assigned, encoded, and searched against them.
+      val sample = graft.llm.Corpus.hashSample(emb, "vec_id", 25, "ivfpqtrain")
+      val cents = Similarity.kmeansCentroids(sample,
+        "vec_id", "embedding", k = 8, iters = 3)
+      val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+        cents)
+      val withC = emb.join(assign, Seq("vec_id"))
+      val cb = Similarity.ivfpqTrain(
+        graft.llm.Corpus.hashSample(withC, "vec_id", 25, "ivfpqtrain"),
+        "vec_id", "embedding", "cluster", cents, m = 8, k = 16, iters = 3)
+      val codes = Similarity.ivfpqEncode(withC, "vec_id", "embedding",
+        "cluster", cents, cb)
+      Similarity.ivfpqTopKRerank(codes, cents, cb, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 3, overscan = 4)
+    },
+
+    // e12's portable twin (the e10/e11 discipline): the ENTIRE
+    // production IVF-PQ path — coarse seed selection and the
+    // broadcast-centroid min_by assignment with its lpad tie-break
+    // (e11's coarse half), residual computation against the assigned
+    // centroid, seed residual codebooks (iters = 1), nearest-codeword
+    // assignment, per-probe query residuals and their ADC lookup
+    // tables, probed-list-only code scoring, and the exact-L2
+    // shortlist re-rank — under the DuckDB hash oracle. Inputs are
+    // integer-quantized (floor(x·1000 + 0.5)), and with iters = 1 the
+    // coarse centroids ARE seed vectors, so residuals are exact
+    // integer differences and every distance — probe cosine (replayed
+    // as Spark's exact formula, the e11 proof), ADC sums, re-rank L2 —
+    // is exact integer arithmetic that cannot flip under summation
+    // order. Only the Lloyd update stays outside (spec-gated).
+    Q("e13_ann_ivfpq_portable",
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(CAST(embedding AS DOUBLE[]),
+        |                            x -> floor(x * 1000 + 0.5)) AS v
+        |           FROM embeddings),
+        |sc AS (SELECT CAST(vec_id AS VARCHAR) AS cluster, v AS centroid
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT vec_id, cluster FROM (
+        |          SELECT e.vec_id, sc.cluster, row_number() OVER (
+        |            PARTITION BY e.vec_id ORDER BY
+        |              (list_sum(list_transform(range(0, 64),
+        |                 i -> e.v[i+1] * sc.centroid[i+1]))
+        |               / (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |                  sqrt(list_sum(list_transform(sc.centroid,
+        |                    x -> x * x))))) DESC,
+        |              lpad(cluster, 24, '0')) AS rn
+        |          FROM e CROSS JOIN sc) WHERE rn = 1),
+        |res AS (SELECT e.vec_id, a.cluster,
+        |          list_transform(range(0, 64),
+        |            i -> e.v[i+1] - sc.centroid[i+1]) AS rv
+        |        FROM e JOIN asg a ON e.vec_id = a.vec_id
+        |        JOIN sc ON sc.cluster = a.cluster),
+        |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id)
+        |            AS INT) - 1 AS code
+        |          FROM res ORDER BY vec_id LIMIT 16),
+        |grid AS (SELECT unnest(range(0, 8)) AS j),
+        |cb AS (SELECT CAST(grid.j AS INT) AS subspace, s.code,
+        |         r.rv[grid.j*8+1 : grid.j*8+8] AS c
+        |       FROM seeds s JOIN res r ON r.vec_id = s.vec_id CROSS JOIN grid),
+        |sv AS (SELECT r.vec_id, r.cluster, CAST(grid.j AS INT) AS subspace,
+        |         r.rv[grid.j*8+1 : grid.j*8+8] AS sv
+        |       FROM res r CROSS JOIN grid),
+        |assign AS (SELECT vec_id, cluster, subspace, code FROM (
+        |             SELECT sv.vec_id, sv.cluster, sv.subspace, cb.code,
+        |               row_number() OVER (
+        |                 PARTITION BY sv.vec_id, sv.subspace ORDER BY
+        |                   list_sum(list_transform(range(0, 8),
+        |                     i -> (sv.sv[i+1] - cb.c[i+1]) *
+        |                          (sv.sv[i+1] - cb.c[i+1]))), cb.code) AS rn
+        |             FROM sv JOIN cb ON sv.subspace = cb.subspace)
+        |           WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |pr AS (SELECT query_id, cluster,
+        |         list_transform(range(0, 64),
+        |           i -> qv[i+1] - centroid[i+1]) AS qr
+        |       FROM (
+        |         SELECT q.query_id, q.qv, sc.cluster, sc.centroid,
+        |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |             (list_sum(list_transform(range(0, 64),
+        |                i -> q.qv[i+1] * sc.centroid[i+1]))
+        |              / (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+        |                 sqrt(list_sum(list_transform(sc.centroid,
+        |                   x -> x * x))))) DESC,
+        |             sc.cluster) AS crank
+        |         FROM q CROSS JOIN sc) WHERE crank <= 3),
+        |qsv AS (SELECT pr.query_id, pr.cluster, CAST(grid.j AS INT) AS subspace,
+        |          pr.qr[grid.j*8+1 : grid.j*8+8] AS sv
+        |        FROM pr CROSS JOIN grid),
+        |lut AS (SELECT qsv.query_id, qsv.cluster, qsv.subspace, cb.code,
+        |          CAST(list_sum(list_transform(range(0, 8),
+        |            i -> (qsv.sv[i+1] - cb.c[i+1]) *
+        |                 (qsv.sv[i+1] - cb.c[i+1]))) AS BIGINT) * 1000000 AS dq
+        |        FROM qsv JOIN cb ON qsv.subspace = cb.subspace),
+        |scored AS (SELECT l.query_id, a.vec_id AS neighbor_id,
+        |             sum(l.dq) AS s
+        |           FROM assign a
+        |           JOIN lut l ON a.cluster = l.cluster
+        |             AND a.subspace = l.subspace AND a.code = l.code
+        |           WHERE l.query_id <> a.vec_id
+        |           GROUP BY l.query_id, a.vec_id),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY query_id
+        |              ORDER BY s, neighbor_id) AS rn
+        |            FROM scored) WHERE rn <= 20),
+        |rr AS (SELECT sh.query_id, sh.neighbor_id,
+        |         list_sum(list_transform(range(0, 64),
+        |           i -> (eq.v[i+1] - en.v[i+1]) * (eq.v[i+1] - en.v[i+1])))
+        |           AS dist
+        |       FROM short sh
+        |       JOIN e eq ON eq.vec_id = sh.query_id
+        |       JOIN e en ON en.vec_id = sh.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, dist
+        |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY dist, neighbor_id) AS INT) AS rank
+        |      FROM rr)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5)).as("qv"))
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "qv",
+        k = 8, iters = 1)
+      val assign = Similarity.assignToCentroids(emb, "vec_id", "qv", cents)
+      val withC = emb.join(assign, Seq("vec_id"))
+      val cb = Similarity.ivfpqTrain(withC, "vec_id", "qv", "cluster",
+        cents, m = 8, k = 16, iters = 1)
+      val codes = Similarity.ivfpqEncode(withC, "vec_id", "qv", "cluster",
+        cents, cb)
+      Similarity.ivfpqTopKRerank(codes, cents, cb, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "qv",
+        k = 5, nprobe = 3, overscan = 4)
+    },
+
     // Multimodal: binary payload → fixed-dim feature vector through the
     // portable decode stub (real schema/partitioning plumbing, fake
     // codec — this container ships no image libs). One feature row per

@@ -155,6 +155,36 @@ class TwinConsistencySpec extends AnyFunSuite {
     assert(mutual >= 0.4, s"PQ prod/twin top-k overlap $mutual")
   }
 
+  test("e12/e13: IVF-PQ re-ranked top-k stays interchangeable with the portable twin") {
+    val k = 5
+    def run(e: DataFrame, vecCol: String, iters: Int) = {
+      val cents = Similarity.kmeansCentroids(e, "vec_id", vecCol, k = 8,
+        iters = iters)
+      val withC = e.join(
+        Similarity.assignToCentroids(e, "vec_id", vecCol, cents),
+        Seq("vec_id"))
+      val cb = Similarity.ivfpqTrain(withC, "vec_id", vecCol, "cluster",
+        cents, m = 8, k = 16, iters = iters)
+      val codes = Similarity.ivfpqEncode(withC, "vec_id", vecCol,
+        "cluster", cents, cb)
+      topkSets(Similarity.ivfpqTopKRerank(codes, cents, cb, e,
+        e.filter(col("vec_id") < 10), "vec_id", vecCol, k = k,
+        nprobe = 3, overscan = 4))
+    }
+    val prod = run(emb, "embedding", iters = 3)
+    val quant = emb.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * 1000 + 0.5)).as("qv"))
+    val twin = run(quant, "qv", iters = 1)
+    val brute = topkSets(Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding", k))
+    val mutual = meanOverlap(prod, twin, k)
+    assert(mutual >= 0.3, s"IVF-PQ prod/twin top-k overlap $mutual")
+    assert(meanOverlap(prod, brute, k) >= 0.4,
+      s"IVF-PQ prod recall vs brute ${meanOverlap(prod, brute, k)}")
+    assert(meanOverlap(twin, brute, k) >= 0.4,
+      s"IVF-PQ twin recall vs brute ${meanOverlap(twin, brute, k)}")
+  }
+
   test("e7/e11: IVF k-means top-k stays interchangeable with the portable twin") {
     val k = 5
     def run(e: DataFrame, vecCol: String, iters: Int) = {
