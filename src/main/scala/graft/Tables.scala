@@ -32,28 +32,88 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is nanosecond-precision parquet, which Spark 4 rejects
-    * as a timestamp type; read it as long nanos and convert to a µs
-    * timestamp with integer division (a double round trip would lose
-    * precision at 1.7e18 ns).
+  /** events.ts precision has drifted between rounds of driver-generated
+    * testdata: earlier rounds wrote TIMESTAMP(NANOS) (which Spark 4
+    * rejects at footer inference with PARQUET_TYPE_ILLEGAL), round-9+
+    * writes native timestamp[us]. A hard-coded assumption either way is
+    * exactly the "upstream schema drift" failure mode the reference
+    * documents (ref: siskin docs/ai-update/README.md:14-16), and the
+    * forced-BIGINT nanos read silently corrupted µs data (r9 verdict:
+    * every ts ÷1000 → January 1970, j3/pipe2 collapsed).
     *
-    * The read is fully isolated (ADVICE r02/r03): the explicit user
-    * schema skips footer-schema inference — the step that throws
-    * PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) — and the vectorized
-    * reader then surfaces the INT64 values as longs directly. That is
-    * sufficient on its own (verified empirically on a session with the
-    * legacy conf unset; a per-read nanosAsLong option would be a no-op
-    * anyway — ParquetFileFormat overwrites that hadoop-conf key from
-    * the session SQLConf). No session-global conf is mutated, so
-    * externally-built sessions (the driver's harness) are untouched. */
-  private val eventsSchema =
+    * So the loader is now self-describing: it reads the parquet footer
+    * directly via parquet-hadoop (outside Spark, so NANOS can't throw)
+    * and branches on the logical type of `ts`:
+    *   - TIMESTAMP(NANOS) → explicit BIGINT user schema (skipping the
+    *     footer inference that would throw) + `timestamp_micros(ts div
+    *     1000)`; integer division because a double round trip loses
+    *     precision at 1.7e18 ns.
+    *   - anything else (µs/ms timestamp) → plain native read.
+    * The footer probe is one driver-side metadata read per distinct
+    * path, memoized; no session-global conf is mutated either way. */
+  private val eventsNanosSchema =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
-  def events(s: SparkSession, d: String): DataFrame =
-    s.read
-      .schema(eventsSchema)
-      .parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff the `ts` column of the parquet file(s) at `path` carries
+    * the TIMESTAMP(NANOS) logical type. Reads one footer (first data
+    * file when `path` is a directory) with parquet-hadoop, which —
+    * unlike Spark's own inference — handles NANOS without throwing. */
+  private[graft] def eventsTsIsNanos(s: SparkSession, path: String): Boolean =
+    tsNanosCache.computeIfAbsent(path, { _ =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+      val hconf = s.sessionState.newHadoopConf()
+      val p     = new Path(path)
+      val fs    = p.getFileSystem(hconf)
+      val file  =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p)
+            .map(_.getPath)
+            .filter { f =>
+              val n = f.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            }
+            .sortBy(_.getName)
+            .headOption
+            .getOrElse(p)
+        else p
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hconf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.containsField("ts") &&
+        (schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+          case _                                 => false
+        })
+      } finally reader.close()
+    })
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    if (eventsTsIsNanos(s, path))
+      s.read
+        .schema(eventsNanosSchema)
+        .parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else {
+      // The driver writes timestamp[us] without a timezone, which Spark
+      // surfaces as TimestampNTZ; every consumer (and the pre-drift
+      // loader contract) expects TimestampType. All graft sessions pin
+      // spark.sql.session.timeZone=UTC, so the cast is a micros-identity.
+      val df = load(s, d, "events")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
