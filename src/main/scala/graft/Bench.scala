@@ -17,6 +17,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // ContextCleaner only reaps shuffle files / broadcast blocks when
+      // driver GC collects their weak refs; the default periodicGC
+      // interval (30 min) never fires inside a ~17 min bench, so state
+      // from ~280 timed queries accumulates and pollutes neighbors
+      // (r9: untouched queries read 2-3× their isolated cost in-pass).
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -92,9 +98,22 @@ object Bench {
       df.select(xxhash64(df.columns.map(c => col(s"`$c`").cast("string")): _*)
           .as("h"))
         .agg(expr("bit_xor(h)")).collect()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Reap the query's wake BEFORE the next timing, outside the timed
+      // window: an explicit driver GC is what lets ContextCleaner find
+      // the dead shuffle/broadcast refs this query just dropped. Without
+      // it each query inherits its predecessors' accumulated state —
+      // the measured r9 mechanism (g6 read 5.9 s in-pass at sf0.1 vs
+      // 2.2 s on 16× the data in the fresh-state heavy block).
+      System.gc()
+      sec
     }
-    val passes: Seq[Map[String, Double]] = (1 to 2).map { pass =>
+    // Three passes, min per query: with two, a query unlucky in both
+    // permutations keeps the inflated number (r9: untouched queries
+    // read 2-3× their isolated cost; the GC hook above removes the
+    // systematic part, a third sample tightens what remains).
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes: Seq[Map[String, Double]] = (1 to nPasses).map { pass =>
       // Permute the execution order per pass (deterministic seed): with
       // a FIXED order, a query sitting directly after a heavyweight
       // neighbor inherits its GC/shuffle-churn wake in BOTH passes, and
@@ -105,9 +124,14 @@ object Bench {
       // passes approximates the isolated steady-state number.
       val order = new scala.util.Random(1000003L * pass).shuffle(selected)
       order.map { q =>
-        System.err.println(s"[bench] pass $pass ${q.name}")
-        try q.name -> timeOne(q)
-        catch {
+        try {
+          val sec = timeOne(q)
+          // Per-sample line (the JSON carries only the min): makes
+          // pass-position contention visible when passes disagree.
+          System.err.println(
+            f"[bench] pass $pass ${q.name} ${sec}%.3f s")
+          q.name -> sec
+        } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
             q.name -> -1.0
@@ -131,7 +155,7 @@ object Bench {
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
     val heavyJson = HeavyBench.run(spark, sfDir, only)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min2","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min$nPasses","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}""")
     spark.stop()
   }
 }
@@ -204,6 +228,8 @@ object HeavyBench {
   private def timeOne(spark: SparkSession, q: Q, dir: String): Double = {
     import org.apache.spark.sql.functions._
     try {
+      // Start from reaped state (same rationale as the light pass).
+      System.gc()
       val t0 = System.nanoTime()
       val df = q.fn(spark, dir)
       df.select(xxhash64(df.columns.map(c => col(s"`$c`").cast("string")): _*)

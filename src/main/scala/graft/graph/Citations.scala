@@ -87,7 +87,21 @@ object Citations {
     * sorted member set per key; groups larger than `maxGroupSize` are
     * dropped (hub cap — a review paper citing thousands of works would
     * otherwise emit O(n²) pairs); pairs are exploded from the array and
-    * re-counted. Output: (a, b, n_shared) with a < b. */
+    * re-counted. Output: (a, b, n_shared) with a < b.
+    *
+    * Measured and rejected (r10): running the quadratic stage on dense
+    * int member ids (order-preserving dict, strings joined back only
+    * for the minShared survivors) to thin the pair shuffle. At sf0.1
+    * (600 K edges, ~8.7 M pairs) the extra dict lineage — a distinct +
+    * id assignment + one more scan-join of the edge list — costs more
+    * than the narrower shuffle saves (6.0-6.6 s vs 4.3-4.7 s for this
+    * string version, dict localCheckpointed). The pair-count shuffle is
+    * ~2.7 s of the total and partial-aggregates poorly (pairs are
+    * mostly unique), so the string bytes are not the bottleneck the
+    * per-element width suggests. At a scale where the dict join
+    * amortizes (hub-capped pair count grows linearly with keys while
+    * the dict stays vertex-sized), revisit with a zipWithIndex-style
+    * id assignment. */
   private def coOccurrencePairs(assignments: DataFrame, key: String,
                                 member: String, minShared: Int,
                                 maxGroupSize: Int): DataFrame =
