@@ -171,49 +171,94 @@ object Bench {
   * MB/s / rows/s that the baseline comparison actually needs.
   * Disable with SPARK_GRAFT_HEAVY=0. */
 object HeavyBench {
-  import queries.Q
+  import org.apache.spark.sql.DataFrame
+  import graft.llm.Dedup
 
   private val Factors = Map("documents" -> 64, "embeddings" -> 16,
     "lineitem" -> 16)
-  private val Layout = "v1"
+  private val Layout = "v4" // v4: lowdup suffixes kill cross-original sim
 
-  /** (query, tables it reads) — the heavy set from the per-round bench
-    * tail, one member per expensive family. */
-  val HeavySet: Seq[(String, Seq[String])] = Seq(
-    "d3_minhash_lsh_pairs" -> Seq("documents"),
-    "d8_dup_groups" -> Seq("documents"),
-    "d10_simhash_neardup" -> Seq("documents"),
-    "d16_passage_coverage" -> Seq("documents"),
-    "t8_contamination" -> Seq("documents"),
-    "pipe17_llm_curation" -> Seq("documents"),
-    "e9_ann_pq" -> Seq("embeddings"),
-    "e7_ann_ivf_kmeans" -> Seq("embeddings"),
-    "e12_ann_ivfpq" -> Seq("embeddings"),
-    "g6_coupling" -> Seq("lineitem"),
-    "g8_pagerank" -> Seq("lineitem"))
+  /** One heavy entry: a registered query (or a custom fn for variants
+    * not in the registry), the tables it reads, an optional subdir of
+    * the heavy dir to run against, and optional UNTIMED extra counts —
+    * for the dedup entries, the candidate-pair counts that make
+    * docs/s interpretable (pairs are the actual unit of LSH work;
+    * verified pairs come free from the timed run's row count). */
+  private case class HeavyItem(
+      name: String, tables: Seq[String], subdir: Option[String] = None,
+      fn: Option[(SparkSession, String) => DataFrame] = None,
+      counts: Option[(SparkSession, String) => Seq[(String, Long)]] = None)
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val Items: Seq[HeavyItem] = Seq(
+    HeavyItem("d3_minhash_lsh_pairs", Seq("documents"),
+      counts = Some((s, d) => Seq("candidate_pairs" ->
+        Dedup.minhashLshCandidates(docs(s, d), "doc_id", "text",
+          maxBucketSize = Some(100)).count()))),
+    // Production-density variant: same operator/params, corpus where
+    // only 1 replica in 16 stays a near-dup (the rest are token-mangled
+    // past any threshold) — real corpora run 1-10% dup density, and
+    // docs/s on the ~25%-dense default fixture is adversarial by
+    // construction (quadratic true-pair volume).
+    HeavyItem("d3_minhash_lsh_pairs_lowdup", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id",
+        "text", threshold = 0.8, maxBucketSize = Some(100))),
+      counts = Some((s, d) => Seq("candidate_pairs" ->
+        Dedup.minhashLshCandidates(docs(s, d), "doc_id", "text",
+          maxBucketSize = Some(100)).count()))),
+    HeavyItem("d8_dup_groups", Seq("documents")),
+    HeavyItem("d10_simhash_neardup", Seq("documents"),
+      counts = Some((s, d) => Seq("candidate_pairs" ->
+        Dedup.simhashCandidates(docs(s, d), "doc_id", "text", bits = 32,
+          blocks = 4, maxHamming = 2, portable = true,
+          maxBucketSize = Some(200)).count()))),
+    HeavyItem("d16_passage_coverage", Seq("documents"),
+      counts = Some((s, d) => Seq(
+        "windows" -> Dedup.passageWindows(docs(s, d), "doc_id", "text",
+          w = 8, stride = 4, portable = true).count()))),
+    HeavyItem("t8_contamination", Seq("documents")),
+    HeavyItem("pipe17_llm_curation", Seq("documents")),
+    HeavyItem("e9_ann_pq", Seq("embeddings")),
+    HeavyItem("e7_ann_ivf_kmeans", Seq("embeddings")),
+    HeavyItem("e12_ann_ivfpq", Seq("embeddings")),
+    HeavyItem("g6_coupling", Seq("lineitem")),
+    HeavyItem("g8_pagerank", Seq("lineitem")))
 
   def run(spark: SparkSession, sfDir: String,
           only: Option[Set[String]]): String = {
     if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0")) return ""
-    val selected = HeavySet.filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = Items.filter(i => only.forall(_.contains(i.name)))
     if (selected.isEmpty) return ""
     try {
       val dir = ensureHeavyDir(spark, sfDir)
       // Graph fixtures derive from the heavy dir's lineitem — prebuilt
       // here so the first graph query isn't charged for fixture prep.
-      if (selected.exists(_._2.contains("lineitem")))
+      if (selected.exists(_.tables.contains("lineitem")))
         queries.GraphQueries.ensureCitationFixture(spark, dir)
-      val byName = SparkEntry.registry.map(q => q.name -> q).toMap
-      val items = selected.flatMap { case (name, tables) =>
-        byName.get(name).map { q =>
-          System.err.println(s"[bench] heavy $name")
-          val bytes = tables.map(t => duBytes(spark, s"$dir/$t.parquet")).sum
-          val rows = tables.map(t =>
-            spark.read.parquet(s"$dir/$t.parquet").count()).sum
-          val sec = timeOne(spark, q, dir)
+      val byName = SparkEntry.registry.map(q => q.name -> q.fn).toMap
+      val items = selected.flatMap { item =>
+        val fn = item.fn.orElse(byName.get(item.name))
+        fn.map { f =>
+          System.err.println(s"[bench] heavy ${item.name}")
+          val d = item.subdir.map(s => s"$dir/$s").getOrElse(dir)
+          val bytes = item.tables.map(t => duBytes(spark, s"$d/$t.parquet")).sum
+          val rows = item.tables.map(t =>
+            spark.read.parquet(s"$d/$t.parquet").count()).sum
+          val (sec, outRows) = timeOne(spark, item.name, f, d)
           val mbps = if (sec > 0) bytes / 1e6 / sec else -1.0
           val rps = if (sec > 0) rows / sec else -1.0
-          f""""$name":{"sec":$sec%.3f,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f}"""
+          // Extra counts are untimed: they re-run the candidate stage
+          // on its own, after the timed window.
+          val extras = item.counts.map(_(spark, d)).getOrElse(Nil) ++
+            (if (outRows >= 0) Seq("out_rows" -> outRows) else Nil)
+          val extraJson = extras.map { case (k, v) =>
+            val perS = if (sec > 0 && k == "candidate_pairs")
+              f""","pairs_per_s":${v / sec}%.0f""" else ""
+            s""""$k":$v$perS"""
+          }.mkString(",", ",", "").stripSuffix(",")
+          f""""${item.name}":{"sec":$sec%.3f,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f$extraJson}"""
         }
       }
       val f = Factors.map { case (k, v) => s""""$k":$v""" }.mkString(",")
@@ -225,21 +270,27 @@ object HeavyBench {
     }
   }
 
-  private def timeOne(spark: SparkSession, q: Q, dir: String): Double = {
+  /** Times one full materialization; returns (seconds, result rows).
+    * The row count rides the same aggregate as the hash fold, so it is
+    * free — no second evaluation. */
+  private def timeOne(spark: SparkSession, name: String,
+                      f: (SparkSession, String) => DataFrame,
+                      dir: String): (Double, Long) = {
     import org.apache.spark.sql.functions._
     try {
       // Start from reaped state (same rationale as the light pass).
       System.gc()
       val t0 = System.nanoTime()
-      val df = q.fn(spark, dir)
-      df.select(xxhash64(df.columns.map(c => col(s"`$c`").cast("string")): _*)
+      val df = f(spark, dir)
+      val row = df
+        .select(xxhash64(df.columns.map(c => col(s"`$c`").cast("string")): _*)
           .as("h"))
-        .agg(expr("bit_xor(h)")).collect()
-      (System.nanoTime() - t0) / 1e9
+        .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0)
+      ((System.nanoTime() - t0) / 1e9, row.getLong(1))
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] heavy ${q.name} FAILED: ${e.getMessage}")
-        -1.0
+        System.err.println(s"[bench] heavy $name FAILED: ${e.getMessage}")
+        (-1.0, -1L)
     }
   }
 
@@ -300,7 +351,38 @@ object HeavyBench {
           rep(Factors("lineitem")))
         .select((col("l_orderkey") * Factors("lineitem") + col("i"))
           .as("l_orderkey"), col("l_partkey"))
+      // Production-density documents variant. The BASE corpus is
+      // itself ~9% pair-dense (d2: 429 true pairs in its first 100
+      // docs), so any variant that keeps original token text inherits
+      // quadratic cross-original pair volume (measured: a
+      // replica-id-only mangle still verified 2.4 M pairs). Every
+      // replica therefore gets its tokens suffixed with the ORIGINAL
+      // doc id — killing all cross-original similarity — and replicas
+      // with i % 16 == 0 share exactly that suffix (near-dups of each
+      // other: same text + one distinct zrep token, J ≈ 0.98), while
+      // the rest also carry the replica id (unique shingle sets, no
+      // partner). Result: C(4,2) = 6 true pairs per 64-doc group,
+      // ~30 K pairs over 320 K docs — the 1-5% production regime —
+      // with per-doc token count, and thus signature cost, unchanged.
+      // `orig` stages the pre-replication id under a name the output
+      // does NOT reuse: referencing col("doc_id") in the same select
+      // that aliases doc_id*64+i AS doc_id resolves the lambda's outer
+      // reference to the NEW column (lateral-alias style), which
+      // silently gave every replica a unique suffix (measured: 0
+      // candidate pairs).
+      val lowdup = Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("orig"), col("text"), col("lang"),
+          col("source"), col("n_chars"), rep(Factors("documents")))
+        .select((col("orig") * Factors("documents") + col("i")).as("doc_id"),
+          concat(
+            concat_ws(" ", transform(split(trim(col("text")), " "),
+              w => concat(w, lit("~"), col("orig").cast("string"),
+                when(col("i") % 16 === 0, lit(""))
+                  .otherwise(concat(lit("_"), col("i").cast("string")))))),
+            lit(" zrep"), col("i").cast("string")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
       docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      lowdup.write.mode("overwrite").parquet(s"$dir/lowdup/documents.parquet")
       emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       val out = fs.create(sidecar, true)

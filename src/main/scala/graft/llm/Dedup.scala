@@ -209,14 +209,13 @@ object Dedup {
   /** Shared LSH back-half: band the (doc, sig) table, bucket-join for
     * candidates, verify with exact Jaccard. Factored so every signature
     * family (classic permutation, OPH) runs the identical scale path. */
-  private def lshVerifiedPairs(docs: DataFrame, id: String, text: String,
-                               sig: DataFrame, threshold: Double,
-                               shingleN: Int, bands: Int, rowsPerBand: Int,
-                               maxBucketSize: Option[Int]): DataFrame = {
-    // Band table carries only (band, bucket, doc) — token arrays would
-    // otherwise be replicated ×bands through the shuffle. Tokens rejoin
-    // only for the (much smaller) deduped candidate set.
-    val banded = sig.select(
+  /** (band, bucket, doc) table from a signature table. Carries only the
+    * banded hash — token arrays would otherwise be replicated ×bands
+    * through the shuffle; tokens rejoin only for the (much smaller)
+    * deduped candidate set. */
+  private def bandTable(sig: DataFrame, bands: Int,
+                        rowsPerBand: Int): DataFrame =
+    sig.select(
       col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -226,8 +225,28 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
-    val candidates = bucketPairs(banded, Seq("band", "bucket"), "doc",
-      maxBucketSize)
+  /** CANDIDATE pairs of [[minhashLshPairs]] — the banded bucket pairs
+    * BEFORE exact verification. Exposed so benchmarks can report the
+    * actual unit of LSH work (candidate pairs generated/verified per
+    * second); the pair set is what the verify join pays for, so
+    * docs/s alone says nothing about dup-density-sensitive cost. */
+  def minhashLshCandidates(docs: DataFrame, id: String, text: String,
+                           shingleN: Int = 1, bands: Int = 16,
+                           rowsPerBand: Int = 8,
+                           maxBucketSize: Option[Int] = None,
+                           portable: Boolean = false): DataFrame = {
+    val sig = signatureAgg(hashedShingles(docs, id, text, shingleN, portable),
+      bands * rowsPerBand)
+    bucketPairs(bandTable(sig, bands, rowsPerBand), Seq("band", "bucket"),
+      "doc", maxBucketSize)
+  }
+
+  private def lshVerifiedPairs(docs: DataFrame, id: String, text: String,
+                               sig: DataFrame, threshold: Double,
+                               shingleN: Int, bands: Int, rowsPerBand: Int,
+                               maxBucketSize: Option[Int]): DataFrame = {
+    val candidates = bucketPairs(bandTable(sig, bands, rowsPerBand),
+      Seq("band", "bucket"), "doc", maxBucketSize)
 
     val toks = shingleArrays(docs, id, text, shingleN)
     candidates
@@ -472,16 +491,61 @@ object Dedup {
       })
   }
 
+  /** The short-document regime check for OPH: with mean distinct
+    * shingles per doc below ~4× the bin count, most bins are EMPTY and
+    * the circular densification fills them with copies of the few
+    * occupied values — bands stop being independent and banded recall
+    * collapses (measured on the sf corpus: ~200 tokens vs 128 bins →
+    * OPH finds ~13% of the 128-permutation LSH's pairs at threshold
+    * 0.8, LlmQueries d11 note). Pure so the spec can pin the exact
+    * boundary; returns the warning text to log. */
+  private[graft] def ophRegimeWarning(meanDistinctTokens: Double,
+                                      bins: Int): Option[String] =
+    if (meanDistinctTokens < 4.0 * bins)
+      Some(f"minhashLshPairsOph: mean distinct shingles/doc " +
+        f"$meanDistinctTokens%.0f is below 4x bins (${4 * bins}); sparse " +
+        "bin occupancy makes densification copy the few occupied values " +
+        "across bands, collapsing banded recall (measured ~13% of the " +
+        "per-permutation LSH's pairs at 0.8 on a ~200-token corpus with " +
+        "128 bins). Use minhashLshPairs for short documents.")
+    else None
+
+  /** Samples the first `sampleDocs` docs' distinct-shingle counts and
+    * returns [[ophRegimeWarning]]'s verdict for them. Split from the
+    * logging call so the spec can assert the probe fires on a
+    * short-document corpus and stays quiet on a long-document one. */
+  private[graft] def ophRegimeProbe(docs: DataFrame, id: String,
+                                    text: String, shingleN: Int, bins: Int,
+                                    sampleDocs: Int): Option[String] = {
+    val mean = shingleArrays(docs, id, text, shingleN)
+      .limit(sampleDocs)
+      .agg(avg(size(col("toks")))).collect()(0)
+    if (mean.isNullAt(0)) None
+    else ophRegimeWarning(mean.getDouble(0), bins)
+  }
+
   /** MinHash-LSH near-dup pairs over the OPH signature — identical
     * banding/candidate/verification path as [[minhashLshPairs]], ~128×
     * cheaper signature stage. Subject to [[minhashOphSignature]]'s
     * long-document regime caveat; high-similarity recall is spec-gated,
-    * and emitted pairs are always exact-verified regardless. */
+    * and emitted pairs are always exact-verified regardless.
+    *
+    * On construction the first `regimeSampleDocs` docs are sampled for
+    * mean distinct-shingle count and [[ophRegimeWarning]] is logged if
+    * the corpus sits in the collapsed-recall regime — a bounded
+    * driver-side probe (one LocalLimit scan), not a full pass; pass
+    * `regimeSampleDocs = 0` to skip it. */
   def minhashLshPairsOph(docs: DataFrame, id: String, text: String,
                          threshold: Double = 0.8, shingleN: Int = 1,
                          bands: Int = 16, rowsPerBand: Int = 8,
                          maxBucketSize: Option[Int] = None,
-                         portable: Boolean = false): DataFrame = {
+                         portable: Boolean = false,
+                         regimeSampleDocs: Int = 2048): DataFrame = {
+    if (regimeSampleDocs > 0)
+      ophRegimeProbe(docs, id, text, shingleN, bands * rowsPerBand,
+        regimeSampleDocs)
+        .foreach(org.apache.logging.log4j.LogManager
+          .getLogger(getClass).warn(_))
     val sig = minhashOphSignature(docs, id, text, bands * rowsPerBand, shingleN,
       portable)
     lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
@@ -762,18 +826,9 @@ object Dedup {
                           bits: Int = 16, blocks: Int = 4,
                           maxHamming: Int = 2, portable: Boolean = false,
                           maxBucketSize: Option[Int] = None): DataFrame = {
-    require(bits % blocks == 0, "bits must divide into equal blocks")
-    require(maxHamming < blocks,
-      "pigeonhole guarantee needs maxHamming < blocks")
-    val blockBits = bits / blocks
     val fp = simhashTable(docs, id, text, bits, portable)
       .withColumnRenamed(id, "doc")
-    val banded = fp.select(col("doc"),
-      posexplode(array((0 until blocks).map { j =>
-        shiftright(col("simhash"), j * blockBits)
-          .bitwiseAND((1L << blockBits) - 1)
-      }: _*)).as(Seq("blk_idx", "blk")))
-    val candidates = bucketPairs(banded, Seq("blk_idx", "blk"), "doc",
+    val candidates = simhashBlockCandidates(fp, bits, blocks, maxHamming,
       maxBucketSize)
     val fps = fp.select(col("doc"), col("simhash"))
     candidates
@@ -783,6 +838,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Block-agreement candidate stage of [[simhashNearDupPairs]], from a
+    * (doc, simhash) fingerprint table. */
+  private def simhashBlockCandidates(fp: DataFrame, bits: Int, blocks: Int,
+                                     maxHamming: Int,
+                                     maxBucketSize: Option[Int]): DataFrame = {
+    require(bits % blocks == 0, "bits must divide into equal blocks")
+    require(maxHamming < blocks,
+      "pigeonhole guarantee needs maxHamming < blocks")
+    val blockBits = bits / blocks
+    val banded = fp.select(col("doc"),
+      posexplode(array((0 until blocks).map { j =>
+        shiftright(col("simhash"), j * blockBits)
+          .bitwiseAND((1L << blockBits) - 1)
+      }: _*)).as(Seq("blk_idx", "blk")))
+    bucketPairs(banded, Seq("blk_idx", "blk"), "doc", maxBucketSize)
+  }
+
+  /** Candidate pairs of [[simhashNearDupPairs]] for external counting. */
+  def simhashCandidates(docs: DataFrame, id: String, text: String,
+                        bits: Int = 16, blocks: Int = 4,
+                        maxHamming: Int = 2, portable: Boolean = false,
+                        maxBucketSize: Option[Int] = None): DataFrame =
+    simhashBlockCandidates(
+      simhashTable(docs, id, text, bits, portable).withColumnRenamed(id, "doc"),
+      bits, blocks, maxHamming, maxBucketSize)
 
   /** Per-row SimHash Column form: per bit position, sum +1/-1 votes
     * from the token hash bits; the sign vector is the fingerprint.

@@ -378,7 +378,15 @@ object Similarity {
               dim: Int = 64): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(k >= 1 && iters >= 1, "pqTrain needs k >= 1, iters >= 1")
-    val sv = subvectors(emb, id, vec, m, dim)
+    // Materialize the training subvectors once: the Lloyd loop refers
+    // to `sv` twice per iteration, and without the checkpoint each
+    // reference re-executes the whole input lineage — for IVF-PQ that
+    // lineage is residuals ← broadcast-assignment ← coarse k-means,
+    // re-run ~2·iters times (measured r10: e12-heavy spent most of its
+    // 28 s re-deriving assignments inside codebook training). The
+    // training set is a sample (thousands of rows × m subvectors), so
+    // the materialization is small by design.
+    val sv = subvectors(emb, id, vec, m, dim).localCheckpoint()
     val seeds = emb.orderBy(col(id)).limit(k)
       .select(col(id).as("__id"),
         (row_number().over(Window.orderBy(col(id))) - 1).as("code"))

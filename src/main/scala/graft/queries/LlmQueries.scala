@@ -65,6 +65,11 @@ object LlmQueries {
     // recall is deliberately the documented weak regime (~13% of d3's
     // pairs at 0.8) — registered to gate the plumbing, with d3 as the
     // short-doc default; every emitted pair is still exact-verified.
+    // The regime is now also guarded AT RUNTIME: the operator probes
+    // mean distinct shingles vs bins on construction and logs a
+    // structured warning in exactly this situation (ophRegimeWarning;
+    // DedupSpec pins the boundary), so a user picking OPH for short
+    // docs no longer gets silent recall loss.
     Q.rowsOnly("d11_minhash_oph_pairs") { (s, d) =>
       Dedup.minhashLshPairsOph(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8, maxBucketSize = Some(100))
@@ -1038,8 +1043,13 @@ object LlmQueries {
       val sample = graft.llm.Corpus.hashSample(emb, "vec_id", 25, "ivfpqtrain")
       val cents = Similarity.kmeansCentroids(sample,
         "vec_id", "embedding", k = 8, iters = 3)
+      // The assignment table is materialized once (what a deployment
+      // does — it IS the inverted-list index): it feeds both the
+      // codebook-training branch and the encode branch, and without
+      // the checkpoint each branch re-runs the broadcast-centroid
+      // assignment over the full corpus.
       val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
-        cents)
+        cents).localCheckpoint()
       val withC = emb.join(assign, Seq("vec_id"))
       val cb = Similarity.ivfpqTrain(
         graft.llm.Corpus.hashSample(withC, "vec_id", 25, "ivfpqtrain"),

@@ -75,6 +75,27 @@ class DedupSpec extends AnyFunSuite {
     assert(oph == exact, s"OPH found ${oph.size}/8 in its own regime")
   }
 
+  test("OPH regime warning: fires on short docs, quiet on long docs") {
+    // Pure boundary: the warning threshold is mean distinct shingles
+    // < 4× bins (occupancy floor below which densification correlates
+    // bands; measured ~13% relative recall on the ~200-token corpus).
+    assert(Dedup.ophRegimeWarning(200.0, 128).isDefined)
+    assert(Dedup.ophRegimeWarning(511.0, 128).isDefined)
+    assert(Dedup.ophRegimeWarning(512.0, 128).isEmpty)
+    // Probe over real data: the sf documents are ~200 tokens → warn.
+    val short = Dedup.ophRegimeProbe(docs, "doc_id", "text",
+      shingleN = 1, bins = 128, sampleDocs = 256)
+    assert(short.isDefined, "short-doc corpus must trigger the warning")
+    assert(short.get.contains("Use minhashLshPairs"))
+    // Long-doc corpus (2000 distinct tokens vs 128 bins) → quiet.
+    val longDocs = (0 until 8).map { k =>
+      (k.toLong, (k * 3000 until k * 3000 + 2000).map(i => s"w$i")
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(Dedup.ophRegimeProbe(longDocs, "doc_id", "text",
+      shingleN = 1, bins = 128, sampleDocs = 256).isEmpty)
+  }
+
   test("OPH signature: full width, empty bins densified from neighbors") {
     val sigs = Dedup.minhashOphSignature(
       Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
