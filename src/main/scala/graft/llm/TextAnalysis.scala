@@ -52,10 +52,24 @@ object TextAnalysis {
     * phantom [""] token gives junk rows a perfect 1.0 and a
     * quality-ranked curation would keep them preferentially. */
   def qualityScore(text: Column): Column =
+    qualityScoreOfTokens(text, Scalars.tokens(text))
+
+  /** [[qualityScore]] over an already-materialized token array — bind
+    * `toks` to an attribute on hot paths so one split serves all three
+    * component ratios (the [[repetitionStats]] staging rule). The
+    * formula is shared with the scalar form, so the two can never
+    * drift. */
+  def qualityScoreOfTokens(text: Column, toks: Column): Column = {
+    val n = size(toks)
+    val distinct = size(array_distinct(toks)).cast("double") / n
+    val stop = size(filter(toks,
+      x => EnStopwords.map(s => x === s).reduce(_ || _)))
+      .cast("double") / n
     when(length(trim(text)) === 0, 0.0).otherwise(
-      distinctRatio(text) * lit(0.5) +
+      distinct * lit(0.5) +
         (lit(1.0) - punctRatio(text)) * lit(0.3) +
-        (lit(1.0) - stopwordRatio(text)) * lit(0.2))
+        (lit(1.0) - stop) * lit(0.2))
+  }
 
   /** Language-ID: stopword-profile scoring over substantial per-language
     * profiles (~75 high-frequency function words each — the standard
@@ -184,6 +198,33 @@ object TextAnalysis {
     when(size(ng) === 0, lit(0.0))
       .otherwise((size(ng) - size(array_distinct(ng))) / size(ng))
 
+  /** Repeat fraction of token n-grams WITHOUT building the n-gram
+    * strings: each position hashes its n tokens through one multi-arg
+    * xxhash64 and the distinct count runs over longs. The string form
+    * allocates ~|tokens| joined strings per row per order (slice +
+    * array_join each) — measured 53 s/61 s for orders 2/3 over the
+    * ×64 heavy corpus vs ~3 s for the bare tokenize, i.e. the
+    * allocation IS the repetition-gate cost. Token→string mapping is
+    * injective (tokens cannot contain the joiner space), so the
+    * distinct count — and hence the fraction — equals the string
+    * form's, up to 64-bit hash collisions (~n²/2⁶⁴ ≈ 1e-12 per
+    * document at 10 K tokens; the t7 oracle compares against DuckDB's
+    * string-built fractions and tolerates that). */
+  def dupNgramHashFrac(toks: Column, n: Int): Column =
+    dupFracOf(hashNgrams(toks, n))
+
+  /** The hashed n-gram array itself — stage this behind a generator
+    * barrier on hot paths ([[repetitionStats]]/[[funnelStats]]) so the
+    * multiple references inside [[dupFracOf]] read a bound attribute
+    * instead of re-running the transform. */
+  private[graft] def hashNgrams(toks: Column, n: Int): Column = {
+    require(n >= 2, s"hashed n-grams need n >= 2, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64((1 to n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(typedLit(Seq.empty[Long]))
+  }
+
   /** Frequency share of the single most common token, still inside the
     * scan (zero shuffle): sort the tokens and fold for the longest run
     * of equal neighbors — O(n log n) per document. (The obvious
@@ -228,10 +269,11 @@ object TextAnalysis {
     * element — measured 33 s on sf0.1 vs 0.24 s for one tokenize), and
     * CollapseProject re-inlines any `withColumn` staging, so each
     * output column would redo the whole construction. Here tokens and
-    * both n-gram arrays are materialized once per row behind
-    * `explode(array(…))` generator barriers — projections do not
-    * collapse across a Generator — and every stat then reads bound
-    * attributes. Still zero shuffle. */
+    * both HASHED n-gram arrays ([[hashNgrams]] — same fractions as the
+    * string form without its per-position string allocation) are
+    * materialized once per row behind `explode(array(…))` generator
+    * barriers — projections do not collapse across a Generator — and
+    * every stat then reads bound attributes. Still zero shuffle. */
   def repetitionStats(df: DataFrame, text: String,
                       maxTopTokenFrac: Double = 0.20,
                       maxDup2Frac: Double = 0.20,
@@ -240,8 +282,8 @@ object TextAnalysis {
       .withColumn("__toks", explode(array(Scalars.tokens(col(text)))))
       .withColumn("__rep", explode(array(struct(
         array_sort(col("__toks")).as("sorted"),
-        ngramsOfTokens(col("__toks"), 2).as("g2"),
-        ngramsOfTokens(col("__toks"), 3).as("g3")))))
+        hashNgrams(col("__toks"), 2).as("g2"),
+        hashNgrams(col("__toks"), 3).as("g3")))))
       .withColumn("top_token_frac", longestRunFrac(col("__rep.sorted")))
       .withColumn("dup_2gram_frac", dupFracOf(col("__rep.g2")))
       .withColumn("dup_3gram_frac", dupFracOf(col("__rep.g3")))
@@ -286,34 +328,97 @@ object TextAnalysis {
       .withColumn("__g", explode(array(struct(
         Scalars.tokens(col(text)).as("toks"),
         split(col(text), "\n").as("lines")))))
-      .withColumn("n_words", size(col("__g.toks")).cast("long"))
-      .withColumn("mean_word_len",
-        aggregate(col("__g.toks"), lit(0L), (acc, x) => acc + length(x))
-          .cast("double") / col("n_words"))
-      .withColumn("symbol_word_ratio",
-        size(regexp_extract_all(col(text), lit(SymbolRe), lit(0)))
-          .cast("double") / col("n_words"))
-      .withColumn("bullet_line_frac",
-        size(filter(col("__g.lines"), l => trim(l).rlike(BulletRe)))
-          .cast("double") / size(col("__g.lines")))
-      .withColumn("ellipsis_line_frac",
-        size(filter(col("__g.lines"), l => trim(l).rlike(EllipsisRe)))
-          .cast("double") / size(col("__g.lines")))
-      .withColumn("alpha_word_frac",
-        size(filter(col("__g.toks"), t => t.rlike("\\p{L}")))
-          .cast("double") / col("n_words"))
-      .withColumn("stop_hits",
-        size(array_intersect(col("__g.toks"), typedLit(GopherStopwords)))
-          .cast("long"))
-      .withColumn("keep", coalesce(
-        col("n_words").between(minWords, maxWords) &&
-          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
-          col("symbol_word_ratio") <= maxSymbolRatio &&
-          col("bullet_line_frac") <= maxBulletFrac &&
-          col("ellipsis_line_frac") <= maxEllipsisFrac &&
-          col("alpha_word_frac") >= minAlphaFrac &&
-          col("stop_hits") >= minStopHits, lit(false)))
+      .withColumns(gopherCols(col(text), col("__g.toks"), col("__g.lines")))
+      .withColumn("keep", gopherKeep(minWords, maxWords, minMeanWordLen,
+        maxMeanWordLen, maxSymbolRatio, maxBulletFrac, maxEllipsisFrac,
+        minAlphaFrac, minStopHits))
       .drop("__g")
+
+  /** The seven Gopher signal columns from bound (text, toks, lines)
+    * attributes — shared by [[gopherStats]] and [[funnelStats]] so the
+    * chained and fused forms cannot drift. The word count is inlined
+    * per ratio (size() on an attribute-bound array is O(1) — no
+    * lateral name resolution needed inside the one projection). */
+  private def gopherCols(text: Column, toks: Column,
+                         lines: Column): Map[String, Column] = {
+    import scala.collection.immutable.ListMap
+    val nWords = size(toks).cast("long")
+    ListMap(
+      "n_words" -> nWords,
+      "mean_word_len" ->
+        (aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / nWords),
+      "symbol_word_ratio" ->
+        (size(regexp_extract_all(text, lit(SymbolRe), lit(0)))
+          .cast("double") / nWords),
+      "bullet_line_frac" ->
+        (size(filter(lines, l => trim(l).rlike(BulletRe)))
+          .cast("double") / size(lines)),
+      "ellipsis_line_frac" ->
+        (size(filter(lines, l => trim(l).rlike(EllipsisRe)))
+          .cast("double") / size(lines)),
+      "alpha_word_frac" ->
+        (size(filter(toks, t => t.rlike("\\p{L}")))
+          .cast("double") / nWords),
+      "stop_hits" ->
+        size(array_intersect(toks, typedLit(GopherStopwords))).cast("long"))
+  }
+
+  /** The Gopher keep decision over the [[gopherCols]] columns. */
+  private def gopherKeep(minWords: Int, maxWords: Int,
+                         minMeanWordLen: Double, maxMeanWordLen: Double,
+                         maxSymbolRatio: Double, maxBulletFrac: Double,
+                         maxEllipsisFrac: Double, minAlphaFrac: Double,
+                         minStopHits: Int): Column = coalesce(
+    col("n_words").between(minWords, maxWords) &&
+      col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      col("symbol_word_ratio") <= maxSymbolRatio &&
+      col("bullet_line_frac") <= maxBulletFrac &&
+      col("ellipsis_line_frac") <= maxEllipsisFrac &&
+      col("alpha_word_frac") >= minAlphaFrac &&
+      col("stop_hits") >= minStopHits, lit(false))
+
+  /** The fused curation-funnel scan: every per-row gate signal the
+    * pre-training funnel needs — repetition keep, Gopher keep, quality
+    * score, exact-dedup fingerprint — from ONE tokenization and ONE
+    * token sort per row. Chaining [[repetitionStats]] →
+    * [[gopherStats]] → [[qualityScore]] → [[fingerprint]] re-splits
+    * the text once per stage (and the fingerprint re-sorts what the
+    * repetition gate already sorted); at corpus scale the text HOFs
+    * ARE the scan cost, so the funnel pays ~5 tokenizations where this
+    * pays one. Adds exactly `rep_keep`, `gop_keep`, `quality`, `fp`;
+    * per-signal numeric columns stay with the single-purpose forms.
+    * Output values are bit-identical to the chained forms — the
+    * expressions are built by the same shared helpers. */
+  def funnelStats(df: DataFrame, text: String,
+                  maxTopTokenFrac: Double = 0.20,
+                  maxDup2Frac: Double = 0.20, maxDup3Frac: Double = 0.18,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame =
+    df
+      .withColumn("__toks", explode(array(Scalars.tokens(col(text)))))
+      .withColumn("__f", explode(array(struct(
+        array_sort(col("__toks")).as("sorted"),
+        hashNgrams(col("__toks"), 2).as("g2"),
+        hashNgrams(col("__toks"), 3).as("g3"),
+        split(col(text), "\n").as("lines")))))
+      .withColumns(gopherCols(col(text), col("__toks"), col("__f.lines")))
+      .withColumn("rep_keep",
+        longestRunFrac(col("__f.sorted")) <= maxTopTokenFrac &&
+          dupFracOf(col("__f.g2")) <= maxDup2Frac &&
+          dupFracOf(col("__f.g3")) <= maxDup3Frac)
+      .withColumn("gop_keep", gopherKeep(minWords, maxWords, minMeanWordLen,
+        maxMeanWordLen, maxSymbolRatio, maxBulletFrac, maxEllipsisFrac,
+        minAlphaFrac, minStopHits))
+      .withColumn("quality",
+        qualityScoreOfTokens(col(text), col("__toks")))
+      .withColumn("fp", md5(array_join(col("__f.sorted"), " ")))
+      .drop("__toks", "__f", "n_words", "mean_word_len",
+        "symbol_word_ratio", "bullet_line_frac", "ellipsis_line_frac",
+        "alpha_word_frac", "stop_hits")
 
   /** Order-SENSITIVE rolling-hash fingerprint (Rabin–Karp polynomial
     * over token hashes, mod 2^40 so the ANSI-mode multiply can't

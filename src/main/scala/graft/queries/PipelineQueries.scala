@@ -266,24 +266,21 @@ object PipelineQueries {
       val cov = Dedup.passageCoverage(docs, "doc_id", "text",
           w = 8, stride = 4, minDocs = 2, threshold = 0.5, portable = true)
         .select(col("doc").as("doc_id"), col("keep").as("cov_keep"))
-      val rep = TextAnalysis.repetitionStats(docs, "text")
-        .select(col("doc_id"), col("lang"), col("text"),
-          col("keep").as("rep_keep"))
-      // Gopher gate CHAINED onto the repetition pass (same rows, one
-      // scan — not a second read + join); thresholds tuned to the
-      // synthetic corpus: minWords 40, stopword floor 1 (the corpus
-      // vocabulary carries only "the"/"a" from the stopword set).
-      val gated = TextAnalysis.gopherStats(rep, "text",
+      // All four row-local signals (repetition + Gopher gates, quality,
+      // fingerprint) from ONE fused tokenize/sort pass — chaining the
+      // single-purpose stages re-split the text ~5× and the scoring
+      // scan, not the shuffles, dominated the heavy-fixture funnel.
+      // Thresholds tuned to the synthetic corpus: minWords 40,
+      // stopword floor 1 (the corpus vocabulary carries only
+      // "the"/"a" from the stopword set). Row-local gates fire BEFORE
+      // the coverage join, and the survivor set is narrowed to 4
+      // scalar columns so neither the join nor the fingerprint-window
+      // shuffle ever moves document text.
+      val scored = TextAnalysis.funnelStats(docs, "text",
           minWords = 40, minStopHits = 1)
-        .withColumnRenamed("keep", "gop_keep")
-        .drop("n_words", "mean_word_len", "symbol_word_ratio",
-          "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
-          "stop_hits")
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-        .join(cov, Seq("doc_id"))
-        .filter(col("quality") >= 0.6 && col("rep_keep") && col("cov_keep")
-          && col("gop_keep"))
+        .filter(col("quality") >= 0.6 && col("rep_keep") && col("gop_keep"))
+        .select("doc_id", "lang", "quality", "fp")
+      val gated = scored.join(cov, Seq("doc_id")).filter(col("cov_keep"))
       val uniq = gated
         .withColumn("__min_id", min("doc_id").over(Window.partitionBy("fp")))
         .filter(col("doc_id") === col("__min_id"))

@@ -537,6 +537,39 @@ class DedupSpec extends AnyFunSuite {
     assert(fast == out)
   }
 
+  test("funnelStats: fused scan bit-equals the chained single-purpose stages") {
+    import graft.llm.TextAnalysis
+    // Real corpus rows + the degenerate shapes (empty, whitespace-only,
+    // single-token, newline/bullet-bearing) that exercise every guard.
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text").limit(200)
+      .union(Seq(
+        (100001L, ""), (100002L, "   "), (100003L, "one"),
+        (100004L, "- bullet item\n- another…\nplain line"),
+        (100005L, "the a of to and in is on for the a"))
+        .toDF("doc_id", "text"))
+    val chained = TextAnalysis.gopherStats(
+        TextAnalysis.repetitionStats(docs, "text")
+          .withColumnRenamed("keep", "rep_keep")
+          .drop("top_token_frac", "dup_2gram_frac", "dup_3gram_frac"),
+        "text", minWords = 40, minStopHits = 1)
+      .withColumnRenamed("keep", "gop_keep")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .select(col("doc_id"), col("rep_keep"), col("gop_keep"),
+        col("quality"), col("fp"))
+      .as[(Long, Boolean, Boolean, Double, String)].collect().sortBy(_._1)
+    val fused = TextAnalysis.funnelStats(docs, "text",
+        minWords = 40, minStopHits = 1)
+      .select(col("doc_id"), col("rep_keep"), col("gop_keep"),
+        col("quality"), col("fp"))
+      .as[(Long, Boolean, Boolean, Double, String)].collect().sortBy(_._1)
+    assert(fused.length == chained.length)
+    // Bit-equality including the quality double: the fused form must
+    // build the exact same expressions from the staged token array.
+    assert(fused.sameElements(chained))
+  }
+
   test("scalar quantization: codes bounded, error within half-step, zero dims exact") {
     val emb = Seq(
       (1L, Seq(1.0f, -2.0f, 0.0f)),
