@@ -80,6 +80,22 @@ object Bench {
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }
 
+    // The heavy block runs FIRST, straight after warmup: its queries
+    // are timed once each, so unlike the light passes there is no
+    // min-over-passes to absorb session wake — and a full light sweep
+    // (~420 timed queries) leaves wake the reaper cannot return:
+    // hundreds of generated codegen classes and a grown, fragmented
+    // old gen (measured: heavy g8_pagerank 14.7 s straight after
+    // warmup vs 25.1 s after two light passes WITH blocking unpersist
+    // between every query). Light passes follow; their min-of-N
+    // absorbs their own ordering effects.
+    val heavyJson = HeavyBench.run(spark, sfDir, only)
+    // The heavy block reaps BEFORE each of its timings, not after its
+    // last one — without this the first light-pass query runs in the
+    // final heavy query's wake (measured: a 3× first-sample outlier
+    // that min-of-N then has to absorb).
+    reap(spark)
+
     // Each query is timed once per FULL pass and the per-query MIN over
     // two separated passes reported. Back-to-back min-of-2 (the old
     // scheme) still charged both samples under whatever GC pressure /
@@ -99,13 +115,9 @@ object Bench {
           .as("h"))
         .agg(expr("bit_xor(h)")).collect()
       val sec = (System.nanoTime() - t0) / 1e9
-      // Reap the query's wake BEFORE the next timing, outside the timed
-      // window: an explicit driver GC is what lets ContextCleaner find
-      // the dead shuffle/broadcast refs this query just dropped. Without
-      // it each query inherits its predecessors' accumulated state —
-      // the measured r9 mechanism (g6 read 5.9 s in-pass at sf0.1 vs
-      // 2.2 s on 16× the data in the fresh-state heavy block).
-      System.gc()
+      // Reap the query's wake BEFORE the next timing, outside the
+      // timed window.
+      Bench.reap(spark)
       sec
     }
     // Three passes, min per query: with two, a query unlucky in both
@@ -153,10 +165,27 @@ object Bench {
     val failed = results.count(!_._3)
     val total = results.filter(_._3).map(_._2).sum
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    val heavyJson = HeavyBench.run(spark, sfDir, only)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"min$nPasses","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}""")
     spark.stop()
+  }
+
+  /** Synchronously drop every block a finished query left behind.
+    * System.gc() alone is NOT enough: operators that materialize
+    * intermediates (pageRank/IVF/PQ localCheckpoints, d12's internal
+    * cache) leave RDD blocks pinned in the block manager until driver
+    * GC collects the reference AND the async ContextCleaner processes
+    * it — and under a steady bench load that never quite happens, so
+    * storage memory fills and later queries' own checkpoints go to
+    * disk and evict pages. Measured: heavy g8_pagerank reads 14.7 s in
+    * a session with zero prior timed queries and 46.9 s after a single
+    * light pass; blocking unpersist + cache clear restores the
+    * isolated number inside a full run. */
+  private[graft] def reap(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
   }
 }
 
@@ -279,7 +308,7 @@ object HeavyBench {
     import org.apache.spark.sql.functions._
     try {
       // Start from reaped state (same rationale as the light pass).
-      System.gc()
+      Bench.reap(spark)
       val t0 = System.nanoTime()
       val df = f(spark, dir)
       val row = df

@@ -224,6 +224,12 @@ object ScaleCheck {
       Op("passage_coverage(w=8,s=4)", n =>
         llm.Dedup.passageCoverage(replicateDocs(docs0, n), "doc_id", "text",
           w = 8, stride = 4).count()),
+      // The fused per-row scoring scan (pipe17's row-local half): pure
+      // map work, so anything above ~linear here is a plan bug, not a
+      // data property.
+      Op("funnel_scan(rep+gopher+q+fp)", n =>
+        llm.TextAnalysis.funnelStats(replicateDocs(docs0, n), "text",
+          minWords = 40, minStopHits = 1).count()),
       Op("latest_per_key(window)", n =>
         operators.Ops.latestPerKey(Seq(col("user_id")),
           Seq(col("ts"), col("event_id")))(replicateEvents(ev0, n)).count(),

@@ -83,11 +83,12 @@ object Citations {
       .limit(k)
 
   /** Pairs of group members co-occurring under the same key, with the
-    * number of keys they share. One aggregation collects the distinct,
-    * sorted member set per key; groups larger than `maxGroupSize` are
-    * dropped (hub cap — a review paper citing thousands of works would
-    * otherwise emit O(n²) pairs); pairs are exploded from the array and
-    * re-counted. Output: (a, b, n_shared) with a < b.
+    * number of keys they share. Group sizes are screened FIRST
+    * (spill-safe countDistinct; groups outside [2, `maxGroupSize`] are
+    * dropped — the hub cap: a review paper citing thousands of works
+    * would otherwise emit O(n²) pairs), then the sorted distinct
+    * member set is collected only for survivors and pairs exploded
+    * from the array and re-counted. Output: (a, b, n_shared), a < b.
     *
     * Measured and rejected (r10): running the quadratic stage on dense
     * int member ids (order-preserving dict, strings joined back only
@@ -104,11 +105,28 @@ object Citations {
     * id assignment. */
   private def coOccurrencePairs(assignments: DataFrame, key: String,
                                 member: String, minShared: Int,
-                                maxGroupSize: Int): DataFrame =
-    assignments
+                                maxGroupSize: Int): DataFrame = {
+    // Count-FIRST hub screening: the group-size cap is decided from a
+    // spill-safe countDistinct before any member array exists, and
+    // collect_set runs only over the survivors (semi-join). Collecting
+    // first and filtering on size(ms) — the previous shape — builds
+    // the one array the cap exists to forbid: a hub with millions of
+    // members materializes as a single unspillable aggregation buffer
+    // (the heavy bench's hub-hot ×16 graph pushes EVERY cited key past
+    // the cap, so it paid the whole collect for an empty result). The
+    // explicit repartition on `key` puts the count, the semi-join
+    // probe, and the collect on ONE reused exchange of the raw edge
+    // table. The screened key set is vertex-bounded but NOT assumed
+    // broadcastable — AQE picks the join strategy.
+    val byKey = assignments.select(col(key), col(member))
+      .repartition(col(key))
+    val ok = byKey.groupBy(key)
+      .agg(countDistinct(col(member)).as("__n"))
+      .filter(col("__n").between(2, maxGroupSize))
+      .select(col(key))
+    byKey.join(ok, Seq(key), "left_semi")
       .groupBy(key)
       .agg(sort_array(collect_set(col(member))).as("ms"))
-      .filter(size(col("ms")).between(2, maxGroupSize))
       // Explicit fan-out before the pair explosion: the member-array
       // table is tiny in BYTES (one compact array per key), so AQE's
       // byte-targeted coalescing would pack it into a handful of
@@ -126,6 +144,7 @@ object Citations {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
 
   /** Co-citation: cited works that appear together in some citing
     * work's reference list, scored by how many citing works share
@@ -191,8 +210,36 @@ object Citations {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
-    val e = persist(edges.select(col("citing"), col("cited")).distinct())
-    val verts = allDoisUnique(e)
+    // The edge list is laid out by `citing` BEFORE materialization so
+    // every iteration's contribution join reads it in place — the
+    // distinct's (citing, cited) partitioning satisfies no
+    // single-column join, so without the explicit layout each
+    // iteration re-shuffles all edges. checkpoint() preserves the
+    // partitioning in the LogicalRDD, so the layout survives the
+    // truncation. `verts` is materialized with cache(), NOT the
+    // checkpoint persist: each iteration's rank update re-derives the
+    // vertex distinct under fresh expression ids, so ReuseExchange
+    // cannot dedupe it across the nested lineage (measured: 30 s vs
+    // 17 s for the 2-iteration ×16 heavy graph without/with the
+    // materialization) — but a checkpointed vertex table is a
+    // stats-less RDD scan the small-scale planner can only
+    // sort-merge-join (the plan gate forbids SMJ; at size the
+    // vertex×vertex rank update hash-joins under AQE), while
+    // InMemoryRelation keeps sizeInBytes visible and broadcasts where
+    // it should. The cache lives until the session reaps it — the
+    // standard end-of-job unpersist discipline applies to callers
+    // embedding this in a long-lived session.
+    val e = persist(edges.select(col("citing"), col("cited")).distinct()
+      .repartition(col("citing")))
+    val verts = allDoisUnique(e).cache()
+    // Populate eagerly: an UN-materialized InMemoryRelation reports
+    // the default (effectively infinite) size, which poisons every
+    // downstream join estimate — both update joins then plan as SMJ
+    // even at fixture scale. Materialized, the relation reports its
+    // real bytes and the planner broadcasts where it should. (The
+    // loop is already eager through its periodic checkpoints; this
+    // adds one vertex-distinct job at call time.)
+    verts.count()
     val outdeg = e.groupBy("citing").agg(count(lit(1)).as("deg"))
     var ranks = verts.withColumn("__v", init)
     for (i <- 1 to iterations) {
@@ -201,8 +248,16 @@ object Citations {
         .join(outdeg, Seq("citing"))
         .select(col("cited").as("doi"), contribution.as("c"))
         .groupBy("doi").agg(sum(col("c")).as("inflow"))
+      // The rank update is vertex × vertex — at size NEITHER side is
+      // broadcastable, and the static estimate for `contrib` is the
+      // product-of-children garbage simple estimation produces at
+      // iteration depth (it flips between broadcast and sort-merge
+      // depending on nesting). Pin it to a shuffled hash join: hash on
+      // narrow vertex-keyed rows beats sorting both sides, and the
+      // partition-local build (|V|/partitions rows) fits executor
+      // memory wherever the rank table itself does.
       ranks = verts
-        .join(contrib, Seq("doi"), "left")
+        .join(contrib.hint("SHUFFLE_HASH"), Seq("doi"), "left")
         .select(col("doi"), update.as("__v"))
       // Truncate the rank table's lineage periodically: each iteration
       // nests the previous one's joins into the plan, so past ~10

@@ -71,7 +71,7 @@ object GraphQueries {
     target.toString
   }
 
-  private def edgesFromDump(s: SparkSession, d: String): DataFrame =
+  private[graft] def edgesFromDump(s: SparkSession, d: String): DataFrame =
     Citations.fromCsvLines(
       s.read.text(ensureCitationFixture(s, d)), "value")
 
