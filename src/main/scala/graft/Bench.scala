@@ -252,6 +252,22 @@ object HeavyBench {
     HeavyItem("e9_ann_pq", Seq("embeddings")),
     HeavyItem("e7_ann_ivf_kmeans", Seq("embeddings")),
     HeavyItem("e12_ann_ivfpq", Seq("embeddings")),
+    // SemDeDup at heavy scale: k grows ∝ corpus (the paper's regime —
+    // within-cluster pairwise work stays bounded only if members/cluster
+    // does). 80 K vectors / k=256 ≈ 310 per cluster; the registered
+    // sf0.01 query uses k=8 for the same ~60-member clusters.
+    HeavyItem("d17_semdedup", Seq("embeddings"),
+      fn = Some { (s, d) =>
+        import graft.llm.{Corpus, Similarity}
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.kmeansCentroids(
+          Corpus.hashSample(emb, "vec_id", 25, "semdedup"),
+          "vec_id", "embedding", k = 256, iters = 3)
+        val assign = Similarity.assignToCentroids(emb, "vec_id",
+          "embedding", cents)
+        Dedup.semDedup(emb, "vec_id", "embedding", assign, cents,
+          threshold = 0.35, maxClusterSize = Some(2000))
+      }),
     HeavyItem("g6_coupling", Seq("lineitem")),
     HeavyItem("g8_pagerank", Seq("lineitem")))
 

@@ -281,4 +281,80 @@ object Corpus {
       .filter(col("__rk") <= quota)
       .drop("__rk")
   }
+
+  /** DSIR-shaped importance weighting (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by how much more likely its hashed-bigram
+    * features are under a TARGET corpus slice (`targetPred`, e.g. a
+    * high-quality language or domain) than under the raw corpus, then
+    * select the top-`topN` deterministically. This is the "select
+    * pre-training data that looks like the target" primitive; the
+    * feature model is DSIR's hashed bag-of-bigrams with add-one
+    * smoothing.
+    *
+    * Per-feature log-likelihood ratio
+    * `llr_f = ln( (n_target_f + 1)·(N_raw + B) / ((n_raw_f + 1)·(N_target + B)) )`
+    * is INTEGER-QUANTIZED at 1e-6 (floor(x·10⁶ + 0.5)) the moment it
+    * is computed, so every per-document weight is an exact integer
+    * dot product `Σ_f c_f · llr_q_f` — deterministic under any
+    * aggregation order, engine-portable (ln of an exact rational is
+    * the only float step and the 1e-6 grid absorbs its ulp), and
+    * hash-gateable. Weights are in ln-units × 1e6 × feature-count.
+    *
+    * Scale shape: the feature space is bounded (`buckets`), so the
+    * model is two tiny tables — the (f, llr) table broadcasts, the
+    * per-doc weight is one map-side-combinable sum, and top-N
+    * selection is a TakeOrdered (orderBy+limit — never a global
+    * single-partition window). Nothing anywhere is proportional to
+    * corpus² ; the full pass is two scans (count features, score).
+    *
+    * DSIR proper samples ∝ exp(weight) with Gumbel noise; the
+    * deterministic top-N here is the reproducible variant (same
+    * rationale as every rand()-free operator in this module), and a
+    * caller who wants softness composes [[hashSample]] upstream.
+    *
+    * Output: (id, weight BIGINT, selected BOOLEAN) for every doc. */
+  def dsirWeights(docs: DataFrame, id: String, text: String,
+                  targetPred: Column, buckets: Int = 1024,
+                  topN: Int = 100): DataFrame = {
+    require(buckets >= 2 && topN >= 0, "dsirWeights: buckets >= 2, topN >= 0")
+    // Generator barrier: bind the token array to an attribute before
+    // the bigram lambda (shinglesOfTokens' O(tokens²) re-tokenize
+    // hazard).
+    val toks = docs.select(col(id).as("__id"), targetPred.as("__t"),
+      explode(array(graft.functions.Scalars.tokens(col(text)))).as("tk"))
+    val bigrams = toks.select(col("__id"), col("__t"),
+      explode(when(size(col("tk")) >= 2,
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => array_join(slice(col("tk"), i + 1, lit(2)), " ")))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val feats = bigrams.select(col("__id"), col("__t"),
+      pmod(conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long"),
+        lit(buckets.toLong)).as("f"))
+    val perDoc = feats.groupBy("__id", "__t", "f")
+      .agg(count(lit(1)).as("c"))
+    val perFeat = perDoc.groupBy("f").agg(
+      coalesce(sum(when(col("__t"), col("c"))), lit(0L)).as("nt"),
+      sum(col("c")).as("nr"))
+    val totals = perFeat.agg(sum("nt").as("totT"), sum("nr").as("totR"))
+    val llr = perFeat.crossJoin(broadcast(totals)).select(col("f"),
+      floor(log(((col("nt") + 1) * (col("totR") + buckets)).cast("double") /
+        ((col("nr") + 1) * (col("totT") + buckets)).cast("double")) * 1e6 + 0.5)
+        .cast("long").as("llr"))
+    val weights = perDoc.join(broadcast(llr), Seq("f"))
+      .groupBy("__id").agg(sum(col("c") * col("llr")).as("weight"))
+    // Bigram-less docs still get a row (weight 0), attached with a
+    // union + re-aggregate instead of a left join (the scored lineage's
+    // inflated join estimates would force a sort-merge plan; the union
+    // rides the same id-keyed shuffle).
+    val allDocs = docs.select(col(id).as("__id"), lit(0L).as("weight"))
+      .unionByName(weights)
+      .groupBy("__id").agg(sum("weight").as("weight"))
+    // Top-N selection: TakeOrdered (never a single-partition global
+    // window), and the N selected ids are bounded — broadcast them.
+    val top = allDocs.orderBy(col("weight").desc, col("__id")).limit(topN)
+      .select(col("__id"), lit(true).as("__sel"))
+    allDocs.join(broadcast(top), Seq("__id"), "left")
+      .select(col("__id").as(id), col("weight"),
+        coalesce(col("__sel"), lit(false)).as("selected"))
+  }
 }

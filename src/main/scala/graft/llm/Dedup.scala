@@ -737,6 +737,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
+    * semantic dedup over an embedding column. The insight that makes
+    * embedding dedup tractable at 100 TB is that near-duplicates land
+    * in the same k-means cluster, so pairwise cosine only ever runs
+    * WITHIN a cluster — the global pair space is never touched, and
+    * cluster count k is the knob that keeps per-cluster membership
+    * (and thus the quadratic-within-cluster work) bounded as the
+    * corpus grows.
+    *
+    * Inputs: `assign` = (id, cluster) from [[Similarity.kmeansAssign]]
+    * / [[Similarity.assignToCentroids]]; `centroids` = (cluster,
+    * centroid) from [[Similarity.kmeansCentroids]] — passed explicitly
+    * so a deployment trains on a [[Corpus.hashSample]] and reuses the
+    * same centroid table here and in its IVF index.
+    *
+    * Keep rule (deterministic version of the paper's "keep the example
+    * with the LOWEST similarity to the centroid"): for every
+    * within-cluster pair with cosine ≥ `threshold`, the member with
+    * the HIGHER (centroid_sim, id) is dropped. Applied per pair (the
+    * paper's greedy form), so a near-dup chain keeps exactly its
+    * (centroid_sim, id)-minimal element per linked neighborhood.
+    *
+    * Plan shape: one broadcast-centroid projection for centroid_sim,
+    * one [[bucketPairs]] aggregation per cluster (collect_set capped
+    * by `maxClusterSize` — the same skew guard as the LSH buckets),
+    * two id-keyed joins to fetch pair vectors, one anti-joinable
+    * dropped set. No global sort, no cartesian.
+    *
+    * Output: (id, cluster, centroid_sim ROUND 4, keep) for EVERY input
+    * row — callers filter `keep` to materialize the deduplicated
+    * corpus and keep the complement as the audit trail. */
+  def semDedup(emb: DataFrame, id: String, vec: String,
+               assign: DataFrame, centroids: DataFrame,
+               threshold: Double,
+               maxClusterSize: Option[Int] = None): DataFrame = {
+    val spark = emb.sparkSession
+    val vecs = emb.select(col(id).as("__id"), col(vec).as("__v"))
+    val csim = vecs
+      .join(assign.select(col(id).as("__id"), col("cluster")), Seq("__id"))
+      .join(broadcast(centroids), Seq("cluster"))
+      .select(col("__id"), col("cluster"),
+        Similarity.cosine(col("__v"), col("centroid")).as("__csim"))
+    // csim feeds the pair ranking twice and the output once; the
+    // repeated subplan shares one physical exchange via ReuseExchange,
+    // and NOT checkpointing keeps size stats visible to the join
+    // planner (a LogicalRDD would default to "huge").
+    // Pair generation carries each member's centroid_sim INSIDE the
+    // bucket aggregation (collect_set of (id, csim) structs), so the
+    // drop rule needs no join back onto the corpus-wide csim table —
+    // only the two bounded vector fetches remain, against the raw
+    // input (which the planner sizes correctly).
+    val pairs = bucketPairs(
+      csim.select(col("cluster"),
+        struct(col("__id"), col("__csim")).as("__m")),
+      Seq("cluster"), "__m", maxClusterSize)
+      .select(col("id_a.__id").as("id_a"), col("id_a.__csim").as("ca"),
+        col("id_b.__id").as("id_b"), col("id_b.__csim").as("cb"))
+    val ranked = pairs
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("vb")), Seq("id_b"))
+      .filter(Similarity.cosineNative(spark, col("va"), col("vb")) >= threshold)
+    val dropped = ranked
+      .select(when(struct(col("ca"), col("id_a")) > struct(col("cb"), col("id_b")),
+        col("id_a")).otherwise(col("id_b")).as("__id"))
+    // Attach the drop marks with a union + ONE id-keyed aggregation
+    // rather than a left join: the pair lineage carries inflated join
+    // size estimates that would force a sort-merge plan, and at scale
+    // a single hash shuffle on the id is strictly cheaper than
+    // shuffling both sides of a join anyway. max() skips the loser
+    // rows' null cluster/csim; the losers only flip the drop bit.
+    csim.select(col("__id"), col("cluster"), col("__csim"),
+        lit(0).as("__drop"))
+      .unionByName(dropped.select(col("__id"),
+        lit(null).cast("string").as("cluster"),
+        lit(null).cast("double").as("__csim"), lit(1).as("__drop")))
+      .groupBy("__id")
+      // + 0.0 collapses IEEE negative zero (round(-1e-9, 4) is -0.0,
+      // which hash-compares unequal to the other engine's 0.0).
+      .agg(max("cluster").as("cluster"),
+        (round(max("__csim"), 4) + 0.0).as("centroid_sim"),
+        (max("__drop") === 0).as("keep"))
+      .select(col("__id").as(id), col("cluster"), col("centroid_sim"),
+        col("keep"))
+  }
+
   /** Duplicate-group clustering: connected components over an
     * undirected near-dup pair list (the step that turns `minhashLshPairs`
     * output into "keep one per group" decisions), as iterative min-label

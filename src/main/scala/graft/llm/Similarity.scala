@@ -243,7 +243,17 @@ object Similarity {
           s => s.getField("m")).as("centroid"))
         .localCheckpoint()
     }
-    centroids
+    // Return the model as a LocalRelation (collect + recreate), not the
+    // checkpointed frame: a k×dim centroid table is driver-bounded by
+    // definition (it broadcasts everywhere it is used), and a
+    // checkpoint's ExistingRDD reports UNKNOWN size stats — which
+    // poisons every downstream join containing this lineage into a
+    // sort-merge plan (measured on semDedup's keep join). LocalRelation
+    // stats are exact, so consumers plan broadcast/hash joins by real
+    // sizes.
+    val spark = train.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(centroids.collect().toSeq.asJava, centroids.schema)
   }
 
   /** One broadcast-centroid assignment pass: (id, cluster) for every

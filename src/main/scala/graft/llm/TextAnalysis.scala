@@ -526,4 +526,47 @@ object TextAnalysis {
       .withColumn("contaminated", col("contamination") >= threshold)
       .drop("__cid", "__n", "__m")
   }
+
+  /** Linear quality-classifier INFERENCE over hashed bag-of-words —
+    * the serving half of a fastText-style quality filter (the
+    * FineWeb-Edu / CCNet shape: train a tiny linear model offline,
+    * score every document at ingest). The model arrives as a
+    * `weights` DataFrame (feature BIGINT, w BIGINT) — integer-
+    * quantized weights, which is both how a trained model ships
+    * (quantization is standard for fastText) and what keeps every
+    * score an exact integer `Σ_f count_f · w_f`, portable across
+    * engines and safe under any aggregation order.
+    *
+    * Scale shape: the model broadcasts (≤ `buckets` rows), token
+    * hashing is a codegen'd projection on the scan, and the per-doc
+    * score is one map-side-combinable sum — the whole pass is one
+    * scan + one doc-keyed aggregation, nothing model-side scales
+    * with the corpus.
+    *
+    * Output: (id, score BIGINT, positive BOOLEAN) for every doc;
+    * `positive` = score > 0 (the keep decision of a filter at
+    * threshold 0). */
+  def linearClassifierScore(docs: DataFrame, id: String, text: String,
+                            weights: DataFrame,
+                            buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, s"linearClassifierScore: buckets >= 2: $buckets")
+    val feats = docs
+      .select(col(id).as("__id"), explode(Scalars.tokens(col(text))).as("tok"))
+      .select(col("__id"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("feature"))
+    val perDoc = feats.groupBy("__id", "feature").agg(count(lit(1)).as("c"))
+    val scored = perDoc.join(broadcast(weights), Seq("feature"))
+      .groupBy("__id").agg(sum(col("c") * col("w")).as("score"))
+    // Docs whose every feature misses the model still get a row
+    // (score 0) — attached with a union + re-aggregate rather than a
+    // left join (join size estimates on the scored lineage inflate
+    // past the broadcast threshold and would force a sort-merge plan;
+    // the union re-uses the same id-keyed shuffle).
+    docs.select(col(id).as("__id"), lit(0L).as("score"))
+      .unionByName(scored)
+      .groupBy("__id").agg(sum("score").as("score"))
+      .select(col("__id").as(id), col("score"))
+      .withColumn("positive", col("score") > 0)
+  }
 }

@@ -175,6 +175,49 @@ object CorpusQueries {
         30, "cap").select("doc_id", "lang")
     },
 
+    // DSIR-shaped importance weighting (Xie et al. 2023): hashed-bigram
+    // add-one-smoothed target/raw log-likelihood ratios, integer-
+    // quantized per feature the moment they're computed, so every doc
+    // weight is an exact integer dot product — the whole path
+    // (bigrams, md5 feature hashing, counts, quantized llr, weights,
+    // deterministic top-100 selection) replays in DuckDB. Target =
+    // English slice; raw = full corpus.
+    Q("c9_dsir_weights",
+      """WITH base AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |         string_split(trim(text), ' ') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t, unnest(CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE []::VARCHAR[] END) AS b
+        |  FROM base),
+        |f AS (SELECT doc_id, t,
+        |        CAST(('0x' || substr(md5(b), 1, 8)) AS BIGINT) % 1024 AS f
+        |      FROM bg),
+        |dc AS (SELECT doc_id, t, f, count(*) AS c FROM f GROUP BY doc_id, t, f),
+        |gl AS (SELECT f, coalesce(sum(CASE WHEN t THEN c END), 0) AS nt,
+        |              sum(c) AS nr
+        |       FROM dc GROUP BY f),
+        |tot AS (SELECT sum(nt) AS ct, sum(nr) AS cr FROM gl),
+        |llr AS (SELECT f,
+        |          CAST(floor(ln(CAST((nt + 1) * (cr + 1024) AS DOUBLE) /
+        |                        CAST((nr + 1) * (ct + 1024) AS DOUBLE))
+        |                     * 1e6 + 0.5) AS BIGINT) AS llr
+        |        FROM gl CROSS JOIN tot),
+        |w AS (SELECT dc.doc_id, CAST(sum(dc.c * llr.llr) AS BIGINT) AS weight
+        |      FROM dc JOIN llr USING (f) GROUP BY dc.doc_id),
+        |aw AS (SELECT d.doc_id, coalesce(w.weight, 0) AS weight
+        |       FROM (SELECT DISTINCT doc_id FROM documents) d
+        |       LEFT JOIN w USING (doc_id))
+        |SELECT doc_id, weight,
+        |       row_number() OVER (ORDER BY weight DESC, doc_id) <= 100
+        |         AS selected
+        |FROM aw""".stripMargin) { (s, d) =>
+      Corpus.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        targetPred = col("lang") === "en", buckets = 1024, topN = 100)
+    },
+
     // Overlapping token-window chunking (64-token chunks, 16-token
     // overlap): one generator explode per doc, all-integer chunk
     // boundaries — the embedding-pipeline pre-pass.

@@ -359,6 +359,90 @@ object LlmQueries {
         "vec_id", "embedding", 0.3, planes = 4)
     },
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    // k-means buckets the corpus, pairwise cosine runs only WITHIN a
+    // cluster, and each near-dup pair drops its (centroid_sim, id)-
+    // larger member (the paper keeps the LEAST-central example).
+    // Production shape: Lloyd trains on a deterministic ~25% hash
+    // sample, the full corpus is assigned in one broadcast pass, and
+    // the same centroid table serves the IVF index (e7) and this
+    // dedup. Rows-only — cluster membership is training-dependent;
+    // the full math is under d18's oracle and the production↔twin
+    // drift is pinned by TwinConsistencySpec. Threshold 0.35, not the
+    // ~0.95 production semdedup uses: these synthetic embeddings are
+    // near-orthogonal (d6's note), so 0.95 would gate a no-drop run.
+    Q.rowsOnly("d17_semdedup") { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = Similarity.kmeansCentroids(
+        graft.llm.Corpus.hashSample(emb, "vec_id", 25, "semdedup"),
+        "vec_id", "embedding", k = 8, iters = 3)
+      val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+        cents)
+      Dedup.semDedup(emb, "vec_id", "embedding", assign, cents,
+        threshold = 0.35)
+    },
+
+    // d17's portable twin (the e11 discipline): the ENTIRE semdedup
+    // path — seed selection (k smallest ids at iters = 1), the
+    // broadcast-centroid min_by assignment with its lpad tie-break,
+    // per-member centroid similarity, within-cluster pair cosine at
+    // the threshold, and the (centroid_sim, id) drop rule — under the
+    // DuckDB hash oracle. Inputs are integer-quantized
+    // (floor(x·1000 + 0.5), cast back to float — exact: |x·1000| ≪
+    // 2²⁴), so every cosine is exact integer sums + one division +
+    // IEEE sqrt, bit-identical in both engines; the oracle replays
+    // Spark's cosine FORMULA (dot / (√Σa²·√Σb²)), not a builtin.
+    Q("d18_semdedup_portable",
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(CAST(embedding AS DOUBLE[]),
+        |                            x -> floor(x * 1000 + 0.5)) AS v
+        |           FROM embeddings),
+        |sc AS (SELECT CAST(vec_id AS VARCHAR) AS cluster, v AS centroid
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT vec_id, cluster FROM (
+        |          SELECT e.vec_id, sc.cluster, row_number() OVER (
+        |            PARTITION BY e.vec_id ORDER BY
+        |              (list_sum(list_transform(range(0, 64),
+        |                 i -> e.v[i+1] * sc.centroid[i+1]))
+        |               / (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |                  sqrt(list_sum(list_transform(sc.centroid,
+        |                    x -> x * x))))) DESC,
+        |              lpad(cluster, 24, '0')) AS rn
+        |          FROM e CROSS JOIN sc) WHERE rn = 1),
+        |cs AS (SELECT a.vec_id, a.cluster,
+        |         (list_sum(list_transform(range(0, 64),
+        |            i -> e.v[i+1] * sc.centroid[i+1]))
+        |          / (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |             sqrt(list_sum(list_transform(sc.centroid,
+        |               x -> x * x))))) AS csim
+        |       FROM asg a JOIN e ON e.vec_id = a.vec_id
+        |                  JOIN sc ON sc.cluster = a.cluster),
+        |drp AS (
+        |  SELECT DISTINCT CASE WHEN x.csim > y.csim
+        |                         OR (x.csim = y.csim AND x.vec_id > y.vec_id)
+        |                       THEN x.vec_id ELSE y.vec_id END AS vec_id
+        |  FROM cs x JOIN cs y
+        |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN e ex ON ex.vec_id = x.vec_id
+        |  JOIN e ey ON ey.vec_id = y.vec_id
+        |  WHERE (list_sum(list_transform(range(0, 64),
+        |           i -> ex.v[i+1] * ey.v[i+1]))
+        |         / (sqrt(list_sum(list_transform(ex.v, x -> x * x))) *
+        |            sqrt(list_sum(list_transform(ey.v, x -> x * x)))))
+        |        >= 0.35)
+        |SELECT cs.vec_id, cs.cluster,
+        |       round(cs.csim, 4) + 0.0 AS centroid_sim,
+        |       cs.vec_id NOT IN (SELECT vec_id FROM drp) AS keep
+        |FROM cs""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("float")).as("qv"))
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "qv",
+        k = 8, iters = 1)
+      val assign = Similarity.assignToCentroids(emb, "vec_id", "qv", cents)
+      Dedup.semDedup(emb, "vec_id", "qv", assign, cents, threshold = 0.35)
+    },
+
     // Cross-document repeated passages (substring-granularity dedup,
     // Lee et al. 2021 approximated at token-window resolution): 8-token
     // windows, stride 1, hashes shared by >= 2 distinct docs. The md5
@@ -707,6 +791,39 @@ object LlmQueries {
         .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
           "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
           "stop_hits", "keep")
+    },
+
+    // Linear quality-classifier inference (the fastText-style filter
+    // serving shape, FineWeb-Edu / CCNet): hashed bag-of-words counts
+    // × a broadcast integer-quantized weight table → exact integer
+    // score per doc, positive = keep. The registered model is a
+    // deterministic md5-derived weight table (what matters here is the
+    // INFERENCE plan — one scan, one doc-keyed agg, broadcast model;
+    // a trained model ships as the same (feature, w) table). Fully
+    // oracle-checked: features, counts, weights, scores, decisions.
+    Q("t11_classifier_score",
+      """WITH base AS (
+        |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS f
+        |      FROM base),
+        |dc AS (SELECT doc_id, f, count(*) AS c FROM f GROUP BY doc_id, f),
+        |wts AS (SELECT f,
+        |          CAST(('0x' || substr(md5('w' || CAST(f AS VARCHAR)), 1, 8))
+        |            AS BIGINT) % 2001 - 1000 AS w
+        |        FROM (SELECT unnest(range(0, 1024)) AS f)),
+        |sc AS (SELECT dc.doc_id, CAST(sum(dc.c * wts.w) AS BIGINT) AS score
+        |       FROM dc JOIN wts USING (f) GROUP BY dc.doc_id)
+        |SELECT d.doc_id, coalesce(sc.score, 0) AS score,
+        |       coalesce(sc.score, 0) > 0 AS positive
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN sc USING (doc_id)""".stripMargin) { (s, d) =>
+      val wts = s.range(1024).select(col("id").as("feature"),
+        (pmod(conv(substring(md5(concat(lit("w"), col("id").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(2001L)) - 1000).as("w"))
+      TextAnalysis.linearClassifierScore(Tables.documents(s, d),
+        "doc_id", "text", wts, buckets = 1024)
     },
 
     // Brute-force cosine top-k for a small query set (exact baseline).

@@ -226,4 +226,75 @@ class CorpusSpec extends AnyFunSuite {
         s"shard $sh: $nBins bins vs FFD bound on floor $floor")
     }
   }
+
+  test("DSIR weights rank target-like docs above anti-target docs") {
+    // Two disjoint vocabularies: target-language docs repeat "good"
+    // bigrams, the rest repeat "bad" ones; mixed docs sit between.
+    val mk = (w: String) => Seq.fill(30)(w).mkString(" ")
+    val d = ((0L until 20L).map(i => (i, "en", mk(s"alpha beta")))
+      ++ (20L until 40L).map(i => (i, "de", mk(s"gamma delta")))
+      ++ (40L until 50L).map(i =>
+        (i, "de", mk("alpha beta") + " " + mk("gamma delta"))))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.dsirWeights(d, "doc_id", "text",
+        col("lang") === "en", buckets = 256, topN = 25)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 50) // every doc scored
+    val byId = out.map(r => r._1 -> r._2).toMap
+    val target = (0L until 20L).map(byId)
+    val anti = (20L until 40L).map(byId)
+    val mixed = (40L until 50L).map(byId)
+    assert(target.min > mixed.max,
+      s"target ${target.min} should outrank mixed ${mixed.max}")
+    assert(mixed.min > anti.max,
+      s"mixed ${mixed.min} should outrank anti ${anti.max}")
+    // top-25 = the 20 target docs + 5 mixed ones, deterministically
+    val selected = out.filter(_._3).map(_._1).toSet
+    assert(selected.size == 25)
+    assert((0L until 20L).toSet.subsetOf(selected))
+    assert(selected.forall(_ < 50L) && (20L until 40L).forall(!selected(_)))
+    // rerun-stable (no rand() anywhere)
+    val again = Corpus.dsirWeights(d, "doc_id", "text",
+        col("lang") === "en", buckets = 256, topN = 25)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("DSIR weight of a doc with no bigrams is zero and never selected over scored docs") {
+    val d = Seq((0L, "en", "alpha beta alpha beta"),
+      (1L, "de", "gamma delta gamma delta"), (2L, "de", "solo"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.dsirWeights(d, "doc_id", "text",
+        col("lang") === "en", buckets = 64, topN = 1)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(2L)._1 == 0L && !out(2L)._2) // bigram-less doc: weight 0
+    assert(out(1L)._1 < 0L && !out(1L)._2) // anti-target: negative
+    assert(out(0L)._1 > 0L && out(0L)._2) // target-like: positive, top-1
+  }
+
+  test("linear classifier score is the exact integer dot product, total over docs") {
+    import graft.llm.TextAnalysis
+    val d = Seq((0L, "apple apple banana"), (1L, "banana"), (2L, "cherry"))
+      .toDF("doc_id", "text")
+    // Feature ids computed exactly as the operator computes them.
+    def f(tok: String): Long = spark.range(1).select(
+      pmod(conv(substring(md5(lit(tok)), 1, 8), 16, 10).cast("long"),
+        lit(1024L))).as[Long].head()
+    val (fa, fb, fc) = (f("apple"), f("banana"), f("cherry"))
+    assert(Set(fa, fb, fc).size == 3) // no md5 bucket collisions here
+    val wts = Seq((fa, 5L), (fb, -2L), (fc, 0L)).toDF("feature", "w")
+    val out = TextAnalysis.linearClassifierScore(d, "doc_id", "text",
+        wts, buckets = 1024)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(0L) == ((2 * 5 - 2, true))) // 2·w(apple) + 1·w(banana)
+    assert(out(1L) == ((-2L, false)))
+    assert(out(2L) == ((0L, false))) // scored but not positive
+    // a model that omits a doc's every feature still scores the doc (0)
+    val partial = TextAnalysis.linearClassifierScore(d, "doc_id", "text",
+        Seq((fa, 1L)).toDF("feature", "w"), buckets = 1024)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(partial == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
+  }
 }

@@ -654,4 +654,48 @@ class DedupSpec extends AnyFunSuite {
       assert(pre == full, s"precomputed-bands path diverged at cap=$cap")
     }
   }
+
+  test("semDedup: no surviving within-cluster near-dup pair; least-central member always kept") {
+    val emb = Tables.embeddings(spark, Sf)
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+      cents)
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", assign, cents,
+        threshold = 0.3)
+      .select("vec_id", "cluster", "centroid_sim", "keep")
+      .as[(Long, String, Double, Boolean)].collect()
+    assert(out.length == emb.count()) // total: every vector decided
+    val dropped = out.filter(!_._4).map(_._1).toSet
+    assert(dropped.nonEmpty, "threshold 0.3 should drop something here")
+    // Recompute the within-cluster ≥τ pair set exactly and check:
+    // (a) every pair lost at least one member (no surviving near-dup
+    // pair), (b) a pair's (centroid_sim, id)-smaller member is never
+    // the one dropped BY that pair — so each cluster's least-central
+    // linked member survives everything.
+    val byId = out.map(r => r._1 -> r).toMap
+    val withC = emb.join(assign, Seq("vec_id"))
+    val pairs = Dedup.embeddingNearDupPairsExact(emb, "vec_id",
+        "embedding", 0.3)
+      .join(withC.select(col("vec_id").as("id_a"), col("cluster").as("ca")), Seq("id_a"))
+      .join(withC.select(col("vec_id").as("id_b"), col("cluster").as("cb")), Seq("id_b"))
+      .filter(col("ca") === col("cb"))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (byId(a), byId(b))
+      assert(!(ra._4 && rb._4), s"near-dup pair ($a,$b) both kept")
+      // centroid_sim in the output is rounded to 4 decimals; only
+      // check the loser when the rounded values are unambiguous.
+      if (ra._3 != rb._3) {
+        val loser = if (ra._3 > rb._3) a else b
+        assert(dropped.contains(loser), s"pair ($a,$b): loser not dropped")
+      }
+    }
+    // determinism
+    val again = Dedup.semDedup(emb, "vec_id", "embedding", assign, cents,
+        threshold = 0.3)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out.map(r => r._1 -> r._4).toMap == again)
+  }
 }

@@ -74,13 +74,15 @@ class PlanSpec extends AnyFunSuite {
     //   e7_ann_ivf_kmeans      → twin e11, TwinConsistencySpec "e7/e11"
     //   e9_ann_pq              → twin e10, TwinConsistencySpec "e9/e10"
     //   e12_ann_ivfpq          → twin e13, TwinConsistencySpec "e12/e13"
+    //   d17_semdedup           → twin d18, TwinConsistencySpec "d17/d18"
     //   f13_provenance         → value env-dependent by nature (rows-only)
     //   g9_distinct_approx     → approx sketch; rows+error spec (GraphSpec)
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnly == Set("f13_provenance", "d3_minhash_lsh_pairs",
       "d11_minhash_oph_pairs", "d4_simhash", "e2_ann_lsh_topk",
       "e4_ann_ivf_topk", "e7_ann_ivf_kmeans", "e9_ann_pq",
-      "e12_ann_ivfpq", "d7_embedding_neardup_lsh", "g9_distinct_approx"))
+      "e12_ann_ivfpq", "d7_embedding_neardup_lsh", "d17_semdedup",
+      "g9_distinct_approx"))
   }
 
   test("no registered query plans a cartesian product, sort-merge join, or UDF") {
@@ -99,10 +101,13 @@ class PlanSpec extends AnyFunSuite {
     // table, constant work per record.
     // e12/e13's nested loops are the same coarse-centroid attach and
     // the queries × centroids probe selection (≤ 8 broadcast rows).
+    // d17/d18 (semdedup) inherit e7/e11's centroid attach; c9's is
+    // the one-row totals attach (the e6/c8 shape).
     val bnljAllowed = Set("d2_jaccard_pairs", "d6_embedding_neardup",
       "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk",
       "e6_scalar_quant", "e7_ann_ivf_kmeans", "e11_ann_ivf_portable",
       "e12_ann_ivfpq", "e13_ann_ivfpq_portable",
+      "d17_semdedup", "d18_semdedup_portable", "c9_dsir_weights",
       "c8_temperature_mix")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString

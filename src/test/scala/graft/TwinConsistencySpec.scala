@@ -185,6 +185,31 @@ class TwinConsistencySpec extends AnyFunSuite {
       s"IVF-PQ twin recall vs brute ${meanOverlap(twin, brute, k)}")
   }
 
+  test("d17/d18: semdedup keep decisions stay interchangeable with the portable twin") {
+    def run(e: DataFrame, vecCol: String, iters: Int): Map[Long, Boolean] = {
+      val cents = Similarity.kmeansCentroids(e, "vec_id", vecCol, k = 8,
+        iters = iters)
+      val assign = Similarity.assignToCentroids(e, "vec_id", vecCol, cents)
+      Dedup.semDedup(e, "vec_id", vecCol, assign, cents, threshold = 0.35)
+        .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    }
+    val prod = run(emb, "embedding", iters = 3)
+    val quant = emb.select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * 1000 + 0.5).cast("float")).as("qv"))
+    val twin = run(quant, "qv", iters = 1)
+    assert(prod.keySet == twin.keySet) // both total over the corpus
+    // Both must actually drop something, else agreement is vacuous.
+    assert(prod.values.exists(k => !k), "production dropped nothing")
+    assert(twin.values.exists(k => !k), "twin dropped nothing")
+    // Cluster boundaries move between iters=3 and the twin's iters=1,
+    // so pair sets differ at the margin; keep decisions must still
+    // agree on the bulk of the corpus.
+    val agree = prod.keys.count(k => prod(k) == twin(k)).toDouble / prod.size
+    assert(agree >= 0.8, s"semdedup prod/twin keep agreement $agree " +
+      s"(${prod.values.count(k => !k)} prod drops, " +
+      s"${twin.values.count(k => !k)} twin drops)")
+  }
+
   test("e7/e11: IVF k-means top-k stays interchangeable with the portable twin") {
     val k = 5
     def run(e: DataFrame, vecCol: String, iters: Int) = {
