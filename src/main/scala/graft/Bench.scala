@@ -23,6 +23,16 @@ object Bench {
       // from ~280 timed queries accumulates and pollutes neighbors
       // (r9: untouched queries read 2-3× their isolated cost in-pass).
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // Partition sizing for compute-dense small inputs: the heavy
+      // corpus is ~57 MB compressed (≈ 500 MB of text) — at the 128 MB
+      // default the ENTIRE signature/scoring pipeline lands in one scan
+      // partition and runs on one core (measured: the exchange-free
+      // minhash band table read 12 s single-threaded vs 2.3 s at 32-way
+      // parallelism). 4 MB/512 KB spreads these files across the
+      // machine; a real 100 TB deployment keeps the default — its scans
+      // have thousands of partitions regardless.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -205,7 +215,11 @@ object HeavyBench {
 
   private val Factors = Map("documents" -> 64, "embeddings" -> 16,
     "lineitem" -> 16)
-  private val Layout = "v4" // v4: lowdup suffixes kill cross-original sim
+  // v4: lowdup suffixes kill cross-original sim; v5: replicas written
+  // 32-way — a single posexplode lineage wrote ONE 57 MB file whose one
+  // row group is unsplittable, so every scan-rooted pipeline ran on one
+  // core no matter the partition-size conf.
+  private val Layout = "v5"
 
   /** One heavy entry: a registered query (or a custom fn for variants
     * not in the registry), the tables it reads, an optional subdir of
@@ -426,10 +440,18 @@ object HeavyBench {
                   .otherwise(concat(lit("_"), col("i").cast("string")))))),
             lit(" zrep"), col("i").cast("string")).as("text"),
           col("lang"), col("source"), col("n_chars"))
-      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      lowdup.write.mode("overwrite").parquet(s"$dir/lowdup/documents.parquet")
-      emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      li.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // 32-way writes: parquet row groups are the split unit, and the
+      // single-lineage form wrote ONE file with ONE row group per
+      // table — unsplittable, pinning every downstream scan to a
+      // single core.
+      docs.repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      lowdup.repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/lowdup/documents.parquet")
+      emb.repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      li.repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       val out = fs.create(sidecar, true)
       try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
     }

@@ -94,10 +94,40 @@ object Dedup {
       ((rnd.nextInt(Int.MaxValue - 1) + 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** numHashes-wide min aggregate over a (doc, h) exploded hash table →
-    * (doc, sig array<long>). Map-side partial min; shuffles only
-    * doc × numHashes longs. */
-  private def signatureAgg(exploded: DataFrame, numHashes: Int): DataFrame =
+  /** (doc, sig array<long>) signature table — ONE per-document
+    * [[graft.plans.MinHashShinglesSigExpr]] projection over the staged
+    * shingle array. No explode, no aggregation, no shuffle: signatures
+    * are embarrassingly parallel scan work (the declarative
+    * explode-then-128-min-aggregates pipeline it replaces spent 28.6 s
+    * of the heavy lowdup run inside the aggregate alone; this form
+    * reads the same corpus in ~6 s). Bit-equality against the retained
+    * declarative reference is spec-pinned. */
+  private[graft] def signatureTable(docs: DataFrame, id: String,
+                                    text: String, shingleN: Int,
+                                    numHashes: Int,
+                                    portable: Boolean): DataFrame = {
+    graft.plans.MinHashShinglesSigExpr.register(docs.sparkSession)
+    def sigOf(c: Column) = call_function(
+      graft.plans.MinHashShinglesSigExpr.Name,
+      c, lit(numHashes), lit(portable))
+    // n = 1 feeds the RAW text: the expression tokenizes inline over
+    // the UTF-8 bytes (regex split + array materialization + distinct
+    // all skipped — min is duplicate-idempotent, so the multiset
+    // signature equals the set signature). n > 1 keeps the staged
+    // shingle-array path.
+    if (shingleN == 1)
+      docs.select(col(id).as("doc"), sigOf(col(text)).as("sig"))
+    else
+      shingleArrays(docs, id, text, shingleN)
+        .select(col("doc"), sigOf(col("toks")).as("sig"))
+  }
+
+  /** The declarative signature pipeline [[signatureTable]] replaced —
+    * explode + per-shingle hash + numHashes min(pmod(h·a + b, p))
+    * aggregate expressions. Kept (test-visible) as the bit-equality
+    * reference for the native expression. */
+  private[graft] def signatureAggDeclarative(exploded: DataFrame,
+                                             numHashes: Int): DataFrame =
     exploded.groupBy("doc").agg(
       array(minhashCoeffs(numHashes).map { case (a, b) =>
         min(pmod(col("h") * a + b, lit(MinhashPrime)))
@@ -109,16 +139,10 @@ object Dedup {
     * (the production path keeps xxhash64 — one cheap hash per token).
     * Output: (id, sig) with the signature joined to a comma string. */
   def minhashSignaturePortable(docs: DataFrame, id: String, text: String,
-                               numHashes: Int = 32): DataFrame = {
-    val exploded = docs
-      .select(col(id).as("doc"), explode(shingles(col(text), 1)).as("tok"))
-      .select(col("doc"),
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          .bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
-    signatureAgg(exploded, numHashes)
+                               numHashes: Int = 32): DataFrame =
+    signatureTable(docs, id, text, shingleN = 1, numHashes, portable = true)
       .select(col("doc").as(id),
         array_join(transform(col("sig"), _.cast("string")), ",").as("sig"))
-  }
 
   /** MinHash + LSH banding: documents sharing any band bucket become
     * candidate pairs; candidates are verified with exact token-set
@@ -167,8 +191,7 @@ object Dedup {
     // permutation: without it a·h+b is monotonic in h and every
     // "hash" would rank shingles identically (one-permutation
     // signatures in disguise).
-    val sig = signatureAgg(hashedShingles(docs, id, text, shingleN, portable),
-      numHashes)
+    val sig = signatureTable(docs, id, text, shingleN, numHashes, portable)
     lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
       rowsPerBand, maxBucketSize)
   }
@@ -183,10 +206,16 @@ object Dedup {
     * path must not pay it. */
   private def shingleArrays(docs: DataFrame, id: String, text: String,
                             shingleN: Int): DataFrame =
-    if (shingleN == 1)
+    if (shingleN == 1) {
+      // Native byte-scan tokenizer (bit-equal to
+      // array_distinct(split(trim, "\s+")) — spec-pinned): the verify
+      // stage scans the corpus through this twice, and the composed
+      // regex + HOF form cost ~5.8 s per heavy scan.
+      graft.plans.TokensDistinctExpr.register(docs.sparkSession)
       docs.select(col(id).as("doc"),
-        shinglesOfTokens(Scalars.tokens(col(text)), shingleN).as("toks"))
-    else
+        call_function(graft.plans.TokensDistinctExpr.Name,
+          col(text)).as("toks"))
+    } else
       docs
         .select(col(id).as("doc"),
           explode(array(Scalars.tokens(col(text)))).as("__t"))
@@ -195,9 +224,9 @@ object Dedup {
   /** Shared front-half of every MinHash family: (doc, 31-bit shingle
     * hash core) — one string hash per shingle, masked so downstream
     * permutation products stay inside a signed long under ANSI. */
-  private def hashedShingles(docs: DataFrame, id: String, text: String,
-                             shingleN: Int,
-                             portable: Boolean = false): DataFrame = {
+  private[graft] def hashedShingles(docs: DataFrame, id: String, text: String,
+                                    shingleN: Int,
+                                    portable: Boolean = false): DataFrame = {
     val sh = shingleArrays(docs, id, text, shingleN)
       .select(col("doc"), explode(col("toks")).as("sh"))
     val core =
@@ -214,16 +243,13 @@ object Dedup {
     * through the shuffle; tokens rejoin only for the (much smaller)
     * deduped candidate set. */
   private def bandTable(sig: DataFrame, bands: Int,
-                        rowsPerBand: Int): DataFrame =
-    sig.select(
-      col("doc"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-               xxhash64(array_join(
-                 transform(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-                           _.cast("string")), ",")).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+                        rowsPerBand: Int): DataFrame = {
+    graft.plans.MinHashBandsExpr.register(sig.sparkSession)
+    sig.select(col("doc"),
+      posexplode(call_function(graft.plans.MinHashBandsExpr.Name,
+        col("sig"), lit(bands), lit(rowsPerBand), lit(false)))
+        .as(Seq("band", "bucket")))
+  }
 
   /** CANDIDATE pairs of [[minhashLshPairs]] — the banded bucket pairs
     * BEFORE exact verification. Exposed so benchmarks can report the
@@ -235,8 +261,8 @@ object Dedup {
                            rowsPerBand: Int = 8,
                            maxBucketSize: Option[Int] = None,
                            portable: Boolean = false): DataFrame = {
-    val sig = signatureAgg(hashedShingles(docs, id, text, shingleN, portable),
-      bands * rowsPerBand)
+    val sig = signatureTable(docs, id, text, shingleN, bands * rowsPerBand,
+      portable)
     bucketPairs(bandTable(sig, bands, rowsPerBand), Seq("band", "bucket"),
       "doc", maxBucketSize)
   }
@@ -295,22 +321,17 @@ object Dedup {
                        rowsPerBand: Int = 8,
                        portable: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingleArrays(docs, id, text, shingleN)
-      .select(col("doc"), explode(col("toks")).as("sh"))
-    val core =
-      if (portable) conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-      else xxhash64(col("sh"))
-    val sig = signatureAgg(
-      sh.select(col("doc"), core.bitwiseAND(lit(0x7FFFFFFFL)).as("h")),
-      numHashes)
-    sig.select(col("doc"), explode(array((0 until bands).map { b =>
-      val key = array_join(transform(
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand),
-        _.cast("string")), ",")
-      struct(lit(b).as("band"),
-        (if (portable) key else xxhash64(key).cast("string")).as("bucket"))
-    }: _*)).as("bb"))
-      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sig = signatureTable(docs, id, text, shingleN, numHashes, portable)
+    graft.plans.MinHashBandsExpr.register(docs.sparkSession)
+    // The persisted artifact's bucket column is STRING in both modes
+    // (portable: the raw band-slice key; production: the decimal form
+    // of the xxhash64 bucket, unchanged from the pre-expression
+    // schema).
+    sig.select(col("doc"),
+      posexplode(call_function(graft.plans.MinHashBandsExpr.Name,
+        col("sig"), lit(bands), lit(rowsPerBand), lit(portable)))
+        .as(Seq("band", "bucket")))
+      .select(col("doc"), col("band"), col("bucket").cast("string").as("bucket"))
   }
 
   def minhashLshPairsIncremental(corpus: DataFrame, increment: DataFrame,

@@ -655,6 +655,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native signature expression bit-equals the declarative explode+agg pipeline") {
+    // Both hash cores, both shingle widths: the per-doc
+    // MinHashShinglesSigExpr loop must reproduce the declarative
+    // explode → per-shingle hash → 128-min-aggregates pipeline
+    // exactly, or every banded consumer silently drifts.
+    // Edge docs pin the inline tokenizer's split(trim, \s+) fidelity:
+    // space-only trim, boundary "" tokens from surviving \t/\n runs.
+    val withEdges = docs.select("doc_id", "text").union(Seq(
+      (100001L, "   "), (100002L, " a  b\ta \n"), (100003L, "solo"),
+      (100004L, "a a a"), (100005L, "\tx y\t"))
+      .toDF("doc_id", "text"))
+    for (portable <- Seq(false, true); n <- Seq(1, 3)) {
+      val native = Dedup.signatureTable(withEdges, "doc_id", "text",
+          shingleN = n, numHashes = 32, portable = portable)
+        .as[(Long, Seq[Long])].collect().toMap
+      val declarative = Dedup.signatureAggDeclarative(
+          Dedup.hashedShingles(withEdges, "doc_id", "text", n, portable), 32)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native.nonEmpty && native == declarative,
+        s"signature drift at portable=$portable shingleN=$n")
+    }
+  }
+
+  test("native tokens_distinct bit-equals array_distinct(split(trim, whitespace))") {
+    graft.plans.TokensDistinctExpr.register(spark)
+    val edge = Seq((100000L, ""), (100001L, "   "), (100002L, " a  b\ta \n"),
+      (100003L, "solo"), (100004L, "a a a"), (100005L, "é 中 a"))
+      .toDF("doc_id", "text")
+    val both = Tables.documents(spark, Sf).select("doc_id", "text")
+      .union(edge)
+      .select(col("doc_id"),
+        call_function(graft.plans.TokensDistinctExpr.Name, col("text"))
+          .as("native"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("composed"))
+    assert(both.filter(not(col("native") === col("composed"))).count() == 0)
+  }
+
   test("semDedup: no surviving within-cluster near-dup pair; least-central member always kept") {
     val emb = Tables.embeddings(spark, Sf)
     val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
