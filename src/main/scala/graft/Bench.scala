@@ -23,14 +23,14 @@ object Bench {
       // from ~280 timed queries accumulates and pollutes neighbors
       // (r9: untouched queries read 2-3× their isolated cost in-pass).
       .config("spark.cleaner.periodicGC.interval", "60s")
-      // Partition sizing for compute-dense small inputs: the heavy
-      // corpus is ~57 MB compressed (≈ 500 MB of text) — at the 128 MB
-      // default the ENTIRE signature/scoring pipeline lands in one scan
-      // partition and runs on one core (measured: the exchange-free
-      // minhash band table read 12 s single-threaded vs 2.3 s at 32-way
-      // parallelism). 4 MB/512 KB spreads these files across the
-      // machine; a real 100 TB deployment keeps the default — its scans
-      // have thousands of partitions regardless.
+      // Partition sizing for compute-dense inputs: at sf0.1 the larger
+      // tables (lineitem 36 MB, heavy tables 8-57 MB) pack into one or
+      // two 128 MB scan partitions and their pipelines under-parallelize
+      // (measured: session-wide 4 MB read the 75-query r8 common tail at
+      // 58.4 s vs 63.6 s on defaults, and heavy scans up to 12×). A real
+      // 100 TB deployment keeps the defaults — its scans have thousands
+      // of row groups regardless; this sizes the bench's small files to
+      // this machine, exactly what the conf exists for.
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
@@ -290,6 +290,19 @@ object HeavyBench {
     if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0")) return ""
     val selected = Items.filter(i => only.forall(_.contains(i.name)))
     if (selected.isEmpty) return ""
+    // Partition sizing scoped to THIS block: the heavy tables are
+    // ~8-57 MB compressed but compute-dense (≈500 MB of text), and at
+    // the defaults (128 MB target, 4 MB open cost) a whole table packs
+    // into ONE scan partition — every scan-rooted heavy pipeline ran on
+    // one core (measured: the minhash band table 12 s single-threaded
+    // vs 1.0 s spread). The light passes keep the defaults (their
+    // sub-MB inputs would only gain task-scheduling overhead), and a
+    // real 100 TB deployment keeps them too — its scans have thousands
+    // of partitions regardless.
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+    spark.conf.set("spark.sql.files.openCostInBytes", "512k")
     try {
       val dir = ensureHeavyDir(spark, sfDir)
       // Graph fixtures derive from the heavy dir's lineitem — prebuilt
@@ -326,6 +339,9 @@ object HeavyBench {
       case e: Throwable =>
         System.err.println(s"[bench] heavy block failed: ${e.getMessage}")
         ""
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
     }
   }
 

@@ -30,6 +30,10 @@ object FunnelProfile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // Heavy-fixture partition sizing (see HeavyBench.run): without
+      // this the compute-dense ~8-57 MB tables scan on one core.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -128,10 +128,6 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      // See Bench: spread compute-dense small parquet across cores
-      // (at the 128 MB default a ~57 MB corpus scans on ONE core).
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.files.openCostInBytes", "512k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -799,7 +799,8 @@ object Dedup {
       .join(assign.select(col(id).as("__id"), col("cluster")), Seq("__id"))
       .join(broadcast(centroids), Seq("cluster"))
       .select(col("__id"), col("cluster"),
-        Similarity.cosine(col("__v"), col("centroid")).as("__csim"))
+        Similarity.cosineNative(spark, col("__v"), col("centroid"))
+          .as("__csim"))
     // csim feeds the pair ranking twice and the output once; the
     // repeated subplan shares one physical exchange via ReuseExchange,
     // and NOT checkpointing keeps size stats visible to the join

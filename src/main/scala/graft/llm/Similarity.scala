@@ -262,7 +262,12 @@ object Similarity {
                         centroids: DataFrame): DataFrame =
     emb.select(col(id).as("__id"), col(vec).as("__v"))
       .join(broadcast(centroids), lit(true))
-      .withColumn("__csim", cosine(col("__v"), col("centroid")))
+      // Native fused cosine (float corpus × double centroid means —
+      // bit-identical to the HOF form, so the e11/e13 oracles and the
+      // Lloyd determinism contract are unaffected); this is corpus × k
+      // evaluations, the hottest loop of every k-means consumer.
+      .withColumn("__csim",
+        cosineNative(emb.sparkSession, col("__v"), col("centroid")))
       .groupBy("__id")
       // min_by on (-similarity, padded-cluster) = best similarity,
       // ties to the smallest cluster id — deterministic without a

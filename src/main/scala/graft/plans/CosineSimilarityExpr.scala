@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * array<float> columns, with `doGenCode` — the one hot-path scalar
@@ -21,17 +21,32 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // (ExpectsInputTypes is package-private API in Spark 4; inputs are
-  // validated here instead.)
+  // validated here instead.) Each side is independently float or
+  // double; every element routes through the same double accumulator,
+  // so a float side is bit-identical to the HOF form's
+  // `x.cast("double")` and a double side to the plain HOF read — the
+  // k-means paths pair a float corpus with double centroid means.
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+           ArrayType(LongType, _) => true
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"cosine_sim expects (array<float>, array<float>), got " +
+      s"cosine_sim expects array<float|double|bigint> sides, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  // Per-side element reader, always into the double accumulator —
+  // float matches the HOF form's x.cast("double") bit for bit, long
+  // (the integer-quantized twin inputs, |x| < 2^24 ≪ 2^53) is the
+  // exact widening the HOF cast performs too.
+  private def readerOf(e: Expression): (String, String) = e.dataType match {
+    case ArrayType(DoubleType, _) => ("getDouble", "")
+    case ArrayType(LongType, _) => ("getLong", "(double) ")
+    case _ => ("getFloat", "(double) ")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -46,12 +61,18 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    def rd(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+           side: Expression, i: Int): Double = side.dataType match {
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case ArrayType(LongType, _) => arr.getLong(i).toDouble
+      case _ => arr.getFloat(i).toDouble
+    }
     val n = math.min(xs.numElements(), ys.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = xs.getFloat(i).toDouble
-      val y = ys.getFloat(i).toDouble
+      val x = rd(xs, left, i)
+      val y = rd(ys, right, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -69,12 +90,16 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val denom = ctx.freshName("denom")
+      def rd(arr: String, side: Expression) = {
+        val (m, cast) = readerOf(side)
+        s"$cast$arr.$m($i)"
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.getFloat($i);
-         |  double $y = (double) $b.getFloat($i);
+         |  double $x = ${rd(a, left)};
+         |  double $y = ${rd(b, right)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
