@@ -218,8 +218,9 @@ object HeavyBench {
   // v4: lowdup suffixes kill cross-original sim; v5: replicas written
   // 32-way — a single posexplode lineage wrote ONE 57 MB file whose one
   // row group is unsplittable, so every scan-rooted pipeline ran on one
-  // core no matter the partition-size conf.
-  private val Layout = "v5"
+  // core no matter the partition-size conf. v6: + the persisted lowdup
+  // corpus band table for the incremental-dedup entry.
+  private val Layout = "v6"
 
   /** One heavy entry: a registered query (or a custom fn for variants
     * not in the registry), the tables it reads, an optional subdir of
@@ -283,7 +284,37 @@ object HeavyBench {
           threshold = 0.35, maxClusterSize = Some(2000))
       }),
     HeavyItem("g6_coupling", Seq("lineitem")),
-    HeavyItem("g8_pagerank", Seq("lineitem")))
+    HeavyItem("g8_pagerank", Seq("lineitem")),
+    // THE scale-critical reference operator (SURVEY W3: the 6 TB
+    // latest-per-DOI snapshot, baseline 28 K docs/s): map-side-
+    // combinable max_by compaction of the 9.6 M-row edge table down to
+    // its ~200 K distinct part keys.
+    HeavyItem("w3_snapshot_compaction", Seq("lineitem"),
+      fn = Some { (s, d) =>
+        operators.Ops.latestPerKeyAgg(Seq("l_partkey"),
+          col("l_orderkey"))(Tables.lineitem(s, d))
+      }),
+    // The nightly incremental shape on the production-density corpus:
+    // 1/16 of the docs arrive as the increment, the standing corpus'
+    // band table is the persisted artifact, pairs touch the increment
+    // only. docs/s here is per INCREMENT doc — the number a nightly
+    // run sizes against.
+    HeavyItem("d12_incremental_heavy", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some { (s, d) =>
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(col("doc_id") % 16 =!= 0)
+        val inc = docs.filter(col("doc_id") % 16 === 0)
+        // The corpus band table is the PERSISTED artifact (built with
+        // the fixture, read back here) — the timed window covers what
+        // a nightly run actually pays: sign the increment, prune the
+        // corpus bands to touched buckets, pair, verify.
+        Dedup.minhashLshPairsIncremental(corpus, inc, "doc_id", "text",
+          threshold = 0.8, maxBucketSize = Some(100),
+          corpusBands = Some(s.read.parquet(s"$d/corpus_bands.parquet")))
+      },
+      counts = Some((s, d) => Seq("increment_docs" ->
+        Tables.documents(s, d).filter(col("doc_id") % 16 === 0).count()))))
 
   def run(spark: SparkSession, sfDir: String,
           only: Option[Set[String]]): String = {
@@ -318,7 +349,22 @@ object HeavyBench {
           val bytes = item.tables.map(t => duBytes(spark, s"$d/$t.parquet")).sum
           val rows = item.tables.map(t =>
             spark.read.parquet(s"$d/$t.parquet").count()).sum
-          val (sec, outRows) = timeOne(spark, item.name, f, d)
+          // Min over N samples (default 2): each heavy item is timed
+          // once per sample from reaped state, but single samples still
+          // swung 2-3× across bench invocations (g8 12.3/17.2/33.0 s in
+          // three otherwise-identical runs) — GC/allocator state the
+          // reaper cannot fully return. The min is the steady-state
+          // number the 100 TB sizing uses, same rationale as the light
+          // passes' min-of-3.
+          val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "2").toInt
+          val samples = (1 to nSamples).map { i =>
+            val s = timeOne(spark, item.name, f, d)
+            System.err.println(f"[bench] heavy ${item.name} sample $i ${s._1}%.1f s")
+            s
+          }
+          val ok = samples.filter(_._1 >= 0)
+          val (sec, outRows) =
+            if (ok.isEmpty) samples.head else (ok.map(_._1).min, ok.head._2)
           val mbps = if (sec > 0) bytes / 1e6 / sec else -1.0
           val rps = if (sec > 0) rows / sec else -1.0
           // Extra counts are untimed: they re-run the candidate stage
@@ -468,6 +514,15 @@ object HeavyBench {
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       li.repartition(32)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // The incremental-dedup entry's persisted artifact: the standing
+      // corpus' (doc, band, bucket) table (doc_id % 16 != 0 — the
+      // increment is the complement), written like a production
+      // BandStore run would leave it.
+      graft.llm.Dedup.minhashBandTable(
+          spark.read.parquet(s"$dir/lowdup/documents.parquet")
+            .filter(col("doc_id") % 16 =!= 0), "doc_id", "text")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/lowdup/corpus_bands.parquet")
       val out = fs.create(sidecar, true)
       try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
     }
