@@ -363,10 +363,22 @@ object Similarity {
           j => slice(col("__v"), j * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
   }
 
-  /** Squared L2 — the PQ training/lookup metric. Evaluated as one fused
-    * sequential fold per row (no cross-row accumulation), so it is
-    * deterministic for a given pair. */
-  private def l2sq(a: Column, b: Column): Column =
+  /** Squared L2 — the PQ training/lookup metric, via the native fused
+    * expression (graft.plans.L2SquaredExpr): one compiled loop per row
+    * instead of interpreted zip_with/aggregate lambdas, bit-identical
+    * to [[l2sqHof]] (same left-to-right double fold; spec-pinned).
+    * This is the corpus × m × k hot loop of PQ encode/training.
+    * Registered against the thread's active session — every graft
+    * entry point is single-session. */
+  private def l2sq(a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.plans.GraftFunctions.L2Name, a, b)
+  }
+
+  /** The HOF form [[l2sq]] replaced — kept (test-visible) as the
+    * bit-equality reference for the native expression. */
+  private[graft] def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** Product-quantization codebooks (Jégou et al. 2011, the FAISS PQ

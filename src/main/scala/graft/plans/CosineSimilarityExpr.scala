@@ -113,6 +113,88 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance over two numeric-array columns — the PQ
+  * training/lookup metric, as one fused loop with `doGenCode`.
+  * Bit-identical to the HOF form
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)`
+  * (same left-to-right accumulation in double), so swapping one for
+  * the other never changes codes, ADC sums, or ranks — the PQ paths
+  * evaluate this corpus × m × k times, the hottest loop of
+  * encode/training. Same per-side float/double/bigint acceptance as
+  * [[CosineSimilarityExpr]]. Mismatched lengths score over the common
+  * prefix (the HOF's zip_with would null out — callers guard shape
+  * via requireCodebook, which fails loudly first). */
+case class L2SquaredExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+           ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2_sq expects array<float|double|bigint> sides, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "l2_sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ys = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    def rd(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+           side: Expression, i: Int): Double = side.dataType match {
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case ArrayType(LongType, _) => arr.getLong(i).toDouble
+      case _ => arr.getFloat(i).toDouble
+    }
+    val n = math.min(xs.numElements(), ys.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = rd(xs, left, i) - rd(ys, right, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  private def readerOf(e: Expression): (String, String) = e.dataType match {
+    case ArrayType(DoubleType, _) => ("getDouble", "")
+    case ArrayType(LongType, _) => ("getLong", "(double) ")
+    case _ => ("getFloat", "(double) ")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      def rd(arr: String, side: Expression) = {
+        val (m, cast) = readerOf(side)
+        s"$cast$arr.$m($i)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = ${rd(a, left)} - ${rd(b, right)};
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2SquaredExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Function registration: per-session (idempotent) or via the
   * `spark.sql.extensions` mechanism with [[GraftExtensions]]. */
 object GraftFunctions {
@@ -143,11 +225,22 @@ object GraftFunctions {
   private[plans] val cosineInfo = info
   private[plans] val cosineBuilder = builder
 
+  val L2Name = "l2_sq"
+  private[plans] val l2Info =
+    new ExpressionInfo(classOf[L2SquaredExpr].getName, L2Name)
+  private[plans] val l2Builder = (children: Seq[Expression]) => {
+    require(children.size == 2,
+      s"l2_sq expects 2 arguments, got ${children.size}")
+    L2SquaredExpr(children(0), children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(Name), info, builder)
     spark.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(LshName), lshInfo, lshBuilder)
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(L2Name), l2Info, l2Builder)
   }
 }
 

@@ -678,6 +678,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native l2_sq bit-equals the HOF fold on the PQ shapes") {
+    // Every PQ call site passes DOUBLE arrays (subvectors/residuals/
+    // asDouble casts), so the equality that matters is double × double;
+    // exact == on the unrounded doubles.
+    graft.plans.GraftFunctions.register(spark)
+    val d = Tables.embeddings(spark, Sf).filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val q = d.limit(3).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val out = d.crossJoin(q).select(
+      Similarity.l2sqHof(col("v"), col("qv")).as("h"),
+      call_function(graft.plans.GraftFunctions.L2Name,
+        col("v"), col("qv")).as("n"))
+    assert(out.count() == 300)
+    assert(out.filter(col("h") =!= col("n")).count() == 0)
+  }
+
   test("native tokens_distinct bit-equals array_distinct(split(trim, whitespace))") {
     graft.plans.TokensDistinctExpr.register(spark)
     val edge = Seq((100000L, ""), (100001L, "   "), (100002L, " a  b\ta \n"),
