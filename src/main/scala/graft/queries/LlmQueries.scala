@@ -443,6 +443,47 @@ object LlmQueries {
       Dedup.semDedup(emb, "vec_id", "qv", assign, cents, threshold = 0.35)
     },
 
+    // Cluster-balanced corpus selection — the semantic-diversity
+    // balancing step of modern curation pipelines (cap every semantic
+    // cluster at a quota so no mode dominates; the embedding-space
+    // analog of c5's per-language cap): k-means cluster assignment →
+    // per-cluster deterministic stable-hash quota. Composed from the
+    // d18 assignment (quantized, iters = 1, seed centroids) and the c5
+    // quota, so the ENTIRE pipeline — seeding, assignment, hash order,
+    // cut — replays under the DuckDB oracle.
+    Q("pipe18_cluster_balance",
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(CAST(embedding AS DOUBLE[]),
+        |                            x -> floor(x * 1000 + 0.5)) AS v
+        |           FROM embeddings),
+        |sc AS (SELECT CAST(vec_id AS VARCHAR) AS cluster, v AS centroid
+        |       FROM e ORDER BY vec_id LIMIT 8),
+        |asg AS (SELECT vec_id, cluster FROM (
+        |          SELECT e.vec_id, sc.cluster, row_number() OVER (
+        |            PARTITION BY e.vec_id ORDER BY
+        |              (list_sum(list_transform(range(0, 64),
+        |                 i -> e.v[i+1] * sc.centroid[i+1]))
+        |               / (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |                  sqrt(list_sum(list_transform(sc.centroid,
+        |                    x -> x * x))))) DESC,
+        |              lpad(cluster, 24, '0')) AS rn
+        |          FROM e CROSS JOIN sc) WHERE rn = 1)
+        |SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, cluster, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY
+        |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':bal'),
+        |        1, 10)) AS BIGINT), vec_id) AS rk
+        |  FROM asg) WHERE rk <= 30""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("float")).as("qv"))
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "qv",
+        k = 8, iters = 1)
+      val assign = Similarity.assignToCentroids(emb, "vec_id", "qv", cents)
+      graft.llm.Corpus.stratifiedQuota(assign, "vec_id", "cluster",
+        30, "bal").select("vec_id", "cluster")
+    },
+
     // Cross-document repeated passages (substring-granularity dedup,
     // Lee et al. 2021 approximated at token-window resolution): 8-token
     // windows, stride 1, hashes shared by >= 2 distinct docs. The md5

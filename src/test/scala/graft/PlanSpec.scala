@@ -108,7 +108,7 @@ class PlanSpec extends AnyFunSuite {
       "e6_scalar_quant", "e7_ann_ivf_kmeans", "e11_ann_ivf_portable",
       "e12_ann_ivfpq", "e13_ann_ivfpq_portable",
       "d17_semdedup", "d18_semdedup_portable", "c9_dsir_weights",
-      "c8_temperature_mix")
+      "pipe18_cluster_balance", "c8_temperature_mix")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian")
