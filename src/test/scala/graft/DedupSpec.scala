@@ -678,6 +678,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("native array_intersect_size bit-equals size(array_intersect) on distinct arrays") {
+    graft.plans.ArrayIntersectSizeExpr.register(spark)
+    val t = Tables.documents(spark, Sf).filter(col("doc_id") < 80)
+      .select(col("doc_id"),
+        array_distinct(split(trim(col("text")), "\\s+")).as("toks"))
+    val a = t.select(col("doc_id").as("ia"), col("toks").as("ta"))
+    val b = t.limit(10).select(col("doc_id").as("ib"), col("toks").as("tb"))
+    val out = a.crossJoin(b).select(
+      size(array_intersect(col("ta"), col("tb"))).as("ref"),
+      call_function(graft.plans.ArrayIntersectSizeExpr.Name,
+        col("ta"), col("tb")).as("nat"))
+    assert(out.count() == 800)
+    assert(out.filter(col("ref") =!= col("nat")).count() == 0)
+    // null-element contract: a null survives iff present on BOTH sides
+    import spark.implicits._
+    val edge = Seq((Seq[String]("a", null), Seq[String]("b", null)),
+      (Seq[String]("a", null), Seq[String]("a")),
+      (Seq[String](), Seq[String]("a"))).toDF("x", "y")
+      .select(size(array_intersect(col("x"), col("y"))).as("ref"),
+        call_function(graft.plans.ArrayIntersectSizeExpr.Name,
+          col("x"), col("y")).as("nat"))
+    assert(edge.filter(col("ref") =!= col("nat")).count() == 0)
+  }
+
   test("native l2_sq bit-equals the HOF fold on the PQ shapes") {
     // Every PQ call site passes DOUBLE arrays (subvectors/residuals/
     // asDouble casts), so the equality that matters is double × double;
