@@ -478,7 +478,26 @@ object Dedup {
                           portable: Boolean = false): DataFrame = {
     // `portable` swaps the xxhash64 shingle core for the md5 one (the
     // d9 convention), putting the binning + densification math itself
-    // under the DuckDB hash oracle (d14).
+    // under the DuckDB hash oracle (d14). Like the classic signature,
+    // the whole computation is ONE per-doc native expression — no
+    // explode, no aggregation, no shuffle (bit-equality vs the
+    // retained declarative pipeline is spec-pinned).
+    graft.plans.MinHashOphSigExpr.register(docs.sparkSession)
+    def sigOf(c: Column) = call_function(
+      graft.plans.MinHashOphSigExpr.Name, c, lit(bins), lit(portable))
+    if (shingleN == 1)
+      docs.select(col(id).as("doc"), sigOf(col(text)).as("sig"))
+    else
+      shingleArrays(docs, id, text, shingleN)
+        .select(col("doc"), sigOf(col("toks")).as("sig"))
+  }
+
+  /** The declarative OPH pipeline [[minhashOphSignature]] replaced —
+    * kept (test-visible) as the bit-equality reference. */
+  private[graft] def minhashOphSignatureDeclarative(
+      docs: DataFrame, id: String, text: String,
+      bins: Int = 128, shingleN: Int = 1,
+      portable: Boolean = false): DataFrame = {
     hashedShingles(docs, id, text, shingleN, portable)
       .groupBy(col("doc"), pmod(col("h"), lit(bins.toLong)).as("bin"))
       .agg(min(col("h")).as("mh"))

@@ -257,6 +257,102 @@ object TokensDistinctExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
+/** The one-permutation-hashing (OPH) MinHash signature of one document
+  * as ONE scalar expression: per shingle ONE 31-bit hash, binned by
+  * `h mod bins` with a per-bin min, then circular densification —
+  * every empty position borrows the value of the next occupied bin
+  * at-or-after it, wrapping past the last occupied bin to the FIRST.
+  * Bit-identical to the declarative pipeline it replaces (explode +
+  * (doc, bin) min aggregate + sorted-segment expansion; spec-pinned),
+  * including the d14 oracle's backward-fill semantics. Same
+  * string/array<string> input contract as [[MinHashShinglesSigExpr]]
+  * (string input tokenizes inline via forEachToken; duplicates are
+  * min-idempotent). A doc with no occupied bins cannot occur (every
+  * doc yields ≥ 1 shingle).
+  *
+  * Registered as `minhash_oph_sig(shingles, bins, portable)`. */
+case class MinHashOphSigExpr(
+    child: Expression, bins: Int, portable: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) | StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_oph_sig expects array<string> or string, " +
+            s"got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_oph_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val buf = Array.fill(bins)(Long.MaxValue) // MaxValue = empty bin
+    @inline def fold(h: Long): Unit = {
+      val b = (h % bins).toInt
+      if (h < buf(b)) buf(b) = h
+    }
+    input match {
+      case s: UTF8String =>
+        val bytes = s.getBytes
+        MinHashShinglesSigExpr.forEachToken(bytes, (start, len) =>
+          fold(MinHashShinglesSigExpr.core31Bytes(bytes, start, len, portable)))
+      case arr: ArrayData =>
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i))
+            fold(MinHashShinglesSigExpr.core31(arr.getUTF8String(i), portable))
+          i += 1
+        }
+    }
+    // Densify: out[p] = value of the next occupied bin >= p, wrapping
+    // past the last occupied bin to the first occupied one — one
+    // backward fill seeded with the first occupied value.
+    var first = Long.MaxValue
+    var i = 0
+    while (i < bins && first == Long.MaxValue) {
+      if (buf(i) != Long.MaxValue) first = buf(i)
+      i += 1
+    }
+    val out = new Array[Long](bins)
+    var carry = first
+    var p = bins - 1
+    while (p >= 0) {
+      if (buf(p) != Long.MaxValue) carry = buf(p)
+      out(p) = carry
+      p -= 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashOphSigExpr = copy(child = newChild)
+}
+
+object MinHashOphSigExpr {
+  val Name = "minhash_oph_sig"
+  private val info = new ExpressionInfo(classOf[MinHashOphSigExpr].getName, Name)
+  private def litVal(e: Expression, what: String): Any = {
+    require(e.foldable, s"minhash_oph_sig: $what must be a literal, got $e")
+    e.eval(null)
+  }
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 3,
+      s"minhash_oph_sig expects 3 arguments (shingles, bins, portable), " +
+        s"got ${children.size}")
+    MinHashOphSigExpr(children(0),
+      litVal(children(1), "bins").asInstanceOf[Number].intValue(),
+      litVal(children(2), "portable").asInstanceOf[Boolean])
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 /** `size(array_intersect(a, b))` for DISTINCT string arrays as one
   * hash-set pass. Bit-identical on duplicate-free inputs (the
   * jaccardDistinct contract — array_intersect's output dedup is then a

@@ -719,6 +719,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out.filter(col("h") =!= col("n")).count() == 0)
   }
 
+  test("native OPH signature bit-equals the declarative bin-min + densify pipeline") {
+    val withEdges = docs.select("doc_id", "text").union(Seq(
+      (100001L, "   "), (100002L, " a  b\ta \n"), (100003L, "solo"),
+      (100004L, "a a a"), (100005L, "\tx y\t"))
+      .toDF("doc_id", "text"))
+    for (portable <- Seq(false, true); n <- Seq(1, 3)) {
+      val native = Dedup.minhashOphSignature(withEdges, "doc_id", "text",
+          bins = 32, shingleN = n, portable = portable)
+        .as[(Long, Seq[Long])].collect().toMap
+      val declarative = Dedup.minhashOphSignatureDeclarative(withEdges,
+          "doc_id", "text", bins = 32, shingleN = n, portable = portable)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native.nonEmpty && native == declarative,
+        s"OPH signature drift at portable=$portable shingleN=$n")
+    }
+  }
+
   test("native tokens_distinct bit-equals array_distinct(split(trim, whitespace))") {
     graft.plans.TokensDistinctExpr.register(spark)
     val edge = Seq((100000L, ""), (100001L, "   "), (100002L, " a  b\ta \n"),
