@@ -336,9 +336,17 @@ object Corpus {
       coalesce(sum(when(col("__t"), col("c"))), lit(0L)).as("nt"),
       sum(col("c")).as("nr"))
     val totals = perFeat.agg(sum("nt").as("totT"), sum("nr").as("totR"))
+    // Each factor is cast to double BEFORE the multiply: at the 100 TB
+    // corpus scale this module documents (per-feature counts ~1e10,
+    // totals ~1e13) a long×long product overflows Int64. double×double
+    // of exactly-representable longs rounds the exact product once —
+    // bit-identical to the old long-product-then-cast below 2^53, and
+    // correct above it.
     val llr = perFeat.crossJoin(broadcast(totals)).select(col("f"),
-      floor(log(((col("nt") + 1) * (col("totR") + buckets)).cast("double") /
-        ((col("nr") + 1) * (col("totT") + buckets)).cast("double")) * 1e6 + 0.5)
+      floor(log(((col("nt") + 1).cast("double") *
+          (col("totR") + buckets).cast("double")) /
+        ((col("nr") + 1).cast("double") *
+          (col("totT") + buckets).cast("double"))) * 1e6 + 0.5)
         .cast("long").as("llr"))
     val weights = perDoc.join(broadcast(llr), Seq("f"))
       .groupBy("__id").agg(sum(col("c") * col("llr")).as("weight"))

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Scalars
 
@@ -114,12 +114,17 @@ object Dedup {
     // the UTF-8 bytes (regex split + array materialization + distinct
     // all skipped — min is duplicate-idempotent, so the multiset
     // signature equals the set signature). n > 1 keeps the staged
-    // shingle-array path.
-    if (shingleN == 1)
-      docs.select(col(id).as("doc"), sigOf(col(text)).as("sig"))
-    else
-      shingleArrays(docs, id, text, shingleN)
-        .select(col("doc"), sigOf(col("toks")).as("sig"))
+    // shingle-array path. Either way a null text evaluates to a null
+    // sig where the replaced explode+aggregate pipeline emitted NO
+    // row — filter to preserve that contract for direct consumers
+    // (minhashSignaturePortable).
+    val sigs =
+      if (shingleN == 1)
+        docs.select(col(id).as("doc"), sigOf(col(text)).as("sig"))
+      else
+        shingleArrays(docs, id, text, shingleN)
+          .select(col("doc"), sigOf(col("toks")).as("sig"))
+    sigs.filter(col("sig").isNotNull)
   }
 
   /** The declarative signature pipeline [[signatureTable]] replaced —
@@ -279,7 +284,8 @@ object Dedup {
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
       // shingles() output is already distinct — skip jaccard's re-distinct.
-      .withColumn("jaccard", jaccardDistinct(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        jaccardDistinct(docs.sparkSession, col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -449,7 +455,8 @@ object Dedup {
     val result = pairs
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardDistinct(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        jaccardDistinct(corpus.sparkSession, col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     (result, () => { pairs.unpersist(false); toks.unpersist(false); () })
@@ -485,11 +492,15 @@ object Dedup {
     graft.plans.MinHashOphSigExpr.register(docs.sparkSession)
     def sigOf(c: Column) = call_function(
       graft.plans.MinHashOphSigExpr.Name, c, lit(bins), lit(portable))
-    if (shingleN == 1)
-      docs.select(col(id).as("doc"), sigOf(col(text)).as("sig"))
-    else
-      shingleArrays(docs, id, text, shingleN)
-        .select(col("doc"), sigOf(col("toks")).as("sig"))
+    // Null-text docs: null sig → no row (the declarative pipeline's
+    // contract), same as signatureTable.
+    val sigs =
+      if (shingleN == 1)
+        docs.select(col(id).as("doc"), sigOf(col(text)).as("sig"))
+      else
+        shingleArrays(docs, id, text, shingleN)
+          .select(col("doc"), sigOf(col("toks")).as("sig"))
+    sigs.filter(col("sig").isNotNull)
   }
 
   /** The declarative OPH pipeline [[minhashOphSignature]] replaced —
@@ -594,9 +605,13 @@ object Dedup {
 
   /** Exact token-set Jaccard similarity of two token arrays. Left as the
     * raw double: an integer-ratio division is IEEE-exact and therefore
-    * engine-portable, while round() tie-breaking is not. */
-  def jaccard(a: Column, b: Column): Column =
-    jaccardDistinct(array_distinct(a), array_distinct(b))
+    * engine-portable, while round() tie-breaking is not. Takes the
+    * owning session explicitly (the cosineNative pattern) — the native
+    * intersection expression registers against it, so off-thread Column
+    * construction or a multi-session JVM cannot register on the wrong
+    * session. */
+  def jaccard(spark: SparkSession, a: Column, b: Column): Column =
+    jaccardDistinct(spark, array_distinct(a), array_distinct(b))
 
   /** Jaccard over arrays the caller guarantees are already duplicate-free.
     * The intersection count runs through the native hash-set expression
@@ -605,9 +620,9 @@ object Dedup {
     * — exact integer-ratio double, the oracle-portability contract —
     * are untouched. This is the per-candidate-pair hot op of LSH
     * verification (10.8 M pairs on the heavy fixture). */
-  private def jaccardDistinct(da: Column, db: Column): Column = {
-    graft.plans.ArrayIntersectSizeExpr.register(
-      org.apache.spark.sql.SparkSession.active)
+  private def jaccardDistinct(spark: SparkSession, da: Column,
+                              db: Column): Column = {
+    graft.plans.ArrayIntersectSizeExpr.register(spark)
     val inter = call_function(graft.plans.ArrayIntersectSizeExpr.Name, da, db)
     inter.cast("double") / (size(da) + size(db) - inter)
   }
@@ -622,7 +637,8 @@ object Dedup {
     val a = t.select(col("doc").as("id_a"), col("toks").as("toks_a"))
     val b = t.select(col("doc").as("id_b"), col("toks").as("toks_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard",
+        jaccard(docs.sparkSession, col("toks_a"), col("toks_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -368,11 +368,12 @@ object Similarity {
     * instead of interpreted zip_with/aggregate lambdas, bit-identical
     * to [[l2sqHof]] (same left-to-right double fold; spec-pinned).
     * This is the corpus × m × k hot loop of PQ encode/training.
-    * Registered against the thread's active session — every graft
-    * entry point is single-session. */
-  private def l2sq(a: Column, b: Column): Column = {
-    graft.plans.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
+    * Takes the owning session explicitly (the cosineNative pattern) so
+    * off-thread Column construction or a multi-session JVM cannot
+    * register the function on the wrong session. */
+  private def l2sq(spark: org.apache.spark.sql.SparkSession,
+                   a: Column, b: Column): Column = {
+    graft.plans.GraftFunctions.register(spark)
     call_function(graft.plans.GraftFunctions.L2Name, a, b)
   }
 
@@ -463,7 +464,7 @@ object Similarity {
     * subspace) + one map-side-combinable min_by. */
   private def pqAssign(sv: DataFrame, codebook: DataFrame): DataFrame =
     sv.join(broadcast(codebook), Seq("subspace"))
-      .withColumn("__d", l2sq(col("sv"), col("centroid")))
+      .withColumn("__d", l2sq(sv.sparkSession, col("sv"), col("centroid")))
       .groupBy("__id", "subspace")
       .agg(expr("min_by(code, struct(__d, code))").as("code"))
 
@@ -496,7 +497,7 @@ object Similarity {
       .select(col("__id").as("query_id"), col("subspace"), col("sv"))
       .join(codebook, Seq("subspace"))
       .select(col("query_id"), col("subspace"), col("code"),
-        floor(l2sq(col("sv"), col("centroid")) * 1e6 + 0.5)
+        floor(l2sq(queries.sparkSession, col("sv"), col("centroid")) * 1e6 + 0.5)
           .cast("long").as("__dq"))
     val scored = corpusCodes
       .select(col(id).as("neighbor_id"),
@@ -563,7 +564,8 @@ object Similarity {
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("rv"), j * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
       .join(broadcast(codebook), Seq("subspace"))
-      .withColumn("__d", l2sq(col("sv"), col("centroid")))
+      .withColumn("__d",
+        l2sq(withCluster.sparkSession, col("sv"), col("centroid")))
       .groupBy("__id", "cluster", "subspace")
       .agg(expr("min_by(code, struct(__d, code))").as("code"))
       .groupBy("__id", "cluster")
@@ -603,7 +605,7 @@ object Similarity {
           j => slice(col("qr"), j * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
       .join(broadcast(codebook), Seq("subspace"))
       .select(col("query_id"), col("cluster"), col("subspace"), col("code"),
-        floor(l2sq(col("sv"), col("centroid")) * 1e6 + 0.5)
+        floor(l2sq(queries.sparkSession, col("sv"), col("centroid")) * 1e6 + 0.5)
           .cast("long").as("__dq"))
     // A corpus vector lives in exactly one cluster, so each (neighbor,
     // subspace) matches at most one LUT row per query and the sum is
@@ -643,7 +645,7 @@ object Similarity {
       .join(corpus.select(col(id).as("neighbor_id"),
         asDouble(col(vec)).as("cv")), Seq("neighbor_id"))
       .join(q, Seq("query_id"))
-      .withColumn("dist", l2sq(col("qv"), col("cv")))
+      .withColumn("dist", l2sq(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -676,7 +678,7 @@ object Similarity {
       .join(corpus.select(col(id).as("neighbor_id"),
         asDouble(col(vec)).as("cv")), Seq("neighbor_id"))
       .join(q, Seq("query_id"))
-      .withColumn("dist", l2sq(col("qv"), col("cv")))
+      .withColumn("dist", l2sq(corpus.sparkSession, col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

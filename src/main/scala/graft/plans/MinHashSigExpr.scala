@@ -157,6 +157,13 @@ case class MinHashBandsExpr(
 
   override protected def nullSafeEval(input: Any): Any = {
     val sig = input.asInstanceOf[ArrayData]
+    // Fail loudly on a hash-family mismatch: UnsafeArrayData.getLong
+    // past numElements reads adjacent buffer memory without error, so
+    // a signature built with the wrong numHashes would otherwise yield
+    // silently wrong bucket keys.
+    require(sig.numElements() >= bands * rowsPerBand,
+      s"minhash_bands: signature has ${sig.numElements()} elements, " +
+        s"need bands*rowsPerBand = ${bands * rowsPerBand}")
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {

@@ -201,8 +201,8 @@ object CorpusQueries {
         |       FROM dc GROUP BY f),
         |tot AS (SELECT sum(nt) AS ct, sum(nr) AS cr FROM gl),
         |llr AS (SELECT f,
-        |          CAST(floor(ln(CAST((nt + 1) * (cr + 1024) AS DOUBLE) /
-        |                        CAST((nr + 1) * (ct + 1024) AS DOUBLE))
+        |          CAST(floor(ln((CAST(nt + 1 AS DOUBLE) * CAST(cr + 1024 AS DOUBLE)) /
+        |                        (CAST(nr + 1 AS DOUBLE) * CAST(ct + 1024 AS DOUBLE)))
         |                     * 1e6 + 0.5) AS BIGINT) AS llr
         |        FROM gl CROSS JOIN tot),
         |w AS (SELECT dc.doc_id, CAST(sum(dc.c * llr.llr) AS BIGINT) AS weight

@@ -57,8 +57,8 @@ object ScalarsProps extends Properties("Scalars") {
     val df = Seq((a, b)).toDF("a", "b")
       .select(split(col("a"), " ").as("ta"), split(col("b"), " ").as("tb"))
     val (ab, ba) = df.select(
-      Dedup.jaccard(col("ta"), col("tb")).as("ab"),
-      Dedup.jaccard(col("tb"), col("ta")).as("ba"))
+      Dedup.jaccard(spark, col("ta"), col("tb")).as("ab"),
+      Dedup.jaccard(spark, col("tb"), col("ta")).as("ba"))
       .as[(Double, Double)].head()
     ab == ba && ab >= 0.0 && ab <= 1.0
   }
