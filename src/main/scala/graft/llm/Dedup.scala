@@ -197,8 +197,12 @@ object Dedup {
     // "hash" would rank shingles identically (one-permutation
     // signatures in disguise).
     val sig = signatureTable(docs, id, text, shingleN, numHashes, portable)
+    // portable ⇒ raw band-slice bucket keys, the incremental path's
+    // convention: the ENTIRE path is then replayable in SQL (bucket
+    // hashing included — the pair set is otherwise identical, but an
+    // oracle should not have to assume xxhash64 injectivity).
     lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
-      rowsPerBand, maxBucketSize)
+      rowsPerBand, maxBucketSize, rawBuckets = portable)
   }
 
   /** Shingle array per doc, staged appropriately for `shingleN`: at
@@ -246,13 +250,16 @@ object Dedup {
   /** (band, bucket, doc) table from a signature table. Carries only the
     * banded hash — token arrays would otherwise be replicated ×bands
     * through the shuffle; tokens rejoin only for the (much smaller)
-    * deduped candidate set. */
-  private def bandTable(sig: DataFrame, bands: Int,
-                        rowsPerBand: Int): DataFrame = {
+    * deduped candidate set. `raw` keeps the band-slice string itself as
+    * the bucket key (the portable/oracle-replayable form, matching
+    * [[minhashBandTable]]); production hashes it to a long so the
+    * bucket aggregation groups on cheap fixed-width keys. */
+  private def bandTable(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                        raw: Boolean = false): DataFrame = {
     graft.plans.MinHashBandsExpr.register(sig.sparkSession)
     sig.select(col("doc"),
       posexplode(call_function(graft.plans.MinHashBandsExpr.Name,
-        col("sig"), lit(bands), lit(rowsPerBand), lit(false)))
+        col("sig"), lit(bands), lit(rowsPerBand), lit(raw)))
         .as(Seq("band", "bucket")))
   }
 
@@ -268,15 +275,16 @@ object Dedup {
                            portable: Boolean = false): DataFrame = {
     val sig = signatureTable(docs, id, text, shingleN, bands * rowsPerBand,
       portable)
-    bucketPairs(bandTable(sig, bands, rowsPerBand), Seq("band", "bucket"),
-      "doc", maxBucketSize)
+    bucketPairs(bandTable(sig, bands, rowsPerBand, raw = portable),
+      Seq("band", "bucket"), "doc", maxBucketSize)
   }
 
   private def lshVerifiedPairs(docs: DataFrame, id: String, text: String,
                                sig: DataFrame, threshold: Double,
                                shingleN: Int, bands: Int, rowsPerBand: Int,
-                               maxBucketSize: Option[Int]): DataFrame = {
-    val candidates = bucketPairs(bandTable(sig, bands, rowsPerBand),
+                               maxBucketSize: Option[Int],
+                               rawBuckets: Boolean = false): DataFrame = {
+    val candidates = bucketPairs(bandTable(sig, bands, rowsPerBand, rawBuckets),
       Seq("band", "bucket"), "doc", maxBucketSize)
 
     val toks = shingleArrays(docs, id, text, shingleN)
@@ -600,7 +608,7 @@ object Dedup {
     val sig = minhashOphSignature(docs, id, text, bands * rowsPerBand, shingleN,
       portable)
     lshVerifiedPairs(docs, id, text, sig, threshold, shingleN, bands,
-      rowsPerBand, maxBucketSize)
+      rowsPerBand, maxBucketSize, rawBuckets = portable)
   }
 
   /** Exact token-set Jaccard similarity of two token arrays. Left as the
@@ -944,6 +952,50 @@ object Dedup {
           s"($changed labels still changing) — raise maxIter or use a " +
           "star-contraction variant for chain-shaped components")
     labels.select(col("node"), col("label").as("group"))
+  }
+
+  /** End-to-end near-dup corpus REWRITE — the nightly production
+    * composition: near-dup `pairs` → connected components
+    * ([[duplicateGroups]]) → keep ONE member per group → full-corpus
+    * marking. The canonical member is the (quality, id)-MAX of its
+    * group — the [[graft.operators.GroupCover]] discipline (a ranked
+    * deterministic winner per dedup group, ref: workflows/ai.py:283-342)
+    * applied to the fuzzy pair graph instead of an exact key.
+    *
+    * Output: one row per document — (id, group_id, kept). `group_id`
+    * is the component's minimum member id (singletons: the doc's own
+    * id); exactly one member per group is kept, so `filter(kept)` IS
+    * the deduplicated corpus and `!kept` is the drop list.
+    *
+    * Scale shape: the canonical-selection window runs only over PAIRED
+    * docs (the dup mass — bounded by the pair graph, not the corpus);
+    * unpaired docs bypass it through a left-anti join on the same
+    * id-keyed exchange and are trivially kept. Nothing is proportional
+    * to corpus²; `pairs` comes from any banded family
+    * ([[minhashLshPairs]], [[simhashNearDupPairs]], the incremental
+    * path) so the pair stage keeps that family's scale guarantees. */
+  def nearDupRewrite(docs: DataFrame, id: String, quality: Column,
+                     pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // The group table is EXPLICITLY broadcast on both joins: it is
+    // dup-mass-bounded (16 bytes × paired docs), its checkpointed
+    // lineage reports no usable stats (left alone, the inner join
+    // broadcasts the CORPUS side at test scale and the anti join
+    // degrades to sort-merge), and broadcasting it means the corpus is
+    // never shuffled at all — the window pays only the dup mass. A
+    // corpus whose pair graph outgrows broadcast needs the incremental
+    // path long before this step anyway.
+    val groups = broadcast(duplicateGroups(pairs, maxIter = maxIter)
+      .withColumnRenamed("node", "__id"))
+    val base = docs.select(col(id).as("__id"), quality.as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy(col("__q").desc, col("__id").desc)
+    val members = base.join(groups, Seq("__id"))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("__id"), col("group").as("group_id"), col("kept"))
+    val singles = base.join(groups, Seq("__id"), "left_anti")
+      .select(col("__id"), col("__id").as("group_id"), lit(true).as("kept"))
+    members.unionByName(singles)
+      .select(col("__id").as(id), col("group_id"), col("kept"))
   }
 
   /** Table-level SimHash: explode tokens once, hash each token once,

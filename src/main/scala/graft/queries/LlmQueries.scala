@@ -186,6 +186,67 @@ object LlmQueries {
         bands = 8, rowsPerBand = 4, portable = true)
     },
 
+    // END-TO-END near-dup corpus rewrite — THE nightly production
+    // composition, under one gate: portable MinHash-LSH pairs (d9's
+    // md5 seed family, raw band-slice buckets) → connected components
+    // (d8's min-label semantics) → keep the (n_chars, doc_id)-max
+    // member per group (the groupcover preference discipline) → one
+    // (doc_id, group_id, kept) row per document. The oracle replays
+    // EVERY stage: signature, banding, candidate bucket-join, Jaccard
+    // verify, recursive-CTE transitive closure, canonical window.
+    // Bounded to doc_id < 500 like d12 so the oracle's closure stays
+    // cheap on this pathologically self-similar corpus at every SF.
+    Q("pipe19_neardup_rewrite", {
+      val seedRows = Dedup.minhashCoeffs(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+         |  FROM documents WHERE doc_id < 500),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 2147483648 AS hc
+         |      FROM toks),
+         |seeds(i, a, b) AS (VALUES $seedRows),
+         |m AS (SELECT doc_id, i, min((hc * a + b) % 2147483647) AS mh
+         |      FROM h CROSS JOIN seeds GROUP BY doc_id, i),
+         |bt AS (SELECT doc_id, i // 4 AS band,
+         |              string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+         |       FROM m GROUP BY doc_id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bt x JOIN bt y ON x.band = y.band AND x.bucket = y.bucket
+         |                      AND x.doc_id < y.doc_id),
+         |t AS (SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk
+         |      FROM documents WHERE doc_id < 500),
+         |p AS (SELECT c.id_a, c.id_b
+         |      FROM cand c
+         |      JOIN t a ON c.id_a = a.doc_id
+         |      JOIN t b ON c.id_b = b.doc_id
+         |      WHERE len(list_intersect(a.tk, b.tk)) /
+         |            (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.8),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |grp AS (SELECT s AS doc_id, least(s, min(d)) AS g
+         |        FROM reach GROUP BY s),
+         |alld AS (SELECT d.doc_id, coalesce(grp.g, d.doc_id) AS group_id,
+         |                d.n_chars
+         |         FROM (SELECT doc_id, n_chars FROM documents
+         |               WHERE doc_id < 500) d
+         |         LEFT JOIN grp USING (doc_id))
+         |SELECT doc_id, group_id,
+         |       row_number() OVER (PARTITION BY group_id
+         |         ORDER BY n_chars DESC, doc_id DESC) = 1 AS kept
+         |FROM alld""".stripMargin
+    }) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        threshold = 0.8, bands = 8, rowsPerBand = 4, portable = true)
+      Dedup.nearDupRewrite(docs, "doc_id", col("n_chars"), pairs)
+    },
+
     // Duplicate-group clustering: connected components over the exact
     // Jaccard pair graph (bounded subset so the oracle's recursive-CTE
     // transitive closure stays cheap). The Spark side is the iterative

@@ -109,6 +109,39 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) != sigs(3L))
   }
 
+  test("nearDupRewrite: one kept per group, quality-max canonical, singletons kept") {
+    // Two explicit components (1,2,3 and 10,11), one singleton (20).
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val corpus = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // group 1: quality tie 2 vs 3 → id-max 3 wins
+      (10L, 7L), (11L, 4L),           // group 10: 10 wins on quality
+      (20L, 1L)                       // singleton
+    ).toDF("doc_id", "q")
+    val out = Dedup.nearDupRewrite(corpus, "doc_id", col("q"), pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1L, false), (2L, 1L, false), (3L, 1L, true),
+      (10L, 10L, true), (11L, 10L, false),
+      (20L, 20L, true)))
+  }
+
+  test("nearDupRewrite over LSH pairs: kept set is exact-group-consistent") {
+    // Full composition on the corpus fixture: every doc appears exactly
+    // once, exactly one kept per group, and kept docs reconstruct a
+    // pairwise-non-duplicate corpus under the SAME pair relation.
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.9)
+    val out = Dedup.nearDupRewrite(docs, "doc_id", col("n_chars"), pairs)
+    val rows = out.as[(Long, Long, Boolean)].collect()
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val keptPerGroup = rows.groupBy(_._2).map { case (_, g) => g.count(_._3) }
+    assert(keptPerGroup.forall(_ == 1))
+    // No surviving pair: both ends of any near-dup pair can't be kept.
+    val kept = rows.filter(_._3).map(_._1).toSet
+    val pairSet = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairSet.forall { case (a, b) => !(kept(a) && kept(b)) })
+  }
+
   test("minhash LSH pairs recall >= 0.9 vs exact pairs at high threshold") {
     val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
