@@ -1,0 +1,260 @@
+package graft.llm
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted vector-index artifacts for the ANN family — the
+  * [[BandStore]] contract applied to IVF-PQ: production ANN serves
+  * from a PERSISTED index (FAISS writes its coarse centroids, PQ
+  * codebooks and inverted lists to disk once and searches them for
+  * months), it does not retrain per query. This store owns that
+  * artifact and ENFORCES its model contract instead of documenting it:
+  * a search against centroids from one training run and codes from
+  * another, or a codebook with a different (m, dim) split, returns
+  * plausible-looking garbage — ranks computed from lookup tables that
+  * never matched the stored codes. So every write drops a
+  * `_params.json` sidecar, every read verifies it (plus the structural
+  * facts of the model tables) and refuses loudly on drift, exactly
+  * [[BandStore]]'s discipline for the LSH band artifact.
+  *
+  * Layout under `dir`: `centroids/` (cluster, centroid) — the coarse
+  * quantizer; `codebook/` (subspace, code, centroid) — the residual PQ
+  * model; `codes/` (id, cluster, codes) — the inverted lists, the only
+  * per-document component and therefore the only one [[append]] grows
+  * and [[delete]] (takedown) rewrites. All filesystem access goes
+  * through the Hadoop FileSystem API so the artifact can live on
+  * HDFS/object storage.
+  */
+object IndexStore {
+
+  /** The model fingerprint of a vector-index artifact. */
+  case class Params(dim: Int, clusters: Int, m: Int, k: Int) {
+    require(m >= 1 && dim % m == 0,
+      s"IndexStore.Params: dim ($dim) must divide into m ($m) subspaces")
+    def render: String =
+      s"""{"dim":$dim,"clusters":$clusters,"m":$m,"k":$k}"""
+  }
+
+  /** The verified artifact: coarse centroids, residual codebook, and
+    * the encoded corpus (inverted lists, id column named `id`). */
+  case class Index(centroids: DataFrame, codebook: DataFrame,
+                   codes: DataFrame)
+
+  private val Sidecar = "_params.json"
+  private val CentroidsDir = "centroids"
+  private val CodebookDir = "codebook"
+  private val CodesDir = "codes"
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Train an IVF-PQ index over `emb` and persist it (overwrite) with
+    * its parameter sidecar: deterministic-Lloyd coarse centroids,
+    * residual PQ codebooks, full-corpus encode. `trainPct < 100`
+    * trains both models on a deterministic [[Corpus.hashSample]] — the
+    * 100 TB shape (Lloyd scans the training set per iteration; models
+    * need thousands of vectors, not billions) — while assignment and
+    * encoding always cover the full corpus. */
+  def build(emb: DataFrame, id: String, vec: String, dir: String,
+            params: Params, iters: Int = 3, trainPct: Int = 100,
+            trainSeed: String = "ivfpqtrain"): Unit = {
+    val train =
+      if (trainPct >= 100) emb
+      else Corpus.hashSample(emb, id, trainPct, trainSeed)
+    val cents = Similarity.kmeansCentroids(train, id, vec,
+      params.clusters, iters)
+    // Materialized once: the assignment feeds both the codebook
+    // training branch and the encode branch (the e12 discipline).
+    val assign = Similarity.assignToCentroids(emb, id, vec, cents)
+      .localCheckpoint()
+    val withC = emb.join(assign, Seq(id))
+    val cbTrain =
+      if (trainPct >= 100) withC
+      else Corpus.hashSample(withC, id, trainPct, trainSeed)
+    val cb = Similarity.ivfpqTrain(cbTrain, id, vec, "cluster", cents,
+      params.m, params.k, iters, params.dim)
+    val codes = Similarity.ivfpqEncode(withC, id, vec, "cluster", cents,
+      cb, params.m, params.dim)
+    write(cents, cb, codes.withColumnRenamed(id, "id"), dir, params)
+  }
+
+  /** Persist already-computed artifacts (overwrite) with the sidecar.
+    * The caller asserts all three were produced by ONE training run
+    * under `params`; `codes`' id column must be named `id`. */
+  def write(centroids: DataFrame, codebook: DataFrame, codes: DataFrame,
+            dir: String, params: Params): Unit = {
+    val spark = codes.sparkSession
+    centroids.write.mode("overwrite").parquet(s"$dir/$CentroidsDir")
+    codebook.write.mode("overwrite").parquet(s"$dir/$CodebookDir")
+    codes.write.mode("overwrite").parquet(s"$dir/$CodesDir")
+    writeSidecar(fs(spark, dir), new Path(dir, Sidecar), params)
+  }
+
+  /** The artifact, verified against the caller's parameters AND the
+    * structural facts of the stored model (the drift guard): centroid
+    * and codebook dimensions, subspace count, code range. A model
+    * table corrupted or swapped out-of-band fails here, loudly, not as
+    * silently wrong neighbor lists. */
+  def read(spark: SparkSession, dir: String, params: Params): Index = {
+    recoverSwap(fs(spark, dir), dir)
+    requireParams(spark, dir, params, "read")
+    val cents = spark.read.parquet(s"$dir/$CentroidsDir")
+    val cb = spark.read.parquet(s"$dir/$CodebookDir")
+    val codes = spark.read.parquet(s"$dir/$CodesDir")
+    // Model tables are clusters×dim and m×k×(dim/m) — tiny by
+    // construction (they broadcast in every search), so these checks
+    // cost two driver-side aggregates.
+    val cRow = cents.agg(count(lit(1)), min(size(col("centroid"))),
+      max(size(col("centroid")))).head()
+    require(cRow.getLong(0) >= 1 && cRow.getLong(0) <= params.clusters &&
+        cRow.getInt(1) == params.dim && cRow.getInt(2) == params.dim,
+      s"IndexStore.read: centroids at $dir are structurally inconsistent " +
+        s"with ${params.render} (count=${cRow.getLong(0)}, " +
+        s"dim=${cRow.getInt(1)}..${cRow.getInt(2)})")
+    val bRow = cb.agg(max(col("subspace")), min(size(col("centroid"))),
+      max(size(col("centroid"))), max(col("code"))).head()
+    require(bRow.getInt(0) + 1 == params.m &&
+        bRow.getInt(1) == params.dim / params.m &&
+        bRow.getInt(2) == params.dim / params.m &&
+        bRow.getInt(3) < params.k,
+      s"IndexStore.read: codebook at $dir is structurally inconsistent " +
+        s"with ${params.render} (subspaces=${bRow.getInt(0) + 1}, " +
+        s"sub-dim=${bRow.getInt(1)}..${bRow.getInt(2)}, " +
+        s"maxCode=${bRow.getInt(3)})")
+    Index(cents, cb, codes)
+  }
+
+  /** Encode `increment` with the STORED model and append its rows to
+    * the inverted lists — the nightly ANN-index growth path (the
+    * corpus is never re-encoded, the model is never retrained).
+    * Refuses on parameter mismatch. Like [[BandStore.append]], ids
+    * must be disjoint from the stored corpus — the store cannot check
+    * that without scanning the lists. */
+  def append(increment: DataFrame, id: String, vec: String, dir: String,
+             params: Params): Unit = {
+    val spark = increment.sparkSession
+    val ix = read(spark, dir, params)
+    val assign = Similarity.assignToCentroids(increment, id, vec,
+      ix.centroids)
+    val withC = increment.join(assign, Seq(id))
+    Similarity.ivfpqEncode(withC, id, vec, "cluster", ix.centroids,
+        ix.codebook, params.m, params.dim)
+      .withColumnRenamed(id, "id")
+      .write.mode("append").parquet(s"$dir/$CodesDir")
+  }
+
+  /** Remove `ids` (first column) from the inverted lists — the
+    * takedown path, [[BandStore.delete]]'s write-rename-rename-delete
+    * swap on the `codes/` component. The model tables and sidecar are
+    * untouched (a takedown never changes the trained model); a deleted
+    * vector can never again appear as a neighbor. Not concurrency-safe
+    * against a running reader — maintenance-window only. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val params = readParams(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"IndexStore: no artifact at $dir (missing $Sidecar)"))
+    val key = ids.columns.head
+    val kept = read(spark, dir, params).codes
+      .join(broadcast(ids.select(col(key).as("id")).distinct()),
+        Seq("id"), "left_anti")
+    val f = fs(spark, dir)
+    val data = new Path(dir, CodesDir)
+    val tmp = new Path(dir, s"_tmp_$CodesDir")
+    val old = new Path(dir, s"_old_$CodesDir")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    if (!f.rename(data, old) || !f.rename(tmp, data))
+      throw new java.io.IOException(s"IndexStore.delete: swap failed at $dir")
+    f.delete(old, true)
+  }
+
+  /** ADC top-k from the persisted index: probed inverted lists stream
+    * codes only ([[Similarity.ivfpqTopK]]). `queries`' id column is
+    * `qid`; neighbor ids come from the stored lists. */
+  def searchTopK(spark: SparkSession, dir: String, params: Params,
+                 queries: DataFrame, qid: String, vec: String, k: Int,
+                 nprobe: Int = 2): DataFrame = {
+    val ix = read(spark, dir, params)
+    Similarity.ivfpqTopK(ix.codes.withColumnRenamed("id", qid),
+      ix.centroids, ix.codebook, queries, qid, vec, k, nprobe,
+      params.m, params.dim)
+  }
+
+  /** Production search: ADC shortlist from the persisted index, exact
+    * re-rank against the caller's raw-vector `corpus` table (raw
+    * vectors live with the corpus, not in the index — the index stores
+    * codes precisely so the search never scans floats). */
+  def searchTopKRerank(spark: SparkSession, dir: String, params: Params,
+                       corpus: DataFrame, queries: DataFrame, qid: String,
+                       vec: String, k: Int, nprobe: Int = 2,
+                       overscan: Int = 4): DataFrame = {
+    val ix = read(spark, dir, params)
+    Similarity.ivfpqTopKRerank(ix.codes.withColumnRenamed("id", qid),
+      ix.centroids, ix.codebook, corpus, queries, qid, vec, k, nprobe,
+      overscan, params.m, params.dim)
+  }
+
+  /** Complete a [[delete]] swap interrupted by a crash — identical
+    * recovery order to [[BandStore.recoverSwap]], applied to the
+    * `codes/` component. Idempotent; called by every entry point. */
+  private def recoverSwap(f: FileSystem, dir: String): Unit = {
+    val data = new Path(dir, CodesDir)
+    val tmp = new Path(dir, s"_tmp_$CodesDir")
+    val old = new Path(dir, s"_old_$CodesDir")
+    if (!f.exists(data)) {
+      if (f.exists(tmp)) {
+        if (!f.rename(tmp, data))
+          throw new java.io.IOException(
+            s"IndexStore.recoverSwap: cannot promote $tmp at $dir")
+        f.delete(old, true)
+      } else if (f.exists(old)) {
+        if (!f.rename(old, data))
+          throw new java.io.IOException(
+            s"IndexStore.recoverSwap: cannot restore $old at $dir")
+      }
+    } else {
+      f.delete(old, true)
+      f.delete(tmp, true)
+    }
+  }
+
+  /** The stored parameters, or None when no artifact exists. */
+  def readParams(spark: SparkSession, dir: String): Option[Params] = {
+    val f = fs(spark, dir)
+    val p = new Path(dir, Sidecar)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text =
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes); new String(bytes, "UTF-8")
+      } finally in.close()
+    def intOf(key: String): Int =
+      s""""$key"\\s*:\\s*(-?[0-9]+)""".r.findFirstMatchIn(text)
+        .getOrElse(throw new IllegalStateException(
+          s"IndexStore: malformed $Sidecar at $dir (missing $key): $text"))
+        .group(1).toInt
+    Some(Params(intOf("dim"), intOf("clusters"), intOf("m"), intOf("k")))
+  }
+
+  private def writeSidecar(f: FileSystem, p: Path, params: Params): Unit = {
+    val out = f.create(p, /* overwrite = */ true)
+    try out.write(params.render.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireParams(spark: SparkSession, dir: String,
+                            expected: Params, op: String): Unit =
+    readParams(spark, dir) match {
+      case None =>
+        throw new IllegalStateException(
+          s"IndexStore.$op: no $Sidecar sidecar at $dir — refusing to " +
+            "search an index whose model parameters are unknown (a " +
+            "mismatch returns silently wrong neighbors)")
+      case Some(stored) if stored != expected =>
+        throw new IllegalStateException(
+          s"IndexStore.$op: parameter mismatch at $dir — artifact built " +
+            s"with ${stored.render}, caller expects ${expected.render}; " +
+            "searching across models yields silently wrong neighbors")
+      case _ => ()
+    }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, IndexStore, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline ops over `documents` and `embeddings`:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
@@ -1294,8 +1294,109 @@ object LlmQueries {
     // as Spark's exact formula, the e11 proof), ADC sums, re-rank L2 —
     // is exact integer arithmetic that cannot flip under summation
     // order. Only the Lloyd update stays outside (spec-gated).
-    Q("e13_ann_ivfpq_portable",
-      """WITH e AS (SELECT vec_id,
+    Q("e13_ann_ivfpq_portable", IvfPqPortableOracleSql) { (s, d) =>
+      val emb = quantizedEmb(s, d)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "qv",
+        k = 8, iters = 1)
+      val assign = Similarity.assignToCentroids(emb, "vec_id", "qv", cents)
+      val withC = emb.join(assign, Seq("vec_id"))
+      val cb = Similarity.ivfpqTrain(withC, "vec_id", "qv", "cluster",
+        cents, m = 8, k = 16, iters = 1)
+      val codes = Similarity.ivfpqEncode(withC, "vec_id", "qv", "cluster",
+        cents, cb)
+      Similarity.ivfpqTopKRerank(codes, cents, cb, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "qv",
+        k = 5, nprobe = 3, overscan = 4)
+    },
+
+    // e13 THROUGH THE PERSISTED INDEX: identical model and config (the
+    // trainers are deterministic and parquet round-trips doubles
+    // bit-exactly), but trained ONCE into an [[graft.llm.IndexStore]]
+    // artifact — params sidecar, structural drift guard — and searched
+    // FROM the store: centroids, codebook and inverted lists all read
+    // back from disk. Shares e13's oracle verbatim because the store
+    // round-trip must be invisible to results; that equality IS the
+    // artifact-fidelity gate.
+    Q("e14_ann_ivfpq_store", IvfPqPortableOracleSql) { (s, d) =>
+      val emb = quantizedEmb(s, d)
+      val dir = Fixtures.stampedDir(d, "embeddings", "ivfpq_store", 1)
+        .resolve("ix").toString
+      val params = IndexStore.Params(dim = 64, clusters = 8, m = 8, k = 16)
+      IndexStore.build(emb, "vec_id", "qv", dir, params, iters = 1)
+      IndexStore.searchTopKRerank(s, dir, params, emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "qv",
+        k = 5, nprobe = 3, overscan = 4)
+    },
+
+
+    // Multimodal: binary payload → fixed-dim feature vector through the
+    // portable decode stub (real schema/partitioning plumbing, fake
+    // codec — this container ships no image libs). One feature row per
+    // (media, dim) so the oracle compares scalars.
+    Q("m1_media_features",
+      """SELECT doc_id AS media_id, CAST(j AS INT) AS pos,
+        |       (CAST(('0x' || substr(md5(text || '|' || j), 1, 8)) AS BIGINT)
+        |        % 1000) / 500.0 - 1.0 AS feature
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)""".stripMargin) { (s, d) =>
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"),
+        struct(lit("text/plain").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("n_chars").cast("long").as("duration_ms")).as("meta"))
+      Multimodal.extractFeatures(media, dim = 8, portable = true)
+        .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "feature")))
+    },
+
+    // Multimodal: frame sampling — one row per sampled timestamp, the
+    // payload never replicated per frame.
+    Q("m2_frame_sample",
+      """SELECT doc_id AS media_id,
+        |       unnest(generate_series(0, CAST(n_chars AS BIGINT) - 1, 100))
+        |         AS frame_ms
+        |FROM documents WHERE n_chars > 0""".stripMargin) { (s, d) =>
+      val media = Tables.documents(s, d).select(
+        col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"),
+        struct(lit("video/mp4").as("mime"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          col("n_chars").cast("long").as("duration_ms")).as("meta"))
+      Multimodal.sampleFrames(media, everyMs = 100L)
+        .select(col("media_id"), col("frame_ms"))
+    },
+
+    // Per-label embedding stats (vector-column handling).
+    Q("e3_label_stats",
+      """SELECT label, CAST(count(*) AS BIGINT) AS cnt,
+        |       round(avg(CAST(embedding[1] AS DOUBLE)), 3) AS avg_first
+        |FROM embeddings GROUP BY label""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("cnt"),
+             round(avg(element_at(col("embedding"), 1).cast("double")), 3).as("avg_first"))
+    })
+
+  private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)
+
+  /** e13/e14's integer-quantized embedding view (floor(x·1000 + 0.5)):
+    * every downstream distance is exact integer arithmetic. */
+  private def quantizedEmb(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + 0.5)).as("qv"))
+
+  /** Distinct-stopword hit count — list_intersect dedups in both
+    * engines (set semantics), mirroring Spark's array_intersect.
+    * Shared with FeedQueries' pipe9 oracle (LISSA language detection
+    * runs the same profiles over the abstract). Expects a `toks`
+    * list column in scope. */
+
+  /** The portable IVF-PQ oracle, shared by e13 (in-memory model) and
+    * e14 (the same model through the persisted IndexStore artifact) —
+    * store round-trip fidelity is gated by result equality. */
+  private val IvfPqPortableOracleSql =
+    """WITH e AS (SELECT vec_id,
         |             list_transform(CAST(embedding AS DOUBLE[]),
         |                            x -> floor(x * 1000 + 0.5)) AS v
         |           FROM embeddings),
@@ -1379,77 +1480,8 @@ object LlmQueries {
         |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
         |        ORDER BY dist, neighbor_id) AS INT) AS rank
         |      FROM rr)
-        |WHERE rank <= 5""".stripMargin) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"),
-          x => floor(x.cast("double") * 1000 + 0.5)).as("qv"))
-      val cents = Similarity.kmeansCentroids(emb, "vec_id", "qv",
-        k = 8, iters = 1)
-      val assign = Similarity.assignToCentroids(emb, "vec_id", "qv", cents)
-      val withC = emb.join(assign, Seq("vec_id"))
-      val cb = Similarity.ivfpqTrain(withC, "vec_id", "qv", "cluster",
-        cents, m = 8, k = 16, iters = 1)
-      val codes = Similarity.ivfpqEncode(withC, "vec_id", "qv", "cluster",
-        cents, cb)
-      Similarity.ivfpqTopKRerank(codes, cents, cb, emb,
-        emb.filter(col("vec_id") < 10), "vec_id", "qv",
-        k = 5, nprobe = 3, overscan = 4)
-    },
+        |WHERE rank <= 5""".stripMargin
 
-    // Multimodal: binary payload → fixed-dim feature vector through the
-    // portable decode stub (real schema/partitioning plumbing, fake
-    // codec — this container ships no image libs). One feature row per
-    // (media, dim) so the oracle compares scalars.
-    Q("m1_media_features",
-      """SELECT doc_id AS media_id, CAST(j AS INT) AS pos,
-        |       (CAST(('0x' || substr(md5(text || '|' || j), 1, 8)) AS BIGINT)
-        |        % 1000) / 500.0 - 1.0 AS feature
-        |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)""".stripMargin) { (s, d) =>
-      val media = Tables.documents(s, d).select(
-        col("doc_id").as("media_id"),
-        col("text").cast("binary").as("content"),
-        struct(lit("text/plain").as("mime"),
-          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
-          col("n_chars").cast("long").as("duration_ms")).as("meta"))
-      Multimodal.extractFeatures(media, dim = 8, portable = true)
-        .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "feature")))
-    },
-
-    // Multimodal: frame sampling — one row per sampled timestamp, the
-    // payload never replicated per frame.
-    Q("m2_frame_sample",
-      """SELECT doc_id AS media_id,
-        |       unnest(generate_series(0, CAST(n_chars AS BIGINT) - 1, 100))
-        |         AS frame_ms
-        |FROM documents WHERE n_chars > 0""".stripMargin) { (s, d) =>
-      val media = Tables.documents(s, d).select(
-        col("doc_id").as("media_id"),
-        col("text").cast("binary").as("content"),
-        struct(lit("video/mp4").as("mime"),
-          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
-          col("n_chars").cast("long").as("duration_ms")).as("meta"))
-      Multimodal.sampleFrames(media, everyMs = 100L)
-        .select(col("media_id"), col("frame_ms"))
-    },
-
-    // Per-label embedding stats (vector-column handling).
-    Q("e3_label_stats",
-      """SELECT label, CAST(count(*) AS BIGINT) AS cnt,
-        |       round(avg(CAST(embedding[1] AS DOUBLE)), 3) AS avg_first
-        |FROM embeddings GROUP BY label""".stripMargin) { (s, d) =>
-      Tables.embeddings(s, d)
-        .groupBy("label")
-        .agg(count(lit(1)).as("cnt"),
-             round(avg(element_at(col("embedding"), 1).cast("double")), 3).as("avg_first"))
-    })
-
-  private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)
-
-  /** Distinct-stopword hit count — list_intersect dedups in both
-    * engines (set semantics), mirroring Spark's array_intersect.
-    * Shared with FeedQueries' pipe9 oracle (LISSA language detection
-    * runs the same profiles over the abstract). Expects a `toks`
-    * list column in scope. */
   private[queries] def langHitsSql(lang: String): String = {
     val words = sqlList(TextAnalysis.LangProfiles(lang))
     s"len(list_intersect(toks, $words))"

@@ -100,13 +100,15 @@ class PlanSpec extends AnyFunSuite {
     // attach (the e6 shape): a single broadcast row per stratum-count
     // table, constant work per record.
     // e12/e13's nested loops are the same coarse-centroid attach and
-    // the queries × centroids probe selection (≤ 8 broadcast rows).
+    // the queries × centroids probe selection (≤ 8 broadcast rows);
+    // e14 is e13 through the persisted IndexStore — identical search
+    // plan, the model tables just come from parquet.
     // d17/d18 (semdedup) inherit e7/e11's centroid attach; c9's is
     // the one-row totals attach (the e6/c8 shape).
     val bnljAllowed = Set("d2_jaccard_pairs", "d6_embedding_neardup",
       "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk",
       "e6_scalar_quant", "e7_ann_ivf_kmeans", "e11_ann_ivf_portable",
-      "e12_ann_ivfpq", "e13_ann_ivfpq_portable",
+      "e12_ann_ivfpq", "e13_ann_ivfpq_portable", "e14_ann_ivfpq_store",
       "d17_semdedup", "d18_semdedup_portable", "c9_dsir_weights",
       "pipe18_cluster_balance", "c8_temperature_mix")
     SparkEntry.registry.foreach { q =>

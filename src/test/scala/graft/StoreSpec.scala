@@ -3,7 +3,7 @@ package graft
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.{BandStore, Dedup}
+import graft.llm.{BandStore, Dedup, IndexStore, Similarity}
 import graft.streaming.CorpusStore
 
 /** The two persisted dedup artifacts: the band-table store (parameter
@@ -359,6 +359,108 @@ class StoreSpec extends AnyFunSuite {
         .as[(Long, String)].collect().map(_._1).toSet
       assert(seen == docs.as[(Long, String)].collect().map(_._1)
         .filter(id => id < 40 || id >= 80).toSet)
+    } finally cleanup(dir)
+  }
+
+  // ---- IndexStore ---------------------------------------------------
+
+  // e13's integer-quantized view: every distance downstream is exact
+  // integer arithmetic, so store/in-memory comparisons are bit-safe.
+  private lazy val emb = Tables.embeddings(spark, Sf)
+    .select(col("vec_id"), transform(col("embedding"),
+      x => floor(x.cast("double") * 1000 + 0.5)).as("qv")).cache()
+  private val IP = IndexStore.Params(dim = 64, clusters = 4, m = 8, k = 8)
+
+  test("IndexStore round-trip: search from the store equals the in-memory composition") {
+    val dir = tmpDir("graft-ix")
+    try {
+      IndexStore.build(emb, "vec_id", "qv", dir, IP, iters = 1)
+      val queries = emb.filter(col("vec_id") < 5)
+      val fromStore = IndexStore.searchTopKRerank(spark, dir, IP, emb,
+          queries, "vec_id", "qv", k = 3, nprobe = 2)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "qv",
+        IP.clusters, iters = 1)
+      val assign = Similarity.assignToCentroids(emb, "vec_id", "qv", cents)
+      val withC = emb.join(assign, Seq("vec_id"))
+      val cb = Similarity.ivfpqTrain(withC, "vec_id", "qv", "cluster",
+        cents, IP.m, IP.k, iters = 1, dim = IP.dim)
+      val codes = Similarity.ivfpqEncode(withC, "vec_id", "qv", "cluster",
+        cents, cb, IP.m, IP.dim)
+      val direct = Similarity.ivfpqTopKRerank(codes, cents, cb, emb,
+          queries, "vec_id", "qv", k = 3, nprobe = 2, overscan = 4,
+          m = IP.m, dim = IP.dim)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(fromStore == direct && fromStore.nonEmpty)
+    } finally cleanup(dir)
+  }
+
+  test("IndexStore refuses parameter mismatch, missing sidecar, and structural drift") {
+    val dir = tmpDir("graft-ix")
+    try {
+      IndexStore.build(emb, "vec_id", "qv", dir, IP, iters = 1)
+      for (bad <- Seq(IP.copy(clusters = 8), IP.copy(m = 4),
+                      IP.copy(k = 16), IP.copy(dim = 32))) {
+        val e = intercept[IllegalStateException] {
+          IndexStore.read(spark, dir, bad)
+        }
+        assert(e.getMessage.contains("mismatch"), e.getMessage)
+      }
+      // Structural drift guard: a codebook whose subspace count no
+      // longer matches the sidecar (swapped out-of-band) must refuse,
+      // not return silently wrong neighbors.
+      import scala.jdk.CollectionConverters._
+      val good = IndexStore.read(spark, dir, IP).codebook
+        .filter(col("subspace") < 4)
+      val local = spark.createDataFrame(
+        good.collect().toSeq.asJava, good.schema)
+      local.write.mode("overwrite").parquet(s"$dir/codebook")
+      val drift = intercept[IllegalArgumentException] {
+        IndexStore.read(spark, dir, IP)
+      }
+      assert(drift.getMessage.contains("structurally"), drift.getMessage)
+      // No sidecar at all: refuse rather than guess.
+      val fs = CorpusStore.fileSystem(spark, dir)
+      fs.delete(new Path(dir, "_params.json"), false)
+      val e2 = intercept[IllegalStateException] {
+        IndexStore.read(spark, dir, IP)
+      }
+      assert(e2.getMessage.contains("sidecar"), e2.getMessage)
+    } finally cleanup(dir)
+  }
+
+  test("IndexStore nightly cycle: append encodes with the STORED model; delete is a real takedown") {
+    val dir = tmpDir("graft-ix")
+    try {
+      val c0 = emb.filter(col("vec_id") < 300)
+      val inc = emb.filter(col("vec_id") >= 300)
+      IndexStore.build(c0, "vec_id", "qv", dir, IP, iters = 1)
+      val codes0 = IndexStore.read(spark, dir, IP).codes
+        .as[(Long, String, Seq[Int])].collect().toSet
+
+      IndexStore.append(inc, "vec_id", "qv", dir, IP)
+      val ix = IndexStore.read(spark, dir, IP)
+      // The appended rows must be inc encoded with the STORED model
+      // (never a retrain — that would silently shift every code).
+      val incCodes = Similarity.ivfpqEncode(
+          inc.join(Similarity.assignToCentroids(inc, "vec_id", "qv",
+            ix.centroids), Seq("vec_id")),
+          "vec_id", "qv", "cluster", ix.centroids, ix.codebook,
+          IP.m, IP.dim)
+        .withColumnRenamed("vec_id", "id")
+        .as[(Long, String, Seq[Int])].collect().toSet
+      val after = ix.codes.as[(Long, String, Seq[Int])].collect().toSet
+      assert(after == codes0.union(incCodes) && incCodes.nonEmpty)
+
+      IndexStore.delete(spark, dir, inc.select(col("vec_id")))
+      val afterDel = IndexStore.read(spark, dir, IP).codes
+        .as[(Long, String, Seq[Int])].collect().toSet
+      assert(afterDel == codes0)
+      // A deleted vector can never again surface as a neighbor, even
+      // though the raw-vector corpus table still contains it.
+      val res = IndexStore.searchTopKRerank(spark, dir, IP, emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "qv", k = 3, nprobe = 2)
+      assert(res.filter(col("neighbor_id") >= 300).isEmpty)
     } finally cleanup(dir)
   }
 }
