@@ -215,12 +215,22 @@ object HeavyBench {
 
   private val Factors = Map("documents" -> 64, "embeddings" -> 16,
     "lineitem" -> 16)
+  // The longdoc corpus replicates harder: at ×64 (12.8 K docs) both
+  // LSH entries are verify/overhead-bound and the 128×-fewer-hashes
+  // OPH signature claim is invisible; ×256 (51.2 K docs × ~1.35 K
+  // tokens ≈ 69 M tokens) makes the signature stage the dominant cost
+  // so the dense-vs-OPH delta is what the pair of entries measures.
+  private val LongdocFactor = 256
   // v4: lowdup suffixes kill cross-original sim; v5: replicas written
   // 32-way — a single posexplode lineage wrote ONE 57 MB file whose one
   // row group is unsplittable, so every scan-rooted pipeline ran on one
   // core no matter the partition-size conf. v6: + the persisted lowdup
-  // corpus band table for the incremental-dedup entry.
-  private val Layout = "v6"
+  // corpus band table for the incremental-dedup entry. v7: + the
+  // longdoc corpus (OPH's intended regime — the base vocabulary
+  // saturates at ~31 tokens, so long docs position-suffix their tokens
+  // to make distinct-token count actually grow with length); v8:
+  // longdoc at ×256 so the signature stage dominates its entries.
+  private val Layout = "v8"
 
   /** One heavy entry: a registered query (or a custom fn for variants
     * not in the registry), the tables it reads, an optional subdir of
@@ -234,6 +244,21 @@ object HeavyBench {
       counts: Option[(SparkSession, String) => Seq[(String, Long)]] = None)
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** Citation edges for the mid-hub coupling entry: cited keys split
+    * per the h-bucket of the part key — 12/16 of keys stay unsplit
+    * (480 citers, screened by the 64-cap), h==12 splits 8-way
+    * (~60 citers, the biggest group the cap admits), h>12 splits
+    * 32-way (~15). Subkeys come from the ORIGINAL order id
+    * (orderkey div 16), so all 16 replicas of an order co-group. */
+  private def midHubEdges(s: SparkSession, d: String) = {
+    val h = pmod(xxhash64(col("l_partkey")), lit(16))
+    val b = when(h < 12, lit(1)).when(h === 12, lit(8)).otherwise(lit(32))
+    s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey").cast("string").as("citing"),
+        concat_ws("#", col("l_partkey"),
+          pmod(floor(col("l_orderkey") / 16), b)).as("cited"))
+  }
 
   private val Items: Seq[HeavyItem] = Seq(
     HeavyItem("d3_minhash_lsh_pairs", Seq("documents"),
@@ -284,7 +309,71 @@ object HeavyBench {
           threshold = 0.35, maxClusterSize = Some(2000))
       }),
     HeavyItem("g6_coupling", Seq("lineitem")),
+    // Mid-hub coupling: on the plain ×16 fixture EVERY cited key is a
+    // >64-citer hub, so the ≤64 cap screens them all and g6_coupling
+    // measures scan+count+screen only (the candidate stage emits 0
+    // pairs — correct, but the pair explosion itself goes unmeasured).
+    // This variant splits a slice of the cited keyspace into mid-size
+    // groups (h==12 of 16 → 60 citers/group, h>12 → 15/group; the
+    // other 12/16 of keys stay full hubs) so the screen still eats 75%
+    // of the edge mass while the survivors generate ~15 M candidate
+    // pairs — the workload the cap exists to bound, now actually
+    // timed. Subkeys derive from the ORIGINAL order id (all 16
+    // replicas of an order land in the same group), so out_rows > 0 at
+    // minShared=2 by construction.
+    HeavyItem("g6_coupling_midhub", Seq("lineitem"),
+      fn = Some((s, d) => graph.Citations.couplingPairs(
+        midHubEdges(s, d), minShared = 2, maxCiters = 64)),
+      counts = Some { (s, d) =>
+        val r = midHubEdges(s, d).groupBy("cited")
+          .agg(countDistinct(col("citing")).as("n"))
+          .agg(coalesce(sum(when(col("n").between(2, 64),
+              expr("n * (n - 1) div 2"))), lit(0L)),
+            count(when(col("n") > 64, 1)),
+            count(when(col("n").between(2, 64), 1))).collect()(0)
+        Seq("candidate_pairs" -> r.getLong(0),
+          "screened_groups" -> r.getLong(1),
+          "surviving_groups" -> r.getLong(2))
+      }),
     HeavyItem("g8_pagerank", Seq("lineitem")),
+    // OPH in its intended regime: the short-doc corpus sits far below
+    // the 4×bins distinct-token floor (the ophRegimeProbe warning
+    // regime), so every prior OPH number showed the signature saving
+    // at collapsed recall. The longdoc corpus (~1.3 K distinct
+    // tokens/doc ≥ 4×128) is where the one-hash-per-token claim is
+    // supposed to hold — this entry times OPH there, and the untimed
+    // counts re-run both families for the recall line (true pairs per
+    // 64-replica group: the 4 shared-suffix replicas, C(4,2)×200).
+    HeavyItem("d11_oph_longdoc", Seq("documents"),
+      subdir = Some("longdoc"),
+      fn = Some((s, d) => Dedup.minhashLshPairsOph(docs(s, d), "doc_id",
+        "text", threshold = 0.8, maxBucketSize = Some(100))),
+      counts = Some { (s, d) =>
+        val full = Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+          threshold = 0.8, maxBucketSize = Some(100)).count()
+        val oph = Dedup.minhashLshPairsOph(docs(s, d), "doc_id", "text",
+          threshold = 0.8, maxBucketSize = Some(100),
+          regimeSampleDocs = 0).count()
+        Seq("full_lsh_pairs" -> full, "oph_pairs" -> oph,
+          "recall_pct" -> (if (full == 0) -1L else oph * 100 / full))
+      }),
+    // The dense 128-permutation path on the SAME longdoc corpus — the
+    // baseline the OPH entry's signature saving is measured against.
+    HeavyItem("d3_lsh_longdoc", Seq("documents"),
+      subdir = Some("longdoc"),
+      fn = Some((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id",
+        "text", threshold = 0.8, maxBucketSize = Some(100)))),
+    // The nightly end-to-end composition (pipe19's production form:
+    // xxhash signatures, hashed buckets) at production density: LSH
+    // pairs → connected components → canonical keep → one row per doc.
+    HeavyItem("pipe19_neardup_rewrite", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some { (s, d) =>
+        val dd = docs(s, d)
+        val pairs = Dedup.minhashLshPairs(dd, "doc_id", "text",
+          threshold = 0.8, maxBucketSize = Some(100))
+        Dedup.nearDupRewrite(dd, "doc_id", col("n_chars"), pairs)
+      }),
     // THE scale-critical reference operator (SURVEY W3: the 6 TB
     // latest-per-DOI snapshot, baseline 28 K docs/s): map-side-
     // combinable max_by compaction of the 9.6 M-row edge table down to
@@ -491,10 +580,11 @@ object HeavyBench {
       // reference to the NEW column (lateral-alias style), which
       // silently gave every replica a unique suffix (measured: 0
       // candidate pairs).
-      val lowdup = Tables.documents(spark, sfDir)
+      def mangledReplicas(base: org.apache.spark.sql.DataFrame,
+                          factor: Int) = base
         .select(col("doc_id").as("orig"), col("text"), col("lang"),
-          col("source"), col("n_chars"), rep(Factors("documents")))
-        .select((col("orig") * Factors("documents") + col("i")).as("doc_id"),
+          col("source"), col("n_chars"), rep(factor))
+        .select((col("orig") * factor + col("i")).as("doc_id"),
           concat(
             concat_ws(" ", transform(split(trim(col("text")), " "),
               w => concat(w, lit("~"), col("orig").cast("string"),
@@ -502,6 +592,28 @@ object HeavyBench {
                   .otherwise(concat(lit("_"), col("i").cast("string")))))),
             lit(" zrep"), col("i").cast("string")).as("text"),
           col("lang"), col("source"), col("n_chars"))
+      val lowdup = mangledReplicas(Tables.documents(spark, sfDir),
+        Factors("documents"))
+      // Long-document corpus for the OPH-regime entries: 25 docs
+      // concatenated (deterministic doc_id order), then every token
+      // POSITION-suffixed — the base vocabulary saturates at ~31
+      // distinct tokens, so concatenation alone cannot lift the
+      // distinct-token count; the position suffix makes it track
+      // length (~1.3 K/doc ≥ 4×128 bins, the regime the OPH warning
+      // gates on). Same replica mangle as lowdup on top: per 64-doc
+      // group the 4 shared-suffix replicas are true near-dups.
+      val longdoc = mangledReplicas(
+        Tables.documents(spark, sfDir)
+          .groupBy(floor(col("doc_id") / 25).cast("long").as("doc_id"))
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), " ").as("raw"))
+          .select(col("doc_id"),
+            concat_ws(" ", transform(split(trim(col("raw")), " "),
+              (w, p) => concat(w, lit("."), p.cast("string")))).as("text"),
+            lit("en").as("lang"), lit("longdoc").as("source"))
+          .withColumn("n_chars", length(col("text"))),
+        LongdocFactor)
       // 32-way writes: parquet row groups are the split unit, and the
       // single-lineage form wrote ONE file with ONE row group per
       // table — unsplittable, pinning every downstream scan to a
@@ -510,6 +622,8 @@ object HeavyBench {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       lowdup.repartition(32)
         .write.mode("overwrite").parquet(s"$dir/lowdup/documents.parquet")
+      longdoc.repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/longdoc/documents.parquet")
       emb.repartition(32)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       li.repartition(32)

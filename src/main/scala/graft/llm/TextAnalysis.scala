@@ -569,4 +569,62 @@ object TextAnalysis {
       .select(col("__id").as(id), col("score"))
       .withColumn("positive", col("score") > 0)
   }
+
+  /** Deterministic batch-perceptron TRAINER over the same hashed
+    * bag-of-words features [[linearClassifierScore]] serves — closes
+    * the fastText-style quality-filter loop (train offline → ship the
+    * integer weight table → score at ingest) under one arithmetic
+    * discipline. Batch perceptron, not SGD/logistic: the update is a
+    * pure integer SUM over the misclassified set (w' = w +
+    * Σ_miscls y·count), so training is order-independent, exactly
+    * engine-portable, and needs no learning-rate or float semantics —
+    * the same properties that make the c9/t11 integer scoring
+    * oracle-checkable make the whole training loop oracle-checkable.
+    *
+    * `label` must evaluate to +1 / -1 (LONG). Iteration 1 starts from
+    * w = 0, so every doc scores 0 and (y·s ≤ 0) marks all docs
+    * misclassified — the first update is the class-difference count
+    * vector, the classic perceptron bootstrap.
+    *
+    * Scale shape: the feature table is built once (one scan, one
+    * (doc, feature)-keyed agg) and localCheckpointed; each iteration
+    * is one broadcast join against the ≤`buckets`-row weight table,
+    * one doc-keyed agg (scores), and one feature-keyed agg (delta)
+    * whose result — bounded by `buckets`, like a k-means centroid
+    * collect — is the only thing that ever reaches the driver.
+    * Iterations are a fixed parameter; nothing grows with the corpus.
+    * Docs with no feature rows (null/unmatched text) score 0 and stay
+    * misclassified but contribute no delta, so ignoring them is
+    * exact. */
+  def perceptronTrain(docs: DataFrame, id: String, text: String,
+                      label: Column, iters: Int = 3,
+                      buckets: Int = 1024): DataFrame = {
+    require(iters >= 1, s"perceptronTrain: iters >= 1: $iters")
+    require(buckets >= 2, s"perceptronTrain: buckets >= 2: $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs
+      .select(col(id).as("__id"), label.cast("long").as("__y"),
+        explode(Scalars.tokens(col(text))).as("tok"))
+      .select(col("__id"), col("__y"),
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("feature"))
+      .groupBy("__id", "__y", "feature").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val w = Array.fill(buckets)(0L)
+    for (_ <- 1 to iters) {
+      val wDf = w.toSeq.zipWithIndex
+        .map { case (wt, f) => (f.toLong, wt) }.toDF("feature", "w")
+      val miscls = feats.join(broadcast(wDf), Seq("feature"))
+        .groupBy("__id", "__y").agg(sum(col("c") * col("w")).as("__s"))
+        .filter(col("__y") * col("__s") <= 0)
+        .select(col("__id"))
+      feats.join(miscls, Seq("__id"))
+        .groupBy("feature").agg(sum(col("__y") * col("c")).as("dw"))
+        .collect()
+        .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    w.toSeq.zipWithIndex.map { case (wt, f) => (f.toLong, wt) }
+      .toDF("feature", "w")
+  }
 }

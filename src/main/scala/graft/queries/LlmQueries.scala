@@ -15,6 +15,32 @@ import graft.llm.{Dedup, IndexStore, Multimodal, Similarity, TextAnalysis}
   * rows-only here and covered by golden ScalaTest specs instead. */
 object LlmQueries {
 
+  /** The t12/pipe20 training replay: 3 unrolled batch-perceptron
+    * iterations over a `dc (doc_id, y, f, c)` feature CTE the caller
+    * provides. Iteration 1 bootstraps from w = 0 (every doc scores 0,
+    * y·0 ≤ 0 marks all misclassified, so w1 is the full class-
+    * difference sum); iterations 2-3 are score → misclassify → delta.
+    * d's f is always ⊆ w1's f (both come from dc), so LEFT JOIN is
+    * exact where a FULL JOIN would be needed in general. */
+  private val TrainCte =
+    """w1 AS (SELECT f, SUM(y * c) AS w FROM dc GROUP BY f),
+      |m2 AS (SELECT doc_id FROM (
+      |         SELECT dc.doc_id, dc.y, SUM(dc.c * w1.w) AS s
+      |         FROM dc JOIN w1 USING (f) GROUP BY 1, 2)
+      |       WHERE y * s <= 0),
+      |w2 AS (SELECT w1.f, w1.w + COALESCE(d.dw, 0) AS w
+      |       FROM w1 LEFT JOIN (
+      |         SELECT dc.f, SUM(dc.y * dc.c) AS dw
+      |         FROM dc JOIN m2 USING (doc_id) GROUP BY dc.f) d USING (f)),
+      |m3 AS (SELECT doc_id FROM (
+      |         SELECT dc.doc_id, dc.y, SUM(dc.c * w2.w) AS s
+      |         FROM dc JOIN w2 USING (f) GROUP BY 1, 2)
+      |       WHERE y * s <= 0),
+      |w3 AS (SELECT w2.f, w2.w + COALESCE(d.dw, 0) AS w
+      |       FROM w2 LEFT JOIN (
+      |         SELECT dc.f, SUM(dc.y * dc.c) AS dw
+      |         FROM dc JOIN m3 USING (doc_id) GROUP BY dc.f) d USING (f))""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup groups by order-insensitive fingerprint.
@@ -926,6 +952,59 @@ object LlmQueries {
           1, 8), 16, 10).cast("long"), lit(2001L)) - 1000).as("w"))
       TextAnalysis.linearClassifierScore(Tables.documents(s, d),
         "doc_id", "text", wts, buckets = 1024)
+    },
+
+    // Classifier TRAINING (t11's other half): deterministic batch
+    // perceptron over the same hashed-BoW features — the update is a
+    // pure integer sum over the misclassified set, so all 3 unrolled
+    // iterations replay exactly in the oracle (w1 from the all-
+    // misclassified bootstrap, then two score→misclassify→delta
+    // rounds). Labels derive from n_chars >= 300 (median-balanced on
+    // this corpus); output is the full 1024-bucket weight table.
+    Q("t12_classifier_train",
+      s"""WITH base AS (
+         |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+         |         unnest(string_split(trim(text), ' ')) AS tok
+         |  FROM documents),
+         |dc AS (SELECT doc_id, y,
+         |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS f,
+         |         count(*) AS c
+         |       FROM base GROUP BY 1, 2, 3),
+         |$TrainCte
+         |SELECT r.f AS feature, CAST(COALESCE(w3.w, 0) AS BIGINT) AS w
+         |FROM (SELECT unnest(range(0, 1024)) AS f) r
+         |LEFT JOIN w3 USING (f)""".stripMargin) { (s, d) =>
+      TextAnalysis.perceptronTrain(Tables.documents(s, d), "doc_id",
+        "text", when(col("n_chars") >= 300, 1L).otherwise(-1L),
+        iters = 3, buckets = 1024)
+    },
+
+    // Train → serve, one gate: the t12 trainer's weight table fed
+    // straight into t11's inference plan — the full classifier-filter
+    // loop (FineWeb-Edu's pipeline shape) with every stage of both
+    // halves replayed by the oracle.
+    Q("pipe20_train_then_score",
+      s"""WITH base AS (
+         |  SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y,
+         |         unnest(string_split(trim(text), ' ')) AS tok
+         |  FROM documents),
+         |dc AS (SELECT doc_id, y,
+         |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS f,
+         |         count(*) AS c
+         |       FROM base GROUP BY 1, 2, 3),
+         |$TrainCte
+         |SELECT d.doc_id, COALESCE(sc.score, 0) AS score,
+         |       COALESCE(sc.score, 0) > 0 AS positive
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN (SELECT dc.doc_id, CAST(SUM(dc.c * w3.w) AS BIGINT) AS score
+         |           FROM dc JOIN w3 USING (f) GROUP BY dc.doc_id) sc
+         |USING (doc_id)""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wts = TextAnalysis.perceptronTrain(docs, "doc_id", "text",
+        when(col("n_chars") >= 300, 1L).otherwise(-1L),
+        iters = 3, buckets = 1024)
+      TextAnalysis.linearClassifierScore(docs, "doc_id", "text", wts,
+        buckets = 1024)
     },
 
     // Brute-force cosine top-k for a small query set (exact baseline).

@@ -297,4 +297,35 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
     assert(partial == Map(0L -> 2L, 1L -> 0L, 2L -> 0L))
   }
+
+  test("perceptron trainer: iteration 1 is the class-difference sum; " +
+    "trained model separates a separable corpus") {
+    import graft.llm.TextAnalysis
+    val d = Seq(
+      (0L, "good fine good", 1L), (1L, "good solid", 1L),
+      (2L, "bad awful", -1L), (3L, "bad bad poor", -1L))
+      .toDF("doc_id", "text", "y")
+    def f(tok: String): Long = spark.range(1).select(
+      pmod(conv(substring(md5(lit(tok)), 1, 8), 16, 10).cast("long"),
+        lit(1024L))).as[Long].head()
+    // One iteration from w=0: every doc is misclassified (y·0 <= 0),
+    // so w[f] = Σ_docs y·count_f exactly.
+    val w1 = TextAnalysis.perceptronTrain(d, "doc_id", "text", col("y"),
+        iters = 1, buckets = 1024)
+      .as[(Long, Long)].collect().toMap
+    assert(w1.size == 1024)
+    assert(w1(f("good")) == 3L)  // 2 + 1, both y=+1
+    assert(w1(f("bad")) == -3L)  // 1 + 2, both y=-1
+    assert(w1(f("fine")) == 1L && w1(f("awful")) == -1L)
+    assert(w1.values.sum == (3 + 2) - (2 + 3)) // total token mass × y
+    // Trained for 3 iterations, the model must classify its own
+    // (separable) training set perfectly through the serving path.
+    val w3 = TextAnalysis.perceptronTrain(d, "doc_id", "text", col("y"),
+      iters = 3, buckets = 1024)
+    val scored = TextAnalysis.linearClassifierScore(d, "doc_id", "text",
+        w3, buckets = 1024)
+      .select(col("doc_id"), col("positive")).as[(Long, Boolean)]
+      .collect().toMap
+    assert(scored == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+  }
 }
