@@ -287,7 +287,19 @@ object HeavyBench {
       counts = Some((s, d) => Seq(
         "windows" -> Dedup.passageWindows(docs(s, d), "doc_id", "text",
           w = 8, stride = 4, portable = true).count()))),
-    HeavyItem("t8_contamination", Seq("documents")),
+    // The hashed production form (multi-arg xxhash64 n-grams, no
+    // n-gram string ever built — the pipe17 hashNgrams discipline);
+    // the registered query keeps portable strings for its oracle and
+    // TwinConsistencySpec pins the two forms' outputs equal.
+    HeavyItem("t8_contamination", Seq("documents"),
+      fn = Some { (s, d) =>
+        val dd = docs(s, d)
+        graft.llm.TextAnalysis.contaminationStats(dd, "doc_id", "text",
+            dd.filter(col("doc_id") % 37 === 0), "text",
+            n = 5, threshold = 0.2, hashed = true)
+          .select(col("doc_id"), col("n_ngrams"), col("n_matched"),
+            col("contamination"), col("contaminated"))
+      }),
     HeavyItem("pipe17_llm_curation", Seq("documents")),
     HeavyItem("e9_ann_pq", Seq("embeddings")),
     HeavyItem("e7_ann_ivf_kmeans", Seq("embeddings")),
@@ -438,14 +450,16 @@ object HeavyBench {
           val bytes = item.tables.map(t => duBytes(spark, s"$d/$t.parquet")).sum
           val rows = item.tables.map(t =>
             spark.read.parquet(s"$d/$t.parquet").count()).sum
-          // Min over N samples (default 2): each heavy item is timed
+          // Min over N samples (default 3): each heavy item is timed
           // once per sample from reaped state, but single samples still
-          // swung 2-3× across bench invocations (g8 12.3/17.2/33.0 s in
-          // three otherwise-identical runs) — GC/allocator state the
-          // reaper cannot fully return. The min is the steady-state
-          // number the 100 TB sizing uses, same rationale as the light
-          // passes' min-of-3.
-          val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "2").toInt
+          // swing 2-4× WITHIN one run (r11 driver-like pass: d17
+          // 60.0/13.6 s, g8 20.5/10.1 s, pipe17 21.9/10.7 s back to
+          // back) — GC/allocator state the reaper cannot fully return.
+          // With 2 samples an item unlucky twice keeps the inflated
+          // number (the r10 d3-at-93-s README discrepancy); a third
+          // sample costs ~2 min over the block and tightens the min to
+          // the steady-state number the 100 TB sizing uses.
+          val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "3").toInt
           val samples = (1 to nSamples).map { i =>
             val s = timeOne(spark, item.name, f, d)
             System.err.println(f"[bench] heavy ${item.name} sample $i ${s._1}%.1f s")

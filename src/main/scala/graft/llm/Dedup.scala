@@ -576,18 +576,34 @@ object Dedup {
   private[graft] def ophRegimeProbe(docs: DataFrame, id: String,
                                     text: String, shingleN: Int, bins: Int,
                                     sampleDocs: Int): Option[String] = {
-    val mean = shingleArrays(docs, id, text, shingleN)
-      .limit(sampleDocs)
+    // Limit BEFORE tokenizing: with the limit above shingleArrays, the
+    // per-partition LocalLimit evaluates the tokenizer for up to
+    // sampleDocs rows in EVERY scan partition before the global limit
+    // discards all but one — O(sampleDocs × partitions) tokenize work
+    // (measured 4-12 s on the 89-partition longdoc fixture, as much as
+    // the signature pass itself). Limiting the raw (id, text) rows
+    // keeps the scan-side work trivial and tokenizes exactly
+    // sampleDocs docs once, post-limit.
+    val mean = shingleArrays(docs.select(col(id), col(text))
+        .limit(sampleDocs), id, text, shingleN)
       .agg(avg(size(col("toks")))).collect()(0)
     if (mean.isNullAt(0)) None
     else ophRegimeWarning(mean.getDouble(0), bins)
   }
 
   /** MinHash-LSH near-dup pairs over the OPH signature — identical
-    * banding/candidate/verification path as [[minhashLshPairs]], ~128×
-    * cheaper signature stage. Subject to [[minhashOphSignature]]'s
-    * long-document regime caveat; high-similarity recall is spec-gated,
-    * and emitted pairs are always exact-verified regardless.
+    * banding/candidate/verification path as [[minhashLshPairs]], with
+    * 128× fewer hash-min updates per token in the signature stage.
+    * NOTE on what that buys: since both signature families became
+    * single-pass native expressions paying ONE string hash per token
+    * (the permutation family is register-level mult-adds), the wall-
+    * clock saving at 128 hashes is within measurement noise on the
+    * longdoc bench (~3-4 s per 69 M tokens for BOTH) — OPH earns its
+    * keep when numHashes is much larger, or on engines whose dense
+    * signature costs numHashes string hashes per shingle. Subject to
+    * [[minhashOphSignature]]'s long-document regime caveat;
+    * high-similarity recall is spec-gated, and emitted pairs are
+    * always exact-verified regardless.
     *
     * On construction the first `regimeSampleDocs` docs are sampled for
     * mean distinct-shingle count and [[ophRegimeWarning]] is logged if

@@ -488,12 +488,17 @@ object TextAnalysis {
     * map-side-combinable aggregation on the doc key. Nothing pairwise,
     * nothing quadratic: cost is O(corpus tokens) + one broadcast.
     * N-grams join as plain strings so the check is engine-portable
-    * (t8's DuckDB oracle); at extreme scale hash the n-gram column —
-    * the plan shape is unchanged. */
+    * (t8's DuckDB oracle); `hashed=true` is the production form —
+    * n-grams become multi-arg xxhash64 over the token window (the
+    * pipe17 hashNgrams discipline: no n-gram STRING is ever built,
+    * which is where the string form's time goes), the plan shape is
+    * unchanged, and TwinConsistencySpec pins its counts to the
+    * portable form's. */
   def contaminationStats(docs: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 8, threshold: Double = 0.1,
-                         broadcastBench: Boolean = true): DataFrame = {
+                         broadcastBench: Boolean = true,
+                         hashed: Boolean = false): DataFrame = {
     // Tokens are staged as an attribute behind a generator barrier on
     // both sides (the repetitionStats pattern): ngrams() inlining the
     // tokenizer into the per-element lambda re-splits the text once
@@ -502,7 +507,9 @@ object TextAnalysis {
       df.select(idC.as("__cid"),
           explode(array(graft.functions.Scalars.tokens(textC))).as("__t"))
         .select(col("__cid"),
-          explode(array_distinct(ngramsOfTokens(col("__t"), n))).as("__ng"))
+          explode(array_distinct(
+            if (hashed) hashNgrams(col("__t"), n)
+            else ngramsOfTokens(col("__t"), n))).as("__ng"))
     val bench = docNgrams(benchmark, lit(0), col(benchTextCol))
       .select("__ng").distinct()
       .withColumn("__hit", lit(1))

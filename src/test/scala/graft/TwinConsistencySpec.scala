@@ -234,4 +234,19 @@ class TwinConsistencySpec extends AnyFunSuite {
     assert(meanOverlap(twin, brute, k) >= 0.4,
       s"IVF twin recall vs brute ${meanOverlap(twin, brute, k)}")
   }
+
+  test("t8: hashed contamination equals the portable string form") {
+    import graft.llm.TextAnalysis
+    val all = Tables.documents(spark, Sf)
+    def run(hashed: Boolean) = TextAnalysis.contaminationStats(
+        all, "doc_id", "text", all.filter(col("doc_id") % 37 === 0),
+        "text", n = 5, threshold = 0.2, hashed = hashed)
+      .select(col("doc_id"), col("n_ngrams"), col("n_matched"),
+        col("contaminated"))
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // Identical COUNTS, not just decisions: a 64-bit xxhash collision
+    // inside one document's ≤10³ n-grams (p ≈ 10⁻¹³) is the only
+    // mechanism that could separate them.
+    assert(run(hashed = true) == run(hashed = false))
+  }
 }
