@@ -214,8 +214,21 @@ object Dedup {
     * barrier costs two extra generator stages, which is why the n=1
     * path must not pay it. */
   private def shingleArrays(docs: DataFrame, id: String, text: String,
-                            shingleN: Int): DataFrame =
-    if (shingleN == 1) {
+                            shingleN: Int,
+                            hashed: Boolean = false): DataFrame =
+    if (shingleN == 1 && hashed) {
+      // Production verify representation: distinct token set as 64-bit
+      // hashes straight off the byte scan — no token string is ever
+      // built, the pair join shuffles 8 bytes/token instead of string
+      // payloads, and the intersection compares longs. Set sizes /
+      // intersection counts (⇒ Jaccard) equal the string form's
+      // modulo 64-bit collisions (p ≈ n²/2⁶⁵ per doc — the hashed
+      // band-bucket tolerance class); the portable paths keep strings.
+      graft.plans.TokensDistinctHashedExpr.register(docs.sparkSession)
+      docs.select(col(id).as("doc"),
+        call_function(graft.plans.TokensDistinctHashedExpr.Name,
+          col(text)).as("toks"))
+    } else if (shingleN == 1) {
       // Native byte-scan tokenizer (bit-equal to
       // array_distinct(split(trim, "\s+")) — spec-pinned): the verify
       // stage scans the corpus through this twice, and the composed
@@ -224,11 +237,16 @@ object Dedup {
       docs.select(col(id).as("doc"),
         call_function(graft.plans.TokensDistinctExpr.Name,
           col(text)).as("toks"))
-    } else
-      docs
+    } else {
+      val arrs = docs
         .select(col(id).as("doc"),
           explode(array(Scalars.tokens(col(text)))).as("__t"))
         .select(col("doc"), shinglesOfTokens(col("__t"), shingleN).as("toks"))
+      if (hashed)
+        arrs.select(col("doc"),
+          transform(col("toks"), s => xxhash64(s)).as("toks"))
+      else arrs
+    }
 
   /** Shared front-half of every MinHash family: (doc, 31-bit shingle
     * hash core) — one string hash per shingle, masked so downstream
@@ -287,7 +305,9 @@ object Dedup {
     val candidates = bucketPairs(bandTable(sig, bands, rowsPerBand, rawBuckets),
       Seq("band", "bucket"), "doc", maxBucketSize)
 
-    val toks = shingleArrays(docs, id, text, shingleN)
+    // Production (hashed buckets) verifies on hashed token sets; the
+    // portable path keeps strings so its oracle replays the verify.
+    val toks = shingleArrays(docs, id, text, shingleN, hashed = !rawBuckets)
     candidates
       .join(toks.withColumnsRenamed(Map("doc" -> "id_a", "toks" -> "toks_a")), Seq("id_a"))
       .join(toks.withColumnsRenamed(Map("doc" -> "id_b", "toks" -> "toks_b")), Seq("id_b"))
@@ -457,7 +477,8 @@ object Dedup {
     val toks = shingleArrays(
       corpus.select(col(id), col(text))
         .unionByName(increment.select(col(id), col(text)))
-        .join(candidateIds, Seq(id), "left_semi"), id, text, shingleN)
+        .join(candidateIds, Seq(id), "left_semi"), id, text, shingleN,
+      hashed = !portable)
       .cache()
     toks.count()
     val result = pairs

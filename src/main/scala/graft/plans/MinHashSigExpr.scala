@@ -264,6 +264,65 @@ object TokensDistinctExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
+/** The distinct-token set of a text as 64-bit xxhash values (seed 42,
+  * full width — NOT the 31-bit signature core): one byte scan, no
+  * token string ever materialized. The production LSH verify stage's
+  * token representation — set sizes and intersection counts (and so
+  * Jaccard) equal [[TokensDistinctExpr]]'s modulo 64-bit token-hash
+  * collisions (p ≈ n²/2⁶⁵ per document — the same tolerance class as
+  * the hashed band-bucket keys), while the per-pair shuffle payload
+  * drops from ~string bytes to 8 bytes/token and the intersection
+  * compares longs instead of strings. Distinctness is by HASH: a
+  * colliding token pair would also shrink the set size, exactly as if
+  * the two tokens were equal. The portable/oracle paths keep the
+  * string form. Registered as `tokens_distinct_hashed(text)`. */
+case class TokensDistinctHashedExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tokens_distinct_hashed expects string, got " +
+          s"${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tokens_distinct_hashed"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    MinHashShinglesSigExpr.forEachToken(bytes, (start, len) =>
+      seen.add(java.lang.Long.valueOf(XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+        len, 42L))))
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokensDistinctHashedExpr = copy(child = newChild)
+}
+
+object TokensDistinctHashedExpr {
+  val Name = "tokens_distinct_hashed"
+  private val info =
+    new ExpressionInfo(classOf[TokensDistinctHashedExpr].getName, Name)
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 1,
+      s"tokens_distinct_hashed expects 1 argument, got ${children.size}")
+    TokensDistinctHashedExpr(children(0))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 /** The one-permutation-hashing (OPH) MinHash signature of one document
   * as ONE scalar expression: per shingle ONE 31-bit hash, binned by
   * `h mod bins` with a per-bin min, then circular densification —
@@ -360,8 +419,9 @@ object MinHashOphSigExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
-/** `size(array_intersect(a, b))` for DISTINCT string arrays as one
-  * hash-set pass. Bit-identical on duplicate-free inputs (the
+/** `size(array_intersect(a, b))` for DISTINCT string (or long — the
+  * hashed-verify path's token hashes) arrays as one hash-set pass.
+  * Bit-identical on duplicate-free inputs (the
   * jaccardDistinct contract — array_intersect's output dedup is then a
   * no-op): build a set of `a`, count members of `b` in it. The LSH
   * verify stage evaluates this once per candidate pair (10.8 M pairs ×
@@ -377,17 +437,24 @@ case class ArrayIntersectSizeExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(StringType, _) => true
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => true
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
       case _ => false
-    })
+    }
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"array_intersect_size expects (array<string>, array<string>), got " +
+      s"array_intersect_size expects two array<string> or two " +
+        s"array<long>, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "array_intersect_size"
+
+  private val isLong = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
@@ -395,6 +462,7 @@ case class ArrayIntersectSizeExpr(left: Expression, right: Expression)
     // Probe the smaller side's set with the larger side (both distinct,
     // so the count is symmetric).
     val (s, p) = if (xs.numElements() <= ys.numElements()) (xs, ys) else (ys, xs)
+    if (isLong) return evalLong(s, p)
     val set = new java.util.HashSet[UTF8String](s.numElements() * 2)
     var sNull = false; var pNull = false
     var i = 0
@@ -412,6 +480,54 @@ case class ArrayIntersectSizeExpr(left: Expression, right: Expression)
       j += 1
     }
     // array_intersect keeps a null element iff BOTH sides carry one.
+    if (sNull && pNull) cnt + 1 else cnt
+  }
+
+  /** Long branch: open-address probing over a primitive table — the
+    * verify hot loop runs this once per candidate pair, and a boxed
+    * HashSet would allocate per element. Same null semantics as the
+    * string branch. Zero needs a presence flag (it is the table's
+    * empty marker). */
+  private def evalLong(s: ArrayData, p: ArrayData): Any = {
+    val ns = s.numElements()
+    var cap = 8
+    while (cap < ns * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
+    var hasZero = false
+    var sNull = false; var pNull = false
+    var i = 0
+    while (i < ns) {
+      if (s.isNullAt(i)) sNull = true
+      else {
+        val v = s.getLong(i)
+        if (v == 0L) hasZero = true
+        else {
+          var slot = (java.lang.Long.hashCode(v) & mask)
+          while (table(slot) != 0L && table(slot) != v)
+            slot = (slot + 1) & mask
+          table(slot) = v
+        }
+      }
+      i += 1
+    }
+    var cnt = 0
+    var j = 0
+    val np = p.numElements()
+    while (j < np) {
+      if (p.isNullAt(j)) pNull = true
+      else {
+        val v = p.getLong(j)
+        if (v == 0L) { if (hasZero) cnt += 1 }
+        else {
+          var slot = (java.lang.Long.hashCode(v) & mask)
+          while (table(slot) != 0L && table(slot) != v)
+            slot = (slot + 1) & mask
+          if (table(slot) == v) cnt += 1
+        }
+      }
+      j += 1
+    }
     if (sNull && pNull) cnt + 1 else cnt
   }
 

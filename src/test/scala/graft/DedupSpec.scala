@@ -735,6 +735,45 @@ class DedupSpec extends AnyFunSuite {
     assert(edge.filter(col("ref") =!= col("nat")).count() == 0)
   }
 
+  test("hashed verify: long-array intersect bit-equals reference; " +
+    "production jaccard values equal the exact string form") {
+    // Long branch of the native intersect vs size(array_intersect) on
+    // the same hashed arrays.
+    graft.plans.ArrayIntersectSizeExpr.register(spark)
+    val t = Tables.documents(spark, Sf).filter(col("doc_id") < 80)
+      .select(col("doc_id"),
+        transform(array_distinct(split(trim(col("text")), "\\s+")),
+          s => xxhash64(s)).as("toks"))
+    val a = t.select(col("doc_id").as("ia"), col("toks").as("ta"))
+    val b = t.limit(10).select(col("doc_id").as("ib"), col("toks").as("tb"))
+    val out = a.crossJoin(b).select(
+      size(array_intersect(col("ta"), col("tb"))).as("ref"),
+      call_function(graft.plans.ArrayIntersectSizeExpr.Name,
+        col("ta"), col("tb")).as("nat"))
+    assert(out.count() == 800)
+    assert(out.filter(col("ref") =!= col("nat")).count() == 0)
+    // The zero sentinel: values of 0 must still match through the
+    // open-address table's explicit zero flag.
+    import spark.implicits._
+    val edge = Seq((Seq(0L, 7L), Seq(0L, 9L)), (Seq(0L), Seq(1L)),
+      (Seq[Long](), Seq(0L))).toDF("x", "y")
+      .select(size(array_intersect(col("x"), col("y"))).as("ref"),
+        call_function(graft.plans.ArrayIntersectSizeExpr.Name,
+          col("x"), col("y")).as("nat"))
+    assert(edge.filter(col("ref") =!= col("nat")).count() == 0)
+    // End-to-end: the production (hashed-verify) LSH pairs carry the
+    // SAME jaccard values as the exact string-set computation — token
+    // hashing changes the representation, not the set sizes (no
+    // 64-bit collisions on this fixture, as at any plausible scale).
+    val prod = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard").as("jp"))
+    val exact = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.8)
+      .select(col("id_a"), col("id_b"), col("jaccard").as("je"))
+    val joined = prod.join(exact, Seq("id_a", "id_b"), "left")
+    assert(joined.filter(col("je").isNull || col("jp") =!= col("je"))
+      .count() == 0)
+  }
+
   test("native l2_sq bit-equals the HOF fold on the PQ shapes") {
     // Every PQ call site passes DOUBLE arrays (subvectors/residuals/
     // asDouble casts), so the equality that matters is double × double;
