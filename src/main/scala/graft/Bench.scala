@@ -215,6 +215,11 @@ object HeavyBench {
 
   private val Factors = Map("documents" -> 64, "embeddings" -> 16,
     "lineitem" -> 16)
+  // The serving-entry index model: k-means clusters ∝ corpus (32 K
+  // vectors / 64 lists ≈ 500/list), 8×16 product codebook over the
+  // 64-dim embeddings — the store is built once with the fixture.
+  private val HeavyIndexParams =
+    graft.llm.IndexStore.Params(dim = 64, clusters = 64, m = 8, k = 16)
   // The longdoc corpus replicates harder: at ×64 (12.8 K docs) both
   // LSH entries are verify/overhead-bound and the 128×-fewer-hashes
   // OPH signature claim is invisible; ×256 (51.2 K docs × ~1.35 K
@@ -229,8 +234,9 @@ object HeavyBench {
   // longdoc corpus (OPH's intended regime — the base vocabulary
   // saturates at ~31 tokens, so long docs position-suffix their tokens
   // to make distinct-token count actually grow with length); v8:
-  // longdoc at ×256 so the signature stage dominates its entries.
-  private val Layout = "v8"
+  // longdoc at ×256 so the signature stage dominates its entries; v9:
+  // + the persisted IVF-PQ index for the serving entry.
+  private val Layout = "v9"
 
   /** One heavy entry: a registered query (or a custom fn for variants
     * not in the registry), the tables it reads, an optional subdir of
@@ -304,6 +310,19 @@ object HeavyBench {
     HeavyItem("e9_ann_pq", Seq("embeddings")),
     HeavyItem("e7_ann_ivf_kmeans", Seq("embeddings")),
     HeavyItem("e12_ann_ivfpq", Seq("embeddings")),
+    // ANN SERVING from the persisted IVF-PQ artifact: e12 times
+    // train+encode+search in one window (what a rebuild pays); this
+    // entry times what a deployment pays PER QUERY BATCH — read the
+    // store (params-checked), ADC shortlist, exact re-rank — with the
+    // index built untimed in the fixture, exactly as production
+    // serves. 100 queries against 32 K vectors.
+    HeavyItem("e14_store_serve", Seq("embeddings"),
+      fn = Some { (s, d) =>
+        val emb = Tables.embeddings(s, d)
+        graft.llm.IndexStore.searchTopKRerank(s, s"$d/ivfpq_index",
+          HeavyIndexParams, emb, emb.filter(col("vec_id") < 100),
+          "vec_id", "embedding", k = 10, nprobe = 4, overscan = 4)
+      }),
     // SemDeDup at heavy scale: k grows ∝ corpus (the paper's regime —
     // within-cluster pairwise work stays bounded only if members/cluster
     // does). 80 K vectors / k=256 ≈ 310 per cluster; the registered
@@ -640,6 +659,12 @@ object HeavyBench {
         .write.mode("overwrite").parquet(s"$dir/longdoc/documents.parquet")
       emb.repartition(32)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // The serving entry's persisted ANN artifact — built with the
+      // fixture (untimed), searched by e14_store_serve.
+      graft.llm.IndexStore.build(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
+        "embedding", s"$dir/ivfpq_index", HeavyIndexParams,
+        iters = 2, trainPct = 25, trainSeed = "heavyix")
       li.repartition(32)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       // The incremental-dedup entry's persisted artifact: the standing
