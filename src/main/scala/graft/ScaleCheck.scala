@@ -211,6 +211,26 @@ object ScaleCheck {
       Op("minhash_oph_pairs(cap=100)", n =>
         llm.Dedup.minhashLshPairsOph(replicateDocs(docs0, n), "doc_id", "text",
           threshold = 0.8, maxBucketSize = Some(100)).count()),
+      // The nightly end-to-end rewrite (pipe19): capped LSH pairs →
+      // connected components → canonical keep → one row per doc. The
+      // rewrite tail must stay ~linear in docs: components are bounded
+      // by the capped pair graph and the group table broadcasts, so
+      // growth shows up only in the pair stage it composes.
+      Op("neardup_rewrite_e2e(cap=100)", { n =>
+        val d = replicateDocsFull(docsFull0, n)
+        val pairs = llm.Dedup.minhashLshPairs(d, "doc_id", "text",
+          threshold = 0.8, maxBucketSize = Some(100))
+        llm.Dedup.nearDupRewrite(d, "doc_id", col("n_chars"), pairs).count()
+      }, tables = Seq("docs_full")),
+      // Classifier training under corpus growth: per iteration one
+      // broadcast join + two aggs, weight/delta tables bounded by
+      // buckets — time must stay ~linear in docs, state flat.
+      Op("perceptron_train(3 iter)", n =>
+        llm.TextAnalysis.perceptronTrain(replicateDocsFull(docsFull0, n),
+          "doc_id", "text",
+          when(col("n_chars") >= 300, 1L).otherwise(-1L),
+          iters = 3, buckets = 1024).count(),
+        tables = Seq("docs_full")),
       Op("simhash_block_neardup", n =>
         llm.Dedup.simhashNearDupPairs(replicateDocs(docs0, n), "doc_id", "text",
           bits = 32, blocks = 4, maxHamming = 2, portable = false,
