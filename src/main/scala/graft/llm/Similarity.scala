@@ -259,24 +259,38 @@ object Similarity {
   /** One broadcast-centroid assignment pass: (id, cluster) for every
     * row of `emb` against a (cluster, centroid) table. */
   def assignToCentroids(emb: DataFrame, id: String, vec: String,
-                        centroids: DataFrame): DataFrame =
-    emb.select(col(id).as("__id"), col(vec).as("__v"))
-      .join(broadcast(centroids), lit(true))
-      // Native fused cosine (float corpus × double centroid means —
-      // bit-identical to the HOF form, so the e11/e13 oracles and the
-      // Lloyd determinism contract are unaffected); this is corpus × k
-      // evaluations, the hottest loop of every k-means consumer.
-      .withColumn("__csim",
-        cosineNative(emb.sparkSession, col("__v"), col("centroid")))
-      .groupBy("__id")
-      // min_by on (-similarity, padded-cluster) = best similarity,
-      // ties to the smallest cluster id — deterministic without a
-      // window sort. Cluster ids are seed ids (numeric strings of
-      // bounded length); lpad makes their lexicographic order agree
-      // with their numeric order.
-      .agg(expr("min_by(cluster, struct(-__csim, lpad(cluster, 24, '0')))")
-        .as("__c"))
-      .select(col("__id").as(id), col("__c").as("cluster"))
+                        centroids: DataFrame): DataFrame = {
+    // The model is collected (k × dim — driver-bounded by definition,
+    // it broadcast-joined even in the old shape) and rides into ONE
+    // argmax expression per corpus row: the previous form expanded to
+    // corpus × k rows through a broadcast nest-loop join and folded
+    // them back with a min_by whose struct key allocated an lpad
+    // string PER PAIR (8.2 M rows + a full shuffle on the 32 K-doc ×
+    // k=256 heavy config) — all replaced by scan-local work.
+    // NearestCentroidExpr pins bit-identity to the replaced
+    // min_by(cluster, struct(-cosine, lpad(cluster, 24, '0'))) form,
+    // including null-similarity ordering; the null/empty-VECTOR edge
+    // (old: all-null sims → smallest padded id) is preserved by
+    // coalescing to an empty vector, which yields all-null sims
+    // through the same denominator-zero path.
+    val spark = emb.sparkSession
+    val rows = centroids
+      .select(col("cluster").cast("string"),
+        transform(col("centroid"), _.cast("double")))
+      .collect()
+    if (rows.isEmpty)
+      return emb.select(col(id), lit("").as("cluster")).limit(0)
+    val ids = rows.map(_.getString(0)).toSeq
+    val dim = rows.head.getSeq[Double](1).length
+    require(rows.forall(_.getSeq[Double](1).length == dim),
+      "assignToCentroids: ragged centroid matrix")
+    val flat = rows.flatMap(_.getSeq[Double](1)).toSeq
+    graft.plans.NearestCentroidExpr.register(spark)
+    emb.select(col(id),
+      call_function(graft.plans.NearestCentroidExpr.Name,
+        coalesce(col(vec), emptyVecLit(emb, vec)), typedLit(ids),
+        typedLit(flat), lit(dim)).as("cluster"))
+  }
 
   /** Approximate top-k via multi-table sign-LSH: a pair is a candidate
     * if it collides in ANY of the `tables` hash tables (recall at
@@ -468,19 +482,58 @@ object Similarity {
       .groupBy("__id", "subspace")
       .agg(expr("min_by(code, struct(__d, code))").as("code"))
 
+  /** The corpus-encode Column: whole-vector PQ assignment through the
+    * native [[graft.plans.PqCodesExpr]] (all m argmin searches in one
+    * eval; the codebook — m×k rows, broadcast-sized by definition —
+    * rides in as literals in (subspace, code) order). Bit-identity to
+    * the declarative subvector-join + min_by form is spec-pinned.
+    * Training keeps the declarative join: its input is a bounded
+    * sample and the Lloyd loop needs the (id, subspace) frame. */
+  private def pqCodesNative(codebook: DataFrame, sub: Int,
+                            vec: Column): Column = {
+    val spark = codebook.sparkSession
+    val rows = codebook
+      .select(col("subspace"), col("code"),
+        transform(col("centroid"), _.cast("double")))
+      .collect()
+      .sortBy(r => (r.getInt(0), r.getInt(1)))
+    val m = rows.map(_.getInt(0)).max + 1
+    val counts = Array.fill(m)(0)
+    rows.foreach(r => counts(r.getInt(0)) += 1)
+    val codes = rows.map(_.getInt(1)).toSeq
+    val flat = rows.flatMap(_.getSeq[Double](2)).toSeq
+    graft.plans.PqCodesExpr.register(spark)
+    call_function(graft.plans.PqCodesExpr.Name, vec,
+      typedLit(counts.toSeq), typedLit(codes), typedLit(flat), lit(sub))
+  }
+
   /** PQ-encode a corpus: (id, codes ARRAY<INT>) with codes[j] the
     * nearest codeword of subvector j. m codes per vector — the 4-byte
     * float64 store becomes m small ints (the whole point at 100 TB:
-    * the ADC scan below touches codes only, never raw vectors). */
+    * the ADC scan below touches codes only, never raw vectors). One
+    * native-expression scan. A null vector coalesces to an empty one:
+    * zero-length distance folds tie every codeword at 0.0 and the
+    * smallest code wins — the exact outcome of the replaced form's
+    * null distances sorting first in min_by. */
   def pqEncode(emb: DataFrame, id: String, vec: String,
                codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame = {
     requireCodebook(codebook, m, dim, "pqEncode")
-    pqAssign(subvectors(emb, id, vec, m, dim), codebook)
-      .groupBy("__id")
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .select(col("__id").as(id), col("codes"))
+    emb.select(col(id),
+      pqCodesNative(codebook, dim / m,
+        coalesce(col(vec), emptyVecLit(emb, vec))).as("codes"))
   }
+
+  /** Type-matched empty-array literal for the null-vector coalesce. */
+  private def emptyVecLit(df: DataFrame, vec: String): Column =
+    df.schema(vec).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, _) =>
+        typedLit(Seq.empty[Double])
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) =>
+        typedLit(Seq.empty[Long])
+      case _ => typedLit(Seq.empty[Float])
+    }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query builds a
     * (subspace, code) → squared-L2 lookup table against the codebook
@@ -554,24 +607,14 @@ object Similarity {
                   clusterCol: String, centroids: DataFrame,
                   codebook: DataFrame, m: Int = 8, dim: Int = 64): DataFrame = {
     requireCodebook(codebook, m, dim, "ivfpqEncode")
-    val sub = dim / m
-    // The cluster id rides through both aggregations as a grouping key
-    // (it is a function of the vector id, so the groups are unchanged)
-    // — carrying it beats re-deriving the residual frame for a
-    // corpus-sized self-join just to reattach one column.
+    // One residual pass, then the whole m-code assignment as one
+    // native-expression projection on the same scan — the previous
+    // shape exploded corpus × m subvectors through a broadcast ×k
+    // join and folded back with two shuffle aggregations.
     residuals(withCluster, id, vec, clusterCol, centroids)
-      .select(col(id).as("__id"), col("cluster"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          j => slice(col("rv"), j * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
-      .join(broadcast(codebook), Seq("subspace"))
-      .withColumn("__d",
-        l2sq(withCluster.sparkSession, col("sv"), col("centroid")))
-      .groupBy("__id", "cluster", "subspace")
-      .agg(expr("min_by(code, struct(__d, code))").as("code"))
-      .groupBy("__id", "cluster")
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .select(col("__id").as(id), col("cluster"), col("codes"))
+      .select(col(id), col("cluster"),
+        pqCodesNative(codebook, dim / m,
+          coalesce(col("rv"), typedLit(Seq.empty[Double]))).as("codes"))
   }
 
   /** IVF-PQ ADC top-k: each query probes its `nprobe` nearest coarse

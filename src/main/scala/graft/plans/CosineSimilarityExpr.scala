@@ -197,6 +197,297 @@ case class L2SquaredExpr(left: Expression, right: Expression)
 
 /** Function registration: per-session (idempotent) or via the
   * `spark.sql.extensions` mechanism with [[GraftExtensions]]. */
+/** Argmax-cosine centroid assignment as ONE scalar expression: the
+  * whole broadcast-sized centroid matrix rides in as two literals
+  * (flattened doubles + cluster ids) and each corpus row is assigned
+  * in a single eval — replacing assignToCentroids' corpus × k
+  * cross-join + 8 M-row shuffle + per-row lpad-string min_by key with
+  * pure scan work (the d17/e7/e12 k-means hot path).
+  *
+  * Bit-identical to the replaced form
+  * `min_by(cluster, struct(-cosine, lpad(cluster, 24, '0')))`:
+  * per-centroid similarity uses [[CosineSimilarityExpr]]'s exact
+  * accumulation (sequential double, vector norm hoisted — the same
+  * bits, it never depends on the centroid), centroids are visited in
+  * lpad-24 order with strict-improvement updates (ties keep the
+  * smallest padded id), and a NULL similarity (zero-norm side) sorts
+  * BEFORE every real one exactly as a null struct field does in
+  * min_by's ordering. Registered as
+  * `nearest_centroid(vec, ids, flat, dim)`. */
+case class NearestCentroidExpr(child: Expression, ids: Array[String],
+                               flat: Array[Double], dim: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+           ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects a numeric array vector, got " +
+            s"${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nearest_centroid"
+
+  // lpad(s, 24, '0') exactly: left-truncate to 24 when longer.
+  private def lpad24(s: String): String =
+    if (s.length >= 24) s.substring(0, 24)
+    else ("0" * (24 - s.length)) + s
+  // Visit order = ascending padded id, so the FIRST strict winner is
+  // min_by's tie choice.
+  private lazy val order: Array[Int] =
+    ids.indices.sortBy(i => lpad24(ids(i))).toArray
+  private lazy val idsUtf8 =
+    ids.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val isDouble = child.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val isLong = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val nv = v.numElements()
+    // Vector norm: same left-to-right double accumulation as the
+    // pairwise expression; independent of the centroid, so hoisting
+    // changes no bits. Computed over min(nv, dim) elements — the
+    // pairwise form's length contract.
+    val n = math.min(nv, dim)
+    @inline def rd(i: Int): Double =
+      if (isDouble) v.getDouble(i)
+      else if (isLong) v.getLong(i).toDouble
+      else v.getFloat(i).toDouble
+    var na = 0.0
+    var i = 0
+    while (i < n) { val x = rd(i); na += x * x; i += 1 }
+    val sqna = math.sqrt(na)
+    var best = -1
+    var bestSim = 0.0
+    var bestNull = false
+    var o = 0
+    while (o < order.length) {
+      val j = order(o)
+      var dot = 0.0; var nb = 0.0
+      var p = 0
+      val off = j * dim
+      while (p < n) {
+        val x = rd(p); val y = flat(off + p)
+        dot += x * y; nb += y * y
+        p += 1
+      }
+      // Tail of the centroid beyond the vector's length still feeds
+      // its norm in the pairwise form? No: the pairwise loop runs to
+      // min(len) on BOTH accumulators — nb over n matches exactly.
+      val denom = sqna * math.sqrt(nb)
+      val simNull = denom == 0.0
+      val sim = if (simNull) 0.0 else dot / denom
+      val better =
+        if (best == -1) true
+        else if (simNull) !bestNull
+        else if (bestNull) false
+        else sim > bestSim
+      if (better) { best = j; bestSim = sim; bestNull = simNull }
+      o += 1
+    }
+    if (best == -1) null else idsUtf8(best)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidExpr = copy(child = newChild)
+
+  // Array-typed constructor fields: structural equality/hash by value
+  // so plan canonicalization doesn't treat identical literals as
+  // distinct (Arrays compare by reference by default).
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroidExpr =>
+      child == o.child && dim == o.dim &&
+        java.util.Arrays.equals(ids.asInstanceOf[Array[AnyRef]],
+          o.ids.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(flat, o.flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(dim),
+      Int.box(java.util.Arrays.hashCode(flat)))
+}
+
+object NearestCentroidExpr {
+  val Name = "nearest_centroid"
+  private val info =
+    new ExpressionInfo(classOf[NearestCentroidExpr].getName, Name)
+  private def litArray(e: Expression, what: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable, s"nearest_centroid: $what must be a literal")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  }
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 4,
+      s"nearest_centroid expects 4 arguments (vec, ids, flat, dim), " +
+        s"got ${children.size}")
+    val ids = litArray(children(1), "ids").toArray[
+      org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+    val flat = litArray(children(2), "flat")
+      .toDoubleArray()
+    require(children(3).foldable, "nearest_centroid: dim must be a literal")
+    val dim = children(3).eval(null).asInstanceOf[Number].intValue()
+    require(dim > 0 && ids.length * dim == flat.length,
+      s"nearest_centroid: ${ids.length} ids × dim $dim != ${flat.length}")
+    NearestCentroidExpr(children(0), ids, flat, dim)
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
+/** Whole-vector PQ encoding as ONE scalar expression: all m nearest-
+  * codeword searches in a single eval against a literal codebook —
+  * replacing the corpus-side subvector explode (×m) + broadcast join
+  * (×k) + two shuffle aggregations of the declarative encode with
+  * pure scan work (the e9/e12 corpus-encode hot path; PQ TRAINING
+  * keeps the declarative join — its input is a bounded sample and its
+  * iteration structure needs the (id, subspace) frame anyway).
+  *
+  * Bit-identical to
+  * `min_by(code, struct(l2sq(sv, centroid), code))` per subspace:
+  * distances use [[L2SquaredExpr]]'s exact left-to-right double fold
+  * over min(len) elements, codewords are visited in ascending code
+  * order with strict-improvement updates (ties keep the smallest
+  * code), and subspaces whose codewords vanished from the codebook
+  * (empty Lloyd clusters) simply have fewer candidates — exactly the
+  * rows the join would have had. Registered as
+  * `pq_codes(vec, counts, codes, flat, sub)`; the codebook arrives
+  * flattened in (subspace asc, code asc, pos) order. */
+case class PqCodesExpr(child: Expression, counts: Array[Int],
+                       codeVals: Array[Int], flat: Array[Double], sub: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+           ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_codes expects a numeric array vector, got " +
+            s"${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  // Start offset of subspace j's first codeword in `flat` /
+  // `codeVals`.
+  private lazy val codeStart: Array[Int] =
+    counts.scanLeft(0)(_ + _).init
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val isDouble = child.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val isLong = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    @inline def rd(i: Int): Double =
+      if (isDouble) v.getDouble(i)
+      else if (isLong) v.getLong(i).toDouble
+      else v.getFloat(i).toDouble
+    val nv = v.numElements()
+    val m = counts.length
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      // Subvector j = elements [j*sub, j*sub+sub) of the vector;
+      // shorter when the vector runs out (slice semantics), and the
+      // distance folds over min(svLen, sub) like the pairwise l2_sq.
+      val svOff = j * sub
+      val svLen = math.max(0, math.min(nv - svOff, sub))
+      var best = -1
+      var bestD = 0.0
+      var c = codeStart(j)
+      val end = codeStart(j) + counts(j)
+      while (c < end) {
+        var d = 0.0
+        var p = 0
+        val off = c * sub
+        while (p < svLen) {
+          val t = rd(svOff + p) - flat(off + p)
+          d += t * t
+          p += 1
+        }
+        if (best == -1 || d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      // A subspace with NO surviving codewords would have produced no
+      // row in the declarative groupBy — fail loudly instead of
+      // emitting a fabricated code (cannot happen with a codebook that
+      // passed requireCodebook).
+      require(best >= 0, s"pq_codes: subspace $j has no codewords")
+      out(j) = codeVals(best)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqCodesExpr = copy(child = newChild)
+
+  override def equals(other: Any): Boolean = other match {
+    case o: PqCodesExpr =>
+      child == o.child && sub == o.sub &&
+        java.util.Arrays.equals(counts, o.counts) &&
+        java.util.Arrays.equals(codeVals, o.codeVals) &&
+        java.util.Arrays.equals(flat, o.flat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(sub),
+      Int.box(java.util.Arrays.hashCode(flat)))
+}
+
+object PqCodesExpr {
+  val Name = "pq_codes"
+  private val info = new ExpressionInfo(classOf[PqCodesExpr].getName, Name)
+  private def litArr(e: Expression, what: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable, s"pq_codes: $what must be a literal")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  }
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 5,
+      s"pq_codes expects 5 arguments (vec, counts, codes, flat, sub), " +
+        s"got ${children.size}")
+    val counts = litArr(children(1), "counts").toIntArray()
+    val codes = litArr(children(2), "codes").toIntArray()
+    val flat = litArr(children(3), "flat").toDoubleArray()
+    require(children(4).foldable, "pq_codes: sub must be a literal")
+    val sub = children(4).eval(null).asInstanceOf[Number].intValue()
+    require(sub > 0 && counts.sum == codes.length &&
+      codes.length * sub == flat.length,
+      s"pq_codes: inconsistent codebook shape (${counts.sum} codewords, " +
+        s"${codes.length} codes, ${flat.length} values, sub $sub)")
+    PqCodesExpr(children(0), counts, codes, flat, sub)
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 object GraftFunctions {
   val Name = "cosine_sim"
   val LshName = "lsh_buckets"

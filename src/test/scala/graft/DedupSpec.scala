@@ -774,6 +774,76 @@ class DedupSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("native nearest_centroid bit-equals the min_by cross-join assignment") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, Sf)
+    val cents = Similarity.kmeansCentroids(
+      emb.filter(col("vec_id") % 4 === 0), "vec_id", "embedding",
+      k = 8, iters = 2)
+    val neo = Similarity.assignToCentroids(emb, "vec_id", "embedding", cents)
+      .as[(Long, String)].collect().toMap
+    // The replaced declarative form, verbatim.
+    val old = emb.select(col("vec_id").as("__id"), col("embedding").as("__v"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("__csim",
+        Similarity.cosineNative(spark, col("__v"), col("centroid")))
+      .groupBy("__id")
+      .agg(expr("min_by(cluster, struct(-__csim, lpad(cluster, 24, '0')))")
+        .as("cluster"))
+      .select(col("__id"), col("cluster"))
+      .as[(Long, String)].collect().toMap
+    assert(neo.size == old.size && neo == old)
+    // Null/empty-vector edge: all sims null → both forms pick the
+    // smallest lpad-24 cluster id.
+    val edge = Seq((1L, Some(Seq.empty[Float])), (2L, None))
+      .toDF("vec_id", "embedding")
+    val eNeo = Similarity.assignToCentroids(edge, "vec_id", "embedding",
+      cents).as[(Long, String)].collect().toMap
+    val smallest = cents.select(col("cluster")).as[String].collect()
+      .minBy(s => if (s.length >= 24) s.take(24) else "0" * (24 - s.length) + s)
+    assert(eNeo == Map(1L -> smallest, 2L -> smallest))
+  }
+
+  test("native pq_codes bit-equals the subvector-join min_by encode") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, Sf)
+    val cb = Similarity.pqTrain(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val neo = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    // The replaced declarative form, verbatim (subvector explode +
+    // broadcast codebook join + min_by + re-assembly).
+    val sub = 8
+    val old = emb
+      .select(col("vec_id").as("__id"),
+        explode(array(transform(col("embedding"), _.cast("double")))).as("__v"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          j => slice(col("__v"), j * sub + 1, lit(sub)))).as(Seq("subspace", "sv")))
+      .join(broadcast(cb), Seq("subspace"))
+      .withColumn("__d", expr(
+        "aggregate(zip_with(sv, centroid, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0.0 as double), (a, e) -> a + e)"))
+      .groupBy("__id", "subspace")
+      .agg(expr("min_by(code, struct(__d, code))").as("code"))
+      .groupBy("__id")
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(neo.size == old.size && neo == old)
+    // Null-vector edge: the old form's null distances sorted first in
+    // min_by → smallest code per subspace; the coalesce-to-empty path
+    // must land the same way.
+    val nullRow = Seq((99999L, None: Option[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(nullRow, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val smallest = cb.groupBy("subspace")
+      .agg(min(col("code")).as("c")).orderBy("subspace")
+      .select("c").as[Int].collect().toSeq
+    assert(codes == Map(99999L -> smallest))
+  }
+
   test("native l2_sq bit-equals the HOF fold on the PQ shapes") {
     // Every PQ call site passes DOUBLE arrays (subvectors/residuals/
     // asDouble casts), so the equality that matters is double × double;
