@@ -1043,6 +1043,25 @@ object Dedup {
   def simhashTable(docs: DataFrame, id: String, text: String,
                    bits: Int = 32, portable: Boolean = false): DataFrame = {
     require(bits <= (if (portable) 40 else 60))
+    // One native eval per document (tokenize + hash + vote + sign in a
+    // single byte scan) — the declarative form below shuffled one row
+    // per TOKEN into a `bits`-column sum aggregate. Bit-equality is
+    // spec-pinned; a null text emits no row either way (the explode
+    // dropped it; here the null fingerprint is filtered).
+    graft.plans.SimHashExpr.register(docs.sparkSession)
+    docs.select(col(id),
+        call_function(graft.plans.SimHashExpr.Name, col(text), lit(bits),
+          lit(portable)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The replaced explode + vote-aggregate SimHash — retained as the
+    * native expression's bit-equality pin (the OPH/signature-table
+    * discipline). */
+  private[graft] def simhashTableDeclarative(
+      docs: DataFrame, id: String, text: String,
+      bits: Int = 32, portable: Boolean = false): DataFrame = {
+    require(bits <= (if (portable) 40 else 60))
     val tok = docs.select(col(id).as("doc"),
       explode(Scalars.tokens(col(text))).as("tok"))
     val h =

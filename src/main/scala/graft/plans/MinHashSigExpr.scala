@@ -323,6 +323,75 @@ object TokensDistinctHashedExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
+/** The whole SimHash fingerprint of one document as ONE scalar
+  * expression: tokenize inline (split(trim) semantics, every
+  * OCCURRENCE votes — not the distinct set), hash each token once
+  * (production xxhash64 seed 42; portable the 40-bit md5 prefix
+  * `conv(substr(md5(t),1,10),16,10)`), accumulate ±1 votes per bit,
+  * emit the sign fingerprint (bit set iff votes > 0 — ties clear,
+  * like the declarative `when(v > 0, …)`). Bit-identical to
+  * [[graft.llm.Dedup.simhashTableDeclarative]]'s explode + `bits`-sum
+  * aggregation (spec-pinned); replaces that per-token shuffle row +
+  * 32-column aggregate with pure scan work. Registered as
+  * `simhash_fp(text, bits, portable)`. */
+case class SimHashExpr(child: Expression, bits: Int, portable: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_fp expects string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fp"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val votes = new Array[Int](bits)
+    MinHashShinglesSigExpr.forEachToken(bytes, (start, len) => {
+      val h = MinHashShinglesSigExpr.hashToken(bytes, start, len, portable)
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    })
+    var fp = 0L
+    var i = 0
+    while (i < bits) {
+      if (votes(i) > 0) fp |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashExpr = copy(child = newChild)
+}
+
+object SimHashExpr {
+  val Name = "simhash_fp"
+  private val info = new ExpressionInfo(classOf[SimHashExpr].getName, Name)
+  private def litVal(e: Expression, what: String): Any = {
+    require(e.foldable, s"simhash_fp: $what must be a literal, got $e")
+    e.eval(null)
+  }
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 3,
+      s"simhash_fp expects 3 arguments (text, bits, portable), " +
+        s"got ${children.size}")
+    SimHashExpr(children(0),
+      litVal(children(1), "bits").asInstanceOf[Number].intValue(),
+      litVal(children(2), "portable").asInstanceOf[Boolean])
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 /** The one-permutation-hashing (OPH) MinHash signature of one document
   * as ONE scalar expression: per shingle ONE 31-bit hash, binned by
   * `h mod bins` with a per-bin min, then circular densification —
@@ -623,6 +692,23 @@ object MinHashShinglesSigExpr {
     (((dig(0) & 0xFFL) << 24) | ((dig(1) & 0xFFL) << 16) |
       ((dig(2) & 0xFFL) << 8) | (dig(3) & 0xFFL)) & 0x7FFFFFFFL
   }
+
+  /** SimHash's FULL-WIDTH token hash (unlike the 31-bit signature
+    * core): production = plain xxhash64 seed 42; portable = the
+    * 40-bit md5 prefix `conv(substr(md5(t), 1, 10), 16, 10)` (first
+    * five digest bytes, big-endian). */
+  private[plans] def hashToken(bytes: Array[Byte], offset: Int, len: Int,
+                               portable: Boolean): Long =
+    if (portable) {
+      val d = md5Local.get()
+      d.reset()
+      d.update(bytes, offset, len)
+      val dig = d.digest()
+      ((dig(0) & 0xFFL) << 32) | ((dig(1) & 0xFFL) << 24) |
+        ((dig(2) & 0xFFL) << 16) | ((dig(3) & 0xFFL) << 8) |
+        (dig(4) & 0xFFL)
+    } else XXH64.hashUnsafeBytes(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offset, len, 42L)
 
   private val info =
     new ExpressionInfo(classOf[MinHashShinglesSigExpr].getName, Name)

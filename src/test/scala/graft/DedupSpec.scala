@@ -804,6 +804,23 @@ class DedupSpec extends AnyFunSuite {
     assert(eNeo == Map(1L -> smallest, 2L -> smallest))
   }
 
+  test("native simhash_fp bit-equals the explode+vote aggregation, both cores") {
+    val withEdge = docs.select(col("doc_id"), col("text")).unionByName(Seq(
+      (100001L, ""), (100002L, "   "), (100003L, " leading and trailing "),
+      (100004L, "a\nb\t c")).toDF("doc_id", "text"))
+    for (portable <- Seq(false, true); bits <- Seq(16, 32)) {
+      val neo = Dedup.simhashTable(withEdge, "doc_id", "text", bits, portable)
+        .as[(Long, Long)].collect().toMap
+      val old = Dedup.simhashTableDeclarative(withEdge, "doc_id", "text",
+        bits, portable).as[(Long, Long)].collect().toMap
+      assert(neo.size == old.size && neo == old,
+        s"portable=$portable bits=$bits")
+    }
+    // Null text: no output row in either form.
+    val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+    assert(Dedup.simhashTable(n, "doc_id", "text", 16).count() == 0)
+  }
+
   test("native pq_codes bit-equals the subvector-join min_by encode") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, Sf)
