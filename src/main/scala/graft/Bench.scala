@@ -307,6 +307,24 @@ object HeavyBench {
             col("contamination"), col("contaminated"))
       }),
     HeavyItem("pipe17_llm_curation", Seq("documents")),
+    // CCNet bucketing end-to-end: per-language bigram LMs trained on
+    // the src0 reference slice (~1/20 of the corpus), all 320 K docs
+    // scored by quantized log-likelihood and percentile-bucketed from
+    // the (lang, score) histogram. The untimed count is the model
+    // size — the distinct (lang, bigram) rows the scoring join
+    // carries — which is what bounds the entry's shuffle volume.
+    HeavyItem("pipe21_ccnet", Seq("documents"),
+      counts = Some { (s, d) =>
+        val base = docs(s, d).filter(col("source") === "src0")
+          .select(col("lang"),
+            graft.functions.Scalars.tokens(col("text")).as("tk"))
+        val bgs = base.select(col("lang"),
+          explode(when(size(col("tk")) >= 2,
+            transform(sequence(lit(0), size(col("tk")) - 2),
+              i => array_join(slice(col("tk"), i + 1, lit(2)), " ")))
+            .otherwise(array().cast("array<string>"))).as("bg"))
+        Seq("model_bigrams" -> bgs.distinct().count())
+      }),
     HeavyItem("e9_ann_pq", Seq("embeddings")),
     HeavyItem("e7_ann_ivf_kmeans", Seq("embeddings")),
     HeavyItem("e12_ann_ivfpq", Seq("embeddings")),

@@ -365,4 +365,136 @@ object Corpus {
       .select(col("__id").as(id), col("weight"),
         coalesce(col("__sel"), lit(false)).as("selected"))
   }
+
+  /** CCNet-shaped quality scoring (Wenzek et al. 2020): train an
+    * add-one-smoothed BIGRAM language model on a reference slice of
+    * the corpus (`refPred` — CCNet's Wikipedia), then score EVERY
+    * document by its total log-likelihood under that model. Optionally
+    * one model per language (`langCol` — CCNet trains one LM per
+    * language and buckets within it; [[ccnetBuckets]] is that second
+    * half).
+    *
+    * Determinism discipline (the [[dsirWeights]] contract): the ONLY
+    * float step is one `ln` per distinct (lang, bigram) of the scoring
+    * corpus, quantized to the 1e-6 ln-grid the moment it is computed;
+    * each doc score is then an exact integer dot product, so the whole
+    * path replays bit-identically in any engine. `ln P(w2|w1) =
+    * ln((c2+1)/(c1+V))` with `c2` the ref count of the bigram, `c1`
+    * the ref count of bigrams starting `w1`, and `V` the ref distinct-
+    * token vocabulary (`max(V,1)`: a language with no reference text
+    * scores 0 everywhere rather than ±inf).
+    *
+    * Scale shape: the model is two aggregates over the ref slice only;
+    * scoring joins the corpus' distinct per-doc bigram counts to the
+    * model on the (lang, bigram) key — a co-partitioned shuffle join
+    * on both sides' natural key (the bigram table at 100 TB is far too
+    * large to broadcast, and never needs to be), followed by one
+    * map-side-combinable per-doc sum. Nothing is proportional to
+    * corpus², and no step sorts globally.
+    *
+    * Output: (id[, lang], n_bigrams, lp_sum_e6) for EVERY input doc —
+    * bigram-less docs (≤1 token) get (0, 0), attached with the union +
+    * re-aggregate trick (not a left join) so the attach rides the same
+    * id-keyed shuffle. `lp_sum_e6` ≤ 0; closer to 0 = more reference-
+    * like (lower perplexity). */
+  def lmScore(docs: DataFrame, id: String, text: String,
+              refPred: Column, langCol: Option[String] = None): DataFrame = {
+    val lang = langCol.map(col).getOrElse(lit(""))
+    // Generator barrier before the bigram lambda (same O(tokens²)
+    // re-tokenize hazard dsirWeights documents).
+    val toks = docs.select(col(id).as("__id"), lang.as("__lang"),
+      refPred.as("__ref"), explode(array(
+        graft.functions.Scalars.tokens(col(text)))).as("tk"))
+    val bigrams = toks.select(col("__id"), col("__lang"), col("__ref"),
+      explode(when(size(col("tk")) >= 2,
+        transform(sequence(lit(0), size(col("tk")) - 2),
+          i => array_join(slice(col("tk"), i + 1, lit(2)), " ")))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    // The model: bigram counts, context counts, vocabulary — ref rows
+    // only. c1 aggregates FROM c2 (the per-(lang,w1) roll-up of an
+    // already-aggregated table), not from the raw bigram rows.
+    val c2 = bigrams.filter(col("__ref"))
+      .groupBy("__lang", "bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy("__lang", "w1").agg(sum("c2").as("c1"))
+    val vocab = toks.filter(col("__ref"))
+      .select(col("__lang"), explode(col("tk")).as("w"))
+      .groupBy("__lang").agg(countDistinct("w").as("v"))
+    // Per-doc distinct bigram counts, and the scoring corpus' bigram
+    // vocabulary — the ln is evaluated once per DISTINCT (lang, bg).
+    val perDoc = bigrams.groupBy("__id", "__lang", "bg")
+      .agg(count(lit(1)).as("c"))
+    // Model joins are PINNED shuffled-hash (the g8 discipline): the
+    // build side is the hash-partitioned model slice — bounded by
+    // vocabulary, not corpus — and a sort of the per-doc side is pure
+    // waste at any scale.
+    val bgVocab = perDoc.select(col("__lang"), col("bg")).distinct()
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c2.hint("shuffle_hash"), Seq("__lang", "bg"), "left")
+      .join(c1.hint("shuffle_hash"), Seq("__lang", "w1"), "left")
+      .join(broadcast(vocab), Seq("__lang"), "left")
+      .select(col("__lang"), col("bg"),
+        floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) +
+              greatest(coalesce(col("v"), lit(0L)), lit(1L))).cast("double"))
+          * 1e6 + 0.5).cast("long").as("lp"))
+    val scored = perDoc.join(bgVocab.hint("shuffle_hash"), Seq("__lang", "bg"))
+      .groupBy("__id", "__lang").agg(sum("c").as("n_bigrams"),
+        sum(col("c") * col("lp")).as("lp_sum_e6"))
+    val withEmpty = docs.select(col(id).as("__id"), lang.as("__lang"),
+        lit(0L).as("n_bigrams"), lit(0L).as("lp_sum_e6"))
+      .unionByName(scored)
+      .groupBy("__id", "__lang").agg(sum("n_bigrams").as("n_bigrams"),
+        sum("lp_sum_e6").as("lp_sum_e6"))
+    val base = withEmpty.select(col("__id").as(id), col("__lang"),
+      col("n_bigrams"), col("lp_sum_e6"))
+    langCol match {
+      case Some(lc) => base.withColumnRenamed("__lang", lc)
+      case None     => base.drop("__lang")
+    }
+  }
+
+  /** The second half of CCNet: per-language head/middle/tail buckets by
+    * LM perplexity percentile. Input is [[lmScore]]'s per-doc output
+    * (with a lang column); each scored doc gets an integer average-NLL
+    * rank key `avg_nll_e9 = (-lp_sum_e6) * 1000 div n_bigrams` (both
+    * operands non-negative, so truncating and flooring division agree
+    * in every engine), and the p30/p70 cutoffs are computed from the
+    * per-(lang, avg_nll_e9) HISTOGRAM — the running-sum window scans
+    * the tiny aggregated histogram partitioned by language, never the
+    * per-doc table, so the sort that would be a single-partition
+    * catastrophe at 100 TB never materializes. Cutoff q30 = smallest
+    * key with cumulative ≥ 30% of the language's scored docs (ditto
+    * q70); bucket = head (best 30%), middle, tail. Bigram-less docs
+    * have no perplexity and land in tail.
+    *
+    * Output: (id, lang, avg_nll_e9, bucket). */
+  def ccnetBuckets(scored: DataFrame, id: String, lang: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Bigram-less docs get the -1 sentinel (real keys are ≥ 0 — lp ≤ 0
+    // makes -lp_sum_e6 non-negative), not NULL: the oracle hash-compare
+    // stays engine-neutral and the tail rule below stays one CASE.
+    val q = scored.select(col(id), col(lang),
+      when(col("n_bigrams") === 0, lit(-1L))
+        .otherwise(expr("(-lp_sum_e6) * 1000L div n_bigrams"))
+        .as("avg_nll_e9"))
+    val hist = q.filter(col("avg_nll_e9") =!= -1L)
+      .groupBy(col(lang), col("avg_nll_e9")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(lang)).orderBy(col("avg_nll_e9"))
+    val tot = Window.partitionBy(col(lang))
+    val cuts = hist
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("tot", sum("cnt").over(tot))
+      .groupBy(col(lang)).agg(
+        min(when(col("cum") * 10 >= col("tot") * 3, col("avg_nll_e9")))
+          .as("q30"),
+        min(when(col("cum") * 10 >= col("tot") * 7, col("avg_nll_e9")))
+          .as("q70"))
+    q.join(broadcast(cuts), Seq(lang), "left")
+      .select(col(id), col(lang), col("avg_nll_e9"),
+        when(col("avg_nll_e9") === -1L, lit("tail"))
+          .when(col("avg_nll_e9") <= col("q30"), lit("head"))
+          .when(col("avg_nll_e9") <= col("q70"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -221,6 +221,115 @@ object CorpusQueries {
     // Overlapping token-window chunking (64-token chunks, 16-token
     // overlap): one generator explode per doc, all-integer chunk
     // boundaries — the embedding-pipeline pre-pass.
+    // CCNet-shaped LM quality score (Wenzek et al. 2020): add-one
+    // bigram LM trained on the src0 reference slice, every doc scored
+    // by total log-likelihood. One quantized ln per distinct bigram
+    // (the c9 float discipline) makes each doc score an exact integer
+    // dot product — the whole train+score path replays in DuckDB.
+    Q("c10_lm_perplexity",
+      """WITH base AS (
+        |  SELECT doc_id, source = 'src0' AS ref,
+        |         string_split(trim(text), ' ') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ref, unnest(CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE []::VARCHAR[] END) AS b
+        |  FROM base),
+        |c2 AS (SELECT b, count(*) AS c2 FROM bg WHERE ref GROUP BY b),
+        |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1
+        |       FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (
+        |        SELECT unnest(tk) AS t FROM base WHERE ref)),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        |lp AS (SELECT d.b,
+        |         CAST(floor(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+        |                       CAST(coalesce(c1.c1, 0)
+        |                            + greatest(v.v, 1) AS DOUBLE))
+        |                    * 1e6 + 0.5) AS BIGINT) AS lp
+        |       FROM (SELECT DISTINCT b FROM dc) d
+        |       LEFT JOIN c2 USING (b)
+        |       LEFT JOIN c1 ON split_part(d.b, ' ', 1) = c1.w1
+        |       CROSS JOIN v),
+        |w AS (SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+        |             CAST(sum(dc.c * lp.lp) AS BIGINT) AS lp_sum_e6
+        |      FROM dc JOIN lp USING (b) GROUP BY dc.doc_id)
+        |SELECT d.doc_id, coalesce(w.n_bigrams, 0) AS n_bigrams,
+        |       coalesce(w.lp_sum_e6, 0) AS lp_sum_e6
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN w USING (doc_id)""".stripMargin) { (s, d) =>
+      Corpus.lmScore(Tables.documents(s, d), "doc_id", "text",
+        refPred = col("source") === "src0")
+    },
+
+    // The full CCNet bucketing pipeline: one LM per LANGUAGE over the
+    // reference slice, then per-language head/middle/tail buckets at
+    // the p30/p70 perplexity percentiles. The cutoffs come from the
+    // per-(lang, score) HISTOGRAM (a window over the tiny aggregate,
+    // never a per-doc global sort).
+    Q("pipe21_ccnet",
+      """WITH base AS (
+        |  SELECT doc_id, lang, source = 'src0' AS ref,
+        |         string_split(trim(text), ' ') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, ref, unnest(CASE WHEN len(tk) >= 2 THEN
+        |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE []::VARCHAR[] END) AS b
+        |  FROM base),
+        |c2 AS (SELECT lang, b, count(*) AS c2 FROM bg WHERE ref
+        |       GROUP BY lang, b),
+        |c1 AS (SELECT lang, split_part(b, ' ', 1) AS w1, sum(c2) AS c1
+        |       FROM c2 GROUP BY 1, 2),
+        |v AS (SELECT lang, count(DISTINCT t) AS v FROM (
+        |        SELECT lang, unnest(tk) AS t FROM base WHERE ref)
+        |      GROUP BY lang),
+        |dc AS (SELECT doc_id, lang, b, count(*) AS c FROM bg
+        |       GROUP BY 1, 2, 3),
+        |lp AS (SELECT d.lang, d.b,
+        |         CAST(floor(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+        |                       CAST(coalesce(c1.c1, 0)
+        |                            + greatest(coalesce(v.v, 0), 1) AS DOUBLE))
+        |                    * 1e6 + 0.5) AS BIGINT) AS lp
+        |       FROM (SELECT DISTINCT lang, b FROM dc) d
+        |       LEFT JOIN c2 ON d.lang = c2.lang AND d.b = c2.b
+        |       LEFT JOIN c1 ON d.lang = c1.lang
+        |                   AND split_part(d.b, ' ', 1) = c1.w1
+        |       LEFT JOIN v ON d.lang = v.lang),
+        |w AS (SELECT dc.doc_id, dc.lang, sum(dc.c) AS n, sum(dc.c * lp.lp) AS s
+        |      FROM dc JOIN lp ON dc.lang = lp.lang AND dc.b = lp.b
+        |      GROUP BY 1, 2),
+        |aw AS (SELECT d.doc_id, d.lang, coalesce(w.n, 0) AS n,
+        |              coalesce(w.s, 0) AS s
+        |       FROM (SELECT doc_id, lang FROM documents) d
+        |       LEFT JOIN w ON d.doc_id = w.doc_id),
+        |q AS (SELECT doc_id, lang,
+        |        CASE WHEN n = 0 THEN CAST(-1 AS BIGINT)
+        |             ELSE CAST(((-s) * 1000) // n AS BIGINT) END AS avg_nll_e9
+        |      FROM aw),
+        |hist AS (SELECT lang, avg_nll_e9, count(*) AS cnt FROM q
+        |         WHERE avg_nll_e9 <> -1 GROUP BY 1, 2),
+        |cum AS (SELECT lang, avg_nll_e9,
+        |          sum(cnt) OVER (PARTITION BY lang ORDER BY avg_nll_e9) AS cum,
+        |          sum(cnt) OVER (PARTITION BY lang) AS tot
+        |        FROM hist),
+        |cuts AS (SELECT lang,
+        |           min(CASE WHEN cum * 10 >= tot * 3 THEN avg_nll_e9 END)
+        |             AS q30,
+        |           min(CASE WHEN cum * 10 >= tot * 7 THEN avg_nll_e9 END)
+        |             AS q70
+        |         FROM cum GROUP BY lang)
+        |SELECT q.doc_id, q.lang, q.avg_nll_e9,
+        |       CASE WHEN q.avg_nll_e9 = -1 THEN 'tail'
+        |            WHEN q.avg_nll_e9 <= c.q30 THEN 'head'
+        |            WHEN q.avg_nll_e9 <= c.q70 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM q LEFT JOIN cuts c USING (lang)""".stripMargin) { (s, d) =>
+      val scored = Corpus.lmScore(Tables.documents(s, d), "doc_id", "text",
+        refPred = col("source") === "src0", langCol = Some("lang"))
+      Corpus.ccnetBuckets(scored, "doc_id", "lang")
+    },
+
     Q("c6_chunking",
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS tk,

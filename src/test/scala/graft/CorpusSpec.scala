@@ -328,4 +328,75 @@ class CorpusSpec extends AnyFunSuite {
       .collect().toMap
     assert(scored == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
   }
+
+  test("LM score: exact add-one bigram log-likelihood on a hand model") {
+    // Reference doc "a b a b a c": c2 = {ab:2, ba:2, ac:1},
+    // c1 = {a:3, b:2}, V = |{a,b,c}| = 3.
+    val d = Seq(
+      (0L, "ref", "a b a b a c"),
+      (1L, "raw", "a b"),   // seen bigram: ln((2+1)/(3+3)) = ln(0.5)
+      (2L, "raw", "c a"),   // unseen, unseen context: ln(1/(0+3))
+      (3L, "raw", "solo"),  // no bigrams
+      (4L, "raw", "a b a b")) // 3 bigrams: ab, ba, ab
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.lmScore(d, "doc_id", "text", col("source") === "ref")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out.size == 5) // total over docs, including the ref doc
+    val lnHalf = math.floor(math.log(0.5) * 1e6 + 0.5).toLong // -693147
+    val lnThird = math.floor(math.log(1.0 / 3) * 1e6 + 0.5).toLong
+    val lnBa = math.floor(math.log(3.0 / 5) * 1e6 + 0.5).toLong // (2+1)/(2+3)
+    assert(out(1L) == ((1L, lnHalf)))
+    assert(out(2L) == ((1L, lnThird)))
+    assert(out(3L) == ((0L, 0L))) // bigram-less: (0, 0), still a row
+    assert(out(4L) == ((3L, 2 * lnHalf + lnBa)))
+    // Rerun-stable: the only float step is quantized per feature.
+    val again = Corpus.lmScore(d, "doc_id", "text", col("source") === "ref")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(again == out)
+  }
+
+  test("LM score with langCol trains one isolated model per language") {
+    // lang1 ref has "x y" twice, lang2 ref once — the SAME scored text
+    // must get different likelihoods, proving no cross-lang leakage.
+    val d = Seq(
+      (0L, "l1", "ref", "x y x y"), // c2(xy)=2, c1(x)=2, V=2
+      (1L, "l2", "ref", "x y"),     // c2(xy)=1, c1(x)=1, V=2
+      (2L, "l1", "raw", "x y"),     // ln((2+1)/(2+2))
+      (3L, "l2", "raw", "x y"))     // ln((1+1)/(1+2))
+      .toDF("doc_id", "lang", "source", "text")
+    val out = Corpus.lmScore(d, "doc_id", "text",
+        col("source") === "ref", langCol = Some("lang"))
+      .select("doc_id", "lang", "n_bigrams", "lp_sum_e6")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(2L) == (("l1", 1L,
+      math.floor(math.log(3.0 / 4) * 1e6 + 0.5).toLong)))
+    assert(out(3L) == (("l2", 1L,
+      math.floor(math.log(2.0 / 3) * 1e6 + 0.5).toLong)))
+  }
+
+  test("ccnet buckets split each language at the p30/p70 histogram cutoffs") {
+    // Ten scored docs per lang with avg NLL 1..10 (n=1, lp=-q/1000 in
+    // the 1e6 grid makes avg_nll_e9 = q*1000... use n=1000, s=-q so the
+    // div lands exactly on q). Plus one bigram-less doc -> tail.
+    val rows = (for (l <- Seq("en", "de"); q <- 1L to 10L)
+      yield (l.hashCode.toLong * 100 + q, l, 1000L, -q * 1000L)) :+
+      ((999L, "en", 0L, 0L))
+    val scored = rows.toDF("doc_id", "lang", "n_bigrams", "lp_sum_e6")
+    val out = Corpus.ccnetBuckets(scored, "doc_id", "lang")
+      .as[(Long, String, Long, String)].collect()
+    assert(out.length == 21)
+    val byKey = out.map(r => (r._2, r._4) -> 1).groupBy(_._1)
+      .map { case (k, v) => k -> v.size }
+    // cum>=3 at q=3, cum>=7 at q=7: head {1,2,3}, middle {4..7},
+    // tail {8,9,10} in BOTH languages independently.
+    assert(byKey(("en", "head")) == 3 && byKey(("de", "head")) == 3)
+    assert(byKey(("en", "middle")) == 4 && byKey(("de", "middle")) == 4)
+    assert(byKey(("en", "tail")) == 4) // 3 scored + the n=0 doc
+    assert(byKey(("de", "tail")) == 3)
+    val empty = out.find(_._1 == 999L).get
+    assert(empty._3 == -1L && empty._4 == "tail")
+  }
 }
