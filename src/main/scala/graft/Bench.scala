@@ -314,6 +314,16 @@ object HeavyBench {
     // size — the distinct (lang, bigram) rows the scoring join
     // carries — which is what bounds the entry's shuffle volume.
     HeavyItem("pipe21_ccnet", Seq("documents"),
+      // The hashed production form (multi-arg xxhash64 bigram keys,
+      // no bigram string ever built); the registered query keeps
+      // portable string keys for its oracle and CorpusSpec pins the
+      // two forms' scores equal.
+      fn = Some { (s, d) =>
+        val scored = graft.llm.Corpus.lmScore(docs(s, d), "doc_id",
+          "text", refPred = col("source") === "src0",
+          langCol = Some("lang"), hashed = true)
+        graft.llm.Corpus.ccnetBuckets(scored, "doc_id", "lang")
+      },
       counts = Some { (s, d) =>
         val base = docs(s, d).filter(col("source") === "src0")
           .select(col("lang"),

@@ -375,22 +375,25 @@ object Corpus {
     * half).
     *
     * Determinism discipline (the [[dsirWeights]] contract): the ONLY
-    * float step is one `ln` per distinct (lang, bigram) of the scoring
-    * corpus, quantized to the 1e-6 ln-grid the moment it is computed;
-    * each doc score is then an exact integer dot product, so the whole
-    * path replays bit-identically in any engine. `ln P(w2|w1) =
-    * ln((c2+1)/(c1+V))` with `c2` the ref count of the bigram, `c1`
-    * the ref count of bigrams starting `w1`, and `V` the ref distinct-
-    * token vocabulary (`max(V,1)`: a language with no reference text
-    * scores 0 everywhere rather than ±inf).
+    * float step is the `ln` of a bigram's model probability, quantized
+    * to the 1e-6 ln-grid the moment it is computed — each occurrence
+    * of the same (lang, bigram) quantizes to the same integer, so doc
+    * scores are exact integer sums and the whole path replays
+    * bit-identically in any engine. `ln P(w2|w1) = ln((c2+1)/(c1+V))`
+    * with `c2` the ref count of the bigram, `c1` the ref count of
+    * bigrams starting `w1`, and `V` the ref distinct-token vocabulary
+    * (`max(V,1)`: a language with no reference text scores 0
+    * everywhere rather than ±inf).
     *
-    * Scale shape: the model is two aggregates over the ref slice only;
-    * scoring joins the corpus' distinct per-doc bigram counts to the
-    * model on the (lang, bigram) key — a co-partitioned shuffle join
-    * on both sides' natural key (the bigram table at 100 TB is far too
-    * large to broadcast, and never needs to be), followed by one
-    * map-side-combinable per-doc sum. Nothing is proportional to
-    * corpus², and no step sorts globally.
+    * Scale shape: the model is two aggregates over the REFERENCE slice
+    * only — bounded by the reference vocabulary, independent of corpus
+    * size — so scoring is the corpus' bigram stream joined against
+    * BROADCAST model tables (zero shuffle) followed by ONE
+    * map-side-combinable per-doc sum. A deployment whose reference
+    * slice outgrows broadcast (a multi-GB bigram table) passes
+    * `broadcastModel = false` and gets pinned shuffled-hash model
+    * joins instead — never a sort-merge. Nothing anywhere is
+    * proportional to corpus², and no step sorts globally.
     *
     * Output: (id[, lang], n_bigrams, lp_sum_e6) for EVERY input doc —
     * bigram-less docs (≤1 token) get (0, 0), attached with the union +
@@ -398,49 +401,68 @@ object Corpus {
     * id-keyed shuffle. `lp_sum_e6` ≤ 0; closer to 0 = more reference-
     * like (lower perplexity). */
   def lmScore(docs: DataFrame, id: String, text: String,
-              refPred: Column, langCol: Option[String] = None): DataFrame = {
+              refPred: Column, langCol: Option[String] = None,
+              broadcastModel: Boolean = true,
+              hashed: Boolean = false): DataFrame = {
     val lang = langCol.map(col).getOrElse(lit(""))
     // Generator barrier before the bigram lambda (same O(tokens²)
     // re-tokenize hazard dsirWeights documents).
     val toks = docs.select(col(id).as("__id"), lang.as("__lang"),
       refPred.as("__ref"), explode(array(
         graft.functions.Scalars.tokens(col(text)))).as("tk"))
-    val bigrams = toks.select(col("__id"), col("__lang"), col("__ref"),
-      explode(when(size(col("tk")) >= 2,
-        transform(sequence(lit(0), size(col("tk")) - 2),
-          i => array_join(slice(col("tk"), i + 1, lit(2)), " ")))
-        .otherwise(array().cast("array<string>"))).as("bg"))
-    // The model: bigram counts, context counts, vocabulary — ref rows
-    // only. c1 aggregates FROM c2 (the per-(lang,w1) roll-up of an
-    // already-aggregated table), not from the raw bigram rows.
-    val c2 = bigrams.filter(col("__ref"))
-      .groupBy("__lang", "bg").agg(count(lit(1)).as("c2"))
-    val c1 = c2.withColumn("w1", substring_index(col("bg"), " ", 1))
-      .groupBy("__lang", "w1").agg(sum("c2").as("c1"))
+    // The per-occurrence (context-key, bigram-key) stream. Portable:
+    // the keys are the strings themselves (DuckDB-replayable).
+    // Production (`hashed`): multi-arg xxhash64 keys, NO bigram string
+    // ever allocated — the pipe17 hashNgrams discipline; counts (and
+    // hence scores) are identical up to 64-bit key collisions, and
+    // CorpusSpec pins the two forms' outputs equal.
+    val pairs =
+      if (hashed) toks.select(col("__id"), col("__lang"), col("__ref"),
+        explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => struct(
+              xxhash64(element_at(col("tk"), i + 1)).as("w1k"),
+              xxhash64(element_at(col("tk"), i + 1),
+                element_at(col("tk"), i + 2)).as("bgk"))))
+          .otherwise(array().cast(
+            "array<struct<w1k:bigint,bgk:bigint>>"))).as("p"))
+        .select(col("__id"), col("__lang"), col("__ref"),
+          col("p.w1k").as("w1k"), col("p.bgk").as("bgk"))
+      else toks.select(col("__id"), col("__lang"), col("__ref"),
+        explode(when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => array_join(slice(col("tk"), i + 1, lit(2)), " ")))
+          .otherwise(array().cast("array<string>"))).as("bgk"))
+        .withColumn("w1k", substring_index(col("bgk"), " ", 1))
+    // The model: bigram counts, context counts (= bigram rows sharing
+    // the start token), vocabulary — ref rows only.
+    val c2 = pairs.filter(col("__ref"))
+      .groupBy("__lang", "bgk").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.filter(col("__ref"))
+      .groupBy("__lang", "w1k").agg(count(lit(1)).as("c1"))
     val vocab = toks.filter(col("__ref"))
       .select(col("__lang"), explode(col("tk")).as("w"))
-      .groupBy("__lang").agg(countDistinct("w").as("v"))
-    // Per-doc distinct bigram counts, and the scoring corpus' bigram
-    // vocabulary — the ln is evaluated once per DISTINCT (lang, bg).
-    val perDoc = bigrams.groupBy("__id", "__lang", "bg")
-      .agg(count(lit(1)).as("c"))
-    // Model joins are PINNED shuffled-hash (the g8 discipline): the
-    // build side is the hash-partitioned model slice — bounded by
-    // vocabulary, not corpus — and a sort of the per-doc side is pure
-    // waste at any scale.
-    val bgVocab = perDoc.select(col("__lang"), col("bg")).distinct()
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
-      .join(c2.hint("shuffle_hash"), Seq("__lang", "bg"), "left")
-      .join(c1.hint("shuffle_hash"), Seq("__lang", "w1"), "left")
+      .groupBy("__lang").agg(countDistinct(
+        if (hashed) xxhash64(col("w")) else col("w")).as("v"))
+    // Scoring: every bigram occurrence joined straight to the model
+    // (no per-doc-bigram pre-aggregate, no scoring-vocab
+    // materialization — both would shuffle the full occurrence stream
+    // on a high-cardinality key), then ONE per-doc sum. The quantized
+    // lp of an occurrence equals the per-distinct-feature value, so
+    // the sum is the same exact integer dot product.
+    val model = (df: DataFrame) =>
+      if (broadcastModel) broadcast(df) else df.hint("shuffle_hash")
+    val occ = pairs
+      .join(model(c2), Seq("__lang", "bgk"), "left")
+      .join(model(c1), Seq("__lang", "w1k"), "left")
       .join(broadcast(vocab), Seq("__lang"), "left")
-      .select(col("__lang"), col("bg"),
+      .select(col("__id"), col("__lang"),
         floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
             (coalesce(col("c1"), lit(0L)) +
               greatest(coalesce(col("v"), lit(0L)), lit(1L))).cast("double"))
           * 1e6 + 0.5).cast("long").as("lp"))
-    val scored = perDoc.join(bgVocab.hint("shuffle_hash"), Seq("__lang", "bg"))
-      .groupBy("__id", "__lang").agg(sum("c").as("n_bigrams"),
-        sum(col("c") * col("lp")).as("lp_sum_e6"))
+    val scored = occ.groupBy("__id", "__lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("lp_sum_e6"))
     val withEmpty = docs.select(col(id).as("__id"), lang.as("__lang"),
         lit(0L).as("n_bigrams"), lit(0L).as("lp_sum_e6"))
       .unionByName(scored)

@@ -377,6 +377,22 @@ class CorpusSpec extends AnyFunSuite {
       math.floor(math.log(2.0 / 3) * 1e6 + 0.5).toLong)))
   }
 
+  test("hashed LM score equals the portable string-keyed form") {
+    // Hashed keys change the join representation, never the counts —
+    // scores must match the string form exactly (collisions aside,
+    // impossible on this vocabulary).
+    val d = Tables.documents(spark, TestSpark.Sf).limit(200)
+    for (lc <- Seq(None, Some("lang"))) {
+      val a = Corpus.lmScore(d, "doc_id", "text",
+          col("source") === "src0", langCol = lc)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val b = Corpus.lmScore(d, "doc_id", "text",
+          col("source") === "src0", langCol = lc, hashed = true)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(a.toSeq == b.toSeq, s"langCol=$lc")
+    }
+  }
+
   test("ccnet buckets split each language at the p30/p70 histogram cutoffs") {
     // Ten scored docs per lang with avg NLL 1..10 (n=1, lp=-q/1000 in
     // the 1e6 grid makes avg_nll_e9 = q*1000... use n=1000, s=-q so the
