@@ -222,6 +222,18 @@ object ScaleCheck {
           threshold = 0.8, maxBucketSize = Some(100))
         llm.Dedup.nearDupRewrite(d, "doc_id", col("n_chars"), pairs).count()
       }, tables = Seq("docs_full")),
+      // CCNet train+score+bucket (pipe21): model tables bounded by the
+      // reference slice (broadcast — growth only widens the scoring
+      // stream), one map-side-combinable per-doc sum, histogram-based
+      // cutoffs. Time must track the bigram stream ~linearly; any
+      // superlinear growth means the model stopped broadcasting.
+      Op("ccnet_lm_buckets(hashed)", { n =>
+        val d = replicateDocsFull(docsFull0, n)
+        val scored = llm.Corpus.lmScore(d, "doc_id", "text",
+          refPred = col("source") === "src0", langCol = Some("lang"),
+          hashed = true)
+        llm.Corpus.ccnetBuckets(scored, "doc_id", "lang").count()
+      }, tables = Seq("docs_full")),
       // Classifier training under corpus growth: per iteration one
       // broadcast join + two aggs, weight/delta tables bounded by
       // buckets — time must stay ~linear in docs, state flat.
@@ -244,6 +256,13 @@ object ScaleCheck {
       Op("passage_coverage(w=8,s=4)", n =>
         llm.Dedup.passageCoverage(replicateDocs(docs0, n), "doc_id", "text",
           w = 8, stride = 4).count()),
+      // The rewrite on top of the same window table (stride 1): covered
+      // positions per doc are bounded by doc length, the array rewrite
+      // is scan work — growth must track the window volume, like
+      // coverage above, not the (quadratic-feeling) rewrite intuition.
+      Op("passage_scrub(w=8,s=1)", n =>
+        llm.Dedup.passageScrub(replicateDocs(docs0, n), "doc_id", "text",
+          w = 8, stride = 1, minDocs = 2).count()),
       // The fused per-row scoring scan (pipe17's row-local half): pure
       // map work, so anything above ~linear here is a plan bug, not a
       // data property.
