@@ -306,7 +306,12 @@ object HeavyBench {
           .select(col("doc_id"), col("n_ngrams"), col("n_matched"),
             col("contamination"), col("contaminated"))
       }),
-    HeavyItem("pipe17_llm_curation", Seq("documents")),
+    // The production funnel: same fused scoring scan, coverage stage
+    // on stringless window hashes (registered query keeps portable
+    // strings for its oracle; DedupSpec pins the coverage forms equal).
+    HeavyItem("pipe17_llm_curation", Seq("documents"),
+      fn = Some((s, d) =>
+        queries.PipelineQueries.curationFunnel(s, d, portableCov = false))),
     // CCNet bucketing end-to-end: per-language bigram LMs trained on
     // the src0 reference slice (~1/20 of the corpus), all 320 K docs
     // scored by quantized log-likelihood and percentile-bucketed from
@@ -433,6 +438,19 @@ object HeavyBench {
           threshold = 0.8, maxBucketSize = Some(100))
         Dedup.nearDupRewrite(dd, "doc_id", col("n_chars"), pairs)
       }),
+    // The passage-family rewrite at production density: repeated
+    // windows found (one hash-keyed aggregate), covered positions cut,
+    // every doc rewritten. On the lowdup corpus ~15/16 of replicas are
+    // token-mangled, so repeated windows are the shared prefixes — a
+    // realistic boilerplate fraction rather than the 100%-duplicated
+    // default fixture.
+    HeavyItem("pipe22_passage_scrub", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some((s, d) => Dedup.passageScrub(docs(s, d), "doc_id",
+        "text", w = 8, stride = 1, minDocs = 2)),
+      counts = Some((s, d) => Seq("repeated_windows" ->
+        Dedup.repeatedPassages(docs(s, d), "doc_id", "text", w = 8,
+          stride = 1, minDocs = 2).count()))),
     // THE scale-critical reference operator (SURVEY W3: the 6 TB
     // latest-per-DOI snapshot, baseline 28 K docs/s): map-side-
     // combinable max_by compaction of the 9.6 M-row edge table down to

@@ -720,6 +720,31 @@ object Dedup {
       core.bitwiseAND(lit(0x7FFFFFFFL)).as("h"), col("p"))
   }
 
+  /** The stringless production window table: (doc, tpos, h) with h a
+    * multi-arg xxhash64 over the window's token tuple (the pipe17
+    * hashNgrams core) — NO window string is ever allocated. A
+    * different hash family than [[passageWindows]]'s xxhash64(string),
+    * but window EQUALITY is the same relation (token tuples are equal
+    * iff their joined strings are), so every count/coverage/scrub
+    * consumer is value-identical up to 64-bit collisions; only
+    * [[repeatedPassages]], which exposes the hash and a sample string,
+    * keeps the string build. `tpos` is the raw token offset (the
+    * string path's `pos` times stride). */
+  private[graft] def passageWindowHashesFast(
+      docs: DataFrame, id: String, text: String,
+      w: Int, stride: Int): DataFrame = {
+    require(w >= 2 && stride >= 1 && stride <= w)
+    val staged = docs.select(col(id).as("doc"),
+      explode(array(Scalars.tokens(col(text)))).as("__t"))
+    val raw = staged.select(col("doc"),
+      posexplode(TextAnalysis.hashNgrams(col("__t"), w))
+        .as(Seq("tpos", "hraw")))
+    val strided =
+      if (stride == 1) raw else raw.filter(pmod(col("tpos"), lit(stride)) === 0)
+    strided.select(col("doc"), col("tpos"),
+      col("hraw").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+  }
+
   /** Cross-document repeated passages — the substring-granularity
     * complement of the doc-level families (Lee et al. 2021,
     * "Deduplicating Training Data Makes Language Models Better",
@@ -760,7 +785,9 @@ object Dedup {
                       w: Int = 8, stride: Int = 1, minDocs: Int = 2,
                       threshold: Double = 0.5,
                       portable: Boolean = false): DataFrame = {
-    val win = passageWindows(docs, id, text, w, stride, portable)
+    val win = (if (portable)
+        passageWindows(docs, id, text, w, stride, portable = true)
+      else passageWindowHashesFast(docs, id, text, w, stride))
       .select("doc", "h").repartition(col("h"))
     val rep = win.groupBy(col("h"))
       .agg(countDistinct(col("doc")).as("n_docs"))
@@ -777,6 +804,61 @@ object Dedup {
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
         frac.as("repeated_frac"),
         (frac <= threshold).as("keep"))
+  }
+
+  /** The passage-family REWRITE: cut every token covered by a
+    * cross-document repeated window out of each document (Lee et al.
+    * 2021's exact-substring removal, at the same token-window
+    * resolution [[repeatedPassages]] detects at — d15/d16 find the
+    * boilerplate, this produces the scrubbed corpus).
+    *
+    * Shape: the window table feeds the repeated-hash aggregate and the
+    * join probe off ONE exchange (the [[passageCoverage]] reuse
+    * discipline); each surviving window explodes to its covered token
+    * positions, collapsed per doc by `collect_set` (bounded by doc
+    * length, like every per-doc array here); the rewrite itself is
+    * pure array work on the scan — `array_except` over the position
+    * sequence is hash-based (linear in tokens + covered), then an
+    * `element_at` gather and join. No step is quadratic in doc length
+    * and nothing pairs documents — a passage repeated across millions
+    * of docs is one aggregate key and |docs| covered-position rows.
+    *
+    * Output (id, n_tokens, n_removed, text_scrubbed) for EVERY doc;
+    * `text_scrubbed` is the single-space token-normalized rewrite
+    * (the tokenizer's view — exact byte preservation of inter-token
+    * whitespace is out of contract, same as [[Scalars.canonicalText]]).
+    * Docs shorter than `w` have no windows and pass through with
+    * n_removed 0. With `stride` > 1 only windows at stride offsets are
+    * detected (the tiling knob d16 uses) — scrubbing wants stride 1. */
+  def passageScrub(docs: DataFrame, id: String, text: String,
+                   w: Int = 8, stride: Int = 1, minDocs: Int = 2,
+                   portable: Boolean = false): DataFrame = {
+    val win = (if (portable)
+        passageWindows(docs, id, text, w, stride, portable = true)
+          .select(col("doc"), (col("pos") * stride).as("tpos"), col("h"))
+      else passageWindowHashesFast(docs, id, text, w, stride))
+      .repartition(col("h"))
+    val rep = win.groupBy(col("h"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("h"), lit(1).as("__rep"))
+    val cov = win.join(rep, Seq("h"))
+      .select(col("doc"), explode(sequence(col("tpos"),
+        col("tpos") + (w - 1))).as("cp"))
+      .groupBy(col("doc")).agg(collect_set(col("cp")).as("cov"))
+    val staged = docs.select(col(id).as("doc"),
+      explode(array(Scalars.tokens(col(text)))).as("tk"))
+    // Covered docs are a subset of all docs: pin the attach
+    // shuffled-hash (both sides arrive doc-keyed; a sort buys nothing).
+    staged.join(cov.hint("shuffle_hash"), Seq("doc"), "left")
+      .withColumn("__kept", array_except(
+        sequence(lit(0), size(col("tk")) - 1),
+        coalesce(col("cov"), array().cast("array<int>"))))
+      .select(col("doc").as(id),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"),
+          p => element_at(col("tk"), p + 1)), " ").as("text_scrubbed"))
   }
 
   /** Embedding-cosine near-duplicate pairs, exact, over a bounded

@@ -636,6 +636,45 @@ object LlmQueries {
         w = 8, stride = 4, minDocs = 2, threshold = 0.5, portable = true)
     },
 
+    // The passage-family REWRITE (Lee et al. exact-substring removal
+    // at token-window resolution): every token covered by a cross-doc
+    // repeated window is cut, producing the scrubbed corpus d15/d16
+    // only detect. text_scrubbed is the token-normalized rewrite;
+    // the empty rewrite coalesces to '' (DuckDB's array_to_string of
+    // an empty list is NULL, Spark's array_join is '').
+    Q("pipe22_passage_scrub",
+      """WITH base AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, t, unnest(CASE WHEN len(t) >= 8
+        |      THEN range(0, len(t) - 7) ELSE []::BIGINT[] END) AS pos
+        |  FROM base),
+        |hh AS (SELECT doc_id, pos,
+        |        CAST(('0x' || substr(md5(
+        |            array_to_string(t[pos+1:pos+8], ' ')), 1, 8)) AS BIGINT)
+        |          % 2147483648 AS h
+        |       FROM win),
+        |rep AS (SELECT h FROM hh GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cvr AS (SELECT hh.doc_id, unnest(range(hh.pos, hh.pos + 8)) AS cp
+        |        FROM hh JOIN rep USING (h)),
+        |cov AS (SELECT doc_id, list(DISTINCT cp) AS cov FROM cvr
+        |        GROUP BY doc_id),
+        |kept AS (
+        |  SELECT b.doc_id, b.t, len(b.t) AS n_tokens,
+        |         list_filter(range(0, len(b.t)),
+        |           p -> NOT list_contains(coalesce(c.cov, []::BIGINT[]), p))
+        |           AS kp
+        |  FROM base b LEFT JOIN cov c USING (doc_id))
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_tokens - len(kp) AS BIGINT) AS n_removed,
+        |       coalesce(array_to_string(
+        |         list_transform(kp, p -> t[p+1]), ' '), '') AS text_scrubbed
+        |FROM kept""".stripMargin) { (s, d) =>
+      Dedup.passageScrub(Tables.documents(s, d), "doc_id", "text",
+        w = 8, stride = 1, minDocs = 2, portable = true)
+    },
+
     // Token counting + lexical stats per document.
     Q("t1_token_stats",
       """SELECT doc_id,

@@ -262,9 +262,20 @@ object PipelineQueries {
          |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'),
          |        1, 10)) AS BIGINT), doc_id) AS rk
          |  FROM uniq) WHERE rk <= 25""".stripMargin) { (s, d) =>
+      curationFunnel(s, d, portableCov = true)
+    })
+
+  /** The pipe17 funnel body, shared by the registered query (portable
+    * window strings — its oracle replays the coverage stage) and the
+    * heavy-bench production form (stringless multi-arg-xxhash64
+    * windows; DedupSpec pins the two coverage forms equal). */
+  private[graft] def curationFunnel(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      portableCov: Boolean): org.apache.spark.sql.DataFrame = {
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
       val cov = Dedup.passageCoverage(docs, "doc_id", "text",
-          w = 8, stride = 4, minDocs = 2, threshold = 0.5, portable = true)
+          w = 8, stride = 4, minDocs = 2, threshold = 0.5,
+          portable = portableCov)
         .select(col("doc").as("doc_id"), col("keep").as("cov_keep"))
       // All four row-local signals (repetition + Gopher gates, quality,
       // fingerprint) from ONE fused tokenize/sort pass — chaining the
@@ -286,7 +297,7 @@ object PipelineQueries {
         .filter(col("doc_id") === col("__min_id"))
       Corpus.stratifiedQuota(uniq, "doc_id", "lang", 25, "cur")
         .select("doc_id", "lang", "quality")
-    })
+  }
 
   /** Build the w5 incremental snapshot for `d` if missing (stamped per
     * SF dir like SourceQueries' archive fixtures): split orders into

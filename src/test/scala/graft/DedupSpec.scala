@@ -821,6 +821,52 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhashTable(n, "doc_id", "text", 16).count() == 0)
   }
 
+  test("passage scrub cuts exactly the window-covered tokens, total over docs") {
+    // w=3: docs 1/2 share the window "a b c" (and only it — their
+    // other windows differ), doc 3 is short (<w), doc 4 repeats
+    // nothing. Doc 1 "x a b c y": windows {x a b, a b c, b c y};
+    // only "a b c" (pos 1) repeats -> covers positions 1..3 -> keeps
+    // {x, y}. Doc 2 "a b c z": covers 0..2, keeps {z}.
+    val d = Seq(
+      (1L, "x a b c y"), (2L, "a b c z"), (3L, "a b"), (4L, "p q r s"))
+      .toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val out = Dedup.passageScrub(d, "doc_id", "text", w = 3,
+          minDocs = 2, portable = portable)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out.size == 4, s"portable=$portable")
+      assert(out(1L) == ((5L, 3L, "x y")))
+      assert(out(2L) == ((4L, 3L, "z")))
+      assert(out(3L) == ((2L, 0L, "a b"))) // shorter than w: untouched
+      assert(out(4L) == ((4L, 0L, "p q r s")))
+    }
+    // Fully-covered doc: empty rewrite, not null.
+    val dup = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val o2 = Dedup.passageScrub(dup, "doc_id", "text", w = 3, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect()
+    assert(o2.forall(r => r._3 == 3L && r._4 == ""))
+  }
+
+  test("stringless window hashes: coverage and scrub equal the string path") {
+    // The fast path hashes token TUPLES (multi-arg xxhash64) instead
+    // of joined strings — a different hash family inducing the same
+    // window-equality relation, so coverage fractions and scrubbed
+    // texts must match the portable string build exactly.
+    val d = docs.select(col("doc_id"), col("text"))
+    val covA = Dedup.passageCoverage(d, "doc_id", "text", w = 8,
+      stride = 4).collect().map(_.toSeq).sortBy(_.head.toString)
+    val covB = Dedup.passageCoverage(d, "doc_id", "text", w = 8,
+      stride = 4, portable = true).collect().map(_.toSeq)
+      .sortBy(_.head.toString)
+    assert(covA.toSeq == covB.toSeq)
+    val scrA = Dedup.passageScrub(d, "doc_id", "text", w = 8)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val scrB = Dedup.passageScrub(d, "doc_id", "text", w = 8,
+      portable = true).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(scrA.toSeq == scrB.toSeq)
+  }
+
   test("native pq_codes bit-equals the subvector-join min_by encode") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, Sf)
