@@ -220,6 +220,10 @@ object HeavyBench {
   // 64-dim embeddings — the store is built once with the fixture.
   private val HeavyIndexParams =
     graft.llm.IndexStore.Params(dim = 64, clusters = 64, m = 8, k = 16)
+  // The serving-entry LM: per-language hashed-key models over the src0
+  // reference slice, persisted with the fixture.
+  private val HeavyLmParams =
+    graft.llm.LmStore.Params(langCol = Some("lang"), hashed = true)
   // The longdoc corpus replicates harder: at ×64 (12.8 K docs) both
   // LSH entries are verify/overhead-bound and the 128×-fewer-hashes
   // OPH signature claim is invisible; ×256 (51.2 K docs × ~1.35 K
@@ -235,8 +239,9 @@ object HeavyBench {
   // saturates at ~31 tokens, so long docs position-suffix their tokens
   // to make distinct-token count actually grow with length); v8:
   // longdoc at ×256 so the signature stage dominates its entries; v9:
-  // + the persisted IVF-PQ index for the serving entry.
-  private val Layout = "v9"
+  // + the persisted IVF-PQ index for the serving entry; v10: + the
+  // persisted per-lang bigram LM for the c11 serving entry.
+  private val Layout = "v10"
 
   /** One heavy entry: a registered query (or a custom fn for variants
     * not in the registry), the tables it reads, an optional subdir of
@@ -437,6 +442,16 @@ object HeavyBench {
         val pairs = Dedup.minhashLshPairs(dd, "doc_id", "text",
           threshold = 0.8, maxBucketSize = Some(100))
         Dedup.nearDupRewrite(dd, "doc_id", col("n_chars"), pairs)
+      }),
+    // LM SERVING from the persisted artifact: pipe21's heavy entry
+    // times what a model rebuild pays (train+score+bucket in one
+    // window); this times what the nightly batch pays — read the
+    // store (params-checked), score 320 K docs against the broadcast
+    // model. The e14 discipline applied to the LM family.
+    HeavyItem("c11_store_serve", Seq("documents"),
+      fn = Some { (s, d) =>
+        graft.llm.LmStore.score(s, s"$d/lm_store", HeavyLmParams,
+          docs(s, d), "doc_id", "text")
       }),
     // The passage-family rewrite at production density: repeated
     // windows found (one hash-keyed aggregate), covered positions cut,
@@ -711,6 +726,13 @@ object HeavyBench {
         spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id",
         "embedding", s"$dir/ivfpq_index", HeavyIndexParams,
         iters = 2, trainPct = 25, trainSeed = "heavyix")
+      // The c11 serving entry's persisted LM — per-language hashed
+      // models trained on the src0 slice, built with the fixture
+      // (untimed); the timed entry only scores.
+      graft.llm.LmStore.build(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("source") === "src0"),
+        "doc_id", "text", s"$dir/lm_store", HeavyLmParams)
       li.repartition(32)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       // The incremental-dedup entry's persisted artifact: the standing

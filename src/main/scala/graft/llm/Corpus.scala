@@ -403,21 +403,38 @@ object Corpus {
   def lmScore(docs: DataFrame, id: String, text: String,
               refPred: Column, langCol: Option[String] = None,
               broadcastModel: Boolean = true,
-              hashed: Boolean = false): DataFrame = {
-    val lang = langCol.map(col).getOrElse(lit(""))
-    // Generator barrier before the bigram lambda (same O(tokens²)
-    // re-tokenize hazard dsirWeights documents).
+              hashed: Boolean = false): DataFrame =
+    lmScoreWith(docs, id, text,
+      lmTrain(docs.filter(refPred), id, text, langCol, hashed),
+      langCol, broadcastModel, hashed)
+
+  /** An add-one bigram LM as three count tables, each keyed by
+    * (__lang, key): `bigrams` (bgk, c2), `contexts` (w1k, c1), and
+    * `tokens` (tkk, c — the distinct-token table WITH occurrence
+    * counts, so vocabulary size is its per-lang row count and two
+    * models merge by summing counts; a bare distinct set could not be
+    * subtracted on reference takedown). Keys are strings (portable)
+    * or xxhash64 (production) — a model trained one way cannot score
+    * the other ([[LmStore]] enforces that on its sidecar). */
+  case class LmModel(bigrams: DataFrame, contexts: DataFrame,
+                     tokens: DataFrame)
+
+  /** The per-occurrence (context-key, bigram-key) stream under one
+    * tokenize. Portable: the keys are the strings themselves
+    * (DuckDB-replayable). Production (`hashed`): multi-arg xxhash64
+    * keys, NO bigram string ever allocated — the pipe17 hashNgrams
+    * discipline; counts (and hence scores) are identical up to 64-bit
+    * key collisions, and CorpusSpec pins the two forms' outputs
+    * equal. Returns (tokens-staged, pairs); the generator barrier
+    * before the bigram lambda is the same O(tokens²) re-tokenize
+    * hazard dsirWeights documents. */
+  private def bigramPairs(docs: DataFrame, id: String, text: String,
+                          lang: Column, hashed: Boolean)
+      : (DataFrame, DataFrame) = {
     val toks = docs.select(col(id).as("__id"), lang.as("__lang"),
-      refPred.as("__ref"), explode(array(
-        graft.functions.Scalars.tokens(col(text)))).as("tk"))
-    // The per-occurrence (context-key, bigram-key) stream. Portable:
-    // the keys are the strings themselves (DuckDB-replayable).
-    // Production (`hashed`): multi-arg xxhash64 keys, NO bigram string
-    // ever allocated — the pipe17 hashNgrams discipline; counts (and
-    // hence scores) are identical up to 64-bit key collisions, and
-    // CorpusSpec pins the two forms' outputs equal.
+      explode(array(graft.functions.Scalars.tokens(col(text)))).as("tk"))
     val pairs =
-      if (hashed) toks.select(col("__id"), col("__lang"), col("__ref"),
+      if (hashed) toks.select(col("__id"), col("__lang"),
         explode(when(size(col("tk")) >= 2,
           transform(sequence(lit(0), size(col("tk")) - 2),
             i => struct(
@@ -426,24 +443,46 @@ object Corpus {
                 element_at(col("tk"), i + 2)).as("bgk"))))
           .otherwise(array().cast(
             "array<struct<w1k:bigint,bgk:bigint>>"))).as("p"))
-        .select(col("__id"), col("__lang"), col("__ref"),
+        .select(col("__id"), col("__lang"),
           col("p.w1k").as("w1k"), col("p.bgk").as("bgk"))
-      else toks.select(col("__id"), col("__lang"), col("__ref"),
+      else toks.select(col("__id"), col("__lang"),
         explode(when(size(col("tk")) >= 2,
           transform(sequence(lit(0), size(col("tk")) - 2),
             i => array_join(slice(col("tk"), i + 1, lit(2)), " ")))
           .otherwise(array().cast("array<string>"))).as("bgk"))
         .withColumn("w1k", substring_index(col("bgk"), " ", 1))
-    // The model: bigram counts, context counts (= bigram rows sharing
-    // the start token), vocabulary — ref rows only.
-    val c2 = pairs.filter(col("__ref"))
-      .groupBy("__lang", "bgk").agg(count(lit(1)).as("c2"))
-    val c1 = pairs.filter(col("__ref"))
-      .groupBy("__lang", "w1k").agg(count(lit(1)).as("c1"))
-    val vocab = toks.filter(col("__ref"))
-      .select(col("__lang"), explode(col("tk")).as("w"))
-      .groupBy("__lang").agg(countDistinct(
-        if (hashed) xxhash64(col("w")) else col("w")).as("v"))
+    (toks, pairs)
+  }
+
+  /** Train the model half of [[lmScore]] on `refDocs` (the caller
+    * pre-filters to the reference slice): bigram counts, context
+    * counts (= bigram rows sharing the start token), counted distinct
+    * tokens. Three aggregates over the reference slice — bounded by
+    * its vocabulary, independent of the corpus that will be scored. */
+  def lmTrain(refDocs: DataFrame, id: String, text: String,
+              langCol: Option[String] = None,
+              hashed: Boolean = false): LmModel = {
+    val lang = langCol.map(col).getOrElse(lit(""))
+    val (toks, pairs) = bigramPairs(refDocs, id, text, lang, hashed)
+    val c2 = pairs.groupBy("__lang", "bgk").agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy("__lang", "w1k").agg(count(lit(1)).as("c1"))
+    val tk = toks.select(col("__lang"), explode(col("tk")).as("w"))
+      .select(col("__lang"),
+        (if (hashed) xxhash64(col("w")) else col("w")).as("tkk"))
+      .groupBy("__lang", "tkk").agg(count(lit(1)).as("c"))
+    LmModel(c2, c1, tk)
+  }
+
+  /** Score `docs` under an already-trained (possibly [[LmStore]]-
+    * persisted) model — the scoring half of [[lmScore]]; `langCol` and
+    * `hashed` must match the training call. */
+  def lmScoreWith(docs: DataFrame, id: String, text: String,
+                  lm: LmModel, langCol: Option[String] = None,
+                  broadcastModel: Boolean = true,
+                  hashed: Boolean = false): DataFrame = {
+    val lang = langCol.map(col).getOrElse(lit(""))
+    val (_, pairs) = bigramPairs(docs, id, text, lang, hashed)
+    val vocab = lm.tokens.groupBy("__lang").agg(count(lit(1)).as("v"))
     // Scoring: every bigram occurrence joined straight to the model
     // (no per-doc-bigram pre-aggregate, no scoring-vocab
     // materialization — both would shuffle the full occurrence stream
@@ -453,8 +492,8 @@ object Corpus {
     val model = (df: DataFrame) =>
       if (broadcastModel) broadcast(df) else df.hint("shuffle_hash")
     val occ = pairs
-      .join(model(c2), Seq("__lang", "bgk"), "left")
-      .join(model(c1), Seq("__lang", "w1k"), "left")
+      .join(model(lm.bigrams), Seq("__lang", "bgk"), "left")
+      .join(model(lm.contexts), Seq("__lang", "w1k"), "left")
       .join(broadcast(vocab), Seq("__lang"), "left")
       .select(col("__id"), col("__lang"),
         floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /

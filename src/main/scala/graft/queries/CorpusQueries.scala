@@ -20,6 +20,42 @@ object CorpusQueries {
   private def hashSql(seed: String): String =
     s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'), 1, 10)) AS BIGINT)"
 
+  /** The c10 LM-scoring oracle — shared verbatim by c11 (the
+    * store-backed path), whose results must be indistinguishable from
+    * the ephemeral train+score. */
+  private val LmScoreOracleSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source = 'src0' AS ref,
+      |         string_split(trim(text), ' ') AS tk
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, ref, unnest(CASE WHEN len(tk) >= 2 THEN
+      |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE []::VARCHAR[] END) AS b
+      |  FROM base),
+      |c2 AS (SELECT b, count(*) AS c2 FROM bg WHERE ref GROUP BY b),
+      |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1
+      |       FROM c2 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT t) AS v FROM (
+      |        SELECT unnest(tk) AS t FROM base WHERE ref)),
+      |dc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+      |lp AS (SELECT d.b,
+      |         CAST(floor(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
+      |                       CAST(coalesce(c1.c1, 0)
+      |                            + greatest(v.v, 1) AS DOUBLE))
+      |                    * 1e6 + 0.5) AS BIGINT) AS lp
+      |       FROM (SELECT DISTINCT b FROM dc) d
+      |       LEFT JOIN c2 USING (b)
+      |       LEFT JOIN c1 ON split_part(d.b, ' ', 1) = c1.w1
+      |       CROSS JOIN v),
+      |w AS (SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
+      |             CAST(sum(dc.c * lp.lp) AS BIGINT) AS lp_sum_e6
+      |      FROM dc JOIN lp USING (b) GROUP BY dc.doc_id)
+      |SELECT d.doc_id, coalesce(w.n_bigrams, 0) AS n_bigrams,
+      |       coalesce(w.lp_sum_e6, 0) AS lp_sum_e6
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN w USING (doc_id)""".stripMargin
+
   def all: Seq[Q] = Seq(
 
     // Deterministic ~10% sample: a codegen'd filter on the scan, no
@@ -218,48 +254,30 @@ object CorpusQueries {
         targetPred = col("lang") === "en", buckets = 1024, topN = 100)
     },
 
-    // Overlapping token-window chunking (64-token chunks, 16-token
-    // overlap): one generator explode per doc, all-integer chunk
-    // boundaries — the embedding-pipeline pre-pass.
     // CCNet-shaped LM quality score (Wenzek et al. 2020): add-one
     // bigram LM trained on the src0 reference slice, every doc scored
     // by total log-likelihood. One quantized ln per distinct bigram
     // (the c9 float discipline) makes each doc score an exact integer
     // dot product — the whole train+score path replays in DuckDB.
-    Q("c10_lm_perplexity",
-      """WITH base AS (
-        |  SELECT doc_id, source = 'src0' AS ref,
-        |         string_split(trim(text), ' ') AS tk
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, ref, unnest(CASE WHEN len(tk) >= 2 THEN
-        |      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
-        |    ELSE []::VARCHAR[] END) AS b
-        |  FROM base),
-        |c2 AS (SELECT b, count(*) AS c2 FROM bg WHERE ref GROUP BY b),
-        |c1 AS (SELECT split_part(b, ' ', 1) AS w1, sum(c2) AS c1
-        |       FROM c2 GROUP BY 1),
-        |v AS (SELECT count(DISTINCT t) AS v FROM (
-        |        SELECT unnest(tk) AS t FROM base WHERE ref)),
-        |dc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
-        |lp AS (SELECT d.b,
-        |         CAST(floor(ln(CAST(coalesce(c2.c2, 0) + 1 AS DOUBLE) /
-        |                       CAST(coalesce(c1.c1, 0)
-        |                            + greatest(v.v, 1) AS DOUBLE))
-        |                    * 1e6 + 0.5) AS BIGINT) AS lp
-        |       FROM (SELECT DISTINCT b FROM dc) d
-        |       LEFT JOIN c2 USING (b)
-        |       LEFT JOIN c1 ON split_part(d.b, ' ', 1) = c1.w1
-        |       CROSS JOIN v),
-        |w AS (SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_bigrams,
-        |             CAST(sum(dc.c * lp.lp) AS BIGINT) AS lp_sum_e6
-        |      FROM dc JOIN lp USING (b) GROUP BY dc.doc_id)
-        |SELECT d.doc_id, coalesce(w.n_bigrams, 0) AS n_bigrams,
-        |       coalesce(w.lp_sum_e6, 0) AS lp_sum_e6
-        |FROM (SELECT DISTINCT doc_id FROM documents) d
-        |LEFT JOIN w USING (doc_id)""".stripMargin) { (s, d) =>
+    Q("c10_lm_perplexity", LmScoreOracleSql) { (s, d) =>
       Corpus.lmScore(Tables.documents(s, d), "doc_id", "text",
         refPred = col("source") === "src0")
+    },
+
+    // The same scoring THROUGH the persisted model ([[graft.llm
+    // .LmStore]]): train-once/score-nightly. Shares c10's oracle
+    // verbatim because the store round-trip must be invisible to
+    // results — that equality IS the artifact-fidelity gate (the e14
+    // discipline).
+    Q("c11_lm_store_score", LmScoreOracleSql) { (s, d) =>
+      import graft.llm.LmStore
+      val dir = Fixtures.stampedDir(d, "documents", "lm_store", 1)
+        .resolve("lm").toString
+      val params = LmStore.Params(langCol = None, hashed = false)
+      LmStore.build(Tables.documents(s, d).filter(col("source") === "src0"),
+        "doc_id", "text", dir, params)
+      LmStore.score(s, dir, params, Tables.documents(s, d),
+        "doc_id", "text")
     },
 
     // The full CCNet bucketing pipeline: one LM per LANGUAGE over the
@@ -330,6 +348,9 @@ object CorpusQueries {
       Corpus.ccnetBuckets(scored, "doc_id", "lang")
     },
 
+    // Overlapping token-window chunking (64-token chunks, 16-token
+    // overlap): one generator explode per doc, all-integer chunk
+    // boundaries — the embedding-pipeline pre-pass.
     Q("c6_chunking",
       """WITH t AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS tk,

@@ -108,13 +108,16 @@ class PlanSpec extends AnyFunSuite {
     // c10's is the ONE-ROW vocabulary attach: without a langCol the
     // LM's join key is a constant, so the broadcast(vocab) equi-join
     // folds to the same one-broadcast-row shape (pipe21, with real
-    // lang keys, plans it as a broadcast hash join and is NOT listed).
+    // lang keys, plans it as a broadcast hash join and is NOT listed);
+    // c11 is c10 through the persisted LmStore — identical scoring
+    // plan, the model tables just come from parquet.
     val bnljAllowed = Set("d2_jaccard_pairs", "d6_embedding_neardup",
       "e1_ann_brute_topk", "e5_ann_brute_native", "e4_ann_ivf_topk",
       "e6_scalar_quant", "e7_ann_ivf_kmeans", "e11_ann_ivf_portable",
       "e12_ann_ivfpq", "e13_ann_ivfpq_portable", "e14_ann_ivfpq_store",
       "d17_semdedup", "d18_semdedup_portable", "c9_dsir_weights",
-      "pipe18_cluster_balance", "c8_temperature_mix", "c10_lm_perplexity")
+      "pipe18_cluster_balance", "c8_temperature_mix", "c10_lm_perplexity",
+      "c11_lm_store_score")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian")

@@ -463,4 +463,92 @@ class StoreSpec extends AnyFunSuite {
       assert(res.filter(col("neighbor_id") >= 300).isEmpty)
     } finally cleanup(dir)
   }
+
+  // ---- LmStore ------------------------------------------------------
+
+  private lazy val lmDocs =
+    Tables.documents(spark, Sf).filter(col("doc_id") < 200)
+      .select("doc_id", "lang", "source", "text").cache()
+  private val LP = llm.LmStore.Params(langCol = Some("lang"),
+    hashed = true)
+  private def lmRef = lmDocs.filter(col("source") === "src0")
+
+  private def scoreMap(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (String, Long, Long)] =
+    df.select("doc_id", "lang", "n_bigrams", "lp_sum_e6")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("LmStore round-trip: score from the store equals the ephemeral train+score") {
+    val dir = tmpDir("graft-lm")
+    try {
+      llm.LmStore.build(lmRef, "doc_id", "text", dir, LP)
+      val fromStore = scoreMap(llm.LmStore.score(spark, dir, LP,
+        lmDocs, "doc_id", "text"))
+      val ephemeral = scoreMap(llm.Corpus.lmScore(lmDocs, "doc_id",
+        "text", col("source") === "src0", langCol = Some("lang"),
+        hashed = true))
+      assert(fromStore == ephemeral && fromStore.nonEmpty)
+    } finally cleanup(dir)
+  }
+
+  test("LmStore refuses parameter mismatch, missing sidecar, and cross-run drift") {
+    val dir = tmpDir("graft-lm")
+    try {
+      llm.LmStore.build(lmRef, "doc_id", "text", dir, LP)
+      // Key family and language partitioning are part of the contract.
+      for (bad <- Seq(LP.copy(hashed = false), LP.copy(langCol = None)))
+        assertThrows[IllegalStateException] {
+          llm.LmStore.score(spark, dir, bad, lmDocs, "doc_id", "text")
+        }
+      // Missing sidecar: refuse, never guess.
+      val f = new Path(dir).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      f.delete(new Path(dir, "_params.json"), false)
+      assertThrows[IllegalStateException] {
+        llm.LmStore.score(spark, dir, LP, lmDocs, "doc_id", "text")
+      }
+      // Component tables from DIFFERENT training runs: the bigram and
+      // context totals cannot agree; read() refuses the franken-model.
+      val m1 = llm.Corpus.lmTrain(lmRef, "doc_id", "text",
+        Some("lang"), hashed = true)
+      val m2 = llm.Corpus.lmTrain(lmRef.limit(3), "doc_id", "text",
+        Some("lang"), hashed = true)
+      llm.LmStore.write(llm.Corpus.LmModel(m1.bigrams, m2.contexts,
+        m1.tokens), dir, LP)
+      assertThrows[IllegalArgumentException] {
+        llm.LmStore.read(spark, dir, LP)
+      }
+    } finally cleanup(dir)
+  }
+
+  test("LmStore nightly cycle: append equals retraining on the union; subtract is its exact inverse") {
+    val dir = tmpDir("graft-lm")
+    try {
+      // (src0 ids are the multiples of 20 — parity splits leave one
+      // side empty; halve on the id range instead)
+      val refA = lmRef.filter(col("doc_id") < 100)
+      val refB = lmRef.filter(col("doc_id") >= 100)
+      assert(refA.count() > 0 && refB.count() > 0)
+      llm.LmStore.build(refA, "doc_id", "text", dir, LP)
+      val scoresA = scoreMap(llm.LmStore.score(spark, dir, LP,
+        lmDocs, "doc_id", "text"))
+
+      llm.LmStore.append(refB, "doc_id", "text", dir, LP)
+      val afterAppend = scoreMap(llm.LmStore.score(spark, dir, LP,
+        lmDocs, "doc_id", "text"))
+      val full = scoreMap(llm.Corpus.lmScore(lmDocs, "doc_id", "text",
+        col("source") === "src0", langCol = Some("lang"),
+        hashed = true))
+      assert(afterAppend == full)
+      assert(afterAppend != scoresA) // the increment actually moved scores
+
+      // Takedown: subtracting B restores the A-only model exactly —
+      // counts are additive, so no trace of B's documents survives.
+      llm.LmStore.subtract(refB, "doc_id", "text", dir, LP)
+      val afterSubtract = scoreMap(llm.LmStore.score(spark, dir, LP,
+        lmDocs, "doc_id", "text"))
+      assert(afterSubtract == scoresA)
+    } finally cleanup(dir)
+  }
 }
