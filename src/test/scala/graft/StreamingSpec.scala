@@ -405,4 +405,66 @@ class StreamingSpec extends AnyFunSuite {
       .select("n_events", "sum_value").as[(Long, Double)].collect().toSet
     assert(done == Set((3L, 7.0)), done.toString)
   }
+
+  test("streaming LM scoring equals the batch path; a store append lands at the batch boundary") {
+    implicit val sc = spark.sqlContext
+    import graft.llm.{Corpus, LmStore}
+    val all = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") < 300)
+      .select("doc_id", "source", "text")
+      .as[(Long, String, String)].collect().toSeq
+    val refA = all.filter(t => t._2 == "src0" && t._1 < 100)
+    val refB = all.filter(t => t._2 == "src0" && t._1 >= 100)
+    val stream1 = all.filter(_._1 < 150)
+    val stream2 = all.filter(_._1 >= 150)
+    assert(refA.nonEmpty && refB.nonEmpty)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-slm")
+    val storeDir = "file:" + base.resolve("lm").toString
+    val params = LmStore.Params(langCol = None, hashed = true)
+    LmStore.build(refA.toDF("doc_id", "source", "text"),
+      "doc_id", "text", storeDir, params)
+
+    def batchScores(rows: Seq[(Long, String, String)],
+                    ref: Seq[(Long, String, String)]) =
+      Corpus.lmScoreWith(rows.toDF("doc_id", "source", "text"),
+          "doc_id", "text",
+          Corpus.lmTrain(ref.toDF("doc_id", "source", "text"),
+            "doc_id", "text", hashed = true),
+          hashed = true)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    def round(ckpt: String, rows: Seq[(Long, String, String)]): Unit = {
+      val input = MemoryStream[(Long, String, String)]
+      input.addData(rows: _*)
+      val q = graft.streaming.StreamingQuality.start(
+        input.toDF().toDF("doc_id", "source", "text"), "doc_id", "text",
+        storeDir, params, base.resolve(ckpt).toString) { (scored, _) =>
+        got.synchronized {
+          got ++= scored.as[(Long, Long, Long)].collect()
+            .map(r => r._1 -> ((r._2, r._3)))
+        }
+      }
+      q.awaitTermination()
+    }
+
+    // Round 1 scores under the A-only model == the batch operator.
+    round("c1", stream1)
+    assert(got.toMap == batchScores(stream1, refA))
+    val r1 = got.toMap
+
+    // Reference harvest lands between rounds: the NEXT batch scores
+    // under the grown model (model refresh at the batch boundary).
+    LmStore.append(refB.toDF("doc_id", "source", "text"),
+      "doc_id", "text", storeDir, params)
+    round("c2", stream2)
+    val full = batchScores(stream2, refA ++ refB)
+    assert(stream2.forall(t => got(t._1) == full(t._1)))
+    // Round 1 results are untouched history (scored under A-only).
+    assert(stream1.forall(t => got(t._1) == r1(t._1)))
+
+    graft.queries.Fixtures.deleteRecursively(base)
+  }
 }
