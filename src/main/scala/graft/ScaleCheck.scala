@@ -234,6 +234,18 @@ object ScaleCheck {
           hashed = true)
         llm.Corpus.ccnetBuckets(scored, "doc_id", "lang").count()
       }, tables = Seq("docs_full")),
+      // The multimodal scale path (pipe23's big-corpus form): stub
+      // decode to 8-dim features on the scan, then hyperplane-LSH
+      // bucketed near-dup — candidate volume is what must stay tame.
+      Op("media_neardup_lsh(dim=8)", { n =>
+        val media = replicateDocs(docs0, n)
+          .select(col("doc_id").as("media_id"),
+            col("text").cast("binary").as("content"))
+        val feats = llm.Multimodal.extractFeatures(media, dim = 8)
+        llm.Dedup.embeddingNearDupPairsLsh(
+          feats.select(col("media_id"), col("features")),
+          "media_id", "features", 0.55).count()
+      }),
       // Classifier training under corpus growth: per iteration one
       // broadcast join + two aggs, weight/delta tables bounded by
       // buckets — time must stay ~linear in docs, state flat.

@@ -1483,6 +1483,39 @@ object LlmQueries {
         .select(col("media_id"), col("frame_ms"))
     },
 
+    // The multimodal pipeline END-TO-END: binary payloads → stubbed
+    // decode → fixed-dim feature vectors → embedding near-dup pairs —
+    // the "dedup an image corpus by embedding similarity" production
+    // op, with every stage (schema, partitioning, feature math, cosine
+    // verify) gated under one oracle. Bounded like d6 so the oracle's
+    // exact self-join stays cheap; the scale path is the same features
+    // into embeddingNearDupPairsLsh (d7's composition).
+    Q("pipe23_media_neardup",
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |         list_transform(range(0, 8), j ->
+        |           (CAST(('0x' || substr(md5(text || '|' || j), 1, 8))
+        |              AS BIGINT) % 1000) / 500.0 - 1.0) AS v
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |FROM f a JOIN f b ON a.media_id < b.media_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.5""".stripMargin) {
+      (s, d) =>
+      val media = Tables.documents(s, d).filter(col("doc_id") < 150)
+        .select(col("doc_id").as("media_id"),
+          col("text").cast("binary").as("content"),
+          struct(lit("image/png").as("mime"),
+            lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(null).cast("long").as("duration_ms")).as("meta"))
+      val feats = Multimodal.extractFeatures(media, dim = 8,
+        portable = true)
+      Dedup.embeddingNearDupPairsExact(
+        feats.select(col("media_id"), col("features")),
+        "media_id", "features", 0.5)
+    },
+
     // Per-label embedding stats (vector-column handling).
     Q("e3_label_stats",
       """SELECT label, CAST(count(*) AS BIGINT) AS cnt,

@@ -117,7 +117,9 @@ class PlanSpec extends AnyFunSuite {
       "e12_ann_ivfpq", "e13_ann_ivfpq_portable", "e14_ann_ivfpq_store",
       "d17_semdedup", "d18_semdedup_portable", "c9_dsir_weights",
       "pipe18_cluster_balance", "c8_temperature_mix", "c10_lm_perplexity",
-      "c11_lm_store_score")
+      // pipe23 is d6's bounded exact-baseline shape over stub media
+      // features (broadcast theta-join on an id-filtered subset).
+      "c11_lm_store_score", "pipe23_media_neardup")
     SparkEntry.registry.foreach { q =>
       val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"${q.name}: cartesian")
