@@ -176,6 +176,30 @@ object CoreQueries {
       Ops.pairwiseOverlap(Tables.events(s, d), "event_type", "user_id")
     },
 
+    // A7 — exact per-group quantiles (corpus length distributions: the
+    // report-sink stat a curation run logs). Spark's `percentile` agg
+    // buffers a VALUE->count map per group, so it is exact AND
+    // scale-safe precisely when the column's cardinality is bounded
+    // (integer doc lengths here); unbounded doubles take
+    // percentile_approx instead. Quarter-fractions over integer data
+    // interpolate exactly in binary doubles, so the values hash-match
+    // DuckDB's quantile_cont (same lower+(higher-lower)*frac
+    // definition) with no rounding.
+    Q("a7_quantiles",
+      """SELECT g.lang, CAST(ix.j AS INT) AS q_idx,
+        |       g.qs[ix.j + 1] AS n_chars_q
+        |FROM (SELECT lang,
+        |        quantile_cont(CAST(n_chars AS DOUBLE), [0.25, 0.5, 0.75])
+        |          AS qs
+        |      FROM documents GROUP BY lang) g
+        |CROSS JOIN (SELECT unnest(range(0, 3)) AS j) ix""".stripMargin) {
+      (s, d) =>
+      Tables.documents(s, d).groupBy("lang")
+        .agg(expr("percentile(CAST(n_chars AS DOUBLE), array(0.25D, 0.5D, 0.75D))")
+          .as("qs"))
+        .select(col("lang"), posexplode(col("qs")).as(Seq("q_idx", "n_chars_q")))
+    },
+
     // O1 — external top-k sort with unique tiebreak
     // (ref: workflows/ai.py:268-276).
     Q("o1_topk_sort",
