@@ -443,6 +443,27 @@ object HeavyBench {
           threshold = 0.8, maxBucketSize = Some(100))
         Dedup.nearDupRewrite(dd, "doc_id", col("n_chars"), pairs)
       }),
+    // BPE tokenizer training on the heavy corpus: the suffix-mangled
+    // replicas push the word-count vocabulary to ~10^5 distinct words
+    // (a realistic tokenizer-training load), so each of the 6 merge
+    // rounds aggregates real pair volume. One corpus-scale pass for
+    // word counts; every round after that is vocabulary-sized.
+    HeavyItem("t13_bpe_train", Seq("documents"),
+      subdir = Some("lowdup"),
+      // min-frequency floor 8: the raw lowdup token space is 7.1 M
+      // near-unique mangled words (every replica re-suffixes — noise
+      // tail by construction); the floor trains on the ~100 K words a
+      // real crawl vocabulary would present. Both totals reported.
+      fn = Some((s, d) => graft.llm.TextAnalysis.bpeTrain(docs(s, d),
+        "doc_id", "text", merges = 6, minCount = 8L)),
+      counts = Some { (s, d) =>
+        val w = docs(s, d).select(explode(
+            graft.functions.Scalars.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        Seq("vocab_words" -> w.count(),
+          "vocab_kept" -> w.filter(col("c") >= 8).count())
+      }),
     // LM SERVING from the persisted artifact: pipe21's heavy entry
     // times what a model rebuild pays (train+score+bucket in one
     // window); this times what the nightly batch pays — read the

@@ -634,4 +634,81 @@ object TextAnalysis {
     w.toSeq.zipWithIndex.map { case (wt, f) => (f.toLong, wt) }
       .toDF("feature", "w")
   }
+
+  /** Deterministic BPE tokenizer training (Sennrich et al. 2016) —
+    * the tokenizer-building half of a training-data pipeline, as a
+    * Spark op. Classic formulation over DISTINCT words: one
+    * corpus-scale pass aggregates word counts, every subsequent
+    * iteration works on the bounded word-count table (corpus
+    * vocabulary, never corpus rows — exactly how production BPE
+    * trainers run). Each word starts as its character sequence plus a
+    * final `</w>` end-of-word symbol; per merge round: pair counts
+    * weighted by word count (one small aggregate), the arg-max pair
+    * under the deterministic (count desc, left, right) order, then a
+    * greedy left-to-right non-overlapping rewrite of every word's
+    * symbols — the textbook fold, expressed as an `aggregate` HOF with
+    * the chosen pair as literals (word strings are invariant under
+    * merges, so the vocabulary never re-groups). rand()-free,
+    * tie-breaks total, every float absent: the whole train replays
+    * bit-identically in DuckDB (the t13 oracle unrolls the rounds,
+    * resolving the greedy fold as odd-parity positions within
+    * consecutive-match runs — equivalent to the fold for every
+    * overlap case, including l = r).
+    *
+    * Driver coordination is one tiny arg-max row per round (the
+    * k-means iteration discipline); `merges` is small and fixed.
+    * Output: the merge table (rank, left, right, merged, pair_count)
+    * — the artifact a tokenizer serves from. */
+  def bpeTrain(docs: DataFrame, id: String, text: String,
+               merges: Int, minCount: Long = 1L): DataFrame = {
+    require(merges >= 1 && merges <= 64,
+      s"bpeTrain: merges must be in [1, 64], got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // `minCount` is the production min-frequency floor (every real
+    // tokenizer trainer has one): on a crawl where rare garbage tokens
+    // dominate the DISTINCT-word count, the floor is what keeps the
+    // per-round vocabulary bounded by the true vocabulary rather than
+    // the noise tail. Merge STATISTICS change only by the excluded
+    // tail's counts — the standard trade.
+    var words = docs
+      .select(explode(Scalars.tokens(col(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select(col("c"),
+        concat(split(col("w"), ""), array(lit("</w>"))).as("s"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.Buffer.empty[
+      (Int, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val pairs = words.filter(size(col("s")) >= 2)
+        .select(col("c"),
+          explode(transform(sequence(lit(0), size(col("s")) - 2),
+            i => struct(element_at(col("s"), i + 1).as("l"),
+              element_at(col("s"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("c").as("pc"))
+      val best = pairs.orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        out += ((k, l, r, l + r, best(0).getLong(2)))
+        words = words.withColumn("s", aggregate(col("s"),
+            array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    out.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
 }

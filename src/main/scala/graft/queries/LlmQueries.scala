@@ -675,6 +675,17 @@ object LlmQueries {
         w = 8, stride = 1, minDocs = 2, portable = true)
     },
 
+    // BPE tokenizer training (Sennrich et al. 2016): six merge rounds
+    // over the corpus' word-count vocabulary, fully replayed by the
+    // oracle — each unrolled round re-derives weighted pair counts,
+    // the deterministic arg-max, and the greedy non-overlapping
+    // rewrite (resolved as odd-parity positions within consecutive-
+    // match runs, the SQL-expressible equivalent of the fold).
+    Q("t13_bpe_train", bpeOracleSql(6)) { (s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), "doc_id", "text",
+        merges = 6)
+    },
+
     // Token counting + lexical stats per document.
     Q("t1_token_stats",
       """SELECT doc_id,
@@ -1528,6 +1539,70 @@ object LlmQueries {
     })
 
   private def sqlList(xs: Seq[String]): String = Q.sqlList(xs)
+
+  /** The t13 oracle, generated per merge count: round k re-derives
+    * pair counts from w(k-1), takes the (count desc, l, r) arg-max,
+    * marks greedy-fold merge positions (odd parity within
+    * consecutive-match runs — only l = r can produce adjacent
+    * matches), and rebuilds every word's symbol list. CTEs are
+    * MATERIALIZED: each round references its predecessor three times,
+    * and inlined CTEs re-evaluate the whole chain exponentially
+    * (measured: >120 s inlined vs 0.23 s materialized at sf0.001). */
+  private def bpeOracleSql(merges: Int): String = {
+    def iteration(k: Int): String = {
+      val p = k - 1
+      s""",
+         |p$k AS MATERIALIZED (
+         |  SELECT pr.l AS l, pr.r AS r, sum(c) AS pc FROM (
+         |    SELECT unnest(list_transform(range(1, len(s)),
+         |             i -> {'l': s[i], 'r': s[i+1]})) AS pr, c
+         |    FROM w$p WHERE len(s) >= 2)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (
+         |  SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT w, i FROM (
+         |    SELECT q.w, q.i,
+         |           row_number() OVER (PARTITION BY q.w, q.i - q.rn
+         |                              ORDER BY q.i) AS rr
+         |    FROM (SELECT t.w, t.i,
+         |                 row_number() OVER (PARTITION BY t.w
+         |                                    ORDER BY t.i) AS rn
+         |          FROM (SELECT w, s, unnest(range(1, len(s))) AS i
+         |                FROM w$p) t, b$k b
+         |          WHERE t.s[t.i] = b.l AND t.s[t.i+1] = b.r) q)
+         |  WHERE rr % 2 = 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT pos.w, pos.c,
+         |         list(pos.v ORDER BY pos.q)
+         |           FILTER (WHERE pos.v IS NOT NULL) AS s
+         |  FROM (
+         |    SELECT t.w, t.c, t.q,
+         |           CASE WHEN mq.i IS NOT NULL THEN (SELECT l || r FROM b$k)
+         |                WHEN mp.i IS NOT NULL THEN NULL
+         |                ELSE t.s[t.q] END AS v
+         |    FROM (SELECT w, c, s, unnest(range(1, len(s) + 1)) AS q
+         |          FROM w$p) t
+         |    LEFT JOIN m$k mq ON t.w = mq.w AND t.q = mq.i
+         |    LEFT JOIN m$k mp ON t.w = mp.w AND t.q = mp.i + 1) pos
+         |  GROUP BY pos.w, pos.c)""".stripMargin
+    }
+    val base =
+      """WITH base AS MATERIALIZED (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+        |        FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |w0 AS MATERIALIZED (
+        |  SELECT w, c, list_append(string_split(w, ''), '</w>') AS s
+        |  FROM base)""".stripMargin
+    val rounds = (1 to merges).map(iteration).mkString
+    val union = (1 to merges).map(k =>
+      s"""SELECT CAST($k AS INT) AS rank, l AS "left", r AS "right",
+         |       l || r AS merged, CAST(pc AS BIGINT) AS pair_count
+         |FROM b$k""".stripMargin).mkString("\nUNION ALL ")
+    s"$base$rounds\nSELECT * FROM (\n$union) ORDER BY rank"
+  }
 
   /** e13/e14's integer-quantized embedding view (floor(x·1000 + 0.5)):
     * every downstream distance is exact integer arithmetic. */

@@ -329,6 +329,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(scored == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("BPE training replays the textbook merge sequence on a hand corpus") {
+    import graft.llm.TextAnalysis
+    // words: aa ×2 -> [a,a,</w>], ab ×1 -> [a,b,</w>].
+    // Round 1 pairs: (a,a):2, (a,</w>):2, (a,b):1, (b,</w>):1 — tie on
+    // 2 broken by (l, r) ascending: "</w>" < "a", so (a,</w>) merges.
+    // Round 2: (a,a</w>):2 wins. Round 3: (a,b):1 beats (b,</w>):1.
+    val d = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, "doc_id", "text", merges = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "</w>", "a</w>", 2L),
+      (2, "a", "a</w>", "aa</w>", 2L),
+      (3, "a", "b", "ab", 1L)))
+    // The min-frequency floor drops "ab" (count 1): round 3's pair
+    // supply is exhausted after the two aa merges.
+    val floored = TextAnalysis.bpeTrain(d, "doc_id", "text",
+        merges = 3, minCount = 2L)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(floored == Seq(
+      (1, "a", "</w>", "a</w>", 2L),
+      (2, "a", "a</w>", "aa</w>", 2L)))
+  }
+
+  test("BPE greedy rewrite is non-overlapping left-to-right on repeated symbols") {
+    import graft.llm.TextAnalysis
+    // "aaaa" -> [a,a,a,a,</w>]: (a,a) counts 3 (all adjacent slots);
+    // the greedy fold rewrites to [aa,aa,</w>] — merging 1&2 then 3&4,
+    // never the overlapping middle pair. Round 2: (aa,aa):1 vs
+    // (aa,</w>):1 tie -> r ascending picks (aa,</w>).
+    val d = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, "doc_id", "text", merges = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "aa", "</w>", "aa</w>", 1L)))
+    // Merge supply exhausts cleanly: asking for more rounds than the
+    // corpus supports returns the full sequence, no failure.
+    val all = TextAnalysis.bpeTrain(d, "doc_id", "text", merges = 10)
+    assert(all.count() >= 3 && all.count() <= 4)
+  }
+
   test("LM score: exact add-one bigram log-likelihood on a hand model") {
     // Reference doc "a b a b a c": c2 = {ab:2, ba:2, ac:1},
     // c1 = {a:3, b:2}, V = |{a,b,c}| = 3.
