@@ -660,7 +660,15 @@ object TextAnalysis {
     * Output: the merge table (rank, left, right, merged, pair_count)
     * — the artifact a tokenizer serves from. */
   def bpeTrain(docs: DataFrame, id: String, text: String,
-               merges: Int, minCount: Long = 1L): DataFrame = {
+               merges: Int, minCount: Long = 1L): DataFrame =
+    bpeTrainFull(docs, id, text, merges, minCount)._1
+
+  /** [[bpeTrain]] plus the trained word SEGMENTATION (w, c, s — each
+    * vocabulary word's final symbol sequence): what [[bpeTokenCounts]]
+    * serves from. */
+  def bpeTrainFull(docs: DataFrame, id: String, text: String,
+                   merges: Int, minCount: Long = 1L)
+      : (DataFrame, DataFrame) = {
     require(merges >= 1 && merges <= 64,
       s"bpeTrain: merges must be in [1, 64], got $merges")
     val spark = docs.sparkSession
@@ -676,7 +684,7 @@ object TextAnalysis {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-      .select(col("c"),
+      .select(col("w"), col("c"),
         concat(split(col("w"), ""), array(lit("</w>"))).as("s"))
       .localCheckpoint()
     val out = scala.collection.mutable.Buffer.empty[
@@ -709,6 +717,32 @@ object TextAnalysis {
         k += 1
       }
     }
-    out.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+    (out.toSeq.toDF("rank", "left", "right", "merged", "pair_count"),
+      words)
+  }
+
+  /** Per-document token counts under the TRAINED BPE vocabulary — the
+    * number sequence packing ([[Corpus.packSequences]]/[[Corpus
+    * .packBinsFFD]]) budgets against. Serving is one broadcast join of
+    * the corpus' word stream against the word→segment-length table
+    * (bounded by vocabulary); a word under the training floor falls
+    * back to its character segmentation (chars + the `</w>` marker) —
+    * exactly what an untrained word costs at tokenize time. Every doc
+    * gets a row (empty docs count 0). */
+  def bpeTokenCounts(docs: DataFrame, id: String, text: String,
+                     merges: Int, minCount: Long = 1L): DataFrame = {
+    val (_, words) = bpeTrainFull(docs, id, text, merges, minCount)
+    val lens = words.select(col("w"), size(col("s")).cast("long").as("n"))
+    val counts = docs
+      .select(col(id).as("__id"), explode(Scalars.tokens(col(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(lens), Seq("w"), "left")
+      .groupBy("__id").agg(
+        sum(coalesce(col("n"), length(col("w")).cast("long") + 1))
+          .as("n_bpe_tokens"))
+    docs.select(col(id).as("__id"), lit(0L).as("n_bpe_tokens"))
+      .unionByName(counts)
+      .groupBy("__id").agg(sum("n_bpe_tokens").as("n_bpe_tokens"))
+      .withColumnRenamed("__id", id)
   }
 }

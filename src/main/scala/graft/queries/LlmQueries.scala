@@ -686,6 +686,15 @@ object LlmQueries {
         merges = 6)
     },
 
+    // Tokenize the corpus under the TRAINED vocabulary: per-doc BPE
+    // token counts — the budget input sequence packing (c4/c7)
+    // consumes. Same training chain as t13, finished by one broadcast
+    // join of the word stream against the word→segment-length table.
+    Q("t14_bpe_tokens", bpeTokensOracleSql(6)) { (s, d) =>
+      TextAnalysis.bpeTokenCounts(Tables.documents(s, d), "doc_id",
+        "text", merges = 6)
+    },
+
     // Token counting + lexical stats per document.
     Q("t1_token_stats",
       """SELECT doc_id,
@@ -1602,6 +1611,30 @@ object LlmQueries {
          |       l || r AS merged, CAST(pc AS BIGINT) AS pair_count
          |FROM b$k""".stripMargin).mkString("\nUNION ALL ")
     s"$base$rounds\nSELECT * FROM (\n$union) ORDER BY rank"
+  }
+
+  /** The t14 oracle: the same unrolled training chain, finished by
+    * tokenizing the corpus against the final segmentation w{merges} —
+    * per-doc sum of segment lengths, character fallback (len+1, the
+    * `</w>` marker) for words outside the vocabulary, zero for
+    * wordless docs. */
+  private def bpeTokensOracleSql(merges: Int): String = {
+    val train = bpeOracleSql(merges)
+    val chain = train.substring(0, train.indexOf("\nSELECT * FROM ("))
+    s"""$chain,
+       |dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0),
+       |agg AS (
+       |  SELECT dw.doc_id,
+       |         sum(coalesce(len(wf.s), len(dw.w) + 1)) AS n
+       |  FROM dw LEFT JOIN w$merges wf ON dw.w = wf.w
+       |  GROUP BY dw.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
   /** e13/e14's integer-quantized embedding view (floor(x·1000 + 0.5)):

@@ -352,6 +352,24 @@ class CorpusSpec extends AnyFunSuite {
       (2, "a", "a</w>", "aa</w>", 2L)))
   }
 
+  test("BPE token counts serve from the trained segmentation, char fallback outside vocab") {
+    import graft.llm.TextAnalysis
+    // Unfloored, "abc" trains too, so round 3 merges (a,b) at count 2:
+    // aa -> [aa</w>] (1), ab -> [ab,</w>] (2), abc -> [ab,c,</w>] (3).
+    // Doc 4 is empty -> 0.
+    val d = Seq((1L, "aa ab"), (2L, "aa"), (3L, "abc"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenCounts(d, "doc_id", "text", merges = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 3L, 4L -> 0L))
+    // With the floor at 2, ab and abc (count 1) are out of vocab:
+    // ab falls back to 3 (a, b, marker), abc still 4.
+    val floored = TextAnalysis.bpeTokenCounts(d, "doc_id", "text",
+        merges = 3, minCount = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(floored(1L) == 1L + 3L && floored(3L) == 4L)
+  }
+
   test("BPE greedy rewrite is non-overlapping left-to-right on repeated symbols") {
     import graft.llm.TextAnalysis
     // "aaaa" -> [a,a,a,a,</w>]: (a,a) counts 3 (all adjacent slots);
