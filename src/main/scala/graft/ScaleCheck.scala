@@ -235,16 +235,24 @@ object ScaleCheck {
         llm.Corpus.ccnetBuckets(scored, "doc_id", "lang").count()
       }, tables = Seq("docs_full")),
       // The multimodal scale path (pipe23's big-corpus form): stub
-      // decode to 8-dim features on the scan, then hyperplane-LSH
+      // decode to 32-dim features on the scan, then hyperplane-LSH
       // bucketed near-dup — candidate volume is what must stay tame.
-      Op("media_neardup_lsh(dim=8)", { n =>
+      // dim 32 / threshold 0.7, NOT pipe23's oracle-bounded dim 8 /
+      // 0.5: at dim 8 a constant ~5% of ALL random pairs clear the
+      // threshold, so the TRUE output is Θ(corpus²) and the sweep
+      // times pair materialization, not the operator (measured ×16 →
+      // 81 M pairs). Production embedding spaces are selective; these
+      // settings reproduce that.
+      Op("media_neardup_lsh(dim=32)", { n =>
         val media = replicateDocs(docs0, n)
           .select(col("doc_id").as("media_id"),
             col("text").cast("binary").as("content"))
-        val feats = llm.Multimodal.extractFeatures(media, dim = 8)
+        val feats = llm.Multimodal.extractFeatures(media, dim = 32)
         llm.Dedup.embeddingNearDupPairsLsh(
-          feats.select(col("media_id"), col("features")),
-          "media_id", "features", 0.55).count()
+          feats.select(col("media_id"),
+            col("features").cast("array<float>").as("features")),
+          "media_id", "features", 0.7, planes = 8, tables = 6,
+          dim = 32, maxBucketSize = Some(200)).count()
       }),
       // Classifier training under corpus growth: per iteration one
       // broadcast join + two aggs, weight/delta tables bounded by

@@ -882,11 +882,20 @@ object Dedup {
     * verified with exact cosine. */
   def embeddingNearDupPairsLsh(emb: DataFrame, id: String, vec: String,
                                threshold: Double, planes: Int = 8,
-                               tables: Int = 6, dim: Int = 64): DataFrame = {
+                               tables: Int = 6, dim: Int = 64,
+                               maxBucketSize: Option[Int] = None)
+      : DataFrame = {
+    // `maxBucketSize` is the same hot-bucket screen the MinHash family
+    // carries: 2^planes buckets is a CONSTANT, so without a cap the
+    // per-bucket pair volume — and the whole operator — goes quadratic
+    // as the corpus grows past tables×2^planes·cap (measured on the
+    // ScaleCheck media sweep: ×16 corpus → ×199 time uncapped). A
+    // production run always caps; the bounded oracle twins keep None.
     val withBuckets = emb.select(col(id).as("doc"),
       posexplode(Similarity.lshBucketsAll(emb.sparkSession, col(vec),
         tables, planes, dim)).as(Seq("tbl", "bkt")))
-    val candidates = bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", None)
+    val candidates =
+      bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", maxBucketSize)
     val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
     candidates
       .join(vecs.withColumnsRenamed(Map("doc" -> "id_a", "v" -> "va")), Seq("id_a"))
@@ -913,11 +922,14 @@ object Dedup {
   def embeddingNearDupPairsLshPortable(emb: DataFrame, id: String,
                                        vec: String, threshold: Double,
                                        planes: Int = 8, tables: Int = 6,
-                                       dim: Int = 64): DataFrame = {
+                                       dim: Int = 64,
+                                       maxBucketSize: Option[Int] = None)
+      : DataFrame = {
     val withBuckets = emb.select(col(id).as("doc"),
       posexplode(Similarity.portableLshBuckets(col(vec), tables, planes,
         dim)).as(Seq("tbl", "bkt")))
-    val candidates = bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", None)
+    val candidates =
+      bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", maxBucketSize)
     val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
     candidates
       .join(vecs.withColumnsRenamed(Map("doc" -> "id_a", "v" -> "va")), Seq("id_a"))
