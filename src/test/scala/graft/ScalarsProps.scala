@@ -77,6 +77,39 @@ object ScalarsProps extends Properties("Scalars") {
       got == want
     }
 
+  property("passageScrub: counts reconcile, output is a subsequence, singletons untouched") =
+    Prop.forAll(text, text, Gen.chooseNum(2, 4)) { (t1, t2, w) =>
+      val d = Seq((1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+      val out = Dedup.passageScrub(d, "doc_id", "text", w = w)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // Identical docs 1 and 3 scrub identically; counts reconcile;
+      // the rewrite is a subsequence of the canonical token stream.
+      def isSubseq(sub: Seq[String], sup: Seq[String]): Boolean = {
+        var i = 0
+        sup.foreach(x => if (i < sub.length && sub(i) == x) i += 1)
+        i == sub.length
+      }
+      out.size == 3 && out(1L) == out(3L) && out.forall { case (id, (n, rm, s)) =>
+        val toks = (if (id == 2L) t2 else t1).trim.split("\\s+").toSeq
+        val kept = if (s.isEmpty) Seq.empty[String] else s.split(" ").toSeq
+        n == toks.length && rm == n - kept.length && rm >= 0 &&
+          isSubseq(kept, toks)
+      }
+    }
+
+  property("passageScrub: a corpus with no cross-doc repeats is unchanged") =
+    Prop.forAll(text) { t =>
+      // One doc: nothing can repeat across >= minDocs=2 documents.
+      val d = Seq((1L, t)).toDF("doc_id", "text")
+      val (n, rm, s) = Dedup.passageScrub(d, "doc_id", "text", w = 2)
+        .as[(Long, Long, Long, String)].head() match {
+          case (_, a, b, c) => (a, b, c)
+        }
+      rm == 0L && s == t.trim.split("\\s+").mkString(" ") &&
+        n == t.trim.split("\\s+").length
+    }
+
   property("htmlUnescape round-trips the named entities") = Prop.forAll(word) { s =>
     val escaped = s"&lt;p&gt;$s&amp;$s&quot;"
     eval1(Scalars.htmlUnescape(col("v")), escaped) == s"<p>$s&$s\""
