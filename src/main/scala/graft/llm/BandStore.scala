@@ -36,11 +36,11 @@ object BandStore {
         s""""rowsPerBand":$rowsPerBand,"portable":$portable}"""
   }
 
-  private val Sidecar = "_params.json"
+  private val Sidecar = ArtifactStore.Sidecar
   private val DataDir = "data"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    ArtifactStore.fs(spark, dir)
 
   /** Build the band table for `docs` and persist it (overwrite) with
     * its parameter sidecar. */
@@ -81,37 +81,14 @@ object BandStore {
     spark.read.parquet(s"$dir/$DataDir")
   }
 
-  /** Complete a [[delete]] swap interrupted by a crash. The swap order
-    * makes every crash point recoverable without guessing: `_tmp_data`
-    * is only ever a FULLY-written rewrite (the Spark write completes
-    * before any rename), so if `data` is missing, promoting `_tmp_data`
-    * (or, failing that, restoring `_old_data`) is always correct; if
-    * `data` exists, any leftover `_old_data`/`_tmp_data` are stale and
-    * dropped. Idempotent; called by every entry point. */
-  private def recoverSwap(f: FileSystem, dir: String): Unit = {
-    val data = new Path(dir, DataDir)
-    val tmp = new Path(dir, s"_tmp_$DataDir")
-    val old = new Path(dir, s"_old_$DataDir")
-    if (!f.exists(data)) {
-      // Rename failure is signalled by RETURN VALUE on HDFS-like
-      // filesystems — checking it here turns a botched promotion into
-      // a loud named error instead of an opaque path-not-found from
-      // the next read (delete() checks its renames the same way).
-      if (f.exists(tmp)) {
-        if (!f.rename(tmp, data))
-          throw new java.io.IOException(
-            s"BandStore.recoverSwap: cannot promote $tmp at $dir")
-        f.delete(old, true)
-      } else if (f.exists(old)) {
-        if (!f.rename(old, data))
-          throw new java.io.IOException(
-            s"BandStore.recoverSwap: cannot restore $old at $dir")
-      }
-    } else {
-      f.delete(old, true)
-      f.delete(tmp, true)
-    }
-  }
+  /** Complete a [[delete]] swap interrupted by a crash — the shared
+    * [[ArtifactStore.recoverSwap]] discipline: a unique-named temp is
+    * only ever promoted when its `_SUCCESS` marker proves the rewrite
+    * committed, restoring `_old_data` otherwise, and a reader never
+    * deletes a temp (a concurrent maintenance run may be mid-write in
+    * one). Idempotent; called by every entry point. */
+  private def recoverSwap(f: FileSystem, dir: String): Unit =
+    ArtifactStore.recoverSwap(f, dir, DataDir, Nil, "BandStore")
 
   /** Write the sidecar if absent, verify it otherwise — the contract
     * entry point for append-style band stores that grow under a fixed
@@ -134,29 +111,13 @@ object BandStore {
     }
 
   /** The stored parameters, or None when no artifact exists. */
-  def readParams(spark: SparkSession, dir: String): Option[Params] = {
-    val f = fs(spark, dir)
-    val p = new Path(dir, Sidecar)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val text =
-      try {
-        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes); new String(bytes, "UTF-8")
-      } finally in.close()
-    def intOf(k: String): Int =
-      s""""$k"\\s*:\\s*(-?[0-9]+)""".r.findFirstMatchIn(text)
-        .getOrElse(throw new IllegalStateException(
-          s"BandStore: malformed $Sidecar at $dir (missing $k): $text"))
-        .group(1).toInt
-    val portable = s""""portable"\\s*:\\s*(true|false)""".r
-      .findFirstMatchIn(text)
-      .getOrElse(throw new IllegalStateException(
-        s"BandStore: malformed $Sidecar at $dir (missing portable): $text"))
-      .group(1).toBoolean
-    Some(Params(intOf("shingleN"), intOf("bands"), intOf("rowsPerBand"),
-      portable))
-  }
+  def readParams(spark: SparkSession, dir: String): Option[Params] =
+    ArtifactStore.readSidecarText(fs(spark, dir), dir).map { text =>
+      def intOf(k: String): Int =
+        ArtifactStore.intField(text, k, "BandStore", dir)
+      Params(intOf("shingleN"), intOf("bands"), intOf("rowsPerBand"),
+        ArtifactStore.boolField(text, "portable", "BandStore", dir))
+    }
 
   /** Remove `ids` (first column) from the artifact — the takedown path.
     * Rewrites the data dir via a write-rename-rename-delete swap whose
@@ -175,21 +136,15 @@ object BandStore {
       .join(broadcast(ids.select(col(key).as("doc")).distinct()),
         Seq("doc"), "left_anti")
     val f = fs(spark, dir)
-    val data = new Path(dir, DataDir)
-    val tmp = new Path(dir, s"_tmp_$DataDir")
-    val old = new Path(dir, s"_old_$DataDir")
+    ArtifactStore.cleanStaleTmps(f, dir, DataDir)
+    val tmp = ArtifactStore.newTmpPath(dir, DataDir)
     kept.write.mode("overwrite").parquet(tmp.toString)
-    if (!f.rename(data, old) || !f.rename(tmp, data))
-      throw new java.io.IOException(s"BandStore.delete: swap failed at $dir")
-    f.delete(old, true)
+    ArtifactStore.commitSwap(f, dir, DataDir, tmp, Nil, "BandStore",
+      "delete")
   }
 
-  private def writeSidecar(f: FileSystem, p: Path, params: Params): Unit = {
-    // Overwrite is fine here: the sidecar commits the whole-artifact
-    // overwrite in write() and is idempotent per params.
-    val out = f.create(p, /* overwrite = */ true)
-    try out.write(params.render.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeSidecar(f: FileSystem, p: Path, params: Params): Unit =
+    ArtifactStore.writeSidecar(f, p, params.render)
 
   private def requireParams(spark: SparkSession, dir: String,
                             expected: Params, op: String): Unit =

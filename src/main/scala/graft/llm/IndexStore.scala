@@ -41,13 +41,13 @@ object IndexStore {
   case class Index(centroids: DataFrame, codebook: DataFrame,
                    codes: DataFrame)
 
-  private val Sidecar = "_params.json"
+  private val Sidecar = ArtifactStore.Sidecar
   private val CentroidsDir = "centroids"
   private val CodebookDir = "codebook"
   private val CodesDir = "codes"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    ArtifactStore.fs(spark, dir)
 
   /** Train an IVF-PQ index over `emb` and persist it (overwrite) with
     * its parameter sidecar: deterministic-Lloyd coarse centroids,
@@ -159,13 +159,11 @@ object IndexStore {
       .join(broadcast(ids.select(col(key).as("id")).distinct()),
         Seq("id"), "left_anti")
     val f = fs(spark, dir)
-    val data = new Path(dir, CodesDir)
-    val tmp = new Path(dir, s"_tmp_$CodesDir")
-    val old = new Path(dir, s"_old_$CodesDir")
+    ArtifactStore.cleanStaleTmps(f, dir, CodesDir)
+    val tmp = ArtifactStore.newTmpPath(dir, CodesDir)
     kept.write.mode("overwrite").parquet(tmp.toString)
-    if (!f.rename(data, old) || !f.rename(tmp, data))
-      throw new java.io.IOException(s"IndexStore.delete: swap failed at $dir")
-    f.delete(old, true)
+    ArtifactStore.commitSwap(f, dir, CodesDir, tmp, Nil, "IndexStore",
+      "delete")
   }
 
   /** ADC top-k from the persisted index: probed inverted lists stream
@@ -194,53 +192,22 @@ object IndexStore {
       overscan, params.m, params.dim)
   }
 
-  /** Complete a [[delete]] swap interrupted by a crash — identical
-    * recovery order to [[BandStore.recoverSwap]], applied to the
-    * `codes/` component. Idempotent; called by every entry point. */
-  private def recoverSwap(f: FileSystem, dir: String): Unit = {
-    val data = new Path(dir, CodesDir)
-    val tmp = new Path(dir, s"_tmp_$CodesDir")
-    val old = new Path(dir, s"_old_$CodesDir")
-    if (!f.exists(data)) {
-      if (f.exists(tmp)) {
-        if (!f.rename(tmp, data))
-          throw new java.io.IOException(
-            s"IndexStore.recoverSwap: cannot promote $tmp at $dir")
-        f.delete(old, true)
-      } else if (f.exists(old)) {
-        if (!f.rename(old, data))
-          throw new java.io.IOException(
-            s"IndexStore.recoverSwap: cannot restore $old at $dir")
-      }
-    } else {
-      f.delete(old, true)
-      f.delete(tmp, true)
-    }
-  }
+  /** Complete a [[delete]] swap interrupted by a crash — the shared
+    * [[ArtifactStore.recoverSwap]] discipline on the `codes/`
+    * component. Idempotent; called by every entry point. */
+  private def recoverSwap(f: FileSystem, dir: String): Unit =
+    ArtifactStore.recoverSwap(f, dir, CodesDir, Nil, "IndexStore")
 
   /** The stored parameters, or None when no artifact exists. */
-  def readParams(spark: SparkSession, dir: String): Option[Params] = {
-    val f = fs(spark, dir)
-    val p = new Path(dir, Sidecar)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val text =
-      try {
-        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes); new String(bytes, "UTF-8")
-      } finally in.close()
-    def intOf(key: String): Int =
-      s""""$key"\\s*:\\s*(-?[0-9]+)""".r.findFirstMatchIn(text)
-        .getOrElse(throw new IllegalStateException(
-          s"IndexStore: malformed $Sidecar at $dir (missing $key): $text"))
-        .group(1).toInt
-    Some(Params(intOf("dim"), intOf("clusters"), intOf("m"), intOf("k")))
-  }
+  def readParams(spark: SparkSession, dir: String): Option[Params] =
+    ArtifactStore.readSidecarText(fs(spark, dir), dir).map { text =>
+      def intOf(key: String): Int =
+        ArtifactStore.intField(text, key, "IndexStore", dir)
+      Params(intOf("dim"), intOf("clusters"), intOf("m"), intOf("k"))
+    }
 
-  private def writeSidecar(f: FileSystem, p: Path, params: Params): Unit = {
-    val out = f.create(p, /* overwrite = */ true)
-    try out.write(params.render.getBytes("UTF-8")) finally out.close()
-  }
+  private def writeSidecar(f: FileSystem, p: Path, params: Params): Unit =
+    ArtifactStore.writeSidecar(f, p, params.render)
 
   private def requireParams(spark: SparkSession, dir: String,
                             expected: Params, op: String): Unit =

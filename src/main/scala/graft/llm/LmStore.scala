@@ -42,16 +42,21 @@ object LmStore {
     * one global model) and the key family. */
   case class Params(langCol: Option[String], hashed: Boolean) {
     def render: String = {
-      val l = langCol.map(c => s""""$c"""").getOrElse("null")
+      // JSON-escaped: a column name containing a quote or backslash
+      // must round-trip through the sidecar, not corrupt it.
+      val l = langCol.map(ArtifactStore.jsonString).getOrElse("null")
       s"""{"langCol":$l,"hashed":$hashed}"""
     }
   }
 
-  private val Sidecar = "_params.json"
+  private val Sidecar = ArtifactStore.Sidecar
   private val ModelDir = "model"
+  // The three component tables inside model/ — a swap candidate is only
+  // complete when every one carries its _SUCCESS marker.
+  private val Components = Seq("bigrams", "contexts", "tokens")
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    ArtifactStore.fs(spark, dir)
 
   /** Train on `refDocs` (the caller pre-filters to the reference
     * slice) and persist (overwrite) with the sidecar. */
@@ -153,20 +158,24 @@ object LmStore {
         .groupBy("__lang", key).agg(sum(cnt).as(cnt))
         .filter(col(cnt) > 0)
     val f = fs(spark, dir)
+    // Writer-path-only cleanup of crashed runs' leftovers (single
+    // maintenance writer by contract) — a READER never deletes a temp,
+    // which is what used to make a per-batch read able to destroy a
+    // concurrent merge's half-written build.
+    ArtifactStore.cleanStaleTmps(f, dir, ModelDir)
     // The complete replacement model is materialized BEFORE the swap,
     // then promoted as one unit — the three tables are only consistent
     // together (read() enforces the bigram/context total equality).
+    // The temp name is unique per run and commitSwap verifies all three
+    // component _SUCCESS markers before the live model moves aside.
     val next = Corpus.LmModel(
       merged(stored.bigrams, inc.bigrams, "bgk", "c2"),
       merged(stored.contexts, inc.contexts, "w1k", "c1"),
       merged(stored.tokens, inc.tokens, "tkk", "c"))
-    writeModel(next, s"$dir/_tmp_$ModelDir")
-    val data = new Path(dir, ModelDir)
-    val tmp = new Path(dir, s"_tmp_$ModelDir")
-    val old = new Path(dir, s"_old_$ModelDir")
-    if (!f.rename(data, old) || !f.rename(tmp, data))
-      throw new java.io.IOException(s"LmStore.$op: swap failed at $dir")
-    f.delete(old, true)
+    val tmp = ArtifactStore.newTmpPath(dir, ModelDir)
+    writeModel(next, tmp.toString)
+    ArtifactStore.commitSwap(f, dir, ModelDir, tmp, Components,
+      "LmStore", op)
   }
 
   /** Score `docs` against the persisted model (read-verified) — the
@@ -177,57 +186,26 @@ object LmStore {
     Corpus.lmScoreWith(docs, id, text, read(spark, dir, params),
       params.langCol, broadcastModel, params.hashed)
 
-  /** Complete a [[merge]] swap interrupted by a crash — identical
-    * recovery order to [[BandStore.recoverSwap]], applied to the one
-    * `model/` unit. Idempotent; called by every entry point. */
-  private def recoverSwap(f: FileSystem, dir: String): Unit = {
-    val data = new Path(dir, ModelDir)
-    val tmp = new Path(dir, s"_tmp_$ModelDir")
-    val old = new Path(dir, s"_old_$ModelDir")
-    if (!f.exists(data)) {
-      if (f.exists(tmp)) {
-        if (!f.rename(tmp, data))
-          throw new java.io.IOException(
-            s"LmStore.recoverSwap: cannot promote $tmp at $dir")
-        f.delete(old, true)
-      } else if (f.exists(old)) {
-        if (!f.rename(old, data))
-          throw new java.io.IOException(
-            s"LmStore.recoverSwap: cannot restore $old at $dir")
-      }
-    } else {
-      f.delete(old, true)
-      f.delete(tmp, true)
-    }
-  }
+  /** Complete a [[merge]] swap interrupted by a crash — the shared
+    * [[ArtifactStore.recoverSwap]] discipline on the one `model/` unit
+    * (promote only a temp whose three component `_SUCCESS` markers
+    * prove it complete; never delete a temp from the read path — a
+    * concurrent [[append]] may be mid-write in it). Idempotent; called
+    * by every entry point. */
+  private def recoverSwap(f: FileSystem, dir: String): Unit =
+    ArtifactStore.recoverSwap(f, dir, ModelDir, Components, "LmStore")
 
   /** The stored parameters, or None when no artifact exists. */
-  def readParams(spark: SparkSession, dir: String): Option[Params] = {
-    val f = fs(spark, dir)
-    val p = new Path(dir, Sidecar)
-    if (!f.exists(p)) return None
-    val in = f.open(p)
-    val text =
-      try {
-        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes); new String(bytes, "UTF-8")
-      } finally in.close()
-    val lang = """"langCol"\s*:\s*(?:"([^"]*)"|null)""".r
-      .findFirstMatchIn(text)
-      .getOrElse(throw new IllegalStateException(
-        s"LmStore: malformed $Sidecar at $dir (missing langCol): $text"))
-    val hashed = """"hashed"\s*:\s*(true|false)""".r
-      .findFirstMatchIn(text)
-      .getOrElse(throw new IllegalStateException(
-        s"LmStore: malformed $Sidecar at $dir (missing hashed): $text"))
-    Some(Params(Option(lang.group(1)), hashed.group(1).toBoolean))
-  }
+  def readParams(spark: SparkSession, dir: String): Option[Params] =
+    ArtifactStore.readSidecarText(fs(spark, dir), dir).map { text =>
+      Params(
+        ArtifactStore.stringOrNullField(text, "langCol", "LmStore", dir),
+        ArtifactStore.boolField(text, "hashed", "LmStore", dir))
+    }
 
   private def writeSidecar(f: FileSystem, p: Path,
-                           params: Params): Unit = {
-    val out = f.create(p, /* overwrite = */ true)
-    try out.write(params.render.getBytes("UTF-8")) finally out.close()
-  }
+                           params: Params): Unit =
+    ArtifactStore.writeSidecar(f, p, params.render)
 
   private def requireParams(spark: SparkSession, dir: String,
                             expected: Params, op: String): Unit =

@@ -328,21 +328,74 @@ class StoreSpec extends AnyFunSuite {
         .as[(Long, Int, String)].collect().toSet
       val kept = full.filterNot(_._1 % 5 == 0)
       val f = CorpusStore.fileSystem(spark, dir)
-      // Crash state A: rewrite fully written to _tmp_data, live dir
-      // already moved aside — data/ missing. read() must promote the
-      // rewrite, not throw path-not-found.
+      // Crash state A: rewrite fully written to a uniquely-named temp,
+      // live dir already moved aside — data/ missing. read() must
+      // promote the rewrite (its _SUCCESS marker proves it complete),
+      // not throw path-not-found.
       BandStore.read(spark, dir, P).filter(col("doc") % 5 =!= 0)
-        .write.parquet(s"$dir/_tmp_data")
+        .write.parquet(s"$dir/_tmp_data_runa")
       assert(f.rename(new Path(dir, "data"), new Path(dir, "_old_data")))
       assert(BandStore.read(spark, dir, P)
         .as[(Long, Int, String)].collect().toSet == kept)
       assert(!f.exists(new Path(dir, "_old_data")))
-      // Crash state B: data/ intact, stale debris from an aborted
-      // rewrite — read() returns the live data and clears the debris.
-      BandStore.read(spark, dir, P).limit(1).write.parquet(s"$dir/_tmp_data")
+      // Crash state B: data/ intact, leftover temp from an aborted
+      // rewrite — read() returns the live data and LEAVES the temp (a
+      // reader cannot tell crash debris from a concurrent writer's
+      // in-flight build; only the writer path cleans temps).
+      BandStore.read(spark, dir, P).limit(1)
+        .write.parquet(s"$dir/_tmp_data_runb")
       assert(BandStore.read(spark, dir, P)
         .as[(Long, Int, String)].collect().toSet == kept)
-      assert(!f.exists(new Path(dir, "_tmp_data")))
+      assert(f.exists(new Path(dir, "_tmp_data_runb")))
+      // ... and the next maintenance run (writer path) clears it.
+      BandStore.delete(spark, dir,
+        Seq(-1L).toDF("doc_id")) // no-op delete, but a writer-path op
+      assert(!f.exists(new Path(dir, "_tmp_data_runb")))
+      assert(BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet == kept)
+      // Crash state C: data/ missing, temp exists but is INCOMPLETE
+      // (no _SUCCESS — the writer crashed mid-write, before ever
+      // touching the live dir... which can only coexist with a missing
+      // data/ if the crash interleaved with an older swap). Recovery
+      // must restore _old_data, never promote the unverified temp.
+      f.mkdirs(new Path(dir, "_tmp_data_runc"))
+      assert(f.rename(new Path(dir, "data"), new Path(dir, "_old_data")))
+      assert(BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet == kept)
+      assert(f.exists(new Path(dir, "data")))
+    } finally cleanup(dir)
+  }
+
+  test("LmStore: a read never deletes a concurrent merge's in-flight temp; sidecar escapes hostile column names") {
+    val dir = tmpDir("graft-lm")
+    val lmP = graft.llm.LmStore.Params(None, hashed = true)
+    try {
+      graft.llm.LmStore.build(docs, "doc_id", "text", dir, lmP)
+      val f = CorpusStore.fileSystem(spark, dir)
+      // A half-written merge build: only one of the three component
+      // tables exists so far. The pre-fix recoverSwap deleted ANY
+      // _tmp_model on every read — destroying the concurrent writer's
+      // build mid-write; now the temp must survive reads untouched.
+      val half = new Path(dir, "_tmp_model_inflight")
+      f.mkdirs(new Path(half, "bigrams"))
+      val scored = graft.llm.LmStore.score(spark, dir, lmP,
+        docs, "doc_id", "text")
+      assert(scored.limit(1).count() == 1)
+      assert(f.exists(new Path(half, "bigrams")),
+        "read() deleted a concurrent writer's in-flight temp")
+      f.delete(half, true)
+    } finally cleanup(dir)
+  }
+
+  test("LmStore sidecar: langCol with quotes and backslashes round-trips") {
+    val dir = tmpDir("graft-lm")
+    try {
+      val hostile = """la"ng\col"""
+      val p = graft.llm.LmStore.Params(Some(hostile), hashed = false)
+      val renamed = docs.withColumn("""la"ng\col""", lit("en"))
+      graft.llm.LmStore.build(renamed, "doc_id", "text", dir, p)
+      assert(graft.llm.LmStore.readParams(spark, dir).contains(p),
+        "sidecar did not round-trip a quote/backslash column name")
     } finally cleanup(dir)
   }
 
