@@ -224,6 +224,11 @@ object HeavyBench {
   // reference slice, persisted with the fixture.
   private val HeavyLmParams =
     graft.llm.LmStore.Params(langCol = Some("lang"), hashed = true)
+  // The serving-entry tokenizer: a production-scale 1000-merge
+  // vocabulary over the ~100 K floored lowdup words, persisted with
+  // the fixture; the timed entry only tokenizes.
+  private val HeavyTokParams =
+    graft.llm.TokenizerStore.Params(merges = 1000, minCount = 8L)
   // The longdoc corpus replicates harder: at ×64 (12.8 K docs) both
   // LSH entries are verify/overhead-bound and the 128×-fewer-hashes
   // OPH signature claim is invisible; ×256 (51.2 K docs × ~1.35 K
@@ -240,8 +245,9 @@ object HeavyBench {
   // to make distinct-token count actually grow with length); v8:
   // longdoc at ×256 so the signature stage dominates its entries; v9:
   // + the persisted IVF-PQ index for the serving entry; v10: + the
-  // persisted per-lang bigram LM for the c11 serving entry.
-  private val Layout = "v10"
+  // persisted per-lang bigram LM for the c11 serving entry; v11: + the
+  // persisted 1000-merge BPE tokenizer for the t14 serving entry.
+  private val Layout = "v11"
 
   /** One heavy entry: a registered query (or a custom fn for variants
     * not in the registry), the tables it reads, an optional subdir of
@@ -443,11 +449,12 @@ object HeavyBench {
           threshold = 0.8, maxBucketSize = Some(100))
         Dedup.nearDupRewrite(dd, "doc_id", col("n_chars"), pairs)
       }),
-    // BPE tokenizer training on the heavy corpus: the suffix-mangled
-    // replicas push the word-count vocabulary to ~10^5 distinct words
-    // (a realistic tokenizer-training load), so each of the 6 merge
-    // rounds aggregates real pair volume. One corpus-scale pass for
-    // word counts; every round after that is vocabulary-sized.
+    // BPE tokenizer training at PRODUCTION vocabulary scale: one
+    // corpus-scale Spark pass for floored word counts, the collected
+    // ~100 K-word vocabulary, then 1000 driver-local merge rounds with
+    // incrementally-maintained pair counts — the shape that makes a
+    // 30-50 K-merge vocabulary trainable at all (the old per-round
+    // distributed jobs paid ~1 s of scheduling per round).
     HeavyItem("t13_bpe_train", Seq("documents"),
       subdir = Some("lowdup"),
       // min-frequency floor 8: the raw lowdup token space is 7.1 M
@@ -455,7 +462,7 @@ object HeavyBench {
       // tail by construction); the floor trains on the ~100 K words a
       // real crawl vocabulary would present. Both totals reported.
       fn = Some((s, d) => graft.llm.TextAnalysis.bpeTrain(docs(s, d),
-        "doc_id", "text", merges = 6, minCount = 8L)),
+        "doc_id", "text", merges = 1000, minCount = 8L)),
       counts = Some { (s, d) =>
         val w = docs(s, d).select(explode(
             graft.functions.Scalars.tokens(col("text"))).as("w"))
@@ -463,6 +470,18 @@ object HeavyBench {
           .groupBy("w").agg(count(lit(1)).as("c"))
         Seq("vocab_words" -> w.count(),
           "vocab_kept" -> w.filter(col("c") >= 8).count())
+      }),
+    // TOKENIZING from the persisted artifact: t13 times what a
+    // vocabulary rebuild pays; this times what every nightly batch
+    // pays — read the store (params-checked, structure-verified), one
+    // broadcast join of the 320 K-doc word stream against the trained
+    // segmentation. The e14/c11 serving discipline applied to the
+    // tokenizer family.
+    HeavyItem("t14_store_serve", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some { (s, d) =>
+        graft.llm.TokenizerStore.tokenCounts(s, s"$d/bpe_tokenizer",
+          HeavyTokParams, docs(s, d), "doc_id", "text")
       }),
     // LM SERVING from the persisted artifact: pipe21's heavy entry
     // times what a model rebuild pays (train+score+bucket in one
@@ -754,6 +773,12 @@ object HeavyBench {
         spark.read.parquet(s"$dir/documents.parquet")
           .filter(col("source") === "src0"),
         "doc_id", "text", s"$dir/lm_store", HeavyLmParams)
+      // The t14 serving entry's persisted tokenizer — the 1000-merge
+      // production vocabulary, built with the fixture (untimed); the
+      // timed entry only tokenizes from it.
+      graft.llm.TokenizerStore.build(
+        spark.read.parquet(s"$dir/lowdup/documents.parquet"),
+        "doc_id", "text", s"$dir/lowdup/bpe_tokenizer", HeavyTokParams)
       li.repartition(32)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       // The incremental-dedup entry's persisted artifact: the standing

@@ -636,32 +636,46 @@ object TextAnalysis {
   }
 
   /** Deterministic BPE tokenizer training (Sennrich et al. 2016) —
-    * the tokenizer-building half of a training-data pipeline, as a
-    * Spark op. Classic formulation over DISTINCT words: one
-    * corpus-scale pass aggregates word counts, every subsequent
-    * iteration works on the bounded word-count table (corpus
-    * vocabulary, never corpus rows — exactly how production BPE
-    * trainers run). Each word starts as its character sequence plus a
-    * final `</w>` end-of-word symbol; per merge round: pair counts
-    * weighted by word count (one small aggregate), the arg-max pair
-    * under the deterministic (count desc, left, right) order, then a
-    * greedy left-to-right non-overlapping rewrite of every word's
-    * symbols — the textbook fold, expressed as an `aggregate` HOF with
-    * the chosen pair as literals (word strings are invariant under
-    * merges, so the vocabulary never re-groups). rand()-free,
-    * tie-breaks total, every float absent: the whole train replays
-    * bit-identically in DuckDB (the t13 oracle unrolls the rounds,
-    * resolving the greedy fold as odd-parity positions within
-    * consecutive-match runs — equivalent to the fold for every
-    * overlap case, including l = r).
+    * the tokenizer-building half of a training-data pipeline, in the
+    * PRODUCTION shape: ONE corpus-scale Spark pass aggregates the
+    * floored word-count vocabulary, the vocabulary is collected
+    * (bounded by the `minCount` floor — the centroid-collect
+    * discipline: the merge loop's working set is the model, not the
+    * corpus), and the whole merge loop runs driver-local with
+    * incrementally-maintained pair counts. A 30-50 K-merge production
+    * vocabulary trains in seconds; the previous shape ran each round
+    * as a full distributed job over the tiny vocabulary table
+    * (~1 s/round of pure scheduling — ~10 h of no-op jobs at real
+    * vocabulary sizes).
     *
-    * Driver coordination is one tiny arg-max row per round (the
-    * k-means iteration discipline); `merges` is small and fixed.
+    * Semantics are BIT-IDENTICAL to the distributed round loop (kept
+    * as [[bpeTrainRounds]]; BpeTwinSpec pins the equivalence): each
+    * word starts as its code-point sequence plus a final `</w>`
+    * end-of-word symbol; per round the arg-max pair under the total
+    * (count desc, left, right) order — strings compared as UTF-8
+    * BYTES, Spark/DuckDB's collation, never UTF-16 code units — then
+    * the greedy left-to-right non-overlapping rewrite of every word
+    * containing the pair. rand()-free, tie-breaks total, every float
+    * absent: the train replays bit-identically in DuckDB (the t13
+    * oracle unrolls the rounds).
+    *
     * Output: the merge table (rank, left, right, merged, pair_count)
-    * — the artifact a tokenizer serves from. */
+    * — the artifact [[TokenizerStore]] persists and serves from. */
   def bpeTrain(docs: DataFrame, id: String, text: String,
                merges: Int, minCount: Long = 1L): DataFrame =
     bpeTrainFull(docs, id, text, merges, minCount)._1
+
+  /** Production merge-count ceiling — far above any real vocabulary
+    * (GPT-2: 50 K), it exists to catch a nonsense argument, not to
+    * bound the algorithm. */
+  val BpeMaxMerges = 200000
+  /** Ceiling on the collected vocabulary (distinct floored words). At
+    * ~100 bytes/word this is ~400 MB of driver heap — the same
+    * driver-bounded-model argument as the k-means centroid collect.
+    * A crawl corpus whose floored vocabulary exceeds it needs a higher
+    * `minCount`, which is the production answer anyway (the noise tail
+    * below the floor contributes almost nothing to merge statistics). */
+  val BpeMaxVocab = 4000000
 
   /** [[bpeTrain]] plus the trained word SEGMENTATION (w, c, s — each
     * vocabulary word's final symbol sequence): what [[bpeTokenCounts]]
@@ -669,16 +683,160 @@ object TextAnalysis {
   def bpeTrainFull(docs: DataFrame, id: String, text: String,
                    merges: Int, minCount: Long = 1L)
       : (DataFrame, DataFrame) = {
-    require(merges >= 1 && merges <= 64,
-      s"bpeTrain: merges must be in [1, 64], got $merges")
+    require(merges >= 1 && merges <= BpeMaxMerges,
+      s"bpeTrain: merges must be in [1, $BpeMaxMerges], got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
     // `minCount` is the production min-frequency floor (every real
     // tokenizer trainer has one): on a crawl where rare garbage tokens
     // dominate the DISTINCT-word count, the floor is what keeps the
-    // per-round vocabulary bounded by the true vocabulary rather than
+    // collected vocabulary bounded by the true vocabulary rather than
     // the noise tail. Merge STATISTICS change only by the excluded
     // tail's counts — the standard trade.
+    val vocab = docs
+      .select(explode(Scalars.tokens(col(text))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .as[(String, Long)].collect()
+    require(vocab.length <= BpeMaxVocab,
+      s"bpeTrain: floored vocabulary (${vocab.length} words at " +
+        s"minCount=$minCount) exceeds the $BpeMaxVocab driver bound — " +
+        "raise minCount (the production fix: the sub-floor tail is " +
+        "noise that barely moves merge statistics)")
+    val (mergeRows, wordRows) = bpeMergeLoopLocal(vocab, merges)
+    (mergeRows.toSeq.toDF("rank", "left", "right", "merged", "pair_count"),
+      wordRows.toSeq.toDF("w", "c", "s"))
+  }
+
+  /** UTF-8 byte comparison — Spark's UTF8String / DuckDB's default
+    * collation. Java String.compareTo orders by UTF-16 code units,
+    * which diverges for supplementary-plane characters; using it here
+    * would flip arg-max tie-breaks against the distributed twin and
+    * the oracle. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** A word's start symbols: code points (matching Spark
+    * `split(w, '')` / DuckDB `string_split(w, '')` on the strings both
+    * engines accept) plus the end-of-word marker. */
+  private def bpeSymbols(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out += "</w>"
+    out.toArray
+  }
+
+  /** The driver-local merge loop over the collected vocabulary:
+    * incrementally-maintained weighted pair counts (only words
+    * containing the merged pair are rewritten — the fastBPE shape), an
+    * ordered set for the arg-max, the same greedy fold as the
+    * distributed rewrite. Work per round ∝ affected words' lengths,
+    * not vocabulary size. */
+  private def bpeMergeLoopLocal(vocab: Array[(String, Long)], merges: Int)
+      : (Seq[(Int, String, String, String, Long)],
+         Seq[(String, Long, Seq[String])]) = {
+    import scala.collection.mutable
+    val syms = vocab.map { case (w, _) => bpeSymbols(w) }
+    val counts = vocab.map(_._2)
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // (count desc, left, right asc in UTF-8 byte order) — the total
+    // arg-max order of the distributed ORDER BY pc DESC, l, r.
+    implicit val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+                    y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1)
+          if (c != 0) return c
+          val cl = utf8Compare(x._2, y._2)
+          if (cl != 0) cl else utf8Compare(x._3, y._3)
+        }
+      }
+    val ordered = mutable.TreeSet.empty[(Long, String, String)]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = pairCounts.getOrElse(p, 0L)
+      if (old != 0L) ordered.remove((old, p._1, p._2))
+      val now = old + delta
+      if (now > 0L) {
+        pairCounts(p) = now
+        ordered.add((now, p._1, p._2))
+      } else {
+        pairCounts.remove(p)
+        require(now == 0L, s"bpeTrain: negative pair count for $p")
+      }
+    }
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    syms.indices.foreach { i =>
+      pairsOf(syms(i)).foreach { p =>
+        bump(p, counts(i))
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+    }
+    // The greedy left-to-right non-overlapping fold — the exact
+    // semantics of the distributed aggregate() rewrite (after a merge
+    // the new symbol is the fold's last element, so "aaa" under (a,a)
+    // becomes [aa, a], never the overlapping middle).
+    def foldMerge(s: Array[String], l: String, r: String,
+                  lr: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      s.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r)
+          out(out.length - 1) = lr
+        else out += x
+      }
+      out.toArray
+    }
+    val out = mutable.Buffer.empty[(Int, String, String, String, Long)]
+    var k = 1
+    while (k <= merges && ordered.nonEmpty) {
+      val (pc, l, r) = ordered.head
+      val lr = l + r
+      out += ((k, l, r, lr, pc))
+      val affected = pairWords.getOrElse((l, r), mutable.Set.empty).toArray
+      affected.foreach { i =>
+        val oldS = syms(i)
+        val newS = foldMerge(oldS, l, r, lr)
+        val c = counts(i)
+        pairsOf(oldS).foreach(bump(_, -c))
+        pairsOf(newS).foreach(bump(_, c))
+        pairsOf(oldS).toSet.foreach { p: (String, String) =>
+          pairWords.get(p).foreach(_ -= i)
+        }
+        pairsOf(newS).toSet.foreach { p: (String, String) =>
+          pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+        syms(i) = newS
+      }
+      k += 1
+    }
+    (out.toSeq,
+      vocab.indices.map(i => (vocab(i)._1, counts(i), syms(i).toSeq)))
+  }
+
+  /** The previous distributed round loop, retained as the spec twin
+    * that pins [[bpeTrainFull]]'s bit-identity claim (BpeTwinSpec) —
+    * NOT a production path: each round is a full Spark job over the
+    * tiny vocabulary table, so scheduling overhead dominates
+    * (~1 s/round for milliseconds of work). Capped at 64 rounds for
+    * exactly that reason. */
+  private[graft] def bpeTrainRounds(docs: DataFrame, id: String,
+                                    text: String, merges: Int,
+                                    minCount: Long = 1L)
+      : (DataFrame, DataFrame) = {
+    require(merges >= 1 && merges <= 64,
+      s"bpeTrainRounds: merges must be in [1, 64], got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
     var words = docs
       .select(explode(Scalars.tokens(col(text))).as("w"))
       .filter(length(col("w")) > 0)
@@ -730,8 +888,19 @@ object TextAnalysis {
     * exactly what an untrained word costs at tokenize time. Every doc
     * gets a row (empty docs count 0). */
   def bpeTokenCounts(docs: DataFrame, id: String, text: String,
-                     merges: Int, minCount: Long = 1L): DataFrame = {
-    val (_, words) = bpeTrainFull(docs, id, text, merges, minCount)
+                     merges: Int, minCount: Long = 1L): DataFrame =
+    bpeTokenCountsWith(docs, id, text,
+      bpeTrainFull(docs, id, text, merges, minCount)._2)
+
+  /** The SERVE half alone: per-doc token counts against an
+    * already-trained segmentation table (w, c, s) — what
+    * [[TokenizerStore.tokenCounts]] runs nightly against the persisted
+    * artifact, with training paid once. One broadcast join of the word
+    * stream against the word→segment-length table (bounded by
+    * vocabulary); a word outside the vocabulary falls back to its
+    * character segmentation (code points + the `</w>` marker). */
+  def bpeTokenCountsWith(docs: DataFrame, id: String, text: String,
+                         words: DataFrame): DataFrame = {
     val lens = words.select(col("w"), size(col("s")).cast("long").as("n"))
     val counts = docs
       .select(col(id).as("__id"), explode(Scalars.tokens(col(text))).as("w"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars
-import graft.llm.{Dedup, IndexStore, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, IndexStore, Multimodal, Similarity, TextAnalysis, TokenizerStore}
 
 /** LLM-training-data pipeline ops over `documents` and `embeddings`:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
@@ -688,11 +688,19 @@ object LlmQueries {
 
     // Tokenize the corpus under the TRAINED vocabulary: per-doc BPE
     // token counts — the budget input sequence packing (c4/c7)
-    // consumes. Same training chain as t13, finished by one broadcast
-    // join of the word stream against the word→segment-length table.
+    // consumes. Same training chain as t13, but SERVED from a
+    // persisted TokenizerStore (train → write → read-verify →
+    // broadcast join), the e14/c11 "store round-trip invisible"
+    // pattern: the oracle is the direct train+serve SQL verbatim.
     Q("t14_bpe_tokens", bpeTokensOracleSql(6)) { (s, d) =>
-      TextAnalysis.bpeTokenCounts(Tables.documents(s, d), "doc_id",
-        "text", merges = 6)
+      val dir = Fixtures.stampedDir(d, "documents", "bpe_store", 1)
+        .resolve("tok").toString
+      val params = TokenizerStore.Params(merges = 6, minCount = 1L)
+      if (TokenizerStore.readParams(s, dir).isEmpty)
+        TokenizerStore.build(Tables.documents(s, d), "doc_id", "text",
+          dir, params)
+      TokenizerStore.tokenCounts(s, dir, params,
+        Tables.documents(s, d), "doc_id", "text")
     },
 
     // Token counting + lexical stats per document.

@@ -388,6 +388,114 @@ class CorpusSpec extends AnyFunSuite {
     assert(all.count() >= 3 && all.count() <= 4)
   }
 
+  test("BPE local merge loop is bit-identical to the distributed round twin, including UTF-8 tie-breaks") {
+    import graft.llm.TextAnalysis
+    // A corpus engineered for hostile tie-breaks: repeated-symbol runs
+    // (greedy fold overlap cases), count ties resolved only by symbol
+    // order, and a U+FFFD vs U+1F600 tie — UTF-16 code units order the
+    // surrogate-pair emoji FIRST (0xD83D < 0xFFFD) while UTF-8 bytes
+    // order U+FFFD first (0xEF < 0xF0); a trainer comparing Java
+    // strings diverges from the Spark/DuckDB collation exactly here.
+    val d = Seq(
+      (1L, "aa ab aaaa banana bananas"),
+      (2L, "aa xy�q xy😀q"),
+      (3L, "mississippi mississippi miss issi"),
+      (4L, "")).toDF("doc_id", "text")
+    for (m <- Seq(1, 3, 8, 20); floor <- Seq(1L, 2L)) {
+      val (lm, lw) = TextAnalysis.bpeTrainFull(d, "doc_id", "text",
+        merges = m, minCount = floor)
+      val (rm, rw) = TextAnalysis.bpeTrainRounds(d, "doc_id", "text",
+        merges = m, minCount = floor)
+      assert(lm.as[(Int, String, String, String, Long)].collect().toSeq ==
+        rm.as[(Int, String, String, String, Long)].collect().toSeq,
+        s"merge tables diverge at merges=$m minCount=$floor")
+      assert(lw.as[(String, Long, Seq[String])].collect().toSet ==
+        rw.as[(String, Long, Seq[String])].collect().toSet,
+        s"segmentations diverge at merges=$m minCount=$floor")
+    }
+    // Deterministic pin of the collation itself: after (a,</w>) wins
+    // round 1, round 2 ties (�, a</w>):2 against (😀, a</w>):2 — the
+    // UTF-8 argmax picks U+FFFD (EF BF BD < F0 9F 98 80); a UTF-16
+    // comparison would pick the emoji.
+    val tie = Seq((1L, "�a �a 😀a 😀a")).toDF("doc_id", "text")
+    val seq2 = TextAnalysis.bpeTrain(tie, "doc_id", "text", merges = 2)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(seq2(1) == ((2, "�", "a</w>", "�a</w>", 2L)), seq2.toSeq)
+  }
+
+  test("BPE trains a production-scale vocabulary (1000+ merges) driver-local") {
+    import graft.llm.TextAnalysis
+    // 400 distinct 10+-char words supply >1000 merge capacity; the
+    // previous 64-round cap made this size unreachable.
+    val words = (0 until 400).map(i =>
+      f"w$i%03d${"abcdefghij".drop(i % 7)}${(i * 31) % 100}%02d")
+    val d = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, (w + " ") * (1 + i % 3)) }
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(d, "doc_id", "text", merges = 1200)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(m.length >= 1000, s"only ${m.length} merges trained")
+    assert(m.map(_._1).toSeq == (1 to m.length), "ranks not contiguous")
+    assert(m.forall(_._5 >= 1L), "non-positive pair count")
+    // Every merge's parts are producible: a left/right symbol is a
+    // single code point, the marker, or an earlier round's merged.
+    val known = scala.collection.mutable.Set[String]("</w>")
+    m.foreach { case (_, l, r, lr, _) =>
+      for (s <- Seq(l, r))
+        assert(s.codePointCount(0, s.length) == 1 || known.contains(s),
+          s"symbol $s not derivable at its round")
+      known += lr
+    }
+  }
+
+  test("TokenizerStore: serve from the store equals direct train+serve; drift refused loudly") {
+    import graft.llm.{TextAnalysis, TokenizerStore}
+    val d = Seq((1L, "aa ab"), (2L, "aa"), (3L, "abc"), (4L, ""))
+      .toDF("doc_id", "text")
+    val dir = "file:" +
+      java.nio.file.Files.createTempDirectory("graft-tok").toString
+    try {
+      val p = TokenizerStore.Params(merges = 3, minCount = 1L)
+      TokenizerStore.build(d, "doc_id", "text", dir, p)
+      // Round-trip invisible: counts from the store == the ephemeral
+      // train+serve composition.
+      val direct = TextAnalysis.bpeTokenCounts(d, "doc_id", "text",
+        merges = 3).as[(Long, Long)].collect().toMap
+      val served = TokenizerStore.tokenCounts(spark, dir, p,
+        d, "doc_id", "text").as[(Long, Long)].collect().toMap
+      assert(served == direct && served.nonEmpty)
+      // Parameter drift refuses loudly.
+      for (bad <- Seq(p.copy(merges = 4), p.copy(minCount = 2L))) {
+        val e = intercept[IllegalStateException] {
+          TokenizerStore.read(spark, dir, bad)
+        }
+        assert(e.getMessage.contains("mismatch"), e.getMessage)
+      }
+      // Retrain-and-swap over the live store: new params, new model,
+      // old model unreadable under old params, new one serves.
+      val p2 = TokenizerStore.Params(merges = 2, minCount = 1L)
+      TokenizerStore.build(d, "doc_id", "text", dir, p2)
+      intercept[IllegalStateException] { TokenizerStore.read(spark, dir, p) }
+      val served2 = TokenizerStore.tokenCounts(spark, dir, p2,
+        d, "doc_id", "text").as[(Long, Long)].collect().toMap
+      val direct2 = TextAnalysis.bpeTokenCounts(d, "doc_id", "text",
+        merges = 2).as[(Long, Long)].collect().toMap
+      assert(served2 == direct2)
+      // Franken-model: segments spliced in from a different training
+      // run (merges they reference are absent) — read must refuse.
+      val (m3, _) = TextAnalysis.bpeTrainFull(
+        Seq((9L, "zz zy zz")).toDF("doc_id", "text"),
+        "doc_id", "text", 2, 1L)
+      val (_, w3) = TextAnalysis.bpeTrainFull(d, "doc_id", "text", 3, 1L)
+      TokenizerStore.write(m3, w3, dir, p2)
+      val e2 = intercept[IllegalArgumentException] {
+        TokenizerStore.read(spark, dir, p2)
+      }
+      assert(e2.getMessage.contains("training runs"), e2.getMessage)
+    } finally graft.queries.Fixtures.deleteRecursively(
+      java.nio.file.Paths.get(dir.stripPrefix("file:")))
+  }
+
   test("LM score: exact add-one bigram log-likelihood on a hand model") {
     // Reference doc "a b a b a c": c2 = {ab:2, ba:2, ac:1},
     // c1 = {a:3, b:2}, V = |{a,b,c}| = 3.
