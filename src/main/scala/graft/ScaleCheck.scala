@@ -466,6 +466,28 @@ object ScaleCheck {
         llm.Similarity.kmeansAssign(replicateEmb(n), "vec_id", "embedding",
           k = 8, iters = 3).count(),
         tables = Seq("embeddings")),
+      // Centroid assignment under the SemDeDup k ∝ CORPUS regime
+      // (fixed ~members/cluster, so cluster count grows with the
+      // corpus): brute argmax pays O(rows·k·dim) = quadratic in corpus
+      // — the pair of curves is the evidence for routing large-k
+      // assignment through the two-level probe (coarse cells ≈ √k,
+      // per-row work O((√k + nprobe·k/√k)·dim) → ~n^1.5 total).
+      // Centroid-table construction (iters=1 seeding) is identical on
+      // both sides and negligible next to assignment.
+      Op("assign_brute(k∝n)", { n =>
+        val rep = replicateEmb(n)
+        val cents = llm.Similarity.kmeansCentroids(rep, "vec_id",
+          "embedding", k = 1024 * n, iters = 1)
+        llm.Similarity.assignToCentroidsExact(rep, "vec_id", "embedding",
+          cents).agg(coalesce(bit_xor(xxhash64(col("cluster"))), lit(0L))).first.getLong(0)
+      }, tables = Seq("embeddings")),
+      Op("assign_twolevel(k∝n)", { n =>
+        val rep = replicateEmb(n)
+        val cents = llm.Similarity.kmeansCentroids(rep, "vec_id",
+          "embedding", k = 1024 * n, iters = 1)
+        llm.Similarity.assignToCentroidsTwoLevel(rep, "vec_id",
+          "embedding", cents).agg(coalesce(bit_xor(xxhash64(col("cluster"))), lit(0L))).first.getLong(0)
+      }, tables = Seq("embeddings")),
       // The full PQ path under corpus growth: train (m subspaces, one
       // Lloyd loop), encode, ADC shortlist + exact re-rank for a fixed
       // query set. Codebook size is fixed, so train/encode must stay

@@ -846,14 +846,24 @@ object Dedup {
       .select(col("doc"), explode(sequence(col("tpos"),
         col("tpos") + (w - 1))).as("cp"))
       .groupBy(col("doc")).agg(collect_set(col("cp")).as("cov"))
+    // A null text has no tokens (tokens(null) is null — unguarded,
+    // size() = -1 would poison n_tokens and make sequence(0, -2) emit
+    // phantom positions): coalesce to the empty array so null-text
+    // docs pass through as (0, 0, ''). Empty TEXT is distinct and
+    // unchanged: tokens('') = [''] (one empty token, oracle-pinned).
     val staged = docs.select(col(id).as("doc"),
-      explode(array(Scalars.tokens(col(text)))).as("tk"))
+      coalesce(Scalars.tokens(col(text)),
+        array().cast("array<string>")).as("tk"))
     // Covered docs are a subset of all docs: pin the attach
     // shuffled-hash (both sides arrive doc-keyed; a sort buys nothing).
     staged.join(cov.hint("shuffle_hash"), Seq("doc"), "left")
-      .withColumn("__kept", array_except(
-        sequence(lit(0), size(col("tk")) - 1),
-        coalesce(col("cov"), array().cast("array<int>"))))
+      // sequence(0, -1) on a zero-token doc would step DOWNWARD
+      // ([0, -1]) — guard the empty case explicitly.
+      .withColumn("__kept", when(size(col("tk")) === 0,
+          array().cast("array<int>"))
+        .otherwise(array_except(
+          sequence(lit(0), size(col("tk")) - 1),
+          coalesce(col("cov"), array().cast("array<int>")))))
       .select(col("doc").as(id),
         size(col("tk")).cast("long").as("n_tokens"),
         (size(col("tk")) - size(col("__kept"))).cast("long").as("n_removed"),

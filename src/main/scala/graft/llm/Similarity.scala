@@ -256,17 +256,82 @@ object Similarity {
     spark.createDataFrame(centroids.collect().toSeq.asJava, centroids.schema)
   }
 
+  /** Above this centroid count, [[assignToCentroids]] routes through
+    * the two-level probe ([[assignToCentroidsTwoLevel]]): brute argmax
+    * is O(k·dim) per row — the quadratic term under the SemDeDup
+    * k ∝ corpus regime, where assignment runs inside every Lloyd
+    * iteration AND over the full corpus. Below it, brute is both
+    * cheaper (no coarse stage to amortize) and bit-pinned to the
+    * min_by form every oracle-backed query relies on. */
+  val TwoLevelAssignThreshold = 128
+
   /** One broadcast-centroid assignment pass: (id, cluster) for every
-    * row of `emb` against a (cluster, centroid) table. */
+    * row of `emb` against a (cluster, centroid) table. Routes by k:
+    * exact brute argmax below [[TwoLevelAssignThreshold]] (the
+    * oracle-pinned path — every registered query's k sits here),
+    * two-level coarse-probe assignment above it (the scale path). */
   def assignToCentroids(emb: DataFrame, id: String, vec: String,
                         centroids: DataFrame): DataFrame = {
+    val m = collectCentroids(centroids)
+    if (m.ids.length >= TwoLevelAssignThreshold)
+      assignTwoLevelFromMatrix(emb, id, vec, m, defaultNprobe(m.ids.length))
+    else assignExactFromMatrix(emb, id, vec, m)
+  }
+
+  /** The brute argmax path unconditionally — for callers that need the
+    * min_by-pinned bit-exact assignment at any k (spec twins,
+    * equivalence checks). */
+  def assignToCentroidsExact(emb: DataFrame, id: String, vec: String,
+                             centroids: DataFrame): DataFrame =
+    assignExactFromMatrix(emb, id, vec, collectCentroids(centroids))
+
+  /** Two-level assignment unconditionally: cluster the centroid table
+    * itself into ~√k coarse cells (driver-local deterministic Lloyd —
+    * the model-on-model step), then assign each corpus row by probing
+    * its `nprobe` best coarse cells and running the fine argmax over
+    * only their members. O((√k + nprobe·√k̄)·dim) per row instead of
+    * O(k·dim); with nprobe ≥ the coarse cell count it degenerates to
+    * an exact (bit-identical) brute scan — the spec's equivalence
+    * handle. */
+  def assignToCentroidsTwoLevel(emb: DataFrame, id: String, vec: String,
+                                centroids: DataFrame,
+                                nprobe: Int = 0): DataFrame = {
+    val m = collectCentroids(centroids)
+    val np = if (nprobe >= 1) nprobe else defaultNprobe(m.ids.length)
+    assignTwoLevelFromMatrix(emb, id, vec, m, np)
+  }
+
+  // nprobe ≈ √coarseK keeps recall high while the probed fraction
+  // shrinks as k grows (k=256 → 4 of 16 cells; k=65536 → 16 of 256).
+  private def defaultNprobe(k: Int): Int =
+    math.max(2, math.ceil(math.pow(k.toDouble, 0.25)).toInt)
+
+  private[graft] case class CentroidMatrix(ids: Array[String],
+                                           flat: Array[Double], dim: Int)
+
+  private def collectCentroids(centroids: DataFrame): CentroidMatrix = {
     // The model is collected (k × dim — driver-bounded by definition,
     // it broadcast-joined even in the old shape) and rides into ONE
-    // argmax expression per corpus row: the previous form expanded to
-    // corpus × k rows through a broadcast nest-loop join and folded
+    // argmax expression per corpus row: the declarative form expanded
+    // to corpus × k rows through a broadcast nest-loop join and folded
     // them back with a min_by whose struct key allocated an lpad
     // string PER PAIR (8.2 M rows + a full shuffle on the 32 K-doc ×
     // k=256 heavy config) — all replaced by scan-local work.
+    val rows = centroids
+      .select(col("cluster").cast("string"),
+        transform(col("centroid"), _.cast("double")))
+      .collect()
+    if (rows.isEmpty) return CentroidMatrix(Array.empty, Array.empty, 0)
+    val ids = rows.map(_.getString(0))
+    val dim = rows.head.getSeq[Double](1).length
+    require(rows.forall(_.getSeq[Double](1).length == dim),
+      "assignToCentroids: ragged centroid matrix")
+    CentroidMatrix(ids, rows.flatMap(_.getSeq[Double](1)), dim)
+  }
+
+  private def assignExactFromMatrix(emb: DataFrame, id: String,
+                                    vec: String, m: CentroidMatrix)
+      : DataFrame = {
     // NearestCentroidExpr pins bit-identity to the replaced
     // min_by(cluster, struct(-cosine, lpad(cluster, 24, '0'))) form,
     // including null-similarity ordering; the null/empty-VECTOR edge
@@ -274,22 +339,107 @@ object Similarity {
     // coalescing to an empty vector, which yields all-null sims
     // through the same denominator-zero path.
     val spark = emb.sparkSession
-    val rows = centroids
-      .select(col("cluster").cast("string"),
-        transform(col("centroid"), _.cast("double")))
-      .collect()
-    if (rows.isEmpty)
+    if (m.ids.isEmpty)
       return emb.select(col(id), lit("").as("cluster")).limit(0)
-    val ids = rows.map(_.getString(0)).toSeq
-    val dim = rows.head.getSeq[Double](1).length
-    require(rows.forall(_.getSeq[Double](1).length == dim),
-      "assignToCentroids: ragged centroid matrix")
-    val flat = rows.flatMap(_.getSeq[Double](1)).toSeq
     graft.plans.NearestCentroidExpr.register(spark)
     emb.select(col(id),
       call_function(graft.plans.NearestCentroidExpr.Name,
-        coalesce(col(vec), emptyVecLit(emb, vec)), typedLit(ids),
-        typedLit(flat), lit(dim)).as("cluster"))
+        coalesce(col(vec), emptyVecLit(emb, vec)), typedLit(m.ids.toSeq),
+        typedLit(m.flat.toSeq), lit(m.dim)).as("cluster"))
+  }
+
+  private def assignTwoLevelFromMatrix(emb: DataFrame, id: String,
+                                       vec: String, m: CentroidMatrix,
+                                       nprobe: Int): DataFrame = {
+    val spark = emb.sparkSession
+    if (m.ids.isEmpty)
+      return emb.select(col(id), lit("").as("cluster")).limit(0)
+    val coarseK = math.max(1,
+      math.ceil(math.sqrt(m.ids.length.toDouble)).toInt)
+    val (coarseFlat, cellOf) =
+      coarseClusterLocal(m.flat, m.ids.length, m.dim, coarseK)
+    graft.plans.NearestCentroidTwoLevelExpr.register(spark)
+    emb.select(col(id),
+      call_function(graft.plans.NearestCentroidTwoLevelExpr.Name,
+        coalesce(col(vec), emptyVecLit(emb, vec)), typedLit(m.ids.toSeq),
+        typedLit(m.flat.toSeq), lit(m.dim),
+        typedLit(coarseFlat.toSeq), typedLit(cellOf.toSeq),
+        lit(nprobe)).as("cluster"))
+  }
+
+  /** Driver-local deterministic Lloyd over the FINE CENTROID matrix —
+    * the coarse model of the two-level assignment. Seeds are the first
+    * `coarseK` centroids in input order (deterministic — the caller's
+    * centroid table order is itself deterministic), assignment is
+    * argmax cosine with ties to the smaller cell, empty cells keep
+    * their previous center. O(k·coarseK·dim·iters) on the driver,
+    * parallelized across centroids — at k=10⁶, coarseK=10³ that is the
+    * same arithmetic one executor core does for ~10³ corpus rows of
+    * brute assignment. */
+  private[graft] def coarseClusterLocal(flat: Array[Double], k: Int,
+                                        dim: Int, coarseK: Int,
+                                        iters: Int = 3)
+      : (Array[Double], Array[Int]) = {
+    var centers = java.util.Arrays.copyOf(flat, coarseK * dim)
+    val cellOf = new Array[Int](k)
+    def assignAll(): Unit = {
+      val cn = new Array[Double](coarseK)
+      var c = 0
+      while (c < coarseK) {
+        var s = 0.0; var p = 0; val off = c * dim
+        while (p < dim) { val y = centers(off + p); s += y * y; p += 1 }
+        cn(c) = math.sqrt(s)
+        c += 1
+      }
+      val cs = centers
+      java.util.stream.IntStream.range(0, k).parallel().forEach { j =>
+        var na = 0.0; var p = 0; val joff = j * dim
+        while (p < dim) { val x = flat(joff + p); na += x * x; p += 1 }
+        val sqna = math.sqrt(na)
+        var best = 0
+        var bestSim = -3.0
+        var ci = 0
+        while (ci < coarseK) {
+          var dot = 0.0; var q = 0; val off = ci * dim
+          while (q < dim) { dot += flat(joff + q) * cs(off + q); q += 1 }
+          val denom = sqna * cn(ci)
+          val sim = if (denom == 0.0) -2.0 else dot / denom
+          if (sim > bestSim) { best = ci; bestSim = sim }
+          ci += 1
+        }
+        cellOf(j) = best
+      }
+    }
+    for (_ <- 1 to iters) {
+      assignAll()
+      val next = new Array[Double](coarseK * dim)
+      val cnt = new Array[Int](coarseK)
+      var j = 0
+      while (j < k) {
+        val c2 = cellOf(j); val off = c2 * dim; val joff = j * dim
+        var p = 0
+        while (p < dim) { next(off + p) += flat(joff + p); p += 1 }
+        cnt(c2) += 1
+        j += 1
+      }
+      var c = 0
+      while (c < coarseK) {
+        val off = c * dim
+        if (cnt(c) == 0) {
+          System.arraycopy(centers, off, next, off, dim)
+        } else {
+          var p = 0
+          while (p < dim) { next(off + p) /= cnt(c); p += 1 }
+        }
+        c += 1
+      }
+      centers = next
+    }
+    // Membership must describe the RETURNED centers (the expression
+    // probes cells by distance to them) — one final assignment pass
+    // after the last recompute.
+    assignAll()
+    (centers, cellOf)
   }
 
   /** Approximate top-k via multi-table sign-LSH: a pair is a candidate

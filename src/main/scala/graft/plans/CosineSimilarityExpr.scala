@@ -235,14 +235,14 @@ case class NearestCentroidExpr(child: Expression, ids: Array[String],
     org.apache.spark.sql.types.StringType
   override def prettyName: String = "nearest_centroid"
 
-  // lpad(s, 24, '0') exactly: left-truncate to 24 when longer.
-  private def lpad24(s: String): String =
-    if (s.length >= 24) s.substring(0, 24)
-    else ("0" * (24 - s.length)) + s
   // Visit order = ascending padded id, so the FIRST strict winner is
-  // min_by's tie choice.
+  // min_by's tie choice. Padding and comparison follow Spark exactly:
+  // lpad counts CODE POINTS and UTF8String orders by UTF-8 BYTES —
+  // Java String length/compareTo (UTF-16 code units) diverge on
+  // supplementary-plane ids and would flip tie-breaks against the
+  // pinned min_by form.
   private lazy val order: Array[Int] =
-    ids.indices.sortBy(i => lpad24(ids(i))).toArray
+    NearestCentroidExpr.utf8PaddedOrder(ids)
   private lazy val idsUtf8 =
     ids.map(org.apache.spark.unsafe.types.UTF8String.fromString)
 
@@ -324,6 +324,27 @@ object NearestCentroidExpr {
   val Name = "nearest_centroid"
   private val info =
     new ExpressionInfo(classOf[NearestCentroidExpr].getName, Name)
+
+  /** `lpad(s, 24, '0')` with Spark's semantics: length in CODE POINTS
+    * (Java String.length counts UTF-16 units and would mis-pad
+    * supplementary-plane ids). */
+  private[plans] def lpad24(s: String): String = {
+    val n = s.codePointCount(0, s.length)
+    if (n >= 24) s.substring(0, s.offsetByCodePoints(0, 24))
+    else ("0" * (24 - n)) + s
+  }
+
+  /** Indices of `ids` sorted by lpad24(id) in UTF-8 BYTE order — the
+    * exact ordering `min_by(struct(-sim, lpad(id, 24, '0')))` applies
+    * (UTF8String compares bytes, i.e. code points; Java compareTo
+    * orders UTF-16 code units, which diverges for ids mixing
+    * supplementary and high-BMP characters). */
+  private[plans] def utf8PaddedOrder(ids: Array[String]): Array[Int] = {
+    val padded = ids.map(i =>
+      lpad24(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ids.indices.sortWith((a, b) =>
+      java.util.Arrays.compareUnsigned(padded(a), padded(b)) < 0).toArray
+  }
   private def litArray(e: Expression, what: String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     require(e.foldable, s"nearest_centroid: $what must be a literal")
@@ -343,6 +364,295 @@ object NearestCentroidExpr {
     require(dim > 0 && ids.length * dim == flat.length,
       s"nearest_centroid: ${ids.length} ids × dim $dim != ${flat.length}")
     NearestCentroidExpr(children(0), ids, flat, dim)
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
+/** TWO-LEVEL argmax-cosine centroid assignment — the large-k path of
+  * [[NearestCentroidExpr]]: the centroid table is itself clustered
+  * into ~√k coarse cells (driver-local, see
+  * [[graft.llm.Similarity.assignToCentroidsTwoLevel]]); each corpus
+  * row scores the coarse centroids, probes its `nprobe` best cells,
+  * and runs the fine argmax over only their members. Per-row work
+  * drops from O(k·dim) to O((√k + nprobe·k/√k)·dim) — the term that
+  * made brute assignment quadratic under the SemDeDup k ∝ corpus
+  * regime (assignment is the inner loop of every Lloyd iteration AND
+  * the full-corpus pass).
+  *
+  * Approximate BY DESIGN (the true argmax can live in an unprobed
+  * cell — the standard IVF trade, recall tunable via nprobe), but
+  * exact in every degenerate case the brute comparator pins:
+  * a zero-norm input vector and the all-null-sims path return the
+  * globally smallest padded id; a zero-norm CENTROID (null sim sorts
+  * before every real one in the min_by ordering) wins regardless of
+  * probing; a vector whose length differs from `dim` falls back to
+  * the full brute scan (partial-norm semantics are length-dependent
+  * and not precomputable). With nprobe ≥ the cell count the probe is
+  * total and the result is bit-identical to brute — the equivalence
+  * the spec pins. Ties and visit order use the same UTF-8-byte padded
+  * ordering as the brute expression. Registered as
+  * `nearest_centroid_2l(vec, ids, flat, dim, coarseFlat, cellOf,
+  * nprobe)`. */
+case class NearestCentroidTwoLevelExpr(
+    child: Expression, ids: Array[String], flat: Array[Double], dim: Int,
+    coarseFlat: Array[Double], cellOf: Array[Int], nprobe: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
+           ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid_2l expects a numeric array vector, got " +
+            s"${other.simpleString}")
+    }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nearest_centroid_2l"
+
+  private lazy val idsUtf8 =
+    ids.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  private lazy val paddedBytes: Array[Array[Byte]] =
+    ids.map(i => NearestCentroidExpr.lpad24(i)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private lazy val order: Array[Int] =
+    NearestCentroidExpr.utf8PaddedOrder(ids)
+  // Globally smallest padded id — the all-null-sims winner.
+  private lazy val minPaddedIdx: Int = order.head
+  // Precomputed fine-centroid norms (valid only for dim-length
+  // vectors, the non-fallback path).
+  private lazy val fineNorms: Array[Double] = {
+    val out = new Array[Double](ids.length)
+    var j = 0
+    while (j < ids.length) {
+      var nb = 0.0; var p = 0; val off = j * dim
+      while (p < dim) { val y = flat(off + p); nb += y * y; p += 1 }
+      out(j) = math.sqrt(nb)
+      j += 1
+    }
+    out
+  }
+  // Smallest-padded zero-norm fine centroid, or -1: its NULL
+  // similarity sorts before every real one in the pinned min_by
+  // ordering, so when one exists it wins every assignment.
+  private lazy val zeroNormHead: Int =
+    order.find(j => fineNorms(j) == 0.0).getOrElse(-1)
+  private lazy val coarseK: Int = coarseFlat.length / dim
+  private lazy val coarseNorms: Array[Double] = {
+    val out = new Array[Double](coarseK)
+    var c = 0
+    while (c < coarseK) {
+      var nb = 0.0; var p = 0; val off = c * dim
+      while (p < dim) { val y = coarseFlat(off + p); nb += y * y; p += 1 }
+      out(c) = math.sqrt(nb)
+      c += 1
+    }
+    out
+  }
+  // Members per coarse cell, each cell's members in padded-id order so
+  // the first strict winner within a cell is the tie choice.
+  private lazy val cells: Array[Array[Int]] = {
+    val buf = Array.fill(coarseK)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    order.foreach(j => buf(cellOf(j)) += j)
+    buf.map(_.toArray)
+  }
+
+  private lazy val typeTag: Int = child.dataType match {
+    case ArrayType(DoubleType, _) => 0
+    case ArrayType(LongType, _) => 1
+    case _ => 2
+  }
+  // One primitive copy per eval, then every dot product runs on plain
+  // double[] — the per-element ArrayData virtual call would otherwise
+  // dominate the (√k + nprobe·k/√k) loop this expression exists to
+  // shrink.
+  private def copyVec(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                      n: Int): Array[Double] = {
+    val q = new Array[Double](n)
+    var i = 0
+    typeTag match {
+      case 0 => while (i < n) { q(i) = v.getDouble(i); i += 1 }
+      case 1 => while (i < n) { q(i) = v.getLong(i).toDouble; i += 1 }
+      case _ => while (i < n) { q(i) = v.getFloat(i).toDouble; i += 1 }
+    }
+    q
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val nv = v.numElements()
+    if (nv != dim) return bruteEval(v, nv)
+    val rd = copyVec(v, dim)
+    var na = 0.0
+    var i = 0
+    while (i < dim) { val x = rd(i); na += x * x; i += 1 }
+    if (na == 0.0) return idsUtf8(minPaddedIdx)
+    if (zeroNormHead >= 0) return idsUtf8(zeroNormHead)
+    val sqna = math.sqrt(na)
+    // Coarse probe: top-nprobe cells by (sim desc, cell asc) —
+    // selection over a bounded candidate array (coarseK ≈ √k).
+    val np = math.min(nprobe, coarseK)
+    val bestCells = new Array[Int](np)
+    val bestSims = new Array[Double](np)
+    var filled = 0
+    var c = 0
+    while (c < coarseK) {
+      var dot = 0.0; var p = 0; val off = c * dim
+      while (p < dim) { dot += rd(p) * coarseFlat(off + p); p += 1 }
+      // A zero-norm coarse centroid carries no direction: rank below
+      // every real similarity (sim ∈ [-1, 1]) but stay probeable when
+      // cells are scarce.
+      val sim = if (coarseNorms(c) == 0.0) -2.0
+        else dot / (sqna * coarseNorms(c))
+      // Insertion position: strictly-better sims displace; equal sims
+      // keep the earlier (smaller) cell index.
+      var pos = filled
+      while (pos > 0 && bestSims(pos - 1) < sim) pos -= 1
+      if (pos < np) {
+        val upto = math.min(filled, np - 1)
+        var q = upto
+        while (q > pos) {
+          bestSims(q) = bestSims(q - 1); bestCells(q) = bestCells(q - 1)
+          q -= 1
+        }
+        bestSims(pos) = sim; bestCells(pos) = c
+        if (filled < np) filled += 1
+      }
+      c += 1
+    }
+    // Fine argmax within probed cells: same strict-improvement update
+    // as brute, tie to the smallest padded id via explicit comparison
+    // (cells are visited in probe order, not padded order).
+    var best = -1
+    var bestSim = 0.0
+    var pc = 0
+    while (pc < filled) {
+      val members = cells(bestCells(pc))
+      var mi = 0
+      while (mi < members.length) {
+        val j = members(mi)
+        var dot = 0.0; var p = 0; val off = j * dim
+        while (p < dim) { dot += rd(p) * flat(off + p); p += 1 }
+        val sim = dot / (sqna * fineNorms(j))
+        val better =
+          if (best == -1) true
+          else if (sim != bestSim) sim > bestSim
+          else java.util.Arrays.compareUnsigned(
+            paddedBytes(j), paddedBytes(best)) < 0
+        if (better) { best = j; bestSim = sim }
+        mi += 1
+      }
+      pc += 1
+    }
+    if (best == -1) null else idsUtf8(best)
+  }
+
+  /** The exact brute comparator over ALL centroids — the fallback for
+    * vectors whose length differs from `dim`, where partial-norm
+    * semantics depend on the input length and the precomputed norms
+    * don't apply. Mirrors [[NearestCentroidExpr.nullSafeEval]]. */
+  private def bruteEval(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                        nv: Int): Any = {
+    val n = math.min(nv, dim)
+    val rd = copyVec(v, n)
+    var na = 0.0
+    var i = 0
+    while (i < n) { val x = rd(i); na += x * x; i += 1 }
+    val sqna = math.sqrt(na)
+    var best = -1
+    var bestSim = 0.0
+    var bestNull = false
+    var o = 0
+    while (o < order.length) {
+      val j = order(o)
+      var dot = 0.0; var nb = 0.0
+      var p = 0
+      val off = j * dim
+      while (p < n) {
+        val x = rd(p); val y = flat(off + p)
+        dot += x * y; nb += y * y
+        p += 1
+      }
+      val denom = sqna * math.sqrt(nb)
+      val simNull = denom == 0.0
+      val sim = if (simNull) 0.0 else dot / denom
+      val better =
+        if (best == -1) true
+        else if (simNull) !bestNull
+        else if (bestNull) false
+        else sim > bestSim
+      if (better) { best = j; bestSim = sim; bestNull = simNull }
+      o += 1
+    }
+    if (best == -1) null else idsUtf8(best)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NearestCentroidTwoLevelExpr =
+    copy(child = newChild)
+
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCentroidTwoLevelExpr =>
+      child == o.child && dim == o.dim && nprobe == o.nprobe &&
+        java.util.Arrays.equals(ids.asInstanceOf[Array[AnyRef]],
+          o.ids.asInstanceOf[Array[AnyRef]]) &&
+        java.util.Arrays.equals(flat, o.flat) &&
+        java.util.Arrays.equals(coarseFlat, o.coarseFlat) &&
+        java.util.Arrays.equals(cellOf, o.cellOf)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(dim), Int.box(nprobe),
+      Int.box(java.util.Arrays.hashCode(flat)),
+      Int.box(java.util.Arrays.hashCode(coarseFlat)),
+      Int.box(java.util.Arrays.hashCode(cellOf)))
+}
+
+object NearestCentroidTwoLevelExpr {
+  val Name = "nearest_centroid_2l"
+  private val info =
+    new ExpressionInfo(classOf[NearestCentroidTwoLevelExpr].getName, Name)
+  private def litArray(e: Expression, what: String)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    require(e.foldable, s"$Name: $what must be a literal")
+    e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  }
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$Name: $what must be a literal")
+    e.eval(null).asInstanceOf[Number].intValue()
+  }
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 7,
+      s"$Name expects 7 arguments (vec, ids, flat, dim, coarseFlat, " +
+        s"cellOf, nprobe), got ${children.size}")
+    val ids = litArray(children(1), "ids").toArray[
+      org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType).map(_.toString)
+    val flat = litArray(children(2), "flat").toDoubleArray()
+    val dim = litInt(children(3), "dim")
+    val coarseFlat = litArray(children(4), "coarseFlat").toDoubleArray()
+    val cellOf = litArray(children(5), "cellOf").toIntArray()
+    val nprobe = litInt(children(6), "nprobe")
+    require(dim > 0 && ids.length * dim == flat.length,
+      s"$Name: ${ids.length} ids × dim $dim != ${flat.length}")
+    require(coarseFlat.length % dim == 0 && coarseFlat.length > 0,
+      s"$Name: coarse matrix length ${coarseFlat.length} not a " +
+        s"multiple of dim $dim")
+    val coarseK = coarseFlat.length / dim
+    require(cellOf.length == ids.length &&
+        cellOf.forall(c => c >= 0 && c < coarseK),
+      s"$Name: cellOf must map every centroid to a coarse cell")
+    require(nprobe >= 1, s"$Name: nprobe must be >= 1")
+    NearestCentroidTwoLevelExpr(children(0), ids, flat, dim, coarseFlat,
+      cellOf, nprobe)
   }
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry

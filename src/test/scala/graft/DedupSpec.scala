@@ -804,6 +804,79 @@ class DedupSpec extends AnyFunSuite {
     assert(eNeo == Map(1L -> smallest, 2L -> smallest))
   }
 
+  test("two-level assignment with a total probe bit-equals brute at large k") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, Sf)
+    // 150 real vectors as centroids — above TwoLevelAssignThreshold,
+    // so assignToCentroids itself routes two-level.
+    assert(150 >= Similarity.TwoLevelAssignThreshold)
+    val cents = Similarity.kmeansCentroids(
+      emb.filter(col("vec_id") < 150), "vec_id", "embedding",
+      k = 150, iters = 1)
+    val exact = Similarity.assignToCentroidsExact(
+        emb, "vec_id", "embedding", cents)
+      .as[(Long, String)].collect().toMap
+    // nprobe ≥ coarse cell count ⇒ the probe is total and the fine
+    // argmax scans everything: bit-identical to brute by construction.
+    val total = Similarity.assignToCentroidsTwoLevel(
+        emb, "vec_id", "embedding", cents, nprobe = 1000)
+      .as[(Long, String)].collect().toMap
+    assert(total.size == exact.size && total == exact)
+    // Deterministic: the default-nprobe routed path reruns identically.
+    val r1 = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+      cents).as[(Long, String)].collect().toMap
+    val r2 = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+      cents).as[(Long, String)].collect().toMap
+    assert(r1 == r2 && r1.size == exact.size)
+    // The approximate default probe still lands the argmax for most
+    // rows even on these UNSTRUCTURED near-random embeddings (IVF's
+    // worst case — no cluster structure to exploit; measured ~0.82 at
+    // 4 of 13 cells probed). Exactness above is the contract; this
+    // line only catches a broken probe (which scores ~1/cells ≈ 0.08)
+    // that would still pass the total-probe test.
+    val agree = r1.count { case (k2, v) => exact(k2) == v }
+    assert(agree.toDouble / exact.size >= 0.75,
+      s"default-probe agreement ${agree}/${exact.size}")
+  }
+
+  test("two-level assignment pins the brute comparator's degenerate cases") {
+    import graft.llm.Similarity
+    // 150 one-hot centroids (dim 150): every point IS a centroid, all
+    // pairs orthogonal — its own coarse cell always outranks the rest,
+    // so even a 1-cell probe must return the point itself.
+    val oneHot = (0 until 150).map { i =>
+      (i.toLong, Seq.tabulate(150)(j => if (j == i) 1.0f else 0.0f))
+    }
+    val cents = oneHot.toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("string").as("cluster"),
+        transform(col("embedding"), _.cast("double")).as("centroid"))
+    val pts = oneHot.toDF("vec_id", "embedding")
+    val got = Similarity.assignToCentroidsTwoLevel(
+        pts, "vec_id", "embedding", cents, nprobe = 1)
+      .as[(Long, String)].collect().toMap
+    assert(got == (0 until 150).map(i => i.toLong -> i.toString).toMap)
+    // Null/empty vectors: all sims null → the globally smallest
+    // lpad-24 id, exactly the brute edge semantics.
+    val edge = Seq((900L, Some(Seq.empty[Float])), (901L, None))
+      .toDF("vec_id", "embedding")
+    val eGot = Similarity.assignToCentroidsTwoLevel(
+        edge, "vec_id", "embedding", cents, nprobe = 1)
+      .as[(Long, String)].collect().toMap
+    assert(eGot == Map(900L -> "0", 901L -> "0"))
+    // A zero-norm CENTROID's null similarity sorts before every real
+    // one in the pinned min_by order — it wins every assignment, on
+    // both paths, regardless of probing.
+    val withZero = cents.unionByName(
+      Seq(("zz", Seq.fill(150)(0.0))).toDF("cluster", "centroid"))
+    val zExact = Similarity.assignToCentroidsExact(
+        pts, "vec_id", "embedding", withZero)
+      .as[(Long, String)].collect().toMap
+    val zTwo = Similarity.assignToCentroidsTwoLevel(
+        pts, "vec_id", "embedding", withZero, nprobe = 1)
+      .as[(Long, String)].collect().toMap
+    assert(zExact.values.toSet == Set("zz") && zTwo == zExact)
+  }
+
   test("native simhash_fp bit-equals the explode+vote aggregation, both cores") {
     val withEdge = docs.select(col("doc_id"), col("text")).unionByName(Seq(
       (100001L, ""), (100002L, "   "), (100003L, " leading and trailing "),
@@ -846,6 +919,20 @@ class DedupSpec extends AnyFunSuite {
     val o2 = Dedup.passageScrub(dup, "doc_id", "text", w = 3, minDocs = 2)
       .as[(Long, Long, Long, String)].collect()
     assert(o2.forall(r => r._3 == 3L && r._4 == ""))
+    // NULL text: a (0, 0, '') passthrough row — not the unguarded
+    // tokens(null) garbage (size -1, descending sequence). Empty text
+    // stays its own case: one empty token ([''], oracle-pinned).
+    val withNull = Seq((1L, Some("a b c")), (2L, Some("a b c")),
+      (3L, None), (4L, Some(""))).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val o3 = Dedup.passageScrub(withNull, "doc_id", "text", w = 3,
+          minDocs = 2, portable = portable)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(o3.size == 4, s"portable=$portable")
+      assert(o3(3L) == ((0L, 0L, "")), s"portable=$portable: ${o3(3L)}")
+      assert(o3(4L) == ((1L, 0L, "")), s"portable=$portable: ${o3(4L)}")
+    }
   }
 
   test("stringless window hashes: coverage and scrub equal the string path") {
