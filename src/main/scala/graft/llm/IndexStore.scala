@@ -125,12 +125,18 @@ object IndexStore {
     Index(cents, cb, codes)
   }
 
-  /** Encode `increment` with the STORED model and append its rows to
-    * the inverted lists — the nightly ANN-index growth path (the
-    * corpus is never re-encoded, the model is never retrained).
-    * Refuses on parameter mismatch. Like [[BandStore.append]], ids
-    * must be disjoint from the stored corpus — the store cannot check
-    * that without scanning the lists. */
+  /** Encode `increment` with the STORED model and grow the inverted
+    * lists — the nightly ANN-index growth path (the corpus is never
+    * re-encoded, the model is never retrained). Refuses on parameter
+    * mismatch. Like [[BandStore.append]], ids must be disjoint from
+    * the stored corpus — the store cannot check that without scanning
+    * the lists. The replacement lists are fully written, then promoted
+    * with the one-directory swap ([[delete]]'s discipline): a raw
+    * parquet `mode("append")` would leave a half-written footerless
+    * file in the live directory on a crash — an index that FAILS TO
+    * READ — and show a concurrent reader a torn list; with the swap a
+    * reader (e.g. a [[graft.streaming.StreamingSearch]] batch) sees
+    * the old lists or the new ones, never a mix. */
   def append(increment: DataFrame, id: String, vec: String, dir: String,
              params: Params): Unit = {
     val spark = increment.sparkSession
@@ -138,10 +144,16 @@ object IndexStore {
     val assign = Similarity.assignToCentroids(increment, id, vec,
       ix.centroids)
     val withC = increment.join(assign, Seq(id))
-    Similarity.ivfpqEncode(withC, id, vec, "cluster", ix.centroids,
-        ix.codebook, params.m, params.dim)
-      .withColumnRenamed(id, "id")
-      .write.mode("append").parquet(s"$dir/$CodesDir")
+    val grown = ix.codes.unionByName(
+      Similarity.ivfpqEncode(withC, id, vec, "cluster", ix.centroids,
+          ix.codebook, params.m, params.dim)
+        .withColumnRenamed(id, "id"))
+    val f = fs(spark, dir)
+    ArtifactStore.cleanStaleTmps(f, dir, CodesDir)
+    val tmp = ArtifactStore.newTmpPath(dir, CodesDir)
+    grown.write.mode("overwrite").parquet(tmp.toString)
+    ArtifactStore.commitSwap(f, dir, CodesDir, tmp, Nil, "IndexStore",
+      "append")
   }
 
   /** Remove `ids` (first column) from the inverted lists — the

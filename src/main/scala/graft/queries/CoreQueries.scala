@@ -200,6 +200,23 @@ object CoreQueries {
         .select(col("lang"), posexplode(col("qs")).as(Seq("q_idx", "n_chars_q")))
     },
 
+    // A7b — the UNBOUNDED-double quantile regime: a7's exact
+    // `percentile` buffers a value→count map per group, which is only
+    // scale-safe when the column's cardinality is bounded; prices are
+    // effectively unique per row, so the report family's other half is
+    // the KLL/GK-style mergeable sketch `approx_percentile` (fixed
+    // memory per group regardless of cardinality — the only shape that
+    // survives a 100 TB column). Sketch internals are engine-specific,
+    // so rows-only; OpsSpec bounds the rank error against the exact
+    // quantiles at the sketch's declared 1/accuracy guarantee.
+    Q.rowsOnly("a8_quantiles_approx") { (s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, " +
+          "array(0.25D, 0.5D, 0.75D), 10000)").as("qs"))
+        .select(col("l_returnflag"),
+          posexplode(col("qs")).as(Seq("q_idx", "price_q")))
+    },
+
     // O1 — external top-k sort with unique tiebreak
     // (ref: workflows/ai.py:268-276).
     Q("o1_topk_sort",

@@ -22,6 +22,35 @@ class OpsSpec extends AnyFunSuite {
     assert(errs > 0 && errs < n)
   }
 
+  test("a8: approx_percentile rank error stays within the sketch bound") {
+    // The a8 registry entry is rows-only (sketch internals are engine-
+    // specific) — this is its g9-style value gate: the returned value
+    // must sit within the declared 1/accuracy RANK error of the target
+    // fraction. approx_percentile returns actual data values, so the
+    // check is on the value's CDF window in the exactly-sorted group.
+    val li = Tables.lineitem(spark, Sf).select(
+      col("l_returnflag").as("g"),
+      col("l_extendedprice").cast("double").as("v"))
+    val approx = li.groupBy("g")
+      .agg(expr("approx_percentile(v, array(0.25D, 0.5D, 0.75D), 10000)")
+        .as("qs"))
+      .as[(String, Seq[Double])].collect().toMap
+    val groups = li.as[(String, Double)].collect()
+      .groupBy(_._1).map { case (g, rows) => g -> rows.map(_._2).sorted }
+    assert(groups.keySet == approx.keySet && groups.nonEmpty)
+    for ((g, vals) <- groups; (frac, i) <- Seq(0.25, 0.5, 0.75).zipWithIndex) {
+      val got = approx(g)(i)
+      val n = vals.length
+      // The value's CDF window: [share strictly below, share at-or-below].
+      val lo = vals.count(_ < got).toDouble / n
+      val hi = vals.count(_ <= got).toDouble / n
+      val tol = 1.0 / 10000 + 1.0 / n
+      assert(vals.contains(got), s"$g q$i: $got is not a data value")
+      assert(frac >= lo - tol && frac <= hi + tol,
+        s"$g q$i: value $got covers CDF [$lo, $hi], target $frac ± $tol")
+    }
+  }
+
   test("latestPerKeyAgg (max_by) equals latestPerKey (window rank)") {
     val o = Tables.orders(spark, Sf)
     val okey = datediff(col("o_orderdate"), lit("1990-01-01")).cast("long") *

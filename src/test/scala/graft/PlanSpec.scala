@@ -77,12 +77,13 @@ class PlanSpec extends AnyFunSuite {
     //   d17_semdedup           → twin d18, TwinConsistencySpec "d17/d18"
     //   f13_provenance         → value env-dependent by nature (rows-only)
     //   g9_distinct_approx     → approx sketch; rows+error spec (GraphSpec)
+    //   a8_quantiles_approx    → approx sketch; rows+rank-error spec (OpsSpec)
     val rowsOnly = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(rowsOnly == Set("f13_provenance", "d3_minhash_lsh_pairs",
       "d11_minhash_oph_pairs", "d4_simhash", "e2_ann_lsh_topk",
       "e4_ann_ivf_topk", "e7_ann_ivf_kmeans", "e9_ann_pq",
       "e12_ann_ivfpq", "d7_embedding_neardup_lsh", "d17_semdedup",
-      "g9_distinct_approx"))
+      "g9_distinct_approx", "a8_quantiles_approx"))
   }
 
   test("no registered query plans a cartesian product, sort-merge join, or UDF") {

@@ -467,4 +467,91 @@ class StreamingSpec extends AnyFunSuite {
 
     graft.queries.Fixtures.deleteRecursively(base)
   }
+
+  test("streaming ANN search serves from the persisted index; maintenance lands at batch boundaries") {
+    implicit val sc = spark.sqlContext
+    import graft.llm.IndexStore
+    // StoreSpec's integer-quantized view: exact integer arithmetic
+    // downstream, so stream/batch comparisons are bit-safe.
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + 0.5)).as("qv")).cache()
+    // The append round's unambiguous signal: CLONES of the query
+    // vectors under fresh ids (vec_id + 1000) — once appended, each
+    // query's rank-1 neighbor is its clone at distance 0 (the search
+    // excludes only query_id == neighbor_id self-matches, not
+    // distance-0 twins).
+    val baseCorpus = emb.filter(col("vec_id") >= 10)
+    val queryVecs = emb.filter(col("vec_id") < 5)
+    val params = IndexStore.Params(dim = 64, clusters = 4, m = 8, k = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft-ssr")
+    val dir = "file:" + base.resolve("ix").toString
+    IndexStore.build(baseCorpus, "vec_id", "qv", dir, params, iters = 1)
+
+    val qRows = queryVecs.as[(Long, Seq[Double])].collect().toSeq
+    // Overscan large enough that the exact re-rank covers the probed
+    // lists entirely: on these UNSTRUCTURED random embeddings the PQ
+    // quantization error is the same magnitude as the inter-point
+    // distances, so a small ADC shortlist can drop even a distance-0
+    // match — the self-match assertion below needs the exact pass to
+    // see it (the e13 fixtures pin determinism, not ADC recall).
+    val Overscan = 400
+    def batchSearch(): Set[(Long, Long, Int, Double)] =
+      IndexStore.searchTopKRerank(spark, dir, params, emb,
+          qRows.toDF("vec_id", "qv"), "vec_id", "qv", k = 3,
+          nprobe = 2, overscan = Overscan)
+        .as[(Long, Long, Int, Double)].collect().toSet
+
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Int, Double)]
+    def round(ckpt: String,
+              corpus: org.apache.spark.sql.DataFrame = emb)
+        : Set[(Long, Long, Int, Double)] = {
+      got.clear()
+      val input = MemoryStream[(Long, Seq[Double])]
+      input.addData(qRows: _*)
+      val q = graft.streaming.StreamingSearch.start(
+        input.toDF().toDF("vec_id", "qv"), "vec_id", "qv", dir, params,
+        corpus, k = 3, base.resolve(ckpt).toString,
+        overscan = Overscan) { (res, _) =>
+        got.synchronized {
+          got ++= res.as[(Long, Long, Int, Double)].collect()
+        }
+      }
+      q.awaitTermination()
+      got.toSet
+    }
+
+    // Round 1: the streaming batch equals the batch operator verbatim,
+    // and the base index can only return ids it has indexed.
+    val r1 = round("c1")
+    assert(r1 == batchSearch() && r1.nonEmpty)
+    assert(r1.forall { case (_, n, _, _) => n >= 10 })
+
+    // Index growth lands between rounds: the NEXT batch searches the
+    // grown inverted lists (swap at the batch boundary) — every query
+    // now finds its appended clone at rank 1, distance 0.
+    val clones = qRows.map { case (i, v) => (i + 1000L, v) }
+    IndexStore.append(clones.toDF("vec_id", "qv"), "vec_id", "qv",
+      dir, params)
+    val embWithClones = emb.unionByName(clones.toDF("vec_id", "qv"))
+    def batchSearchGrown(): Set[(Long, Long, Int, Double)] =
+      IndexStore.searchTopKRerank(spark, dir, params, embWithClones,
+          qRows.toDF("vec_id", "qv"), "vec_id", "qv", k = 3,
+          nprobe = 2, overscan = Overscan)
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val r2 = round("c2", corpus = embWithClones)
+    assert(r2 == batchSearchGrown())
+    for ((qid, _) <- qRows)
+      assert(r2.contains((qid, qid + 1000L, 1, 0.0)),
+        s"query $qid should find its clone after the append")
+
+    // Takedown lands at the next boundary too: deleting the appended
+    // ids restores the base lists exactly (append's exact inverse on
+    // the codes component), so round 3 reproduces round 1.
+    IndexStore.delete(spark, dir, clones.map(_._1).toDF("id"))
+    val r3 = round("c3")
+    assert(r3 == r1)
+
+    graft.queries.Fixtures.deleteRecursively(base)
+  }
 }
