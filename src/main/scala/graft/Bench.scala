@@ -382,6 +382,28 @@ object HeavyBench {
           "embedding", cents)
         Dedup.semDedup(emb, "vec_id", "embedding", assign, cents,
           threshold = 0.35, maxClusterSize = Some(2000))
+      },
+      // Untimed profile of the assignment term alone (k=256 ≥ the
+      // two-level threshold, so the timed entry rides the coarse
+      // probe): one full-corpus pass on each path, same centroids —
+      // the evidence the SemDeDup family's former quadratic term
+      // (brute argmax inside every Lloyd iteration AND the corpus
+      // pass) is no longer the dominant cost.
+      counts = Some { (s, d) =>
+        import graft.llm.{Corpus, Similarity}
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.kmeansCentroids(
+          Corpus.hashSample(emb, "vec_id", 25, "semdedup"),
+          "vec_id", "embedding", k = 256, iters = 3)
+        def ms(f: => Long): Long = {
+          val t0 = System.nanoTime(); f
+          (System.nanoTime() - t0) / 1000000
+        }
+        val two = ms(Similarity.assignToCentroidsTwoLevel(
+          emb, "vec_id", "embedding", cents).count())
+        val brute = ms(Similarity.assignToCentroidsExact(
+          emb, "vec_id", "embedding", cents).count())
+        Seq("assign_twolevel_ms" -> two, "assign_brute_ms" -> brute)
       }),
     HeavyItem("g6_coupling", Seq("lineitem")),
     // Mid-hub coupling: on the plain ×16 fixture EVERY cited key is a

@@ -471,20 +471,23 @@ object ScaleCheck {
       // corpus): brute argmax pays O(rows·k·dim) = quadratic in corpus
       // — the pair of curves is the evidence for routing large-k
       // assignment through the two-level probe (coarse cells ≈ √k,
-      // per-row work O((√k + nprobe·k/√k)·dim) → ~n^1.5 total).
-      // Centroid-table construction (iters=1 seeding) is identical on
-      // both sides and negligible next to assignment.
+      // per-row work O((√k + nprobe·k/√k)·dim) → ~n^1.5 total). The
+      // centroid table is the corpus' first k rows directly (replica
+      // ids are dense), so NO shared Lloyd pass dilutes the contrast —
+      // the timed term is assignment alone.
       Op("assign_brute(k∝n)", { n =>
         val rep = replicateEmb(n)
-        val cents = llm.Similarity.kmeansCentroids(rep, "vec_id",
-          "embedding", k = 1024 * n, iters = 1)
+        val cents = rep.filter(col("vec_id") < 1024 * n).select(
+          col("vec_id").cast("string").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
         llm.Similarity.assignToCentroidsExact(rep, "vec_id", "embedding",
           cents).agg(coalesce(bit_xor(xxhash64(col("cluster"))), lit(0L))).first.getLong(0)
       }, tables = Seq("embeddings")),
       Op("assign_twolevel(k∝n)", { n =>
         val rep = replicateEmb(n)
-        val cents = llm.Similarity.kmeansCentroids(rep, "vec_id",
-          "embedding", k = 1024 * n, iters = 1)
+        val cents = rep.filter(col("vec_id") < 1024 * n).select(
+          col("vec_id").cast("string").as("cluster"),
+          transform(col("embedding"), _.cast("double")).as("centroid"))
         llm.Similarity.assignToCentroidsTwoLevel(rep, "vec_id",
           "embedding", cents).agg(coalesce(bit_xor(xxhash64(col("cluster"))), lit(0L))).first.getLong(0)
       }, tables = Seq("embeddings")),

@@ -292,7 +292,16 @@ object Similarity {
     * only their members. O((√k + nprobe·√k̄)·dim) per row instead of
     * O(k·dim); with nprobe ≥ the coarse cell count it degenerates to
     * an exact (bit-identical) brute scan — the spec's equivalence
-    * handle. */
+    * handle.
+    *
+    * Model-size regime: like the brute expression, the centroid matrix
+    * rides the plan as literals (k·dim doubles in the task binary) —
+    * fine through k·dim ≈ 10⁷ (~80 MB, e.g. a million 10-dim or
+    * 100 K 100-dim centroids), which covers the SemDeDup regime at any
+    * corpus this engine targets (k ≈ corpus/√corpus-cluster-size). A
+    * model beyond executor-literal scale stops being "assignment"
+    * and is the ANN problem proper — route those through the
+    * join-based [[ivfTopK]] family, whose model is a TABLE. */
   def assignToCentroidsTwoLevel(emb: DataFrame, id: String, vec: String,
                                 centroids: DataFrame,
                                 nprobe: Int = 0): DataFrame = {
