@@ -375,7 +375,11 @@ object HeavyBench {
       fn = Some { (s, d) =>
         import graft.llm.{Corpus, Similarity}
         val emb = Tables.embeddings(s, d)
-        val cents = Similarity.kmeansCentroids(
+        // The trainPct discipline end-to-end: Lloyd runs DRIVER-LOCAL
+        // over the collected 25% train sample (bit-identical to the
+        // distributed loop, spec-pinned) — the distributed iterations
+        // paid ~3 scheduled jobs each for millisecond work.
+        val cents = Similarity.kmeansCentroidsLocal(
           Corpus.hashSample(emb, "vec_id", 25, "semdedup"),
           "vec_id", "embedding", k = 256, iters = 3)
         val assign = Similarity.assignToCentroids(emb, "vec_id",
@@ -383,27 +387,34 @@ object HeavyBench {
         Dedup.semDedup(emb, "vec_id", "embedding", assign, cents,
           threshold = 0.35, maxClusterSize = Some(2000))
       },
-      // Untimed profile of the assignment term alone (k=256 ≥ the
+      // Untimed stage profile: the local-vs-distributed Lloyd split
+      // and one full-corpus assignment pass on each path (k=256 ≥ the
       // two-level threshold, so the timed entry rides the coarse
-      // probe): one full-corpus pass on each path, same centroids —
-      // the evidence the SemDeDup family's former quadratic term
-      // (brute argmax inside every Lloyd iteration AND the corpus
-      // pass) is no longer the dominant cost.
+      // probe) — the evidence for where the entry's time actually
+      // goes (the within-cluster pair stage) and what the r12 routing
+      // changes bought.
       counts = Some { (s, d) =>
         import graft.llm.{Corpus, Similarity}
         val emb = Tables.embeddings(s, d)
-        val cents = Similarity.kmeansCentroids(
-          Corpus.hashSample(emb, "vec_id", 25, "semdedup"),
-          "vec_id", "embedding", k = 256, iters = 3)
-        def ms(f: => Long): Long = {
+        def ms(f: => Any): Long = {
           val t0 = System.nanoTime(); f
           (System.nanoTime() - t0) / 1000000
         }
+        var cents: org.apache.spark.sql.DataFrame = null
+        val lloydLocal = ms {
+          cents = Similarity.kmeansCentroidsLocal(
+            Corpus.hashSample(emb, "vec_id", 25, "semdedup"),
+            "vec_id", "embedding", k = 256, iters = 3)
+        }
+        val lloydDist = ms(Similarity.kmeansCentroids(
+          Corpus.hashSample(emb, "vec_id", 25, "semdedup"),
+          "vec_id", "embedding", k = 256, iters = 3))
         val two = ms(Similarity.assignToCentroidsTwoLevel(
           emb, "vec_id", "embedding", cents).count())
         val brute = ms(Similarity.assignToCentroidsExact(
           emb, "vec_id", "embedding", cents).count())
-        Seq("assign_twolevel_ms" -> two, "assign_brute_ms" -> brute)
+        Seq("lloyd_local_ms" -> lloydLocal, "lloyd_dist_ms" -> lloydDist,
+          "assign_twolevel_ms" -> two, "assign_brute_ms" -> brute)
       }),
     HeavyItem("g6_coupling", Seq("lineitem")),
     // Mid-hub coupling: on the plain ×16 fixture EVERY cited key is a

@@ -973,10 +973,13 @@ object Dedup {
     * (centroid_sim, id)-minimal element per linked neighborhood.
     *
     * Plan shape: one broadcast-centroid projection for centroid_sim,
-    * one [[bucketPairs]] aggregation per cluster (collect_set capped
-    * by `maxClusterSize` — the same skew guard as the LSH buckets),
-    * two id-keyed joins to fetch pair vectors, one anti-joinable
-    * dropped set. No global sort, no cartesian.
+    * ONE cluster-keyed aggregation whose member structs carry
+    * (id, centroid_sim, vector) — capped by `maxClusterSize`, the same
+    * skew guard as the LSH buckets — so the exact-cosine verify runs
+    * scan-local on the exploded pairs (no pair-table distinct, no
+    * vector-fetch joins; fat rows never cross an exchange), then one
+    * id-keyed aggregation attaches the drop marks. No global sort, no
+    * cartesian.
     *
     * Output: (id, cluster, centroid_sim ROUND 4, keep) for EVERY input
     * row — callers filter `keep` to materialize the deduplicated
@@ -987,31 +990,56 @@ object Dedup {
                maxClusterSize: Option[Int] = None): DataFrame = {
     val spark = emb.sparkSession
     val vecs = emb.select(col(id).as("__id"), col(vec).as("__v"))
-    val csim = vecs
+    val withC = vecs
       .join(assign.select(col(id).as("__id"), col("cluster")), Seq("__id"))
       .join(broadcast(centroids), Seq("cluster"))
       .select(col("__id"), col("cluster"),
         Similarity.cosineNative(spark, col("__v"), col("centroid"))
-          .as("__csim"))
-    // csim feeds the pair ranking twice and the output once; the
-    // repeated subplan shares one physical exchange via ReuseExchange,
-    // and NOT checkpointing keeps size stats visible to the join
-    // planner (a LogicalRDD would default to "huge").
-    // Pair generation carries each member's centroid_sim INSIDE the
-    // bucket aggregation (collect_set of (id, csim) structs), so the
-    // drop rule needs no join back onto the corpus-wide csim table —
-    // only the two bounded vector fetches remain, against the raw
-    // input (which the planner sizes correctly).
-    val pairs = bucketPairs(
-      csim.select(col("cluster"),
-        struct(col("__id"), col("__csim")).as("__m")),
-      Seq("cluster"), "__m", maxClusterSize)
-      .select(col("id_a.__id").as("id_a"), col("id_a.__csim").as("ca"),
-        col("id_b.__id").as("id_b"), col("id_b.__csim").as("cb"))
-    val ranked = pairs
-      .join(vecs.select(col("__id").as("id_a"), col("__v").as("va")), Seq("id_a"))
-      .join(vecs.select(col("__id").as("id_b"), col("__v").as("vb")), Seq("id_b"))
-      .filter(Similarity.cosineNative(spark, col("va"), col("vb")) >= threshold)
+          .as("__csim"), col("__v"))
+    val csim = withC.select("__id", "cluster", "__csim")
+    // Pair generation carries each member's centroid_sim AND VECTOR
+    // inside the one cluster-keyed aggregation (collect_set of
+    // (id, csim, v) structs — bounded by maxClusterSize × dim, ~1 MB a
+    // group at the heavy config), so the exact-cosine verify runs
+    // SCAN-LOCAL on the exploded pairs and the fat rows never cross an
+    // exchange: the previous shape paid a distinct() shuffle of the
+    // pair table plus TWO id-keyed vector-fetch joins (each shuffling
+    // the ~members²/2-per-cluster pair table again) for the same
+    // arithmetic. No distinct is needed here at all — membership is
+    // unique per cluster and clusters are disjoint, so an unordered
+    // pair arises exactly once. Member structs sort by id (unique per
+    // cluster), preserving bucketPairs' visit order and pair identity
+    // bit-for-bit.
+    val grouped = withC
+      .select(col("cluster"),
+        struct(col("__id"), col("__csim"), col("__v")).as("__m"))
+      .groupBy("cluster")
+      .agg(sort_array(collect_set(col("__m"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val capped = maxClusterSize
+      .map(cap => grouped.filter(size(col("ms")) <= cap))
+      .getOrElse(grouped)
+    // The cosine + threshold run INSIDE the pair-generation lambda, so
+    // a pair below threshold is dropped before its struct ever
+    // materializes — at a selective threshold the explode emits the
+    // few surviving near-dup pairs, not the ~members²/2 candidate
+    // volume (measured: the explode-then-filter form spent its time
+    // GC-ing 2 M transient fat pair structs at the heavy config).
+    graft.plans.GraftFunctions.register(spark)
+    val survivors = flatten(transform(col("ms"), (x, i) =>
+      filter(
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(x.getField("__id").as("id_a"),
+            x.getField("__csim").as("ca"),
+            y.getField("__id").as("id_b"),
+            y.getField("__csim").as("cb"),
+            call_function(graft.plans.GraftFunctions.Name,
+              x.getField("__v"), y.getField("__v")).as("sim"))),
+        p => p.getField("sim") >= threshold)))
+    val ranked = capped
+      .select(explode(survivors).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.ca").as("ca"),
+        col("p.id_b").as("id_b"), col("p.cb").as("cb"))
     val dropped = ranked
       .select(when(struct(col("ca"), col("id_a")) > struct(col("cb"), col("id_b")),
         col("id_a")).otherwise(col("id_b")).as("__id"))

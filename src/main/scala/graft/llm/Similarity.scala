@@ -256,6 +256,135 @@ object Similarity {
     spark.createDataFrame(centroids.collect().toSeq.asJava, centroids.schema)
   }
 
+  /** The Lloyd loop DRIVER-LOCAL over a collected train set —
+    * bit-identical to [[kmeansCentroids]] (spec-pinned, including the
+    * k ≥ [[TwoLevelAssignThreshold]] routed regime: the per-row
+    * assignment calls the SAME expression objects the distributed plan
+    * evaluates, and the mean recompute replays the integer-quantized
+    * accumulation exactly — integer sums are order-independent, which
+    * is what makes the replica possible at all). This is the BPE-
+    * trainer discipline applied to k-means: the distributed loop pays
+    * ~3-4 scheduled jobs PER ITERATION for work that is milliseconds
+    * on collected data, so a trainer that already samples its train
+    * set (the [[Corpus.hashSample]]/trainPct discipline — "models need
+    * thousands of vectors, not billions") should collect once and
+    * iterate locally. `maxTrainRows` is the loud guard against calling
+    * this on an unbounded corpus; the distributed loop remains the
+    * right shape when the train set genuinely doesn't fit a driver. */
+  def kmeansCentroidsLocal(train: DataFrame, id: String, vec: String,
+                           k: Int, iters: Int = 5,
+                           maxTrainRows: Int = 4000000): DataFrame = {
+    require(k >= 1 && iters >= 1,
+      "kmeansCentroidsLocal needs k >= 1, iters >= 1")
+    val spark = train.sparkSession
+    // Seeding exactly as the distributed trainer: the k smallest ids
+    // in the id column's OWN type ordering (one tiny job).
+    val seeds = train.orderBy(col(id)).limit(k)
+      .select(col(id).cast("string"),
+        transform(col(vec), _.cast("double")))
+      .collect()
+    val collected = train
+      .select(transform(col(vec), _.cast("double"))).collect()
+    require(collected.length <= maxTrainRows,
+      s"kmeansCentroidsLocal: train set ${collected.length} rows " +
+        s"exceeds maxTrainRows=$maxTrainRows — sample it " +
+        "(Corpus.hashSample) or use the distributed kmeansCentroids")
+    val emptyVec =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    // Null vectors assign like the distributed coalesce-to-empty rows
+    // and are skipped by the mean recompute (posexplode of null emits
+    // no rows).
+    val vecs = collected.map { r =>
+      if (r.isNullAt(0)) emptyVec
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        r.getSeq[Any](0).toArray)
+    }
+    var centIds: Array[String] = seeds.map(_.getString(0))
+    var centVecs: Array[Array[Double]] =
+      seeds.map(_.getSeq[Double](1).toArray)
+    var it = 1
+    while (it < iters && centIds.nonEmpty) {
+      val dim = centVecs.head.length
+      require(centVecs.forall(_.length == dim),
+        "assignToCentroids: ragged centroid matrix")
+      val assignFn = localAssignFn(centIds, centVecs.flatten, dim)
+      val idxOf = centIds.zipWithIndex.toMap
+      val labels = new Array[Int](vecs.length)
+      java.util.stream.IntStream.range(0, vecs.length).parallel()
+        .forEach(i => labels(i) = idxOf(assignFn(vecs(i))))
+      // The distributed mean is per (cluster, pos) with its own count
+      // (posexplode semantics): replay it verbatim — integer-quantized
+      // sums, per-position counts, positions with no members absent,
+      // clusters with no members dropped.
+      var maxLen = 0
+      vecs.foreach(v => maxLen = math.max(maxLen, v.numElements()))
+      val sums = Array.ofDim[Long](centIds.length, maxLen)
+      val cnts = Array.ofDim[Long](centIds.length, maxLen)
+      var i = 0
+      while (i < vecs.length) {
+        val v = vecs(i); val n = v.numElements()
+        var p = 0
+        while (p < n) {
+          require(!v.isNullAt(p),
+            "kmeansCentroidsLocal: null vector elements are unsupported" +
+              " (the distributed trainer fails on them too)")
+          sums(labels(i))(p) +=
+            math.floor(v.getDouble(p) * 1e6 + 0.5).toLong
+          cnts(labels(i))(p) += 1
+          p += 1
+        }
+        i += 1
+      }
+      val keep = centIds.indices.filter(c => cnts(c).exists(_ > 0))
+      centVecs = keep.map { c =>
+        (0 until maxLen).filter(p => cnts(c)(p) > 0)
+          .map(p => sums(c)(p).toDouble / (cnts(c)(p).toDouble * 1e6))
+          .toArray
+      }.toArray
+      centIds = keep.map(centIds).toArray
+      it += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val out = centIds.indices.map(j =>
+      org.apache.spark.sql.Row(centIds(j), centVecs(j).toSeq))
+    spark.createDataFrame(out.asJava, schema)
+  }
+
+  /** One-row evaluator over the SAME routed expression objects the
+    * distributed assignment plans use ([[assignToCentroids]]'s k
+    * routing, canonical centroid order included) — bit-identity with
+    * the cluster path by construction, not by re-implementation. */
+  private def localAssignFn(ids: Array[String], flat: Array[Double],
+                            dim: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData => String = {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val child = BoundReference(0, ArrayType(DoubleType), nullable = false)
+    val expr: org.apache.spark.sql.catalyst.expressions.Expression =
+      if (ids.length >= TwoLevelAssignThreshold) {
+        val m = canonicalOrder(CentroidMatrix(ids, flat, dim))
+        val coarseK = math.max(1,
+          math.ceil(math.sqrt(m.ids.length.toDouble)).toInt)
+        val (coarseFlat, cellOf) =
+          coarseClusterLocal(m.flat, m.ids.length, m.dim, coarseK)
+        graft.plans.NearestCentroidTwoLevelExpr(child, m.ids, m.flat,
+          m.dim, coarseFlat, cellOf, defaultNprobe(m.ids.length))
+      } else graft.plans.NearestCentroidExpr(child, ids, flat, dim)
+    ad => {
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](ad))
+      val r = expr.eval(row)
+      if (r == null) null else r.toString
+    }
+  }
+
   /** Above this centroid count, [[assignToCentroids]] routes through
     * the two-level probe ([[assignToCentroidsTwoLevel]]): brute argmax
     * is O(k·dim) per row — the quadratic term under the SemDeDup
@@ -358,11 +487,20 @@ object Similarity {
   }
 
   private def assignTwoLevelFromMatrix(emb: DataFrame, id: String,
-                                       vec: String, m: CentroidMatrix,
+                                       vec: String, m0: CentroidMatrix,
                                        nprobe: Int): DataFrame = {
     val spark = emb.sparkSession
-    if (m.ids.isEmpty)
+    if (m0.ids.isEmpty)
       return emb.select(col(id), lit("").as("cluster")).limit(0)
+    // Canonicalize centroid order (padded-id UTF-8 bytes) BEFORE the
+    // coarse seeding: the coarse model seeds from the first √k rows,
+    // and the incoming table order is a groupBy/collect artifact that
+    // can differ across runs — without the sort the APPROXIMATE
+    // assignment (and through Lloyd, the centroids themselves at
+    // k ≥ the threshold) would be run-order-dependent. The exact
+    // comparator never needed this (its visit order is computed from
+    // the ids, not the row order).
+    val m = canonicalOrder(m0)
     val coarseK = math.max(1,
       math.ceil(math.sqrt(m.ids.length.toDouble)).toInt)
     val (coarseFlat, cellOf) =
@@ -374,6 +512,19 @@ object Similarity {
         typedLit(m.flat.toSeq), lit(m.dim),
         typedLit(coarseFlat.toSeq), typedLit(cellOf.toSeq),
         lit(nprobe)).as("cluster"))
+  }
+
+  private def canonicalOrder(m: CentroidMatrix): CentroidMatrix = {
+    if (m.ids.isEmpty) return m
+    val order = graft.plans.NearestCentroidExpr.utf8PaddedOrder(m.ids)
+    val ids = order.map(m.ids)
+    val flat = new Array[Double](m.flat.length)
+    var j = 0
+    while (j < order.length) {
+      System.arraycopy(m.flat, order(j) * m.dim, flat, j * m.dim, m.dim)
+      j += 1
+    }
+    CentroidMatrix(ids, flat, m.dim)
   }
 
   /** Driver-local deterministic Lloyd over the FINE CENTROID matrix —

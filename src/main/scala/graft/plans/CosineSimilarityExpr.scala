@@ -339,7 +339,7 @@ object NearestCentroidExpr {
     * (UTF8String compares bytes, i.e. code points; Java compareTo
     * orders UTF-16 code units, which diverges for ids mixing
     * supplementary and high-BMP characters). */
-  private[plans] def utf8PaddedOrder(ids: Array[String]): Array[Int] = {
+  private[graft] def utf8PaddedOrder(ids: Array[String]): Array[Int] = {
     val padded = ids.map(i =>
       lpad24(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ids.indices.sortWith((a, b) =>

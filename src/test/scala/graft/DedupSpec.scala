@@ -839,6 +839,43 @@ class DedupSpec extends AnyFunSuite {
       s"default-probe agreement ${agree}/${exact.size}")
   }
 
+  test("driver-local Lloyd bit-equals the distributed trainer, both k regimes") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, Sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Seq[Double])].collect().toSet
+    // Exact regime (k=8 < threshold): the oracle-pinned shape.
+    val d8 = asSet(Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 8, iters = 3))
+    val l8 = asSet(Similarity.kmeansCentroidsLocal(emb, "vec_id",
+      "embedding", k = 8, iters = 3))
+    assert(l8 == d8 && l8.size == 8)
+    // Routed regime (k=150 ≥ threshold): Lloyd's inner assignment rides
+    // the two-level probe on BOTH paths — equality here also pins the
+    // canonical centroid order (without it the coarse seeding would be
+    // collect-order-dependent and the two could diverge).
+    val d150 = asSet(Similarity.kmeansCentroids(emb, "vec_id",
+      "embedding", k = 150, iters = 3))
+    val l150 = asSet(Similarity.kmeansCentroidsLocal(emb, "vec_id",
+      "embedding", k = 150, iters = 3))
+    assert(l150 == d150 && l150.nonEmpty)
+    // Null-vector rows: assigned like the distributed coalesce-to-empty
+    // rows, invisible to the means.
+    val withNull = emb.select("vec_id", "embedding").unionByName(Seq(
+      (900001L, None: Option[Seq[Float]])).toDF("vec_id", "embedding"))
+    val dN = asSet(Similarity.kmeansCentroids(withNull, "vec_id",
+      "embedding", k = 8, iters = 2))
+    val lN = asSet(Similarity.kmeansCentroidsLocal(withNull, "vec_id",
+      "embedding", k = 8, iters = 2))
+    assert(lN == dN)
+    // The loud guard against unbounded collects.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroidsLocal(emb, "vec_id", "embedding",
+        k = 8, iters = 2, maxTrainRows = 10)
+    }
+    assert(e.getMessage.contains("maxTrainRows"))
+  }
+
   test("two-level assignment pins the brute comparator's degenerate cases") {
     import graft.llm.Similarity
     // 150 one-hot centroids (dim 150): every point IS a centroid, all
