@@ -901,19 +901,45 @@ object Dedup {
     // as the corpus grows past tables×2^planes·cap (measured on the
     // ScaleCheck media sweep: ×16 corpus → ×199 time uncapped). A
     // production run always caps; the bounded oracle twins keep None.
-    val withBuckets = emb.select(col(id).as("doc"),
+    val staged = emb.select(col(id).as("doc"), col(vec).as("v"),
       posexplode(Similarity.lshBucketsAll(emb.sparkSession, col(vec),
         tables, planes, dim)).as(Seq("tbl", "bkt")))
-    val candidates =
-      bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", maxBucketSize)
-    val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
-    candidates
-      .join(vecs.withColumnsRenamed(Map("doc" -> "id_a", "v" -> "va")), Seq("id_a"))
-      .join(vecs.withColumnsRenamed(Map("doc" -> "id_b", "v" -> "vb")), Seq("id_b"))
-      .withColumn("sim",
-        Similarity.cosineNative(emb.sparkSession, col("va"), col("vb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    lshVerifiedPairs(staged, threshold, maxBucketSize)
+  }
+
+  /** The shared verify tail of both embedding-LSH variants: members
+    * carry their VECTOR through the (table, bucket) aggregation and
+    * the exact-cosine threshold runs inside the pair-generation lambda
+    * (the semDedup discipline), so a below-threshold candidate is
+    * dropped before its pair struct materializes and the cross-table
+    * dedup `distinct()` shuffles only SURVIVORS. The trade is explicit
+    * and scale-directed: vectors cross the one bucket exchange
+    * `tables`× (linear in the corpus), in exchange for never shuffling
+    * the candidate-pair volume — the term that is quadratic per hot
+    * bucket and used to ride a distinct PLUS two id-keyed vector-fetch
+    * joins. */
+  private def lshVerifiedPairs(staged: DataFrame, threshold: Double,
+                               maxBucketSize: Option[Int]): DataFrame = {
+    graft.plans.GraftFunctions.register(staged.sparkSession)
+    val grouped = staged
+      .groupBy("tbl", "bkt")
+      .agg(sort_array(collect_set(struct(col("doc"), col("v")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val capped = maxBucketSize
+      .map(cap => grouped.filter(size(col("ms")) <= cap))
+      .getOrElse(grouped)
+    val survivors = flatten(transform(col("ms"), (x, i) =>
+      filter(
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(x.getField("doc").as("id_a"),
+            y.getField("doc").as("id_b"),
+            call_function(graft.plans.GraftFunctions.Name,
+              x.getField("v"), y.getField("v")).as("sim"))),
+        p => p.getField("sim") >= threshold)))
+    capped.select(explode(survivors).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(col("p.sim"), 4).as("sim"))
+      .distinct()
   }
 
   /** Portable twin of [[embeddingNearDupPairsLsh]] (the d5/d9 pattern:
@@ -935,19 +961,10 @@ object Dedup {
                                        dim: Int = 64,
                                        maxBucketSize: Option[Int] = None)
       : DataFrame = {
-    val withBuckets = emb.select(col(id).as("doc"),
+    val staged = emb.select(col(id).as("doc"), col(vec).as("v"),
       posexplode(Similarity.portableLshBuckets(col(vec), tables, planes,
         dim)).as(Seq("tbl", "bkt")))
-    val candidates =
-      bucketPairs(withBuckets, Seq("tbl", "bkt"), "doc", maxBucketSize)
-    val vecs = emb.select(col(id).as("doc"), col(vec).as("v"))
-    candidates
-      .join(vecs.withColumnsRenamed(Map("doc" -> "id_a", "v" -> "va")), Seq("id_a"))
-      .join(vecs.withColumnsRenamed(Map("doc" -> "id_b", "v" -> "vb")), Seq("id_b"))
-      .withColumn("sim",
-        Similarity.cosineNative(emb.sparkSession, col("va"), col("vb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    lshVerifiedPairs(staged, threshold, maxBucketSize)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-scoped
