@@ -763,6 +763,192 @@ object Similarity {
     centroids
   }
 
+  /** [[pqTrain]] DRIVER-LOCAL — bit-identical (spec-pinned) over a
+    * collected train set: the [[kmeansCentroidsLocal]] argument
+    * verbatim (the distributed loop pays scheduled jobs per iteration
+    * for millisecond work on an already-sampled train set; integer-
+    * quantized means are order-independent, the L2 fold is replayed
+    * left-to-right, min_by ties to the smallest code by ascending
+    * visit order). `maxTrainRows` is the loud unbounded-collect
+    * guard. */
+  def pqTrainLocal(emb: DataFrame, id: String, vec: String,
+                   m: Int = 8, k: Int = 16, iters: Int = 3,
+                   dim: Int = 64, maxTrainRows: Int = 4000000)
+      : DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(k >= 1 && iters >= 1, "pqTrainLocal needs k >= 1, iters >= 1")
+    val rows = emb.select(col(id),
+      transform(col(vec), _.cast("double"))).collect()
+    require(rows.length <= maxTrainRows,
+      s"pqTrainLocal: train set ${rows.length} rows exceeds " +
+        s"maxTrainRows=$maxTrainRows — sample it or use pqTrain")
+    val ids = rows.map(_.get(0).asInstanceOf[AnyRef])
+    val vecs = rows.map { r =>
+      require(!r.isNullAt(1),
+        "pqTrainLocal: null vectors in the train set are unsupported")
+      r.getSeq[Double](1).toArray
+    }
+    pqTrainLocalCore(emb.sparkSession, ids, vecs, m, k, iters, dim)
+  }
+
+  /** [[ivfpqTrain]] DRIVER-LOCAL — residuals computed on the driver
+    * against the (already driver-bounded) coarse-centroid table, then
+    * the shared local PQ core. Rows whose cluster is absent from the
+    * centroid table are dropped, mirroring the distributed inner
+    * join. */
+  def ivfpqTrainLocal(withCluster: DataFrame, id: String, vec: String,
+                      clusterCol: String, centroids: DataFrame,
+                      m: Int = 8, k: Int = 16, iters: Int = 3,
+                      dim: Int = 64, maxTrainRows: Int = 4000000)
+      : DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(k >= 1 && iters >= 1, "ivfpqTrainLocal needs k >= 1, iters >= 1")
+    val cents = centroids
+      .select(col("cluster").cast("string"),
+        transform(col("centroid"), _.cast("double")))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toArray).toMap
+    val rows = withCluster.select(col(id),
+      col(clusterCol).cast("string"),
+      transform(col(vec), _.cast("double"))).collect()
+    require(rows.length <= maxTrainRows,
+      s"ivfpqTrainLocal: train set ${rows.length} rows exceeds " +
+        s"maxTrainRows=$maxTrainRows — sample it or use ivfpqTrain")
+    val kept = rows.filter(r => !r.isNullAt(1) && cents.contains(r.getString(1)))
+    val ids = kept.map(_.get(0).asInstanceOf[AnyRef])
+    val vecs = kept.map { r =>
+      require(!r.isNullAt(2),
+        "ivfpqTrainLocal: null vectors in the train set are unsupported")
+      val v = r.getSeq[Double](2).toArray
+      val c = cents(r.getString(1))
+      // zip_with(x, c, x - c): residual length = max side, but the
+      // fixtures guarantee dim on both; mirror the common case.
+      val n = math.min(v.length, c.length)
+      val rv = new Array[Double](n)
+      var p = 0
+      while (p < n) { rv(p) = v(p) - c(p); p += 1 }
+      rv
+    }
+    pqTrainLocalCore(withCluster.sparkSession, ids, vecs, m, k, iters,
+      dim)
+  }
+
+  /** The shared local Lloyd core of [[pqTrainLocal]]/[[ivfpqTrainLocal]]:
+    * seeds = the k smallest ids' subvectors with codes their dense id
+    * rank (type-aware ordering — numeric natural, strings by UTF-8
+    * bytes, matching Spark's orderBy), assignment = argmin of the
+    * left-to-right squared-L2 fold with ties to the smallest code,
+    * means = the integer-quantized per-(subspace, code, pos)
+    * accumulation, emptied codes dropped. */
+  private def pqTrainLocalCore(spark: org.apache.spark.sql.SparkSession,
+                               ids: Array[AnyRef],
+                               vecs: Array[Array[Double]],
+                               m: Int, k: Int, iters: Int, dim: Int)
+      : DataFrame = {
+    val sub = dim / m
+    val ord: Ordering[AnyRef] = (a: AnyRef, b: AnyRef) => (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long)       => x.compareTo(y)
+      case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+      case (x: java.lang.Double, y: java.lang.Double)   => x.compareTo(y)
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
+    val seedIdx = ids.indices.sortBy(ids)(ord).take(k)
+    def sliceOf(v: Array[Double], s: Int): Array[Double] = {
+      val from = s * sub
+      val until = math.min(v.length, from + sub)
+      if (from >= until) Array.empty[Double]
+      else java.util.Arrays.copyOfRange(v, from, until)
+    }
+    // codes(s) = sorted surviving codes; cents(s)(j) = that code's
+    // centroid (parallel arrays, ascending code = the tie visit order).
+    var codes: Array[Array[Int]] =
+      Array.fill(m)(seedIdx.indices.toArray)
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      seedIdx.map(i => sliceOf(vecs(i), s)).toArray
+    }
+    var it = 1
+    while (it < iters && codes.exists(_.nonEmpty)) {
+      // labels(i)(s) = index INTO codes(s) of vector i's nearest code.
+      val labels = Array.ofDim[Int](vecs.length, m)
+      java.util.stream.IntStream.range(0, vecs.length).parallel()
+        .forEach { i =>
+          val v = vecs(i)
+          var s = 0
+          while (s < m) {
+            val sv = sliceOf(v, s)
+            val cs = cents(s)
+            var best = -1
+            var bestD = 0.0
+            var j = 0
+            while (j < cs.length) {
+              val c = cs(j)
+              require(sv.length == c.length,
+                "pqTrainLocal: ragged subvectors are unsupported")
+              var d = 0.0
+              var p = 0
+              while (p < sv.length) {
+                val x = sv(p) - c(p); d += x * x; p += 1
+              }
+              if (best == -1 || d < bestD) { best = j; bestD = d }
+              j += 1
+            }
+            labels(i)(s) = best
+            s += 1
+          }
+        }
+      val nextCodes = new Array[Array[Int]](m)
+      val nextCents = new Array[Array[Array[Double]]](m)
+      var s = 0
+      while (s < m) {
+        val nC = codes(s).length
+        val sums = Array.ofDim[Long](nC, sub)
+        val cnts = Array.ofDim[Long](nC, sub)
+        var i = 0
+        while (i < vecs.length) {
+          val sv = sliceOf(vecs(i), s)
+          val j = labels(i)(s)
+          if (j >= 0) {
+            var p = 0
+            while (p < sv.length) {
+              sums(j)(p) += math.floor(sv(p) * 1e6 + 0.5).toLong
+              cnts(j)(p) += 1
+              p += 1
+            }
+          }
+          i += 1
+        }
+        val keep = (0 until nC).filter(j => cnts(j).exists(_ > 0))
+        nextCodes(s) = keep.map(codes(s)).toArray
+        nextCents(s) = keep.map { j =>
+          (0 until sub).filter(p => cnts(j)(p) > 0)
+            .map(p => sums(j)(p).toDouble / (cnts(j)(p).toDouble * 1e6))
+            .toArray
+        }.toArray
+        s += 1
+      }
+      codes = nextCodes
+      cents = nextCents
+      it += 1
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("subspace",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val out = for {
+      s <- 0 until m
+      j <- codes(s).indices
+    } yield org.apache.spark.sql.Row(s, codes(s)(j), cents(s)(j).toSeq)
+    spark.createDataFrame(out.asJava, schema)
+  }
+
   /** Loud guard for the codebook ↔ caller (m, dim) contract — the
     * BandStore.ensureParams discipline for PQ: a mismatched codebook
     * makes zip_with pad with nulls and min_by pick arbitrary codes, so

@@ -460,7 +460,7 @@ object LlmQueries {
     // near-orthogonal (d6's note), so 0.95 would gate a no-drop run.
     Q.rowsOnly("d17_semdedup") { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val cents = Similarity.kmeansCentroids(
+      val cents = Similarity.kmeansCentroidsLocal(
         graft.llm.Corpus.hashSample(emb, "vec_id", 25, "semdedup"),
         "vec_id", "embedding", k = 8, iters = 3)
       val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
@@ -1170,7 +1170,7 @@ object LlmQueries {
       // train on a deterministic ~25% hash sample — Lloyd iterations
       // scan only the sample — then the FULL corpus encodes and
       // searches against them.
-      val codebook = Similarity.pqTrain(
+      val codebook = Similarity.pqTrainLocal(
         graft.llm.Corpus.hashSample(emb, "vec_id", 25, "pqtrain"),
         "vec_id", "embedding", m = 8, k = 16, iters = 3)
       val codes = Similarity.pqEncode(emb, "vec_id", "embedding", codebook)
@@ -1309,7 +1309,7 @@ object LlmQueries {
       // Deployment shape: Lloyd trains on a deterministic ~25% hash
       // sample; the full corpus is then assigned in one broadcast
       // map-side pass and searched.
-      val cents = Similarity.kmeansCentroids(
+      val cents = Similarity.kmeansCentroidsLocal(
         graft.llm.Corpus.hashSample(emb, "vec_id", 25, "ivftrain"),
         "vec_id", "embedding", k = 8, iters = 3)
       val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
@@ -1406,7 +1406,7 @@ object LlmQueries {
       // on a deterministic ~25% hash sample; the full corpus is then
       // assigned, encoded, and searched against them.
       val sample = graft.llm.Corpus.hashSample(emb, "vec_id", 25, "ivfpqtrain")
-      val cents = Similarity.kmeansCentroids(sample,
+      val cents = Similarity.kmeansCentroidsLocal(sample,
         "vec_id", "embedding", k = 8, iters = 3)
       // The assignment table is materialized once (what a deployment
       // does — it IS the inverted-list index): it feeds both the
@@ -1416,7 +1416,7 @@ object LlmQueries {
       val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
         cents).localCheckpoint()
       val withC = emb.join(assign, Seq("vec_id"))
-      val cb = Similarity.ivfpqTrain(
+      val cb = Similarity.ivfpqTrainLocal(
         graft.llm.Corpus.hashSample(withC, "vec_id", 25, "ivfpqtrain"),
         "vec_id", "embedding", "cluster", cents, m = 8, k = 16, iters = 3)
       val codes = Similarity.ivfpqEncode(withC, "vec_id", "embedding",

@@ -876,6 +876,38 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxTrainRows"))
   }
 
+  test("driver-local PQ trainers bit-equal the distributed loops") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, Sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Int, Seq[Double])].collect().toSet
+    // Raw-vector PQ: the e9/e10 trainer shape.
+    val dPq = asSet(Similarity.pqTrain(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", m = 8, k = 16, iters = 3))
+    val lPq = asSet(Similarity.pqTrainLocal(
+      emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", m = 8, k = 16, iters = 3))
+    assert(lPq == dPq && lPq.nonEmpty)
+    // Residual IVF-PQ: the e12/e13 trainer shape (coarse assignment +
+    // residual against the broadcast centroid, then the same loop).
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 2)
+    val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+      cents)
+    val withC = emb.join(assign, Seq("vec_id"))
+    val dIvf = asSet(Similarity.ivfpqTrain(withC, "vec_id", "embedding",
+      "cluster", cents, m = 8, k = 16, iters = 3))
+    val lIvf = asSet(Similarity.ivfpqTrainLocal(withC, "vec_id",
+      "embedding", "cluster", cents, m = 8, k = 16, iters = 3))
+    assert(lIvf == dIvf && lIvf.nonEmpty)
+    // The loud guard against unbounded collects.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTrainLocal(emb, "vec_id", "embedding",
+        maxTrainRows = 10)
+    }
+    assert(e.getMessage.contains("maxTrainRows"))
+  }
+
   test("two-level assignment pins the brute comparator's degenerate cases") {
     import graft.llm.Similarity
     // 150 one-hot centroids (dim 150): every point IS a centroid, all
