@@ -62,7 +62,10 @@ object IndexStore {
     val train =
       if (trainPct >= 100) emb
       else Corpus.hashSample(emb, id, trainPct, trainSeed)
-    val cents = Similarity.kmeansCentroids(train, id, vec,
+    // Both trainers run driver-local over the (sampled, bounded) train
+    // set — bit-identical to the distributed loops (DedupSpec-pinned),
+    // without paying scheduled jobs per Lloyd iteration at build time.
+    val cents = Similarity.kmeansCentroidsLocal(train, id, vec,
       params.clusters, iters)
     // Materialized once: the assignment feeds both the codebook
     // training branch and the encode branch (the e12 discipline).
@@ -72,8 +75,8 @@ object IndexStore {
     val cbTrain =
       if (trainPct >= 100) withC
       else Corpus.hashSample(withC, id, trainPct, trainSeed)
-    val cb = Similarity.ivfpqTrain(cbTrain, id, vec, "cluster", cents,
-      params.m, params.k, iters, params.dim)
+    val cb = Similarity.ivfpqTrainLocal(cbTrain, id, vec, "cluster",
+      cents, params.m, params.k, iters, params.dim)
     val codes = Similarity.ivfpqEncode(withC, id, vec, "cluster", cents,
       cb, params.m, params.dim)
     write(cents, cb, codes.withColumnRenamed(id, "id"), dir, params)
