@@ -516,6 +516,36 @@ object HeavyBench {
         graft.llm.TokenizerStore.tokenCounts(s, s"$d/bpe_tokenizer",
           HeavyTokParams, docs(s, d), "doc_id", "text")
       }),
+    // The END-TO-END corpus build at production shape: pipe17's funnel
+    // (stringless coverage, Gopher thresholds FIT to this corpus —
+    // measured 11.8 chars/word and zero English stopwords, so
+    // maxMeanWordLen 20 / stop floor 0; the registered query keeps the
+    // SF-corpus defaults for its oracle), per-lang quota 5000, BPE
+    // budgets served from the prebuilt 1000-merge store, GPT-style
+    // 2048-token sequence packing across 32 shards. Untimed count =
+    // curated survivors (the packed set's size).
+    HeavyItem("pipe24_corpus_build", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some { (s, d) =>
+        val curated = queries.PipelineQueries.curationFunnel(s, d,
+            portableCov = false, maxMeanWordLen = 20.0, minStopHits = 0,
+            quota = 5000)
+          .select("doc_id", "lang").localCheckpoint()
+        val curatedDocs = docs(s, d).select("doc_id", "text")
+          .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
+        val budgets = graft.llm.TokenizerStore.tokenCounts(s,
+          s"$d/bpe_tokenizer", HeavyTokParams, curatedDocs,
+          "doc_id", "text")
+        graft.llm.Corpus.packSequences(
+          budgets.join(broadcast(curated), Seq("doc_id")), "doc_id",
+          col("n_bpe_tokens"), numShards = 32, budgetTokens = 2048,
+          seed = "pt")
+      },
+      counts = Some { (s, d) =>
+        Seq("curated_docs" -> queries.PipelineQueries.curationFunnel(
+          s, d, portableCov = false, maxMeanWordLen = 20.0,
+          minStopHits = 0, quota = 5000).count())
+      }),
     // LM SERVING from the persisted artifact: pipe21's heavy entry
     // times what a model rebuild pays (train+score+bucket in one
     // window); this times what the nightly batch pays — read the

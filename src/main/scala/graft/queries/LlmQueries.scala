@@ -1626,9 +1626,17 @@ object LlmQueries {
     * per-doc sum of segment lengths, character fallback (len+1, the
     * `</w>` marker) for words outside the vocabulary, zero for
     * wordless docs. */
-  private def bpeTokensOracleSql(merges: Int): String = {
+  /** The full BPE train CTE chain (vocabulary + all merge rounds, no
+    * final SELECT) — shared by the t14 oracle and pipe24's composed
+    * corpus-build oracle. Starts with `WITH `; the final segmentation
+    * table is `w<merges>`. */
+  private[queries] def bpeChainSql(merges: Int): String = {
     val train = bpeOracleSql(merges)
-    val chain = train.substring(0, train.indexOf("\nSELECT * FROM ("))
+    train.substring(0, train.indexOf("\nSELECT * FROM ("))
+  }
+
+  private def bpeTokensOracleSql(merges: Int): String = {
+    val chain = bpeChainSql(merges)
     s"""$chain,
        |dw AS (
        |  SELECT doc_id, w FROM (

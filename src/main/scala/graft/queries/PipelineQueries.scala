@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.llm.{Corpus, Dedup, TextAnalysis}
+import graft.llm.{Corpus, Dedup, TextAnalysis, TokenizerStore}
 
 /** Composite pipeline-shaped queries: the end-to-end flows a user of
   * the engine actually runs, each still oracle-checkable. */
@@ -168,7 +168,17 @@ object PipelineQueries {
     // still boilerplate); at 100 TB the whole funnel is the per-row
     // scoring scan + two hash-keyed aggs (window hashes, fingerprint)
     // + the bounded per-stratum cut.
-    Q("pipe17_llm_curation",
+    Q("pipe17_llm_curation", CurationOracleSql) { (s, d) =>
+      curationFunnel(s, d, portableCov = true)
+    },
+
+    pipe24)
+
+  /** pipe17's funnel oracle verbatim — also the curation stage of
+    * pipe24's corpus-build oracle (embedded as a nested WITH, so its
+    * CTE names stay scoped to the subquery and cannot collide with
+    * the BPE chain's). */
+  private[queries] lazy val CurationOracleSql: String =
       s"""WITH base AS (
          |  SELECT doc_id, lang, text, string_split(trim(text), ' ') AS toks
          |  FROM documents),
@@ -261,9 +271,83 @@ object PipelineQueries {
          |    PARTITION BY lang ORDER BY
          |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'),
          |        1, 10)) AS BIGINT), doc_id) AS rk
-         |  FROM uniq) WHERE rk <= 25""".stripMargin) { (s, d) =>
-      curationFunnel(s, d, portableCov = true)
-    })
+         |  FROM uniq) WHERE rk <= 25""".stripMargin
+
+  /** pipe24 — the END-TO-END pretraining corpus build: curate
+    * (pipe17's funnel verbatim) → BPE token budgets SERVED from the
+    * persisted [[graft.llm.TokenizerStore]] artifact (t14's store,
+    * trained once on the full corpus) → GPT-style sequence packing
+    * (c4's concat-and-chunk layout) — the complete "documents in,
+    * training-batch layout out" flow a pretraining data pipeline runs,
+    * composed entirely from individually-oracled stages and gated
+    * under ONE composed oracle (funnel CTEs nested, BPE train chain
+    * replayed on the full corpus, budgets joined to survivors, the
+    * per-shard running-sum cut).
+    *
+    * Scale shape: the funnel is the scoring scan + two hash-keyed
+    * aggs; tokenization touches only survivors (one broadcast
+    * merge-table join); packing is one hash shuffle on the shard id
+    * with an in-partition running sum — no stage re-reads text after
+    * the funnel and no global sort anywhere. */
+  private lazy val pipe24: Q = {
+    val M = 6
+    val chain = LlmQueries.bpeChainSql(M).stripPrefix("WITH ")
+    val hashPt =
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pt'), " +
+        "1, 10)) AS BIGINT)"
+    Q("pipe24_corpus_build",
+      s"""WITH curated AS MATERIALIZED (
+         |$CurationOracleSql
+         |),
+         |$chain,
+         |dw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT d.doc_id, unnest(string_split(trim(d.text), ' ')) AS w
+         |    FROM documents d JOIN curated USING (doc_id))
+         |  WHERE len(w) > 0),
+         |agg AS (
+         |  SELECT dw.doc_id, sum(coalesce(len(wf.s), len(dw.w) + 1)) AS n
+         |  FROM dw LEFT JOIN w$M wf ON dw.w = wf.w
+         |  GROUP BY dw.doc_id),
+         |tok AS (
+         |  SELECT c.doc_id, c.lang,
+         |         CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens
+         |  FROM curated c LEFT JOIN agg USING (doc_id)),
+         |pk AS (SELECT doc_id, lang, n_bpe_tokens, $hashPt AS hv FROM tok),
+         |pc AS (SELECT doc_id, lang, n_bpe_tokens,
+         |         CAST(hv % 4 AS INT) AS shard,
+         |         sum(n_bpe_tokens) OVER (PARTITION BY hv % 4
+         |           ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM pk)
+         |SELECT doc_id, lang, n_bpe_tokens, shard,
+         |  CAST((cum - n_bpe_tokens) // 256 AS INT) AS seq_idx,
+         |  CAST((cum - n_bpe_tokens) % 256 AS INT) AS tok_offset
+         |FROM pc""".stripMargin) { (s, d) =>
+      // The curated set is quota-bounded (tiny by construction):
+      // localCheckpoint so its funnel lineage runs once, not once per
+      // downstream join. The checkpoint's LogicalRDD carries no size
+      // stats, so each survivor join hints broadcast explicitly —
+      // without it the planner falls back to sort-merge on a table the
+      // quota bounds at numLangs x quota rows.
+      val curated = broadcast(curationFunnel(s, d, portableCov = true)
+        .select("doc_id", "lang").localCheckpoint())
+      val dir = Fixtures.stampedDir(d, "documents", "bpe_store", 1)
+        .resolve("tok").toString
+      val params = TokenizerStore.Params(merges = M, minCount = 1L)
+      if (TokenizerStore.readParams(s, dir).isEmpty)
+        TokenizerStore.build(Tables.documents(s, d), "doc_id", "text",
+          dir, params)
+      val curatedDocs = Tables.documents(s, d).select("doc_id", "text")
+        .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
+      val budgets = TokenizerStore.tokenCounts(s, dir, params,
+        curatedDocs, "doc_id", "text")
+      Corpus.packSequences(budgets.join(broadcast(curated), Seq("doc_id")),
+          "doc_id", col("n_bpe_tokens"), numShards = 4,
+          budgetTokens = 256, seed = "pt")
+        .select("doc_id", "lang", "n_bpe_tokens", "shard", "seq_idx",
+          "tok_offset")
+    }
+  }
 
   /** The pipe17 funnel body, shared by the registered query (portable
     * window strings — its oracle replays the coverage stage) and the
@@ -271,7 +355,9 @@ object PipelineQueries {
     * windows; DedupSpec pins the two coverage forms equal). */
   private[graft] def curationFunnel(
       s: org.apache.spark.sql.SparkSession, d: String,
-      portableCov: Boolean): org.apache.spark.sql.DataFrame = {
+      portableCov: Boolean,
+      maxMeanWordLen: Double = 10.0, minStopHits: Int = 1,
+      quota: Int = 25): org.apache.spark.sql.DataFrame = {
       val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
       val cov = Dedup.passageCoverage(docs, "doc_id", "text",
           w = 8, stride = 4, minDocs = 2, threshold = 0.5,
@@ -281,21 +367,26 @@ object PipelineQueries {
       // fingerprint) from ONE fused tokenize/sort pass — chaining the
       // single-purpose stages re-split the text ~5× and the scoring
       // scan, not the shuffles, dominated the heavy-fixture funnel.
-      // Thresholds tuned to the synthetic corpus: minWords 40,
-      // stopword floor 1 (the corpus vocabulary carries only
-      // "the"/"a" from the stopword set). Row-local gates fire BEFORE
-      // the coverage join, and the survivor set is narrowed to 4
-      // scalar columns so neither the join nor the fingerprint-window
-      // shuffle ever moves document text.
+      // Default thresholds tuned to the synthetic SF corpus: minWords
+      // 40, stopword floor 1 (the corpus vocabulary carries only
+      // "the"/"a" from the stopword set); the heavy fixture's mangled
+      // replicas average 11.8 chars/word with zero stopwords, so its
+      // pipe24 entry widens maxMeanWordLen and floors stop hits at 0
+      // (measured — a Gopher gate fit to the corpus, not disabled).
+      // Row-local gates fire BEFORE the coverage join, and the
+      // survivor set is narrowed to 4 scalar columns so neither the
+      // join nor the fingerprint-window shuffle ever moves document
+      // text.
       val scored = TextAnalysis.funnelStats(docs, "text",
-          minWords = 40, minStopHits = 1)
+          minWords = 40, maxMeanWordLen = maxMeanWordLen,
+          minStopHits = minStopHits)
         .filter(col("quality") >= 0.6 && col("rep_keep") && col("gop_keep"))
         .select("doc_id", "lang", "quality", "fp")
       val gated = scored.join(cov, Seq("doc_id")).filter(col("cov_keep"))
       val uniq = gated
         .withColumn("__min_id", min("doc_id").over(Window.partitionBy("fp")))
         .filter(col("doc_id") === col("__min_id"))
-      Corpus.stratifiedQuota(uniq, "doc_id", "lang", 25, "cur")
+      Corpus.stratifiedQuota(uniq, "doc_id", "lang", quota, "cur")
         .select("doc_id", "lang", "quality")
   }
 
