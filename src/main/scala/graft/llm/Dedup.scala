@@ -734,11 +734,14 @@ object Dedup {
       docs: DataFrame, id: String, text: String,
       w: Int, stride: Int): DataFrame = {
     require(w >= 2 && stride >= 1 && stride <= w)
-    val staged = docs.select(col(id).as("doc"),
-      explode(array(Scalars.tokens(col(text)))).as("__t"))
-    val raw = staged.select(col("doc"),
-      posexplode(TextAnalysis.hashNgrams(col("__t"), w))
-        .as(Seq("tpos", "hraw")))
+    // Native single-pass window keys (tokenize + chained XXH64 straight
+    // off the text bytes — no token array, no per-position lambda
+    // evals); bit-identical to posexplode(hashNgrams(tokens(text), w)),
+    // DedupSpec-pinned.
+    graft.plans.NgramHashesExpr.register(docs.sparkSession)
+    val raw = docs.select(col(id).as("doc"),
+      posexplode(call_function(graft.plans.NgramHashesExpr.Name,
+        col(text), lit(w))).as(Seq("tpos", "hraw")))
     val strided =
       if (stride == 1) raw else raw.filter(pmod(col("tpos"), lit(stride)) === 0)
     strided.select(col("doc"), col("tpos"),

@@ -339,7 +339,7 @@ object TextAnalysis {
     * chained and fused forms cannot drift. The word count is inlined
     * per ratio (size() on an attribute-bound array is O(1) — no
     * lateral name resolution needed inside the one projection). */
-  private def gopherCols(text: Column, toks: Column,
+  private[graft] def gopherCols(text: Column, toks: Column,
                          lines: Column): Map[String, Column] = {
     import scala.collection.immutable.ListMap
     val nWords = size(toks).cast("long")
@@ -389,7 +389,13 @@ object TextAnalysis {
     * pays one. Adds exactly `rep_keep`, `gop_keep`, `quality`, `fp`;
     * per-signal numeric columns stay with the single-purpose forms.
     * Output values are bit-identical to the chained forms — the
-    * expressions are built by the same shared helpers. */
+    * expressions are built by the same shared helpers.
+    *
+    * `native = true` swaps the HOF-lambda projection for the
+    * single-pass [[graft.plans.FunnelGatesExpr]] (one compiled loop
+    * per document instead of hundreds of interpreted lambda evals per
+    * row — the production form for heavy scans; PipelineSpec pins the
+    * two forms column-identical). */
   def funnelStats(df: DataFrame, text: String,
                   maxTopTokenFrac: Double = 0.20,
                   maxDup2Frac: Double = 0.20, maxDup3Frac: Double = 0.18,
@@ -397,8 +403,29 @@ object TextAnalysis {
                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                   maxSymbolRatio: Double = 0.1,
                   maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
-                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame =
-    df
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+                  native: Boolean = false): DataFrame =
+    if (native) {
+      graft.plans.FunnelGatesExpr.register(df.sparkSession)
+      df
+        // Generator barrier: the struct is materialized once per row;
+        // the four field reads below bind the attribute instead of
+        // inlining (and re-running) the expression per column.
+        .withColumn("__fg", explode(array(call_function(
+          graft.plans.FunnelGatesExpr.Name, col(text),
+          lit(maxTopTokenFrac), lit(maxDup2Frac), lit(maxDup3Frac),
+          lit(minWords), lit(maxWords),
+          lit(minMeanWordLen), lit(maxMeanWordLen),
+          lit(maxSymbolRatio), lit(maxBulletFrac), lit(maxEllipsisFrac),
+          lit(minAlphaFrac), lit(minStopHits)))))
+        .withColumn("rep_keep", col("__fg.rep_keep"))
+        // Null text: the expression yields a null struct; the
+        // declarative form's gop_keep coalesces to false there.
+        .withColumn("gop_keep", coalesce(col("__fg.gop_keep"), lit(false)))
+        .withColumn("quality", col("__fg.quality"))
+        .withColumn("fp", col("__fg.fp"))
+        .drop("__fg")
+    } else df
       .withColumn("__toks", explode(array(Scalars.tokens(col(text)))))
       .withColumn("__f", explode(array(struct(
         array_sort(col("__toks")).as("sorted"),
@@ -504,12 +531,18 @@ object TextAnalysis {
     // tokenizer into the per-element lambda re-splits the text once
     // per n-gram slot — quadratic in document length on the hot path.
     def docNgrams(df: DataFrame, idC: Column, textC: Column): DataFrame =
-      df.select(idC.as("__cid"),
+      if (hashed) {
+        // Production keys come straight off the text bytes (native
+        // single-pass tokenize+hash, no token array) — bit-identical
+        // to hashNgrams over the staged tokens, DedupSpec-pinned.
+        graft.plans.NgramHashesExpr.register(df.sparkSession)
+        df.select(idC.as("__cid"),
+          explode(array_distinct(call_function(
+            graft.plans.NgramHashesExpr.Name, textC, lit(n)))).as("__ng"))
+      } else df.select(idC.as("__cid"),
           explode(array(graft.functions.Scalars.tokens(textC))).as("__t"))
         .select(col("__cid"),
-          explode(array_distinct(
-            if (hashed) hashNgrams(col("__t"), n)
-            else ngramsOfTokens(col("__t"), n))).as("__ng"))
+          explode(array_distinct(ngramsOfTokens(col("__t"), n))).as("__ng"))
     val bench = docNgrams(benchmark, lit(0), col(benchTextCol))
       .select("__ng").distinct()
       .withColumn("__hit", lit(1))

@@ -377,9 +377,13 @@ object PipelineQueries {
       // survivor set is narrowed to 4 scalar columns so neither the
       // join nor the fingerprint-window shuffle ever moves document
       // text.
+      // The production (heavy/!portable) form also swaps the scoring
+      // scan for the single-pass native FunnelGatesExpr — same
+      // portable-for-oracle / native-for-production split as the
+      // coverage stage; PipelineSpec pins the two forms identical.
       val scored = TextAnalysis.funnelStats(docs, "text",
           minWords = 40, maxMeanWordLen = maxMeanWordLen,
-          minStopHits = minStopHits)
+          minStopHits = minStopHits, native = !portableCov)
         .filter(col("quality") >= 0.6 && col("rep_keep") && col("gop_keep"))
         .select("doc_id", "lang", "quality", "fp")
       val gated = scored.join(cov, Seq("doc_id")).filter(col("cov_keep"))

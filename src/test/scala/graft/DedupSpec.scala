@@ -603,6 +603,76 @@ class DedupSpec extends AnyFunSuite {
     assert(fused.sameElements(chained))
   }
 
+  test("ngram_hashes native expression bit-equals hashNgrams over staged tokens") {
+    import graft.llm.TextAnalysis
+    graft.plans.NgramHashesExpr.register(spark)
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text").limit(200)
+      .union(Seq(
+        (300001L, null.asInstanceOf[String]), (300002L, ""),
+        (300003L, "one two"), (300004L, " a  b\tc\nd e f g h i "),
+        (300005L, "東京 Δθ 😀 a b c d e f"))
+        .toDF("doc_id", "text"))
+    for (n <- Seq(2, 3, 5, 8)) {
+      val dec = docs
+        .withColumn("__t", explode(array(
+          graft.functions.Scalars.tokens(col("text")))))
+        .select(col("doc_id"),
+          TextAnalysis.hashNgrams(col("__t"), n).as("ng"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      // Both input forms: raw text (inline tokenizer) and the staged
+      // token array.
+      val natText = docs.select(col("doc_id"),
+          call_function("ngram_hashes", col("text"), lit(n)).as("ng"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      val natArr = docs.select(col("doc_id"),
+          call_function("ngram_hashes",
+            graft.functions.Scalars.tokens(col("text")), lit(n)).as("ng"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      assert(natText.sameElements(dec), s"text form, n=$n")
+      assert(natArr.sameElements(dec), s"array form, n=$n")
+    }
+  }
+
+  test("funnelStats native: single-pass expression bit-equals the declarative form") {
+    import graft.llm.TextAnalysis
+    // Real corpus rows plus every adversarial shape the byte-level
+    // replica must get right: null, empty, all-spaces, newline-only,
+    // mixed \s separators (leading/trailing), bullets, ellipses (3-dot
+    // and U+2026), `#` symbols, non-ASCII letters, an emoji (letterless
+    // non-ASCII token), supplementary-plane and high-BMP tokens (the
+    // UTF-8-byte vs UTF-16-code-unit sort-order trap), and
+    // repetition-gate extremes.
+    val docs = Tables.documents(spark, Sf)
+      .select("doc_id", "text").limit(200)
+      .union(Seq(
+        (200001L, null.asInstanceOf[String]), (200002L, ""),
+        (200003L, "   "), (200004L, "\n\n"), (200005L, " a  b\tc\nd "),
+        (200006L, "- bullet\n  * two\n• three\nplain"),
+        (200007L, "end...\nmore…\n#tag # ...... ..."),
+        (200008L, "München Δθ 東京 😀 a1 42 ¾"),
+        (200009L, "the the the the of of to to and and"),
+        (200010L, "𐀀low ￿-high mix order"),
+        (200011L, "x y " + ("w " * 60) + "z"))
+        .toDF("doc_id", "text"))
+    def cols(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("rep_keep"), col("gop_keep"),
+        col("quality"), col("fp"))
+      .as[(Long, Option[Boolean], Boolean, Option[Double], Option[String])]
+      .collect().sortBy(_._1)
+    // Both threshold sets the engine runs: the SF defaults and the
+    // widened lowdup-fixture set (exercises min/max gating branches).
+    for ((mwl, stop) <- Seq((10.0, 1), (20.0, 0))) {
+      val dec = cols(TextAnalysis.funnelStats(docs, "text",
+        minWords = 40, maxMeanWordLen = mwl, minStopHits = stop))
+      val nat = cols(TextAnalysis.funnelStats(docs, "text",
+        minWords = 40, maxMeanWordLen = mwl, minStopHits = stop,
+        native = true))
+      assert(nat.length == dec.length)
+      assert(nat.sameElements(dec))
+    }
+  }
+
   test("scalar quantization: codes bounded, error within half-step, zero dims exact") {
     val emb = Seq(
       (1L, Seq(1.0f, -2.0f, 0.0f)),
