@@ -188,6 +188,17 @@ object ScaleCheck {
     })
 
 
+    // One fixed tokenizer artifact for the corpus-build sweep: trained
+    // once on the ×1 corpus (serving joins a FIXED merge table — the
+    // production shape; the artifact does not grow with the corpus).
+    lazy val corpusBuildStore: String = {
+      val dir = java.nio.file.Files.createTempDirectory("sc_tok")
+        .resolve("tok").toString
+      llm.TokenizerStore.build(docs0, "doc_id", "text", dir,
+        llm.TokenizerStore.Params(merges = 200, minCount = 8L))
+      dir
+    }
+
     // Prebuilt per factor: growing corpus, FIXED ~1250-doc increment,
     // and the corpus band artifact (materialized here so its
     // construction never lands inside a timed incremental run).
@@ -289,6 +300,41 @@ object ScaleCheck {
       Op("funnel_scan(rep+gopher+q+fp)", n =>
         llm.TextAnalysis.funnelStats(replicateDocs(docs0, n), "text",
           minWords = 40, minStopHits = 1).count()),
+      // The native single-pass form of the same scan (what the heavy
+      // funnel entries run): same ~linear bar, lower constant.
+      Op("funnel_scan_native", n =>
+        llm.TextAnalysis.funnelStats(replicateDocs(docs0, n), "text",
+          minWords = 40, minStopHits = 1, native = true).count()),
+      // The END-TO-END corpus build (pipe24): native funnel scan +
+      // coverage gate, per-lang quota cut, BPE token budgets served
+      // from a FIXED prebuilt tokenizer artifact, sequence packing.
+      // The quota is absolute (production semantics), so the
+      // tokenize/pack tail is flat by construction and growth must
+      // track the scan+coverage front ~linearly — a superlinear curve
+      // means a survivor join stopped broadcasting or the coverage
+      // aggregate degenerated.
+      Op("corpus_build_e2e(pipe24)", { n =>
+        val params = llm.TokenizerStore.Params(merges = 200, minCount = 8L)
+        val d = replicateDocsFull(docsFull0, n)
+          .select("doc_id", "lang", "text")
+        // covThreshold 1.0: a replica corpus is 100% repeated windows
+        // by construction, so the production 0.5 gate (correctly)
+        // keeps nothing and the tail stages would time empty frames.
+        // The coverage AGGREGATE still runs at full volume — only the
+        // keep decision is widened, so the sweep exercises every stage
+        // at its real cost.
+        val curated = broadcast(queries.PipelineQueries.curationFunnelOf(
+            d, portableCov = false, quota = 5000, covThreshold = 1.0)
+          .select("doc_id", "lang").localCheckpoint())
+        val curDocs = d.select("doc_id", "text")
+          .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
+        val budgets = llm.TokenizerStore.tokenCounts(spark,
+          corpusBuildStore, params, curDocs, "doc_id", "text")
+        llm.Corpus.packSequences(
+          budgets.join(broadcast(curated), Seq("doc_id")), "doc_id",
+          col("n_bpe_tokens"), numShards = 32, budgetTokens = 2048,
+          seed = "pt").count()
+      }, tables = Seq("docs_full")),
       Op("latest_per_key(window)", n =>
         operators.Ops.latestPerKey(Seq(col("user_id")),
           Seq(col("ts"), col("event_id")))(replicateEvents(ev0, n)).count(),

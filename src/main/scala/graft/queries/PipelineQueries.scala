@@ -357,10 +357,21 @@ object PipelineQueries {
       s: org.apache.spark.sql.SparkSession, d: String,
       portableCov: Boolean,
       maxMeanWordLen: Double = 10.0, minStopHits: Int = 1,
-      quota: Int = 25): org.apache.spark.sql.DataFrame = {
-      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      quota: Int = 25): org.apache.spark.sql.DataFrame =
+    curationFunnelOf(
+      Tables.documents(s, d).select("doc_id", "lang", "text"),
+      portableCov, maxMeanWordLen, minStopHits, quota)
+
+  /** The funnel over an arbitrary (doc_id, lang, text) frame — the
+    * form ScaleCheck's replicated-corpus sweeps drive. */
+  private[graft] def curationFunnelOf(
+      docs: org.apache.spark.sql.DataFrame,
+      portableCov: Boolean,
+      maxMeanWordLen: Double = 10.0, minStopHits: Int = 1,
+      quota: Int = 25,
+      covThreshold: Double = 0.5): org.apache.spark.sql.DataFrame = {
       val cov = Dedup.passageCoverage(docs, "doc_id", "text",
-          w = 8, stride = 4, minDocs = 2, threshold = 0.5,
+          w = 8, stride = 4, minDocs = 2, threshold = covThreshold,
           portable = portableCov)
         .select(col("doc").as("doc_id"), col("keep").as("cov_keep"))
       // All four row-local signals (repetition + Gopher gates, quality,
