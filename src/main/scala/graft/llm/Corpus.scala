@@ -434,17 +434,27 @@ object Corpus {
     val toks = docs.select(col(id).as("__id"), lang.as("__lang"),
       explode(array(graft.functions.Scalars.tokens(col(text)))).as("tk"))
     val pairs =
-      if (hashed) toks.select(col("__id"), col("__lang"),
-        explode(when(size(col("tk")) >= 2,
-          transform(sequence(lit(0), size(col("tk")) - 2),
-            i => struct(
-              xxhash64(element_at(col("tk"), i + 1)).as("w1k"),
-              xxhash64(element_at(col("tk"), i + 1),
-                element_at(col("tk"), i + 2)).as("bgk"))))
-          .otherwise(array().cast(
-            "array<struct<w1k:bigint,bgk:bigint>>"))).as("p"))
-        .select(col("__id"), col("__lang"),
-          col("p.w1k").as("w1k"), col("p.bgk").as("bgk"))
+      if (hashed) {
+        // Production keys straight off the text bytes: the native
+        // n-gram hash arrays for n=1 (token hashes = context keys) and
+        // n=2 (bigram keys), zipped positionally — bit-identical to
+        // the per-position xxhash64 lambda (same seed-42 chain), with
+        // the interpreted transform/element_at walk replaced by two
+        // compiled byte passes. CorpusSpec pins hashed ≡ portable
+        // scores, which rides this path.
+        graft.plans.NgramHashesExpr.register(docs.sparkSession)
+        def ng(n: Int) = call_function(
+          graft.plans.NgramHashesExpr.Name, col(text), lit(n))
+        // zip_with pads the shorter bigram array with null at the last
+        // token position; real keys are never null, so the null filter
+        // trims exactly that pad.
+        docs.select(col(id).as("__id"), lang.as("__lang"),
+          explode(zip_with(ng(1), ng(2),
+            (a, b) => struct(a.as("w1k"), b.as("bgk")))).as("p"))
+          .filter(col("p.bgk").isNotNull)
+          .select(col("__id"), col("__lang"),
+            col("p.w1k").as("w1k"), col("p.bgk").as("bgk"))
+      }
       else toks.select(col("__id"), col("__lang"),
         explode(when(size(col("tk")) >= 2,
           transform(sequence(lit(0), size(col("tk")) - 2),

@@ -385,7 +385,10 @@ object FunnelGatesExpr {
 case class NgramHashesExpr(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
 
-  require(n >= 2, s"ngram_hashes needs n >= 2, got $n")
+  // n = 1 is the degenerate "hash every token" form (seed-42 chain of
+  // one = xxhash64(tok)) — the LM families zip it with the n = 2 array
+  // for (context-key, bigram-key) pairs.
+  require(n >= 1, s"ngram_hashes needs n >= 1, got $n")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
