@@ -554,4 +554,70 @@ class StreamingSpec extends AnyFunSuite {
 
     graft.queries.Fixtures.deleteRecursively(base)
   }
+  test("streaming tokenization serves from the persisted artifact; a retrain lands at the batch boundary") {
+    implicit val sc = spark.sqlContext
+    import graft.llm.{TextAnalysis, TokenizerStore}
+    val all = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") < 300 && col("text").isNotNull)
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val refA = all.filter(_._1 < 100)
+    val refB = all.filter(t => t._1 >= 100 && t._1 < 200)
+    val stream1 = all.filter(_._1 < 150)
+    val stream2 = all.filter(_._1 >= 150)
+    assert(refA.nonEmpty && refB.nonEmpty && stream2.nonEmpty)
+
+    val base = java.nio.file.Files.createTempDirectory("graft-stok")
+    val storeDir = "file:" + base.resolve("tok").toString
+    val params = TokenizerStore.Params(merges = 6, minCount = 1L)
+    TokenizerStore.build(refA.toDF("doc_id", "text"), "doc_id", "text",
+      storeDir, params)
+
+    def batchCounts(rows: Seq[(Long, String)],
+                    ref: Seq[(Long, String)]): Map[Long, Long] =
+      TextAnalysis.bpeTokenCountsWith(rows.toDF("doc_id", "text"),
+          "doc_id", "text",
+          TextAnalysis.bpeTrainFull(ref.toDF("doc_id", "text"),
+            "doc_id", "text", params.merges, params.minCount)._2)
+        .as[(Long, Long)].collect().toMap
+
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    def round(ckpt: String, rows: Seq[(Long, String)]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      val q = graft.streaming.StreamingTokenize.start(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        storeDir, params, base.resolve(ckpt).toString) { (counts, _) =>
+        got.synchronized {
+          got ++= counts.select("doc_id", "n_bpe_tokens")
+            .as[(Long, Long)].collect()
+        }
+      }
+      q.awaitTermination()
+    }
+
+    // Round 1 tokenizes under the A-trained vocabulary == the batch
+    // operator serving from the same artifact.
+    round("c1", stream1)
+    val batchA = batchCounts(stream1, refA)
+    assert(got.toMap == batchA)
+    val r1 = got.toMap
+
+    // A retrain on the grown reference lands between rounds: the NEXT
+    // batch tokenizes under the new vocabulary (one-directory swap at
+    // the batch boundary), and it must CHANGE some budgets -- a swap
+    // that leaves every count identical would mean the test pinned
+    // nothing.
+    TokenizerStore.build((refA ++ refB).toDF("doc_id", "text"),
+      "doc_id", "text", storeDir, params)
+    round("c2", stream2)
+    val batchAB = batchCounts(stream2, refA ++ refB)
+    assert(stream2.forall(t => got(t._1) == batchAB(t._1)))
+    // Round-1 results are untouched history (tokenized under A-only).
+    assert(stream1.forall(t => got(t._1) == r1(t._1)))
+    val batchA2 = batchCounts(stream2, refA)
+    assert(stream2.exists(t => batchAB(t._1) != batchA2(t._1)))
+
+    graft.queries.Fixtures.deleteRecursively(base)
+  }
 }
