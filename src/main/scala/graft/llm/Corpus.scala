@@ -221,6 +221,48 @@ object Corpus {
       .drop("__rate")
   }
 
+  /** Token-BUDGET-constrained source mixing — the "fill an N-token
+    * training budget at these source proportions" assembly knob (the
+    * Pile/DoReMi-style mixture spec, stated in tokens rather than
+    * rows): source `s` gets allocation `budget·w_s` tokens, its
+    * keep-rate is `min(1, budget·w_s / T_s)` against its actual token
+    * mass `T_s`, and rows are kept by the deterministic stable-hash
+    * filter. A source with less mass than its allocation is kept
+    * whole (rate 1 — the standard shortfall semantics; upsampling to
+    * make up the difference is the training loader's epoch knob, not
+    * a corpus-assembly rewrite). Sources without a weight drop.
+    *
+    * Scale shape: ONE aggregate for the per-source token totals, the
+    * bounded rate table broadcast back, and the keep decision is a
+    * scan-local integer comparison — no per-doc shuffle, no rand(),
+    * stable under resampling like every mix in this family. The
+    * allocation products are precomputed driver-side so both engines
+    * evaluate the identical `alloc / T` division (bit-stable rates →
+    * bit-stable integer thresholds → identical keep sets). */
+  def budgetMix(df: DataFrame, keyCol: String, sourceCol: String,
+                tokenCount: Column, weights: Map[String, Double],
+                budgetTokens: Long, seed: String): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0),
+      "budgetMix: weights must be non-empty and non-negative")
+    val alloc = weights.toSeq.sortBy(_._1)
+      .map { case (s, w) => (s, w * budgetTokens.toDouble) }
+    val allocCase = alloc.tail.foldLeft(
+      when(col(sourceCol) === alloc.head._1, lit(alloc.head._2))) {
+      case (acc, (s, a)) => acc.when(col(sourceCol) === s, lit(a))
+    }.otherwise(lit(0.0))
+    val totals = df.groupBy(sourceCol)
+      .agg(sum(tokenCount.cast("long")).as("__T"))
+    val rates = totals
+      .withColumn("__rate", least(lit(1.0),
+        allocCase / col("__T").cast("double")))
+      .select(col(sourceCol), col("__rate"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(stableHash(col(keyCol), seed) % (1L << 20) <
+        floor(col("__rate") * (1L << 20)).cast("long"))
+      .drop("__rate")
+  }
+
   /** Overlapping token-window chunking — the embedding-pipeline
     * staple: every document explodes into fixed-size chunks of
     * `size` tokens advancing by `size - overlap`, so consecutive

@@ -17,6 +17,13 @@ object CorpusQueries {
   val MixWeights: Map[String, Int] = Map(
     "src0" -> 100, "src1" -> 60, "src2" -> 25, "src3" -> 10, "src4" -> 5)
 
+  /** c12's mixture spec: decimal weights with exact double literals
+    * (0.5 = 2^-1 etc.) and a budget placing src0 ABOVE its token mass
+    * at sf0.01 (whole-source regime) while src1-3 subsample. */
+  val BudgetMixWeights: Map[String, Double] = Map(
+    "src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.15, "src3" -> 0.05)
+  val BudgetMixTokens: Long = 3000L
+
   private def hashSql(seed: String): String =
     s"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':$seed'), 1, 10)) AS BIGINT)"
 
@@ -196,6 +203,38 @@ object CorpusQueries {
       (s, d) =>
       Corpus.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
         targetRows = 200, seed = "temp").select("doc_id", "lang")
+    },
+
+    // Token-BUDGET-constrained source mix: the mixture spec stated in
+    // tokens (the Pile/DoReMi shape) — per-source keep-rate =
+    // min(1, budget·w / token_mass). Weights chosen so the SF corpus
+    // exercises BOTH regimes: src0's allocation exceeds its mass
+    // (rate 1, kept whole) while src1-3 subsample. The allocation
+    // products are literals on both sides, so the rate division — and
+    // hence the integer thresholds — match bit for bit.
+    Q("c12_budget_mix", {
+      val allocCase = BudgetMixWeights.toSeq.sortBy(_._1)
+        .map { case (k, w) => s"WHEN '$k' THEN ${w * BudgetMixTokens}" }
+        .mkString(" ")
+      s"""WITH dw AS (
+         |  SELECT doc_id, source,
+         |    len(list_filter(string_split(trim(text), ' '),
+         |      w -> len(w) > 0)) AS n
+         |  FROM documents),
+         |tot AS (SELECT source, sum(n) AS t FROM dw GROUP BY source),
+         |rates AS (SELECT source, least(1.0,
+         |    (CASE source $allocCase ELSE 0.0 END)
+         |      / CAST(t AS DOUBLE)) AS rate FROM tot)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN rates r USING (source)
+         |WHERE ${hashSql("bud")} % 1048576
+         |      < CAST(floor(r.rate * 1048576) AS BIGINT)""".stripMargin
+    }) { (s, d) =>
+      Corpus.budgetMix(Tables.documents(s, d), "doc_id", "source",
+        size(filter(graft.functions.Scalars.tokens(col("text")),
+          w => length(w) > 0)),
+        BudgetMixWeights, BudgetMixTokens, "bud")
+        .select("doc_id", "source")
     },
 
     // Per-stratum deterministic quota: cap every language at 30 docs,

@@ -66,6 +66,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(!out.contains("src3")) // absent from config
   }
 
+  test("budgetMix: shortfall source kept whole, others subsample ~budget, deterministic") {
+    // 3 sources x 500 docs x 10 tokens = 5000 tokens each. Weights
+    // (0.5, 0.25, 0.05) at budget 8000 give allocations (4000, 2000,
+    // 400) => rates (0.8, 0.4, 0.08); srcW (weight 2.0) allocates
+    // 16000 > 5000 => rate 1, kept WHOLE. srcX has no weight => drop.
+    val d = (0L until 2500L).map(i => (i, Seq("srcA", "srcB", "srcC",
+      "srcW", "srcX")((i % 5L).toInt), "t " * 9 + "t"))
+      .toDF("doc_id", "source", "text")
+    val n = size(graft.functions.Scalars.tokens(col("text")))
+    val w = Map("srcA" -> 0.5, "srcB" -> 0.25, "srcC" -> 0.05,
+      "srcW" -> 2.0)
+    val out = Corpus.budgetMix(d, "doc_id", "source", n, w, 8000L, "bm")
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(out("srcW") == 500L) // shortfall regime: whole source
+    assert(!out.contains("srcX")) // unweighted source dropped
+    // Subsampled sources land near rate x 500 (hash-uniformity slack),
+    // and their kept token mass near the allocation.
+    assert(math.abs(out("srcA") - 400L) <= 60)
+    assert(math.abs(out("srcB") - 200L) <= 45)
+    assert(math.abs(out("srcC") - 40L) <= 25)
+    // Deterministic: same seed, same set; stable under re-evaluation.
+    val a = Corpus.budgetMix(d, "doc_id", "source", n, w, 8000L, "bm")
+      .select("doc_id").as[Long].collect().sorted
+    val b = Corpus.budgetMix(d, "doc_id", "source", n, w, 8000L, "bm")
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
   test("sequence packing: contiguous fill, budget boundaries, stability") {
     import org.apache.spark.sql.functions._
     // Single shard so the layout is the full hash order; budget 10.
