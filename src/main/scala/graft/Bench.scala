@@ -516,6 +516,17 @@ object HeavyBench {
         graft.llm.TokenizerStore.tokenCounts(s, s"$d/bpe_tokenizer",
           HeavyTokParams, docs(s, d), "doc_id", "text")
       }),
+    // ENCODING the corpus: the per-symbol token-id stream from the
+    // persisted 1000-merge artifact — by output volume the biggest
+    // single step of a pretraining pipeline (every word of every doc
+    // explodes to its subword ids). Two broadcast joins on the scan;
+    // out_rows is the total token count of the encoded corpus.
+    HeavyItem("t15_store_encode", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some { (s, d) =>
+        graft.llm.TokenizerStore.tokenIds(s, s"$d/bpe_tokenizer",
+          HeavyTokParams, docs(s, d), "doc_id", "text")
+      }),
     // The END-TO-END corpus build at production shape: pipe17's funnel
     // (stringless coverage, Gopher thresholds FIT to this corpus —
     // measured 11.8 chars/word and zero English stopwords, so

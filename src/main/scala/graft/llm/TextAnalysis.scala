@@ -947,4 +947,45 @@ object TextAnalysis {
       .groupBy("__id").agg(sum("n_bpe_tokens").as("n_bpe_tokens"))
       .withColumnRenamed("__id", id)
   }
+
+  /** The per-symbol TOKEN-ID stream under a trained segmentation —
+    * the actual model input t14's budgets meter: every word position
+    * of every document explodes into its subword symbols with a dense
+    * integer id per symbol. Ids are the 1-based ranks of the DISTINCT
+    * segment symbols in binary (UTF-8-byte) order — a deterministic
+    * pure function of the artifact alone, so one vocabulary always
+    * assigns one id table, across engines, runs, and appends of new
+    * corpora. Words outside the vocabulary fall back to their
+    * per-code-point symbols + the `</w>` marker (the same fallback
+    * [[bpeTokenCountsWith]] counts); a fallback character absent from
+    * the trained symbol set gets id 0 (UNK).
+    *
+    * Scale shape: the id table is bounded by the vocabulary (the
+    * merges-table class of artifact — its global rank window sorts a
+    * model-sized table, never corpus rows), and serving is two
+    * broadcast joins on the exploded word/symbol stream — scan-local,
+    * no corpus shuffle. */
+  def bpeTokenIdsWith(docs: DataFrame, id: String, text: String,
+                      words: DataFrame): DataFrame = {
+    val vocab = words.select(explode(col("s")).as("sym")).distinct()
+      .withColumn("token_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("sym")).cast("long"))
+    val toks = filter(Scalars.tokens(col(text)), w => length(w) > 0)
+    val dw = docs.select(col(id),
+      posexplode(toks).as(Seq("wpos", "w")))
+    // OOV fallback: code points + '</w>' (what the trainer's floor
+    // leaves untrained words segmented as).
+    val charSyms = concat(
+      transform(sequence(lit(1), length(col("w"))),
+        i => substring(col("w"), i, lit(1))),
+      array(lit("</w>")))
+    val syms = dw
+      .join(broadcast(words.select(col("w"), col("s"))), Seq("w"), "left")
+      .select(col(id), col("wpos"), col("w"),
+        posexplode(coalesce(col("s"), charSyms)).as(Seq("spos", "sym")))
+    syms.join(broadcast(vocab), Seq("sym"), "left")
+      .select(col(id), col("wpos"), col("spos"), col("sym"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
 }

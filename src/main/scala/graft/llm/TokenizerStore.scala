@@ -136,6 +136,16 @@ object TokenizerStore {
     TextAnalysis.bpeTokenCountsWith(docs, id, text,
       read(spark, dir, params)._2)
 
+  /** Per-symbol token-id stream served from the persisted artifact
+    * (read-verified) — the actual model-input encoding; ids are a
+    * pure function of the stored segmentation (binary-ordered dense
+    * ranks), so re-serving from the same artifact always re-derives
+    * the same id table. */
+  def tokenIds(spark: SparkSession, dir: String, params: Params,
+               docs: DataFrame, id: String, text: String): DataFrame =
+    TextAnalysis.bpeTokenIdsWith(docs, id, text,
+      read(spark, dir, params)._2)
+
   /** Complete an interrupted [[write]] swap — the shared
     * [[ArtifactStore.recoverSwap]] discipline on the `model/` unit.
     * Idempotent; called by every entry point. */

@@ -703,6 +703,52 @@ object LlmQueries {
         Tables.documents(s, d), "doc_id", "text")
     },
 
+    // The per-symbol TOKEN-ID stream — the actual model input t14's
+    // budgets meter: (doc, word position, symbol position, symbol,
+    // dense id), ids = 1-based binary-order ranks of the trained
+    // symbol set (a pure function of the artifact; the oracle
+    // re-derives the same table from the replayed train chain). The
+    // whole encode is served from the persisted TokenizerStore.
+    Q("t15_token_ids", {
+      val chain = LlmQueries.bpeChainSql(6)
+      s"""$chain,
+         |vocab AS (
+         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+         |    AS token_id
+         |  FROM (SELECT DISTINCT unnest(s) AS sym FROM w6)),
+         |tb AS (
+         |  SELECT doc_id, list_filter(string_split(trim(text), ' '),
+         |    x -> len(x) > 0) AS t
+         |  FROM documents),
+         |tw AS (
+         |  SELECT doc_id, unnest(range(0, len(t))) AS wpos, t FROM tb),
+         |tws AS (SELECT doc_id, wpos, t[wpos + 1] AS w FROM tw),
+         |tsg AS (
+         |  SELECT d.doc_id, d.wpos,
+         |    coalesce(wf.s, list_append(
+         |      list_transform(range(0, len(d.w)),
+         |        i -> substr(d.w, CAST(i + 1 AS INT), 1)),
+         |      '</w>')) AS s
+         |  FROM tws d LEFT JOIN w6 wf ON d.w = wf.w),
+         |tsy AS (
+         |  SELECT doc_id, wpos, unnest(range(0, len(s))) AS spos, s
+         |  FROM tsg),
+         |ts2 AS (SELECT doc_id, wpos, spos, s[spos + 1] AS sym FROM tsy)
+         |SELECT t2.doc_id, CAST(t2.wpos AS INT) AS wpos,
+         |       CAST(t2.spos AS INT) AS spos, t2.sym,
+         |       coalesce(v.token_id, 0) AS token_id
+         |FROM ts2 t2 LEFT JOIN vocab v USING (sym)""".stripMargin
+    }) { (s, d) =>
+      val dir = Fixtures.stampedDir(d, "documents", "bpe_store", 1)
+        .resolve("tok").toString
+      val params = TokenizerStore.Params(merges = 6, minCount = 1L)
+      if (TokenizerStore.readParams(s, dir).isEmpty)
+        TokenizerStore.build(Tables.documents(s, d), "doc_id", "text",
+          dir, params)
+      TokenizerStore.tokenIds(s, dir, params,
+        Tables.documents(s, d), "doc_id", "text")
+    },
+
     // Token counting + lexical stats per document.
     Q("t1_token_stats",
       """SELECT doc_id,
