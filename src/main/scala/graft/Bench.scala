@@ -538,19 +538,12 @@ object HeavyBench {
     HeavyItem("pipe24_corpus_build", Seq("documents"),
       subdir = Some("lowdup"),
       fn = Some { (s, d) =>
-        val curated = queries.PipelineQueries.curationFunnel(s, d,
+        queries.PipelineQueries.corpusBuild(docs(s, d),
+          queries.PipelineQueries.curationFunnel(s, d,
             portableCov = false, maxMeanWordLen = 20.0, minStopHits = 0,
-            quota = 5000)
-          .select("doc_id", "lang").localCheckpoint()
-        val curatedDocs = docs(s, d).select("doc_id", "text")
-          .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
-        val budgets = graft.llm.TokenizerStore.tokenCounts(s,
-          s"$d/bpe_tokenizer", HeavyTokParams, curatedDocs,
-          "doc_id", "text")
-        graft.llm.Corpus.packSequences(
-          budgets.join(broadcast(curated), Seq("doc_id")), "doc_id",
-          col("n_bpe_tokens"), numShards = 32, budgetTokens = 2048,
-          seed = "pt")
+            quota = 5000),
+          s"$d/bpe_tokenizer", HeavyTokParams,
+          numShards = 32, budgetTokens = 2048)
       },
       counts = Some { (s, d) =>
         Seq("curated_docs" -> queries.PipelineQueries.curationFunnel(

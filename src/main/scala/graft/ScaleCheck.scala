@@ -314,7 +314,6 @@ object ScaleCheck {
       // means a survivor join stopped broadcasting or the coverage
       // aggregate degenerated.
       Op("corpus_build_e2e(pipe24)", { n =>
-        val params = llm.TokenizerStore.Params(merges = 200, minCount = 8L)
         val d = replicateDocsFull(docsFull0, n)
           .select("doc_id", "lang", "text")
         // covThreshold 1.0: a replica corpus is 100% repeated windows
@@ -323,17 +322,12 @@ object ScaleCheck {
         // The coverage AGGREGATE still runs at full volume — only the
         // keep decision is widened, so the sweep exercises every stage
         // at its real cost.
-        val curated = broadcast(queries.PipelineQueries.curationFunnelOf(
-            d, portableCov = false, quota = 5000, covThreshold = 1.0)
-          .select("doc_id", "lang").localCheckpoint())
-        val curDocs = d.select("doc_id", "text")
-          .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
-        val budgets = llm.TokenizerStore.tokenCounts(spark,
-          corpusBuildStore, params, curDocs, "doc_id", "text")
-        llm.Corpus.packSequences(
-          budgets.join(broadcast(curated), Seq("doc_id")), "doc_id",
-          col("n_bpe_tokens"), numShards = 32, budgetTokens = 2048,
-          seed = "pt").count()
+        queries.PipelineQueries.corpusBuild(d,
+          queries.PipelineQueries.curationFunnelOf(
+            d, portableCov = false, quota = 5000, covThreshold = 1.0),
+          corpusBuildStore,
+          llm.TokenizerStore.Params(merges = 200, minCount = 8L),
+          numShards = 32, budgetTokens = 2048).count()
       }, tables = Seq("docs_full")),
       Op("latest_per_key(window)", n =>
         operators.Ops.latestPerKey(Seq(col("user_id")),

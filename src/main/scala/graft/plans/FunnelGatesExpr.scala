@@ -74,23 +74,9 @@ case class FunnelGatesExpr(
     val bytes = u.getBytes
 
     // ---- tokenize once (byte-exact split(trim(text), "\s+")) ----
-    var nTok = 0
-    var starts = new Array[Int](16)
-    var lens = new Array[Int](16)
-    MinHashShinglesSigExpr.forEachToken(bytes, (s, l) => {
-      if (nTok == starts.length) {
-        starts = java.util.Arrays.copyOf(starts, nTok * 2)
-        lens = java.util.Arrays.copyOf(lens, nTok * 2)
-      }
-      starts(nTok) = s; lens(nTok) = l; nTok += 1
-    })
-    val toks = new Array[UTF8String](nTok)
+    val toks = collectTokens(bytes)
+    val n = toks.length // >= 1 by construction (empty text -> [""])
     var i = 0
-    while (i < nTok) {
-      toks(i) = UTF8String.fromBytes(bytes, starts(i), lens(i))
-      i += 1
-    }
-    val n = nTok // >= 1 by construction (empty text -> one "" token)
 
     // ---- one sweep: distinct set, char-length sum, per-token flags --
     val tokSet = new java.util.HashSet[UTF8String](Math.max(16, n * 2))
@@ -173,9 +159,21 @@ case class FunnelGatesExpr(
         if (lo < hi) {
           val first = str.charAt(lo)
           if (first == '-' || first == '*' || first == '•') bulletCount += 1
-          val last = str.charAt(hi - 1)
-          if (last == '…' || (hi - lo >= 3 && last == '.' &&
-            str.charAt(hi - 2) == '.' && str.charAt(hi - 3) == '.'))
+          // Java regex `$` (non-MULTILINE) also matches just before a
+          // FINAL line terminator (\r, NEL, LS, PS — \n can't appear,
+          // the line was split on it), so "end...\r" ends in an
+          // ellipsis under the declarative EllipsisRe. Check the true
+          // end and, when the last char is such a terminator, the
+          // position before it.
+          @inline def endsEllipsis(e: Int): Boolean = e > lo && {
+            val last = str.charAt(e - 1)
+            last == '…' || (e - lo >= 3 && last == '.' &&
+              str.charAt(e - 2) == '.' && str.charAt(e - 3) == '.')
+          }
+          val t = str.charAt(hi - 1)
+          val beforeTerm = t == '\r' || t == '\u0085' ||
+            t == '\u2028' || t == '\u2029'
+          if (endsEllipsis(hi) || (beforeTerm && endsEllipsis(hi - 1)))
             ellipsisCount += 1
         }
         lineStart = scan + 1
@@ -279,6 +277,50 @@ object FunnelGatesExpr {
     new String(out)
   }
 
+  /** Tokens of `bytes` as zero-copy UTF8String views — the byte-exact
+    * split(trim(text), "\\s+") replica ([[MinHashShinglesSigExpr
+    * .forEachToken]]) materialized once; shared by [[FunnelGatesExpr]]
+    * and [[NgramHashesExpr]] so the tokenizer boundary semantics
+    * cannot drift between the two. */
+  private[plans] def collectTokens(bytes: Array[Byte]): Array[UTF8String] = {
+    var nTok = 0
+    var starts = new Array[Int](16)
+    var lens = new Array[Int](16)
+    MinHashShinglesSigExpr.forEachToken(bytes, (st, l) => {
+      if (nTok == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        lens = java.util.Arrays.copyOf(lens, nTok * 2)
+      }
+      starts(nTok) = st; lens(nTok) = l; nTok += 1
+    })
+    val toks = new Array[UTF8String](nTok)
+    var i = 0
+    while (i < nTok) {
+      toks(i) = UTF8String.fromBytes(bytes, starts(i), lens(i))
+      i += 1
+    }
+    toks
+  }
+
+  /** The multi-arg xxhash64 chain over `order` tokens starting at `i`
+    * (seed 42, child-by-child — bit-identical to the declarative
+    * expression; a null token passes the seed through, like a null
+    * xxhash64 child). The ONE implementation every native n-gram-key
+    * site uses. */
+  @inline private[plans] def chainHash(toks: Array[UTF8String], i: Int,
+                                       order: Int): Long = {
+    var h = 42L
+    var k = 0
+    while (k < order) {
+      val t = toks(i + k)
+      if (t != null)
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+      k += 1
+    }
+    h
+  }
+
   /** `rlike("\\p{L}")` per token, with an ASCII fast path: an ASCII
     * letter anywhere decides true; a pure-ASCII token without one
     * decides false; only tokens carrying non-ASCII bytes pay the
@@ -315,17 +357,7 @@ object FunnelGatesExpr {
     var distinct = 0
     var i = 0
     while (i < count) {
-      var h = 42L
-      var k = 0
-      while (k < order) {
-        // XxHash64Function.hash(UTF8String, StringType, seed) minus
-        // the per-call dataType dispatch.
-        val t = toks(i + k)
-        h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
-        k += 1
-      }
-      if (seen.add(h)) distinct += 1
+      if (seen.add(chainHash(toks, i, order))) distinct += 1
       i += 1
     }
     (count - distinct).toDouble / count.toDouble
@@ -412,66 +444,32 @@ case class NgramHashesExpr(child: Expression, n: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) return Empty
-    v match {
+    val toks = v match {
       case s: UTF8String =>
-        val bytes = s.getBytes
-        var nTok = 0
-        var starts = new Array[Int](16)
-        var lens = new Array[Int](16)
-        MinHashShinglesSigExpr.forEachToken(bytes, (st, l) => {
-          if (nTok == starts.length) {
-            starts = java.util.Arrays.copyOf(starts, nTok * 2)
-            lens = java.util.Arrays.copyOf(lens, nTok * 2)
-          }
-          starts(nTok) = st; lens(nTok) = l; nTok += 1
-        })
-        if (nTok < n) return Empty
-        val out = new Array[Long](nTok - n + 1)
-        var i = 0
-        while (i < out.length) {
-          var h = 42L
-          var k = 0
-          while (k < n) {
-            h = org.apache.spark.sql.catalyst.expressions.XXH64
-              .hashUnsafeBytes(bytes,
-                org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET +
-                  starts(i + k), lens(i + k), h)
-            k += 1
-          }
-          out(i) = h
-          i += 1
-        }
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        // Inline tokenize: the SAME collectTokens the funnel scan uses
+        // (zero-copy views over the text bytes).
+        FunnelGatesExpr.collectTokens(s.getBytes)
       case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
         val nTok = arr.numElements()
-        if (nTok < n) return Empty
-        val toks = new Array[UTF8String](nTok)
+        val ts = new Array[UTF8String](nTok)
         var i = 0
         while (i < nTok) {
-          // Declarative element_at would NPE-propagate nulls into the
-          // hash as nulls (xxhash64 skips null children: seed passes
-          // through). Match that: null token -> seed unchanged.
-          toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+          // Declarative element_at would propagate nulls into the hash
+          // as null children (xxhash64 skips them: seed passes
+          // through) — chainHash matches that.
+          ts(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
           i += 1
         }
-        val out = new Array[Long](nTok - n + 1)
-        i = 0
-        while (i < out.length) {
-          var h = 42L
-          var k = 0
-          while (k < n) {
-            val t = toks(i + k)
-            if (t != null)
-              h = org.apache.spark.sql.catalyst.expressions.XXH64
-                .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
-                  t.numBytes, h)
-            k += 1
-          }
-          out(i) = h
-          i += 1
-        }
-        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        ts
     }
+    if (toks.length < n) return Empty
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      out(i) = FunnelGatesExpr.chainHash(toks, i, n)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(

@@ -323,30 +323,42 @@ object PipelineQueries {
          |  CAST((cum - n_bpe_tokens) // 256 AS INT) AS seq_idx,
          |  CAST((cum - n_bpe_tokens) % 256 AS INT) AS tok_offset
          |FROM pc""".stripMargin) { (s, d) =>
-      // The curated set is quota-bounded (tiny by construction):
-      // localCheckpoint so its funnel lineage runs once, not once per
-      // downstream join. The checkpoint's LogicalRDD carries no size
-      // stats, so each survivor join hints broadcast explicitly —
-      // without it the planner falls back to sort-merge on a table the
-      // quota bounds at numLangs x quota rows.
-      val curated = broadcast(curationFunnel(s, d, portableCov = true)
-        .select("doc_id", "lang").localCheckpoint())
       val dir = Fixtures.stampedDir(d, "documents", "bpe_store", 1)
         .resolve("tok").toString
       val params = TokenizerStore.Params(merges = M, minCount = 1L)
       if (TokenizerStore.readParams(s, dir).isEmpty)
         TokenizerStore.build(Tables.documents(s, d), "doc_id", "text",
           dir, params)
-      val curatedDocs = Tables.documents(s, d).select("doc_id", "text")
-        .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
-      val budgets = TokenizerStore.tokenCounts(s, dir, params,
-        curatedDocs, "doc_id", "text")
-      Corpus.packSequences(budgets.join(broadcast(curated), Seq("doc_id")),
-          "doc_id", col("n_bpe_tokens"), numShards = 4,
-          budgetTokens = 256, seed = "pt")
+      corpusBuild(Tables.documents(s, d),
+          curationFunnel(s, d, portableCov = true),
+          dir, params, numShards = 4, budgetTokens = 256)
         .select("doc_id", "lang", "n_bpe_tokens", "shard", "seq_idx",
           "tok_offset")
     }
+  }
+
+  /** The shared curate→tokenize-from-store→pack composition — ONE
+    * implementation for the registered pipe24, its heavy-bench entry,
+    * and ScaleCheck's corpus-build sweep, so the load-bearing plan
+    * shape cannot drift between them: the quota-bounded curated set is
+    * `localCheckpoint`ed (the funnel lineage runs once, not once per
+    * downstream join) and every survivor join hints `broadcast`
+    * explicitly — the checkpoint's LogicalRDD carries no size stats,
+    * so the planner otherwise falls back to sort-merge on a table the
+    * quota bounds at numLangs × quota rows. */
+  private[graft] def corpusBuild(
+      docs: org.apache.spark.sql.DataFrame,
+      curated0: org.apache.spark.sql.DataFrame,
+      storeDir: String, params: TokenizerStore.Params,
+      numShards: Int, budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+    val curated = broadcast(
+      curated0.select("doc_id", "lang").localCheckpoint())
+    val curatedDocs = docs.select("doc_id", "text")
+      .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
+    val budgets = TokenizerStore.tokenCounts(docs.sparkSession, storeDir,
+      params, curatedDocs, "doc_id", "text")
+    Corpus.packSequences(budgets.join(broadcast(curated), Seq("doc_id")),
+      "doc_id", col("n_bpe_tokens"), numShards, budgetTokens, seed = "pt")
   }
 
   /** The pipe17 funnel body, shared by the registered query (portable

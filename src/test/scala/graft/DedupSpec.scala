@@ -653,7 +653,14 @@ class DedupSpec extends AnyFunSuite {
         (200008L, "München Δθ 東京 😀 a1 42 ¾"),
         (200009L, "the the the the of of to to and and"),
         (200010L, "𐀀low ￿-high mix order"),
-        (200011L, "x y " + ("w " * 60) + "z"))
+        (200011L, "x y " + ("w " * 60) + "z"),
+        // Java regex $ matches just before a FINAL line terminator
+        // (\r, NEL, LS, PS) — "end...\r" IS an ellipsis line under the
+        // declarative EllipsisRe; the native check must agree.
+        (200012L, "end...\r\nnext line"),
+        (200013L, "tail…"), (200014L, "x... "),
+        (200015L, "y… "), (200016L, "no... \r match"),
+        (200017L, "double...\r\r"))
         .toDF("doc_id", "text"))
     def cols(df: org.apache.spark.sql.DataFrame) = df
       .select(col("doc_id"), col("rep_keep"), col("gop_keep"),
