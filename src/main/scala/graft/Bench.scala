@@ -527,6 +527,34 @@ object HeavyBench {
         graft.llm.TokenizerStore.tokenIds(s, s"$d/bpe_tokenizer",
           HeavyTokParams, docs(s, d), "doc_id", "text")
       }),
+    // MATERIALIZING the training batches: every token id placed at its
+    // (shard, sequence, offset) under 2048-token concat-and-chunk —
+    // pipe25's production shape. On top of the encode this pays ONE
+    // hash shuffle of the token stream (the per-doc index window) and
+    // the doc→slot merge join that reuses the window's sort.
+    HeavyItem("pipe25_token_batches", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some { (s, d) =>
+        val store = s"$d/bpe_tokenizer"
+        val dd = docs(s, d)
+        val budgets = graft.llm.TokenizerStore.tokenCounts(s, store,
+          HeavyTokParams, dd, "doc_id", "text")
+        val packed = graft.llm.Corpus.packSequences(budgets, "doc_id",
+            col("n_bpe_tokens"), numShards = 32, budgetTokens = 2048,
+            seed = "pt")
+          .select(col("doc_id"), col("shard"),
+            (col("seq_idx").cast("long") * 2048 + col("tok_offset"))
+              .as("__sp"))
+        val enriched = dd.select("doc_id", "text")
+          .join(packed, Seq("doc_id"))
+        graft.llm.TokenizerStore.tokenIds(s, store,
+            HeavyTokParams, enriched, "doc_id", "text",
+            withIndex = true, carry = Seq("shard", "__sp"))
+          .select(col("doc_id"), col("shard"),
+            expr("CAST((__sp + tidx) div 2048 AS INT)").as("seq_idx"),
+            expr("CAST((__sp + tidx) % 2048 AS INT)").as("tok_offset"),
+            col("token_id"))
+      }),
     // The END-TO-END corpus build at production shape: pipe17's funnel
     // (stringless coverage, Gopher thresholds FIT to this corpus —
     // measured 11.8 chars/word and zero English stopwords, so

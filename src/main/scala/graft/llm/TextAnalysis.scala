@@ -966,26 +966,56 @@ object TextAnalysis {
     * broadcast joins on the exploded word/symbol stream — scan-local,
     * no corpus shuffle. */
   def bpeTokenIdsWith(docs: DataFrame, id: String, text: String,
-                      words: DataFrame): DataFrame = {
+                      words: DataFrame,
+                      withIndex: Boolean = false,
+                      carry: Seq[String] = Nil): DataFrame = {
     val vocab = words.select(explode(col("s")).as("sym")).distinct()
       .withColumn("token_id",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("sym")).cast("long"))
     val toks = filter(Scalars.tokens(col(text)), w => length(w) > 0)
-    val dw = docs.select(col(id),
-      posexplode(toks).as(Seq("wpos", "w")))
+    // `carry` columns of docs ride through the explosion unchanged —
+    // the pipe25 trick: attach the per-doc pack slot BEFORE the token
+    // stream exists, so the layout join costs one doc-level hash join
+    // instead of a token-stream exchange (measured 65 -> 42 s on the
+    // x64 batch entry).
+    val dw = docs.select(col(id) +: carry.map(col) :+
+      posexplode(toks).as(Seq("wpos", "w")): _*)
     // OOV fallback: code points + '</w>' (what the trainer's floor
     // leaves untrained words segmented as).
     val charSyms = concat(
       transform(sequence(lit(1), length(col("w"))),
         i => substring(col("w"), i, lit(1))),
       array(lit("</w>")))
-    val syms = dw
+    val segged = dw
       .join(broadcast(words.select(col("w"), col("s"))), Seq("w"), "left")
-      .select(col(id), col("wpos"), col("w"),
-        posexplode(coalesce(col("s"), charSyms)).as(Seq("spos", "sym")))
-    syms.join(broadcast(vocab), Seq("sym"), "left")
-      .select(col(id), col("wpos"), col("spos"), col("sym"),
-        coalesce(col("token_id"), lit(0L)).as("token_id"))
+      .withColumn("__syms", coalesce(col("s"), charSyms))
+    // `withIndex` adds tidx, the doc-level running token index — the
+    // batch-layout key (pipe25). Computed as a WORD-level prefix sum
+    // (one shuffle/sort of the word stream, ~4-5× fewer rows than the
+    // token stream) plus the in-word offset; identical to
+    // row_number() - 1 over (wpos, spos) at a fraction of the
+    // exchange volume (measured 261 → 80 s on the ×64 batch entry).
+    val indexed =
+      if (!withIndex) segged
+      else {
+        val wWin = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(id)).orderBy("wpos")
+        segged.withColumn("__wstart",
+          sum(size(col("__syms")).cast("long")).over(wWin) -
+            size(col("__syms")).cast("long"))
+      }
+    val syms = indexed
+      .select(col(id) +: carry.map(col) ++: (col("wpos") +:
+        (if (withIndex) Seq(col("__wstart")) else Nil)) :+
+        posexplode(col("__syms")).as(Seq("spos", "sym")): _*)
+    val out = syms.join(broadcast(vocab), Seq("sym"), "left")
+    val base = Seq(col(id)) ++ carry.map(col) ++ Seq(col("wpos"),
+      col("spos"), col("sym"),
+      coalesce(col("token_id"), lit(0L)).as("token_id"))
+    if (withIndex)
+      out.select(base :+ (col("__wstart") + col("spos")).as("tidx"): _*)
+    else
+      out.select(base: _*)
   }
 }

@@ -142,9 +142,11 @@ object TokenizerStore {
     * ranks), so re-serving from the same artifact always re-derives
     * the same id table. */
   def tokenIds(spark: SparkSession, dir: String, params: Params,
-               docs: DataFrame, id: String, text: String): DataFrame =
+               docs: DataFrame, id: String, text: String,
+               withIndex: Boolean = false,
+               carry: Seq[String] = Nil): DataFrame =
     TextAnalysis.bpeTokenIdsWith(docs, id, text,
-      read(spark, dir, params)._2)
+      read(spark, dir, params)._2, withIndex, carry)
 
   /** Complete an interrupted [[write]] swap — the shared
     * [[ArtifactStore.recoverSwap]] discipline on the `model/` unit.

@@ -709,36 +709,12 @@ object LlmQueries {
     // symbol set (a pure function of the artifact; the oracle
     // re-derives the same table from the replayed train chain). The
     // whole encode is served from the persisted TokenizerStore.
-    Q("t15_token_ids", {
-      val chain = LlmQueries.bpeChainSql(6)
-      s"""$chain,
-         |vocab AS (
-         |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
-         |    AS token_id
-         |  FROM (SELECT DISTINCT unnest(s) AS sym FROM w6)),
-         |tb AS (
-         |  SELECT doc_id, list_filter(string_split(trim(text), ' '),
-         |    x -> len(x) > 0) AS t
-         |  FROM documents),
-         |tw AS (
-         |  SELECT doc_id, unnest(range(0, len(t))) AS wpos, t FROM tb),
-         |tws AS (SELECT doc_id, wpos, t[wpos + 1] AS w FROM tw),
-         |tsg AS (
-         |  SELECT d.doc_id, d.wpos,
-         |    coalesce(wf.s, list_append(
-         |      list_transform(range(0, len(d.w)),
-         |        i -> substr(d.w, CAST(i + 1 AS INT), 1)),
-         |      '</w>')) AS s
-         |  FROM tws d LEFT JOIN w6 wf ON d.w = wf.w),
-         |tsy AS (
-         |  SELECT doc_id, wpos, unnest(range(0, len(s))) AS spos, s
-         |  FROM tsg),
-         |ts2 AS (SELECT doc_id, wpos, spos, s[spos + 1] AS sym FROM tsy)
+    Q("t15_token_ids",
+      s"""${LlmQueries.tokenIdsChainSql(6)}
          |SELECT t2.doc_id, CAST(t2.wpos AS INT) AS wpos,
          |       CAST(t2.spos AS INT) AS spos, t2.sym,
          |       coalesce(v.token_id, 0) AS token_id
-         |FROM ts2 t2 LEFT JOIN vocab v USING (sym)""".stripMargin
-    }) { (s, d) =>
+         |FROM ts2 t2 LEFT JOIN vocab v USING (sym)""".stripMargin) { (s, d) =>
       val dir = Fixtures.stampedDir(d, "documents", "bpe_store", 1)
         .resolve("tok").toString
       val params = TokenizerStore.Params(merges = 6, minCount = 1L)
@@ -1679,6 +1655,39 @@ object LlmQueries {
   private[queries] def bpeChainSql(merges: Int): String = {
     val train = bpeOracleSql(merges)
     train.substring(0, train.indexOf("\nSELECT * FROM ("))
+  }
+
+  /** The t15 token-id CTE chain (BPE train chain + vocab id table +
+    * the per-word/per-symbol position stream, no final SELECT) —
+    * shared by the t15 oracle and pipe25's packed-batch oracle. Ends
+    * with CTEs `vocab` (sym → dense 1-based binary-rank id) and `ts2`
+    * (doc_id, wpos, spos, sym). */
+  private[queries] def tokenIdsChainSql(m: Int): String = {
+    val chain = bpeChainSql(m)
+    s"""$chain,
+       |vocab AS (
+       |  SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT)
+       |    AS token_id
+       |  FROM (SELECT DISTINCT unnest(s) AS sym FROM w$m)),
+       |tb AS (
+       |  SELECT doc_id, list_filter(string_split(trim(text), ' '),
+       |    x -> len(x) > 0) AS t
+       |  FROM documents),
+       |tw AS (
+       |  SELECT doc_id, unnest(range(0, len(t))) AS wpos, t FROM tb),
+       |tws AS (SELECT doc_id, wpos, t[wpos + 1] AS w FROM tw),
+       |tsg AS (
+       |  SELECT d.doc_id, d.wpos,
+       |    coalesce(wf.s, list_append(
+       |      list_transform(range(0, len(d.w)),
+       |        i -> substr(d.w, CAST(i + 1 AS INT), 1)),
+       |      '</w>')) AS s
+       |  FROM tws d LEFT JOIN w$m wf ON d.w = wf.w),
+       |tsy AS (
+       |  SELECT doc_id, wpos, unnest(range(0, len(s))) AS spos, s
+       |  FROM tsg),
+       |ts2 AS (SELECT doc_id, wpos, spos, s[spos + 1] AS sym FROM tsy)"""
+      .stripMargin
   }
 
   private def bpeTokensOracleSql(merges: Int): String = {

@@ -172,7 +172,7 @@ object PipelineQueries {
       curationFunnel(s, d, portableCov = true)
     },
 
-    pipe24)
+    pipe24, pipe25)
 
   /** pipe17's funnel oracle verbatim — also the curation stage of
     * pipe24's corpus-build oracle (embedded as a nested WITH, so its
@@ -334,6 +334,82 @@ object PipelineQueries {
           dir, params, numShards = 4, budgetTokens = 256)
         .select("doc_id", "lang", "n_bpe_tokens", "shard", "seq_idx",
           "tok_offset")
+    }
+  }
+
+  /** pipe25 — the LITERAL training-batch layout: every token id of
+    * every document placed at its (shard, sequence, offset) under the
+    * GPT-style concat-and-chunk stream (c4's layout applied to t15's
+    * real token ids instead of budget counts) — the final artifact a
+    * pretraining loader reads. Composed from the persisted tokenizer
+    * artifact (ids + budgets both served from the store) and gated
+    * under one composed oracle (t15's id chain + the pack window
+    * replayed on the full corpus).
+    *
+    * Scale shape: the id stream is scan work (two broadcast joins);
+    * the per-doc token index is ONE hash shuffle of the token stream
+    * on doc_id (the in-partition sort is bounded by doc length), and
+    * the doc→slot join is hash-keyed — nothing global except the
+    * bounded per-shard running sum the pack already pays. */
+  private lazy val pipe25: Q = {
+    val M = 6
+    val hashPt =
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pt'), " +
+        "1, 10)) AS BIGINT)"
+    Q("pipe25_token_batches",
+      s"""${LlmQueries.tokenIdsChainSql(M)},
+         |tokid AS (
+         |  SELECT t2.doc_id, t2.wpos, t2.spos,
+         |         coalesce(v.token_id, 0) AS token_id
+         |  FROM ts2 t2 LEFT JOIN vocab v USING (sym)),
+         |tix AS (
+         |  SELECT doc_id, token_id,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos)
+         |      - 1 AS tidx
+         |  FROM tokid),
+         |cnt AS (
+         |  SELECT d.doc_id, coalesce(c.n, 0) AS n
+         |  FROM documents d LEFT JOIN (
+         |    SELECT doc_id, count(*) AS n FROM tokid GROUP BY doc_id) c
+         |  USING (doc_id)),
+         |ppk AS (SELECT doc_id, n, $hashPt AS hv FROM cnt),
+         |ppc AS (
+         |  SELECT doc_id, CAST(hv % 4 AS INT) AS shard,
+         |    sum(n) OVER (PARTITION BY hv % 4 ORDER BY hv, doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n AS sp
+         |  FROM ppk)
+         |SELECT t.doc_id, p.shard,
+         |  CAST((p.sp + t.tidx) // 256 AS INT) AS seq_idx,
+         |  CAST((p.sp + t.tidx) % 256 AS INT) AS tok_offset,
+         |  t.token_id
+         |FROM tix t JOIN ppc p USING (doc_id)""".stripMargin) { (s, d) =>
+      val dir = Fixtures.stampedDir(d, "documents", "bpe_store", 1)
+        .resolve("tok").toString
+      val params = TokenizerStore.Params(merges = M, minCount = 1L)
+      if (TokenizerStore.readParams(s, dir).isEmpty)
+        TokenizerStore.build(Tables.documents(s, d), "doc_id", "text",
+          dir, params)
+      val docsDf = Tables.documents(s, d)
+      val budgets = TokenizerStore.tokenCounts(s, dir, params, docsDf,
+        "doc_id", "text")
+      val packed = Corpus.packSequences(budgets, "doc_id",
+          col("n_bpe_tokens"), numShards = 4, budgetTokens = 256,
+          seed = "pt")
+        .select(col("doc_id"), col("shard"),
+          (col("seq_idx").cast("long") * 256 + col("tok_offset"))
+            .as("__sp"))
+      // Pack slots attach at DOC level, before the token stream
+      // exists — the layout join costs one doc-count hash join and the
+      // slot columns ride through the explosion.
+      val enriched = docsDf.select("doc_id", "text")
+        .join(packed, Seq("doc_id"))
+      TokenizerStore.tokenIds(s, dir, params, enriched,
+          "doc_id", "text", withIndex = true,
+          carry = Seq("shard", "__sp"))
+        .select(col("doc_id"), col("shard"),
+          expr("CAST((__sp + tidx) div 256 AS INT)").as("seq_idx"),
+          expr("CAST((__sp + tidx) % 256 AS INT)").as("tok_offset"),
+          col("token_id"))
     }
   }
 
