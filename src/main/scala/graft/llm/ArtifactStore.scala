@@ -132,9 +132,15 @@ private[graft] object ArtifactStore {
     new Path(dir, s"_old_$unit")
 
   /** A unique per-run temp directory for the replacement build — never
-    * a name a reader could mistake for another run's. */
+    * a name a reader could mistake for another run's. The name leads
+    * with zero-padded epoch millis so temp names SORT IN BUILD ORDER:
+    * if the single-writer contract is ever violated and recovery finds
+    * several complete temps, `maxBy(_.getName)` promotes the NEWEST
+    * build, not an arbitrary UUID winner (the random suffix only
+    * tiebreaks two builds started in the same millisecond). */
   def newTmpPath(dir: String, unit: String): Path =
     new Path(dir, tmpPrefix(unit) +
+      f"${System.currentTimeMillis}%013d" + "_" +
       java.util.UUID.randomUUID().toString.take(8))
 
   private def listTmps(f: FileSystem, dir: String,
@@ -187,6 +193,12 @@ private[graft] object ArtifactStore {
     if (!f.rename(tmp, data))
       throw new java.io.IOException(s"$store.$op: swap failed at $dir")
     f.delete(old, true)
+    // Writer-path post-commit hygiene: any temp still listed is crash
+    // debris from an EARLIER run (this run's tmp was just renamed away,
+    // and the single-writer contract means no other build is in
+    // flight). Clearing it here keeps a stale-but-complete leftover
+    // from ever being promoted by a later recovery.
+    cleanStaleTmps(f, dir, unit)
   }
 
   /** Complete a [[commitSwap]] interrupted by a crash. Idempotent;
@@ -206,8 +218,9 @@ private[graft] object ArtifactStore {
       val complete = listTmps(f, dir, unit)
         .filter(verifyComplete(f, _, components))
       if (complete.nonEmpty) {
-        // Single-writer contract ⇒ at most one complete temp; take the
-        // lexicographically last for determinism if that is violated.
+        // Single-writer contract ⇒ at most one complete temp; if that
+        // is violated, temp names lead with zero-padded epoch millis
+        // ([[newTmpPath]]) so maxBy(name) promotes the NEWEST build.
         val t = complete.maxBy(_.getName)
         if (!f.rename(t, data) && !f.exists(data))
           throw new java.io.IOException(

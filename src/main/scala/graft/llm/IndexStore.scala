@@ -22,7 +22,21 @@ import org.apache.spark.sql.functions._
   * quantizer; `codebook/` (subspace, code, centroid) — the residual PQ
   * model; `codes/` (id, cluster, codes) — the inverted lists, the only
   * per-document component and therefore the only one [[append]] grows
-  * and [[delete]] (takedown) rewrites. All filesystem access goes
+  * and [[delete]] (takedown) rewrites.
+  *
+  * `codes/` is SEGMENTED: it holds one `seg_*` parquet directory per
+  * committed build or increment, and readers take the union of
+  * committed segments (`_SUCCESS` present). [[append]] therefore costs
+  * O(increment) I/O — it writes the encoded increment as its own
+  * segment to a temp name inside `codes/` and promotes it with one
+  * rename — instead of rewriting the whole inverted-list table per
+  * nightly increment (which would make cumulative append I/O quadratic
+  * in index size). Atomicity is preserved: a reader lists segments at
+  * read time and sees the new segment entirely or not at all, never a
+  * torn file, and an un-promoted temp is invisible to readers.
+  * [[delete]] and [[compact]] rewrite the union into a single fresh
+  * segment under the whole-unit crash-safe swap, which also bounds
+  * segment-count growth between takedowns. All filesystem access goes
   * through the Hadoop FileSystem API so the artifact can live on
   * HDFS/object storage.
   */
@@ -45,9 +59,34 @@ object IndexStore {
   private val CentroidsDir = "centroids"
   private val CodebookDir = "codebook"
   private val CodesDir = "codes"
+  // The compacted segment a build/delete/compact writes; appends add
+  // monotonically-named siblings next to it.
+  private val SegBase = "seg_base"
+  private val SegPrefix = "seg_"
+  private val SegTmpPrefix = "_tmp_seg_"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     ArtifactStore.fs(spark, dir)
+
+  /** The committed `codes/` segments: children carrying a `_SUCCESS`
+    * marker under a `seg_` name. Un-promoted temps (`_tmp_seg_*`) and
+    * half-written segments are invisible by construction. */
+  private def codeSegments(f: FileSystem, dir: String): Seq[Path] = {
+    val root = new Path(dir, CodesDir)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(SegPrefix) &&
+        f.exists(new Path(p, "_SUCCESS")))
+      .sortBy(_.getName)
+  }
+
+  private def readCodes(spark: SparkSession, dir: String): DataFrame = {
+    val segs = codeSegments(fs(spark, dir), dir)
+    require(segs.nonEmpty,
+      s"IndexStore: no committed code segments under $dir/$CodesDir — " +
+        "the artifact is absent or was edited out-of-band")
+    spark.read.parquet(segs.map(_.toString): _*)
+  }
 
   /** Train an IVF-PQ index over `emb` and persist it (overwrite) with
     * its parameter sidecar: deterministic-Lloyd coarse centroids,
@@ -88,10 +127,13 @@ object IndexStore {
   def write(centroids: DataFrame, codebook: DataFrame, codes: DataFrame,
             dir: String, params: Params): Unit = {
     val spark = codes.sparkSession
+    val f = fs(spark, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/$CentroidsDir")
     codebook.write.mode("overwrite").parquet(s"$dir/$CodebookDir")
-    codes.write.mode("overwrite").parquet(s"$dir/$CodesDir")
-    writeSidecar(fs(spark, dir), new Path(dir, Sidecar), params)
+    // A full (re)build replaces ALL segments, not just the base one.
+    f.delete(new Path(dir, CodesDir), true)
+    codes.write.mode("overwrite").parquet(s"$dir/$CodesDir/$SegBase")
+    writeSidecar(f, new Path(dir, Sidecar), params)
   }
 
   /** The artifact, verified against the caller's parameters AND the
@@ -104,7 +146,7 @@ object IndexStore {
     requireParams(spark, dir, params, "read")
     val cents = spark.read.parquet(s"$dir/$CentroidsDir")
     val cb = spark.read.parquet(s"$dir/$CodebookDir")
-    val codes = spark.read.parquet(s"$dir/$CodesDir")
+    val codes = readCodes(spark, dir)
     // Model tables are clusters×dim and m×k×(dim/m) — tiny by
     // construction (they broadcast in every search), so these checks
     // cost two driver-side aggregates.
@@ -133,13 +175,17 @@ object IndexStore {
     * re-encoded, the model is never retrained). Refuses on parameter
     * mismatch. Like [[BandStore.append]], ids must be disjoint from
     * the stored corpus — the store cannot check that without scanning
-    * the lists. The replacement lists are fully written, then promoted
-    * with the one-directory swap ([[delete]]'s discipline): a raw
-    * parquet `mode("append")` would leave a half-written footerless
-    * file in the live directory on a crash — an index that FAILS TO
-    * READ — and show a concurrent reader a torn list; with the swap a
-    * reader (e.g. a [[graft.streaming.StreamingSearch]] batch) sees
-    * the old lists or the new ones, never a mix. */
+    * the lists.
+    *
+    * Costs O(increment), not O(index): the encoded increment becomes
+    * its OWN committed segment — fully written to a temp name inside
+    * `codes/` (invisible to readers), `_SUCCESS`-verified, then
+    * promoted with one rename. A crash leaves either no new segment or
+    * the whole one, never a torn list, and a concurrent reader (e.g. a
+    * [[graft.streaming.StreamingSearch]] batch) sees the old segment
+    * set or old+new, never a mix. Rewriting the whole table per append
+    * (the pre-segment design) made cumulative nightly I/O quadratic in
+    * index size. */
   def append(increment: DataFrame, id: String, vec: String, dir: String,
              params: Params): Unit = {
     val spark = increment.sparkSession
@@ -147,38 +193,67 @@ object IndexStore {
     val assign = Similarity.assignToCentroids(increment, id, vec,
       ix.centroids)
     val withC = increment.join(assign, Seq(id))
-    val grown = ix.codes.unionByName(
-      Similarity.ivfpqEncode(withC, id, vec, "cluster", ix.centroids,
-          ix.codebook, params.m, params.dim)
-        .withColumnRenamed(id, "id"))
+    val seg = Similarity.ivfpqEncode(withC, id, vec, "cluster",
+        ix.centroids, ix.codebook, params.m, params.dim)
+      .withColumnRenamed(id, "id")
     val f = fs(spark, dir)
-    ArtifactStore.cleanStaleTmps(f, dir, CodesDir)
-    val tmp = ArtifactStore.newTmpPath(dir, CodesDir)
-    grown.write.mode("overwrite").parquet(tmp.toString)
-    ArtifactStore.commitSwap(f, dir, CodesDir, tmp, Nil, "IndexStore",
-      "append")
+    // Writer path: clear crash debris from earlier aborted appends.
+    f.listStatus(new Path(dir, CodesDir)).map(_.getPath)
+      .filter(_.getName.startsWith(SegTmpPrefix))
+      .foreach(t => f.delete(t, true))
+    // Monotonic segment token (ArtifactStore's temp-name discipline):
+    // names sort in append order, and the promoted name can never
+    // collide with an existing segment.
+    val token = f"${System.currentTimeMillis}%013d" + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(dir, s"$CodesDir/$SegTmpPrefix$token")
+    seg.write.mode("overwrite").parquet(tmp.toString)
+    if (!ArtifactStore.verifyComplete(f, tmp, Nil))
+      throw new java.io.IOException(
+        s"IndexStore.append: increment segment at $tmp is incomplete " +
+          "(missing _SUCCESS) — refusing to promote it")
+    val dest = new Path(dir, s"$CodesDir/$SegPrefix$token")
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"IndexStore.append: cannot promote segment $tmp at $dir")
   }
 
   /** Remove `ids` (first column) from the inverted lists — the
     * takedown path, [[BandStore.delete]]'s write-rename-rename-delete
     * swap on the `codes/` component. The model tables and sidecar are
     * untouched (a takedown never changes the trained model); a deleted
-    * vector can never again appear as a neighbor. Not concurrency-safe
-    * against a running reader — maintenance-window only. */
+    * vector can never again appear as a neighbor. Rewrites the union
+    * of segments into one fresh base segment, so every takedown is
+    * also a [[compact]]ion. Not concurrency-safe against a running
+    * reader — maintenance-window only. */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val key = ids.columns.head
+    rewriteCodes(spark, dir, "delete", codes => codes
+      .join(broadcast(ids.select(col(key).as("id")).distinct()),
+        Seq("id"), "left_anti"))
+  }
+
+  /** Fold all appended segments back into one base segment (contents
+    * unchanged) — run occasionally so the segment count stays bounded
+    * between takedowns. Maintenance-window only, like [[delete]]. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    rewriteCodes(spark, dir, "compact", identity)
+
+  /** The shared delete/compact shape: read the committed union,
+    * transform it, write the result as a single `seg_base` inside a
+    * whole-unit temp, and promote with the crash-safe swap. */
+  private def rewriteCodes(spark: SparkSession, dir: String, op: String,
+                           transform: DataFrame => DataFrame): Unit = {
     val params = readParams(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"IndexStore: no artifact at $dir (missing $Sidecar)"))
-    val key = ids.columns.head
-    val kept = read(spark, dir, params).codes
-      .join(broadcast(ids.select(col(key).as("id")).distinct()),
-        Seq("id"), "left_anti")
+    val out = transform(read(spark, dir, params).codes)
     val f = fs(spark, dir)
     ArtifactStore.cleanStaleTmps(f, dir, CodesDir)
     val tmp = ArtifactStore.newTmpPath(dir, CodesDir)
-    kept.write.mode("overwrite").parquet(tmp.toString)
-    ArtifactStore.commitSwap(f, dir, CodesDir, tmp, Nil, "IndexStore",
-      "delete")
+    out.write.mode("overwrite").parquet(s"$tmp/$SegBase")
+    ArtifactStore.commitSwap(f, dir, CodesDir, tmp, Seq(SegBase),
+      "IndexStore", op)
   }
 
   /** ADC top-k from the persisted index: probed inverted lists stream
@@ -211,7 +286,8 @@ object IndexStore {
     * [[ArtifactStore.recoverSwap]] discipline on the `codes/`
     * component. Idempotent; called by every entry point. */
   private def recoverSwap(f: FileSystem, dir: String): Unit =
-    ArtifactStore.recoverSwap(f, dir, CodesDir, Nil, "IndexStore")
+    ArtifactStore.recoverSwap(f, dir, CodesDir, Seq(SegBase),
+      "IndexStore")
 
   /** The stored parameters, or None when no artifact exists. */
   def readParams(spark: SparkSession, dir: String): Option[Params] =

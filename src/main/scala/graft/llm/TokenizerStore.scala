@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * sidecar and every read verifies it plus cross-table structural
   * facts and refuses loudly on drift.
   *
-  * Layout under `dir`: one `model/` directory holding `merges/`
-  * (rank, left, right, merged, pair_count) — the ranked merge rules,
-  * THE tokenizer artifact proper — and `segments/` (w, c, s) — the
-  * trained vocabulary's final segmentation, which is what the bounded
-  * serve join reads (a word outside it falls back to character
-  * segmentation, the untrained-word cost).
+  * Layout under `dir`: one `model/` directory holding the
+  * `_params.json` sidecar (inside the swap unit, so parameters and
+  * tables promote atomically and can never be torn apart by a crash
+  * mid-retrain), `merges/` (rank, left, right, merged, pair_count) —
+  * the ranked merge rules, THE tokenizer artifact proper — and
+  * `segments/` (w, c, s) — the trained vocabulary's final
+  * segmentation, which is what the bounded serve join reads (a word
+  * outside it falls back to character segmentation, the
+  * untrained-word cost).
   *
   * Unlike the LM's count tables, a tokenizer artifact has NO
   * incremental append/subtract: merge ranks are global order
@@ -62,7 +65,14 @@ object TokenizerStore {
 
   /** Persist an already-trained (merge table, segmentation) pair with
     * the sidecar. The caller asserts both came from ONE
-    * [[TextAnalysis.bpeTrainFull]] run under `params`. */
+    * [[TextAnalysis.bpeTrainFull]] run under `params`.
+    *
+    * The sidecar lives INSIDE `model/` and is written into the temp
+    * BEFORE the tables, so the `model/` rename promotes parameters and
+    * tables as one unit: a crash can never pair a new model with an
+    * old sidecar (which, when the new merge count ≤ the old `merges`
+    * bound, would pass every [[read]] check and serve silently wrong
+    * token counts — the exact drift this store exists to refuse). */
   def write(merges: DataFrame, segments: DataFrame, dir: String,
             params: Params): Unit = {
     val spark = merges.sparkSession
@@ -72,15 +82,20 @@ object TokenizerStore {
     if (f.exists(live)) {
       ArtifactStore.cleanStaleTmps(f, dir, ModelDir)
       val tmp = ArtifactStore.newTmpPath(dir, ModelDir)
-      writeModel(merges, segments, tmp.toString)
+      writeModel(f, merges, segments, tmp, params)
       ArtifactStore.commitSwap(f, dir, ModelDir, tmp, Components,
         "TokenizerStore", "write")
-    } else writeModel(merges, segments, live.toString)
-    ArtifactStore.writeSidecar(f, new Path(dir, Sidecar), params.render)
+    } else writeModel(f, merges, segments, live, params)
   }
 
-  private def writeModel(merges: DataFrame, segments: DataFrame,
-                         root: String): Unit = {
+  private def writeModel(f: FileSystem, merges: DataFrame,
+                         segments: DataFrame, root: Path,
+                         params: Params): Unit = {
+    // Sidecar first: a temp missing its tables has no _SUCCESS markers
+    // and is never promoted, so every PROMOTABLE build carries its own
+    // parameters.
+    f.mkdirs(root)
+    ArtifactStore.writeSidecar(f, new Path(root, Sidecar), params.render)
     merges.write.mode("overwrite").parquet(s"$root/merges")
     segments.write.mode("overwrite").parquet(s"$root/segments")
   }
@@ -103,12 +118,17 @@ object TokenizerStore {
     val segments = spark.read.parquet(s"$dir/$ModelDir/segments")
     val m = merges.agg(count(lit(1)), coalesce(min("rank"), lit(1)),
       coalesce(max("rank"), lit(0)),
-      coalesce(min("pair_count"), lit(1L))).head()
+      coalesce(min("pair_count"), lit(1L)),
+      countDistinct(col("rank"))).head()
     val n = m.getLong(0)
+    // count + min + max alone accept a duplicated rank masking a gap
+    // (e.g. {1,2,2,4}); countDistinct == count closes that hole.
     require(n <= params.merges &&
-        (n == 0L || (m.getInt(1) == 1 && m.getInt(2).toLong == n)),
+        (n == 0L || (m.getInt(1) == 1 && m.getInt(2).toLong == n &&
+          m.getLong(4) == n)),
       s"TokenizerStore.read: merge table at $dir has $n rows with " +
-        s"ranks ${m.getInt(1)}..${m.getInt(2)} — not the contiguous " +
+        s"ranks ${m.getInt(1)}..${m.getInt(2)} " +
+        s"(${m.getLong(4)} distinct) — not the contiguous " +
         s"1..n ≤ ${params.merges} a training run writes; the artifact " +
         "was edited out-of-band")
     require(m.getLong(3) >= 1L,
@@ -155,12 +175,17 @@ object TokenizerStore {
     ArtifactStore.recoverSwap(f, dir, ModelDir, Components,
       "TokenizerStore")
 
-  /** The stored parameters, or None when no artifact exists. */
-  def readParams(spark: SparkSession, dir: String): Option[Params] =
-    ArtifactStore.readSidecarText(fs(spark, dir), dir).map { text =>
+  /** The stored parameters, or None when no artifact exists. Read from
+    * `model/$Sidecar` — the sidecar is part of the swapped unit, so
+    * these are always the parameters of the CURRENTLY LIVE model. */
+  def readParams(spark: SparkSession, dir: String): Option[Params] = {
+    val f = fs(spark, dir)
+    recoverSwap(f, dir)
+    ArtifactStore.readSidecarText(f, s"$dir/$ModelDir").map { text =>
       Params(ArtifactStore.intField(text, "merges", "TokenizerStore", dir),
         ArtifactStore.longField(text, "minCount", "TokenizerStore", dir))
     }
+  }
 
   private def requireParams(spark: SparkSession, dir: String,
                             expected: Params, op: String): Unit =
