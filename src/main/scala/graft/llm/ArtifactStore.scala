@@ -143,6 +143,15 @@ private[graft] object ArtifactStore {
       f"${System.currentTimeMillis}%013d" + "_" +
       java.util.UUID.randomUUID().toString.take(8))
 
+  /** The build-order key of a temp name: its 13-digit epoch-millis
+    * prefix, or Long.MinValue when the name predates the millis scheme
+    * (treated as oldest — see [[recoverSwap]]). */
+  private def tmpMillis(unit: String, p: Path): Long = {
+    val suffix = p.getName.stripPrefix(tmpPrefix(unit))
+    val digits = suffix.takeWhile(_.isDigit)
+    if (digits.length == 13) digits.toLong else Long.MinValue
+  }
+
   private def listTmps(f: FileSystem, dir: String,
                        unit: String): Seq[Path] = {
     val root = new Path(dir)
@@ -219,9 +228,14 @@ private[graft] object ArtifactStore {
         .filter(verifyComplete(f, _, components))
       if (complete.nonEmpty) {
         // Single-writer contract ⇒ at most one complete temp; if that
-        // is violated, temp names lead with zero-padded epoch millis
-        // ([[newTmpPath]]) so maxBy(name) promotes the NEWEST build.
-        val t = complete.maxBy(_.getName)
+        // is violated, promote the NEWEST build by its zero-padded
+        // epoch-millis prefix ([[newTmpPath]]). Parsed, not lexical:
+        // a leftover temp from BEFORE the millis-prefix scheme (bare
+        // UUID, often letter-leading) would lexically sort AFTER every
+        // digit-leading name — parsing treats an unparsable prefix as
+        // oldest, so a stale pre-scheme build can never outrank a
+        // current one.
+        val t = complete.maxBy(p => (tmpMillis(unit, p), p.getName))
         if (!f.rename(t, data) && !f.exists(data))
           throw new java.io.IOException(
             s"$store.recoverSwap: cannot promote $t at $dir")

@@ -39,6 +39,15 @@ import org.apache.spark.sql.functions._
   * segment-count growth between takedowns. All filesystem access goes
   * through the Hadoop FileSystem API so the artifact can live on
   * HDFS/object storage.
+  *
+  * Artifacts OUTLIVE the code that wrote them: layout 1 (the previous
+  * scheme — `codes/` as ONE flat parquet directory with a top-level
+  * `_SUCCESS`) stays readable forever (the flat directory is treated
+  * as the implicit base segment), and the first [[append]] migrates it
+  * in place — two renames move the flat directory to `codes/seg_base`,
+  * crash-recoverable at every step — before the new segment lands
+  * next to it. A deploy must never brick a persisted index: at 100 TB
+  * nobody re-encodes the corpus because the store code was upgraded.
   */
 object IndexStore {
 
@@ -64,28 +73,83 @@ object IndexStore {
   private val SegBase = "seg_base"
   private val SegPrefix = "seg_"
   private val SegTmpPrefix = "_tmp_seg_"
+  // Mid-migration holding name for a layout-1 flat codes/ dir.
+  private val MigrateDir = "_migrate_codes"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     ArtifactStore.fs(spark, dir)
 
   /** The committed `codes/` segments: children carrying a `_SUCCESS`
     * marker under a `seg_` name. Un-promoted temps (`_tmp_seg_*`) and
-    * half-written segments are invisible by construction. */
+    * half-written segments are invisible by construction. A layout-1
+    * artifact — `codes/` itself one flat committed parquet directory —
+    * reads as its own implicit base segment, so pre-segmentation
+    * indexes stay servable without a rebuild (writer paths migrate
+    * them on first touch; see [[migrateLegacyCodes]]). */
   private def codeSegments(f: FileSystem, dir: String): Seq[Path] = {
     val root = new Path(dir, CodesDir)
     if (!f.exists(root)) return Seq.empty
-    f.listStatus(root).toSeq.map(_.getPath)
+    val segs = f.listStatus(root).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith(SegPrefix) &&
         f.exists(new Path(p, "_SUCCESS")))
       .sortBy(_.getName)
+    if (segs.nonEmpty) {
+      // seg_* children next to a top-level _SUCCESS means flat
+      // layout-1 files share the directory with segments — a state no
+      // writer produces (append migrates first). Reading only the
+      // segments would silently drop the flat base corpus; refuse.
+      require(!f.exists(new Path(root, "_SUCCESS")),
+        s"IndexStore: $dir/$CodesDir mixes flat layout-1 files with " +
+          "seg_* segments — the artifact was edited out-of-band; " +
+          "restore one layout before serving")
+      segs
+    } else if (f.exists(new Path(root, "_SUCCESS"))) Seq(root)
+    else Seq.empty
   }
 
   private def readCodes(spark: SparkSession, dir: String): DataFrame = {
     val segs = codeSegments(fs(spark, dir), dir)
     require(segs.nonEmpty,
-      s"IndexStore: no committed code segments under $dir/$CodesDir — " +
-        "the artifact is absent or was edited out-of-band")
+      s"IndexStore: no committed code segments under $dir/$CodesDir " +
+        "(neither seg_* children nor a flat layout-1 parquet dir carry " +
+        "a _SUCCESS marker) — the artifact is absent, half-written, or " +
+        "was edited out-of-band")
     spark.read.parquet(segs.map(_.toString): _*)
+  }
+
+  /** Upgrade a layout-1 flat `codes/` in place: two renames move the
+    * committed flat directory to `codes/seg_base`, after which segment
+    * listing is the ONLY read shape. Writer-path only (single-writer
+    * contract), called by [[append]] before its segment lands —
+    * without this, flat files and `seg_*` children would share one
+    * directory and the flat part could no longer be read as a plain
+    * parquet root. Each crash window is recovered by
+    * [[finishMigration]]: after step 1 `codes/` is missing and
+    * `_migrate_codes` holds the data; after step 2 `codes/` is empty;
+    * step 3 completes the move. */
+  private def migrateLegacyCodes(f: FileSystem, dir: String): Unit = {
+    val root = new Path(dir, CodesDir)
+    val legacy = f.exists(new Path(root, "_SUCCESS")) &&
+      !f.listStatus(root).exists(_.getPath.getName.startsWith(SegPrefix))
+    if (!legacy) return
+    val hold = new Path(dir, MigrateDir)
+    if (!f.rename(root, hold))
+      throw new java.io.IOException(
+        s"IndexStore: cannot stage layout-1 codes for migration at $dir")
+    finishMigration(f, dir)
+  }
+
+  /** Complete an interrupted layout-1 migration (idempotent, called by
+    * every entry point): if the holding dir exists, the flat codes are
+    * mid-move — put them at `codes/seg_base`. */
+  private def finishMigration(f: FileSystem, dir: String): Unit = {
+    val hold = new Path(dir, MigrateDir)
+    if (!f.exists(hold)) return
+    val root = new Path(dir, CodesDir)
+    f.mkdirs(root)
+    if (!f.rename(hold, new Path(root, SegBase)))
+      throw new java.io.IOException(
+        s"IndexStore: cannot complete layout-1 codes migration at $dir")
   }
 
   /** Train an IVF-PQ index over `emb` and persist it (overwrite) with
@@ -128,11 +192,20 @@ object IndexStore {
             dir: String, params: Params): Unit = {
     val spark = codes.sparkSession
     val f = fs(spark, dir)
+    recoverSwap(f, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/$CentroidsDir")
     codebook.write.mode("overwrite").parquet(s"$dir/$CodebookDir")
-    // A full (re)build replaces ALL segments, not just the base one.
-    f.delete(new Path(dir, CodesDir), true)
-    codes.write.mode("overwrite").parquet(s"$dir/$CodesDir/$SegBase")
+    // A full (re)build replaces ALL segments, not just the base one —
+    // via the whole-unit crash-safe swap: the replacement seg_base is
+    // fully written to a temp first, so no crash window exists in
+    // which the live index has NO codes at all (a bare delete-then-
+    // write left exactly that window, destroying appended segments
+    // before the replacement existed).
+    ArtifactStore.cleanStaleTmps(f, dir, CodesDir)
+    val tmp = ArtifactStore.newTmpPath(dir, CodesDir)
+    codes.write.mode("overwrite").parquet(s"$tmp/$SegBase")
+    ArtifactStore.commitSwap(f, dir, CodesDir, tmp, Seq(SegBase),
+      "IndexStore", "write")
     writeSidecar(f, new Path(dir, Sidecar), params)
   }
 
@@ -197,7 +270,10 @@ object IndexStore {
         ix.centroids, ix.codebook, params.m, params.dim)
       .withColumnRenamed(id, "id")
     val f = fs(spark, dir)
-    // Writer path: clear crash debris from earlier aborted appends.
+    // Writer path: a layout-1 artifact is upgraded in place before the
+    // new segment lands (flat files and segments never share a dir).
+    migrateLegacyCodes(f, dir)
+    // Clear crash debris from earlier aborted appends.
     f.listStatus(new Path(dir, CodesDir)).map(_.getPath)
       .filter(_.getName.startsWith(SegTmpPrefix))
       .foreach(t => f.delete(t, true))
@@ -285,9 +361,11 @@ object IndexStore {
   /** Complete a [[delete]] swap interrupted by a crash — the shared
     * [[ArtifactStore.recoverSwap]] discipline on the `codes/`
     * component. Idempotent; called by every entry point. */
-  private def recoverSwap(f: FileSystem, dir: String): Unit =
+  private def recoverSwap(f: FileSystem, dir: String): Unit = {
     ArtifactStore.recoverSwap(f, dir, CodesDir, Seq(SegBase),
       "IndexStore")
+    finishMigration(f, dir)
+  }
 
   /** The stored parameters, or None when no artifact exists. */
   def readParams(spark: SparkSession, dir: String): Option[Params] =
@@ -298,7 +376,12 @@ object IndexStore {
     }
 
   private def writeSidecar(f: FileSystem, p: Path, params: Params): Unit =
-    ArtifactStore.writeSidecar(f, p, params.render)
+    // `layout` stamps the directory scheme (2 = segmented codes/), so
+    // the next layout evolution is explicit instead of inferred from
+    // file positions; parameter equality ignores it, and a layout-1
+    // sidecar (no field) parses identically.
+    ArtifactStore.writeSidecar(f, p,
+      params.render.stripSuffix("}") + ",\"layout\":2}")
 
   private def requireParams(spark: SparkSession, dir: String,
                             expected: Params, op: String): Unit =

@@ -16,15 +16,24 @@ import org.apache.spark.sql.functions._
   * sidecar and every read verifies it plus cross-table structural
   * facts and refuses loudly on drift.
   *
-  * Layout under `dir`: one `model/` directory holding the
-  * `_params.json` sidecar (inside the swap unit, so parameters and
-  * tables promote atomically and can never be torn apart by a crash
-  * mid-retrain), `merges/` (rank, left, right, merged, pair_count) —
-  * the ranked merge rules, THE tokenizer artifact proper — and
-  * `segments/` (w, c, s) — the trained vocabulary's final
-  * segmentation, which is what the bounded serve join reads (a word
-  * outside it falls back to character segmentation, the
-  * untrained-word cost).
+  * Layout under `dir` (layout 2, stamped in the sidecar): one
+  * `model/` directory holding the `_params.json` sidecar (inside the
+  * swap unit, so parameters and tables promote atomically and can
+  * never be torn apart by a crash mid-retrain), `merges/` (rank,
+  * left, right, merged, pair_count) — the ranked merge rules, THE
+  * tokenizer artifact proper — and `segments/` (w, c, s) — the
+  * trained vocabulary's final segmentation, which is what the bounded
+  * serve join reads (a word outside it falls back to character
+  * segmentation, the untrained-word cost).
+  *
+  * Artifacts OUTLIVE the code that wrote them: layout 1 (the previous
+  * scheme — same tables, sidecar at the store ROOT instead of inside
+  * `model/`) stays readable forever via the [[readParams]] fallback,
+  * and the first retrain migrates it (the promoted `model/` carries
+  * its own sidecar; the stale root copy is then dropped). A deploy
+  * must never brick a persisted tokenizer — retraining the vocabulary
+  * because the store code was upgraded would silently shift every
+  * token count downstream.
   *
   * Unlike the LM's count tables, a tokenizer artifact has NO
   * incremental append/subtract: merge ranks are global order
@@ -72,20 +81,30 @@ object TokenizerStore {
     * tables as one unit: a crash can never pair a new model with an
     * old sidecar (which, when the new merge count ≤ the old `merges`
     * bound, would pass every [[read]] check and serve silently wrong
-    * token counts — the exact drift this store exists to refuse). */
+    * token counts — the exact drift this store exists to refuse).
+    *
+    * The FIRST write takes the same temp + verify + rename path as a
+    * retrain: building directly in the live `model/` would let a crash
+    * leave a valid sidecar next to torn tables (a truncated merge tail
+    * still satisfies the contiguity check), which [[read]] could not
+    * distinguish from a healthy model. With the swap discipline a
+    * crash leaves either no `model/` (loud refusal) or a complete one,
+    * never a torn one. */
   def write(merges: DataFrame, segments: DataFrame, dir: String,
             params: Params): Unit = {
     val spark = merges.sparkSession
     val f = fs(spark, dir)
     recoverSwap(f, dir)
-    val live = new Path(dir, ModelDir)
-    if (f.exists(live)) {
-      ArtifactStore.cleanStaleTmps(f, dir, ModelDir)
-      val tmp = ArtifactStore.newTmpPath(dir, ModelDir)
-      writeModel(f, merges, segments, tmp, params)
-      ArtifactStore.commitSwap(f, dir, ModelDir, tmp, Components,
-        "TokenizerStore", "write")
-    } else writeModel(f, merges, segments, live, params)
+    ArtifactStore.cleanStaleTmps(f, dir, ModelDir)
+    val tmp = ArtifactStore.newTmpPath(dir, ModelDir)
+    writeModel(f, merges, segments, tmp, params)
+    ArtifactStore.commitSwap(f, dir, ModelDir, tmp, Components,
+      "TokenizerStore", "write")
+    // Layout-1 migration completes here: the freshly promoted model/
+    // carries its own sidecar, so a root-level copy left by the
+    // previous layout is stale — drop it so readParams can never pair
+    // the new model with the old parameters.
+    f.delete(new Path(dir, Sidecar), false)
   }
 
   private def writeModel(f: FileSystem, merges: DataFrame,
@@ -95,7 +114,11 @@ object TokenizerStore {
     // and is never promoted, so every PROMOTABLE build carries its own
     // parameters.
     f.mkdirs(root)
-    ArtifactStore.writeSidecar(f, new Path(root, Sidecar), params.render)
+    // `layout` stamps the directory scheme (2 = sidecar inside
+    // model/), so the NEXT layout evolution is explicit instead of
+    // inferred from file positions; parameter equality ignores it.
+    ArtifactStore.writeSidecar(f, new Path(root, Sidecar),
+      params.render.stripSuffix("}") + ",\"layout\":2}")
     merges.write.mode("overwrite").parquet(s"$root/merges")
     segments.write.mode("overwrite").parquet(s"$root/segments")
   }
@@ -177,14 +200,19 @@ object TokenizerStore {
 
   /** The stored parameters, or None when no artifact exists. Read from
     * `model/$Sidecar` — the sidecar is part of the swapped unit, so
-    * these are always the parameters of the CURRENTLY LIVE model. */
+    * these are always the parameters of the CURRENTLY LIVE model.
+    * Falls back to the store ROOT, where layout 1 (every artifact
+    * written before the sidecar moved inside the swap unit) kept it:
+    * a persisted tokenizer must stay readable across code deploys. */
   def readParams(spark: SparkSession, dir: String): Option[Params] = {
     val f = fs(spark, dir)
     recoverSwap(f, dir)
-    ArtifactStore.readSidecarText(f, s"$dir/$ModelDir").map { text =>
-      Params(ArtifactStore.intField(text, "merges", "TokenizerStore", dir),
-        ArtifactStore.longField(text, "minCount", "TokenizerStore", dir))
-    }
+    ArtifactStore.readSidecarText(f, s"$dir/$ModelDir")
+      .orElse(ArtifactStore.readSidecarText(f, dir))
+      .map { text =>
+        Params(ArtifactStore.intField(text, "merges", "TokenizerStore", dir),
+          ArtifactStore.longField(text, "minCount", "TokenizerStore", dir))
+      }
   }
 
   private def requireParams(spark: SparkSession, dir: String,

@@ -517,6 +517,120 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("IndexStore layout-1 artifact (flat codes/, no layout field) reads, serves, and migrates on append") {
+    val v2 = tmpDir("graft-ix")
+    val v1 = tmpDir("graft-ix1")
+    try {
+      val c0 = emb.filter(col("vec_id") < 300)
+      val inc = emb.filter(col("vec_id") >= 300 && col("vec_id") < 360)
+      IndexStore.build(c0, "vec_id", "qv", v2, IP, iters = 1)
+      val ix = IndexStore.read(spark, v2, IP)
+      // Hand-build the PREVIOUS layout: same model tables, codes as one
+      // flat parquet dir, sidecar without a layout field — byte-shaped
+      // like every artifact written before codes/ was segmented.
+      ix.centroids.write.parquet(s"$v1/centroids")
+      ix.codebook.write.parquet(s"$v1/codebook")
+      ix.codes.write.parquet(s"$v1/codes")
+      val f = CorpusStore.fileSystem(spark, v1)
+      graft.llm.ArtifactStore.writeSidecar(f,
+        new Path(v1, "_params.json"), IP.render)
+
+      // A code deploy must not brick the artifact: read + serve work
+      // on the old layout as-is, and equal the current-layout store.
+      def codesSet(d: String) = IndexStore.read(spark, d, IP).codes
+        .as[(Long, String, Seq[Int])].collect().toSet
+      assert(codesSet(v1) == codesSet(v2) && codesSet(v1).nonEmpty)
+      val q = emb.filter(col("vec_id") < 5)
+      val fromV1 = IndexStore.searchTopKRerank(spark, v1, IP, emb, q,
+        "vec_id", "qv", k = 3, nprobe = 2)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val fromV2 = IndexStore.searchTopKRerank(spark, v2, IP, emb, q,
+        "vec_id", "qv", k = 3, nprobe = 2)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(fromV1 == fromV2 && fromV1.nonEmpty)
+
+      // First append migrates in place (flat dir becomes seg_base) and
+      // lands its increment as a sibling segment; contents = union.
+      IndexStore.append(inc, "vec_id", "qv", v1, IP)
+      assert(f.exists(new Path(v1, "codes/seg_base/_SUCCESS")),
+        "layout-1 codes were not migrated to the base segment")
+      assert(!f.exists(new Path(v1, "codes/_SUCCESS")),
+        "flat layout-1 files still share the dir with segments")
+      IndexStore.append(inc, "vec_id", "qv", v2, IP)
+      assert(codesSet(v1) == codesSet(v2))
+
+      // Takedown on the migrated store still works end-to-end.
+      IndexStore.delete(spark, v1, inc.select(col("vec_id")))
+      IndexStore.delete(spark, v2, inc.select(col("vec_id")))
+      assert(codesSet(v1) == codesSet(v2))
+    } finally { cleanup(v2); cleanup(v1) }
+  }
+
+  test("IndexStore compact folds appended segments into one base; contents and search unchanged") {
+    val dir = tmpDir("graft-ix")
+    try {
+      val c0 = emb.filter(col("vec_id") < 300)
+      val inc = emb.filter(col("vec_id") >= 300 && col("vec_id") < 360)
+      IndexStore.build(c0, "vec_id", "qv", dir, IP, iters = 1)
+      IndexStore.append(inc, "vec_id", "qv", dir, IP)
+      val before = IndexStore.read(spark, dir, IP).codes
+        .as[(Long, String, Seq[Int])].collect().toSet
+      val f = CorpusStore.fileSystem(spark, dir)
+      assert(f.listStatus(new Path(dir, "codes"))
+        .count(_.getPath.getName.startsWith("seg_")) == 2)
+      IndexStore.compact(spark, dir)
+      val segs = f.listStatus(new Path(dir, "codes")).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("seg_"))
+      assert(segs == Seq("seg_base"), segs.toString)
+      val after = IndexStore.read(spark, dir, IP).codes
+        .as[(Long, String, Seq[Int])].collect().toSet
+      assert(after == before && after.nonEmpty)
+    } finally cleanup(dir)
+  }
+
+  test("IndexStore: an unpromoted append segment is invisible; the next append clears it") {
+    val dir = tmpDir("graft-ix")
+    try {
+      val c0 = emb.filter(col("vec_id") < 300)
+      IndexStore.build(c0, "vec_id", "qv", dir, IP, iters = 1)
+      val before = IndexStore.read(spark, dir, IP).codes
+        .as[(Long, String, Seq[Int])].collect().toSet
+      // Crash sim: an append died mid-write — its temp has no _SUCCESS
+      // and must never surface in a read (torn inverted lists).
+      val f = CorpusStore.fileSystem(spark, dir)
+      f.mkdirs(new Path(dir, "codes/_tmp_seg_0000000000001_dead"))
+      assert(IndexStore.read(spark, dir, IP).codes
+        .as[(Long, String, Seq[Int])].collect().toSet == before)
+      // The next append (writer path) clears the debris and commits.
+      val inc = emb.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+      IndexStore.append(inc, "vec_id", "qv", dir, IP)
+      assert(!f.exists(new Path(dir, "codes/_tmp_seg_0000000000001_dead")))
+      assert(IndexStore.read(spark, dir, IP).codes.count() ==
+        before.size + inc.count())
+    } finally cleanup(dir)
+  }
+
+  test("BandStore recovery promotes the newest complete temp by millis prefix, not lexical name") {
+    val dir = tmpDir("graft-bs")
+    try {
+      BandStore.build(docs, "doc_id", "text", dir, P)
+      val f = CorpusStore.fileSystem(spark, dir)
+      val newer = BandStore.read(spark, dir, P)
+        .filter(col("doc") % 5 =!= 0)
+      val newerSet = newer.as[(Long, Int, String)].collect().toSet
+      // A stale-but-complete temp from BEFORE the millis-prefix naming
+      // scheme: bare letter-leading token, lexically AFTER any digit-
+      // leading name. Recovery must rank it OLDEST, not newest.
+      BandStore.read(spark, dir, P).filter(col("doc") % 5 === 0)
+        .write.parquet(s"$dir/_tmp_data_fadedbeefcafe")
+      newer.write.parquet(s"$dir/_tmp_data_0000000000042_aa")
+      assert(f.rename(new Path(dir, "data"), new Path(dir, "_old_data")))
+      assert(BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet == newerSet,
+        "recovery promoted a pre-scheme stale temp over the newest build")
+    } finally cleanup(dir)
+  }
+
   // ---- LmStore ------------------------------------------------------
 
   private lazy val lmDocs =
@@ -602,6 +716,81 @@ class StoreSpec extends AnyFunSuite {
       val afterSubtract = scoreMap(llm.LmStore.score(spark, dir, LP,
         lmDocs, "doc_id", "text"))
       assert(afterSubtract == scoresA)
+    } finally cleanup(dir)
+  }
+
+  // ---- TokenizerStore -------------------------------------------------
+
+  private val TP = graft.llm.TokenizerStore.Params(merges = 40,
+    minCount = 1L)
+
+  private def tokenCountSet(dir: String): Set[(Long, Long)] =
+    graft.llm.TokenizerStore.tokenCounts(spark, dir, TP, docs,
+        "doc_id", "text")
+      .select("doc_id", "n_bpe_tokens")
+      .as[(Long, Long)].collect().toSet
+
+  test("TokenizerStore layout-1 artifact (root sidecar) reads, serves, and migrates on retrain") {
+    val v2 = tmpDir("graft-tk")
+    val v1 = tmpDir("graft-tk1")
+    try {
+      graft.llm.TokenizerStore.build(docs, "doc_id", "text", v2, TP)
+      // Hand-build the PREVIOUS layout: same model/ tables, sidecar at
+      // the store ROOT without a layout field — byte-shaped like every
+      // artifact written before the sidecar moved inside the swap unit.
+      val (m, w) = graft.llm.TextAnalysis.bpeTrainFull(docs, "doc_id",
+        "text", TP.merges, TP.minCount)
+      m.write.parquet(s"$v1/model/merges")
+      w.write.parquet(s"$v1/model/segments")
+      val f = CorpusStore.fileSystem(spark, v1)
+      graft.llm.ArtifactStore.writeSidecar(f,
+        new Path(v1, "_params.json"), TP.render)
+
+      // A code deploy must not brick the artifact: params resolve from
+      // the legacy root sidecar and serving equals the current layout.
+      assert(graft.llm.TokenizerStore.readParams(spark, v1).contains(TP))
+      val counts1 = tokenCountSet(v1)
+      assert(counts1 == tokenCountSet(v2) && counts1.nonEmpty)
+
+      // A retrain migrates: the promoted model/ carries its own
+      // sidecar and the stale root copy is gone, so the new model can
+      // never be paired with the old parameters.
+      graft.llm.TokenizerStore.build(docs, "doc_id", "text", v1, TP)
+      assert(f.exists(new Path(v1, "model/_params.json")))
+      assert(!f.exists(new Path(v1, "_params.json")),
+        "stale layout-1 root sidecar survived the retrain")
+      assert(tokenCountSet(v1) == counts1)
+    } finally { cleanup(v2); cleanup(v1) }
+  }
+
+  test("TokenizerStore first write is swap-disciplined: a torn build is never promoted") {
+    val dir = tmpDir("graft-tk")
+    try {
+      graft.llm.TokenizerStore.build(docs, "doc_id", "text", dir, TP)
+      val f = CorpusStore.fileSystem(spark, dir)
+      // The first write went through the temp+verify+rename path: the
+      // sidecar lives inside model/, no root copy, no temp debris.
+      assert(f.exists(new Path(dir, "model/_params.json")))
+      assert(!f.exists(new Path(dir, "_params.json")))
+      assert(!f.listStatus(new Path(dir)).exists(
+        _.getPath.getName.startsWith("_tmp_model_")))
+
+      // Crash sim: a build died after writing its sidecar and merges
+      // but before segments committed (_SUCCESS missing), with no live
+      // model. Recovery must NOT promote the torn temp — a truncated
+      // tail passes the contiguity check, so promotion would serve
+      // silently wrong token counts; refusal must be loud instead.
+      val (m, _) = graft.llm.TextAnalysis.bpeTrainFull(docs, "doc_id",
+        "text", TP.merges, TP.minCount)
+      val tmp = s"$dir/_tmp_model_0000000000099_bb"
+      graft.llm.ArtifactStore.writeSidecar(f,
+        new Path(tmp, "_params.json"), TP.render)
+      m.write.parquet(s"$tmp/merges")
+      f.mkdirs(new Path(tmp, "segments")) // torn: no _SUCCESS
+      f.delete(new Path(dir, "model"), true)
+      val e = intercept[IllegalStateException] { tokenCountSet(dir) }
+      assert(e.getMessage.contains("sidecar"), e.getMessage)
+      assert(f.exists(new Path(tmp)), "recovery deleted the torn temp")
     } finally cleanup(dir)
   }
 }
