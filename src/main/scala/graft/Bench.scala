@@ -175,8 +175,21 @@ object Bench {
     val failed = results.count(!_._3)
     val total = results.filter(_._3).map(_._2).sum
     val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min$nPasses","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min$nPasses","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}"""
+    println(line)
+    // Persist the COMPLETE per-query JSON next to the repo's round
+    // reports: the driver keeps only a truncated tail of stdout, which
+    // has hidden heavy-entry failures before (r13: e14's crash was
+    // invisible). A committed file is the measurement of record.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(line) finally w.close()
+      System.err.println(s"[bench] full JSON written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cannot write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 
@@ -251,14 +264,19 @@ object HeavyBench {
 
   /** One heavy entry: a registered query (or a custom fn for variants
     * not in the registry), the tables it reads, an optional subdir of
-    * the heavy dir to run against, and optional UNTIMED extra counts —
+    * the heavy dir to run against, optional UNTIMED extra counts —
     * for the dedup entries, the candidate-pair counts that make
     * docs/s interpretable (pairs are the actual unit of LSH work;
-    * verified pairs come free from the timed run's row count). */
+    * verified pairs come free from the timed run's row count) — and
+    * `meta`: the static workload parameters (merges, k, nprobe,
+    * thresholds, …) emitted per entry so a reported number is
+    * self-describing without reading this file. Values are raw JSON
+    * literals. */
   private case class HeavyItem(
       name: String, tables: Seq[String], subdir: Option[String] = None,
       fn: Option[(SparkSession, String) => DataFrame] = None,
-      counts: Option[(SparkSession, String) => Seq[(String, Long)]] = None)
+      counts: Option[(SparkSession, String) => Seq[(String, Long)]] = None,
+      meta: Seq[(String, String)] = Nil)
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
@@ -281,7 +299,8 @@ object HeavyBench {
     HeavyItem("d3_minhash_lsh_pairs", Seq("documents"),
       counts = Some((s, d) => Seq("candidate_pairs" ->
         Dedup.minhashLshCandidates(docs(s, d), "doc_id", "text",
-          maxBucketSize = Some(100)).count()))),
+          maxBucketSize = Some(100)).count())),
+      meta = Seq("threshold" -> "0.8", "max_bucket" -> "100")),
     // Production-density variant: same operator/params, corpus where
     // only 1 replica in 16 stays a near-dup (the rest are token-mangled
     // past any threshold) — real corpora run 1-10% dup density, and
@@ -293,17 +312,22 @@ object HeavyBench {
         "text", threshold = 0.8, maxBucketSize = Some(100))),
       counts = Some((s, d) => Seq("candidate_pairs" ->
         Dedup.minhashLshCandidates(docs(s, d), "doc_id", "text",
-          maxBucketSize = Some(100)).count()))),
+          maxBucketSize = Some(100)).count())),
+      meta = Seq("threshold" -> "0.8", "max_bucket" -> "100",
+        "dup_density" -> "\"1/16\"")),
     HeavyItem("d8_dup_groups", Seq("documents")),
     HeavyItem("d10_simhash_neardup", Seq("documents"),
       counts = Some((s, d) => Seq("candidate_pairs" ->
         Dedup.simhashCandidates(docs(s, d), "doc_id", "text", bits = 32,
           blocks = 4, maxHamming = 2, portable = true,
-          maxBucketSize = Some(200)).count()))),
+          maxBucketSize = Some(200)).count())),
+      meta = Seq("bits" -> "32", "blocks" -> "4", "max_hamming" -> "2",
+        "max_bucket" -> "200")),
     HeavyItem("d16_passage_coverage", Seq("documents"),
       counts = Some((s, d) => Seq(
         "windows" -> Dedup.passageWindows(docs(s, d), "doc_id", "text",
-          w = 8, stride = 4, portable = true).count()))),
+          w = 8, stride = 4, portable = true).count())),
+      meta = Seq("w" -> "8", "stride" -> "4")),
     // The hashed production form (multi-arg xxhash64 n-grams, no
     // n-gram string ever built — the pipe17 hashNgrams discipline);
     // the registered query keeps portable strings for its oracle and
@@ -316,7 +340,9 @@ object HeavyBench {
             n = 5, threshold = 0.2, hashed = true)
           .select(col("doc_id"), col("n_ngrams"), col("n_matched"),
             col("contamination"), col("contaminated"))
-      }),
+      },
+      meta = Seq("ngram_n" -> "5", "threshold" -> "0.2",
+        "hashed" -> "true")),
     // The production funnel: same fused scoring scan, coverage stage
     // on stringless window hashes (registered query keeps portable
     // strings for its oracle; DedupSpec pins the coverage forms equal).
@@ -350,7 +376,8 @@ object HeavyBench {
               i => array_join(slice(col("tk"), i + 1, lit(2)), " ")))
             .otherwise(array().cast("array<string>"))).as("bg"))
         Seq("model_bigrams" -> bgs.distinct().count())
-      }),
+      },
+      meta = Seq("hashed" -> "true", "ref_slice" -> "\"src0\"")),
     HeavyItem("e9_ann_pq", Seq("embeddings")),
     HeavyItem("e7_ann_ivf_kmeans", Seq("embeddings")),
     HeavyItem("e12_ann_ivfpq", Seq("embeddings")),
@@ -366,7 +393,10 @@ object HeavyBench {
         graft.llm.IndexStore.searchTopKRerank(s, s"$d/ivfpq_index",
           HeavyIndexParams, emb, emb.filter(col("vec_id") < 100),
           "vec_id", "embedding", k = 10, nprobe = 4, overscan = 4)
-      }),
+      },
+      meta = Seq("k" -> "10", "nprobe" -> "4", "overscan" -> "4",
+        "query_batch" -> "100", "ivf_clusters" -> "64", "pq_m" -> "8",
+        "pq_k" -> "16")),
     // SemDeDup at heavy scale: k grows ∝ corpus (the paper's regime —
     // within-cluster pairwise work stays bounded only if members/cluster
     // does). 80 K vectors / k=256 ≈ 310 per cluster; the registered
@@ -415,7 +445,9 @@ object HeavyBench {
           emb, "vec_id", "embedding", cents).count())
         Seq("lloyd_local_ms" -> lloydLocal, "lloyd_dist_ms" -> lloydDist,
           "assign_twolevel_ms" -> two, "assign_brute_ms" -> brute)
-      }),
+      },
+      meta = Seq("kmeans_k" -> "256", "threshold" -> "0.35",
+        "max_cluster" -> "2000", "train_pct" -> "25")),
     HeavyItem("g6_coupling", Seq("lineitem")),
     // Mid-hub coupling: on the plain ×16 fixture EVERY cited key is a
     // >64-citer hub, so the ≤64 cap screens them all and g6_coupling
@@ -442,7 +474,8 @@ object HeavyBench {
         Seq("candidate_pairs" -> r.getLong(0),
           "screened_groups" -> r.getLong(1),
           "surviving_groups" -> r.getLong(2))
-      }),
+      },
+      meta = Seq("min_shared" -> "2", "max_citers" -> "64")),
     HeavyItem("g8_pagerank", Seq("lineitem")),
     // OPH in its intended regime: the short-doc corpus sits far below
     // the 4×bins distinct-token floor (the ophRegimeProbe warning
@@ -464,13 +497,17 @@ object HeavyBench {
           regimeSampleDocs = 0).count()
         Seq("full_lsh_pairs" -> full, "oph_pairs" -> oph,
           "recall_pct" -> (if (full == 0) -1L else oph * 100 / full))
-      }),
+      },
+      meta = Seq("threshold" -> "0.8", "max_bucket" -> "100",
+        "longdoc_factor" -> "256")),
     // The dense 128-permutation path on the SAME longdoc corpus — the
     // baseline the OPH entry's signature saving is measured against.
     HeavyItem("d3_lsh_longdoc", Seq("documents"),
       subdir = Some("longdoc"),
       fn = Some((s, d) => Dedup.minhashLshPairs(docs(s, d), "doc_id",
-        "text", threshold = 0.8, maxBucketSize = Some(100)))),
+        "text", threshold = 0.8, maxBucketSize = Some(100))),
+      meta = Seq("threshold" -> "0.8", "max_bucket" -> "100",
+        "longdoc_factor" -> "256", "permutations" -> "128")),
     // The nightly end-to-end composition (pipe19's production form:
     // xxhash signatures, hashed buckets) at production density: LSH
     // pairs → connected components → canonical keep → one row per doc.
@@ -481,7 +518,9 @@ object HeavyBench {
         val pairs = Dedup.minhashLshPairs(dd, "doc_id", "text",
           threshold = 0.8, maxBucketSize = Some(100))
         Dedup.nearDupRewrite(dd, "doc_id", col("n_chars"), pairs)
-      }),
+      },
+      meta = Seq("threshold" -> "0.8", "max_bucket" -> "100",
+        "dup_density" -> "\"1/16\"")),
     // BPE tokenizer training at PRODUCTION vocabulary scale: one
     // corpus-scale Spark pass for floored word counts, the collected
     // ~100 K-word vocabulary, then 1000 driver-local merge rounds with
@@ -503,7 +542,8 @@ object HeavyBench {
           .groupBy("w").agg(count(lit(1)).as("c"))
         Seq("vocab_words" -> w.count(),
           "vocab_kept" -> w.filter(col("c") >= 8).count())
-      }),
+      },
+      meta = Seq("merges" -> "1000", "min_count" -> "8")),
     // TOKENIZING from the persisted artifact: t13 times what a
     // vocabulary rebuild pays; this times what every nightly batch
     // pays — read the store (params-checked, structure-verified), one
@@ -515,7 +555,8 @@ object HeavyBench {
       fn = Some { (s, d) =>
         graft.llm.TokenizerStore.tokenCounts(s, s"$d/bpe_tokenizer",
           HeavyTokParams, docs(s, d), "doc_id", "text")
-      }),
+      },
+      meta = Seq("merges" -> "1000", "min_count" -> "8")),
     // ENCODING the corpus: the per-symbol token-id stream from the
     // persisted 1000-merge artifact — by output volume the biggest
     // single step of a pretraining pipeline (every word of every doc
@@ -526,7 +567,8 @@ object HeavyBench {
       fn = Some { (s, d) =>
         graft.llm.TokenizerStore.tokenIds(s, s"$d/bpe_tokenizer",
           HeavyTokParams, docs(s, d), "doc_id", "text")
-      }),
+      },
+      meta = Seq("merges" -> "1000", "min_count" -> "8")),
     // MATERIALIZING the training batches: every token id placed at its
     // (shard, sequence, offset) under 2048-token concat-and-chunk —
     // pipe25's production shape. On top of the encode this pays ONE
@@ -554,7 +596,9 @@ object HeavyBench {
             expr("CAST((__sp + tidx) div 2048 AS INT)").as("seq_idx"),
             expr("CAST((__sp + tidx) % 2048 AS INT)").as("tok_offset"),
             col("token_id"))
-      }),
+      },
+      meta = Seq("merges" -> "1000", "shards" -> "32",
+        "budget_tokens" -> "2048")),
     // The END-TO-END corpus build at production shape: pipe17's funnel
     // (stringless coverage, Gopher thresholds FIT to this corpus —
     // measured 11.8 chars/word and zero English stopwords, so
@@ -577,7 +621,9 @@ object HeavyBench {
         Seq("curated_docs" -> queries.PipelineQueries.curationFunnel(
           s, d, portableCov = false, maxMeanWordLen = 20.0,
           minStopHits = 0, quota = 5000).count())
-      }),
+      },
+      meta = Seq("merges" -> "1000", "shards" -> "32",
+        "budget_tokens" -> "2048", "quota" -> "5000")),
     // LM SERVING from the persisted artifact: pipe21's heavy entry
     // times what a model rebuild pays (train+score+bucket in one
     // window); this times what the nightly batch pays — read the
@@ -587,7 +633,8 @@ object HeavyBench {
       fn = Some { (s, d) =>
         graft.llm.LmStore.score(s, s"$d/lm_store", HeavyLmParams,
           docs(s, d), "doc_id", "text")
-      }),
+      },
+      meta = Seq("hashed" -> "true", "per_lang" -> "true")),
     // The passage-family rewrite at production density: repeated
     // windows found (one hash-keyed aggregate), covered positions cut,
     // every doc rewritten. On the lowdup corpus ~15/16 of replicas are
@@ -598,6 +645,7 @@ object HeavyBench {
       subdir = Some("lowdup"),
       fn = Some((s, d) => Dedup.passageScrub(docs(s, d), "doc_id",
         "text", w = 8, stride = 1, minDocs = 2)),
+      meta = Seq("w" -> "8", "stride" -> "1", "min_docs" -> "2"),
       counts = Some((s, d) => Seq("repeated_windows" ->
         Dedup.repeatedPassages(docs(s, d), "doc_id", "text", w = 8,
           stride = 1, minDocs = 2).count()))),
@@ -630,7 +678,9 @@ object HeavyBench {
           corpusBands = Some(s.read.parquet(s"$d/corpus_bands.parquet")))
       },
       counts = Some((s, d) => Seq("increment_docs" ->
-        Tables.documents(s, d).filter(col("doc_id") % 16 === 0).count()))))
+        Tables.documents(s, d).filter(col("doc_id") % 16 === 0).count())),
+      meta = Seq("threshold" -> "0.8", "max_bucket" -> "100",
+        "increment_fraction" -> "\"1/16\"")))
 
   def run(spark: SparkSession, sfDir: String,
           only: Option[Set[String]]): String = {
@@ -685,16 +735,24 @@ object HeavyBench {
             if (ok.isEmpty) samples.head else (ok.map(_._1).min, ok.head._2)
           val mbps = if (sec > 0) bytes / 1e6 / sec else -1.0
           val rps = if (sec > 0) rows / sec else -1.0
+          // Every sample is reported, not just the min: samples that
+          // disagree 2×+ flag a contended reading (JVM state the
+          // reaper could not return), so a reader can judge the min's
+          // trustworthiness without re-measuring.
+          val samplesJson = samples.map(s =>
+            String.format(java.util.Locale.ROOT, "%.3f",
+              Double.box(s._1))).mkString("[", ",", "]")
           // Extra counts are untimed: they re-run the candidate stage
           // on its own, after the timed window.
           val extras = item.counts.map(_(spark, d)).getOrElse(Nil) ++
             (if (outRows >= 0) Seq("out_rows" -> outRows) else Nil)
-          val extraJson = extras.map { case (k, v) =>
-            val perS = if (sec > 0 && k == "candidate_pairs")
-              f""","pairs_per_s":${v / sec}%.0f""" else ""
-            s""""$k":$v$perS"""
-          }.mkString(",", ",", "").stripSuffix(",")
-          f""""${item.name}":{"sec":$sec%.3f,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f$extraJson}"""
+          val extraJson = (item.meta.map { case (k, v) => s""""$k":$v""" } ++
+            extras.map { case (k, v) =>
+              val perS = if (sec > 0 && k == "candidate_pairs")
+                f""","pairs_per_s":${v / sec}%.0f""" else ""
+              s""""$k":$v$perS"""
+            }).mkString(",", ",", "").stripSuffix(",")
+          f""""${item.name}":{"sec":$sec%.3f,"samples":$samplesJson,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f$extraJson}"""
         }
       }
       val f = Factors.map { case (k, v) => s""""$k":$v""" }.mkString(",")
