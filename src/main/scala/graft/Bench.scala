@@ -295,7 +295,133 @@ object HeavyBench {
           pmod(floor(col("l_orderkey") / 16), b)).as("cited"))
   }
 
+  /** Production-shaped licensing workload over the ×16 edge table —
+    * the reference's flagship throughput bars (`span-tag` ~20 K recs/s,
+    * ref: sources/amsl.py:919-922; `span-oa-filter` 2.5 M recs/min,
+    * ref: workflows/ai.py:778) finally measured at scale. 9.6 M pseudo
+    * intermediate-schema records: an 8-value source dispatch space,
+    * one ISSN per record from a 30 K keyspace, dates across ~7 years. */
+  private def licenseRecords(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/lineitem.parquet").select(
+      col("l_orderkey").as("rid"),
+      (pmod(col("l_partkey"), lit(8)) + 1).cast("string").as("source_id"),
+      array(concat(lit("coll-"), pmod(col("l_partkey"), lit(40))))
+        .as("collections"),
+      array(concat(lit("ISSN-"),
+        pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(30000))))
+        .as("issns"),
+      array().cast("array<string>").as("subjects"),
+      date_add(lit("1992-01-01").cast("date"),
+        pmod(xxhash64(col("l_orderkey")), lit(2400)).cast("int"))
+        .as("rdate"))
+
+  private def licenseRecordCols = graft.license.RecordCols(
+    id = col("rid"), sourceId = col("source_id"),
+    collections = col("collections"), issns = col("issns"),
+    subjects = col("subjects"), date = col("rdate"))
+
+  /** 30 KBART holdings tables, 10-50 K rows each (~900 K rows total,
+    * ~30 coverage rows per ISSN across the union — multiple ranges per
+    * ISSN is normal KBART), with mixed R/P embargo walls carried as
+    * raw embargo_info strings so the parser runs in-plan. */
+  private def licenseHoldings(s: SparkSession)
+      : Map[String, DataFrame] =
+    (0 until 30).map { t =>
+      val rows = 10000 + (t % 5) * 10000
+      val emb = element_at(
+        typedLit(Seq("R1Y", "P6M", "", "R90D", "R2Y")),
+        (pmod(col("id"), lit(5)) + 1).cast("int"))
+      s"hf$t" -> s.range(0, rows).select(
+        concat(lit("ISSN-"),
+          pmod(col("id") * (2 * t + 3) + t * 97, lit(30000))).as("issn"),
+        date_add(lit("1990-01-01").cast("date"),
+          pmod(col("id"), lit(1500)).cast("int")).as("date_first"),
+        when(col("id") % 3 === 0,
+          date_add(lit("1996-01-01").cast("date"),
+            pmod(col("id"), lit(1200)).cast("int"))).as("date_last"),
+        graft.license.Kbart.embargoDays(emb).as("embargo_days"),
+        graft.license.Kbart.embargoMethod(emb).as("embargo_method"))
+    }.toMap
+
+  /** ~105 AMSL discovery rows → 20 ISILs with mixed predicate trees
+    * through the 8-case dispatch: plain source×collection collects,
+    * holdings-link buckets, content-file ANDs, the double-holdings
+    * case, plus evaluate=no noise rows the dispatch must drop. */
+  private def licenseAmslRows: Seq[graft.license.AmslRow] = {
+    import graft.license.AmslRow
+    (0 until 20).flatMap { i =>
+      val isil = f"ISIL-H$i%02d"
+      val sid = ((i % 8) + 1).toString
+      val sid2 = ((i + 3) % 8 + 1).toString
+      Seq(
+        AmslRow(isil, sid, s"coll-$i",
+          technicalCollectionID = Some(s"coll-${(i + 20) % 40}")),
+        AmslRow(isil, sid, s"coll-${(i + 5) % 40}"),
+        AmslRow(isil, sid2, s"coll-${(i * 2) % 40}",
+          linkToHoldingsFile = Some(s"hf${i % 30}"),
+          evaluateHoldingsFileForLibrary = Some("yes")),
+        AmslRow(isil, sid, s"coll-${(i * 3) % 40}",
+          linkToContentFile = Some(s"hf${(i + 7) % 30}")),
+        // evaluate missing + holdings link = the skip path
+        AmslRow(isil, sid2, s"coll-${(i + 9) % 40}",
+          linkToHoldingsFile = Some(s"hf${(i + 11) % 30}"))
+      ) ++ (if (i % 4 == 0) Seq(
+        AmslRow(isil, sid, s"coll-${(i + 13) % 40}",
+          linkToHoldingsFile = Some(s"hf${(i + 2) % 30}"),
+          linkToContentFile = Some(s"hf${(i + 4) % 30}"),
+          evaluateHoldingsFileForLibrary = Some("yes"))) else Nil)
+    }
+  }
+
   private val Items: Seq[HeavyItem] = Seq(
+    // span-tag at production shape: 20 ISIL filter trees from the AMSL
+    // dispatch, 30 KBART tables with embargo walls, every record of
+    // the 9.6 M corpus tagged in one pass (one issn explode, one
+    // broadcast holdings join, one flag aggregation, 20 predicate
+    // columns). The reference bar is ~20 K recs/s single-node.
+    HeavyItem("l2_amsl_tag_heavy", Seq("lineitem"),
+      fn = Some { (s, d) =>
+        val configs =
+          graft.license.AmslConfigBuilder.build(licenseAmslRows)
+        graft.license.Licensing.tag(licenseRecords(s, d),
+            licenseRecordCols, configs, licenseHoldings(s),
+            asOf = "1998-06-01")
+          .select(col("rid"), col("x_labels"))
+      },
+      counts = Some { (s, d) =>
+        val configs =
+          graft.license.AmslConfigBuilder.build(licenseAmslRows)
+        val labeled = graft.license.Licensing.tag(licenseRecords(s, d),
+          licenseRecordCols, configs, licenseHoldings(s),
+          asOf = "1998-06-01", dropUnlabeled = true).count()
+        Seq("labeled_records" -> labeled,
+          "holdings_rows" ->
+            licenseHoldings(s).values.map(_.count()).sum)
+      },
+      meta = Seq("isils" -> "20", "holdings_tables" -> "30",
+        "amsl_rows" -> "105", "as_of" -> "\"1998-06-01\"")),
+    // span-oa-filter at production shape: whitelist ∪ rule minus
+    // blacklist over the same 9.6 M records — scan + two broadcast
+    // semi-probes, zero shuffles. The reference bar is 2.5 M recs/min.
+    HeavyItem("j4_oa_flag_heavy", Seq("lineitem"),
+      fn = Some { (s, d) =>
+        val wl = s.range(0, 30000, 3)
+          .select(concat(lit("ISSN-"), col("id")).as("__issn"),
+            lit(true).as("__w"))
+        val bl = s.range(0, 30000, 15)
+          .select(concat(lit("ISSN-"), col("id")).as("__issn"),
+            lit(true).as("__b"))
+        licenseRecords(s, d)
+          .withColumn("__issn", try_element_at(col("issns"), lit(1)))
+          .join(broadcast(wl), Seq("__issn"), "left")
+          .join(broadcast(bl), Seq("__issn"), "left")
+          .select(col("rid"),
+            ((coalesce(col("__w"), lit(false)) ||
+              col("source_id").isin("1", "2")) &&
+              !coalesce(col("__b"), lit(false))).as("oa_flag"))
+      },
+      meta = Seq("whitelist_issns" -> "10000",
+        "blacklist_issns" -> "2000")),
     HeavyItem("d3_minhash_lsh_pairs", Seq("documents"),
       counts = Some((s, d) => Seq("candidate_pairs" ->
         Dedup.minhashLshCandidates(docs(s, d), "doc_id", "text",
