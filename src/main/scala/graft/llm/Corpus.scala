@@ -93,6 +93,56 @@ object Corpus {
       .drop("__ntok", "__cum")
   }
 
+  /** The nightly APPEND form of [[packSequences]]: place an
+    * increment's documents into an ALREADY-PACKED corpus' shards
+    * without touching any existing placement. `watermark` is the
+    * persisted per-shard pack state — (shard, n_tokens) totals of
+    * everything packed so far (one `groupBy(shard).sum` over the
+    * standing placements, or carried forward from the last append) —
+    * and the increment starts at each shard's NEXT sequence boundary,
+    * `ceil(n_tokens / budgetTokens)`: sealed sequences are immutable
+    * training artifacts, so an append never extends a partial tail
+    * sequence, it opens a fresh one (pad cost < 1 sequence per shard
+    * per append). Shard assignment and in-shard order are
+    * [[packSequences]]' own, so increment placements depend only on
+    * the increment and the watermark — old shards are never re-read,
+    * let alone rewritten: append I/O is O(increment), the
+    * [[IndexStore.append]] discipline applied to the training-batch
+    * artifact. */
+  def packSequencesAppend(df: DataFrame, keyCol: String,
+                          tokenCountCol: Column, numShards: Int,
+                          budgetTokens: Int, seed: String,
+                          watermark: DataFrame): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    val baseSeqs = watermark.select(
+      col("shard").cast("int").as("shard"),
+      // Integer ceil: the first sequence index the increment may use.
+      expr(s"CAST((CAST(n_tokens AS BIGINT) + ${budgetTokens - 1L}) " +
+        s"div ${budgetTokens.toLong} AS INT)").as("__base_seqs"))
+    packSequences(df, keyCol, tokenCountCol, numShards, budgetTokens, seed)
+      // Left: a shard with no standing tokens starts at sequence 0.
+      .join(broadcast(baseSeqs), Seq("shard"), "left")
+      .withColumn("seq_idx",
+        col("seq_idx") + coalesce(col("__base_seqs"), lit(0)))
+      .drop("__base_seqs")
+  }
+
+  /** The per-shard pack watermark of a placements frame — (shard,
+    * n_tokens) where n_tokens is the first free token position:
+    * max(seq_idx·budget + tok_offset + doc tokens). For a corpus
+    * packed from sequence 0 this equals the shard's token sum; for a
+    * standing artifact that grew by appends it also counts the sealed
+    * boundary padding — exactly the state the next
+    * [[packSequencesAppend]] must resume from. A nightly job folds it
+    * forward (greatest of the previous watermark and the latest
+    * increment's) instead of rescanning placement history, keeping
+    * watermark maintenance O(increment). */
+  def packWatermark(placements: DataFrame, tokenCountCol: Column,
+                    budgetTokens: Int): DataFrame =
+    placements.groupBy("shard").agg(
+      max(col("seq_idx").cast("long") * budgetTokens +
+        col("tok_offset") + tokenCountCol.cast("long")).as("n_tokens"))
+
   /** Sequence packing v2 — deterministic first-fit-decreasing BIN
     * packing to a token budget. Where [[packSequences]] concatenates
     * the stream and cuts at the budget (splitting documents across

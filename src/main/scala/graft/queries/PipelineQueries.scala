@@ -172,16 +172,22 @@ object PipelineQueries {
       curationFunnel(s, d, portableCov = true)
     },
 
-    pipe24, pipe25)
+    pipe24, pipe25, pipe26)
 
   /** pipe17's funnel oracle verbatim — also the curation stage of
     * pipe24's corpus-build oracle (embedded as a nested WITH, so its
     * CTE names stay scoped to the subquery and cannot collide with
     * the BPE chain's). */
   private[queries] lazy val CurationOracleSql: String =
+    curationOracleSqlWhere("TRUE")
+
+  /** The same funnel oracle over a filtered document set — pipe26
+    * replays it once for the standing corpus and once for the
+    * increment (nightly batches gate within themselves). */
+  private[queries] def curationOracleSqlWhere(pred: String): String =
       s"""WITH base AS (
          |  SELECT doc_id, lang, text, string_split(trim(text), ' ') AS toks
-         |  FROM documents),
+         |  FROM documents WHERE $pred),
          |q AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
@@ -411,6 +417,129 @@ object PipelineQueries {
           expr("CAST((__sp + tidx) % 256 AS INT)").as("tok_offset"),
           col("token_id"))
     }
+  }
+
+  /** pipe26 — the NIGHTLY INCREMENTAL corpus build: the standing
+    * corpus (15/16 of the docs) is already curated, tokenized, and
+    * packed — last night's artifact; tonight's increment (the other
+    * 1/16) runs its own funnel, tokenizes from the SAME persisted
+    * tokenizer (the artifact is fixed — retraining per increment
+    * would silently shift every historic token count), and packs via
+    * [[graft.llm.Corpus.packSequencesAppend]] from the per-shard
+    * token watermark: every increment placement lands at or after
+    * each shard's next sequence boundary, so the standing shards are
+    * never re-read, let alone rewritten — append I/O is O(increment),
+    * d12's BandStore discipline applied to the training-batch tail.
+    * The output unions both builds (tagged `build`) and the oracle
+    * replays the whole composition: two scoped funnels, the shared
+    * BPE chain, both pack windows, and the ceil-boundary shift. */
+  private lazy val pipe26: Q = {
+    val M = 6
+    val chain = LlmQueries.bpeChainSql(M).stripPrefix("WITH ")
+    val hashPt =
+      "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':pt'), " +
+        "1, 10)) AS BIGINT)"
+    Q("pipe26_incremental_build",
+      s"""WITH curated_b AS MATERIALIZED (
+         |${curationOracleSqlWhere("doc_id % 16 <> 0")}
+         |),
+         |curated_i AS MATERIALIZED (
+         |${curationOracleSqlWhere("doc_id % 16 = 0")}
+         |),
+         |$chain,
+         |cur AS (SELECT doc_id, lang, 0 AS inc FROM curated_b
+         |        UNION ALL SELECT doc_id, lang, 1 AS inc FROM curated_i),
+         |dw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT d.doc_id, unnest(string_split(trim(d.text), ' ')) AS w
+         |    FROM documents d JOIN cur USING (doc_id))
+         |  WHERE len(w) > 0),
+         |agg AS (
+         |  SELECT dw.doc_id, sum(coalesce(len(wf.s), len(dw.w) + 1)) AS n
+         |  FROM dw LEFT JOIN w$M wf ON dw.w = wf.w
+         |  GROUP BY dw.doc_id),
+         |tok AS (
+         |  SELECT c.doc_id, c.lang, c.inc,
+         |         CAST(coalesce(agg.n, 0) AS BIGINT) AS n_bpe_tokens
+         |  FROM cur c LEFT JOIN agg USING (doc_id)),
+         |pk AS (SELECT doc_id, lang, inc, n_bpe_tokens, $hashPt AS hv
+         |       FROM tok),
+         |pc_b AS (SELECT doc_id, lang, n_bpe_tokens,
+         |           CAST(hv % 4 AS INT) AS shard,
+         |           sum(n_bpe_tokens) OVER (PARTITION BY hv % 4
+         |             ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |         FROM pk WHERE inc = 0),
+         |wm AS (SELECT shard,
+         |         CAST((sum(n_bpe_tokens) + 255) // 256 AS INT) AS bs
+         |       FROM pc_b GROUP BY shard),
+         |pc_i AS (SELECT doc_id, lang, n_bpe_tokens,
+         |           CAST(hv % 4 AS INT) AS shard,
+         |           sum(n_bpe_tokens) OVER (PARTITION BY hv % 4
+         |             ORDER BY hv, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |         FROM pk WHERE inc = 1)
+         |SELECT doc_id, lang, n_bpe_tokens, shard,
+         |  CAST((cum - n_bpe_tokens) // 256 AS INT) AS seq_idx,
+         |  CAST((cum - n_bpe_tokens) % 256 AS INT) AS tok_offset,
+         |  'base' AS build
+         |FROM pc_b
+         |UNION ALL
+         |SELECT p.doc_id, p.lang, p.n_bpe_tokens, p.shard,
+         |  CAST((p.cum - p.n_bpe_tokens) // 256 + coalesce(wm.bs, 0)
+         |    AS INT) AS seq_idx,
+         |  CAST((p.cum - p.n_bpe_tokens) % 256 AS INT) AS tok_offset,
+         |  'inc' AS build
+         |FROM pc_i p LEFT JOIN wm USING (shard)""".stripMargin) { (s, d) =>
+      val dir = Fixtures.stampedDir(d, "documents", "bpe_store", 1)
+        .resolve("tok").toString
+      val params = TokenizerStore.Params(merges = M, minCount = 1L)
+      if (TokenizerStore.readParams(s, dir).isEmpty)
+        TokenizerStore.build(Tables.documents(s, d), "doc_id", "text",
+          dir, params)
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 16 =!= 0)
+      val inc = docs.filter(col("doc_id") % 16 === 0)
+      val basePacked = corpusBuild(base,
+          curationFunnelOf(base.select("doc_id", "lang", "text"),
+            portableCov = true),
+          dir, params, numShards = 4, budgetTokens = 256)
+        .select("doc_id", "lang", "n_bpe_tokens", "shard", "seq_idx",
+          "tok_offset")
+      // The persisted pack state an append resumes from: one tiny
+      // aggregate over the standing placements (numShards rows).
+      val watermark = Corpus.packWatermark(basePacked,
+        col("n_bpe_tokens"), budgetTokens = 256)
+      val incPacked = corpusBuildAppend(inc,
+          curationFunnelOf(inc.select("doc_id", "lang", "text"),
+            portableCov = true),
+          dir, params, numShards = 4, budgetTokens = 256, watermark)
+        .select("doc_id", "lang", "n_bpe_tokens", "shard", "seq_idx",
+          "tok_offset")
+      basePacked.withColumn("build", lit("base"))
+        .unionByName(incPacked.withColumn("build", lit("inc")))
+    }
+  }
+
+  /** The increment half of pipe26 — [[corpusBuild]] with the pack
+    * stage resuming from the standing corpus' per-shard watermark
+    * instead of sequence 0. Shared by the registered query and the
+    * streaming round-trip so the nightly shape cannot drift. */
+  private[graft] def corpusBuildAppend(
+      docs: org.apache.spark.sql.DataFrame,
+      curated0: org.apache.spark.sql.DataFrame,
+      storeDir: String, params: TokenizerStore.Params,
+      numShards: Int, budgetTokens: Int,
+      watermark: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val curated = broadcast(
+      curated0.select("doc_id", "lang").localCheckpoint())
+    val curatedDocs = docs.select("doc_id", "text")
+      .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
+    val budgets = TokenizerStore.tokenCounts(docs.sparkSession, storeDir,
+      params, curatedDocs, "doc_id", "text")
+    Corpus.packSequencesAppend(
+      budgets.join(broadcast(curated), Seq("doc_id")),
+      "doc_id", col("n_bpe_tokens"), numShards, budgetTokens,
+      seed = "pt", watermark = watermark)
   }
 
   /** The shared curate→tokenize-from-store→pack composition — ONE

@@ -620,4 +620,102 @@ class StreamingSpec extends AnyFunSuite {
 
     graft.queries.Fixtures.deleteRecursively(base)
   }
+
+  test("pipe26 streaming round-trip: increments append from the watermark; standing placements never move") {
+    import graft.llm.{Corpus, TokenizerStore}
+    import graft.queries.PipelineQueries
+    implicit val sc = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-p26")
+    val storeDir = "file:" + base.resolve("tok")
+    val params = TokenizerStore.Params(merges = 6, minCount = 1L)
+    val docsDf = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "lang", "text")
+    // The FIXED artifact: trained once, never touched by a batch.
+    TokenizerStore.build(docsDf, "doc_id", "text", storeDir, params)
+
+    // Last night's standing corpus, packed from sequence 0.
+    val standing = docsDf.filter(col("doc_id") % 16 =!= 0)
+    type Placement = (Long, Int, Int, Int, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Placement] =
+      df.select(col("doc_id"), col("shard"), col("seq_idx"),
+          col("tok_offset"), col("n_bpe_tokens"))
+        .as[(Long, Int, Int, Int, Long)].collect().toSeq
+    val basePlaced = rows(PipelineQueries.corpusBuild(standing,
+      PipelineQueries.curationFunnelOf(standing, portableCov = true),
+      storeDir, params, numShards = 4, budgetTokens = 256))
+    assert(basePlaced.nonEmpty)
+
+    // Two nightly increments stream in; each micro-batch funnels
+    // itself, tokenizes from the FIXED store, and packs from the
+    // carried watermark — the standing placements are never re-read.
+    val placed = scala.collection.mutable.ArrayBuffer.empty[(Long, Placement)]
+    def watermark(): Map[Int, Long] =
+      (basePlaced ++ placed.map(_._2)).groupBy(_._2).map { case (sh, ps) =>
+        sh -> ps.map(p => p._3.toLong * 256 + p._4 + p._5).max
+      }
+    val input = MemoryStream[(Long, String, String)]
+    val inc = docsDf.filter(col("doc_id") % 16 === 0)
+      .as[(Long, String, String)].collect().toSeq
+    val (inc1, inc2) = inc.partition(_._1 % 32 == 0)
+    assert(inc1.nonEmpty && inc2.nonEmpty)
+    def round(batchRows: Seq[(Long, String, String)]): Unit = {
+      input.addData(batchRows: _*)
+      val wmDf = watermark().toSeq.toDF("shard", "n_tokens")
+      val q = input.toDF().toDF("doc_id", "lang", "text").writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val out = rows(PipelineQueries.corpusBuildAppend(batch,
+            PipelineQueries.curationFunnelOf(
+              batch.select("doc_id", "lang", "text"), portableCov = true),
+            storeDir, params, numShards = 4, budgetTokens = 256, wmDf))
+          placed.synchronized { placed ++= out.map((id, _)) }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    val wm0 = watermark()
+    round(inc1)
+    val afterB1 = placed.toList
+    assert(afterB1.nonEmpty, "vacuous increment: no batch-1 survivors")
+    round(inc2)
+    assert(placed.size > afterB1.size, "vacuous increment: no batch-2 survivors")
+    // Standing placements and batch-1 placements are immutable history:
+    // batch 2 only ever APPENDED.
+    assert(placed.toList.take(afterB1.size) == afterB1)
+
+    // Every batch starts at its shard's sealed sequence boundary and
+    // the occupied token ranges never overlap across builds — the
+    // loader-visible guarantee that old shard files needn't be
+    // rewritten. (Batch-2 boundaries derive from the ADVANCED
+    // watermark, so this also pins the fold-forward rule.)
+    val builds: Seq[(Map[Int, Long], Seq[Placement])] = Seq(
+      (wm0, afterB1.map(_._2)),
+      (afterB1.map(_._2).groupBy(_._2).map { case (sh, ps) =>
+        sh -> math.max(wm0.getOrElse(sh, 0L),
+          ps.map(p => p._3.toLong * 256 + p._4 + p._5).max)
+      }.toMap ++ wm0.filterNot { case (sh, _) =>
+        afterB1.exists(_._2._2 == sh) },
+        placed.toList.drop(afterB1.size).map(_._2)))
+    builds.foreach { case (wm, ps) =>
+      ps.groupBy(_._2).foreach { case (sh, shardPs) =>
+        val boundary = (wm.getOrElse(sh, 0L) + 255) / 256 * 256
+        val starts = shardPs.map(p => p._3.toLong * 256 + p._4)
+        assert(starts.min == boundary,
+          s"shard $sh: append did not start at the sealed boundary")
+      }
+    }
+    // Increment placements = packSequencesAppend batch-mode on the
+    // same budgets (the streamed path adds no drift).
+    val direct = rows(PipelineQueries.corpusBuildAppend(
+      inc1.toDF("doc_id", "lang", "text"),
+      PipelineQueries.curationFunnelOf(
+        inc1.toDF("doc_id", "lang", "text"), portableCov = true),
+      storeDir, params, numShards = 4, budgetTokens = 256,
+      wm0.toSeq.toDF("shard", "n_tokens")))
+    assert(afterB1.map(_._2).toSet == direct.toSet)
+
+    graft.queries.Fixtures.deleteRecursively(base)
+  }
 }
