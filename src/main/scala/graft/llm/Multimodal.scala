@@ -73,9 +73,20 @@ object Multimodal {
     * decode, real shape). */
   def extractFeatures(media: DataFrame, dim: Int = 16,
                       portable: Boolean = false): DataFrame =
-    media.withColumn("features",
-      if (portable) decodeStubPortable(col("content"), dim)
-      else decodeStub(col("content"), dim))
+    extractFeaturesWith(media, dim,
+      if (portable) decodeStubPortable _ else decodeStub _)
+
+  /** THE decoder swap seam: `decoder` maps (payload column, dim) to an
+    * array<double> feature column — [[decodeStub]] here, a codec-backed
+    * implementation (e.g. a `mapPartitions` image decoder producing the
+    * same column shape) in a real deployment. Every downstream stage —
+    * near-dup pairing, ANN, clustering — consumes only the `features`
+    * column, so swapping the decoder changes WHAT is embedded, never
+    * the pipeline around it; MultimodalSpec pins that contract with a
+    * fake decoder of deliberately different byte→feature behavior. */
+  def extractFeaturesWith(media: DataFrame, dim: Int,
+                          decoder: (Column, Int) => Column): DataFrame =
+    media.withColumn("features", decoder(col("content"), dim))
 
   /** Resize stage: pure metadata + (stubbed) payload transform. The
     * real contract is the signature: same schema out, width/height

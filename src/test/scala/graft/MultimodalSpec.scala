@@ -58,6 +58,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.select("frame_id").distinct().count() == 3)
   }
 
+  test("decoder swap contract: a different decoder drops in through the seam; downstream is decoder-agnostic") {
+    import org.apache.spark.sql.Column
+    // A fake codec with deliberately DIFFERENT byte→feature behavior
+    // than the stub (payload-length harmonics instead of payload-hash
+    // buckets) — standing in for the real image decoder a deployment
+    // injects. Same contract: (payload, dim) → array<double>.
+    val fakeCodec: (Column, Int) => Column = (content, dim) =>
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(length(content) * (i + 1), lit(17)).cast("double") / 8.5 - 1.0)
+
+    val corpus = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"),
+        struct(lit("image/png").as("mime"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+
+    // pipe23's downstream (extract → exact near-dup pairing), run once
+    // per decoder: the pipeline around the seam must not change...
+    def pairsWith(dec: (Column, Int) => Column) = {
+      val feats = Multimodal.extractFeaturesWith(corpus, dim = 8, dec)
+      assert(feats.schema("features").dataType.typeName == "array")
+      graft.llm.Dedup.embeddingNearDupPairsExact(
+          feats.select(col("media_id"), col("features")),
+          "media_id", "features", 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val stubPairs = pairsWith(Multimodal.decodeStub _)
+    val fakePairs = pairsWith(fakeCodec)
+    // ...the downstream invariants hold under ANY decoder...
+    for (ps <- Seq(stubPairs, fakePairs)) {
+      assert(ps.nonEmpty, "vacuous fixture: no near-dup pairs")
+      assert(ps.forall { case (a, b, s) =>
+        a < b && s >= 0.5 - 1e-9 && s <= 1.0 + 1e-9 })
+    }
+    // ...and the decoder actually flows through: swapping it changes
+    // WHAT is embedded (a swap that leaves every pair identical would
+    // mean the seam is dead code).
+    assert(stubPairs != fakePairs)
+  }
+
   test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
     val plan = Multimodal.rebalanceBySize(media)
       .queryExecution.optimizedPlan.toString
