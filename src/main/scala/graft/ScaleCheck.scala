@@ -199,6 +199,30 @@ object ScaleCheck {
       dir
     }
 
+    // pipe25's composition over a replicated corpus: budgets from the
+    // fixed store, pack to `shards`, token-id stream with the per-doc
+    // index window, every id placed at its (shard, seq, offset).
+    def tokenBatches(n: Int, shards: Int): Long = {
+      val d = replicateDocs(docs0, n)
+      val params = llm.TokenizerStore.Params(merges = 200, minCount = 8L)
+      val budgets = llm.TokenizerStore.tokenCounts(spark,
+        corpusBuildStore, params, d, "doc_id", "text")
+      val packed = llm.Corpus.packSequences(budgets, "doc_id",
+          col("n_bpe_tokens"), shards, budgetTokens = 2048, seed = "pt")
+        .select(col("doc_id"), col("shard"),
+          (col("seq_idx").cast("long") * 2048 + col("tok_offset"))
+            .as("__sp"))
+      val enriched = d.join(packed, Seq("doc_id"))
+      llm.TokenizerStore.tokenIds(spark, corpusBuildStore, params,
+          enriched, "doc_id", "text", withIndex = true,
+          carry = Seq("shard", "__sp"))
+        .select(col("doc_id"), col("shard"),
+          expr("CAST((__sp + tidx) div 2048 AS INT)").as("seq_idx"),
+          expr("CAST((__sp + tidx) % 2048 AS INT)").as("tok_offset"),
+          col("token_id"))
+        .count()
+    }
+
     // Prebuilt per factor: growing corpus, FIXED ~1250-doc increment,
     // and the corpus band artifact (materialized here so its
     // construction never lands inside a timed incremental run).
@@ -422,6 +446,21 @@ object ScaleCheck {
         llm.Corpus.packBinsFFD(replicateDocs(docs0, n), "doc_id",
           size(split(trim(col("text")), "\\s+")), 64 * n, 2048, "p")
           .count()),
+      // The pipe25 token-batch materialization — by output volume the
+      // biggest single step of a pretraining build, and its per-doc
+      // token-index window (one hash shuffle of the WHOLE token
+      // stream) is the biggest exchange anywhere at 100×. The fixed-
+      // shards curve shows the anti-pattern (per-shard pack windows
+      // sort ×n more docs as the corpus grows); shards ∝ corpus keeps
+      // per-shard state bounded — the documented sizing rule for the
+      // word-stream exchange, same pair-of-curves evidence as the FFD
+      // ops above. Token budgets and ids both serve from the FIXED
+      // prebuilt artifact, so the curve isolates the exchange, not
+      // training.
+      Op("token_batches_e2e(pipe25, shards=32)", n =>
+        tokenBatches(n, 32), tables = Seq("docs")),
+      Op("token_batches_e2e(pipe25, shards=32n)", n =>
+        tokenBatches(n, 32 * n), tables = Seq("docs")),
       // Gopher rule gate: pure per-row Column math behind one
       // generator barrier — must scale linearly like t7's shape.
       Op("gopher_stats", n =>
