@@ -793,4 +793,29 @@ class StoreSpec extends AnyFunSuite {
       assert(f.exists(new Path(tmp)), "recovery deleted the torn temp")
     } finally cleanup(dir)
   }
+
+  test("stores refuse live components whose _SUCCESS marker is gone (torn out-of-band)") {
+    val tk = tmpDir("graft-tk")
+    val ixd = tmpDir("graft-ix")
+    try {
+      // No promoted model lacks its markers (commitSwap verifies them
+      // before the rename), so a missing one means the live tables
+      // were torn or edited out-of-band — a truncated merge tail still
+      // passes the contiguity check, so the guard must fire first.
+      graft.llm.TokenizerStore.build(docs, "doc_id", "text", tk, TP)
+      val f = CorpusStore.fileSystem(spark, tk)
+      f.delete(new Path(tk, "model/segments/_SUCCESS"), false)
+      val e = intercept[IllegalArgumentException] { tokenCountSet(tk) }
+      assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+
+      IndexStore.build(emb.filter(col("vec_id") < 300), "vec_id", "qv",
+        ixd, IP, iters = 1)
+      val fi = CorpusStore.fileSystem(spark, ixd)
+      fi.delete(new Path(ixd, "codebook/_SUCCESS"), false)
+      val e2 = intercept[IllegalArgumentException] {
+        IndexStore.read(spark, ixd, IP)
+      }
+      assert(e2.getMessage.contains("_SUCCESS"), e2.getMessage)
+    } finally { cleanup(tk); cleanup(ixd) }
+  }
 }
