@@ -703,25 +703,9 @@ object HeavyBench {
     HeavyItem("pipe25_token_batches", Seq("documents"),
       subdir = Some("lowdup"),
       fn = Some { (s, d) =>
-        val store = s"$d/bpe_tokenizer"
-        val dd = docs(s, d)
-        val budgets = graft.llm.TokenizerStore.tokenCounts(s, store,
-          HeavyTokParams, dd, "doc_id", "text")
-        val packed = graft.llm.Corpus.packSequences(budgets, "doc_id",
-            col("n_bpe_tokens"), numShards = 32, budgetTokens = 2048,
-            seed = "pt")
-          .select(col("doc_id"), col("shard"),
-            (col("seq_idx").cast("long") * 2048 + col("tok_offset"))
-              .as("__sp"))
-        val enriched = dd.select("doc_id", "text")
-          .join(packed, Seq("doc_id"))
-        graft.llm.TokenizerStore.tokenIds(s, store,
-            HeavyTokParams, enriched, "doc_id", "text",
-            withIndex = true, carry = Seq("shard", "__sp"))
-          .select(col("doc_id"), col("shard"),
-            expr("CAST((__sp + tidx) div 2048 AS INT)").as("seq_idx"),
-            expr("CAST((__sp + tidx) % 2048 AS INT)").as("tok_offset"),
-            col("token_id"))
+        queries.PipelineQueries.tokenBatchLayout(s, s"$d/bpe_tokenizer",
+          HeavyTokParams, docs(s, d), numShards = 32,
+          budgetTokens = 2048)
       },
       meta = Seq("merges" -> "1000", "shards" -> "32",
         "budget_tokens" -> "2048")),

@@ -199,29 +199,15 @@ object ScaleCheck {
       dir
     }
 
-    // pipe25's composition over a replicated corpus: budgets from the
-    // fixed store, pack to `shards`, token-id stream with the per-doc
-    // index window, every id placed at its (shard, seq, offset).
-    def tokenBatches(n: Int, shards: Int): Long = {
-      val d = replicateDocs(docs0, n)
-      val params = llm.TokenizerStore.Params(merges = 200, minCount = 8L)
-      val budgets = llm.TokenizerStore.tokenCounts(spark,
-        corpusBuildStore, params, d, "doc_id", "text")
-      val packed = llm.Corpus.packSequences(budgets, "doc_id",
-          col("n_bpe_tokens"), shards, budgetTokens = 2048, seed = "pt")
-        .select(col("doc_id"), col("shard"),
-          (col("seq_idx").cast("long") * 2048 + col("tok_offset"))
-            .as("__sp"))
-      val enriched = d.join(packed, Seq("doc_id"))
-      llm.TokenizerStore.tokenIds(spark, corpusBuildStore, params,
-          enriched, "doc_id", "text", withIndex = true,
-          carry = Seq("shard", "__sp"))
-        .select(col("doc_id"), col("shard"),
-          expr("CAST((__sp + tidx) div 2048 AS INT)").as("seq_idx"),
-          expr("CAST((__sp + tidx) % 2048 AS INT)").as("tok_offset"),
-          col("token_id"))
+    // pipe25's composition over a replicated corpus — the SHARED
+    // implementation (PipelineQueries.tokenBatchLayout), so the sweep
+    // times exactly the shape the registered query oracles and the
+    // heavy entry measures.
+    def tokenBatches(n: Int, shards: Int): Long =
+      queries.PipelineQueries.tokenBatchLayout(spark, corpusBuildStore,
+          llm.TokenizerStore.Params(merges = 200, minCount = 8L),
+          replicateDocs(docs0, n), shards, budgetTokens = 2048)
         .count()
-    }
 
     // Prebuilt per factor: growing corpus, FIXED ~1250-doc increment,
     // and the corpus band artifact (materialized here so its

@@ -49,6 +49,12 @@ private[graft] object ArtifactStore {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** `json` with a `layout` directory-scheme stamp appended — the one
+    * place the sidecar's layout field is spliced, so every store that
+    * evolves its layout bumps the same contract. */
+  def withLayout(json: String, layout: Int): String =
+    json.stripSuffix("}") + s""","layout":$layout}"""
+
   /** The sidecar's text, or None when no artifact exists. */
   def readSidecarText(f: FileSystem, dir: String): Option[String] = {
     val p = new Path(dir, Sidecar)
@@ -133,11 +139,12 @@ private[graft] object ArtifactStore {
 
   /** A unique per-run temp directory for the replacement build — never
     * a name a reader could mistake for another run's. The name leads
-    * with zero-padded epoch millis so temp names SORT IN BUILD ORDER:
+    * with zero-padded epoch millis so temps carry their BUILD ORDER:
     * if the single-writer contract is ever violated and recovery finds
-    * several complete temps, `maxBy(_.getName)` promotes the NEWEST
-    * build, not an arbitrary UUID winner (the random suffix only
-    * tiebreaks two builds started in the same millisecond). */
+    * several complete temps, [[recoverSwap]] promotes the one with the
+    * greatest parsed millis prefix ([[tmpMillis]]; names without one
+    * rank oldest), not an arbitrary UUID winner — the random suffix
+    * only tiebreaks two builds started in the same millisecond. */
   def newTmpPath(dir: String, unit: String): Path =
     new Path(dir, tmpPrefix(unit) +
       f"${System.currentTimeMillis}%013d" + "_" +

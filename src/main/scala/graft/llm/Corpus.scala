@@ -114,11 +114,17 @@ object Corpus {
                           budgetTokens: Int, seed: String,
                           watermark: DataFrame): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
-    val baseSeqs = watermark.select(
-      col("shard").cast("int").as("shard"),
-      // Integer ceil: the first sequence index the increment may use.
-      expr(s"CAST((CAST(n_tokens AS BIGINT) + ${budgetTokens - 1L}) " +
-        s"div ${budgetTokens.toLong} AS INT)").as("__base_seqs"))
+    val baseSeqs = watermark
+      // max per shard, not a bare select: a watermark unioned across
+      // appends (or any frame with repeated shard rows) folds to the
+      // farthest free position — the correct resume state — instead of
+      // join-multiplying every increment placement.
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(max(col("n_tokens").cast("long")).as("__nt"))
+      .select(col("shard"),
+        // Integer ceil: the first sequence index the increment may use.
+        expr(s"CAST((__nt + ${budgetTokens - 1L}) " +
+          s"div ${budgetTokens.toLong} AS INT)").as("__base_seqs"))
     packSequences(df, keyCol, tokenCountCol, numShards, budgetTokens, seed)
       // Left: a shard with no standing tokens starts at sequence 0.
       .join(broadcast(baseSeqs), Seq("shard"), "left")

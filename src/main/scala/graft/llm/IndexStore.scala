@@ -75,6 +75,14 @@ object IndexStore {
   private val SegTmpPrefix = "_tmp_seg_"
   // Mid-migration holding name for a layout-1 flat codes/ dir.
   private val MigrateDir = "_migrate_codes"
+  // Present while write() replaces the model tables + codes: the three
+  // components cannot promote atomically (they are separate swap
+  // units), so a crash mid-rebuild is detected by this marker and
+  // refused loudly at read — WITHOUT it, a rebuild under unchanged
+  // params that died between the model-table writes and the codes swap
+  // would pair new centroids/codebooks with old codes and pass every
+  // structural check (the silent franken-model).
+  private val RebuildMarker = "_rebuild_in_progress"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     ArtifactStore.fs(spark, dir)
@@ -141,13 +149,17 @@ object IndexStore {
 
   /** Complete an interrupted layout-1 migration (idempotent, called by
     * every entry point): if the holding dir exists, the flat codes are
-    * mid-move — put them at `codes/seg_base`. */
+    * mid-move — put them at `codes/seg_base`. Tolerates losing the
+    * completion race (recoverSwap's discipline): a failed rename with
+    * the destination present and the holding dir gone means another
+    * entry point finished the move first. */
   private def finishMigration(f: FileSystem, dir: String): Unit = {
     val hold = new Path(dir, MigrateDir)
     if (!f.exists(hold)) return
     val root = new Path(dir, CodesDir)
     f.mkdirs(root)
-    if (!f.rename(hold, new Path(root, SegBase)))
+    val dest = new Path(root, SegBase)
+    if (!f.rename(hold, dest) && !(f.exists(dest) && !f.exists(hold)))
       throw new java.io.IOException(
         s"IndexStore: cannot complete layout-1 codes migration at $dir")
   }
@@ -193,6 +205,11 @@ object IndexStore {
     val spark = codes.sparkSession
     val f = fs(spark, dir)
     recoverSwap(f, dir)
+    // Marker up BEFORE any component is touched, down after the last
+    // one commits: a crash anywhere inside leaves the marker, and
+    // read() refuses the possibly-mixed-generation artifact loudly
+    // instead of serving neighbors ranked against the wrong model.
+    ArtifactStore.writeSidecar(f, new Path(dir, RebuildMarker), "{}")
     centroids.write.mode("overwrite").parquet(s"$dir/$CentroidsDir")
     codebook.write.mode("overwrite").parquet(s"$dir/$CodebookDir")
     // A full (re)build replaces ALL segments, not just the base one —
@@ -207,6 +224,7 @@ object IndexStore {
     ArtifactStore.commitSwap(f, dir, CodesDir, tmp, Seq(SegBase),
       "IndexStore", "write")
     writeSidecar(f, new Path(dir, Sidecar), params)
+    f.delete(new Path(dir, RebuildMarker), false)
   }
 
   /** The artifact, verified against the caller's parameters AND the
@@ -217,6 +235,15 @@ object IndexStore {
   def read(spark: SparkSession, dir: String, params: Params): Index = {
     val f = fs(spark, dir)
     recoverSwap(f, dir)
+    // A leftover rebuild marker means write() died mid-replacement:
+    // the components may straddle two training runs (and can pass
+    // every structural check when params were unchanged), so refuse.
+    if (f.exists(new Path(dir, RebuildMarker)))
+      throw new IllegalStateException(
+        s"IndexStore.read: a rebuild of $dir was interrupted " +
+          s"($RebuildMarker present) — the model tables and codes may " +
+          "come from different training runs; re-run build() to " +
+          "restore a consistent artifact")
     requireParams(spark, dir, params, "read")
     // The code segments are _SUCCESS-gated by construction; the model
     // tables get the same torn-write guard here (a truncated codebook
@@ -267,9 +294,13 @@ object IndexStore {
     * promoted with one rename. A crash leaves either no new segment or
     * the whole one, never a torn list, and a concurrent reader (e.g. a
     * [[graft.streaming.StreamingSearch]] batch) sees the old segment
-    * set or old+new, never a mix. Rewriting the whole table per append
-    * (the pre-segment design) made cumulative nightly I/O quadratic in
-    * index size. */
+    * set or old+new, never a mix. Exception: the FIRST append over a
+    * layout-1 artifact performs the one-time in-place migration
+    * (renames the flat `codes/` to `codes/seg_base`), which is NOT
+    * reader-atomic — run that one upgrade append in a maintenance
+    * window, like [[delete]]; every later append is reader-safe as
+    * described. Rewriting the whole table per append (the pre-segment
+    * design) made cumulative nightly I/O quadratic in index size. */
   def append(increment: DataFrame, id: String, vec: String, dir: String,
              params: Params): Unit = {
     val spark = increment.sparkSession
@@ -392,7 +423,7 @@ object IndexStore {
     // file positions; parameter equality ignores it, and a layout-1
     // sidecar (no field) parses identically.
     ArtifactStore.writeSidecar(f, p,
-      params.render.stripSuffix("}") + ",\"layout\":2}")
+      ArtifactStore.withLayout(params.render, 2))
 
   private def requireParams(spark: SparkSession, dir: String,
                             expected: Params, op: String): Unit =

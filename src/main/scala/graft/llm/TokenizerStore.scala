@@ -118,7 +118,7 @@ object TokenizerStore {
     // model/), so the NEXT layout evolution is explicit instead of
     // inferred from file positions; parameter equality ignores it.
     ArtifactStore.writeSidecar(f, new Path(root, Sidecar),
-      params.render.stripSuffix("}") + ",\"layout\":2}")
+      ArtifactStore.withLayout(params.render, 2))
     merges.write.mode("overwrite").parquet(s"$root/merges")
     segments.write.mode("overwrite").parquet(s"$root/segments")
   }

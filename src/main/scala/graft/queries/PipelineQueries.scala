@@ -395,27 +395,8 @@ object PipelineQueries {
       if (TokenizerStore.readParams(s, dir).isEmpty)
         TokenizerStore.build(Tables.documents(s, d), "doc_id", "text",
           dir, params)
-      val docsDf = Tables.documents(s, d)
-      val budgets = TokenizerStore.tokenCounts(s, dir, params, docsDf,
-        "doc_id", "text")
-      val packed = Corpus.packSequences(budgets, "doc_id",
-          col("n_bpe_tokens"), numShards = 4, budgetTokens = 256,
-          seed = "pt")
-        .select(col("doc_id"), col("shard"),
-          (col("seq_idx").cast("long") * 256 + col("tok_offset"))
-            .as("__sp"))
-      // Pack slots attach at DOC level, before the token stream
-      // exists — the layout join costs one doc-count hash join and the
-      // slot columns ride through the explosion.
-      val enriched = docsDf.select("doc_id", "text")
-        .join(packed, Seq("doc_id"))
-      TokenizerStore.tokenIds(s, dir, params, enriched,
-          "doc_id", "text", withIndex = true,
-          carry = Seq("shard", "__sp"))
-        .select(col("doc_id"), col("shard"),
-          expr("CAST((__sp + tidx) div 256 AS INT)").as("seq_idx"),
-          expr("CAST((__sp + tidx) % 256 AS INT)").as("tok_offset"),
-          col("token_id"))
+      tokenBatchLayout(s, dir, params, Tables.documents(s, d),
+        numShards = 4, budgetTokens = 256)
     }
   }
 
@@ -529,18 +510,9 @@ object PipelineQueries {
       storeDir: String, params: TokenizerStore.Params,
       numShards: Int, budgetTokens: Int,
       watermark: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val curated = broadcast(
-      curated0.select("doc_id", "lang").localCheckpoint())
-    val curatedDocs = docs.select("doc_id", "text")
-      .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
-    val budgets = TokenizerStore.tokenCounts(docs.sparkSession, storeDir,
-      params, curatedDocs, "doc_id", "text")
-    Corpus.packSequencesAppend(
-      budgets.join(broadcast(curated), Seq("doc_id")),
-      "doc_id", col("n_bpe_tokens"), numShards, budgetTokens,
-      seed = "pt", watermark = watermark)
-  }
+      : org.apache.spark.sql.DataFrame =
+    corpusBuild(docs, curated0, storeDir, params, numShards,
+      budgetTokens, Some(watermark))
 
   /** The shared curate→tokenize-from-store→pack composition — ONE
     * implementation for the registered pipe24, its heavy-bench entry,
@@ -555,15 +527,59 @@ object PipelineQueries {
       docs: org.apache.spark.sql.DataFrame,
       curated0: org.apache.spark.sql.DataFrame,
       storeDir: String, params: TokenizerStore.Params,
-      numShards: Int, budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+      numShards: Int, budgetTokens: Int,
+      watermark: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val curated = broadcast(
       curated0.select("doc_id", "lang").localCheckpoint())
     val curatedDocs = docs.select("doc_id", "text")
       .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
     val budgets = TokenizerStore.tokenCounts(docs.sparkSession, storeDir,
       params, curatedDocs, "doc_id", "text")
-    Corpus.packSequences(budgets.join(broadcast(curated), Seq("doc_id")),
-      "doc_id", col("n_bpe_tokens"), numShards, budgetTokens, seed = "pt")
+    val packInput = budgets.join(broadcast(curated), Seq("doc_id"))
+    // With a watermark the pack resumes from the standing corpus'
+    // sealed boundaries (pipe26's nightly append); without one it
+    // packs from sequence 0 (the full-rebuild shape). Same plan
+    // either way up to the boundary shift.
+    watermark match {
+      case Some(wm) => Corpus.packSequencesAppend(packInput, "doc_id",
+        col("n_bpe_tokens"), numShards, budgetTokens, seed = "pt", wm)
+      case None => Corpus.packSequences(packInput, "doc_id",
+        col("n_bpe_tokens"), numShards, budgetTokens, seed = "pt")
+    }
+  }
+
+  /** pipe25's token-batch layout — ONE implementation for the
+    * registered query, the heavy-bench entry, and ScaleCheck's shard
+    * sweep, so the load-bearing composition (budgets and ids both
+    * served from the store, pack slots attached at DOC level before
+    * the token stream exists, the id window's word-level prefix sum)
+    * cannot drift between what is oracled, what is timed, and what is
+    * swept. */
+  private[graft] def tokenBatchLayout(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      params: TokenizerStore.Params,
+      docs: org.apache.spark.sql.DataFrame,
+      numShards: Int, budgetTokens: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val budgets = TokenizerStore.tokenCounts(spark, storeDir, params,
+      docs, "doc_id", "text")
+    val packed = Corpus.packSequences(budgets, "doc_id",
+        col("n_bpe_tokens"), numShards, budgetTokens, seed = "pt")
+      .select(col("doc_id"), col("shard"),
+        (col("seq_idx").cast("long") * budgetTokens + col("tok_offset"))
+          .as("__sp"))
+    // Pack slots attach at DOC level, before the token stream exists —
+    // the layout join costs one doc-count hash join and the slot
+    // columns ride through the explosion.
+    val enriched = docs.select("doc_id", "text")
+      .join(packed, Seq("doc_id"))
+    TokenizerStore.tokenIds(spark, storeDir, params, enriched,
+        "doc_id", "text", withIndex = true, carry = Seq("shard", "__sp"))
+      .select(col("doc_id"), col("shard"),
+        expr(s"CAST((__sp + tidx) div $budgetTokens AS INT)").as("seq_idx"),
+        expr(s"CAST((__sp + tidx) % $budgetTokens AS INT)").as("tok_offset"),
+        col("token_id"))
   }
 
   /** The pipe17 funnel body, shared by the registered query (portable

@@ -610,6 +610,31 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("IndexStore refuses an interrupted rebuild loudly; a completed rebuild clears the marker") {
+    val dir = tmpDir("graft-ix")
+    try {
+      IndexStore.build(emb.filter(col("vec_id") < 300), "vec_id", "qv",
+        dir, IP, iters = 1)
+      val f = CorpusStore.fileSystem(spark, dir)
+      assert(!f.exists(new Path(dir, "_rebuild_in_progress")),
+        "a completed build left the rebuild marker behind")
+      // Crash sim: write() died after replacing the model tables but
+      // before the codes swap — with unchanged params the components
+      // pass every structural check, so only the marker stands between
+      // the reader and silently wrong neighbors.
+      graft.llm.ArtifactStore.writeSidecar(f,
+        new Path(dir, "_rebuild_in_progress"), "{}")
+      val e = intercept[IllegalStateException] {
+        IndexStore.read(spark, dir, IP)
+      }
+      assert(e.getMessage.contains("interrupted"), e.getMessage)
+      // The prescribed recovery — re-run build() — restores service.
+      IndexStore.build(emb.filter(col("vec_id") < 300), "vec_id", "qv",
+        dir, IP, iters = 1)
+      assert(IndexStore.read(spark, dir, IP).codes.count() > 0)
+    } finally cleanup(dir)
+  }
+
   test("BandStore recovery promotes the newest complete temp by millis prefix, not lexical name") {
     val dir = tmpDir("graft-bs")
     try {
