@@ -261,6 +261,9 @@ object HeavyBench {
   // persisted per-lang bigram LM for the c11 serving entry; v11: + the
   // persisted 1000-merge BPE tokenizer for the t14 serving entry.
   private val Layout = "v11"
+  // Set by ensureHeavyDir: whether this run regenerated the fixture
+  // (false = every persisted store artifact predates this run).
+  @volatile private var lastBuildWasFresh = false
 
   /** One heavy entry: a registered query (or a custom fn for variants
     * not in the registry), the tables it reads, an optional subdir of
@@ -866,7 +869,11 @@ object HeavyBench {
         }
       }
       val f = Factors.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      s""","heavy":{"factors":{$f},"queries":{${items.mkString(",")}}}"""
+      // rebuilt=false is the evidentiary bit for the serving entries:
+      // their persisted stores (tokenizer/index/LM/bands) are the
+      // STANDING artifacts of a previous run's fixture build, so those
+      // numbers prove artifacts survive across code versions.
+      s""","heavy":{"factors":{$f},"fixture":{"layout":"$Layout","rebuilt":$lastBuildWasFresh},"queries":{${items.mkString(",")}}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] heavy block failed: ${e.getMessage}")
@@ -932,6 +939,7 @@ object HeavyBench {
           in.readFully(b); Some(new String(b, "UTF-8"))
         } finally in.close()
       }
+    lastBuildWasFresh = !stored.contains(fingerprint)
     if (!stored.contains(fingerprint)) {
       System.err.println(s"[bench] building heavy tables under $dir")
       def rep(n: Int) =
