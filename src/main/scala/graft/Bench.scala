@@ -376,6 +376,15 @@ object HeavyBench {
     }
   }
 
+  private[graft] def licenseTagHeavy(s: SparkSession,
+                                     d: String): DataFrame = {
+    val configs = graft.license.AmslConfigBuilder.build(licenseAmslRows)
+    graft.license.Licensing.tag(licenseRecords(s, d),
+        licenseRecordCols, configs, licenseHoldings(s),
+        asOf = "1998-06-01")
+      .select(col("rid"), col("x_labels"))
+  }
+
   private val Items: Seq[HeavyItem] = Seq(
     // span-tag at production shape: 20 ISIL filter trees from the AMSL
     // dispatch, 30 KBART tables with embargo walls, every record of
@@ -383,14 +392,7 @@ object HeavyBench {
     // broadcast holdings join, one flag aggregation, 20 predicate
     // columns). The reference bar is ~20 K recs/s single-node.
     HeavyItem("l2_amsl_tag_heavy", Seq("lineitem"),
-      fn = Some { (s, d) =>
-        val configs =
-          graft.license.AmslConfigBuilder.build(licenseAmslRows)
-        graft.license.Licensing.tag(licenseRecords(s, d),
-            licenseRecordCols, configs, licenseHoldings(s),
-            asOf = "1998-06-01")
-          .select(col("rid"), col("x_labels"))
-      },
+      fn = Some((s, d) => licenseTagHeavy(s, d)),
       counts = Some { (s, d) =>
         val configs =
           graft.license.AmslConfigBuilder.build(licenseAmslRows)
