@@ -739,6 +739,54 @@ object HeavyBench {
       },
       meta = Seq("merges" -> "1000", "shards" -> "32",
         "budget_tokens" -> "2048", "quota" -> "5000")),
+    // The NIGHTLY INCREMENTAL corpus build (pipe26) at production
+    // shape: 1/16 of the lowdup corpus arrives as tonight's increment
+    // — funneled within itself, tokenized from the FIXED persisted
+    // tokenizer, append-packed from the standing corpus' per-shard
+    // watermark (standing shards never re-read). The watermark is the
+    // tiny persisted pack state a nightly job carries; here it
+    // self-primes on the FIRST sample (which therefore also pays the
+    // standing 300 K-doc build — min-of-3 drops it) and later samples
+    // time the pure increment cost, the number a nightly run sizes
+    // against. docs/s is per INCREMENT doc.
+    HeavyItem("pipe26_incremental_build", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some { (s, d) =>
+        val store = s"$d/bpe_tokenizer"
+        val dd = docs(s, d)
+        // Increment = the replica-1 slice: every doc uniquely mangled
+        // (funnel-survivable). The replica-0 slice is the fixture's
+        // NEAR-DUP subset by construction — within itself it is ~100%
+        // repeated windows, so the coverage gate correctly kills all
+        // of it and the entry would time an empty increment.
+        val inc = dd.filter(col("doc_id") % 16 === 1)
+        val wmPath = s"$d/pipe26_watermark.parquet"
+        val f = graft.llm.ArtifactStore.fs(s, wmPath)
+        if (!f.exists(new org.apache.hadoop.fs.Path(wmPath))) {
+          val base = dd.filter(col("doc_id") % 16 =!= 1)
+          val basePacked = queries.PipelineQueries.corpusBuild(base,
+            queries.PipelineQueries.curationFunnelOf(
+              base.select("doc_id", "lang", "text"), portableCov = false,
+              maxMeanWordLen = 20.0, minStopHits = 0, quota = 5000),
+            store, HeavyTokParams, numShards = 32, budgetTokens = 2048)
+          graft.llm.Corpus.packWatermark(basePacked,
+              col("n_bpe_tokens"), budgetTokens = 2048)
+            .write.mode("overwrite").parquet(wmPath)
+        }
+        queries.PipelineQueries.corpusBuildAppend(inc,
+          queries.PipelineQueries.curationFunnelOf(
+            inc.select("doc_id", "lang", "text"), portableCov = false,
+            maxMeanWordLen = 20.0, minStopHits = 0, quota = 5000),
+          store, HeavyTokParams, numShards = 32, budgetTokens = 2048,
+          s.read.parquet(wmPath))
+      },
+      counts = Some { (s, d) =>
+        Seq("increment_docs" ->
+          docs(s, d).filter(col("doc_id") % 16 === 1).count())
+      },
+      meta = Seq("merges" -> "1000", "shards" -> "32",
+        "budget_tokens" -> "2048", "quota" -> "5000",
+        "increment_fraction" -> "\"1/16\"")),
     // LM SERVING from the persisted artifact: pipe21's heavy entry
     // times what a model rebuild pays (train+score+bucket in one
     // window); this times what the nightly batch pays — read the
