@@ -376,13 +376,44 @@ object HeavyBench {
     }
   }
 
-  private[graft] def licenseTagHeavy(s: SparkSession,
-                                     d: String): DataFrame = {
+  private[graft] def licenseTagHeavy(s: SparkSession, d: String,
+                                     dropUnlabeled: Boolean = false)
+      : DataFrame = {
     val configs = graft.license.AmslConfigBuilder.build(licenseAmslRows)
     graft.license.Licensing.tag(licenseRecords(s, d),
         licenseRecordCols, configs, licenseHoldings(s),
-        asOf = "1998-06-01")
+        asOf = "1998-06-01", dropUnlabeled = dropUnlabeled)
       .select(col("rid"), col("x_labels"))
+  }
+
+  /** The pipe26 entry's standing pack state: the per-shard watermark
+    * of last night's 300 K-doc corpus build, persisted next to the
+    * lowdup tables. Completion-gated on the parquet _SUCCESS marker
+    * (a killed priming run regenerates instead of serving a torn
+    * watermark, whose missing shards would resume at sequence 0 and
+    * overlap the standing corpus). Built during fixture generation
+    * (untimed, like every other fixture store) and self-healing here
+    * for fixtures that predate the entry. */
+  private[graft] def ensurePipe26Watermark(s: SparkSession,
+                                           d: String): String = {
+    val wmPath = s"$d/pipe26_watermark.parquet"
+    val f = graft.llm.ArtifactStore.fs(s, wmPath)
+    val p = new org.apache.hadoop.fs.Path(wmPath)
+    if (!f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))) {
+      f.delete(p, true)
+      val dd = docs(s, d)
+      val base = dd.filter(col("doc_id") % 16 =!= 1)
+      val basePacked = queries.PipelineQueries.corpusBuild(base,
+        queries.PipelineQueries.curationFunnelOf(
+          base.select("doc_id", "lang", "text"), portableCov = false,
+          maxMeanWordLen = 20.0, minStopHits = 0, quota = 5000),
+        s"$d/bpe_tokenizer", HeavyTokParams, numShards = 32,
+        budgetTokens = 2048)
+      graft.llm.Corpus.packWatermark(basePacked,
+          col("n_bpe_tokens"), budgetTokens = 2048)
+        .write.mode("overwrite").parquet(wmPath)
+    }
+    wmPath
   }
 
   private val Items: Seq[HeavyItem] = Seq(
@@ -394,12 +425,8 @@ object HeavyBench {
     HeavyItem("l2_amsl_tag_heavy", Seq("lineitem"),
       fn = Some((s, d) => licenseTagHeavy(s, d)),
       counts = Some { (s, d) =>
-        val configs =
-          graft.license.AmslConfigBuilder.build(licenseAmslRows)
-        val labeled = graft.license.Licensing.tag(licenseRecords(s, d),
-          licenseRecordCols, configs, licenseHoldings(s),
-          asOf = "1998-06-01", dropUnlabeled = true).count()
-        Seq("labeled_records" -> labeled,
+        Seq("labeled_records" ->
+            licenseTagHeavy(s, d, dropUnlabeled = true).count(),
           "holdings_rows" ->
             licenseHoldings(s).values.map(_.count()).sum)
       },
@@ -744,11 +771,11 @@ object HeavyBench {
     // — funneled within itself, tokenized from the FIXED persisted
     // tokenizer, append-packed from the standing corpus' per-shard
     // watermark (standing shards never re-read). The watermark is the
-    // tiny persisted pack state a nightly job carries; here it
-    // self-primes on the FIRST sample (which therefore also pays the
-    // standing 300 K-doc build — min-of-3 drops it) and later samples
-    // time the pure increment cost, the number a nightly run sizes
-    // against. docs/s is per INCREMENT doc.
+    // tiny persisted pack state a nightly job carries — primed with
+    // the fixture (untimed, completion-gated; see
+    // ensurePipe26Watermark), so every sample times the pure
+    // increment cost, the number a nightly run sizes against. docs/s
+    // is per INCREMENT doc.
     HeavyItem("pipe26_incremental_build", Seq("documents"),
       subdir = Some("lowdup"),
       fn = Some { (s, d) =>
@@ -760,19 +787,7 @@ object HeavyBench {
         // repeated windows, so the coverage gate correctly kills all
         // of it and the entry would time an empty increment.
         val inc = dd.filter(col("doc_id") % 16 === 1)
-        val wmPath = s"$d/pipe26_watermark.parquet"
-        val f = graft.llm.ArtifactStore.fs(s, wmPath)
-        if (!f.exists(new org.apache.hadoop.fs.Path(wmPath))) {
-          val base = dd.filter(col("doc_id") % 16 =!= 1)
-          val basePacked = queries.PipelineQueries.corpusBuild(base,
-            queries.PipelineQueries.curationFunnelOf(
-              base.select("doc_id", "lang", "text"), portableCov = false,
-              maxMeanWordLen = 20.0, minStopHits = 0, quota = 5000),
-            store, HeavyTokParams, numShards = 32, budgetTokens = 2048)
-          graft.llm.Corpus.packWatermark(basePacked,
-              col("n_bpe_tokens"), budgetTokens = 2048)
-            .write.mode("overwrite").parquet(wmPath)
-        }
+        val wmPath = ensurePipe26Watermark(s, d)
         queries.PipelineQueries.corpusBuildAppend(inc,
           queries.PipelineQueries.curationFunnelOf(
             inc.select("doc_id", "lang", "text"), portableCov = false,
@@ -1100,6 +1115,12 @@ object HeavyBench {
       graft.llm.TokenizerStore.build(
         spark.read.parquet(s"$dir/lowdup/documents.parquet"),
         "doc_id", "text", s"$dir/lowdup/bpe_tokenizer", HeavyTokParams)
+      // pipe26's standing watermark — stale state from a previous
+      // fixture generation must never survive an in-place rebuild.
+      val fsDir = new org.apache.hadoop.fs.Path(s"$dir/lowdup/pipe26_watermark.parquet")
+      fsDir.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(fsDir, true)
+      ensurePipe26Watermark(spark, s"$dir/lowdup")
       li.repartition(32)
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       // The incremental-dedup entry's persisted artifact: the standing

@@ -180,6 +180,21 @@ private[graft] object ArtifactStore {
     marks.forall(f.exists)
   }
 
+  /** Read-side torn-component guard, shared by all four stores: every
+    * promoted unit carries its components' `_SUCCESS` markers
+    * ([[commitSwap]] verifies them before the rename), so a live unit
+    * missing one was truncated or edited out-of-band. Torn tables can
+    * pass a store's structural checks (a truncated merge tail keeps
+    * contiguous ranks; a truncated codebook keeps all subspaces), so
+    * this refusal must come before them. */
+  def requireCommitted(f: FileSystem, dir: String, unit: String,
+                       components: Seq[String], store: String): Unit =
+    require(verifyComplete(f, new Path(dir, unit), components),
+      s"$store.read: $unit at $dir is missing a component _SUCCESS " +
+        "marker — no promoted build lacks one, so the artifact was " +
+        "torn or edited out-of-band; refusing to serve " +
+        "possibly-truncated tables")
+
   /** Writer-path-only cleanup of leftover temps from crashed runs.
     * Safe under the stores' single-writer contract (maintenance jobs
     * run one at a time); NEVER called from the read path, where a temp

@@ -76,8 +76,12 @@ object BandStore {
     * sanctioned way to obtain a `corpusBands` frame for
     * [[Dedup.minhashLshPairsIncremental]]. */
   def read(spark: SparkSession, dir: String, params: Params): DataFrame = {
-    recoverSwap(fs(spark, dir), dir)
+    val f = fs(spark, dir)
+    recoverSwap(f, dir)
     requireParams(spark, dir, params, "read")
+    // Torn-component refusal: a band table truncated out-of-band
+    // would silently drop candidate pairs for the missing docs.
+    ArtifactStore.requireCommitted(f, dir, DataDir, Nil, "BandStore")
     spark.read.parquet(s"$dir/$DataDir")
   }
 

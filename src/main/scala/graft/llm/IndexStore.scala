@@ -246,15 +246,11 @@ object IndexStore {
           "restore a consistent artifact")
     requireParams(spark, dir, params, "read")
     // The code segments are _SUCCESS-gated by construction; the model
-    // tables get the same torn-write guard here (a truncated codebook
-    // with all subspaces present would pass the structural checks and
-    // rank by lookup tables that never matched the codes).
-    Seq(CentroidsDir, CodebookDir).foreach { c =>
-      require(f.exists(new Path(dir, s"$c/_SUCCESS")),
-        s"IndexStore.read: $c at $dir carries no _SUCCESS marker — " +
-          "the model table write never committed; refusing to search " +
-          "against possibly-truncated model tables")
-    }
+    // tables get the same torn-write guard (a truncated codebook with
+    // all subspaces present would pass the structural checks and rank
+    // by lookup tables that never matched the codes).
+    Seq(CentroidsDir, CodebookDir).foreach(c =>
+      ArtifactStore.requireCommitted(f, dir, c, Nil, "IndexStore"))
     val cents = spark.read.parquet(s"$dir/$CentroidsDir")
     val cb = spark.read.parquet(s"$dir/$CodebookDir")
     val codes = readCodes(spark, dir)

@@ -95,6 +95,11 @@ object LmStore {
     val f = fs(spark, dir)
     recoverSwap(f, dir)
     requireParams(spark, dir, params, "read")
+    // Torn-component refusal before the structural checks — a count
+    // table truncated out-of-band keeps valid totals and would score
+    // silently shifted perplexities.
+    ArtifactStore.requireCommitted(f, dir, ModelDir, Components,
+      "LmStore")
     val keyType = if (params.hashed) "bigint" else "string"
     def load(comp: String, key: String, cnt: String): DataFrame = {
       val df = spark.read.parquet(s"$dir/$ModelDir/$comp")

@@ -137,17 +137,10 @@ object TokenizerStore {
     val f = fs(spark, dir)
     recoverSwap(f, dir)
     requireParams(spark, dir, params, "read")
-    // Every promoted model carries both components' _SUCCESS markers
-    // (commitSwap verifies them before the rename), so a live model
-    // missing one was torn out-of-band — a truncated merge tail can
-    // still pass the contiguity check below, so refuse here, loudly.
-    Components.foreach { c =>
-      require(f.exists(new Path(dir, s"$ModelDir/$c/_SUCCESS")),
-        s"TokenizerStore.read: $c at $dir/$ModelDir carries no " +
-          "_SUCCESS marker — no promoted model lacks one, so the " +
-          "artifact was torn or edited out-of-band; refusing to serve " +
-          "possibly-truncated tables")
-    }
+    // Torn-component refusal before the structural checks — a
+    // truncated merge tail still passes the contiguity check below.
+    ArtifactStore.requireCommitted(f, dir, ModelDir, Components,
+      "TokenizerStore")
     val merges = spark.read.parquet(s"$dir/$ModelDir/merges")
     val segments = spark.read.parquet(s"$dir/$ModelDir/segments")
     val m = merges.agg(count(lit(1)), coalesce(min("rank"), lit(1)),
