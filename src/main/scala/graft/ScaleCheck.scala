@@ -223,6 +223,24 @@ object ScaleCheck {
             .localCheckpoint()))
       }.toMap
 
+    // pipe26's standing pack watermark per factor: the ×n corpus is
+    // packed (untimed fixture work — a real nightly inherits this
+    // state from last night) and folded to its 32-row watermark, so
+    // the timed append below starts from real standing placements.
+    lazy val appendWatermarks: Map[Int, DataFrame] =
+      factors.map { n =>
+        val base = replicateDocsFull(docsFull0, n)
+          .select("doc_id", "lang", "text")
+        val packed = queries.PipelineQueries.corpusBuild(base,
+          queries.PipelineQueries.curationFunnelOf(base,
+            portableCov = false, quota = 5000, covThreshold = 1.0),
+          corpusBuildStore,
+          llm.TokenizerStore.Params(merges = 200, minCount = 8L),
+          numShards = 32, budgetTokens = 2048)
+        n -> llm.Corpus.packWatermark(packed, col("n_bpe_tokens"),
+          budgetTokens = 2048).localCheckpoint()
+      }.toMap
+
     val ops = Seq(
       Op("exact_dedup_groups", n =>
         llm.Dedup.exactGroups(replicateDocs(docs0, n), "doc_id", "text").count()),
@@ -447,6 +465,22 @@ object ScaleCheck {
         tokenBatches(n, 32), tables = Seq("docs")),
       Op("token_batches_e2e(pipe25, shards=32n)", n =>
         tokenBatches(n, 32 * n), tables = Seq("docs")),
+      // pipe26's O(increment) claim, empirically pinned: the increment
+      // is FIXED (the ×1 corpus) while the standing corpus behind the
+      // watermark grows ×n — append cost must stay FLAT, because the
+      // append reads only the increment and the 32-row watermark,
+      // never the standing shards. A rising curve here means a
+      // regression snuck a standing-corpus scan into the append path.
+      Op("corpus_build_append(pipe26, fixed increment)", { n =>
+        val inc = docsFull0.select("doc_id", "lang", "text")
+        queries.PipelineQueries.corpusBuildAppend(inc,
+          queries.PipelineQueries.curationFunnelOf(inc,
+            portableCov = false, quota = 5000, covThreshold = 1.0),
+          corpusBuildStore,
+          llm.TokenizerStore.Params(merges = 200, minCount = 8L),
+          numShards = 32, budgetTokens = 2048,
+          appendWatermarks(n)).count()
+      }, tables = Seq("docs_full")),
       // Gopher rule gate: pure per-row Column math behind one
       // generator barrier — must scale linearly like t7's shape.
       Op("gopher_stats", n =>
