@@ -51,9 +51,19 @@ private[graft] object ArtifactStore {
 
   /** `json` with a `layout` directory-scheme stamp appended — the one
     * place the sidecar's layout field is spliced, so every store that
-    * evolves its layout bumps the same contract. */
-  def withLayout(json: String, layout: Int): String =
+    * evolves its layout bumps the same contract. Fails loudly on input
+    * the splice cannot handle (trailing whitespace, or an already-spliced
+    * layout key) rather than silently emitting a malformed or
+    * double-keyed sidecar a later read would misparse. */
+  def withLayout(json: String, layout: Int): String = {
+    require(json.endsWith("}"),
+      s"withLayout: params render must end in '}' (no trailing " +
+        s"whitespace/newline) — got: ${json.takeRight(20)}")
+    require(!json.contains("\"layout\""),
+      s"withLayout: params render already contains a layout key — " +
+        s"double splice would emit duplicate JSON keys: $json")
     json.stripSuffix("}") + s""","layout":$layout}"""
+  }
 
   /** The sidecar's text, or None when no artifact exists. */
   def readSidecarText(f: FileSystem, dir: String): Option[String] = {
@@ -129,6 +139,89 @@ private[graft] object ArtifactStore {
       .findFirstMatchIn(text)
       .getOrElse(fail(store, dir, key, text))
     Option(m.group(1)).map(unescapeJson)
+  }
+
+  // ---- segmented table ------------------------------------------------
+  // A table directory holding an optional flat BASE (the parquet files a
+  // full build wrote, vouched for by the root `_SUCCESS`) plus zero or
+  // more committed `inc_*` append segments — each an entire parquet
+  // directory written to an invisible `_tmp_inc_*` name, `_SUCCESS`-
+  // verified, then promoted with ONE rename. The append discipline of
+  // [[graft.llm.IndexStore]]'s codes/, shared here so BandStore and
+  // PackStore cannot drift: a killed append leaves only an un-promoted
+  // temp, never loose part files a stale base `_SUCCESS` would vouch for.
+
+  val SegIncPrefix = "inc_"
+  val SegIncTmpPrefix = "_tmp_inc_"
+
+  /** Crash-atomic segment append (writer path — also sweeps crash
+    * debris from earlier aborted appends, safe under the stores'
+    * single-writer maintenance contract). */
+  def appendSegment(f: FileSystem, root: Path,
+                    df: org.apache.spark.sql.DataFrame,
+                    store: String): Unit = {
+    f.mkdirs(root)
+    f.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith(SegIncTmpPrefix))
+      .foreach(t => f.delete(t, true))
+    val token = f"${System.currentTimeMillis}%013d" + "_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, SegIncTmpPrefix + token)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (!verifyComplete(f, tmp, Nil))
+      throw new java.io.IOException(
+        s"$store.append: increment segment at $tmp is incomplete " +
+          "(missing _SUCCESS) — refusing to promote it")
+    val dest = new Path(root, SegIncPrefix + token)
+    if (!f.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"$store.append: cannot promote segment $tmp")
+  }
+
+  /** The committed read set of a segmented table: the flat base part
+    * files (when the root `_SUCCESS` vouches for them) plus every
+    * committed `inc_*` segment. Un-promoted temps are invisible. A
+    * missing root reads as empty when `allowMissing` (a tombstone table
+    * before the first takedown), otherwise the caller's own
+    * requireCommitted should already have refused. */
+  def readSegmented(spark: SparkSession, f: FileSystem, root: Path,
+                    schema: Option[org.apache.spark.sql.types.StructType] = None,
+                    allowMissing: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    if (!f.exists(root)) {
+      require(allowMissing, s"readSegmented: no table at $root")
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema.getOrElse(throw new IllegalArgumentException(
+          "readSegmented: a missing-allowed table needs an explicit schema")))
+    }
+    val children = f.listStatus(root).toSeq.map(_.getPath)
+    val incs = children
+      .filter(p => p.getName.startsWith(SegIncPrefix) &&
+        f.exists(new Path(p, "_SUCCESS")))
+      .sortBy(_.getName)
+    val hasBase = f.exists(new Path(root, "_SUCCESS"))
+    if (incs.isEmpty && hasBase) spark.read.parquet(root.toString)
+    else if (incs.isEmpty) {
+      require(allowMissing,
+        s"readSegmented: no committed base or segments at $root")
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema.getOrElse(throw new IllegalArgumentException(
+          "readSegmented: an empty-allowed table needs an explicit schema")))
+    } else {
+      // Base part files listed explicitly: reading the root dir with
+      // non-partition subdirectories present is ambiguous to Spark's
+      // file index.
+      val base =
+        if (!hasBase) Seq.empty
+        else children.filter(p => {
+          val n = p.getName
+          !n.startsWith("_") && !n.startsWith(".") &&
+            !n.startsWith(SegIncPrefix)
+        })
+      spark.read.parquet((base ++ incs).map(_.toString): _*)
+    }
   }
 
   // ---- crash-safe swap ----------------------------------------------

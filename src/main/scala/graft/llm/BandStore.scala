@@ -62,27 +62,44 @@ object BandStore {
   /** Append the increment's band rows after a nightly pairing run —
     * the "corpus is never re-signed" half of the incremental contract.
     * Refuses on parameter mismatch (appending rows from a different
-    * hash family would poison every later run). */
+    * hash family would poison every later run).
+    *
+    * Crash-atomic via [[IndexStore]]'s segment discipline: the
+    * increment is fully written as its own parquet directory under a
+    * temp name inside `data/` (invisible to [[read]]), `_SUCCESS`-
+    * verified, then promoted with ONE rename to a committed `inc_*`
+    * segment. A killed append leaves only an un-promoted temp — never
+    * partially-committed part files that the previous base `_SUCCESS`
+    * would vouch for (the torn state a bare `mode("append")` into the
+    * live directory could produce). Readers see the old segment set or
+    * old+new, never a mix. */
   def append(increment: DataFrame, id: String, text: String, dir: String,
              params: Params): Unit = {
-    recoverSwap(fs(increment.sparkSession, dir), dir)
-    requireParams(increment.sparkSession, dir, params, "append")
-    Dedup.minhashBandTable(increment, id, text, params.shingleN,
-        params.bands, params.rowsPerBand, params.portable)
-      .write.mode("append").parquet(s"$dir/$DataDir")
+    val spark = increment.sparkSession
+    val f = fs(spark, dir)
+    recoverSwap(f, dir)
+    requireParams(spark, dir, params, "append")
+    ArtifactStore.appendSegment(f, new Path(dir, DataDir),
+      Dedup.minhashBandTable(increment, id, text, params.shingleN,
+        params.bands, params.rowsPerBand, params.portable),
+      "BandStore")
   }
 
   /** The artifact, verified against the caller's parameters — the only
     * sanctioned way to obtain a `corpusBands` frame for
-    * [[Dedup.minhashLshPairsIncremental]]. */
+    * [[Dedup.minhashLshPairsIncremental]]. The frame is the union of
+    * the flat base table and every committed `inc_*` append segment;
+    * un-promoted `_tmp_inc_*` builds are invisible. */
   def read(spark: SparkSession, dir: String, params: Params): DataFrame = {
     val f = fs(spark, dir)
     recoverSwap(f, dir)
     requireParams(spark, dir, params, "read")
     // Torn-component refusal: a band table truncated out-of-band
-    // would silently drop candidate pairs for the missing docs.
+    // would silently drop candidate pairs for the missing docs. The
+    // base's _SUCCESS genuinely vouches for the base now that appends
+    // land as their own committed segments instead of loose part files.
     ArtifactStore.requireCommitted(f, dir, DataDir, Nil, "BandStore")
-    spark.read.parquet(s"$dir/$DataDir")
+    ArtifactStore.readSegmented(spark, f, new Path(dir, DataDir))
   }
 
   /** Complete a [[delete]] swap interrupted by a crash — the shared

@@ -114,6 +114,33 @@ object Corpus {
                           budgetTokens: Int, seed: String,
                           watermark: DataFrame): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    // Drift guard (the stores' sidecar discipline applied to the pack
+    // state): a watermark computed under a different token budget
+    // yields ceil boundaries that silently overlap the standing
+    // corpus' sealed sequences. [[packWatermark]] stamps its budget as
+    // a column; when present it must match. The frame is per-shard
+    // tiny by contract (it broadcasts below), so the check is one
+    // driver-side collect. A hand-built or pre-stamp watermark (no
+    // column) is accepted as asserted-by-caller.
+    if (watermark.columns.contains("budget_tokens")) {
+      val budgets = watermark.select("budget_tokens").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      require(budgets.forall(_ == budgetTokens),
+        s"packSequencesAppend: watermark was computed with " +
+          s"budget_tokens=${budgets.mkString(",")} but this append " +
+          s"packs with budgetTokens=$budgetTokens — a drifted budget " +
+          "shifts every sealed boundary and overlaps standing sequences")
+    }
+    // A watermark shard ≥ numShards means the standing corpus was
+    // packed under a different shard scheme — those shards could never
+    // be written by this append (shard = hash % numShards), so the
+    // operator is appending to the wrong corpus or with wrong config.
+    val maxShard = watermark.agg(max(col("shard").cast("int"))).head()
+    require(maxShard.isNullAt(0) || maxShard.getInt(0) < numShards,
+      s"packSequencesAppend: watermark contains shard " +
+        s"${maxShard.getInt(0)} but this append packs into " +
+        s"numShards=$numShards — the standing corpus used a different " +
+        "shard scheme")
     val baseSeqs = watermark
       // max per shard, not a bare select: a watermark unioned across
       // appends (or any frame with repeated shard rows) folds to the
@@ -148,6 +175,10 @@ object Corpus {
     placements.groupBy("shard").agg(
       max(col("seq_idx").cast("long") * budgetTokens +
         col("tok_offset") + tokenCountCol.cast("long")).as("n_tokens"))
+      // The budget this watermark was computed under, carried as a
+      // column so [[packSequencesAppend]] can refuse a drifted resume
+      // (it survives the nightly union-and-fold unchanged).
+      .withColumn("budget_tokens", lit(budgetTokens))
 
   /** Sequence packing v2 — deterministic first-fit-decreasing BIN
     * packing to a token budget. Where [[packSequences]] concatenates

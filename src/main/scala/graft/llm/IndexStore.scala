@@ -199,7 +199,15 @@ object IndexStore {
 
   /** Persist already-computed artifacts (overwrite) with the sidecar.
     * The caller asserts all three were produced by ONE training run
-    * under `params`; `codes`' id column must be named `id`. */
+    * under `params`; `codes`' id column must be named `id`.
+    *
+    * Maintenance-window only, like [[delete]]/[[compact]]: the model
+    * tables are replaced in place (Spark overwrite = delete-then-write),
+    * so a reader that passed the rebuild-marker check just before this
+    * starts can scan a half-deleted `centroids/`/`codebook/`. The marker
+    * protects readers that ENTER during the rebuild, not ones already
+    * past the check — only [[append]] (post-migration) is safe against
+    * concurrent readers. */
   def write(centroids: DataFrame, codebook: DataFrame, codes: DataFrame,
             dir: String, params: Params): Unit = {
     val spark = codes.sparkSession

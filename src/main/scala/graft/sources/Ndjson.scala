@@ -9,7 +9,9 @@ import org.apache.spark.sql.types.StructType
   *
   * Reads always take an explicit schema — schema inference over 100 TB
   * is a full extra pass and produces unstable types on sparse records
-  * (SURVEY §1.4). Writes default to zstd like every reference artifact.
+  * (SURVEY §1.4). Writes default to zstd like every reference artifact
+  * (`.ldj.zst`), falling back LOUDLY to gzip only when the running
+  * Hadoop build lacks a usable zstd codec.
   */
 object Ndjson {
 
@@ -25,9 +27,30 @@ object Ndjson {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** Default codec is gzip: Spark's text-based sinks ship without the
-    * zstd codec in plain local deployments (parquet zstd is always
-    * available); a cluster with hadoop-native zstd passes it in. */
-  def write(df: DataFrame, path: String, compression: String = "gzip"): Unit =
+  /** Default codec: zstd when the runtime supports it (reference parity —
+    * every reference artifact is `.ldj.zst`), otherwise a loud one-time
+    * warning and gzip. Pass `compression` explicitly to pin a codec. */
+  def write(df: DataFrame, path: String, compression: String = DefaultCodec): Unit =
     df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** Resolved once per JVM. Text-sink zstd goes through Hadoop's
+    * `ZStandardCodec`, which needs native libhadoop-zstd — unlike parquet
+    * zstd (pure-JVM via aircompressor, always available). We probe by
+    * actually constructing a compressor, not by classloading alone. */
+  lazy val DefaultCodec: String = {
+    val ok =
+      try {
+        val codec = new org.apache.hadoop.io.compress.ZStandardCodec()
+        codec.setConf(new org.apache.hadoop.conf.Configuration())
+        val c = codec.createCompressor()
+        c != null
+      } catch { case _: Throwable => false }
+    if (ok) "zstd"
+    else {
+      System.err.println(
+        "[graft] WARNING: Hadoop zstd codec unavailable in this runtime; " +
+          "Ndjson.write falls back to gzip (reference artifacts are .ldj.zst).")
+      "gzip"
+    }
+  }
 }

@@ -611,4 +611,31 @@ class CorpusSpec extends AnyFunSuite {
     val empty = out.find(_._1 == 999L).get
     assert(empty._3 == -1L && empty._4 == "tail")
   }
+
+  test("packSequencesAppend refuses a watermark computed under a drifted budget or shard scheme") {
+    import spark.implicits._
+    val docs = Seq((1L, 100L), (2L, 200L)).toDF("doc_id", "n")
+    val packed = Corpus.packSequences(docs, "doc_id", col("n"),
+      numShards = 4, budgetTokens = 256, seed = "p")
+    val wm = Corpus.packWatermark(packed, col("n"), budgetTokens = 256)
+    // Stamped budget must match the append's: a drifted budget shifts
+    // every sealed boundary and overlaps standing sequences.
+    val e = intercept[IllegalArgumentException] {
+      Corpus.packSequencesAppend(docs, "doc_id", col("n"),
+        numShards = 4, budgetTokens = 512, seed = "p", wm)
+    }
+    assert(e.getMessage.contains("budget"), e.getMessage)
+    // A watermark shard outside the append's shard scheme: wrong
+    // corpus or wrong config — refuse.
+    val wmBig = Seq((7, 1000L)).toDF("shard", "n_tokens")
+    val e2 = intercept[IllegalArgumentException] {
+      Corpus.packSequencesAppend(docs, "doc_id", col("n"),
+        numShards = 4, budgetTokens = 256, seed = "p", wmBig)
+    }
+    assert(e2.getMessage.contains("shard"), e2.getMessage)
+    // The matching case still packs (and a stampless legacy watermark
+    // is accepted as asserted-by-caller).
+    assert(Corpus.packSequencesAppend(docs, "doc_id", col("n"),
+      numShards = 4, budgetTokens = 256, seed = "p", wm).count() == 2)
+  }
 }

@@ -197,16 +197,33 @@ class NormalizeSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[String]]("languages").toSeq == Seq("rus"))
   }
 
-  test("NDJSON round-trip with zstd preserves sparse records") {
+  test("NDJSON round-trip: default codec is zstd when available, and the files on disk match it") {
     val (pre, contrib) = osfFixture
     val is = Osf.normalize(pre, contrib)
     val dir = java.nio.file.Files.createTempDirectory("ndjson").toString + "/out"
     Ndjson.write(is, dir)
+    // The written extension must agree with the resolved default codec —
+    // this is the "honest about zstd" gate: docs, probe, and bytes agree.
+    val wantExt = Ndjson.DefaultCodec match {
+      case "zstd" => ".zst"
+      case other  => ".gz"
+    }
     val files = new java.io.File(dir).listFiles().map(_.getName)
-    assert(files.exists(_.endsWith(".gz")), files.mkString(","))
+    assert(files.exists(_.endsWith(wantExt)),
+      s"default codec ${Ndjson.DefaultCodec} but files: ${files.mkString(",")}")
     val back = Ndjson.read(spark, is.schema, dir)
     assert(back.count() == 1)
     assert(back.select("`finc.id`").collect()(0).getString(0) == "ai-179-egcsk")
+  }
+
+  test("NDJSON explicit gzip still round-trips (pinned codec override)") {
+    val (pre, contrib) = osfFixture
+    val is = Osf.normalize(pre, contrib)
+    val dir = java.nio.file.Files.createTempDirectory("ndjson-gz").toString + "/out"
+    Ndjson.write(is, dir, compression = "gzip")
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".gz")), files.mkString(","))
+    assert(Ndjson.read(spark, is.schema, dir).count() == 1)
   }
 
   test("IMSLP XML→MARC golden record (ref: test_conversions.py:9-44)") {
