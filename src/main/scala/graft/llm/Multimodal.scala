@@ -8,14 +8,20 @@ import org.apache.spark.sql.types._
   * `binary` payloads plus a typed metadata struct, with
   * decode/feature/resize/frame-sample stages as columnar transforms.
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — behind [[decodeStub]]: a deterministic fake that derives
-  * "pixels" from the payload hash. Everything around the stub is real
-  * and tested: the schema contract, the per-stage column signatures,
-  * the partitioning story (media rows are large — repartition by
-  * byte-size budget before wide stages), and the frame explosion shape.
-  * A deployment swaps [[decodeStub]] for a real codec in a
-  * `mapPartitions` over the same schema.
+  * IMAGE decode is REAL: [[decodeImage]] runs the JDK's own codec
+  * (`javax.imageio` — PNG/JPEG/BMP/GIF, headless, no external
+  * libraries) inside a native scan-projection expression
+  * ([[graft.plans.ImageMeanPoolExpr]]) and pools the decoded pixels to
+  * a fixed-dim feature vector. AUDIO/VIDEO decode stays STUBBED —
+  * the JDK ships no audio/video codec and this container has no
+  * external media libraries — behind [[decodeStub]], a deterministic
+  * payload-hash fake kept for those modalities and for tests; a
+  * deployment swaps it through [[extractFeaturesWith]] for a codec
+  * producing the same array<double> column shape. Everything around
+  * the decoders is shared and tested: the schema contract, per-stage
+  * column signatures, the partitioning story (media rows are large —
+  * repartition by byte-size budget before wide stages), and the frame
+  * explosion shape.
   */
 object Multimodal {
 
@@ -47,34 +53,40 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
-  /** STUB decode: a real deployment replaces this with an image codec.
-    * Deterministic fake "decode" — features are seeded by the payload
-    * hash, so tests and oracles are stable. Returns array<double> of
-    * length `dim`. */
+  /** REAL image decode + feature pooling: payload bytes through
+    * `javax.imageio` (PNG/JPEG/BMP/GIF), channel-mean pooled over a
+    * `grid`×`grid` cell split to an array<double> of length
+    * `grid*grid*3` in [0, 1] — NULL for undecodable payloads (a
+    * crawl-scale corpus always carries corrupt files; drop them with a
+    * filter, don't die mid-job). Runs as one compiled expression in
+    * the scan projection: no shuffle, no UDF. */
+  def decodeImage(content: Column, grid: Int): Column = {
+    graft.plans.ImageMeanPoolExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.plans.ImageMeanPoolExpr.Name, content, lit(grid))
+  }
+
+  /** [[extractFeaturesWith]] instantiated with the REAL image decoder —
+    * the image-corpus embedding stage (dim = grid²·3). */
+  def extractFeaturesImage(media: DataFrame, grid: Int = 2): DataFrame =
+    extractFeaturesWith(media, grid * grid * 3,
+      (content, _) => decodeImage(content, grid))
+
+  /** STUB decode for AUDIO/VIDEO payloads (the JDK ships no codec for
+    * those and this container has no external media libraries) and for
+    * decoder-agnosticism tests. Deterministic fake — features are
+    * seeded by the payload hash, so tests and oracles are stable.
+    * Returns array<double> of length `dim`. Images should use
+    * [[decodeImage]] — that path is real. */
   def decodeStub(content: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(content, i), lit(1000)).cast("double") / 500.0) - 1.0)
 
-  /** Portable twin of [[decodeStub]]: md5-derived features, so the
-    * whole decode→feature pipeline is checkable against an external
-    * SQL oracle (the production stub keeps xxhash64). Only valid for
-    * UTF-8-text payloads: the binary→string cast substitutes
-    * replacement chars in arbitrary media bytes, so real binaries must
-    * go through [[decodeStub]] (which hashes raw bytes). */
-  def decodeStubPortable(content: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), { i =>
-      val core = conv(
-        substring(md5(concat(content.cast("string"), lit("|"),
-          i.cast("string"))), 1, 8), 16, 10).cast("long")
-      pmod(core, lit(1000)).cast("double") / 500.0 - 1.0
-    })
-
-  /** Feature extraction stage: payload → fixed-dim embedding (stubbed
-    * decode, real shape). */
-  def extractFeatures(media: DataFrame, dim: Int = 16,
-                      portable: Boolean = false): DataFrame =
-    extractFeaturesWith(media, dim,
-      if (portable) decodeStubPortable _ else decodeStub _)
+  /** Feature extraction stage with the STUB decoder: payload →
+    * fixed-dim embedding for audio/video payloads and tests. Image
+    * corpora use [[extractFeaturesImage]] (real decode). */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame =
+    extractFeaturesWith(media, dim, decodeStub _)
 
   /** THE decoder swap seam: `decoder` maps (payload column, dim) to an
     * array<double> feature column — [[decodeStub]] here, a codec-backed

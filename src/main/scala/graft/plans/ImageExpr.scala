@@ -1,0 +1,149 @@
+package graft.plans
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
+
+/** REAL image decode for the multimodal pipeline, on the JDK's own
+  * codec (`javax.imageio` — PNG/JPEG/BMP/GIF, headless, no external
+  * libraries): payload bytes → pixel grid → fixed-dim features by
+  * channel-mean pooling over a `grid`×`grid` cell split. One scalar
+  * expression so the decode runs inside the scan projection —
+  * embarrassingly parallel, no shuffle, the shape a 100 TB media
+  * corpus needs (ref: the conversion layer decodes real formats
+  * wall-to-wall, e.g. conversions.py:132-210).
+  *
+  * Output: array<double> of length `grid*grid*3`, position
+  * `(cy*grid + cx)*3 + c` holding the mean of channel `c` (0=R, 1=G,
+  * 2=B, sRGB) over the pixels whose cell is `(cx, cy)` with
+  * `cx = x*grid div W`, `cy = y*grid div H`, scaled to [0, 1] by /255.
+  * The cell split handles any W×H (cells just differ by ±1 pixel when
+  * the grid doesn't divide the dims), so variable-size media pool to
+  * one fixed embedding dimension without a resize pass.
+  *
+  * Undecodable or truncated payloads yield NULL, not an exception: a
+  * crawl-scale media corpus always carries corrupt files, and the
+  * pipeline drops them with a filter instead of dying mid-job.
+  *
+  * Registered as `image_mean_pool(content, grid)` (grid literal).
+  * CodegenFallback: one eval per IMAGE — the decode inside dominates;
+  * per-row fallback overhead is noise at that granularity. */
+case class ImageMeanPoolExpr(child: Expression, grid: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(grid >= 1, s"image_mean_pool: grid must be >= 1, got $grid")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_mean_pool expects binary, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_mean_pool"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val pooled = ImageCodec.decodeMeanPool(input.asInstanceOf[Array[Byte]], grid)
+    if (pooled == null) null else new GenericArrayData(pooled)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageMeanPoolExpr = copy(child = newChild)
+}
+
+object ImageMeanPoolExpr {
+  val Name = "image_mean_pool"
+  private val info = new ExpressionInfo(classOf[ImageMeanPoolExpr].getName, Name)
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 2,
+      s"image_mean_pool expects 2 arguments (content, grid), got ${children.size}")
+    require(children(1).foldable,
+      s"image_mean_pool: grid must be a literal, got ${children(1)}")
+    ImageMeanPoolExpr(children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue())
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
+/** The static codec surface shared by the expression (decode) and the
+  * fixture/test builders (encode). Pure `javax.imageio` — present in
+  * every JDK, works headless. */
+object ImageCodec {
+
+  /** Decode + channel-mean pool; null when the bytes are not a
+    * decodable image. Sums are exact integer accumulations, so the
+    * result is deterministic: `sum / count / 255.0` per cell-channel,
+    * reproducible bit-for-bit by any engine replaying the same
+    * bucketing over the ground-truth pixels. */
+  def decodeMeanPool(bytes: Array[Byte], grid: Int): Array[Double] = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return null
+    val cells = grid * grid
+    val sums = new Array[Long](cells * 3)
+    val cnts = new Array[Long](cells)
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val cx = x * grid / w
+        val cell = cy * grid + cx
+        val rgb = img.getRGB(x, y) // sRGB, alpha premultiplication none
+        sums(cell * 3) += (rgb >>> 16) & 0xFF
+        sums(cell * 3 + 1) += (rgb >>> 8) & 0xFF
+        sums(cell * 3 + 2) += rgb & 0xFF
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Double](cells * 3)
+    var i = 0
+    while (i < cells * 3) {
+      val n = cnts(i / 3)
+      // A cell is empty only when grid > min(w, h); its features are 0.
+      out(i) = if (n == 0) 0.0 else sums(i).toDouble / n / 255.0
+      i += 1
+    }
+    out
+  }
+
+  /** Encode a W×H RGB image as real PNG bytes; `pixel(x, y)` returns
+    * the packed 0xRRGGBB int. PNG is lossless RGB, so a decode gives
+    * back exactly these pixels — the property the fixture oracles
+    * lean on. Fixture/test builder only (driver-side, bounded). */
+  def encodePng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, pixel(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, "png", baos))
+      throw new IllegalStateException(
+        "ImageCodec.encodePng: no PNG writer in this JRE (javax.imageio " +
+          "ships one in every standard JDK)")
+    baos.toByteArray
+  }
+}

@@ -41,6 +41,39 @@ object LlmQueries {
       |         SELECT dc.f, SUM(dc.y * dc.c) AS dw
       |         FROM dc JOIN m3 USING (doc_id) GROUP BY dc.f) d USING (f))""".stripMargin
 
+  /** How many documents get a PNG in the real-decode fixture — bounded
+    * so the oracle's pixel-replay CTE and pipe23's exact self-join
+    * stay cheap (the scale path is LSH over the same features). */
+  private val PngMediaDocs = 150
+
+  /** Real-PNG media fixture: one genuine PNG per document
+    * (doc_id < [[PngMediaDocs]]), size (8 + id%5)×(8 + id%3), pixel
+    * channel c at (x, y) = (id·73 + (y·W + x)·97 + c·31) mod 256 — an
+    * arithmetic ground truth the DuckDB oracles replay, while the
+    * Spark side receives ONLY the encoded bytes and must run the real
+    * decoder. Driver-side encode of ≤150 tiny images (bounded fixture
+    * builder, the e14/d12 discipline); the decode under test runs
+    * distributed. */
+  private def pngMedia(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < PngMediaDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rows = ids.map { id =>
+      val w = (8 + id % 5).toInt
+      val h = (8 + id % 3).toInt
+      def v(c: Int, x: Int, y: Int): Int =
+        ((id * 73 + (y.toLong * w + x) * 97 + c * 31) % 256).toInt
+      (id, graft.plans.ImageCodec.encodePng(w, h,
+        (x, y) => (v(0, x, y) << 16) | (v(1, x, y) << 8) | v(2, x, y)))
+    }
+    import s.implicits._
+    rows.toDF("media_id", "content")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup groups by order-insensitive fingerprint.
@@ -1497,23 +1530,29 @@ object LlmQueries {
     },
 
 
-    // Multimodal: binary payload → fixed-dim feature vector through the
-    // portable decode stub (real schema/partitioning plumbing, fake
-    // codec — this container ships no image libs). One feature row per
-    // (media, dim) so the oracle compares scalars.
+    // Multimodal: REAL image decode — one genuine PNG per document
+    // (variable W×H, pixel channels from an arithmetic ground-truth
+    // formula), decoded on javax.imageio inside the scan projection
+    // and channel-mean pooled to a fixed 12-dim feature vector. The
+    // Spark side sees ONLY the encoded bytes and must decode them for
+    // real; the oracle replays the pooling arithmetic from the pixel
+    // formula — a wrong decode (wrong pixel, wrong channel order,
+    // wrong cell split) hash-diverges immediately.
     Q("m1_media_features",
-      """SELECT doc_id AS media_id, CAST(j AS INT) AS pos,
-        |       (CAST(('0x' || substr(md5(text || '|' || j), 1, 8)) AS BIGINT)
-        |        % 1000) / 500.0 - 1.0 AS feature
-        |FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS j)""".stripMargin) { (s, d) =>
-      val media = Tables.documents(s, d).select(
-        col("doc_id").as("media_id"),
-        col("text").cast("binary").as("content"),
-        struct(lit("text/plain").as("mime"),
-          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
-          col("n_chars").cast("long").as("duration_ms")).as("meta"))
-      Multimodal.extractFeatures(media, dim = 8, portable = true)
-        .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "feature")))
+      s"""WITH m AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+        |           FROM documents WHERE doc_id < $PngMediaDocs),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM m),
+        |gy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+        |px AS (SELECT doc_id, w, h, x, y, unnest([0, 1, 2]) AS c FROM gy)
+        |SELECT doc_id AS media_id,
+        |       CAST((((y * 2) // h) * 2 + (x * 2) // w) * 3 + c AS INT) AS pos,
+        |       round(sum((doc_id * 73 + (y * w + x) * 97 + c * 31) % 256)
+        |             / count(*) / 255.0, 4) AS feature
+        |FROM px GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Multimodal.extractFeaturesImage(pngMedia(s, d), grid = 2)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("pos", "feature")))
+        .withColumn("feature", round(col("feature"), 4))
     },
 
     // Multimodal: frame sampling — one row per sampled timestamp, the
@@ -1533,34 +1572,38 @@ object LlmQueries {
         .select(col("media_id"), col("frame_ms"))
     },
 
-    // The multimodal pipeline END-TO-END: binary payloads → stubbed
-    // decode → fixed-dim feature vectors → embedding near-dup pairs —
-    // the "dedup an image corpus by embedding similarity" production
-    // op, with every stage (schema, partitioning, feature math, cosine
-    // verify) gated under one oracle. Bounded like d6 so the oracle's
-    // exact self-join stays cheap; the scale path is the same features
-    // into embeddingNearDupPairsLsh (d7's composition).
+    // The multimodal pipeline END-TO-END: real PNG payloads →
+    // javax.imageio decode → pooled feature vectors → centered →
+    // embedding near-dup pairs — the "dedup an image corpus by
+    // embedding similarity" production op, with every stage (decode,
+    // pooling, centering, cosine verify) gated under one oracle.
+    // Centering (−0.5 per feature) matters: raw pixel means of
+    // pseudo-uniform pixels cluster at ~0.5, putting every cosine at
+    // ~1.0 — centered, the pair set is selective. Bounded like d6 so
+    // the oracle's exact self-join stays cheap; the scale path is the
+    // same features into embeddingNearDupPairsLsh (d7's composition).
     Q("pipe23_media_neardup",
-      """WITH f AS (
+      s"""WITH m AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+        |           FROM documents WHERE doc_id < $PngMediaDocs),
+        |gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM m),
+        |gy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+        |px AS (SELECT doc_id, w, h, x, y, unnest([0, 1, 2]) AS c FROM gy),
+        |feat AS (
         |  SELECT doc_id AS media_id,
-        |         list_transform(range(0, 8), j ->
-        |           (CAST(('0x' || substr(md5(text || '|' || j), 1, 8))
-        |              AS BIGINT) % 1000) / 500.0 - 1.0) AS v
-        |  FROM documents WHERE doc_id < 150)
+        |         CAST((((y * 2) // h) * 2 + (x * 2) // w) * 3 + c AS INT) AS pos,
+        |         sum((doc_id * 73 + (y * w + x) * 97 + c * 31) % 256)
+        |           / count(*) / 255.0 - 0.5 AS feature
+        |  FROM px GROUP BY 1, 2),
+        |v AS (SELECT media_id, list(feature ORDER BY pos) AS v
+        |      FROM feat GROUP BY 1)
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |       round(list_cosine_similarity(a.v, b.v), 4) AS sim
-        |FROM f a JOIN f b ON a.media_id < b.media_id
+        |FROM v a JOIN v b ON a.media_id < b.media_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.5""".stripMargin) {
       (s, d) =>
-      val media = Tables.documents(s, d).filter(col("doc_id") < 150)
-        .select(col("doc_id").as("media_id"),
-          col("text").cast("binary").as("content"),
-          struct(lit("image/png").as("mime"),
-            lit(null).cast("int").as("width"),
-            lit(null).cast("int").as("height"),
-            lit(null).cast("long").as("duration_ms")).as("meta"))
-      val feats = Multimodal.extractFeatures(media, dim = 8,
-        portable = true)
+      val feats = Multimodal.extractFeaturesImage(pngMedia(s, d), grid = 2)
+        .withColumn("features",
+          transform(col("features"), f => f - lit(0.5)))
       Dedup.embeddingNearDupPairsExact(
         feats.select(col("media_id"), col("features")),
         "media_id", "features", 0.5)

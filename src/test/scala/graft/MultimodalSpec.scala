@@ -101,6 +101,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stubPairs != fakePairs)
   }
 
+  test("real image decode: PNG round-trip pools the exact ground-truth pixels") {
+    import graft.plans.ImageCodec
+    // 4×2 image with hand-picked channel values; grid 2 → cells are
+    // the left 2×2 and right 2×2 halves (h=2 < grid rows? no: cy =
+    // y*2/2 ∈ {0,1}, cx = x*2/4 ∈ {0,1} — four 2×1 cells).
+    def px(x: Int, y: Int): Int = {
+      val r = 10 * (y * 4 + x); val g = r + 1; val b = r + 2
+      (r << 16) | (g << 8) | b
+    }
+    val bytes = ImageCodec.encodePng(4, 2, px)
+    val media = Seq((1L, bytes)).toDF("media_id", "content")
+    val out = Multimodal.extractFeaturesImage(media, grid = 2)
+      .select("features").as[Seq[Double]].collect()(0)
+    assert(out.size == 12)
+    // Replay the pooling by hand from the formula pixels.
+    val expect = for (cy <- 0 to 1; cx <- 0 to 1; c <- 0 to 2) yield {
+      val cells = for (y <- 0 until 2; x <- 0 until 4
+                       if y * 2 / 2 == cy && x * 2 / 4 == cx)
+        yield (10 * (y * 4 + x) + c).toLong
+      cells.sum.toDouble / cells.size / 255.0
+    }
+    assert(out == expect, s"\n$out\nvs\n$expect")
+  }
+
+  test("real image decode: undecodable payloads yield null, not a crash") {
+    val good = graft.plans.ImageCodec.encodePng(3, 3, (_, _) => 0x804020)
+    val rows = Seq(
+      (1L, good),
+      (2L, "definitely not a png".getBytes("UTF-8")),
+      (3L, good.take(10)), // truncated header
+      (4L, Array.empty[Byte]))
+    val out = Multimodal.extractFeaturesImage(
+        rows.toDF("media_id", "content"), grid = 1)
+      .select(col("media_id"), col("features"))
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    assert(out(1L).isDefined && out(1L).get ==
+      Seq(0x80 / 255.0, 0x40 / 255.0, 0x20 / 255.0))
+    assert(out(2L).isEmpty && out(3L).isEmpty && out(4L).isEmpty)
+    // The production drop: a filter removes the corrupt rows.
+    assert(Multimodal.extractFeaturesImage(
+        rows.toDF("media_id", "content"), grid = 1)
+      .filter(col("features").isNotNull).count() == 1)
+  }
+
+  test("real image decode pools variable image sizes to one fixed dim") {
+    import graft.plans.ImageCodec
+    val rows = for (id <- 1L to 8L) yield {
+      val w = (2 + id % 5).toInt; val h = (2 + id % 3).toInt
+      (id, ImageCodec.encodePng(w, h,
+        (x, y) => (((id * 7 + y * w + x) % 256).toInt) * 0x010101))
+    }
+    val feats = Multimodal.extractFeaturesImage(
+        rows.toDF("media_id", "content"), grid = 2)
+      .select("features").as[Seq[Double]].collect()
+    assert(feats.forall(_.size == 12))
+    assert(feats.forall(_.forall(v => v >= 0.0 && v <= 1.0)))
+    // Grayscale fixture: R=G=B per pixel, so each cell's three channel
+    // means agree — a channel-order bug would break this.
+    assert(feats.forall(f => f.grouped(3).forall(g => g.distinct.size == 1)))
+  }
+
   test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
     val plan = Multimodal.rebalanceBySize(media)
       .queryExecution.optimizedPlan.toString
