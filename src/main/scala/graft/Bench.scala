@@ -504,7 +504,15 @@ object HeavyBench {
     // The production funnel: same fused scoring scan, coverage stage
     // on stringless window hashes (registered query keeps portable
     // strings for its oracle; DedupSpec pins the coverage forms equal).
+    // Over the lowdup corpus, NOT the ×64 replicated one: on the
+    // replicated fixture the coverage gate annihilates every doc
+    // (replicas are near-copies by construction), so the funnel's
+    // quota/stratified tail executed trivially and out_rows was 0 —
+    // lowdup keeps survivors > 0, so the whole funnel incl. the quota
+    // cut is exercised at scale (same fixture discipline as
+    // pipe24/pipe26).
     HeavyItem("pipe17_llm_curation", Seq("documents"),
+      subdir = Some("lowdup"),
       fn = Some((s, d) =>
         queries.PipelineQueries.curationFunnel(s, d, portableCov = false))),
     // CCNet bucketing end-to-end: per-language bigram LMs trained on
@@ -903,6 +911,24 @@ object HeavyBench {
           // sample costs ~2 min over the block and tightens the min to
           // the steady-state number the 100 TB sizing uses.
           val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "3").toInt
+          // One UNTIMED warm-up visit before the timed samples: the
+          // biggest JIT-heavy plans (l2 licensing, t13 BPE, d3 bands)
+          // never reached steady state inside a contended min-of-3 —
+          // r14 committed l2 at 58.2 s with samples [122.7, 58.2,
+          // 85.6] while its isolated steady state measured 20.8 s.
+          // The warm-up compiles the codegen'd stages and settles the
+          // allocator so the timed min records the steady-state number
+          // the 100 TB sizing uses; its own duration is still reported
+          // (warmup_sec) so cold-start cost stays visible. Disable
+          // with SPARK_GRAFT_HEAVY_WARMUP=0.
+          val warmup =
+            if (sys.env.get("SPARK_GRAFT_HEAVY_WARMUP").contains("0")) -1.0
+            else {
+              val w = timeOne(spark, item.name, f, d)
+              System.err.println(
+                f"[bench] heavy ${item.name} warm-up ${w._1}%.1f s (untimed)")
+              w._1
+            }
           val samples = (1 to nSamples).map { i =>
             val s = timeOne(spark, item.name, f, d)
             System.err.println(f"[bench] heavy ${item.name} sample $i ${s._1}%.1f s")
@@ -920,6 +946,9 @@ object HeavyBench {
           val samplesJson = samples.map(s =>
             String.format(java.util.Locale.ROOT, "%.3f",
               Double.box(s._1))).mkString("[", ",", "]")
+          val warmupJson = if (warmup < 0) ""
+            else String.format(java.util.Locale.ROOT,
+              ""","warmup_sec":%.3f""", Double.box(warmup))
           // Extra counts are untimed: they re-run the candidate stage
           // on its own, after the timed window.
           val extras = item.counts.map(_(spark, d)).getOrElse(Nil) ++
@@ -930,7 +959,7 @@ object HeavyBench {
                 f""","pairs_per_s":${v / sec}%.0f""" else ""
               s""""$k":$v$perS"""
             }).mkString(",", ",", "").stripSuffix(",")
-          f""""${item.name}":{"sec":$sec%.3f,"samples":$samplesJson,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f$extraJson}"""
+          f""""${item.name}":{"sec":$sec%.3f,"samples":$samplesJson$warmupJson,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f$extraJson}"""
         }
       }
       val f = Factors.map { case (k, v) => s""""$k":$v""" }.mkString(",")

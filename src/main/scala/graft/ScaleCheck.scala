@@ -141,6 +141,14 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val spark = Tables.localSession("scalecheck", 32)
+    // `bpe 1000,4000,16000` → the merge-count sweep instead of the
+    // corpus-size sweep (see [[bpeMergeSweep]]).
+    if (args.headOption.contains("bpe")) {
+      bpeMergeSweep(spark, args.lift(1).getOrElse("1000,4000,16000")
+        .split(",").map(_.trim.toInt).toSeq)
+      spark.stop()
+      return
+    }
     // ×64 on the sf0.1 documents table is ~6.4 M docs / ~2 GB of text —
     // the "one big pass" that anchors the scaling curve beyond the
     // default sweep. Select it with SPARK_GRAFT_FACTORS=1,4,16,64 and
@@ -668,5 +676,44 @@ object ScaleCheck {
       }
     }
     spark.stop()
+  }
+
+  /** The BPE MERGE-COUNT scaling curve — the sweep dimension is the
+    * merge count, not the corpus size (the cap claims 200 K merges;
+    * until this sweep nothing above 1 K had ever been timed). Runs
+    * [[graft.llm.TextAnalysis.bpeTrainFull]] over the heavy lowdup
+    * corpus at exactly t13's settings (minCount = 8 → ~100 K-word
+    * floored vocabulary) for each requested merge count, plus a
+    * merges=1 baseline isolating the corpus-scale vocab pass — so
+    * `sec - base_sec` is the driver-local merge loop alone, and
+    * `loop/merge (ms)` exposes the per-round cost curve. The loop's
+    * incremental pair-count maintenance should make per-round cost
+    * FALL as merges progress (later merges touch rarer pairs → fewer
+    * affected words); a rising curve would mean the 200 K cap is
+    * fiction.
+    *
+    * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+    *      sbt "runMain graft.ScaleCheck bpe 1000,4000,16000" */
+  private[graft] def bpeMergeSweep(spark: org.apache.spark.sql.SparkSession,
+                                   merges: Seq[Int]): Unit = {
+    val heavy = HeavyBench.ensureHeavyDir(spark, sfDir)
+    val docs = spark.read.parquet(s"$heavy/lowdup/documents.parquet")
+      .select("doc_id", "text")
+    def run(m: Int): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val (mergeTable, _) = llm.TextAnalysis.bpeTrainFull(
+        docs, "doc_id", "text", merges = m, minCount = 8L)
+      val rows = mergeTable.count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    run(1) // warm codegen for the vocab pass
+    val (baseSec, _) = run(1)
+    println(f"bpe vocab pass (merges=1) baseline: $baseSec%8.2f s")
+    println(f"${"merges"}%8s ${"rows"}%8s ${"sec"}%8s ${"loop_sec"}%9s ${"ms/merge"}%9s")
+    merges.foreach { m =>
+      val (sec, rows) = run(m)
+      val loop = sec - baseSec
+      println(f"$m%8d $rows%8d $sec%8.2f $loop%9.2f ${loop * 1000 / m}%9.3f")
+    }
   }
 }

@@ -172,7 +172,7 @@ object PipelineQueries {
       curationFunnel(s, d, portableCov = true)
     },
 
-    pipe24, pipe25, pipe26)
+    pipe24, pipe25, pipe26, pipe27)
 
   /** pipe17's funnel oracle verbatim — also the curation stage of
     * pipe24's corpus-build oracle (embedded as a nested WITH, so its
@@ -498,6 +498,120 @@ object PipelineQueries {
       basePacked.withColumn("build", lit("base"))
         .unionByName(incPacked.withColumn("build", lit("inc")))
     }
+  }
+
+  /** pipe27 — TAKEDOWN END-TO-END: one doc-id list propagates across
+    * EVERY persisted artifact the engine serves from, and the query
+    * emits each store's post-takedown serve view so the oracle pins
+    * "the doc is gone everywhere" in one hash (ref: the `-D` drop
+    * discipline, workflows/ai.py:232-237 — records must be droppable
+    * per-library; immutable-artifact retention,
+    * docs/ai-etc/README.md:66-71).
+    *
+    *  - BandStore.delete        (LSH bands — swap-rewritten)
+    *  - IndexStore.delete       (ANN inverted lists — swap-rewritten)
+    *  - LmStore.subtract        (count model — exact inverse of append;
+    *                             emitted ids are probe docs whose
+    *                             post-subtract STORE scores equal a
+    *                             model freshly trained on survivors,
+    *                             integer-exact)
+    *  - CorpusStore.delete      (streaming corpus — compact+anti-join)
+    *  - PackStore.tombstone     (packed placements — sealed sequences
+    *                             are immutable, so takedown is a
+    *                             tombstone the loader consults; the
+    *                             serve view drops the doc, surviving
+    *                             placements byte-identical)
+    *
+    * Output: (store, doc_id) for every id visible in each store's
+    * serve path after the takedown. Store dirs are per-run temps (a
+    * takedown MUTATES its stores — a cached fixture would diverge on
+    * re-run); each store's surviving-id set is collected (bounded:
+    * ≤200 ids/store) and re-emitted as one local frame so the temps
+    * can be cleaned before the result leaves the query. */
+  private lazy val pipe27: Q = Q("pipe27_takedown",
+    """WITH surv AS (SELECT doc_id FROM documents
+      |             WHERE doc_id < 200 AND doc_id % 5 <> 0)
+      |SELECT s.store AS store, surv.doc_id AS doc_id
+      |FROM (SELECT unnest(['bands', 'corpus', 'index', 'pack']) AS store) s
+      |CROSS JOIN surv
+      |UNION ALL
+      |SELECT 'lm' AS store, doc_id FROM surv WHERE doc_id < 40""".stripMargin) {
+    (s, d) =>
+    import graft.llm.{BandStore, IndexStore, LmStore, PackStore}
+    import graft.streaming.CorpusStore
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select("doc_id", "text").localCheckpoint()
+    val removed = docs.filter(col("doc_id") % 5 === 0)
+    val survivors = docs.filter(col("doc_id") % 5 =!= 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-takedown")
+    def dirOf(n: String) = "file:" + base.resolve(n).toString
+    try {
+      // Bands.
+      val bp = BandStore.Params(shingleN = 1, bands = 8, rowsPerBand = 4,
+        portable = false)
+      BandStore.build(docs, "doc_id", "text", dirOf("bands"), bp)
+      BandStore.delete(s, dirOf("bands"),
+        removed.select(col("doc_id").as("doc")))
+      val bandIds = BandStore.read(s, dirOf("bands"), bp)
+        .select(col("doc").as("doc_id")).distinct()
+        .collect().map(_.getLong(0))
+
+      // ANN index (synthetic 8-dim vectors — takedown is id-level).
+      val vecs = docs.select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)), j =>
+          (pmod(col("doc_id") * 31 + j * 17, lit(100)).cast("double")
+            / 50.0 - 1.0).cast("float")).as("v"))
+      val ip = IndexStore.Params(dim = 8, clusters = 4, m = 4, k = 8)
+      IndexStore.build(vecs, "doc_id", "v", dirOf("index"), ip, iters = 1)
+      IndexStore.delete(s, dirOf("index"), removed.select("doc_id"))
+      val indexIds = IndexStore.read(s, dirOf("index"), ip).codes
+        .select(col("id").as("doc_id")).distinct()
+        .collect().map(_.getLong(0))
+
+      // LM counts: subtract is append's exact inverse, so the store
+      // must score IDENTICALLY (integer columns) to a model freshly
+      // trained on the survivors alone.
+      val lp = LmStore.Params(langCol = None, hashed = false)
+      LmStore.build(docs, "doc_id", "text", dirOf("lm"), lp)
+      LmStore.subtract(removed, "doc_id", "text", dirOf("lm"), lp)
+      val probes = survivors.filter(col("doc_id") < 40)
+      val fromStore = LmStore.score(s, dirOf("lm"), lp, probes,
+        "doc_id", "text")
+      val fresh = graft.llm.Corpus.lmScoreWith(probes, "doc_id", "text",
+        graft.llm.Corpus.lmTrain(survivors, "doc_id", "text"))
+      val lmIds = fromStore.alias("a")
+        .join(fresh.alias("b"), Seq("doc_id"))
+        .filter(col("a.n_bigrams") === col("b.n_bigrams") &&
+          col("a.lp_sum_e6") === col("b.lp_sum_e6"))
+        .select("doc_id").distinct().collect().map(_.getLong(0))
+
+      // Streaming corpus store (two batch members, like the stream
+      // writes them), then the id-level delete.
+      docs.filter(col("doc_id") < 100)
+        .write.parquet(dirOf("corpus") + "/run=aaaa11_batch=0")
+      docs.filter(col("doc_id") >= 100)
+        .write.parquet(dirOf("corpus") + "/run=aaaa11_batch=1")
+      CorpusStore.delete(s, dirOf("corpus"), "doc_id",
+        removed.select("doc_id"))
+      val corpusIds = CorpusStore.readDocs(s, dirOf("corpus"), docs.schema)
+        .select("doc_id").distinct().collect().map(_.getLong(0))
+
+      // Packed placements: tombstone, serve view drops the doc.
+      val pp = PackStore.Params(numShards = 4, budgetTokens = 256)
+      PackStore.write(Corpus.packSequences(
+          docs.withColumn("n", length(col("text"))), "doc_id",
+          col("n"), pp.numShards, pp.budgetTokens, seed = "pt")
+        .select("doc_id", "shard", "seq_idx", "tok_offset"),
+        dirOf("pack"), pp)
+      PackStore.tombstone(s, dirOf("pack"), removed.select("doc_id"))
+      val packIds = PackStore.serve(s, dirOf("pack"), pp)
+        .select("doc_id").distinct().collect().map(_.getLong(0))
+
+      import s.implicits._
+      (bandIds.map(("bands", _)) ++ corpusIds.map(("corpus", _)) ++
+        indexIds.map(("index", _)) ++ packIds.map(("pack", _)) ++
+        lmIds.map(("lm", _))).toSeq.toDF("store", "doc_id")
+    } finally Fixtures.deleteRecursively(base)
   }
 
   /** The increment half of pipe26 — [[corpusBuild]] with the pack

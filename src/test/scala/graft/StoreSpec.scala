@@ -118,6 +118,72 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("BandStore append is crash-atomic: a killed append is invisible to read and swept by the next append") {
+    val dir = tmpDir("graft-bs")
+    try {
+      val c0 = docs.filter(col("doc_id") < 60)
+      val inc1 = docs.filter(col("doc_id") >= 60 && col("doc_id") < 90)
+      val inc2 = docs.filter(col("doc_id") >= 90)
+      BandStore.build(c0, "doc_id", "text", dir, P)
+      val baseRows = BandStore.read(spark, dir, P).count()
+      val fs = CorpusStore.fileSystem(spark, dir)
+
+      // Crash window 1: append died mid-write — a half-written temp
+      // (parquet file, no _SUCCESS) inside data/. The torn increment
+      // must NOT surface through read (pre-fix, mode("append") wrote
+      // straight into data/ and the base's _SUCCESS vouched for it).
+      val torn = new Path(dir, "data/_tmp_inc_0000000000001_dead")
+      Dedup.minhashBandTable(inc1, "doc_id", "text", P.shingleN,
+          P.bands, P.rowsPerBand, P.portable)
+        .write.parquet(torn.toString)
+      fs.delete(new Path(torn, "_SUCCESS"), false)
+      assert(BandStore.read(spark, dir, P).count() == baseRows,
+        "a crashed append's partial files leaked into the read")
+
+      // Crash window 2: fully written temp, crash before the promote
+      // rename — still invisible (the rename IS the commit).
+      val full = new Path(dir, "data/_tmp_inc_0000000000002_dead")
+      Dedup.minhashBandTable(inc1, "doc_id", "text", P.shingleN,
+          P.bands, P.rowsPerBand, P.portable)
+        .write.parquet(full.toString)
+      assert(BandStore.read(spark, dir, P).count() == baseRows)
+
+      // The next real append sweeps both leftovers and lands its own
+      // committed segment; the union equals base + inc2, with neither
+      // dead temp resurrected.
+      BandStore.append(inc2, "doc_id", "text", dir, P)
+      val expect = Dedup.minhashBandTable(c0.unionByName(inc2),
+          "doc_id", "text", P.shingleN, P.bands, P.rowsPerBand,
+          P.portable)
+        .as[(Long, Int, String)].collect().toSet
+      assert(BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet == expect)
+      val leftovers = fs.listStatus(new Path(dir, "data"))
+        .map(_.getPath.getName).filter(_.startsWith("_tmp_inc_"))
+      assert(leftovers.isEmpty, leftovers.mkString(","))
+    } finally cleanup(dir)
+  }
+
+  test("BandStore reads a legacy flat artifact with loose appended part files (pre-segment layout)") {
+    val dir = tmpDir("graft-bs")
+    try {
+      val c0 = docs.filter(col("doc_id") < 60)
+      val inc = docs.filter(col("doc_id") >= 60)
+      BandStore.build(c0, "doc_id", "text", dir, P)
+      // What the pre-segment append wrote: loose part files straight
+      // into the live data/ dir (mode("append")). Artifacts of that
+      // era must stay readable unchanged.
+      Dedup.minhashBandTable(inc, "doc_id", "text", P.shingleN,
+          P.bands, P.rowsPerBand, P.portable)
+        .write.mode("append").parquet(s"$dir/data")
+      val expect = Dedup.minhashBandTable(docs, "doc_id", "text",
+          P.shingleN, P.bands, P.rowsPerBand, P.portable)
+        .as[(Long, Int, String)].collect().toSet
+      assert(BandStore.read(spark, dir, P)
+        .as[(Long, Int, String)].collect().toSet == expect)
+    } finally cleanup(dir)
+  }
+
   test("incremental dedup rejects overlapping corpus/increment ids") {
     val corpus = docs.filter(col("doc_id") < 90)
     val increment = docs.filter(col("doc_id") >= 80) // 80..89 overlap
@@ -126,6 +192,95 @@ class StoreSpec extends AnyFunSuite {
         threshold = 0.8, bands = 8, rowsPerBand = 4).count()
     }
     assert(e.getMessage.contains("disjoint"), e.getMessage)
+  }
+
+  // ---- PackStore ------------------------------------------------------
+
+  private def packedDocs = {
+    import graft.llm.Corpus
+    Corpus.packSequences(
+        docs.withColumn("n", length(col("text"))), "doc_id", col("n"),
+        numShards = 4, budgetTokens = 256, seed = "pt")
+      .select("doc_id", "shard", "seq_idx", "tok_offset")
+  }
+  private val PackP = graft.llm.PackStore.Params(numShards = 4,
+    budgetTokens = 256)
+
+  test("PackStore takedown: tombstone drops the doc from serve; surviving placements stay byte-identical (sealed sequences never re-pack)") {
+    import graft.llm.PackStore
+    val dir = tmpDir("graft-ps")
+    try {
+      val placed = packedDocs
+      PackStore.write(placed, dir, PackP)
+      val before = PackStore.serve(spark, dir, PackP)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      val dead = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      PackStore.tombstone(spark, dir, dead)
+      val after = PackStore.serve(spark, dir, PackP)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      val deadIds = dead.as[Long].collect().toSet
+      assert(deadIds.nonEmpty && after.forall(p => !deadIds.contains(p._1)))
+      // THE immutability pin: every surviving placement is EXACTLY its
+      // pre-takedown self — the dead doc's span becomes padding, no
+      // neighbor moves.
+      assert(after == before.filterNot(p => deadIds.contains(p._1)))
+      // Idempotent: tombstoning again (or absent ids) changes nothing.
+      PackStore.tombstone(spark, dir, dead.limit(3))
+      PackStore.tombstone(spark, dir, Seq(999999L).toDF("doc_id"))
+      assert(PackStore.serve(spark, dir, PackP)
+        .as[(Long, Int, Int, Int)].collect().toSet == after)
+      // Compact folds physically: same serve view, tombstones cleared,
+      // raw placements now equal the serve view.
+      PackStore.compact(spark, dir)
+      assert(PackStore.serve(spark, dir, PackP)
+        .as[(Long, Int, Int, Int)].collect().toSet == after)
+      assert(PackStore.readTombstones(spark, dir).count() == 0)
+      assert(PackStore.readPlacements(spark, dir, PackP)
+        .as[(Long, Int, Int, Int)].collect().toSet == after)
+    } finally cleanup(dir)
+  }
+
+  test("PackStore append lands increments as committed segments; params drift and torn segments refuse/stay invisible") {
+    import graft.llm.{Corpus, PackStore}
+    val dir = tmpDir("graft-ps")
+    try {
+      val base = docs.filter(col("doc_id") < 60)
+      val inc = docs.filter(col("doc_id") >= 60)
+      val basePlaced = Corpus.packSequences(
+          base.withColumn("n", length(col("text"))), "doc_id", col("n"),
+          4, 256, "pt")
+        .select("doc_id", "shard", "seq_idx", "tok_offset", "n")
+      PackStore.write(basePlaced.drop("n"), dir, PackP)
+      // The nightly append: pack the increment from the standing
+      // watermark, land it as a segment.
+      val wm = Corpus.packWatermark(basePlaced, col("n"), 256)
+      val incPlaced = Corpus.packSequencesAppend(
+          inc.withColumn("n", length(col("text"))), "doc_id", col("n"),
+          4, 256, "pt", wm)
+        .select("doc_id", "shard", "seq_idx", "tok_offset")
+      PackStore.append(incPlaced, dir, PackP)
+      assert(PackStore.serve(spark, dir, PackP).count() == docs.count())
+      // Drift refusal: a different pack scheme must not append.
+      val e = intercept[IllegalStateException] {
+        PackStore.append(incPlaced, dir, PackP.copy(budgetTokens = 512))
+      }
+      assert(e.getMessage.contains("mismatch"), e.getMessage)
+      // Crash window: a half-written placements segment (no _SUCCESS)
+      // is invisible to serve.
+      val fs = CorpusStore.fileSystem(spark, dir)
+      val torn = new Path(dir, "placements/_tmp_inc_0000000000001_dead")
+      incPlaced.write.parquet(torn.toString)
+      fs.delete(new Path(torn, "_SUCCESS"), false)
+      assert(PackStore.serve(spark, dir, PackP).count() == docs.count())
+      // A torn TOMBSTONE segment is likewise invisible: the docs it
+      // would have killed still serve (takedown commits atomically or
+      // not at all — a half-applied takedown list would be silent
+      // under-deletion on retry bookkeeping).
+      val tt = new Path(dir, "tombstones/_tmp_inc_0000000000002_dead")
+      docs.limit(5).select("doc_id").write.parquet(tt.toString)
+      fs.delete(new Path(tt, "_SUCCESS"), false)
+      assert(PackStore.serve(spark, dir, PackP).count() == docs.count())
+    } finally cleanup(dir)
   }
 
   // ---- CorpusStore --------------------------------------------------
