@@ -509,12 +509,17 @@ object HeavyBench {
     // (replicas are near-copies by construction), so the funnel's
     // quota/stratified tail executed trivially and out_rows was 0 —
     // lowdup keeps survivors > 0, so the whole funnel incl. the quota
-    // cut is exercised at scale (same fixture discipline as
-    // pipe24/pipe26).
+    // cut is exercised at scale. Gopher gates fit to the corpus like
+    // pipe24's: the lowdup replicas average 11.8 chars/word with zero
+    // stopwords (every word re-suffixed by construction), so the
+    // DEFAULT maxMeanWordLen=10/minStopHits=1 would annihilate
+    // everything row-locally before the coverage join ever ran.
     HeavyItem("pipe17_llm_curation", Seq("documents"),
       subdir = Some("lowdup"),
       fn = Some((s, d) =>
-        queries.PipelineQueries.curationFunnel(s, d, portableCov = false))),
+        queries.PipelineQueries.curationFunnel(s, d, portableCov = false,
+          maxMeanWordLen = 20.0, minStopHits = 0, quota = 5000)),
+      meta = Seq("quota" -> "5000")),
     // CCNet bucketing end-to-end: per-language bigram LMs trained on
     // the src0 reference slice (~1/20 of the corpus), all 320 K docs
     // scored by quantized log-likelihood and percentile-bucketed from
@@ -547,6 +552,19 @@ object HeavyBench {
     HeavyItem("e9_ann_pq", Seq("embeddings")),
     HeavyItem("e7_ann_ivf_kmeans", Seq("embeddings")),
     HeavyItem("e12_ann_ivfpq", Seq("embeddings")),
+    // REAL image decode at corpus scale: 320 K genuine PNGs (pre-built
+    // untimed into a stamped fixture via the distributed png_synth
+    // expression) → javax.imageio decode + 4×4 channel-mean pooling in
+    // the scan projection. Times the decode-throughput a multimodal
+    // curation pass pays per image; correctness of the same decode is
+    // oracle-gated by m1/pipe23 at sf0.01.
+    HeavyItem("m3_image_decode", Seq("documents"),
+      fn = Some { (s, d) =>
+        val media = s.read.parquet(queries.LlmQueries.ensurePngFixture(s, d))
+        graft.llm.Multimodal.extractFeaturesImage(media, grid = 4)
+          .select(col("media_id"), col("features"))
+      },
+      meta = Seq("grid" -> "4", "dims" -> "\"16+id%9 x 16+id%7 RGB\"")),
     // ANN SERVING from the persisted IVF-PQ artifact: e12 times
     // train+encode+search in one window (what a rebuild pays); this
     // entry times what a deployment pays PER QUERY BATCH — read the
@@ -892,6 +910,10 @@ object HeavyBench {
       // here so the first graph query isn't charged for fixture prep.
       if (selected.exists(_.tables.contains("lineitem")))
         queries.GraphQueries.ensureCitationFixture(spark, dir)
+      // The PNG media fixture likewise: synthesized once, untimed, so
+      // the decode entry times decoding, not fixture generation.
+      if (selected.exists(_.name == "m3_image_decode"))
+        queries.LlmQueries.ensurePngFixture(spark, dir)
       val byName = SparkEntry.registry.map(q => q.name -> q.fn).toMap
       val items = selected.flatMap { item =>
         val fn = item.fn.orElse(byName.get(item.name))

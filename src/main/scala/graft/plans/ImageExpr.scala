@@ -76,6 +76,66 @@ object ImageMeanPoolExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
+/** Distributed PNG fixture synthesis: `png_synth(id, w, h)` → real
+  * encoded PNG bytes whose pixel channel c at (x, y) is
+  * `(id·73 + (y·w + x)·97 + c·31) mod 256` — the same arithmetic
+  * ground truth as the m1/pipe23 oracle fixtures, as a scan-projection
+  * expression so corpus-scale media fixtures (hundreds of thousands of
+  * images for decode-throughput benching) are generated in parallel on
+  * executors instead of one by one on the driver. Fixture machinery,
+  * not an operator: production media arrives as real files. */
+case class PngSynthExpr(id: Expression, w: Expression, h: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with CodegenFallback {
+
+  override def first: Expression = id
+  override def second: Expression = w
+  override def third: Expression = h
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val ok = id.dataType == LongType &&
+      w.dataType == IntegerType && h.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"png_synth expects (long, int, int), got (${id.dataType.simpleString}, " +
+        s"${w.dataType.simpleString}, ${h.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_synth"
+
+  override protected def nullSafeEval(idv: Any, wv: Any, hv: Any): Any = {
+    val i = idv.asInstanceOf[Long]
+    val ww = wv.asInstanceOf[Int]
+    val hh = hv.asInstanceOf[Int]
+    require(ww >= 1 && hh >= 1 && ww <= 4096 && hh <= 4096,
+      s"png_synth: dims out of range ($ww x $hh)")
+    def v(c: Int, x: Int, y: Int): Int =
+      ((i * 73 + (y.toLong * ww + x) * 97 + c * 31) % 256).toInt
+    ImageCodec.encodePng(ww, hh,
+      (x, y) => (v(0, x, y) << 16) | (v(1, x, y) << 8) | v(2, x, y))
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PngSynthExpr =
+    copy(id = f, w = s, h = t)
+}
+
+object PngSynthExpr {
+  val Name = "png_synth"
+  private val info = new ExpressionInfo(classOf[PngSynthExpr].getName, Name)
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 3,
+      s"png_synth expects 3 arguments (id, w, h), got ${children.size}")
+    PngSynthExpr(children(0), children(1), children(2))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 /** The static codec surface shared by the expression (decode) and the
   * fixture/test builders (encode). Pure `javax.imageio` — present in
   * every JDK, works headless. */

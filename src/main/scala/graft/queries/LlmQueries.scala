@@ -74,6 +74,33 @@ object LlmQueries {
         lit(null).cast("long").as("duration_ms")))
   }
 
+  /** Corpus-scale real-PNG fixture for the decode-throughput heavy
+    * entry: one genuine PNG per document of the given dir (same pixel
+    * formula as [[pngMedia]], dims 16+id%9 × 16+id%7 RGB), synthesized
+    * DISTRIBUTED via the `png_synth` expression and cached under the
+    * shared stamped-dir convention. Returns the parquet path. */
+  def ensurePngFixture(s: org.apache.spark.sql.SparkSession,
+                       d: String): String = {
+    val base = Fixtures.stampedDir(d, "documents", "png_media", 1)
+    val target = base.resolve("media")
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
+      try {
+        graft.plans.PngSynthExpr.register(s)
+        val built = tmp.resolve("p")
+        Tables.documents(s, d).select(
+            col("doc_id").as("media_id"),
+            call_function(graft.plans.PngSynthExpr.Name, col("doc_id"),
+              (lit(16) + pmod(col("doc_id"), lit(9))).cast("int"),
+              (lit(16) + pmod(col("doc_id"), lit(7))).cast("int"))
+              .as("content"))
+          .write.parquet(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup groups by order-insensitive fingerprint.

@@ -162,6 +162,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => f.grouped(3).forall(g => g.distinct.size == 1)))
   }
 
+  test("png_synth generates real PNGs whose decoded pooling matches the driver-side encoder bit-for-bit") {
+    import org.apache.spark.sql.functions.call_function
+    graft.plans.PngSynthExpr.register(spark)
+    // Distributed synthesis (the heavy-fixture path) vs the driver-side
+    // ImageCodec encode m1's fixtures use — same formula, and the REAL
+    // decode must pool both to identical features.
+    val ids = (1L to 20L).toDF("media_id")
+    val viaExpr = Multimodal.extractFeaturesImage(
+        ids.select(col("media_id"),
+          call_function(graft.plans.PngSynthExpr.Name, col("media_id"),
+            (lit(16) + pmod(col("media_id"), lit(9))).cast("int"),
+            (lit(16) + pmod(col("media_id"), lit(7))).cast("int"))
+            .as("content")),
+        grid = 2)
+      .select("media_id", "features").as[(Long, Seq[Double])]
+      .collect().toMap
+    val viaDriver = (1L to 20L).map { id =>
+      val w = (16 + id % 9).toInt; val h = (16 + id % 7).toInt
+      def v(c: Int, x: Int, y: Int): Int =
+        ((id * 73 + (y.toLong * w + x) * 97 + c * 31) % 256).toInt
+      id -> graft.plans.ImageCodec.decodeMeanPool(
+        graft.plans.ImageCodec.encodePng(w, h,
+          (x, y) => (v(0, x, y) << 16) | (v(1, x, y) << 8) | v(2, x, y)),
+        2).toSeq
+    }.toMap
+    assert(viaExpr == viaDriver)
+  }
+
   test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
     val plan = Multimodal.rebalanceBySize(media)
       .queryExecution.optimizedPlan.toString
