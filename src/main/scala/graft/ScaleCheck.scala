@@ -290,6 +290,20 @@ object ScaleCheck {
       // times pair materialization, not the operator (measured ×16 →
       // 81 M pairs). Production embedding spaces are selective; these
       // settings reproduce that.
+      // REAL decode scaling: png_synth → javax.imageio decode + pool,
+      // per-row scan work with no shuffle — time must track image
+      // count exactly (a superlinear curve would mean per-task setup
+      // or codec state is leaking across rows).
+      Op("image_decode_pool(real)", { n =>
+        graft.plans.PngSynthExpr.register(spark)
+        val media = replicateDocs(docs0, n).select(col("doc_id"),
+          call_function(graft.plans.PngSynthExpr.Name, col("doc_id"),
+            (lit(12) + pmod(col("doc_id"), lit(5))).cast("int"),
+            (lit(12) + pmod(col("doc_id"), lit(3))).cast("int"))
+            .as("content"))
+        llm.Multimodal.extractFeaturesImage(media, grid = 2)
+          .filter(col("features").isNotNull).count()
+      }),
       Op("media_neardup_lsh(dim=32)", { n =>
         val media = replicateDocs(docs0, n)
           .select(col("doc_id").as("media_id"),

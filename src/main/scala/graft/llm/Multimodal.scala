@@ -100,6 +100,23 @@ object Multimodal {
                           decoder: (Column, Int) => Column): DataFrame =
     media.withColumn("features", decoder(col("content"), dim))
 
+  /** Fill the media schema's width/height from the ACTUAL payload via
+    * the real header probe (`image_dims` — no pixel decode): binary-
+    * file ingest ([[fromBinaryFiles]]) has no dims, and resize/filter
+    * stages need them. Undecodable payloads keep null dims. */
+  def refreshImageMeta(media: DataFrame): DataFrame = {
+    graft.plans.ImageDimsExpr.register(media.sparkSession)
+    media
+      .withColumn("__d",
+        call_function(graft.plans.ImageDimsExpr.Name, col("content")))
+      .withColumn("meta", struct(
+        col("meta.mime").as("mime"),
+        coalesce(col("__d.width"), col("meta.width")).as("width"),
+        coalesce(col("__d.height"), col("meta.height")).as("height"),
+        col("meta.duration_ms").as("duration_ms")))
+      .drop("__d")
+  }
+
   /** Resize stage: pure metadata + (stubbed) payload transform. The
     * real contract is the signature: same schema out, width/height
     * updated. */

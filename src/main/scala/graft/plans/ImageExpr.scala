@@ -76,6 +76,56 @@ object ImageMeanPoolExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
+/** Real image METADATA probe: `image_dims(content)` → struct(width,
+  * height), NULL for undecodable bytes — fills the media schema's
+  * width/height from the actual payload (binary-file ingest has no
+  * dims; a resize/filter stage needs them). Header-only cost for the
+  * common formats: ImageIO readers expose dimensions without decoding
+  * the pixel payload. */
+case class ImageDimsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"image_dims expects binary, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("width",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("height",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_dims"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val dims = ImageCodec.dims(input.asInstanceOf[Array[Byte]])
+    if (dims == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dims(0), dims(1)))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ImageDimsExpr = copy(child = newChild)
+}
+
+object ImageDimsExpr {
+  val Name = "image_dims"
+  private val info = new ExpressionInfo(classOf[ImageDimsExpr].getName, Name)
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 1,
+      s"image_dims expects 1 argument (content), got ${children.size}")
+    ImageDimsExpr(children(0))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 /** Distributed PNG fixture synthesis: `png_synth(id, w, h)` → real
   * encoded PNG bytes whose pixel channel c at (x, y) is
   * `(id·73 + (y·w + x)·97 + c·31) mod 256` — the same arithmetic
@@ -182,6 +232,27 @@ object ImageCodec {
       i += 1
     }
     out
+  }
+
+  /** (width, height) from the image HEADER (no pixel decode), or null
+    * when the bytes carry no readable image. */
+  def dims(bytes: Array[Byte]): Array[Int] = {
+    val in =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (in == null) return null
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return null
+      val r = readers.next()
+      try {
+        r.setInput(in)
+        Array(r.getWidth(0), r.getHeight(0))
+      } catch {
+        case _: java.io.IOException | _: IndexOutOfBoundsException => null
+      } finally r.dispose()
+    } finally in.close()
   }
 
   /** Encode a W×H RGB image as real PNG bytes; `pixel(x, y)` returns

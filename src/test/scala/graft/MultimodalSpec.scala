@@ -190,6 +190,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaExpr == viaDriver)
   }
 
+  test("refreshImageMeta fills width/height from the real payload header; corrupt payloads keep nulls") {
+    val png = graft.plans.ImageCodec.encodePng(7, 5, (_, _) => 0x112233)
+    val rows = Seq((1L, png), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+    val out = Multimodal.refreshImageMeta(rows)
+      .select(col("media_id"), col("meta.width"), col("meta.height"))
+      .as[(Long, Option[Int], Option[Int])].collect()
+      .map { case (k, w, h) => k -> ((w, h)) }.toMap
+    assert(out(1L) == (Some(7), Some(5)))
+    assert(out(2L) == (None, None))
+    // Schema is unchanged — the stage contract resize() also keeps.
+    assert(Multimodal.refreshImageMeta(rows).schema == rows.schema)
+  }
+
   test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
     val plan = Multimodal.rebalanceBySize(media)
       .queryExecution.optimizedPlan.toString
