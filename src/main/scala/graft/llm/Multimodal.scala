@@ -8,20 +8,22 @@ import org.apache.spark.sql.types._
   * `binary` payloads plus a typed metadata struct, with
   * decode/feature/resize/frame-sample stages as columnar transforms.
   *
-  * IMAGE decode is REAL: [[decodeImage]] runs the JDK's own codec
-  * (`javax.imageio` — PNG/JPEG/BMP/GIF, headless, no external
-  * libraries) inside a native scan-projection expression
-  * ([[graft.plans.ImageMeanPoolExpr]]) and pools the decoded pixels to
-  * a fixed-dim feature vector. AUDIO/VIDEO decode stays STUBBED —
-  * the JDK ships no audio/video codec and this container has no
-  * external media libraries — behind [[decodeStub]], a deterministic
-  * payload-hash fake kept for those modalities and for tests; a
-  * deployment swaps it through [[extractFeaturesWith]] for a codec
-  * producing the same array<double> column shape. Everything around
-  * the decoders is shared and tested: the schema contract, per-stage
-  * column signatures, the partitioning story (media rows are large —
-  * repartition by byte-size budget before wide stages), and the frame
-  * explosion shape.
+  * IMAGE and AUDIO decode are REAL, on the JDK's own codecs inside
+  * native scan-projection expressions: [[decodeImage]] runs
+  * `javax.imageio` (PNG/JPEG/BMP/GIF —
+  * [[graft.plans.ImageMeanPoolExpr]]) and [[decodeAudio]] runs
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM —
+  * [[graft.plans.AudioMeanPoolExpr]]), each pooling the decoded
+  * payload to a fixed-dim feature vector. Only VIDEO decode is
+  * STUBBED — the JDK genuinely ships no video codec and this
+  * container has no external media libraries — behind [[decodeStub]],
+  * a deterministic payload-hash fake kept for that modality and for
+  * tests; a deployment swaps it through [[extractFeaturesWith]] for a
+  * codec producing the same array<double> column shape. Everything
+  * around the decoders is shared and tested: the schema contract,
+  * per-stage column signatures, the partitioning story (media rows
+  * are large — repartition by byte-size budget before wide stages),
+  * and the frame explosion shape.
   */
 object Multimodal {
 
@@ -72,12 +74,28 @@ object Multimodal {
     extractFeaturesWith(media, grid * grid * 3,
       (content, _) => decodeImage(content, grid))
 
-  /** STUB decode for AUDIO/VIDEO payloads (the JDK ships no codec for
-    * those and this container has no external media libraries) and for
+  /** REAL audio decode + feature pooling: payload bytes through
+    * `javax.sound.sampled` (WAV/AIFF/AU 16-bit PCM), channel-0 samples
+    * mean-pooled over `dim` equal time buckets to an array<double> in
+    * [-1, 1) — NULL for undecodable payloads (drop with a filter).
+    * Runs as one compiled expression in the scan projection. */
+  def decodeAudio(content: Column, dim: Int): Column = {
+    graft.plans.AudioMeanPoolExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.plans.AudioMeanPoolExpr.Name, content, lit(dim))
+  }
+
+  /** [[extractFeaturesWith]] instantiated with the REAL audio decoder —
+    * the audio-corpus embedding stage. */
+  def extractFeaturesAudio(media: DataFrame, dim: Int = 8): DataFrame =
+    extractFeaturesWith(media, dim, decodeAudio)
+
+  /** STUB decode for VIDEO payloads (the JDK genuinely ships no video
+    * codec and this container has no external media libraries) and for
     * decoder-agnosticism tests. Deterministic fake — features are
     * seeded by the payload hash, so tests and oracles are stable.
-    * Returns array<double> of length `dim`. Images should use
-    * [[decodeImage]] — that path is real. */
+    * Returns array<double> of length `dim`. Images use [[decodeImage]]
+    * and audio uses [[decodeAudio]] — those paths are real. */
   def decodeStub(content: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(content, i), lit(1000)).cast("double") / 500.0) - 1.0)

@@ -1,0 +1,153 @@
+package graft.plans
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
+
+/** REAL audio decode for the multimodal pipeline, on the JDK's own
+  * codec (`javax.sound.sampled` — WAV/AIFF/AU PCM, headless, no
+  * external libraries): payload bytes → PCM sample stream →
+  * fixed-dim features by mean pooling over `dim` equal time buckets.
+  * The sibling of [[ImageMeanPoolExpr]]: with both in place only VIDEO
+  * decode remains stubbed (the JDK genuinely ships no video codec).
+  *
+  * Output: array<double> of length `dim`; position b holds the mean of
+  * the channel-0 16-bit samples whose index i satisfies
+  * `i*dim div n == b`, scaled to [-1, 1) by /32768 (a power of two, so
+  * the scaling is IEEE-exact and an external engine replaying
+  * `sum/count/32768` from ground-truth samples matches bit-for-bit).
+  * Variable-length clips pool to one fixed embedding dimension.
+  *
+  * Undecodable, non-PCM-16-bit, or empty payloads yield NULL — a
+  * crawl-scale media corpus always carries corrupt files; the pipeline
+  * drops them with a filter instead of dying mid-job.
+  *
+  * Registered as `audio_mean_pool(content, dim)` (dim literal).
+  * CodegenFallback: one eval per CLIP — the decode inside dominates. */
+case class AudioMeanPoolExpr(child: Expression, dim: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(dim >= 1, s"audio_mean_pool: dim must be >= 1, got $dim")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"audio_mean_pool expects binary, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_mean_pool"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val pooled = AudioCodec.decodeMeanPool(input.asInstanceOf[Array[Byte]], dim)
+    if (pooled == null) null else new GenericArrayData(pooled)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AudioMeanPoolExpr = copy(child = newChild)
+}
+
+object AudioMeanPoolExpr {
+  val Name = "audio_mean_pool"
+  private val info = new ExpressionInfo(classOf[AudioMeanPoolExpr].getName, Name)
+  private val builder = (children: Seq[Expression]) => {
+    require(children.size == 2,
+      s"audio_mean_pool expects 2 arguments (content, dim), got ${children.size}")
+    require(children(1).foldable,
+      s"audio_mean_pool: dim must be a literal, got ${children(1)}")
+    AudioMeanPoolExpr(children(0),
+      children(1).eval(null).asInstanceOf[Number].intValue())
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
+/** The static codec surface shared by the expression (decode) and the
+  * fixture/test builders (encode). Decode is pure
+  * `javax.sound.sampled` — present in every JDK, works headless; the
+  * encoder writes the canonical 44-byte RIFF/WAVE PCM container. */
+object AudioCodec {
+
+  /** Decode + time-bucket mean pool; null when the bytes are not a
+    * decodable 16-bit PCM clip (or decode to zero frames). Multi-
+    * channel clips pool channel 0 — the feature contract is per-clip,
+    * not per-channel. Sums are exact integer accumulations over the
+    * signed 16-bit samples, so `sum / count / 32768.0` is reproducible
+    * bit-for-bit by any engine replaying the same bucketing. */
+  def decodeMeanPool(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => return null
+        case _: java.io.IOException => return null
+      }
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return null
+      val n = in.getFrameLength
+      if (n <= 0 || n > Int.MaxValue / 2) return null
+      val frames = n.toInt
+      val frameBytes = fmt.getFrameSize
+      val big = fmt.isBigEndian
+      val data = in.readAllBytes()
+      if (data.length < frames.toLong * frameBytes) return null
+      val sums = new Array[Long](dim)
+      val cnts = new Array[Long](dim)
+      var i = 0
+      while (i < frames) {
+        val off = i * frameBytes // channel 0 leads each frame
+        val s =
+          if (big) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+          else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+        val b = (i.toLong * dim / frames).toInt
+        sums(b) += s
+        cnts(b) += 1
+        i += 1
+      }
+      val out = new Array[Double](dim)
+      var b = 0
+      while (b < dim) {
+        // A bucket is empty only when dim > frames; its feature is 0.
+        out(b) = if (cnts(b) == 0) 0.0 else sums(b).toDouble / cnts(b) / 32768.0
+        b += 1
+      }
+      out
+    } catch {
+      case _: java.io.IOException => null
+    } finally in.close()
+  }
+
+  /** Encode mono 16-bit PCM samples as real WAV bytes (canonical
+    * 44-byte RIFF/WAVE header + little-endian samples). Lossless, so a
+    * decode gives back exactly these samples — the property the
+    * fixture oracles lean on. Fixture/test builder only. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+}

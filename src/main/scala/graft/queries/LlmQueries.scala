@@ -101,6 +101,29 @@ object LlmQueries {
     target.toString
   }
 
+  /** Real-WAV media fixture — [[pngMedia]]'s audio sibling: one
+    * genuine 16-bit PCM WAV per document (doc_id < [[PngMediaDocs]]),
+    * length 400 + (id%7)·50 samples, sample t =
+    * (id·131 + t·17) mod 4001 − 2000 — ground truth the oracle
+    * replays while the Spark side must run the real decoder. */
+  private def wavMedia(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < PngMediaDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rows = ids.map { id =>
+      val n = (400 + (id % 7) * 50).toInt
+      val samples = Array.tabulate(n)(t =>
+        ((id * 131 + t.toLong * 17) % 4001 - 2000).toShort)
+      (id, graft.plans.AudioCodec.encodeWavPcm16(samples))
+    }
+    import s.implicits._
+    rows.toDF("media_id", "content")
+      .withColumn("meta", struct(lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup groups by order-insensitive fingerprint.
@@ -1580,6 +1603,28 @@ object LlmQueries {
         .select(col("media_id"),
           posexplode(col("features")).as(Seq("pos", "feature")))
         .withColumn("feature", round(col("feature"), 4))
+    },
+
+    // Multimodal: REAL audio decode — one genuine WAV (16-bit PCM,
+    // variable length, samples from an arithmetic ground-truth
+    // formula) per document, decoded on javax.sound.sampled inside
+    // the scan projection and mean-pooled over 8 time buckets. The
+    // Spark side sees ONLY the encoded RIFF bytes; the oracle replays
+    // the pooling from the sample formula — a wrong sample, byte
+    // order, or bucket split hash-diverges. /32768 is a power of two,
+    // so the scaling is IEEE-exact in both engines.
+    Q("m4_audio_features",
+      s"""WITH m AS (SELECT doc_id, 400 + (doc_id % 7) * 50 AS n
+        |           FROM documents WHERE doc_id < $PngMediaDocs),
+        |t AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM m)
+        |SELECT doc_id AS media_id, CAST(t * 8 // n AS INT) AS pos,
+        |       round(sum((doc_id * 131 + t * 17) % 4001 - 2000)
+        |             / count(*) / 32768.0, 6) AS feature
+        |FROM t GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Multimodal.extractFeaturesAudio(wavMedia(s, d), dim = 8)
+        .select(col("media_id"),
+          posexplode(col("features")).as(Seq("pos", "feature")))
+        .withColumn("feature", round(col("feature"), 6))
     },
 
     // Multimodal: frame sampling — one row per sampled timestamp, the

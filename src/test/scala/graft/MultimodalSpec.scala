@@ -208,6 +208,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.refreshImageMeta(rows).schema == rows.schema)
   }
 
+  test("real audio decode: WAV round-trip pools the exact ground-truth samples; corrupt/empty yield null") {
+    import graft.plans.AudioCodec
+    // 10 samples, dim 4 → buckets of 3/2/3/2 (i*4 div 10).
+    val samples = Array[Short](100, -200, 300, 400, -500, 600, 700, -800, 900, 1000)
+    val rows = Seq(
+      (1L, AudioCodec.encodeWavPcm16(samples)),
+      (2L, "not audio".getBytes("UTF-8")),
+      (3L, AudioCodec.encodeWavPcm16(samples).take(20)), // torn header
+      (4L, Array.empty[Byte]))
+    val out = Multimodal.extractFeaturesAudio(
+        rows.toDF("media_id", "content"), dim = 4)
+      .select(col("media_id"), col("features"))
+      .as[(Long, Option[Seq[Double]])].collect().toMap
+    val expect = (0 until 4).map { b =>
+      val bucket = samples.indices.filter(i => i * 4 / 10 == b).map(samples(_).toLong)
+      bucket.sum.toDouble / bucket.size / 32768.0
+    }
+    assert(out(1L).contains(expect))
+    assert(out(2L).isEmpty && out(3L).isEmpty && out(4L).isEmpty)
+  }
+
+  test("real audio decode handles the big-endian (AIFF) sample path identically") {
+    import graft.plans.AudioCodec
+    val samples = Array.tabulate(50)(t => ((t * 313) % 4001 - 2000).toShort)
+    val wav = AudioCodec.encodeWavPcm16(samples)
+    // Re-container the same PCM as AIFF (big-endian) via the JDK codec
+    // itself, so the expression's byte-order branch is pinned against
+    // the little-endian form.
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    val aiff = baos.toByteArray
+    val rows = Seq((1L, wav), (2L, aiff)).toDF("media_id", "content")
+    val out = Multimodal.extractFeaturesAudio(rows, dim = 4)
+      .select(col("media_id"), col("features"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == out(2L))
+  }
+
   test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
     val plan = Multimodal.rebalanceBySize(media)
       .queryExecution.optimizedPlan.toString
