@@ -135,6 +135,25 @@ object Multimodal {
       .drop("__d")
   }
 
+  /** Fill width/height/duration_ms from a VIDEO payload's real
+    * container metadata (`video_meta` — ISO-BMFF/MP4 box parse, no
+    * codec): the duration [[sampleFrames]] explodes over comes from
+    * the actual bytes, like [[refreshImageMeta]]'s dims for images.
+    * Non-ISO-BMFF payloads keep their existing meta. */
+  def refreshVideoMeta(media: DataFrame): DataFrame = {
+    graft.plans.VideoMetaExpr.register(media.sparkSession)
+    media
+      .withColumn("__v",
+        call_function(graft.plans.VideoMetaExpr.Name, col("content")))
+      .withColumn("meta", struct(
+        col("meta.mime").as("mime"),
+        coalesce(col("__v.width"), col("meta.width")).as("width"),
+        coalesce(col("__v.height"), col("meta.height")).as("height"),
+        coalesce(col("__v.duration_ms"), col("meta.duration_ms"))
+          .as("duration_ms")))
+      .drop("__v")
+  }
+
   /** Resize stage: pure metadata + (stubbed) payload transform. The
     * real contract is the signature: same schema out, width/height
     * updated. */

@@ -124,6 +124,29 @@ object LlmQueries {
         lit(null).cast("long").as("duration_ms")))
   }
 
+  /** Real-MP4 media fixture — genuine ISO-BMFF skeletons
+    * (`ftyp`+`moov{mvhd,trak{tkhd}}`+`mdat`, the byte layout any muxer
+    * writes) with width/height/duration from an arithmetic formula;
+    * the meta struct is all-null so the only way m5 can produce dims
+    * and durations is by PARSING the container bytes. */
+  private def mp4Media(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < PngMediaDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rows = ids.map { id =>
+      (id, graft.plans.VideoCodec.encodeMp4Skeleton(
+        width = (320 + (id % 5) * 16).toInt,
+        height = (240 + (id % 3) * 16).toInt,
+        durationMs = 1000 + (id % 11) * 500))
+    }
+    import s.implicits._
+    rows.toDF("media_id", "content")
+      .withColumn("meta", struct(lit("video/mp4").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup groups by order-insensitive fingerprint.
@@ -1625,6 +1648,29 @@ object LlmQueries {
         .select(col("media_id"),
           posexplode(col("features")).as(Seq("pos", "feature")))
         .withColumn("feature", round(col("feature"), 6))
+    },
+
+    // Multimodal: REAL video container metadata — genuine ISO-BMFF
+    // payloads with all-null meta structs; the dims and the duration
+    // the frame sampler explodes over can ONLY come from parsing the
+    // moov/mvhd/tkhd boxes (video_meta). The oracle replays the
+    // construction formula; a wrong box walk, fixed-point shift, or
+    // timescale division hash-diverges. Pixel decode (the one
+    // modality half the JDK has no codec for) stays behind the
+    // contract-tested stub seam.
+    Q("m5_video_meta",
+      s"""WITH m AS (SELECT doc_id, 320 + (doc_id % 5) * 16 AS w,
+        |                  240 + (doc_id % 3) * 16 AS h,
+        |                  1000 + (doc_id % 11) * 500 AS dur
+        |           FROM documents WHERE doc_id < $PngMediaDocs)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |       CAST(h AS INT) AS height,
+        |       unnest(generate_series(0, dur - 1, 500)) AS frame_ms
+        |FROM m""".stripMargin) { (s, d) =>
+      val withMeta = Multimodal.refreshVideoMeta(mp4Media(s, d))
+      Multimodal.sampleFrames(withMeta, everyMs = 500L)
+        .select(col("media_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("frame_ms"))
     },
 
     // Multimodal: frame sampling — one row per sampled timestamp, the

@@ -249,6 +249,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == out(2L))
   }
 
+  test("video_meta parses genuine ISO-BMFF boxes; corrupt/non-container payloads keep prior meta") {
+    import graft.plans.VideoCodec
+    val mp4 = VideoCodec.encodeMp4Skeleton(width = 640, height = 360,
+      durationMs = 2500)
+    // Direct parse round-trip.
+    val m = VideoCodec.parseMeta(mp4)
+    assert(m.width == 640 && m.height == 360 && m.durationMs == 2500)
+    // Non-containers and torn headers parse to null.
+    assert(VideoCodec.parseMeta("not a video".getBytes("UTF-8")) == null)
+    assert(VideoCodec.parseMeta(mp4.take(12)) == null)
+    // Through the metadata stage: the real duration drives the frame
+    // sampler, and a non-BMFF payload keeps its existing meta.
+    val rows = Seq(
+      (1L, mp4, java.lang.Long.valueOf(999L)),
+      (2L, "junk".getBytes("UTF-8"), java.lang.Long.valueOf(700L)))
+      .toDF("media_id", "content", "dur0")
+      .withColumn("meta", struct(lit("video/mp4").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        col("dur0").as("duration_ms")))
+      .drop("dur0")
+    val out = Multimodal.refreshVideoMeta(rows)
+      .select(col("media_id"), col("meta.width"), col("meta.duration_ms"))
+      .as[(Long, Option[Int], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(640), Some(2500L)))) // parsed, 999 overridden
+    assert(out(2L) == ((None, Some(700L))))       // junk: meta untouched
+    val frames = Multimodal.sampleFrames(
+      Multimodal.refreshVideoMeta(rows), everyMs = 1000L)
+    assert(frames.filter(col("media_id") === 1L)
+      .select("frame_ms").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1000L, 2000L))
+  }
+
+  test("video_meta handles 64-bit largesize boxes and multi-trak max dims") {
+    import graft.plans.VideoCodec
+    val base = VideoCodec.encodeMp4Skeleton(640, 360, 2500)
+    // Rewrite the top-level moov header to the size==1 + largesize
+    // form (the layout >4 GiB muxes use): [1:u32][moov][largesize:u64].
+    def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xFFL) << 24) | ((b(off+1) & 0xFFL) << 16) |
+        ((b(off+2) & 0xFFL) << 8) | (b(off+3) & 0xFFL)
+    var p = 0
+    while (new String(base, p + 4, 4, "US-ASCII") != "moov")
+      p += u32(base, p).toInt
+    val moovSize = u32(base, p).toInt
+    val out = java.nio.ByteBuffer.allocate(base.length + 8)
+    out.put(base, 0, p)
+    out.putInt(1).put("moov".getBytes("US-ASCII"))
+      .putLong(moovSize + 8L)
+    out.put(base, p + 8, moovSize - 8)
+    out.put(base, p + moovSize, base.length - p - moovSize)
+    val m = VideoCodec.parseMeta(out.array())
+    assert(m != null && m.width == 640 && m.height == 360 &&
+      m.durationMs == 2500)
+    // Multi-trak: an audio trak (0×0 dims) must not clobber the video
+    // trak's dims — widest trak wins.
+    val two = VideoCodec.encodeMp4Skeleton(0, 0, 1000) // audio-only shape
+    val both = VideoCodec.parseMeta(
+      VideoCodec.encodeMp4Skeleton(320, 240, 1000))
+    assert(VideoCodec.parseMeta(two).width == 0)
+    assert(both.width == 320 && both.height == 240)
+  }
+
   test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
     val plan = Multimodal.rebalanceBySize(media)
       .queryExecution.optimizedPlan.toString

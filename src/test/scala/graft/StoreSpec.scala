@@ -283,6 +283,44 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("PackStore write swap is recoverable at every crash point") {
+    import graft.llm.PackStore
+    val dir = tmpDir("graft-ps")
+    try {
+      PackStore.write(packedDocs, dir, PackP)
+      val before = PackStore.serve(spark, dir, PackP)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      val fs = CorpusStore.fileSystem(spark, dir)
+
+      // Crash window 1: replacement fully written to a temp, live dir
+      // already moved aside, promote rename not yet done — recovery
+      // (run by every entry point) must promote the complete temp.
+      val tmp1 = new Path(dir, "_tmp_placements_0000000000009_x1")
+      PackStore.readPlacements(spark, dir, PackP).limit(10)
+        .write.parquet(tmp1.toString)
+      assert(fs.rename(new Path(dir, "placements"),
+        new Path(dir, "_old_placements")))
+      assert(PackStore.serve(spark, dir, PackP).count() == 10)
+
+      // Crash window 2: only an INCOMPLETE temp (no _SUCCESS) and the
+      // old dir present — recovery must restore the old artifact, never
+      // promote the torn build.
+      val dir2 = tmpDir("graft-ps2")
+      try {
+        PackStore.write(packedDocs, dir2, PackP)
+        val fs2 = CorpusStore.fileSystem(spark, dir2)
+        val tmp2 = new Path(dir2, "_tmp_placements_0000000000009_x2")
+        PackStore.readPlacements(spark, dir2, PackP).limit(3)
+          .write.parquet(tmp2.toString)
+        fs2.delete(new Path(tmp2, "_SUCCESS"), false)
+        assert(fs2.rename(new Path(dir2, "placements"),
+          new Path(dir2, "_old_placements")))
+        assert(PackStore.serve(spark, dir2, PackP)
+          .as[(Long, Int, Int, Int)].collect().toSet == before)
+      } finally cleanup(dir2)
+    } finally cleanup(dir)
+  }
+
   // ---- CorpusStore --------------------------------------------------
 
   /** Seed a store with raw batch dirs the way StreamingDedup writes
