@@ -57,8 +57,8 @@ case class AudioMeanPoolExpr(child: Expression, dim: Int)
 
 object AudioMeanPoolExpr {
   val Name = "audio_mean_pool"
-  private val info = new ExpressionInfo(classOf[AudioMeanPoolExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val info = new ExpressionInfo(classOf[AudioMeanPoolExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 2,
       s"audio_mean_pool expects 2 arguments (content, dim), got ${children.size}")
     require(children(1).foldable,

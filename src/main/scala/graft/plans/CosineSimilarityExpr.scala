@@ -322,7 +322,7 @@ case class NearestCentroidExpr(child: Expression, ids: Array[String],
 
 object NearestCentroidExpr {
   val Name = "nearest_centroid"
-  private val info =
+  private[plans] val info =
     new ExpressionInfo(classOf[NearestCentroidExpr].getName, Name)
 
   /** `lpad(s, 24, '0')` with Spark's semantics: length in CODE POINTS
@@ -350,7 +350,7 @@ object NearestCentroidExpr {
     require(e.foldable, s"nearest_centroid: $what must be a literal")
     e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
   }
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 4,
       s"nearest_centroid expects 4 arguments (vec, ids, flat, dim), " +
         s"got ${children.size}")
@@ -618,7 +618,7 @@ case class NearestCentroidTwoLevelExpr(
 
 object NearestCentroidTwoLevelExpr {
   val Name = "nearest_centroid_2l"
-  private val info =
+  private[plans] val info =
     new ExpressionInfo(classOf[NearestCentroidTwoLevelExpr].getName, Name)
   private def litArray(e: Expression, what: String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -629,7 +629,7 @@ object NearestCentroidTwoLevelExpr {
     require(e.foldable, s"$Name: $what must be a literal")
     e.eval(null).asInstanceOf[Number].intValue()
   }
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 7,
       s"$Name expects 7 arguments (vec, ids, flat, dim, coarseFlat, " +
         s"cellOf, nprobe), got ${children.size}")
@@ -772,13 +772,13 @@ case class PqCodesExpr(child: Expression, counts: Array[Int],
 
 object PqCodesExpr {
   val Name = "pq_codes"
-  private val info = new ExpressionInfo(classOf[PqCodesExpr].getName, Name)
+  private[plans] val info = new ExpressionInfo(classOf[PqCodesExpr].getName, Name)
   private def litArr(e: Expression, what: String)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     require(e.foldable, s"pq_codes: $what must be a literal")
     e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
   }
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 5,
       s"pq_codes expects 5 arguments (vec, counts, codes, flat, sub), " +
         s"got ${children.size}")
@@ -801,9 +801,9 @@ object PqCodesExpr {
 object GraftFunctions {
   val Name = "cosine_sim"
   val LshName = "lsh_buckets"
-  private val info =
+  private[plans] val info =
     new ExpressionInfo(classOf[CosineSimilarityExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 2,
       s"cosine_sim expects 2 arguments, got ${children.size}")
     CosineSimilarityExpr(children(0), children(1))
@@ -845,16 +845,58 @@ object GraftFunctions {
   }
 }
 
-/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` */
+/** The WHOLE native-function surface as a session extension:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` makes
+  * every graft expression available to plain `spark.sql(...)` on every
+  * session of the application — the idiomatic deployment path, vs the
+  * operators' own lazy per-session `register()` calls (kept; the two
+  * share the same info/builder instances so they cannot drift). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    // Same info/builder instances as the per-session registration path,
-    // so the two can't drift.
-    ext.injectFunction(
-      (FunctionIdentifier(GraftFunctions.Name),
-       GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
-    ext.injectFunction(
-      (FunctionIdentifier(GraftFunctions.LshName),
-       GraftFunctions.lshInfo, GraftFunctions.lshBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.All.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  type Reg = (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+  private def reg(name: String, info: ExpressionInfo,
+                  builder: Seq[Expression] => Expression): Reg =
+    (FunctionIdentifier(name), info, builder)
+
+  /** Every registered native function (similarity, dedup signatures,
+    * funnel gates, media codecs) — one list, one truth. */
+  val All: Seq[Reg] = Seq(
+    reg(GraftFunctions.Name, GraftFunctions.cosineInfo,
+      GraftFunctions.cosineBuilder),
+    reg(GraftFunctions.LshName, GraftFunctions.lshInfo,
+      GraftFunctions.lshBuilder),
+    reg(GraftFunctions.L2Name, GraftFunctions.l2Info,
+      GraftFunctions.l2Builder),
+    reg(NearestCentroidExpr.Name, NearestCentroidExpr.info,
+      NearestCentroidExpr.builder),
+    reg(NearestCentroidTwoLevelExpr.Name, NearestCentroidTwoLevelExpr.info,
+      NearestCentroidTwoLevelExpr.builder),
+    reg(PqCodesExpr.Name, PqCodesExpr.info, PqCodesExpr.builder),
+    reg(MinHashShinglesSigExpr.Name, MinHashShinglesSigExpr.info,
+      MinHashShinglesSigExpr.builder),
+    reg(MinHashBandsExpr.Name, MinHashBandsExpr.info,
+      MinHashBandsExpr.builder),
+    reg(MinHashOphSigExpr.Name, MinHashOphSigExpr.info,
+      MinHashOphSigExpr.builder),
+    reg(TokensDistinctExpr.Name, TokensDistinctExpr.info,
+      TokensDistinctExpr.builder),
+    reg(TokensDistinctHashedExpr.Name, TokensDistinctHashedExpr.info,
+      TokensDistinctHashedExpr.builder),
+    reg(SimHashExpr.Name, SimHashExpr.info, SimHashExpr.builder),
+    reg(ArrayIntersectSizeExpr.Name, ArrayIntersectSizeExpr.info,
+      ArrayIntersectSizeExpr.builder),
+    reg(FunnelGatesExpr.Name, FunnelGatesExpr.info, FunnelGatesExpr.builder),
+    reg(NgramHashesExpr.Name, NgramHashesExpr.info, NgramHashesExpr.builder),
+    reg(ImageMeanPoolExpr.Name, ImageMeanPoolExpr.info,
+      ImageMeanPoolExpr.builder),
+    reg(ImageDimsExpr.Name, ImageDimsExpr.info, ImageDimsExpr.builder),
+    reg(PngSynthExpr.Name, PngSynthExpr.info, PngSynthExpr.builder),
+    reg(AudioMeanPoolExpr.Name, AudioMeanPoolExpr.info,
+      AudioMeanPoolExpr.builder),
+    reg(VideoMetaExpr.Name, VideoMetaExpr.info, VideoMetaExpr.builder))
 }

@@ -363,7 +363,7 @@ object FunnelGatesExpr {
     (count - distinct).toDouble / count.toDouble
   }
 
-  private val info = new ExpressionInfo(classOf[FunnelGatesExpr].getName,
+  private[plans] val info = new ExpressionInfo(classOf[FunnelGatesExpr].getName,
     Name)
 
   private def lit(e: Expression, what: String): Any = e match {
@@ -372,7 +372,7 @@ object FunnelGatesExpr {
       s"$Name: $what must be a literal, got $other")
   }
 
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 13,
       s"$Name expects 13 arguments (text + 11 thresholds), " +
         s"got ${children.size}")
@@ -479,10 +479,10 @@ case class NgramHashesExpr(child: Expression, n: Int)
 object NgramHashesExpr {
   val Name = "ngram_hashes"
 
-  private val info = new ExpressionInfo(classOf[NgramHashesExpr].getName,
+  private[plans] val info = new ExpressionInfo(classOf[NgramHashesExpr].getName,
     Name)
 
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 2,
       s"$Name expects 2 arguments (textOrTokens, n), got ${children.size}")
     val n = children(1) match {

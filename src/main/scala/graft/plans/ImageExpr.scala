@@ -62,8 +62,8 @@ case class ImageMeanPoolExpr(child: Expression, grid: Int)
 
 object ImageMeanPoolExpr {
   val Name = "image_mean_pool"
-  private val info = new ExpressionInfo(classOf[ImageMeanPoolExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val info = new ExpressionInfo(classOf[ImageMeanPoolExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 2,
       s"image_mean_pool expects 2 arguments (content, grid), got ${children.size}")
     require(children(1).foldable,
@@ -115,8 +115,8 @@ case class ImageDimsExpr(child: Expression)
 
 object ImageDimsExpr {
   val Name = "image_dims"
-  private val info = new ExpressionInfo(classOf[ImageDimsExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val info = new ExpressionInfo(classOf[ImageDimsExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 1,
       s"image_dims expects 1 argument (content), got ${children.size}")
     ImageDimsExpr(children(0))
@@ -175,8 +175,8 @@ case class PngSynthExpr(id: Expression, w: Expression, h: Expression)
 
 object PngSynthExpr {
   val Name = "png_synth"
-  private val info = new ExpressionInfo(classOf[PngSynthExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val info = new ExpressionInfo(classOf[PngSynthExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 3,
       s"png_synth expects 3 arguments (id, w, h), got ${children.size}")
     PngSynthExpr(children(0), children(1), children(2))

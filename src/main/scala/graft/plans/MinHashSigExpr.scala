@@ -191,12 +191,12 @@ case class MinHashBandsExpr(
 
 object MinHashBandsExpr {
   val Name = "minhash_bands"
-  private val info = new ExpressionInfo(classOf[MinHashBandsExpr].getName, Name)
+  private[plans] val info = new ExpressionInfo(classOf[MinHashBandsExpr].getName, Name)
   private def lit(e: Expression, what: String): Any = {
     require(e.foldable, s"minhash_bands: $what must be a literal, got $e")
     e.eval(null)
   }
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 4,
       s"minhash_bands expects 4 arguments (sig, bands, rowsPerBand, raw), " +
         s"got ${children.size}")
@@ -252,9 +252,9 @@ case class TokensDistinctExpr(child: Expression)
 
 object TokensDistinctExpr {
   val Name = "tokens_distinct"
-  private val info =
+  private[plans] val info =
     new ExpressionInfo(classOf[TokensDistinctExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 1,
       s"tokens_distinct expects 1 argument, got ${children.size}")
     TokensDistinctExpr(children(0))
@@ -311,9 +311,9 @@ case class TokensDistinctHashedExpr(child: Expression)
 
 object TokensDistinctHashedExpr {
   val Name = "tokens_distinct_hashed"
-  private val info =
+  private[plans] val info =
     new ExpressionInfo(classOf[TokensDistinctHashedExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 1,
       s"tokens_distinct_hashed expects 1 argument, got ${children.size}")
     TokensDistinctHashedExpr(children(0))
@@ -374,12 +374,12 @@ case class SimHashExpr(child: Expression, bits: Int, portable: Boolean)
 
 object SimHashExpr {
   val Name = "simhash_fp"
-  private val info = new ExpressionInfo(classOf[SimHashExpr].getName, Name)
+  private[plans] val info = new ExpressionInfo(classOf[SimHashExpr].getName, Name)
   private def litVal(e: Expression, what: String): Any = {
     require(e.foldable, s"simhash_fp: $what must be a literal, got $e")
     e.eval(null)
   }
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 3,
       s"simhash_fp expects 3 arguments (text, bits, portable), " +
         s"got ${children.size}")
@@ -470,12 +470,12 @@ case class MinHashOphSigExpr(
 
 object MinHashOphSigExpr {
   val Name = "minhash_oph_sig"
-  private val info = new ExpressionInfo(classOf[MinHashOphSigExpr].getName, Name)
+  private[plans] val info = new ExpressionInfo(classOf[MinHashOphSigExpr].getName, Name)
   private def litVal(e: Expression, what: String): Any = {
     require(e.foldable, s"minhash_oph_sig: $what must be a literal, got $e")
     e.eval(null)
   }
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 3,
       s"minhash_oph_sig expects 3 arguments (shingles, bins, portable), " +
         s"got ${children.size}")
@@ -607,9 +607,9 @@ case class ArrayIntersectSizeExpr(left: Expression, right: Expression)
 
 object ArrayIntersectSizeExpr {
   val Name = "array_intersect_size"
-  private val info =
+  private[plans] val info =
     new ExpressionInfo(classOf[ArrayIntersectSizeExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 2,
       s"array_intersect_size expects 2 arguments, got ${children.size}")
     ArrayIntersectSizeExpr(children(0), children(1))
@@ -710,13 +710,13 @@ object MinHashShinglesSigExpr {
     } else XXH64.hashUnsafeBytes(bytes,
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offset, len, 42L)
 
-  private val info =
+  private[plans] val info =
     new ExpressionInfo(classOf[MinHashShinglesSigExpr].getName, Name)
   private def litVal(e: Expression, what: String): Any = {
     require(e.foldable, s"minhash_sig_arr: $what must be a literal, got $e")
     e.eval(null)
   }
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 3,
       s"minhash_sig_arr expects 3 arguments (shingles, numHashes, portable), " +
         s"got ${children.size}")

@@ -59,8 +59,8 @@ case class VideoMetaExpr(child: Expression)
 
 object VideoMetaExpr {
   val Name = "video_meta"
-  private val info = new ExpressionInfo(classOf[VideoMetaExpr].getName, Name)
-  private val builder = (children: Seq[Expression]) => {
+  private[plans] val info = new ExpressionInfo(classOf[VideoMetaExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
     require(children.size == 1,
       s"video_meta expects 1 argument (content), got ${children.size}")
     VideoMetaExpr(children(0))

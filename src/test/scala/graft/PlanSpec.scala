@@ -86,6 +86,43 @@ class PlanSpec extends AnyFunSuite {
       "g9_distinct_approx", "a8_quantiles_approx"))
   }
 
+  test("GraftExtensions exposes the whole native-function surface to plain SQL") {
+    import graft.plans.GraftExtensions
+    val names = GraftExtensions.All.map(_._1.funcName)
+    assert(names.distinct.size == names.size, "duplicate function names")
+    // Every native expression family must appear — a new expression
+    // that forgets the extension list fails here, not in a deployment.
+    for (want <- Seq("cosine_sim", "lsh_buckets", "l2_sq",
+        "nearest_centroid", "nearest_centroid_2l", "pq_codes",
+        "minhash_sig_arr", "minhash_bands", "minhash_oph_sig",
+        "tokens_distinct", "tokens_distinct_hashed", "simhash_fp",
+        "array_intersect_size", "funnel_gates", "ngram_hashes",
+        "image_mean_pool", "image_dims", "png_synth",
+        "audio_mean_pool", "video_meta"))
+      assert(names.contains(want), s"missing from GraftExtensions: $want")
+    // Register through the SAME tuples the extension injects (they are
+    // byte-for-byte what ext.injectFunction receives), then drive a
+    // cross-family sample through plain spark.sql.
+    GraftExtensions.All.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |       simhash_fp('a b a', 16, true) AS fp,
+        |       size(minhash_sig_arr(array('x', 'y'), 8, false)) AS sig,
+        |       array_intersect_size(array('a', 'b'), array('b', 'c')) AS ix,
+        |       size(ngram_hashes('a b c d', 2)) AS ng,
+        |       size(image_mean_pool(png_synth(CAST(7 AS BIGINT), 4, 4), 2)) AS img,
+        |       image_dims(png_synth(CAST(7 AS BIGINT), 5, 3)).width AS iw,
+        |       audio_mean_pool(CAST(NULL AS BINARY), 4) IS NULL AS anull,
+        |       video_meta(CAST('junk' AS BINARY)) IS NULL AS vnull
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(2) == 8 && r.getInt(3) == 1 && r.getInt(4) == 3)
+    assert(r.getInt(5) == 12 && r.getInt(6) == 5)
+    assert(r.getBoolean(7) && r.getBoolean(8))
+  }
+
   test("no registered query plans a cartesian product, sort-merge join, or UDF") {
     // Nested-loop joins are allowed ONLY in the bounded exact baselines
     // (broadcast theta-joins over id-filtered subsets / tiny query sets)
