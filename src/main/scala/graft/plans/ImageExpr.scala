@@ -191,6 +191,13 @@ object PngSynthExpr {
   * every JDK, works headless. */
 object ImageCodec {
 
+  // ImageIO's default stream cache is a TEMP FILE per read/write — for
+  // a corpus of small in-memory payloads that is a file create+delete
+  // per image and it dominates decode time at 320 K images/scan.
+  // Heap-backed caching instead (JVM-wide; the only behavior change is
+  // where ImageIO buffers non-seekable streams).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Decode + channel-mean pool; null when the bytes are not a
     * decodable image. Sums are exact integer accumulations, so the
     * result is deterministic: `sum / count / 255.0` per cell-channel,
