@@ -123,11 +123,21 @@ object Corpus {
     // driver-side collect. A hand-built or pre-stamp watermark (no
     // column) is accepted as asserted-by-caller.
     if (watermark.columns.contains("budget_tokens")) {
-      val budgets = watermark.select("budget_tokens").distinct()
-        .collect().map(_.getInt(0)).toSeq
-      require(budgets.forall(_ == budgetTokens),
+      // Cast, don't getInt: a hand-built or unioned watermark may carry
+      // the column as long (or with a null), and an opaque
+      // ClassCastException here would hide the actual problem. A null
+      // budget is refused as loudly as a drifted one.
+      val budgets = watermark
+        .select(col("budget_tokens").cast("int").as("b")).distinct()
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+        .toSeq
+      require(!budgets.contains(None),
+        "packSequencesAppend: watermark carries a null (or non-numeric) " +
+          "budget_tokens value — refusing to treat an unknown budget as " +
+          "matching; rebuild the watermark with packWatermark")
+      require(budgets.flatten.forall(_ == budgetTokens),
         s"packSequencesAppend: watermark was computed with " +
-          s"budget_tokens=${budgets.mkString(",")} but this append " +
+          s"budget_tokens=${budgets.flatten.mkString(",")} but this append " +
           s"packs with budgetTokens=$budgetTokens — a drifted budget " +
           "shifts every sealed boundary and overlaps standing sequences")
     }

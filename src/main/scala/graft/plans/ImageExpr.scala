@@ -193,10 +193,16 @@ object ImageCodec {
 
   // ImageIO's default stream cache is a TEMP FILE per read/write — for
   // a corpus of small in-memory payloads that is a file create+delete
-  // per image and it dominates decode time at 320 K images/scan.
-  // Heap-backed caching instead (JVM-wide; the only behavior change is
-  // where ImageIO buffers non-seekable streams).
-  javax.imageio.ImageIO.setUseCache(false)
+  // per image and it dominates decode time at 320 K images/scan
+  // (measured 9x). Heap-backed caching instead — but this is a
+  // JVM-WIDE setting that also affects co-tenant ImageIO users in the
+  // same executor process (they lose disk-backed buffering of large
+  // non-seekable streams), so a deployment sharing executors with such
+  // code can opt out with -Dgraft.imageio.cache=keep; graft itself
+  // only ever feeds ImageIO in-heap byte arrays, for which the temp
+  // file is pure overhead.
+  if (!sys.props.get("graft.imageio.cache").contains("keep"))
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** Decode + channel-mean pool; null when the bytes are not a
     * decodable image. Sums are exact integer accumulations, so the

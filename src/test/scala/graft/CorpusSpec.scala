@@ -638,4 +638,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.packSequencesAppend(docs, "doc_id", col("n"),
       numShards = 4, budgetTokens = 256, seed = "p", wm).count() == 2)
   }
+
+  test("packSequencesAppend budget guard casts, not getInt: long-typed budgets match, null budgets refuse loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, 100L), (2L, 200L)).toDF("doc_id", "n")
+    // A hand-built watermark carrying budget_tokens as LONG (e.g. from
+    // a union or an external read) must match, not throw an opaque
+    // ClassCastException.
+    val wmLong = Seq((0, 300L, 256L), (1, 100L, 256L))
+      .toDF("shard", "n_tokens", "budget_tokens")
+    assert(Corpus.packSequencesAppend(docs, "doc_id", col("n"),
+      numShards = 4, budgetTokens = 256, seed = "p", wmLong).count() == 2)
+    // A NULL budget refuses with the intended message, not an NPE.
+    val wmNull = Seq((0, 300L, Some(256L)), (1, 100L, None))
+      .toDF("shard", "n_tokens", "budget_tokens")
+    val e = intercept[IllegalArgumentException] {
+      Corpus.packSequencesAppend(docs, "doc_id", col("n"),
+        numShards = 4, budgetTokens = 256, seed = "p", wmNull)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
 }

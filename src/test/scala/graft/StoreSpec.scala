@@ -321,6 +321,156 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("PackStore tombstone carries the full artifact guard: missing artifact and non-numeric ids refuse loudly") {
+    import graft.llm.PackStore
+    val dir = tmpDir("graft-ps")
+    try {
+      // No artifact at all: a mistyped dir must NOT succeed as a silent
+      // no-op takedown.
+      val e1 = intercept[IllegalStateException] {
+        PackStore.tombstone(spark, s"$dir/nowhere", Seq(1L).toDF("doc_id"))
+      }
+      assert(e1.getMessage.contains("sidecar"), e1.getMessage)
+      PackStore.write(packedDocs, dir, PackP)
+      // Ids whose cast to long yields null (wrong-typed id column) must
+      // refuse the whole list, not file an empty tombstone.
+      val e2 = intercept[IllegalArgumentException] {
+        PackStore.tombstone(spark, dir,
+          Seq("12", "doc-13", "14").toDF("doc_id"))
+      }
+      assert(e2.getMessage.contains("null"), e2.getMessage)
+      // Nothing half-applied: the refused list left no tombstones.
+      assert(PackStore.readTombstones(spark, dir).count() == 0)
+      // Numeric strings are fine — the cast discipline, not a type pin.
+      PackStore.tombstone(spark, dir, Seq("12", "13").toDF("doc_id"))
+      assert(PackStore.readTombstones(spark, dir)
+        .as[Long].collect().toSet == Set(12L, 13L))
+    } finally cleanup(dir)
+  }
+
+  test("PackStore: stale tombstones from a write() crash window are inert (build-stamp discipline)") {
+    import graft.llm.PackStore
+    val dir = tmpDir("graft-ps")
+    try {
+      PackStore.write(packedDocs, dir, PackP)
+      PackStore.tombstone(spark, dir,
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      assert(PackStore.serve(spark, dir, PackP).count() < docs.count())
+      // Simulate the crash: a full rebuild promoted its base but died
+      // before the tombstones-dir delete. Reproduce exactly that state
+      // by saving the committed tombstone segments, rewriting the base,
+      // and restoring the stale segments.
+      val local = java.nio.file.Paths.get(dir.stripPrefix("file:"))
+      val saved = java.nio.file.Files.createTempDirectory("graft-ts")
+      copyTree(local.resolve("tombstones"), saved.resolve("tombstones"))
+      PackStore.write(packedDocs, dir, PackP)
+      copyTree(saved.resolve("tombstones"), local.resolve("tombstones"))
+      graft.queries.Fixtures.deleteRecursively(saved)
+      // The stale segments were filed against the PREVIOUS base's build
+      // token — the fresh build (which by contract contains no dead
+      // docs) must serve in full, not silently drop the docs the old
+      // takedown named.
+      assert(PackStore.readTombstones(spark, dir).count() == 0)
+      assert(PackStore.serve(spark, dir, PackP).count() == docs.count())
+      // And a NEW takedown against the fresh base applies normally.
+      PackStore.tombstone(spark, dir, Seq(3L).toDF("doc_id"))
+      assert(PackStore.serve(spark, dir, PackP)
+        .filter(col("doc_id") === 3).count() == 0)
+    } finally cleanup(dir)
+  }
+
+  test("PackStore: takedown racing an append surfaces atomically at every commit point") {
+    import graft.llm.PackStore
+    val dir = tmpDir("graft-ps")
+    try {
+      val base = packedDocs.filter(col("doc_id") < 60)
+      val inc = packedDocs.filter(col("doc_id") >= 60)
+      PackStore.write(base, dir, PackP)
+      val fs = CorpusStore.fileSystem(spark, dir)
+
+      // Commit point A: the append's segment is fully written but NOT
+      // yet promoted (the in-flight window) when the takedown lands.
+      // The takedown must apply to the committed base NOW; the torn
+      // segment stays invisible.
+      val tornSeg = new Path(dir, "placements/_tmp_inc_0000000000005_rc")
+      inc.write.parquet(tornSeg.toString)
+      PackStore.tombstone(spark, dir, Seq(7L, 63L).toDF("doc_id"))
+      val midFlight = PackStore.serve(spark, dir, PackP)
+        .select("doc_id").as[Long].collect().toSet
+      assert(!midFlight.contains(7L) && !midFlight.contains(63L))
+      assert(midFlight.forall(_ < 60), "torn append segment leaked into serve")
+
+      // Commit point B: the append promotes AFTER the takedown — the
+      // tombstone filed mid-flight must keep suppressing 63 in the now
+      // fully-appended view (no torn state, no lost takedown).
+      assert(fs.rename(tornSeg,
+        new Path(dir, "placements/inc_0000000000005_rc")))
+      val afterAppend = PackStore.serve(spark, dir, PackP)
+        .select("doc_id").as[Long].collect().toSet
+      assert(afterAppend.contains(61L), "promoted append segment must serve")
+      assert(!afterAppend.contains(7L) && !afterAppend.contains(63L),
+        "takedown lost across the append commit")
+
+      // Commit point C: the mirror race — an in-flight (torn) TOMBSTONE
+      // when an append commits. The half-written takedown is invisible
+      // (atomically absent), every appended row serves.
+      val tornTomb = new Path(dir, "tombstones/_tmp_inc_0000000000006_rc")
+      Seq(61L).toDF("doc_id").withColumn("build", lit("wrong"))
+        .write.parquet(tornTomb.toString)
+      fs.delete(new Path(tornTomb, "_SUCCESS"), false)
+      assert(PackStore.serve(spark, dir, PackP)
+        .filter(col("doc_id") === 61).count() > 0)
+    } finally cleanup(dir)
+  }
+
+  test("BandStore: takedown delete racing an append surfaces atomically — committed segments fold in, in-flight temps die loudly") {
+    val dir = tmpDir("graft-bs")
+    try {
+      BandStore.build(docs.filter(col("doc_id") < 60), "doc_id", "text",
+        dir, P)
+      // A COMMITTED append before the delete folds into the rewrite.
+      BandStore.append(docs.filter(col("doc_id").between(60, 89)),
+        "doc_id", "text", dir, P)
+      // An IN-FLIGHT append (fully written, not yet promoted) when the
+      // delete lands.
+      val fs = CorpusStore.fileSystem(spark, dir)
+      val inFlight = new Path(dir, "data/_tmp_inc_0000000000007_rc")
+      Dedup.minhashBandTable(docs.filter(col("doc_id") >= 90), "doc_id",
+          "text", P.shingleN, P.bands, P.rowsPerBand, P.portable)
+        .write.parquet(inFlight.toString)
+      BandStore.delete(spark, dir,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
+      val after = BandStore.read(spark, dir, P)
+        .select("doc").as[Long].collect().toSet
+      // No torn state: every committed doc minus the takedown, nothing
+      // from the un-promoted temp.
+      assert(after == (0L until 90L).toSet.filter(_ % 10 != 0))
+      // The racing appender's temp was SWEPT by the delete's swap (the
+      // whole data dir was replaced), so its promote rename can only
+      // fail loudly — never silently re-introduce rows the takedown
+      // should have covered; the appender retries against the
+      // post-delete artifact.
+      assert(!fs.exists(inFlight),
+        "in-flight temp survived the delete swap — a later promote " +
+          "would resurrect pre-takedown rows")
+      assert(BandStore.read(spark, dir, P)
+        .select("doc").as[Long].collect().toSet == after)
+    } finally cleanup(dir)
+  }
+
+  private def copyTree(from: java.nio.file.Path,
+                       to: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Path => JPath}
+    Files.walk(from).forEach { (p: JPath) =>
+      val dest = to.resolve(from.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(dest)
+      else {
+        Files.createDirectories(dest.getParent)
+        Files.copy(p, dest)
+      }
+    }
+  }
+
   // ---- CorpusStore --------------------------------------------------
 
   /** Seed a store with raw batch dirs the way StreamingDedup writes
