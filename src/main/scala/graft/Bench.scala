@@ -34,6 +34,8 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
+      // Deployment-path function registration (see Tables.localSession).
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -13,6 +13,7 @@ object OphProfile {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "512k")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = HeavyBench.ensureHeavyDir(spark, "/root/testdata/sf0.1")

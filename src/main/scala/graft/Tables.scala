@@ -128,6 +128,13 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // ONE registration path: the engine's own sessions load the whole
+      // native-function surface the same way a deployment does
+      // (spark.sql.extensions), so the tested path IS the deployed
+      // path. The operators' lazy register() calls remain as a no-op
+      // fallback for externally-built sessions (e.g. a host
+      // application's own SparkSession without the conf).
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

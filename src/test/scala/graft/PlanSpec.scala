@@ -100,12 +100,14 @@ class PlanSpec extends AnyFunSuite {
         "image_mean_pool", "image_dims", "png_synth",
         "audio_mean_pool", "video_meta"))
       assert(names.contains(want), s"missing from GraftExtensions: $want")
-    // Register through the SAME tuples the extension injects (they are
-    // byte-for-byte what ext.injectFunction receives), then drive a
-    // cross-family sample through plain spark.sql.
-    GraftExtensions.All.foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    // The engine's own sessions now load the surface via
+    // spark.sql.extensions (Tables.localSession) — assert the shared
+    // test session really is on that ONE path, then drive a
+    // cross-family sample through plain spark.sql WITHOUT any manual
+    // registration: resolution below proves the injected builders work.
+    assert(spark.conf.get("spark.sql.extensions")
+      .contains("graft.plans.GraftExtensions"),
+      "test session must register functions via the deployment path")
     val r = spark.sql(
       """SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
         |       simhash_fp('a b a', 16, true) AS fp,
