@@ -8,18 +8,20 @@ import org.apache.spark.sql.types._
   * `binary` payloads plus a typed metadata struct, with
   * decode/feature/resize/frame-sample stages as columnar transforms.
   *
-  * IMAGE and AUDIO decode are REAL, on the JDK's own codecs inside
+  * Decode is REAL for every modality, on the JDK's own codecs inside
   * native scan-projection expressions: [[decodeImage]] runs
   * `javax.imageio` (PNG/JPEG/BMP/GIF —
-  * [[graft.plans.ImageMeanPoolExpr]]) and [[decodeAudio]] runs
+  * [[graft.plans.ImageMeanPoolExpr]]), [[decodeAudio]] runs
   * `javax.sound.sampled` (WAV/AIFF/AU PCM —
-  * [[graft.plans.AudioMeanPoolExpr]]), each pooling the decoded
-  * payload to a fixed-dim feature vector. Only VIDEO decode is
-  * STUBBED — the JDK genuinely ships no video codec and this
-  * container has no external media libraries — behind [[decodeStub]],
-  * a deterministic payload-hash fake kept for that modality and for
-  * tests; a deployment swaps it through [[extractFeaturesWith]] for a
-  * codec producing the same array<double> column shape. Everything
+  * [[graft.plans.AudioMeanPoolExpr]]), and [[decodeVideoFrames]]
+  * decodes MJPEG-in-AVI video pixel-for-pixel (RIFF chunk walk +
+  * per-frame `javax.imageio` — [[graft.plans.VideoFramePoolExpr]]),
+  * each pooling the decoded payload to fixed-dim feature vectors.
+  * Only video CODECS the JDK lacks (H.264/VP9/AV1 …; this container
+  * has no external media libraries) stay behind [[decodeStub]], a
+  * deterministic payload-hash fake kept for those and for tests; a
+  * deployment swaps it through [[extractFeaturesWith]] for a codec
+  * producing the same array<double> column shape. Everything
   * around the decoders is shared and tested: the schema contract,
   * per-stage column signatures, the partitioning story (media rows
   * are large — repartition by byte-size budget before wide stages),
@@ -90,12 +92,16 @@ object Multimodal {
   def extractFeaturesAudio(media: DataFrame, dim: Int = 8): DataFrame =
     extractFeaturesWith(media, dim, decodeAudio)
 
-  /** STUB decode for VIDEO payloads (the JDK genuinely ships no video
-    * codec and this container has no external media libraries) and for
-    * decoder-agnosticism tests. Deterministic fake — features are
-    * seeded by the payload hash, so tests and oracles are stable.
-    * Returns array<double> of length `dim`. Images use [[decodeImage]]
-    * and audio uses [[decodeAudio]] — those paths are real. */
+  /** STUB decode for video CODECS the JDK ships no decoder for
+    * (H.264/VP9/AV1 … — this container has no external media
+    * libraries) and for decoder-agnosticism tests. Deterministic
+    * fake — features are seeded by the payload hash, so tests and
+    * oracles are stable. Returns array<double> of length `dim`.
+    * Every modality has a REAL decode path for at least one genuine
+    * format: images [[decodeImage]] (PNG/JPEG/BMP/GIF), audio
+    * [[decodeAudio]] (WAV/AIFF/AU PCM), video [[decodeVideoFrames]]
+    * (MJPEG-in-AVI, per-frame JPEG) — the stub covers only what the
+    * JDK genuinely cannot. */
   def decodeStub(content: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(content, i), lit(1000)).cast("double") / 500.0) - 1.0)
@@ -117,6 +123,31 @@ object Multimodal {
   def extractFeaturesWith(media: DataFrame, dim: Int,
                           decoder: (Column, Int) => Column): DataFrame =
     media.withColumn("features", decoder(col("content"), dim))
+
+  /** REAL video pixel decode + per-frame feature pooling: an
+    * MJPEG-in-AVI payload's frames (each a plain JPEG) through
+    * `javax.imageio`, every frame pooled exactly like
+    * [[decodeImage]]. Returns array<array<double>> — one
+    * `grid*grid*3` vector per frame, NULL for payloads that are not
+    * parseable AVI, NULL elements for corrupt frames (drop with a
+    * filter). Runs as one compiled expression in the scan
+    * projection. */
+  def decodeVideoFrames(content: Column, grid: Int): Column = {
+    graft.plans.VideoFramePoolExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.plans.VideoFramePoolExpr.Name, content, lit(grid))
+  }
+
+  /** The video-corpus embedding stage: one row per decoded frame
+    * (media_id, frame_idx, features) — [[sampleFrames]]' explode shape
+    * with REAL pixels behind it. The payload is never replicated per
+    * frame: the explode runs on the decoded feature vectors, not the
+    * video bytes. */
+  def extractFrameFeaturesVideo(media: DataFrame,
+                                grid: Int = 2): DataFrame =
+    media.select(col("media_id"),
+      posexplode(decodeVideoFrames(col("content"), grid))
+        .as(Seq("frame_idx", "features")))
 
   /** Fill the media schema's width/height from the ACTUAL payload via
     * the real header probe (`image_dims` — no pixel decode): binary-

@@ -898,5 +898,7 @@ object GraftExtensions {
     reg(PngSynthExpr.Name, PngSynthExpr.info, PngSynthExpr.builder),
     reg(AudioMeanPoolExpr.Name, AudioMeanPoolExpr.info,
       AudioMeanPoolExpr.builder),
-    reg(VideoMetaExpr.Name, VideoMetaExpr.info, VideoMetaExpr.builder))
+    reg(VideoMetaExpr.Name, VideoMetaExpr.info, VideoMetaExpr.builder),
+    reg(VideoFramePoolExpr.Name, VideoFramePoolExpr.info,
+      VideoFramePoolExpr.builder))
 }

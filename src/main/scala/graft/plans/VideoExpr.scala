@@ -9,12 +9,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, 
 /** REAL video container metadata: `video_meta(content)` parses the
   * ISO-BMFF (MP4/MOV) box structure — `moov/mvhd` for
   * timescale+duration, `moov/trak/tkhd` for track dimensions — and
-  * returns struct(width, height, duration_ms), NULL for payloads that
-  * are not ISO-BMFF. Pure byte parsing, no codec: the JDK ships no
-  * video PIXEL decoder (that stage stays stubbed behind the
-  * contract-tested seam), but the container METADATA a pipeline needs
+  * the RIFF/AVI `avih` header ([[AviCodec]]), returning struct(width,
+  * height, duration_ms); NULL for payloads in neither container. Pure
+  * byte parsing, no codec — the container METADATA a pipeline needs
   * for frame sampling, resize planning, and size filtering is plain
-  * bytes — so this half is real, like `image_dims` for images.
+  * bytes, like `image_dims` for images. PIXEL decode is real for
+  * MJPEG-in-AVI ([[VideoFramePoolExpr]] — every frame is a plain JPEG
+  * the JDK decodes); for codecs the JDK ships no decoder for
+  * (H.264/VP9/…) the decode stage stays stubbed behind the
+  * contract-tested seam.
   *
   * Parsing facts used (ISO/IEC 14496-12):
   *  - a box is [size:u32][type:4cc][payload]; size==1 → 64-bit
@@ -77,10 +80,15 @@ object VideoCodec {
 
   final case class Meta(width: Int, height: Int, durationMs: Long)
 
-  /** Container metadata, or null when the bytes are not ISO-BMFF
-    * (no parseable top-level box chain containing a `moov`). */
+  /** Container metadata, or null when the bytes are neither ISO-BMFF
+    * (no parseable top-level box chain containing a `moov`) nor
+    * RIFF/AVI (delegated to [[AviCodec]] — big-endian box walk here,
+    * little-endian chunk walk there; same discipline). */
   def parseMeta(bytes: Array[Byte]): Meta = {
     if (bytes.length < 16) return null
+    val avi = AviCodec.meta(bytes)
+    if (avi != null)
+      return Meta(avi.width, avi.height, avi.durationMs)
     var width = 0
     var height = 0
     var durationMs = -1L

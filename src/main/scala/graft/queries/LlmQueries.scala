@@ -147,6 +147,37 @@ object LlmQueries {
         lit(null).cast("long").as("duration_ms")))
   }
 
+  /** Real MJPEG-AVI media fixture — genuine RIFF/AVI containers whose
+    * `00dc` chunks are real JPEGs (JDK encoder, quality 1.0). Frame f
+    * of doc id is CONSTANT GRAY v = (id·37 + f·59) mod 256: the
+    * JPEG-invariant subset — constant-gray frames round-trip the lossy
+    * codec bit-exactly at quality 1.0 (pinned for all 256 values by
+    * MultimodalSpec) — so the oracle's pixel formula stays exact while
+    * the Spark side must run the real container walk AND the real
+    * JPEG decode. Dims are multiples of 8 (whole MCU blocks). */
+  private def aviMedia(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < PngMediaDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rows = ids.map { id =>
+      val w = (16 + (id % 3) * 8).toInt
+      val h = (16 + (id % 2) * 8).toInt
+      val frames = (0 until (2 + id % 4).toInt).map { f =>
+        val v = ((id * 37 + f * 59) % 256).toInt
+        graft.plans.AviCodec.encodeJpeg(w, h,
+          (_, _) => (v << 16) | (v << 8) | v)
+      }
+      (id, graft.plans.AviCodec.encodeAviMjpeg(w, h,
+        usecPerFrame = 40000L, frames))
+    }
+    import s.implicits._
+    rows.toDF("media_id", "content")
+      .withColumn("meta", struct(lit("video/x-msvideo").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup groups by order-insensitive fingerprint.
@@ -1671,6 +1702,30 @@ object LlmQueries {
       Multimodal.sampleFrames(withMeta, everyMs = 500L)
         .select(col("media_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("frame_ms"))
+    },
+
+    // Multimodal: REAL video PIXEL decode — genuine MJPEG-AVI payloads
+    // (RIFF container, real JPEG frames) walked chunk-by-chunk and
+    // decoded frame-by-frame on javax.imageio inside the scan
+    // projection, each frame pooled like an image. The frames are
+    // constant gray from an arithmetic formula — the JPEG-invariant
+    // subset (bit-exact round-trip at quality 1.0, MultimodalSpec pins
+    // all 256 values) — so the oracle replays the formula exactly: a
+    // wrong chunk walk, frame boundary, or decode hash-diverges. With
+    // this every modality's decode is real; only codecs the JDK lacks
+    // (H.264/VP9/…) stay behind the contract-tested stub seam.
+    Q("m6_video_frames",
+      s"""WITH m AS (SELECT doc_id, 2 + doc_id % 4 AS nf
+        |           FROM documents WHERE doc_id < $PngMediaDocs),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM m),
+        |p AS (SELECT doc_id, fi, unnest(range(0, 12)) AS pos FROM f)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |       CAST(pos AS INT) AS pos,
+        |       ((doc_id * 37 + fi * 59) % 256) / 255.0 AS feature
+        |FROM p""".stripMargin) { (s, d) =>
+      Multimodal.extractFrameFeaturesVideo(aviMedia(s, d), grid = 2)
+        .select(col("media_id"), col("frame_idx"),
+          posexplode(col("features")).as(Seq("pos", "feature")))
     },
 
     // Multimodal: frame sampling — one row per sampled timestamp, the

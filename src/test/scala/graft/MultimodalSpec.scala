@@ -313,6 +313,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(both.width == 320 && both.height == 240)
   }
 
+  test("JPEG constant-gray frames round-trip the quality-1.0 codec bit-exactly for ALL 256 values") {
+    import graft.plans.{AviCodec, ImageCodec}
+    // The fixture contract the m6 oracle leans on: a constant-gray
+    // frame (R=G=B=v) survives the LOSSY codec exactly — Cb=Cr=128 for
+    // gray, a constant block's DCT is its DC term alone, and the
+    // quality-1.0 quantizer is lossless on it. Non-gray constants do
+    // NOT round-trip (chroma rounding), so this pin is what licenses
+    // using real JPEG under an exact arithmetic oracle.
+    for (v <- 0 until 256) {
+      val jpeg = AviCodec.encodeJpeg(24, 16, (_, _) => (v << 16) | (v << 8) | v)
+      val pooled = ImageCodec.decodeMeanPool(jpeg, 1)
+      assert(pooled != null && pooled.length == 3)
+      assert(pooled.forall(_ == v / 255.0),
+        s"gray $v decoded to ${pooled.toSeq}")
+    }
+  }
+
+  test("real video pixel decode: MJPEG-AVI round-trip pools the exact ground-truth frames") {
+    import graft.plans.{AviCodec, VideoCodec}
+    val grays = Seq(17, 200, 85, 254)
+    val frames = grays.map(v =>
+      AviCodec.encodeJpeg(32, 16, (_, _) => (v << 16) | (v << 8) | v))
+    val avi = AviCodec.encodeAviMjpeg(32, 16, usecPerFrame = 40000L, frames)
+    // Direct codec round-trip: container meta and every frame payload.
+    val m = AviCodec.meta(avi)
+    assert(m.width == 32 && m.height == 16 && m.totalFrames == 4 &&
+      m.durationMs == 160L)
+    assert(AviCodec.frames(avi).toSeq.map(_.toSeq) == frames.map(_.toSeq))
+    // video_meta covers RIFF/AVI too (one metadata surface for both
+    // containers).
+    val vm = VideoCodec.parseMeta(avi)
+    assert(vm != null && vm.width == 32 && vm.height == 16 &&
+      vm.durationMs == 160L)
+    // Through the distributed stage: one row per frame, every pooled
+    // cell exactly v/255 (constant frames pool to their gray level at
+    // any grid).
+    val rows = Seq((9L, avi)).toDF("media_id", "content")
+    val out = Multimodal.extractFrameFeaturesVideo(rows, grid = 2)
+      .select(col("media_id"), col("frame_idx"), col("features"))
+      .as[(Long, Int, Seq[Double])].collect().sortBy(_._2)
+    assert(out.length == 4)
+    out.zip(grays).foreach { case ((_, _, feats), v) =>
+      assert(feats.size == 12 && feats.forall(_ == v / 255.0))
+    }
+    // Non-AVI payloads decode to null rows (posexplode drops them);
+    // a corrupt FRAME inside a valid container yields a null element,
+    // not a crash.
+    val junk = Seq((1L, "junk".getBytes("UTF-8"))).toDF("media_id", "content")
+    assert(Multimodal.extractFrameFeaturesVideo(junk, 2).count() == 0)
+    val torn = AviCodec.encodeAviMjpeg(32, 16, 40000L,
+      Seq(frames.head, "garbage".getBytes("UTF-8"), frames.last))
+    val tornOut = Multimodal.extractFrameFeaturesVideo(
+        Seq((2L, torn)).toDF("media_id", "content"), 2)
+      .select(col("frame_idx"), col("features").isNull)
+      .as[(Int, Boolean)].collect().toMap
+    assert(tornOut == Map(0 -> false, 1 -> true, 2 -> false))
+  }
+
+  test("MJPEG decode handles non-constant frames through the same path (within codec tolerance)") {
+    import graft.plans.{AviCodec, ImageCodec}
+    // A gradient frame: lossy, so no exactness — the pooled means must
+    // land within a small JPEG tolerance of the analytic means. This
+    // pins that the decode path is the real general codec, not a
+    // constant-frame special case.
+    val w = 32; val h = 32
+    def px(x: Int, y: Int): Int = {
+      val r = x * 255 / (w - 1); val g = y * 255 / (h - 1); val b = 128
+      (r << 16) | (g << 8) | b
+    }
+    val jpeg = AviCodec.encodeJpeg(w, h, px, quality = 0.95f)
+    val pooled = ImageCodec.decodeMeanPool(jpeg, 1)
+    def mean(c: Int): Double = {
+      var s = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        s += (px(x, y) >>> (16 - 8 * c)) & 0xFF
+      s.toDouble / (w * h) / 255.0
+    }
+    for (c <- 0 until 3)
+      assert(math.abs(pooled(c) - mean(c)) < 3.0 / 255.0,
+        s"channel $c: ${pooled(c)} vs ${mean(c)}")
+  }
+
   test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
     val plan = Multimodal.rebalanceBySize(media)
       .queryExecution.optimizedPlan.toString
