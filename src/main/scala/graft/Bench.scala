@@ -281,7 +281,12 @@ object HeavyBench {
       name: String, tables: Seq[String], subdir: Option[String] = None,
       fn: Option[(SparkSession, String) => DataFrame] = None,
       counts: Option[(SparkSession, String) => Seq[(String, Long)]] = None,
-      meta: Seq[(String, String)] = Nil)
+      meta: Seq[(String, String)] = Nil,
+      // Override for input_mb/input_rows when the entry reads a
+      // fixture OUTSIDE the heavy tables (the media entries): the
+      // reported MB/s must be over the bytes actually decoded, not a
+      // proxy table.
+      paths: Option[(SparkSession, String) => Seq[String]] = None)
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
@@ -566,7 +571,43 @@ object HeavyBench {
         graft.llm.Multimodal.extractFeaturesImage(media, grid = 4)
           .select(col("media_id"), col("features"))
       },
+      // input_mb over the PNG fixture itself, not the documents proxy
+      // table — the MB/s must be over the bytes actually decoded.
+      paths = Some((s, d) =>
+        Seq(queries.LlmQueries.ensurePngFixture(s, d))),
       meta = Seq("grid" -> "4", "dims" -> "\"16+id%9 x 16+id%7 RGB\"")),
+    // REAL image decode at CRAWL-REALISTIC sizes: 10 K images of
+    // 128-512 px per side (50/50 genuine PNG / JPEG q0.8, avalanche-
+    // noise content, ~1.9 GB encoded at ~190 KB/image) — the regime
+    // where per-image cost is pixel-bound. m3's 16-23 px fixture
+    // measures the per-row-overhead end (imgs/s); THIS entry's
+    // mb_per_s is the number that decides whether 100 TB image
+    // curation is decode-bound or scan-bound (compare mb_per_s / 32
+    // cores against the 300-800 MB/s/core parquet scan envelope).
+    HeavyItem("m7_image_decode_realistic", Seq("documents"),
+      fn = Some { (s, d) =>
+        val media = s.read.parquet(
+          queries.LlmQueries.ensureRealisticMediaFixture(s, d))
+        graft.llm.Multimodal.extractFeaturesImage(media, grid = 4)
+          .select(col("media_id"), col("features"))
+      },
+      paths = Some((s, d) =>
+        Seq(queries.LlmQueries.ensureRealisticMediaFixture(s, d))),
+      counts = Some { (s, d) =>
+        val m = s.read.parquet(
+          queries.LlmQueries.ensureRealisticMediaFixture(s, d))
+        // Decoded (raw RGB) volume: what the decoder actually produces
+        // — together with input_mb this splits encoded-MB/s from
+        // output-pixel throughput. Dims replay the fixture formula.
+        val px = m.select(sum((lit(128) + pmod(col("media_id") * 97,
+            lit(385))) * (lit(128) + pmod(col("media_id") * 53,
+            lit(385))))).collect()(0).getLong(0)
+        Seq("png_images" -> m.filter(col("fmt") === "png").count(),
+          "jpeg_images" -> m.filter(col("fmt") === "jpeg").count(),
+          "decoded_mb_rgb" -> px * 3 / 1000000)
+      },
+      meta = Seq("grid" -> "4", "dims" -> "\"128-512 px RGB\"",
+        "mix" -> "\"png/jpeg 50/50\"", "jpeg_quality" -> "0.8")),
     // ANN SERVING from the persisted IVF-PQ artifact: e12 times
     // train+encode+search in one window (what a rebuild pays); this
     // entry times what a deployment pays PER QUERY BATCH — read the
@@ -912,19 +953,23 @@ object HeavyBench {
       // here so the first graph query isn't charged for fixture prep.
       if (selected.exists(_.tables.contains("lineitem")))
         queries.GraphQueries.ensureCitationFixture(spark, dir)
-      // The PNG media fixture likewise: synthesized once, untimed, so
-      // the decode entry times decoding, not fixture generation.
+      // The media fixtures likewise: synthesized once, untimed, so the
+      // decode entries time decoding, not fixture generation.
       if (selected.exists(_.name == "m3_image_decode"))
         queries.LlmQueries.ensurePngFixture(spark, dir)
+      if (selected.exists(_.name == "m7_image_decode_realistic"))
+        queries.LlmQueries.ensureRealisticMediaFixture(spark, dir)
       val byName = SparkEntry.registry.map(q => q.name -> q.fn).toMap
       val items = selected.flatMap { item =>
         val fn = item.fn.orElse(byName.get(item.name))
         fn.map { f =>
           System.err.println(s"[bench] heavy ${item.name}")
           val d = item.subdir.map(s => s"$dir/$s").getOrElse(dir)
-          val bytes = item.tables.map(t => duBytes(spark, s"$d/$t.parquet")).sum
-          val rows = item.tables.map(t =>
-            spark.read.parquet(s"$d/$t.parquet").count()).sum
+          val srcPaths = item.paths.map(_(spark, d))
+            .getOrElse(item.tables.map(t => s"$d/$t.parquet"))
+          val bytes = srcPaths.map(p => duBytes(spark, p)).sum
+          val rows = srcPaths.map(p =>
+            spark.read.parquet(p).count()).sum
           // Min over N samples (default 3): each heavy item is timed
           // once per sample from reaped state, but single samples still
           // swing 2-4× WITHIN one run (r11 driver-like pass: d17
@@ -966,10 +1011,17 @@ object HeavyBench {
           // Every sample is reported, not just the min: samples that
           // disagree 2×+ flag a contended reading (JVM state the
           // reaper could not return), so a reader can judge the min's
-          // trustworthiness without re-measuring.
+          // trustworthiness without re-measuring. `spread` (max/min)
+          // makes that machine-checkable: the committed-bench
+          // discipline (README "Bench record policy") refuses a
+          // refresh whose heavy entries read spread > 1.5 without an
+          // isolated cross-check.
           val samplesJson = samples.map(s =>
             String.format(java.util.Locale.ROOT, "%.3f",
               Double.box(s._1))).mkString("[", ",", "]")
+          val spread =
+            if (ok.size < 2) 1.0
+            else ok.map(_._1).max / math.max(ok.map(_._1).min, 1e-9)
           val warmupJson = if (warmup < 0) ""
             else String.format(java.util.Locale.ROOT,
               ""","warmup_sec":%.3f""", Double.box(warmup))
@@ -983,7 +1035,7 @@ object HeavyBench {
                 f""","pairs_per_s":${v / sec}%.0f""" else ""
               s""""$k":$v$perS"""
             }).mkString(",", ",", "").stripSuffix(",")
-          f""""${item.name}":{"sec":$sec%.3f,"samples":$samplesJson$warmupJson,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f$extraJson}"""
+          f""""${item.name}":{"sec":$sec%.3f,"samples":$samplesJson,"spread":$spread%.2f$warmupJson,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f$extraJson}"""
         }
       }
       val f = Factors.map { case (k, v) => s""""$k":$v""" }.mkString(",")

@@ -149,6 +149,13 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    // `packstore` → the PackStore serve-vs-tombstone-growth sweep (the
+    // compact-trigger evidence; see [[packStoreSweep]]).
+    if (args.headOption.contains("packstore")) {
+      packStoreSweep(spark)
+      spark.stop()
+      return
+    }
     // ×64 on the sf0.1 documents table is ~6.4 M docs / ~2 GB of text —
     // the "one big pass" that anchors the scaling curve beyond the
     // default sweep. Select it with SPARK_GRAFT_FACTORS=1,4,16,64 and
@@ -690,6 +697,96 @@ object ScaleCheck {
       }
     }
     spark.stop()
+  }
+
+  /** PackStore SERVE cost as tombstones accumulate — the measured
+    * curve behind [[graft.llm.PackStore.compact]]'s trigger policy.
+    * A fixed 2 M-row placements base is served with tombstone counts
+    * swept ×1/×4/×16 (2 K → 32 K ids, each level filed as 8 committed
+    * segments — takedown lists arrive in batches), then compacted; the
+    * sweep REQUIRES serve-after-compact ≡ serve-before at the largest
+    * point (the StoreSpec pin, re-proven at sweep scale) and reports
+    * the post-compact serve time as the recovered baseline. serve()
+    * anti-joins the broadcast tombstone union, so the expected shape is
+    * a flat-ish curve (one broadcast hash probe per placement row
+    * regardless of union size) plus the union's own read+broadcast cost
+    * growing with segment count — the segment-count term, not the id
+    * count, is what the ≤64-segment compact trigger bounds.
+    *
+    * Run: sbt "runMain graft.ScaleCheck packstore" */
+  private[graft] def packStoreSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import llm.PackStore
+    val dir = "file:" + java.nio.file.Files
+      .createTempDirectory("sc_packstore").toString
+    val params = PackStore.Params(numShards = 32, budgetTokens = 2048)
+    // A synthetic 2 M-row placements table in the exact store shape —
+    // the sweep measures the serve anti-join, not the packer (whose
+    // own scaling has its own ops above).
+    val placements = spark.range(0, 2000000).select(
+      col("id").as("doc_id"),
+      pmod(col("id"), lit(32)).cast("int").as("shard"),
+      (col("id") / 320).cast("int").as("seq_idx"),
+      pmod(col("id") * 37, lit(2048)).cast("int").as("tok_offset"))
+    PackStore.write(placements, dir, params)
+
+    // Full-materialization timing (the Bench fold): count() alone
+    // would let the anti-join's project prune columns.
+    def serveSec(): Double = {
+      val t0 = System.nanoTime()
+      val df = PackStore.serve(spark, dir, params)
+      df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+        .as("h")).agg(expr("bit_xor(h)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def serveChecksum(): Long = {
+      val df = PackStore.serve(spark, dir, params)
+      df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+        .as("h")).agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    }
+    serveSec() // warm codegen for the serve plan shape
+    println(f"${"tombstones"}%10s ${"segments"}%8s ${"frac_pct"}%8s " +
+      f"${"serve_sec"}%9s ${"needsCompact"}%12s")
+    println(f"${0}%10d ${0}%8d ${0.0}%7.3f " +
+      f"${Seq(serveSec(), serveSec()).min}%9.2f " +
+      f"${PackStore.needsCompact(spark, dir, params)}%12s")
+    var filed = 0L
+    var segments = 0
+    for (level <- Seq(2000L, 8000L, 32000L)) {
+      // Cumulative: file the delta up to `level`, 8 batches per level.
+      val batch = (level - filed) / 8
+      for (b <- 0 until 8) {
+        val lo = filed + b * batch
+        val hi = if (b == 7) level else lo + batch
+        // Spread ids across the keyspace (×61 mod 2M) — takedowns are
+        // not contiguous ranges.
+        PackStore.tombstone(spark, dir,
+          spark.range(lo, hi).select(pmod(col("id") * 61, lit(2000000L))
+            .as("doc_id")))
+        segments += 1
+      }
+      filed = level
+      val sec = Seq(serveSec(), serveSec()).min
+      val frac = PackStore.tombstonedFraction(spark, dir, params) * 100
+      println(f"$filed%10d $segments%8d $frac%7.3f $sec%9.2f " +
+        f"${PackStore.needsCompact(spark, dir, params)}%12s")
+    }
+    // Compact at the largest point: serve must be IDENTICAL before and
+    // after (the StoreSpec pin at sweep scale), and its cost returns
+    // to the zero-tombstone baseline.
+    val before = serveChecksum()
+    val t0 = System.nanoTime()
+    PackStore.compact(spark, dir)
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val after = serveChecksum()
+    require(after == before,
+      s"packStoreSweep: serve checksum changed across compact " +
+        s"($before -> $after) — compaction must never alter the view")
+    println(f"after compact: serve ≡ before (checksum $after%d), " +
+      f"compact $compactSec%.2f s, serve " +
+      f"${Seq(serveSec(), serveSec()).min}%.2f s, needsCompact " +
+      f"${PackStore.needsCompact(spark, dir, params)}%s")
+    graft.queries.Fixtures.deleteRecursively(
+      java.nio.file.Paths.get(dir.stripPrefix("file:")))
   }
 
   /** The BPE MERGE-COUNT scaling curve — the sweep dimension is the

@@ -896,6 +896,7 @@ object GraftExtensions {
       ImageMeanPoolExpr.builder),
     reg(ImageDimsExpr.Name, ImageDimsExpr.info, ImageDimsExpr.builder),
     reg(PngSynthExpr.Name, PngSynthExpr.info, PngSynthExpr.builder),
+    reg(JpegSynthExpr.Name, JpegSynthExpr.info, JpegSynthExpr.builder),
     reg(AudioMeanPoolExpr.Name, AudioMeanPoolExpr.info,
       AudioMeanPoolExpr.builder),
     reg(VideoMetaExpr.Name, VideoMetaExpr.info, VideoMetaExpr.builder),

@@ -127,9 +127,14 @@ object ImageDimsExpr {
 }
 
 /** Distributed PNG fixture synthesis: `png_synth(id, w, h)` → real
-  * encoded PNG bytes whose pixel channel c at (x, y) is
-  * `(id·73 + (y·w + x)·97 + c·31) mod 256` — the same arithmetic
-  * ground truth as the m1/pipe23 oracle fixtures, as a scan-projection
+  * encoded PNG bytes whose packed RGB pixel at (x, y) is
+  * [[ImageCodec.synthPixel]] — a splitmix64-style avalanche of
+  * (id, y·w + x), i.e. genuinely incompressible noise. The r15 linear
+  * formula (`id·73 + pos·97 + c·31 mod 256`) produced constant
+  * per-pixel deltas that PNG's Sub/Paeth filters collapsed to ~124 B
+  * files regardless of dims, so every decode-throughput number was
+  * measured on pathological best-case inputs; hash noise restores
+  * crawl-honest encoded sizes (~3 B/px PNG). A scan-projection
   * expression so corpus-scale media fixtures (hundreds of thousands of
   * images for decode-throughput benching) are generated in parallel on
   * executors instead of one by one on the driver. Fixture machinery,
@@ -162,10 +167,8 @@ case class PngSynthExpr(id: Expression, w: Expression, h: Expression)
     val hh = hv.asInstanceOf[Int]
     require(ww >= 1 && hh >= 1 && ww <= 4096 && hh <= 4096,
       s"png_synth: dims out of range ($ww x $hh)")
-    def v(c: Int, x: Int, y: Int): Int =
-      ((i * 73 + (y.toLong * ww + x) * 97 + c * 31) % 256).toInt
     ImageCodec.encodePng(ww, hh,
-      (x, y) => (v(0, x, y) << 16) | (v(1, x, y) << 8) | v(2, x, y))
+      (x, y) => ImageCodec.synthPixel(i, ww, x, y))
   }
 
   override protected def withNewChildrenInternal(
@@ -180,6 +183,65 @@ object PngSynthExpr {
     require(children.size == 3,
       s"png_synth expects 3 arguments (id, w, h), got ${children.size}")
     PngSynthExpr(children(0), children(1), children(2))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
+/** Distributed JPEG fixture synthesis — [[PngSynthExpr]]'s lossy
+  * sibling for decode-THROUGHPUT benching at crawl-realistic sizes:
+  * `jpeg_synth(id, w, h)` → real encoded JPEG bytes (JDK codec,
+  * quality 0.8) of the same pseudo-noise pixel formula. Noise is the
+  * decode-cost-honest content (no codec shortcuts on flat regions) and
+  * JPEG is lossy, so unlike `png_synth` there is NO exact pixel oracle
+  * — correctness of the decoder is gated elsewhere (m1/m6); this
+  * expression only feeds the MB/s measurement. Fixture machinery, not
+  * an operator. */
+case class JpegSynthExpr(id: Expression, w: Expression, h: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with CodegenFallback {
+
+  override def first: Expression = id
+  override def second: Expression = w
+  override def third: Expression = h
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val ok = id.dataType == LongType &&
+      w.dataType == IntegerType && h.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jpeg_synth expects (long, int, int), got (${id.dataType.simpleString}, " +
+        s"${w.dataType.simpleString}, ${h.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "jpeg_synth"
+
+  override protected def nullSafeEval(idv: Any, wv: Any, hv: Any): Any = {
+    val i = idv.asInstanceOf[Long]
+    val ww = wv.asInstanceOf[Int]
+    val hh = hv.asInstanceOf[Int]
+    require(ww >= 1 && hh >= 1 && ww <= 4096 && hh <= 4096,
+      s"jpeg_synth: dims out of range ($ww x $hh)")
+    AviCodec.encodeJpeg(ww, hh,
+      (x, y) => ImageCodec.synthPixel(i, ww, x, y), quality = 0.8f)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): JpegSynthExpr =
+    copy(id = f, w = s, h = t)
+}
+
+object JpegSynthExpr {
+  val Name = "jpeg_synth"
+  private[plans] val info = new ExpressionInfo(classOf[JpegSynthExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
+    require(children.size == 3,
+      s"jpeg_synth expects 3 arguments (id, w, h), got ${children.size}")
+    JpegSynthExpr(children(0), children(1), children(2))
   }
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry
@@ -220,14 +282,21 @@ object ImageCodec {
     val cells = grid * grid
     val sums = new Array[Long](cells * 3)
     val cnts = new Array[Long](cells)
+    // Row-batched pixel access: getRGB(x, y) per pixel costs a virtual
+    // raster lookup + color-model conversion PER CALL and dominated the
+    // pooling at crawl-size images (measured on the m7 fixture); the
+    // bulk overload converts a whole row per call with identical sRGB
+    // semantics.
+    val rowBuf = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
       val cy = y * grid / h
       var x = 0
       while (x < w) {
         val cx = x * grid / w
         val cell = cy * grid + cx
-        val rgb = img.getRGB(x, y) // sRGB, alpha premultiplication none
+        val rgb = rowBuf(x) // sRGB, alpha premultiplication none
         sums(cell * 3) += (rgb >>> 16) & 0xFF
         sums(cell * 3 + 1) += (rgb >>> 8) & 0xFF
         sums(cell * 3 + 2) += rgb & 0xFF
@@ -245,6 +314,19 @@ object ImageCodec {
       i += 1
     }
     out
+  }
+
+  /** The synth expressions' shared pixel formula: a splitmix64-style
+    * avalanche of (id, y·w + x) packed as 0xRRGGBB — deterministic,
+    * per-pixel independent, genuinely incompressible (so synthesized
+    * fixtures carry crawl-honest encoded sizes, not filter-collapsed
+    * best cases). */
+  def synthPixel(id: Long, w: Int, x: Int, y: Int): Int = {
+    var z = id * 0x9E3779B97F4A7C15L + (y.toLong * w + x) * 0xBF58476D1CE4E5B9L
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z & 0xFFFFFF).toInt
   }
 
   /** (width, height) from the image HEADER (no pixel decode), or null

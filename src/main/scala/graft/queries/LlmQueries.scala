@@ -81,7 +81,10 @@ object LlmQueries {
     * shared stamped-dir convention. Returns the parquet path. */
   def ensurePngFixture(s: org.apache.spark.sql.SparkSession,
                        d: String): String = {
-    val base = Fixtures.stampedDir(d, "documents", "png_media", 1)
+    // v2: png_synth switched from the filter-collapsible linear pixel
+    // formula to avalanche noise (see PngSynthExpr) — real ~3 B/px
+    // PNGs instead of 124 B degenerates.
+    val base = Fixtures.stampedDir(d, "documents", "png_media", 2)
     val target = base.resolve("media")
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
@@ -94,6 +97,49 @@ object LlmQueries {
               (lit(16) + pmod(col("doc_id"), lit(9))).cast("int"),
               (lit(16) + pmod(col("doc_id"), lit(7))).cast("int"))
               .as("content"))
+          .write.parquet(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
+  /** Crawl-REALISTIC media fixture for the decode-MB/s heavy entry:
+    * 10 K images at 128–512 px per side (even ids real PNG, odd ids
+    * real JPEG q0.8 — the 50/50 mix a web crawl skews between),
+    * avalanche-noise content so neither codec shortcuts, synthesized
+    * DISTRIBUTED via `png_synth`/`jpeg_synth` under the stamped-dir
+    * convention. ~1.9 GB encoded, ~190 KB/image — the regime where
+    * per-image decode cost is pixel-bound, not per-row-overhead-bound
+    * (the m3 fixture's 16–23 px images measure the opposite end).
+    * Returns the parquet path. */
+  def ensureRealisticMediaFixture(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String = {
+    // v2: avalanche-noise pixels (see PngSynthExpr) — encoded sizes
+    // are now content-honest (~3 B/px PNG, ~1 B/px JPEG q0.8).
+    val base = Fixtures.stampedDir(d, "documents", "media_realistic", 2)
+    val target = base.resolve("media")
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
+      try {
+        graft.plans.PngSynthExpr.register(s)
+        graft.plans.JpegSynthExpr.register(s)
+        val w = (lit(128) + pmod(col("doc_id") * 97, lit(385))).cast("int")
+        val h = (lit(128) + pmod(col("doc_id") * 53, lit(385))).cast("int")
+        val built = tmp.resolve("p")
+        Tables.documents(s, d).select("doc_id")
+          .filter(col("doc_id") < 10000)
+          .select(col("doc_id").as("media_id"),
+            when(col("doc_id") % 2 === 0,
+              call_function(graft.plans.PngSynthExpr.Name,
+                col("doc_id"), w, h))
+            .otherwise(
+              call_function(graft.plans.JpegSynthExpr.Name,
+                col("doc_id"), w, h)).as("content"),
+            when(col("doc_id") % 2 === 0, "png").otherwise("jpeg")
+              .as("fmt"))
+          // 32-way: one lineage would write one unsplittable row group.
+          .repartition(32)
           .write.parquet(built.toString)
         Fixtures.publish(built, target)
       } finally Fixtures.deleteRecursively(tmp)

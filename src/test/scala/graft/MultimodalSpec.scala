@@ -180,11 +180,9 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().toMap
     val viaDriver = (1L to 20L).map { id =>
       val w = (16 + id % 9).toInt; val h = (16 + id % 7).toInt
-      def v(c: Int, x: Int, y: Int): Int =
-        ((id * 73 + (y.toLong * w + x) * 97 + c * 31) % 256).toInt
       id -> graft.plans.ImageCodec.decodeMeanPool(
         graft.plans.ImageCodec.encodePng(w, h,
-          (x, y) => (v(0, x, y) << 16) | (v(1, x, y) << 8) | v(2, x, y)),
+          (x, y) => graft.plans.ImageCodec.synthPixel(id, w, x, y)),
         2).toSeq
     }.toMap
     assert(viaExpr == viaDriver)

@@ -97,7 +97,7 @@ class PlanSpec extends AnyFunSuite {
         "minhash_sig_arr", "minhash_bands", "minhash_oph_sig",
         "tokens_distinct", "tokens_distinct_hashed", "simhash_fp",
         "array_intersect_size", "funnel_gates", "ngram_hashes",
-        "image_mean_pool", "image_dims", "png_synth",
+        "image_mean_pool", "image_dims", "png_synth", "jpeg_synth",
         "audio_mean_pool", "video_meta", "video_frame_pool"))
       assert(names.contains(want), s"missing from GraftExtensions: $want")
     // The engine's own sessions now load the surface via
