@@ -379,6 +379,31 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("PackStore needsCompact trips on tombstoned fraction and on segment count, not before") {
+    import graft.llm.PackStore
+    val dir = tmpDir("graft-ps")
+    try {
+      PackStore.write(packedDocs, dir, PackP) // 120 placements
+      assert(!PackStore.needsCompact(spark, dir, PackP))
+      // One doc of 120 ≈ 0.83% < the 1% default — no trigger.
+      PackStore.tombstone(spark, dir, Seq(5L).toDF("doc_id"))
+      assert(PackStore.tombstonedFraction(spark, dir, PackP) < 0.01)
+      assert(!PackStore.needsCompact(spark, dir, PackP))
+      // Two docs ≈ 1.7% > 1% — the fraction trigger.
+      PackStore.tombstone(spark, dir, Seq(6L).toDF("doc_id"))
+      assert(PackStore.needsCompact(spark, dir, PackP))
+      // The segment-count trigger stands alone: fraction far below the
+      // bar but many committed segments (bounds the union's small-file
+      // read fan-out).
+      assert(PackStore.needsCompact(spark, dir, PackP,
+        maxFraction = 0.5, maxSegments = 1))
+      // Compact clears both.
+      PackStore.compact(spark, dir)
+      assert(!PackStore.needsCompact(spark, dir, PackP,
+        maxFraction = 0.001, maxSegments = 0))
+    } finally cleanup(dir)
+  }
+
   test("PackStore: takedown racing an append surfaces atomically at every commit point") {
     import graft.llm.PackStore
     val dir = tmpDir("graft-ps")
