@@ -574,6 +574,11 @@ object PipelineQueries {
       val lp = LmStore.Params(langCol = None, hashed = false)
       LmStore.build(docs, "doc_id", "text", dirOf("lm"), lp)
       LmStore.subtract(removed, "doc_id", "text", dirOf("lm"), lp)
+      // Probe bound 40, not all survivors: the real assertion is the
+      // integer-identity filter below (post-subtract scores ==
+      // fresh-survivor-model scores, exact), and every probe scores
+      // against the WHOLE subtracted model — 40 docs just bounds the
+      // oracle's row volume; more probes re-check the same model rows.
       val probes = survivors.filter(col("doc_id") < 40)
       val fromStore = LmStore.score(s, dirOf("lm"), lp, probes,
         "doc_id", "text")
