@@ -224,6 +224,34 @@ object LlmQueries {
         lit(null).cast("long").as("duration_ms")))
   }
 
+  /** MJPEG-AVI fixture with CONTENT-level duplicates: videos sharing
+    * `doc_id mod 50` carry pixel-identical frame sequences (same gray
+    * formula, same dims, same frame count) but DIFFERENT container
+    * bytes — `usecPerFrame` varies per doc — so a byte-hash dedup
+    * finds nothing and only decoding the frames reveals the groups.
+    * The re-encoded-copy shape a crawl video corpus actually has. */
+  private def aviDupMedia(s: org.apache.spark.sql.SparkSession,
+                          d: String): org.apache.spark.sql.DataFrame = {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < PngMediaDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rows = ids.map { id =>
+      val g = id % 50
+      val w = (16 + (g % 3) * 8).toInt
+      val h = (16 + (g % 2) * 8).toInt
+      val frames = (0 until (2 + g % 4).toInt).map { f =>
+        val v = ((g * 37 + f * 59) % 256).toInt
+        graft.plans.AviCodec.encodeJpeg(w, h,
+          (_, _) => (v << 16) | (v << 8) | v)
+      }
+      // Container timing differs PER DOC: byte-identical dup detection
+      // cannot group these; decoded-content fingerprinting must.
+      (id, graft.plans.AviCodec.encodeAviMjpeg(w, h,
+        usecPerFrame = 40000L + id * 7, frames))
+    }
+    import s.implicits._
+    rows.toDF("media_id", "content")
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup groups by order-insensitive fingerprint.
@@ -1772,6 +1800,36 @@ object LlmQueries {
       Multimodal.extractFrameFeaturesVideo(aviMedia(s, d), grid = 2)
         .select(col("media_id"), col("frame_idx"),
           posexplode(col("features")).as(Seq("pos", "feature")))
+    },
+
+    // Multimodal: CONTENT-level video dedup — the composition the real
+    // frame decode enables. Fixture videos sharing doc_id mod 50 have
+    // pixel-identical frames but DIFFERENT container bytes (timing
+    // metadata varies per doc), so hashing payloads finds zero groups;
+    // the query decodes every frame, fingerprints the ordered pooled-
+    // feature sequence, and groups on that. The oracle replays the
+    // group structure from the fixture formula — a wrong chunk walk,
+    // frame order, or decode collapses or splinters groups and
+    // hash-diverges. (The scale path for NEAR-dup videos is the same
+    // per-frame features into the embedding-LSH family, d7/d13.)
+    Q("pipe28_video_dedup",
+      s"""WITH g AS (SELECT doc_id % 50 AS grp, doc_id
+        |           FROM documents WHERE doc_id < $PngMediaDocs)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |       CAST(count(*) AS BIGINT) AS group_size,
+        |       array_to_string(list_sort(array_agg(doc_id)), ',') AS members
+        |FROM g GROUP BY grp""".stripMargin) { (s, d) =>
+      val frames = Multimodal.extractFrameFeaturesVideo(
+        aviDupMedia(s, d), grid = 2)
+      val fp = frames.groupBy("media_id")
+        .agg(md5(to_json(array_sort(collect_list(
+          struct(col("frame_idx"), col("features")))))).as("fp"))
+      fp.groupBy("fp")
+        .agg(min(col("media_id")).as("canonical_id"),
+          count(lit(1)).as("group_size"),
+          array_join(transform(array_sort(collect_list(col("media_id"))),
+            _.cast("string")), ",").as("members"))
+        .select("canonical_id", "group_size", "members")
     },
 
     // Multimodal: frame sampling — one row per sampled timestamp, the

@@ -87,6 +87,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(("fpA", 1L), ("fpB", 3L), ("fpC", 5L)))
   }
 
+  test("media decode runs unchanged on a stream: image pool + video frame pool match the batch path per batch") {
+    implicit val sc = spark.sqlContext
+    import graft.plans.{AviCodec, ImageCodec}
+    // Real payloads: one PNG and one MJPEG-AVI per id, encoded ahead
+    // (the stream carries bytes, exactly like a binary-file source).
+    def png(id: Long): Array[Byte] = ImageCodec.encodePng(8, 8,
+      (x, y) => ImageCodec.synthPixel(id, 8, x, y))
+    def avi(id: Long): Array[Byte] = {
+      val v = (id * 41 % 256).toInt
+      AviCodec.encodeAviMjpeg(16, 16, 40000L, Seq(
+        AviCodec.encodeJpeg(16, 16, (_, _) => (v << 16) | (v << 8) | v)))
+    }
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val decoded = graft.llm.Multimodal.extractFeaturesImage(
+        input.toDF().toDF("media_id", "content", "vid"), grid = 2)
+      .withColumn("vframes",
+        graft.llm.Multimodal.decodeVideoFrames(col("vid"), 2))
+    val q = decoded.writeStream.format("memory")
+      .queryName("md").outputMode("append").start()
+    input.addData((1L, png(1), avi(1)), (2L, png(2), avi(2)))
+    q.processAllAvailable()
+    input.addData((3L, png(3), avi(3)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("md")
+      .select(col("media_id"), col("features"),
+        element_at(col("vframes"), 1).as("f0"))
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    for (id <- 1L to 3L) {
+      // Batch-path equality: the same expressions over a static frame.
+      val batchImg = ImageCodec.decodeMeanPool(png(id), 2).toSeq
+      assert(out(id)._1 == batchImg)
+      val v = (id * 41 % 256).toInt
+      assert(out(id)._2 == Seq.fill(12)(v / 255.0))
+    }
+  }
+
   test("expression-config license tagging + static OA semi-join run unchanged on a stream") {
     import graft.license._
     import graft.license.FilterExpr._
