@@ -608,6 +608,23 @@ object HeavyBench {
       },
       meta = Seq("grid" -> "4", "dims" -> "\"128-512 px RGB\"",
         "mix" -> "\"png/jpeg 50/50\"", "jpeg_quality" -> "0.8")),
+    // REAL video pixel decode at scale: 2 K genuine MJPEG-AVIs (8
+    // frames each at 128-256 px, JPEG q0.8 noise — 16 K frames, ~0.7
+    // GB encoded) through the RIFF chunk walk + per-frame javax.imageio
+    // decode + pooling, in the scan projection. The video sibling of
+    // m7: its mb_per_s vs the scan envelope says whether video
+    // curation is decode-bound (it is, like images — the per-frame
+    // cost IS the JPEG path m7 measures, plus the container walk).
+    HeavyItem("m8_video_decode", Seq("documents"),
+      fn = Some { (s, d) =>
+        val media = s.read.parquet(
+          queries.LlmQueries.ensureVideoFixture(s, d))
+        graft.llm.Multimodal.extractFrameFeaturesVideo(media, grid = 4)
+      },
+      paths = Some((s, d) =>
+        Seq(queries.LlmQueries.ensureVideoFixture(s, d))),
+      meta = Seq("grid" -> "4", "dims" -> "\"128-256 px RGB\"",
+        "frames_per_video" -> "8", "jpeg_quality" -> "0.8")),
     // ANN SERVING from the persisted IVF-PQ artifact: e12 times
     // train+encode+search in one window (what a rebuild pays); this
     // entry times what a deployment pays PER QUERY BATCH — read the
@@ -959,6 +976,8 @@ object HeavyBench {
         queries.LlmQueries.ensurePngFixture(spark, dir)
       if (selected.exists(_.name == "m7_image_decode_realistic"))
         queries.LlmQueries.ensureRealisticMediaFixture(spark, dir)
+      if (selected.exists(_.name == "m8_video_decode"))
+        queries.LlmQueries.ensureVideoFixture(spark, dir)
       val byName = SparkEntry.registry.map(q => q.name -> q.fn).toMap
       val items = selected.flatMap { item =>
         val fn = item.fn.orElse(byName.get(item.name))

@@ -311,6 +311,20 @@ object ScaleCheck {
         llm.Multimodal.extractFeaturesImage(media, grid = 2)
           .filter(col("features").isNotNull).count()
       }),
+      // Video sibling of the image op: avi_synth → RIFF walk +
+      // per-frame javax.imageio decode + pool — per-row scan work, no
+      // shuffle; time must track video count exactly.
+      Op("video_decode_pool(real)", { n =>
+        graft.plans.AviSynthExpr.register(spark)
+        val media = replicateDocs(docs0, n).select(col("doc_id"),
+          call_function(graft.plans.AviSynthExpr.Name, col("doc_id"),
+            lit(16), lit(16),
+            (lit(2) + pmod(col("doc_id"), lit(3))).cast("int"))
+            .as("content"))
+        llm.Multimodal.extractFrameFeaturesVideo(
+          media.withColumnRenamed("doc_id", "media_id"), grid = 2)
+          .count()
+      }),
       Op("media_neardup_lsh(dim=32)", { n =>
         val media = replicateDocs(docs0, n)
           .select(col("doc_id").as("media_id"),

@@ -901,5 +901,6 @@ object GraftExtensions {
       AudioMeanPoolExpr.builder),
     reg(VideoMetaExpr.Name, VideoMetaExpr.info, VideoMetaExpr.builder),
     reg(VideoFramePoolExpr.Name, VideoFramePoolExpr.info,
-      VideoFramePoolExpr.builder))
+      VideoFramePoolExpr.builder),
+    reg(AviSynthExpr.Name, AviSynthExpr.info, AviSynthExpr.builder))
 }

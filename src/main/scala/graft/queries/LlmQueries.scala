@@ -147,6 +147,35 @@ object LlmQueries {
     target.toString
   }
 
+  /** Crawl-realistic VIDEO fixture for the decode-MB/s heavy entry:
+    * 2 K genuine MJPEG-AVIs of 8 frames at 128–256 px per side
+    * (avalanche-noise JPEG q0.8 frames ≈ 40 KB each), synthesized
+    * DISTRIBUTED via `avi_synth` under the stamped-dir convention —
+    * ~16 K frames, ~0.7 GB encoded. Returns the parquet path. */
+  def ensureVideoFixture(s: org.apache.spark.sql.SparkSession,
+                         d: String): String = {
+    val base = Fixtures.stampedDir(d, "documents", "video_media", 1)
+    val target = base.resolve("media")
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
+      try {
+        graft.plans.AviSynthExpr.register(s)
+        val built = tmp.resolve("p")
+        Tables.documents(s, d).select("doc_id")
+          .filter(col("doc_id") < 2000)
+          .select(col("doc_id").as("media_id"),
+            call_function(graft.plans.AviSynthExpr.Name, col("doc_id"),
+              (lit(128) + pmod(col("doc_id") * 97, lit(129))).cast("int"),
+              (lit(128) + pmod(col("doc_id") * 53, lit(129))).cast("int"),
+              lit(8)).as("content"))
+          .repartition(32)
+          .write.parquet(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
   /** Real-WAV media fixture — [[pngMedia]]'s audio sibling: one
     * genuine 16-bit PCM WAV per document (doc_id < [[PngMediaDocs]]),
     * length 400 + (id%7)·50 samples, sample t =
