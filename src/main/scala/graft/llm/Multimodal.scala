@@ -113,9 +113,11 @@ object Multimodal {
     extractFeaturesWith(media, dim, decodeStub _)
 
   /** THE decoder swap seam: `decoder` maps (payload column, dim) to an
-    * array<double> feature column — [[decodeStub]] here, a codec-backed
-    * implementation (e.g. a `mapPartitions` image decoder producing the
-    * same column shape) in a real deployment. Every downstream stage —
+    * array<double> feature column — [[decodeStub]] for codecs the JDK
+    * lacks, or any codec-backed implementation producing the same
+    * column shape (the REAL in-repo decoders [[decodeImage]]/
+    * [[decodeAudio]] plug through this same seam — see
+    * [[extractFeaturesImage]]). Every downstream stage —
     * near-dup pairing, ANN, clustering — consumes only the `features`
     * column, so swapping the decoder changes WHAT is embedded, never
     * the pipeline around it; MultimodalSpec pins that contract with a
