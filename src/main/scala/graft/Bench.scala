@@ -625,6 +625,25 @@ object HeavyBench {
         Seq(queries.LlmQueries.ensureVideoFixture(s, d))),
       meta = Seq("grid" -> "4", "dims" -> "\"128-256 px RGB\"",
         "frames_per_video" -> "8", "jpeg_quality" -> "0.8")),
+    // REAL audio decode at scale: 5 K genuine PCM WAVs (2-6 s at
+    // 8 kHz, ~0.3 GB) through javax.sound.sampled + time-bucket
+    // pooling. The contrast to m7/m8 is the point: PCM is
+    // uncompressed, so audio "decode" is RIFF parse + sample widening
+    // — expected at or near the scan envelope, i.e. audio curation is
+    // SCAN-bound where image/video are decode-bound. (Compressed audio
+    // — mp3/aac — would sit with the images; the JDK ships no decoder
+    // for those, the decodeStub seam covers them.)
+    HeavyItem("m9_audio_decode", Seq("documents"),
+      fn = Some { (s, d) =>
+        val media = s.read.parquet(
+          queries.LlmQueries.ensureAudioFixture(s, d))
+        graft.llm.Multimodal.extractFeaturesAudio(media, dim = 16)
+          .select(col("media_id"), col("features"))
+      },
+      paths = Some((s, d) =>
+        Seq(queries.LlmQueries.ensureAudioFixture(s, d))),
+      meta = Seq("dim" -> "16", "sample_rate" -> "8000",
+        "clip_seconds" -> "\"2-6\"")),
     // ANN SERVING from the persisted IVF-PQ artifact: e12 times
     // train+encode+search in one window (what a rebuild pays); this
     // entry times what a deployment pays PER QUERY BATCH — read the
@@ -978,6 +997,8 @@ object HeavyBench {
         queries.LlmQueries.ensureRealisticMediaFixture(spark, dir)
       if (selected.exists(_.name == "m8_video_decode"))
         queries.LlmQueries.ensureVideoFixture(spark, dir)
+      if (selected.exists(_.name == "m9_audio_decode"))
+        queries.LlmQueries.ensureAudioFixture(spark, dir)
       val byName = SparkEntry.registry.map(q => q.name -> q.fn).toMap
       val items = selected.flatMap { item =>
         val fn = item.fn.orElse(byName.get(item.name))

@@ -105,16 +105,32 @@ object AudioCodec {
       if (data.length < frames.toLong * frameBytes) return null
       val sums = new Array[Long](dim)
       val cnts = new Array[Long](dim)
-      var i = 0
-      while (i < frames) {
-        val off = i * frameBytes // channel 0 leads each frame
-        val s =
-          if (big) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
-          else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
-        val b = (i.toLong * dim / frames).toInt
-        sums(b) += s
-        cnts(b) += 1
-        i += 1
+      // Bucket-outer iteration: sample i belongs to bucket
+      // i·dim div frames, whose inverse is the contiguous range
+      // [ceil(b·frames/dim), ceil((b+1)·frames/dim)) — precomputing
+      // the boundaries removes the per-sample 64-bit division of the
+      // sample-outer form (measured ~neutral on the m9 fixture — the
+      // JIT largely absorbed it — but strictly less work per sample
+      // and branchless inner loops). Identical partition, identical
+      // exact integer sums.
+      var bk = 0
+      while (bk < dim) {
+        val start = ((bk.toLong * frames + dim - 1) / dim).toInt
+        val end = (((bk + 1).toLong * frames + dim - 1) / dim).toInt
+        var sum = 0L
+        var i = start
+        if (big) while (i < end) {
+          val off = i * frameBytes // channel 0 leads each frame
+          sum += ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
+          i += 1
+        } else while (i < end) {
+          val off = i * frameBytes
+          sum += ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
+          i += 1
+        }
+        sums(bk) = sum
+        cnts(bk) = end - start
+        bk += 1
       }
       val out = new Array[Double](dim)
       var b = 0

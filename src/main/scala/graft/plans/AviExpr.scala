@@ -145,6 +145,61 @@ object AviSynthExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
+/** Distributed WAV fixture synthesis — the media-synth family's audio
+  * member: `wav_synth(id, n)` → a real RIFF/WAVE 16-bit PCM clip of
+  * `n` samples. Samples are avalanche noise
+  * ([[ImageCodec.synthPixel]]'s hash, low 16 bits) for the same
+  * reason the image synth is: a linear formula compresses ~5× under
+  * the parquet page codec, so the on-disk bytes the MB/s is computed
+  * over would understate the payload actually decoded. PCM decode
+  * cost itself is content-independent (RIFF parse + sample widening).
+  * Fixture machinery; decode correctness is gated by m4's oracle. */
+case class WavSynthExpr(id: Expression, nSamples: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def left: Expression = id
+  override def right: Expression = nSamples
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (id.dataType == LongType && nSamples.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wav_synth expects (long, int), got (${id.dataType.simpleString}, " +
+        s"${nSamples.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_synth"
+
+  override protected def nullSafeEval(idv: Any, nv: Any): Any = {
+    val i = idv.asInstanceOf[Long]
+    val n = nv.asInstanceOf[Int]
+    require(n >= 1 && n <= 16000000,
+      s"wav_synth: sample count out of range ($n)")
+    AudioCodec.encodeWavPcm16(Array.tabulate(n)(t =>
+      (ImageCodec.synthPixel(i, 1, 0, t) & 0xFFFF).toShort))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): WavSynthExpr = copy(id = l, nSamples = r)
+}
+
+object WavSynthExpr {
+  val Name = "wav_synth"
+  private[plans] val info = new ExpressionInfo(classOf[WavSynthExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
+    require(children.size == 2,
+      s"wav_synth expects 2 arguments (id, n), got ${children.size}")
+    WavSynthExpr(children(0), children(1))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 /** RIFF/AVI container walking shared by the expression (parse) and the
   * fixture/test builders (a minimal-but-genuine MJPEG-AVI writer —
   * `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi'

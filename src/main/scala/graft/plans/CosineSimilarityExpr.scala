@@ -902,5 +902,6 @@ object GraftExtensions {
     reg(VideoMetaExpr.Name, VideoMetaExpr.info, VideoMetaExpr.builder),
     reg(VideoFramePoolExpr.Name, VideoFramePoolExpr.info,
       VideoFramePoolExpr.builder),
-    reg(AviSynthExpr.Name, AviSynthExpr.info, AviSynthExpr.builder))
+    reg(AviSynthExpr.Name, AviSynthExpr.info, AviSynthExpr.builder),
+    reg(WavSynthExpr.Name, WavSynthExpr.info, WavSynthExpr.builder))
 }

@@ -176,6 +176,36 @@ object LlmQueries {
     target.toString
   }
 
+  /** Crawl-realistic AUDIO fixture for the decode-MB/s heavy entry:
+    * 5 K genuine 16-bit PCM WAVs of 2–6 s at 8 kHz (16–48 K samples,
+    * 32–96 KB each — ~0.3 GB total), synthesized DISTRIBUTED via
+    * `wav_synth` under the stamped-dir convention. Returns the parquet
+    * path. */
+  def ensureAudioFixture(s: org.apache.spark.sql.SparkSession,
+                         d: String): String = {
+    // v2: avalanche-noise samples (see WavSynthExpr) so the on-disk
+    // bytes the MB/s is computed over match the payload decoded.
+    val base = Fixtures.stampedDir(d, "documents", "audio_media", 2)
+    val target = base.resolve("media")
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
+      try {
+        graft.plans.WavSynthExpr.register(s)
+        val built = tmp.resolve("p")
+        Tables.documents(s, d).select("doc_id")
+          .filter(col("doc_id") < 5000)
+          .select(col("doc_id").as("media_id"),
+            call_function(graft.plans.WavSynthExpr.Name, col("doc_id"),
+              (lit(16000) + pmod(col("doc_id") * 97, lit(32001)))
+                .cast("int")).as("content"))
+          .repartition(32)
+          .write.parquet(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
   /** Real-WAV media fixture — [[pngMedia]]'s audio sibling: one
     * genuine 16-bit PCM WAV per document (doc_id < [[PngMediaDocs]]),
     * length 400 + (id%7)·50 samples, sample t =
@@ -632,9 +662,13 @@ object LlmQueries {
     },
 
     // Scale path: LSH-bucketed embedding near-dup (rows-only).
+    // Threshold 0.4 like d6 (the synthetic embeddings are
+    // near-orthogonal — r15's 0.55 correctly returned ZERO pairs, so
+    // the rows-only gate exercised nothing downstream of the buckets);
+    // exactness of this family is oracle-pinned via the d13 twin.
     Q.rowsOnly("d7_embedding_neardup_lsh") { (s, d) =>
       Dedup.embeddingNearDupPairsLsh(Tables.embeddings(s, d),
-        "vec_id", "embedding", 0.55)
+        "vec_id", "embedding", 0.4)
     },
 
     // d7's portable twin, fully oracle-checked (the d5/d9 pattern):
