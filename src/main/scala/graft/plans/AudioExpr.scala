@@ -13,8 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
   * codec (`javax.sound.sampled` — WAV/AIFF/AU PCM, headless, no
   * external libraries): payload bytes → PCM sample stream →
   * fixed-dim features by mean pooling over `dim` equal time buckets.
-  * The sibling of [[ImageMeanPoolExpr]]: with both in place only VIDEO
-  * decode remains stubbed (the JDK genuinely ships no video codec).
+  * The sibling of [[ImageMeanPoolExpr]] and [[VideoFramePoolExpr]] —
+  * every modality decodes for real on at least one genuine format;
+  * only codecs the JDK ships no decoder for (H.264/VP9, mp3/aac)
+  * remain behind the stub seam.
   *
   * Output: array<double> of length `dim`; position b holds the mean of
   * the channel-0 16-bit samples whose index i satisfies
