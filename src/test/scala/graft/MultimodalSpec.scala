@@ -393,6 +393,53 @@ class MultimodalSpec extends AnyFunSuite {
         s"channel $c: ${pooled(c)} vs ${mean(c)}")
   }
 
+  test("wav_synth generates real WAVs whose decoded pooling matches the driver-side encoder bit-for-bit") {
+    import org.apache.spark.sql.functions.call_function
+    import graft.plans.{AudioCodec, ImageCodec, WavSynthExpr}
+    WavSynthExpr.register(spark)
+    val viaExpr = Multimodal.extractFeaturesAudio(
+        (1L to 10L).toDF("media_id").select(col("media_id"),
+          call_function(WavSynthExpr.Name, col("media_id"),
+            (lit(500) + pmod(col("media_id"), lit(7)) * 100).cast("int"))
+            .as("content")),
+        dim = 4)
+      .select("media_id", "features").as[(Long, Seq[Double])]
+      .collect().toMap
+    val viaDriver = (1L to 10L).map { id =>
+      val n = (500 + (id % 7) * 100).toInt
+      id -> AudioCodec.decodeMeanPool(
+        AudioCodec.encodeWavPcm16(Array.tabulate(n)(t =>
+          (ImageCodec.synthPixel(id, 1, 0, t) & 0xFFFF).toShort)),
+        4).toSeq
+    }.toMap
+    assert(viaExpr == viaDriver)
+  }
+
+  test("AVI parsing refuses malformed containers without crashing: truncations, bad sizes, foreign bytes") {
+    import graft.plans.AviCodec
+    val good = AviCodec.encodeAviMjpeg(16, 16, 40000L,
+      Seq(AviCodec.encodeJpeg(16, 16, (_, _) => 0x808080)))
+    assert(AviCodec.frames(good) != null && AviCodec.meta(good) != null)
+    // Every prefix truncation parses to null-or-fewer-frames, never
+    // throws — a crawl always carries torn files.
+    for (len <- 0 until good.length by 7) {
+      val t = java.util.Arrays.copyOf(good, len)
+      AviCodec.meta(t); AviCodec.frames(t) // must not throw
+    }
+    // A chunk size escaping the file window is malformed, not a loop.
+    val bad = good.clone()
+    bad(16) = 0xFF.toByte; bad(17) = 0xFF.toByte // first hdrl child size
+    AviCodec.meta(bad) // must not throw or hang
+    // Foreign container magic parses to null.
+    assert(AviCodec.meta("RIFFxxxxWAVEfmt ".getBytes("US-ASCII")) == null)
+    assert(AviCodec.meta(Array.fill[Byte](64)(0x41)) == null)
+    // And through the expression: nulls, not exceptions.
+    val rows = Seq((1L, java.util.Arrays.copyOf(good, 40)),
+      (2L, "RIFF".getBytes("US-ASCII")))
+      .toDF("media_id", "content")
+    assert(Multimodal.extractFrameFeaturesVideo(rows, 2).count() == 0)
+  }
+
   test("rebalanceBySize plans an AQE rebalance, no driver-side count") {
     val plan = Multimodal.rebalanceBySize(media)
       .queryExecution.optimizedPlan.toString
