@@ -885,6 +885,51 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("IndexStore: takedown delete racing an append surfaces atomically — committed segments fold in, in-flight temps die loudly") {
+    val dir = tmpDir("graft-ix")
+    try {
+      val base = emb.filter(col("vec_id") < 300)
+      val committed = emb.filter(col("vec_id").between(300, 349))
+      val late = emb.filter(col("vec_id") >= 350)
+      IndexStore.build(base, "vec_id", "qv", dir, IP, iters = 1)
+      // A COMMITTED append before the delete folds into the rewrite.
+      IndexStore.append(committed, "vec_id", "qv", dir, IP)
+      // An IN-FLIGHT append segment (fully written with the STORED
+      // model, exactly what append stages — but not yet promoted) when
+      // the takedown lands.
+      val ix = IndexStore.read(spark, dir, IP)
+      val seg = Similarity.ivfpqEncode(
+          late.join(Similarity.assignToCentroids(late, "vec_id", "qv",
+            ix.centroids), Seq("vec_id")),
+          "vec_id", "qv", "cluster", ix.centroids, ix.codebook,
+          IP.m, IP.dim)
+        .withColumnRenamed("vec_id", "id")
+      val fs = CorpusStore.fileSystem(spark, dir)
+      val inFlight = new Path(dir, "codes/_tmp_seg_9999999999999_rc")
+      seg.write.parquet(inFlight.toString)
+
+      IndexStore.delete(spark, dir,
+        emb.filter(col("vec_id") % 10 === 0).select("vec_id"))
+      val after = IndexStore.read(spark, dir, IP).codes
+        .select("id").as[Long].collect().toSet
+      // No torn state: every committed vector minus the takedown,
+      // nothing from the un-promoted temp.
+      val expected = emb.filter(col("vec_id") < 350)
+        .select("vec_id").as[Long].collect().toSet.filter(_ % 10 != 0)
+      assert(after == expected)
+      // The racing appender's temp was SWEPT by the delete's codes/
+      // swap (the whole unit was replaced), so its promote rename can
+      // only fail loudly — never silently resurrect vectors the
+      // takedown should have covered; the appender retries against the
+      // post-delete artifact.
+      assert(!fs.exists(inFlight),
+        "in-flight segment temp survived the delete swap — a later " +
+          "promote would resurrect pre-takedown vectors")
+      assert(IndexStore.read(spark, dir, IP).codes
+        .select("id").as[Long].collect().toSet == expected)
+    } finally cleanup(dir)
+  }
+
   test("IndexStore layout-1 artifact (flat codes/, no layout field) reads, serves, and migrates on append") {
     val v2 = tmpDir("graft-ix")
     val v1 = tmpDir("graft-ix1")
