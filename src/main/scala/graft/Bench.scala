@@ -192,7 +192,53 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cannot write $outPath: ${e.getMessage}")
     }
+    // LAST stdout line: a compact summary guaranteed to fit a
+    // truncated tail capture. The full line above runs ~15 KB (166
+    // queries + the heavy block's samples/meta) and a harness that
+    // keeps only the last ~2 KB of stdout sees its tail — unparseable
+    // (r13-r16: the driver artifact carried "parsed": null every
+    // round). This line carries the totals plus as many per-query
+    // seconds as fit a 1900-char budget, slowest first (the ones a
+    // reader triages), and names the committed full record.
+    println(compactSummary(results, total, nPasses, failed, sfJson,
+      heavyJson, outPath))
     spark.stop()
+  }
+
+  /** One JSON line ≤ ~1900 chars: totals, then per-query seconds
+    * slowest-first until the budget is spent. `dropped` counts the
+    * fast tail omitted; the full per-query record is always in
+    * `full` (the committed BENCH_full.json). */
+  private[graft] def compactSummary(
+      results: Seq[(String, Double, Boolean)], total: Double,
+      nPasses: Int, failed: Int, sfJson: String, heavyJson: String,
+      fullPath: String): String = {
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // Heavy block total from its own JSON (sum of "sec" fields) so the
+    // compact line carries both blocks' headline numbers.
+    val heavySecs = """"sec":(-?[0-9.]+)""".r
+      .findAllMatchIn(heavyJson).map(_.group(1).toDouble).filter(_ >= 0)
+    val heavyTotal = heavySecs.sum
+    val head = s"""{"metric":"total","value":${fmt(total)},""" +
+      s""""unit":"sec","timing":"min$nPasses",""" +
+      s""""n_queries":${results.size},"failed":$failed,""" +
+      s""""heavy_total_sec":${fmt(heavyTotal)},""" +
+      s""""sf":"$sfJson","full":"$fullPath","queries":{"""
+    val budget = 1900
+    val entries = results.filter(_._3).sortBy(-_._2)
+      .map { case (k, v, _) => s""""$k":${fmt(v)}""" }
+    val sb = new StringBuilder(head)
+    var taken = 0
+    // Reserve ~40 chars for the closing brace + dropped count.
+    while (taken < entries.size &&
+      sb.length + entries(taken).length + 40 < budget) {
+      if (taken > 0) sb.append(',')
+      sb.append(entries(taken))
+      taken += 1
+    }
+    sb.append(s"""},"queries_dropped":${entries.size - taken}}""")
+    sb.toString
   }
 
   /** Synchronously drop every block a finished query left behind.
