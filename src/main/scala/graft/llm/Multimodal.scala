@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * [[graft.plans.ImageMeanPoolExpr]]), [[decodeAudio]] runs
   * `javax.sound.sampled` (WAV/AIFF/AU PCM —
   * [[graft.plans.AudioMeanPoolExpr]]), and [[decodeVideoFrames]]
-  * decodes MJPEG-in-AVI video pixel-for-pixel (RIFF chunk walk +
+  * decodes MJPEG video pixel-for-pixel in BOTH major containers
+  * (RIFF/AVI chunk walk and ISO-BMFF MOV/MP4 sample-table walk +
   * per-frame `javax.imageio` — [[graft.plans.VideoFramePoolExpr]]),
   * each pooling the decoded payload to fixed-dim feature vectors.
   * Only video CODECS the JDK lacks (H.264/VP9/AV1 …; this container
@@ -100,8 +101,8 @@ object Multimodal {
     * Every modality has a REAL decode path for at least one genuine
     * format: images [[decodeImage]] (PNG/JPEG/BMP/GIF), audio
     * [[decodeAudio]] (WAV/AIFF/AU PCM), video [[decodeVideoFrames]]
-    * (MJPEG-in-AVI, per-frame JPEG) — the stub covers only what the
-    * JDK genuinely cannot. */
+    * (MJPEG in AVI and in MOV/MP4, per-frame JPEG) — the stub covers
+    * only what the JDK genuinely cannot. */
   def decodeStub(content: Column, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(content, i), lit(1000)).cast("double") / 500.0) - 1.0)
@@ -126,14 +127,16 @@ object Multimodal {
                           decoder: (Column, Int) => Column): DataFrame =
     media.withColumn("features", decoder(col("content"), dim))
 
-  /** REAL video pixel decode + per-frame feature pooling: an
-    * MJPEG-in-AVI payload's frames (each a plain JPEG) through
-    * `javax.imageio`, every frame pooled exactly like
-    * [[decodeImage]]. Returns array<array<double>> — one
-    * `grid*grid*3` vector per frame, NULL for payloads that are not
-    * parseable AVI, NULL elements for corrupt frames (drop with a
-    * filter). Runs as one compiled expression in the scan
-    * projection. */
+  /** REAL video pixel decode + per-frame feature pooling: an MJPEG
+    * payload's frames (each a plain JPEG) through `javax.imageio`,
+    * every frame pooled exactly like [[decodeImage]]. Both major
+    * containers decode for real — RIFF/AVI (`00dc` chunk walk) and
+    * ISO-BMFF MOV/MP4 with the `jpeg` sample-entry codec
+    * (`stsz`/`stsc`/`stco` sample-table walk). Returns
+    * array<array<double>> — one `grid*grid*3` vector per frame, NULL
+    * for payloads in neither decodable family, NULL elements for
+    * corrupt frames (drop with a filter). Runs as one compiled
+    * expression in the scan projection. */
   def decodeVideoFrames(content: Column, grid: Int): Column = {
     graft.plans.VideoFramePoolExpr.register(
       org.apache.spark.sql.SparkSession.active)

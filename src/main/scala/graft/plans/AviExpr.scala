@@ -7,25 +7,29 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
 
-/** REAL video PIXEL decode for the one container+codec family the JDK
-  * can genuinely decode end-to-end: MJPEG-in-AVI, where every frame is
-  * a plain JPEG. The RIFF/AVI chunk walk is the [[VideoCodec]] ISO-BMFF
-  * discipline applied to RIFF (little-endian sizes, word-aligned
-  * chunks), and each extracted `00dc` frame runs through the SAME
-  * `javax.imageio` decode + grid-cell channel-mean pooling as still
-  * images ([[ImageCodec.decodeMeanPool]]). With this, every modality's
-  * decode is real for at least one genuine format — image (PNG/JPEG/
-  * BMP/GIF), audio (WAV/AIFF/AU PCM), video (MJPEG-AVI) — and the
+/** REAL video PIXEL decode for the container+codec families the JDK
+  * can genuinely decode end-to-end: MJPEG frames — plain JPEGs — in
+  * EITHER major container. RIFF/AVI payloads go through the
+  * [[AviCodec]] chunk walk (`00dc` frames); ISO-BMFF (MOV/MP4)
+  * payloads whose `stsd` sample entry is the `jpeg` codec go through
+  * the [[VideoCodec.framesJpeg]] sample-table walk
+  * (`stsz`/`stsc`/`stco` expansion). Each extracted frame runs
+  * through the SAME `javax.imageio` decode + grid-cell channel-mean
+  * pooling as still images ([[ImageCodec.decodeMeanPool]]). With
+  * this, every modality's decode is real for at least one genuine
+  * format — image (PNG/JPEG/BMP/GIF), audio (WAV/AIFF/AU PCM), video
+  * (MJPEG in AVI and in MOV/MP4) — and the
   * [[graft.llm.Multimodal.decodeStub]] seam remains only for codecs
   * the JDK ships no decoder for (H.264/VP9/AV1 …), which is stated
   * truthfully there.
   *
   * `video_frame_pool(content, grid)` → array of per-frame feature
   * vectors (each `grid*grid*3` doubles in [0, 1], position layout
-  * identical to `image_mean_pool`). NULL when the payload is not a
-  * parseable AVI; an individual frame whose JPEG bytes are corrupt
-  * yields a NULL element (crawl corpora always carry corrupt frames —
-  * drop with a filter, don't die mid-job).
+  * identical to `image_mean_pool`). NULL when the payload is neither
+  * a parseable AVI nor a JPEG-codec ISO-BMFF; an individual frame
+  * whose JPEG bytes are corrupt yields a NULL element (crawl corpora
+  * always carry corrupt frames — drop with a filter, don't die
+  * mid-job).
   *
   * One scalar expression so the whole decode runs inside the scan
   * projection — embarrassingly parallel, no shuffle. CodegenFallback:
@@ -51,7 +55,11 @@ case class VideoFramePoolExpr(child: Expression, grid: Int)
   override def prettyName: String = "video_frame_pool"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val frames = AviCodec.frames(input.asInstanceOf[Array[Byte]])
+    val bytes = input.asInstanceOf[Array[Byte]]
+    // RIFF/AVI first (cheap magic check), then the ISO-BMFF
+    // sample-table walk for photo-JPEG MOV/MP4.
+    val avi = AviCodec.frames(bytes)
+    val frames = if (avi != null) avi else VideoCodec.framesJpeg(bytes)
     if (frames == null) return null
     new GenericArrayData(frames.map { jpeg =>
       val pooled = ImageCodec.decodeMeanPool(jpeg, grid)

@@ -14,10 +14,11 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, 
   * byte parsing, no codec — the container METADATA a pipeline needs
   * for frame sampling, resize planning, and size filtering is plain
   * bytes, like `image_dims` for images. PIXEL decode is real for
-  * MJPEG-in-AVI ([[VideoFramePoolExpr]] — every frame is a plain JPEG
-  * the JDK decodes); for codecs the JDK ships no decoder for
-  * (H.264/VP9/…) the decode stage stays stubbed behind the
-  * contract-tested seam.
+  * MJPEG in both containers ([[VideoFramePoolExpr]] — every frame is
+  * a plain JPEG the JDK decodes: AVI `00dc` chunks, MOV/MP4 `jpeg`
+  * sample tables via [[VideoCodec.framesJpeg]]); for codecs the JDK
+  * ships no decoder for (H.264/VP9/…) the decode stage stays stubbed
+  * behind the contract-tested seam.
   *
   * Parsing facts used (ISO/IEC 14496-12):
   *  - a box is [size:u32][type:4cc][payload]; size==1 → 64-bit
@@ -158,6 +159,145 @@ object VideoCodec {
     Meta(width, height, durationMs)
   }
 
+  /** MJPEG sample payloads (each a standalone JPEG) from an ISO-BMFF
+    * (MOV/MP4) container, in sample order — or null when the bytes are
+    * not parseable ISO-BMFF, carry no video trak whose `stsd` sample
+    * entry is the `jpeg` codec (the QuickTime photo-JPEG fourcc: each
+    * sample is a plain JFIF the JDK decodes; `mjpa`/`avc1`/`vp09`
+    * frames are NOT standalone JPEGs and stay behind the decode stub),
+    * or carry a sample table whose offsets escape the buffer.
+    *
+    * Sample-table facts used (ISO/IEC 14496-12 §8.5-8.7):
+    *  - `stsd` leads with entry_count; each entry is
+    *    [size:u32][format:4cc][…] — format is the codec;
+    *  - `stsz` is [sample_size:u32][count:u32] with per-sample u32
+    *    sizes following only when sample_size == 0;
+    *  - `stco`/`co64` hold per-chunk ABSOLUTE file offsets (u32/u64);
+    *  - `stsc` runs of (first_chunk, samples_per_chunk, sdi) map
+    *    samples onto chunks; samples are contiguous within a chunk.
+    * The same walk discipline as [[parseMeta]]: malformed chains
+    * (sizes escaping their window) yield null, never a crash — crawl
+    * corpora always carry truncated files. */
+  def framesJpeg(bytes: Array[Byte]): Array[Array[Byte]] = {
+    if (bytes.length < 16) return null
+    def u16(off: Int): Int =
+      ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xFFL) << 24) | ((bytes(off + 1) & 0xFFL) << 16) |
+        ((bytes(off + 2) & 0xFFL) << 8) | (bytes(off + 3) & 0xFFL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def fourcc(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+
+    // Per-trak sample-table state, filled as the walk passes stbl.
+    final class Trak {
+      var fmt: String = null
+      var sizes: Array[Long] = null // per-sample, expanded from stsz
+      var chunkOffsets: Array[Long] = null
+      var stsc: Array[(Long, Long)] = null // (first_chunk, samples/chunk)
+    }
+    val traks = scala.collection.mutable.ArrayBuffer.empty[Trak]
+    var sawMoov = false
+
+    def walk(start: Int, end: Int, depth: Int, inMoov: Boolean,
+             cur: Trak): Boolean = {
+      var p = start
+      while (p + 8 <= end) {
+        val size0 = u32(p)
+        val typ = fourcc(p + 4)
+        var header = 8
+        val size =
+          if (size0 == 1L) {
+            if (p + 16 > end) return false
+            header = 16
+            u64(p + 8)
+          } else if (size0 == 0L) (end - p).toLong
+          else size0
+        if (size < header || p + size > end) return false
+        val payload = p + header
+        val payloadEnd = (p + size).toInt
+        typ match {
+          case "moov" if depth == 0 =>
+            sawMoov = true
+            if (!walk(payload, payloadEnd, depth + 1, inMoov = true,
+              cur = null)) return false
+          case "trak" if inMoov && cur == null =>
+            val t = new Trak
+            traks += t
+            if (!walk(payload, payloadEnd, depth + 1, inMoov = true,
+              cur = t)) return false
+          case "mdia" | "minf" | "stbl" if cur != null =>
+            if (!walk(payload, payloadEnd, depth + 1, inMoov = true,
+              cur = cur)) return false
+          case "stsd" if cur != null =>
+            // vf(4) + entry_count(4) + first entry [size][format].
+            if (payload + 16 > payloadEnd) return false
+            if (u32(payload + 4) >= 1) cur.fmt = fourcc(payload + 12)
+          case "stsz" if cur != null =>
+            if (payload + 12 > payloadEnd) return false
+            val fixed = u32(payload + 4)
+            val n = u32(payload + 8)
+            if (n < 0 || n > (1 << 22)) return false
+            cur.sizes =
+              if (fixed != 0) Array.fill(n.toInt)(fixed)
+              else {
+                if (payload + 12 + n * 4 > payloadEnd) return false
+                Array.tabulate(n.toInt)(i => u32(payload + 12 + i * 4))
+              }
+          case "stco" | "co64" if cur != null =>
+            if (payload + 8 > payloadEnd) return false
+            val n = u32(payload + 4)
+            val w = if (typ == "stco") 4 else 8
+            if (n < 0 || payload + 8 + n * w > payloadEnd) return false
+            cur.chunkOffsets = Array.tabulate(n.toInt)(i =>
+              if (w == 4) u32(payload + 8 + i * 4)
+              else u64(payload + 8 + i * 8))
+          case "stsc" if cur != null =>
+            if (payload + 8 > payloadEnd) return false
+            val n = u32(payload + 4)
+            if (n < 0 || payload + 8 + n * 12 > payloadEnd) return false
+            cur.stsc = Array.tabulate(n.toInt)(i => (
+              u32(payload + 8 + i * 12), u32(payload + 8 + i * 12 + 4)))
+          case _ => () // mdat, ftyp, mvhd, tkhd, hdlr, dinf, … skipped
+        }
+        p = payloadEnd
+      }
+      p == end || depth > 0
+    }
+
+    if (!walk(0, bytes.length, 0, inMoov = false, cur = null)) return null
+    if (!sawMoov) return null
+    val t = traks.find(t => t.fmt == "jpeg" && t.sizes != null &&
+      t.chunkOffsets != null && t.stsc != null && t.stsc.nonEmpty)
+      .getOrElse(return null)
+    // Expand chunk mapping: stsc runs are (first_chunk, samples/chunk)
+    // with first_chunk 1-based and each run covering chunks up to the
+    // next run's first_chunk.
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var sample = 0
+    var run = 0
+    var chunk = 1L
+    while (sample < t.sizes.length && chunk <= t.chunkOffsets.length) {
+      while (run + 1 < t.stsc.length && t.stsc(run + 1)._1 <= chunk)
+        run += 1
+      val perChunk = t.stsc(run)._2
+      if (perChunk <= 0) return null
+      var off = t.chunkOffsets((chunk - 1).toInt)
+      var k = 0L
+      while (k < perChunk && sample < t.sizes.length) {
+        val sz = t.sizes(sample)
+        if (off < 0 || sz < 0 || off + sz > bytes.length) return null
+        out += java.util.Arrays.copyOfRange(bytes, off.toInt,
+          (off + sz).toInt)
+        off += sz
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    if (sample < t.sizes.length) return null // table promises more
+    out.toArray
+  }
+
   /** A minimal genuine MP4 skeleton: `ftyp` + `moov{mvhd, trak{tkhd}}`
     * (+ an empty `mdat`), byte-identical in layout to what a muxer
     * writes for these fields. Fixture/test builder only. */
@@ -184,5 +324,101 @@ object VideoCodec {
     val moov = box("moov", mvhd ++ trak)
     val mdat = box("mdat", Array.empty[Byte])
     ftyp ++ moov ++ mdat
+  }
+
+  /** A minimal genuine photo-JPEG MOV/MP4: `ftyp` + `mdat` holding the
+    * JPEG samples + `moov` with the COMPLETE sample table
+    * (`stsd('jpeg')`, `stts`, `stsc`, `stsz`, `stco`) — the byte
+    * layout a QuickTime MJPEG muxer writes for these fields, so the
+    * decode side must run the real box walk AND sample-table
+    * expansion. moov-last (the file-writer layout; progressive-
+    * download muxers put it first — [[framesJpeg]] walks either).
+    * Fixture/test builder only. */
+  def encodeMovMjpeg(width: Int, height: Int, usecPerFrame: Long,
+                     jpegFrames: Seq[Array[Byte]],
+                     timescale: Int = 1000,
+                     samplesPerChunk: Int = 0): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    def be32(vs: Long*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(vs.length * 4)
+      vs.foreach(v => b.putInt(v.toInt))
+      b.array()
+    }
+    val n = jpegFrames.size
+    val delta = usecPerFrame * timescale / 1000000L
+    val duration = n * delta
+    // Major brand 'qt  ', minor version, compatible brand 'qt  '.
+    val ftyp = box("ftyp", "qt  ".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 2, 0) ++ "qt  ".getBytes("US-ASCII"))
+    val mdatPayload = jpegFrames.toArray.flatten
+    val mdat = box("mdat", mdatPayload)
+    val chunkOffset = ftyp.length + 8L // first sample starts mdat payload
+
+    val mvhdP = java.nio.ByteBuffer.allocate(100)
+    mvhdP.putInt(0).putInt(0).putInt(0)
+      .putInt(timescale).putInt(duration.toInt)
+    val mvhd = box("mvhd", mvhdP.array())
+    val tkhdP = java.nio.ByteBuffer.allocate(84)
+    tkhdP.putInt(0x0000000F) // version 0, flags: enabled+in-movie
+      .putInt(0).putInt(0).putInt(1) // ctime, mtime, track id
+      .putInt(0).putInt(duration.toInt)
+    tkhdP.position(76)
+    tkhdP.putInt(width << 16).putInt(height << 16)
+    val tkhd = box("tkhd", tkhdP.array())
+    val mdhdP = java.nio.ByteBuffer.allocate(24)
+    mdhdP.putInt(0).putInt(0).putInt(0)
+      .putInt(timescale).putInt(duration.toInt)
+    val mdhd = box("mdhd", mdhdP.array())
+    val hdlr = box("hdlr",
+      be32(0, 0) ++ "vide".getBytes("US-ASCII") ++ be32(0, 0, 0) ++
+        Array(0.toByte))
+    val vmhd = box("vmhd", be32(1, 0))
+    val dinf = box("dinf", box("dref",
+      be32(0, 1) ++ box("url ", be32(1)))) // self-contained data ref
+    // Visual sample entry (86 bytes): format 'jpeg', dims, 72 dpi,
+    // 1 frame/sample, 32-byte compressor name, 24-bit depth.
+    val entry = java.nio.ByteBuffer.allocate(86)
+    entry.putInt(86).put("jpeg".getBytes("US-ASCII"))
+      .put(new Array[Byte](6)).putShort(1) // reserved, data-ref index
+      .putShort(0).putShort(0).putInt(0).putInt(0).putInt(0)
+      .putShort(width.toShort).putShort(height.toShort)
+      .putInt(0x00480000).putInt(0x00480000) // 72 dpi fixed-point
+      .putInt(0).putShort(1) // reserved, frame count
+      .put(new Array[Byte](32)) // compressor name (pascal, zeroed)
+      .putShort(24).putShort(-1) // depth, pre_defined
+    val stsd = box("stsd", be32(0, 1) ++ entry.array())
+    val stts = box("stts", be32(0, 1, n, delta))
+    // Chunking: all samples in one chunk (samplesPerChunk == 0, the
+    // common single-chunk layout) or fixed-size chunks with a
+    // possibly-short tail — which makes stsc a genuine TWO-run table
+    // the parser must expand, not a single-entry degenerate.
+    val spc = if (samplesPerChunk <= 0) math.max(n, 1) else samplesPerChunk
+    val chunks: Seq[Seq[Array[Byte]]] = jpegFrames.grouped(spc).toSeq
+    val chunkOffsets = chunks.scanLeft(chunkOffset)(
+      (off, c) => off + c.map(_.length.toLong).sum).init
+    // Run-length compress samples-per-chunk into stsc entries.
+    val stscRuns = chunks.map(_.size).zipWithIndex
+      .foldLeft(Seq.empty[(Int, Int)]) { case (acc, (sz, i)) =>
+        if (acc.nonEmpty && acc.last._2 == sz) acc
+        else acc :+ ((i + 1, sz))
+      }
+    val stsc = box("stsc", be32(
+      Seq(0L, stscRuns.size.toLong) ++
+        stscRuns.flatMap { case (fc, sz) =>
+          Seq(fc.toLong, sz.toLong, 1L) }: _*))
+    val stsz = box("stsz",
+      be32(Seq(0L, 0L, n.toLong) ++ jpegFrames.map(_.length.toLong): _*))
+    val stco = box("stco", be32(
+      Seq(0L, chunkOffsets.size.toLong) ++ chunkOffsets: _*))
+    val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+    val minf = box("minf", vmhd ++ dinf ++ stbl)
+    val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ mdat ++ moov
   }
 }

@@ -283,6 +283,39 @@ object LlmQueries {
         lit(null).cast("long").as("duration_ms")))
   }
 
+  /** Real photo-JPEG MOV fixture — [[aviMedia]]'s ISO-BMFF sibling:
+    * genuine QuickTime containers (`ftyp`+`mdat`+`moov` with the full
+    * `stsd('jpeg')`/`stts`/`stsc`/`stsz`/`stco` sample table) whose
+    * samples are real JPEGs at quality 1.0. Frame f of doc id is
+    * CONSTANT GRAY v = (id·41 + f·67) mod 256 — the JPEG-invariant
+    * subset (see [[aviMedia]]) — so the oracle's pixel formula stays
+    * exact while the Spark side must run the real box walk, the real
+    * sample-table expansion, AND the real JPEG decode. A deliberately
+    * different gray/frame-count formula from m6's AVI fixture keeps
+    * the two container gates independent. */
+  private def movMedia(s: org.apache.spark.sql.SparkSession,
+                       d: String): org.apache.spark.sql.DataFrame = {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < PngMediaDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rows = ids.map { id =>
+      val w = (16 + (id % 2) * 8).toInt
+      val h = (16 + (id % 3) * 8).toInt
+      val frames = (0 until (2 + id % 3).toInt).map { f =>
+        val v = ((id * 41 + f * 67) % 256).toInt
+        graft.plans.AviCodec.encodeJpeg(w, h,
+          (_, _) => (v << 16) | (v << 8) | v)
+      }
+      (id, graft.plans.VideoCodec.encodeMovMjpeg(w, h,
+        usecPerFrame = 40000L, frames))
+    }
+    import s.implicits._
+    rows.toDF("media_id", "content")
+      .withColumn("meta", struct(lit("video/quicktime").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
+
   /** MJPEG-AVI fixture with CONTENT-level duplicates: videos sharing
     * `doc_id mod 50` carry pixel-identical frame sequences (same gray
     * formula, same dims, same frame count) but DIFFERENT container
@@ -1861,6 +1894,30 @@ object LlmQueries {
         |       ((doc_id * 37 + fi * 59) % 256) / 255.0 AS feature
         |FROM p""".stripMargin) { (s, d) =>
       Multimodal.extractFrameFeaturesVideo(aviMedia(s, d), grid = 2)
+        .select(col("media_id"), col("frame_idx"),
+          posexplode(col("features")).as(Seq("pos", "feature")))
+    },
+
+    // Multimodal: REAL video pixel decode in the SECOND major
+    // container — genuine photo-JPEG MOV/MP4 payloads (full ISO-BMFF
+    // sample table) whose JPEG samples sit in mdat at stco/stsz
+    // offsets the decoder must expand, each decoded on javax.imageio
+    // inside the scan projection and pooled like an image. Constant-
+    // gray frames (the JPEG-invariant subset, same discipline as m6)
+    // keep the oracle's pixel formula exact: a wrong box walk, sample
+    // boundary, or decode hash-diverges. m6 gates the AVI container;
+    // THIS gates the ISO-BMFF one — together they cover both families
+    // a crawl's MJPEG actually ships in.
+    Q("m10_mov_frames",
+      s"""WITH m AS (SELECT doc_id, 2 + doc_id % 3 AS nf
+        |           FROM documents WHERE doc_id < $PngMediaDocs),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS fi FROM m),
+        |p AS (SELECT doc_id, fi, unnest(range(0, 12)) AS pos FROM f)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |       CAST(pos AS INT) AS pos,
+        |       ((doc_id * 41 + fi * 67) % 256) / 255.0 AS feature
+        |FROM p""".stripMargin) { (s, d) =>
+      Multimodal.extractFrameFeaturesVideo(movMedia(s, d), grid = 2)
         .select(col("media_id"), col("frame_idx"),
           posexplode(col("features")).as(Seq("pos", "feature")))
     },

@@ -369,6 +369,83 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tornOut == Map(0 -> false, 1 -> true, 2 -> false))
   }
 
+  test("real video pixel decode: photo-JPEG MOV round-trip pools the exact ground-truth frames") {
+    import graft.plans.{AviCodec, VideoCodec}
+    val grays = Seq(31, 144, 250, 7)
+    val frames = grays.map(v =>
+      AviCodec.encodeJpeg(32, 16, (_, _) => (v << 16) | (v << 8) | v))
+    val mov = VideoCodec.encodeMovMjpeg(32, 16, usecPerFrame = 40000L,
+      frames)
+    // Direct codec round-trip: the sample-table walk recovers every
+    // sample payload byte-for-byte, and the metadata surface reads
+    // the same container.
+    assert(VideoCodec.framesJpeg(mov).toSeq.map(_.toSeq) ==
+      frames.map(_.toSeq))
+    val vm = VideoCodec.parseMeta(mov)
+    assert(vm != null && vm.width == 32 && vm.height == 16 &&
+      vm.durationMs == 160L)
+    // Through the distributed stage: one row per frame, every pooled
+    // cell exactly v/255 — the same JPEG-invariant constant-gray
+    // contract the AVI gate rides.
+    val rows = Seq((9L, mov)).toDF("media_id", "content")
+    val out = Multimodal.extractFrameFeaturesVideo(rows, grid = 2)
+      .select(col("media_id"), col("frame_idx"), col("features"))
+      .as[(Long, Int, Seq[Double])].collect().sortBy(_._2)
+    assert(out.length == 4)
+    out.zip(grays).foreach { case ((_, _, feats), v) =>
+      assert(feats.size == 12 && feats.forall(_ == v / 255.0))
+    }
+    // A corrupt SAMPLE inside a valid container yields a null element.
+    val torn = VideoCodec.encodeMovMjpeg(32, 16, 40000L,
+      Seq(frames.head, "garbage".getBytes("UTF-8"), frames.last))
+    val tornOut = Multimodal.extractFrameFeaturesVideo(
+        Seq((2L, torn)).toDF("media_id", "content"), 2)
+      .select(col("frame_idx"), col("features").isNull)
+      .as[(Int, Boolean)].collect().toMap
+    assert(tornOut == Map(0 -> false, 1 -> true, 2 -> false))
+    // An ISO-BMFF container with NO jpeg sample table (the metadata
+    // skeleton) is not decodable video — null, not a crash; the stub
+    // seam covers such codecs.
+    val skel = VideoCodec.encodeMp4Skeleton(320, 240, 1000L)
+    assert(VideoCodec.framesJpeg(skel) == null)
+    assert(Multimodal.extractFrameFeaturesVideo(
+      Seq((3L, skel)).toDF("media_id", "content"), 2).count() == 0)
+  }
+
+  test("MOV sample-table walk expands multi-chunk stsc runs and refuses malformed tables") {
+    import graft.plans.{AviCodec, VideoCodec}
+    // 5 samples at 2 per chunk → chunks [2,2,1] → a genuine two-run
+    // stsc the expansion must honor (chunk 3 switches to 1 sample).
+    val grays = Seq(10, 60, 110, 160, 210)
+    val frames = grays.map(v =>
+      AviCodec.encodeJpeg(16, 16, (_, _) => (v << 16) | (v << 8) | v))
+    val mov = VideoCodec.encodeMovMjpeg(16, 16, 40000L, frames,
+      samplesPerChunk = 2)
+    assert(VideoCodec.framesJpeg(mov).toSeq.map(_.toSeq) ==
+      frames.map(_.toSeq))
+    // Every prefix truncation parses to null, never throws or hangs.
+    for (len <- 0 until mov.length by 13)
+      VideoCodec.framesJpeg(java.util.Arrays.copyOf(mov, len))
+    // A chunk offset escaping the buffer is malformed → null. stco
+    // sits near the end; corrupt its last offset bytes.
+    val bad = mov.clone()
+    var i = bad.length - 8
+    var patched = false
+    while (i >= 0 && !patched) {
+      if (bad(i) == 's' && bad(i + 1) == 't' && bad(i + 2) == 'c' &&
+        bad(i + 3) == 'o') {
+        bad(i + 12) = 0x7F.toByte // first offset → far past the buffer
+        patched = true
+      }
+      i -= 1
+    }
+    assert(patched)
+    assert(VideoCodec.framesJpeg(bad) == null)
+    // Foreign bytes: null, not a crash.
+    assert(VideoCodec.framesJpeg("not a movie at all".getBytes) == null)
+    assert(VideoCodec.framesJpeg(Array.fill[Byte](64)(0x41)) == null)
+  }
+
   test("MJPEG decode handles non-constant frames through the same path (within codec tolerance)") {
     import graft.plans.{AviCodec, ImageCodec}
     // A gradient frame: lossy, so no exactness — the pooled means must
