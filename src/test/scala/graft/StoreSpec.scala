@@ -1157,6 +1157,89 @@ class StoreSpec extends AnyFunSuite {
     } finally cleanup(dir)
   }
 
+  test("LmStore: takedown subtract racing an append surfaces atomically at every commit point") {
+    val dir = tmpDir("graft-lm")
+    try {
+      val refA = lmRef.filter(col("doc_id") < 100)
+      val refB = lmRef.filter(col("doc_id") >= 100)
+      val dead = refA.filter(col("doc_id") % 40 === 0)
+      assert(refB.count() > 0 && dead.count() > 0)
+      llm.LmStore.build(refA, "doc_id", "text", dir, LP)
+      val f = CorpusStore.fileSystem(spark, dir)
+
+      // Commit point A: an appender's replacement model (A ∪ B) is
+      // FULLY WRITTEN — complete temp, every component _SUCCESS — but
+      // not yet promoted when the takedown subtract lands. The
+      // subtract applies to the committed base only; the torn-window
+      // model stays invisible.
+      def writeTemp(tmp: String, ref: org.apache.spark.sql.DataFrame)
+          : Unit = {
+        val m = llm.Corpus.lmTrain(ref, "doc_id", "text", Some("lang"),
+          hashed = true)
+        m.bigrams.withColumnRenamed("__lang", "lang")
+          .write.parquet(s"$tmp/bigrams")
+        m.contexts.withColumnRenamed("__lang", "lang")
+          .write.parquet(s"$tmp/contexts")
+        m.tokens.withColumnRenamed("__lang", "lang")
+          .write.parquet(s"$tmp/tokens")
+      }
+      val inFlight = s"$dir/_tmp_model_0000000000050_ab"
+      writeTemp(inFlight, refA.unionByName(refB))
+      llm.LmStore.subtract(dead, "doc_id", "text", dir, LP)
+      val afterTakedown = scoreMap(llm.LmStore.score(spark, dir, LP,
+        lmDocs, "doc_id", "text"))
+      val survivorsOnly = scoreMap(llm.Corpus.lmScore(lmDocs, "doc_id",
+        "text", col("source") === "src0" && col("doc_id") < 100 &&
+          col("doc_id") % 40 =!= 0,
+        langCol = Some("lang"), hashed = true))
+      assert(afterTakedown == survivorsOnly,
+        "takedown must land on the committed base; the in-flight " +
+          "append stayed invisible")
+      // The appender's temp was SWEPT by the subtract (writer-path
+      // temp hygiene — maintenance ops are single-writer, so any temp
+      // a writer finds is crash debris): a later promote can only
+      // fail LOUDLY — never silently resurrect the pre-takedown
+      // counts its temp still carries.
+      assert(!f.exists(new Path(inFlight)),
+        "in-flight append temp survived the subtract swap")
+      assertThrows[java.io.IOException] {
+        graft.llm.ArtifactStore.commitSwap(f, dir, "model",
+          new Path(inFlight), Seq("bigrams", "contexts", "tokens"),
+          "LmStore", "append")
+      }
+
+      // Commit point B: an append COMMITTED before the subtract reads
+      // the model folds in — the takedown then applies to A ∪ B.
+      // (Rebuilt from scratch: point A's subtract already removed
+      // `dead` from the live model.)
+      llm.LmStore.build(refA, "doc_id", "text", dir, LP)
+      llm.LmStore.append(refB, "doc_id", "text", dir, LP)
+      llm.LmStore.subtract(dead, "doc_id", "text", dir, LP)
+      // `dead` drew only from A (doc_id < 100): appended docs whose
+      // ids also divide 40 were never taken down and must stay.
+      val unionMinusDead = scoreMap(llm.Corpus.lmScore(lmDocs, "doc_id",
+        "text", col("source") === "src0" &&
+          !(col("doc_id") < 100 && col("doc_id") % 40 === 0),
+        langCol = Some("lang"), hashed = true))
+      assert(scoreMap(llm.LmStore.score(spark, dir, LP, lmDocs,
+        "doc_id", "text")) == unionMinusDead,
+        "a committed append must fold into the takedown's rewrite")
+
+      // Commit point C: the mirror race — a TORN maintenance temp
+      // (one component's _SUCCESS missing) while a serve runs. The
+      // serve reads the committed model; the torn temp is neither
+      // promoted nor deleted by the read path (its writer may still
+      // be alive).
+      val torn = s"$dir/_tmp_model_0000000000060_cd"
+      writeTemp(torn, refA)
+      f.delete(new Path(s"$torn/tokens/_SUCCESS"), false)
+      assert(scoreMap(llm.LmStore.score(spark, dir, LP, lmDocs,
+        "doc_id", "text")) == unionMinusDead)
+      assert(f.exists(new Path(torn)),
+        "a READ deleted a maintenance writer's in-flight temp")
+    } finally cleanup(dir)
+  }
+
   // ---- TokenizerStore -------------------------------------------------
 
   private val TP = graft.llm.TokenizerStore.Params(merges = 40,
@@ -1229,6 +1312,76 @@ class StoreSpec extends AnyFunSuite {
       val e = intercept[IllegalStateException] { tokenCountSet(dir) }
       assert(e.getMessage.contains("sidecar"), e.getMessage)
       assert(f.exists(new Path(tmp)), "recovery deleted the torn temp")
+    } finally cleanup(dir)
+  }
+
+  test("TokenizerStore: retrain racing a serve surfaces atomically at every commit point") {
+    val dir = tmpDir("graft-tk")
+    try {
+      graft.llm.TokenizerStore.build(docs, "doc_id", "text", dir, TP)
+      val counts40 = tokenCountSet(dir)
+      val f = CorpusStore.fileSystem(spark, dir)
+
+      // The racing retrain: a DIFFERENT vocabulary (10 merges), fully
+      // written to a unique temp — sidecar inside the unit, both
+      // component _SUCCESS markers — the instant before its promote.
+      val TP10 = graft.llm.TokenizerStore.Params(merges = 10,
+        minCount = 1L)
+      val (m10, w10) = graft.llm.TextAnalysis.bpeTrainFull(docs,
+        "doc_id", "text", TP10.merges, TP10.minCount)
+      def writeRetrainTemp(tmp: String): Unit = {
+        graft.llm.ArtifactStore.writeSidecar(f,
+          new Path(tmp, "_params.json"),
+          graft.llm.ArtifactStore.withLayout(TP10.render, 2))
+        m10.write.parquet(s"$tmp/merges")
+        w10.write.parquet(s"$tmp/segments")
+      }
+      val inFlight = s"$dir/_tmp_model_0000000000070_ef"
+      writeRetrainTemp(inFlight)
+
+      // Commit point A: retrain written but NOT promoted — a serve
+      // still reads the OLD vocabulary wholesale (the temp is
+      // invisible; the read path neither promotes nor deletes it).
+      assert(tokenCountSet(dir) == counts40,
+        "an unpromoted retrain leaked into a serve")
+      assert(f.exists(new Path(inFlight)),
+        "a READ deleted a retrainer's in-flight temp")
+
+      // Commit point B: the retrainer crashed MID-SWAP — live model
+      // renamed aside, temp complete, promote rename never ran. The
+      // next serve's recovery rolls FORWARD to the complete retrain;
+      // params and tables move as ONE unit, so serving with the old
+      // parameters refuses loudly (never a silent franken-serve) and
+      // the new vocabulary serves exactly its own token counts.
+      assert(f.rename(new Path(dir, "model"), new Path(dir, "_old_model")))
+      val e = intercept[IllegalStateException] { tokenCountSet(dir) }
+      assert(e.getMessage.contains("mismatch"), e.getMessage)
+      val served10 = graft.llm.TokenizerStore.tokenCounts(spark, dir,
+          TP10, docs, "doc_id", "text")
+        .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toSet
+      val ephemeral10 = graft.llm.TextAnalysis.bpeTokenCountsWith(docs,
+          "doc_id", "text", w10)
+        .select("doc_id", "n_bpe_tokens").as[(Long, Long)].collect().toSet
+      assert(served10 == ephemeral10 && served10 != counts40,
+        "rolled-forward retrain must serve its own vocabulary wholesale")
+      assert(!f.exists(new Path(dir, "_old_model")),
+        "roll-forward left the displaced model behind")
+
+      // Commit point C: the same crash with a TORN retrain temp (one
+      // component _SUCCESS missing) — recovery rolls BACK to the
+      // displaced model; the torn build is never promoted.
+      val torn = s"$dir/_tmp_model_0000000000080_gh"
+      graft.llm.ArtifactStore.writeSidecar(f,
+        new Path(torn, "_params.json"),
+        graft.llm.ArtifactStore.withLayout(TP.render, 2))
+      m10.write.parquet(s"$torn/merges")
+      f.mkdirs(new Path(torn, "segments")) // torn: no _SUCCESS
+      assert(f.rename(new Path(dir, "model"), new Path(dir, "_old_model")))
+      assert(graft.llm.TokenizerStore.tokenCounts(spark, dir, TP10,
+          docs, "doc_id", "text")
+        .select("doc_id", "n_bpe_tokens").as[(Long, Long)]
+        .collect().toSet == served10,
+        "recovery must restore the displaced model, not promote a torn build")
     } finally cleanup(dir)
   }
 
