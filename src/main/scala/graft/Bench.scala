@@ -307,8 +307,13 @@ object HeavyBench {
   // longdoc at ×256 so the signature stage dominates its entries; v9:
   // + the persisted IVF-PQ index for the serving entry; v10: + the
   // persisted per-lang bigram LM for the c11 serving entry; v11: + the
-  // persisted 1000-merge BPE tokenizer for the t14 serving entry.
-  private val Layout = "v11"
+  // persisted 1000-merge BPE tokenizer for the t14 serving entry;
+  // v12: deterministic table layout — every table hash-partitioned on
+  // its key and sorted within partitions, so rebuilds from the same
+  // source values are byte-identical and row order stops being an
+  // uncontrolled variable of the bench record (the l2 r15→r16
+  // fixture-rebuild sensitivity).
+  private val Layout = "v12"
   // Set by ensureHeavyDir: whether this run regenerated the fixture
   // (false = every persisted store artifact predates this run).
   @volatile private var lastBuildWasFresh = false
@@ -622,14 +627,17 @@ object HeavyBench {
       paths = Some((s, d) =>
         Seq(queries.LlmQueries.ensurePngFixture(s, d))),
       meta = Seq("grid" -> "4", "dims" -> "\"16+id%9 x 16+id%7 RGB\"")),
-    // REAL image decode at CRAWL-REALISTIC sizes: 10 K images of
+    // REAL image decode at CRAWL-REALISTIC sizes: 40 K images of
     // 128-512 px per side (50/50 genuine PNG / JPEG q0.8, avalanche-
-    // noise content, ~1.9 GB encoded at ~190 KB/image) — the regime
+    // noise content, ~7.7 GB encoded at ~190 KB/image) — the regime
     // where per-image cost is pixel-bound. m3's 16-23 px fixture
     // measures the per-row-overhead end (imgs/s); THIS entry's
     // mb_per_s is the number that decides whether 100 TB image
     // curation is decode-bound or scan-bound (compare mb_per_s / 32
     // cores against the 300-800 MB/s/core parquet scan envelope).
+    // Sized to run ~10 s (r16's 10 K / ~3 s entry oscillated ±25-80%
+    // across runs on cross-run page-cache state the reaper cannot
+    // see; at ~10 s that noise is sub-dominant).
     HeavyItem("m7_image_decode_realistic", Seq("documents"),
       fn = Some { (s, d) =>
         val media = s.read.parquet(
@@ -644,16 +652,62 @@ object HeavyBench {
           queries.LlmQueries.ensureRealisticMediaFixture(s, d))
         // Decoded (raw RGB) volume: what the decoder actually produces
         // — together with input_mb this splits encoded-MB/s from
-        // output-pixel throughput. Dims replay the fixture formula.
-        val px = m.select(sum((lit(128) + pmod(col("media_id") * 97,
-            lit(385))) * (lit(128) + pmod(col("media_id") * 53,
-            lit(385))))).collect()(0).getLong(0)
+        // output-pixel throughput. Dims replay the fixture formula
+        // (v3: dims derive from the pair SEED = id − id%2).
+        val seed = col("media_id") - pmod(col("media_id"), lit(2))
+        val px = m.select(sum((lit(128) + pmod(seed * 97, lit(385))) *
+            (lit(128) + pmod(seed * 53, lit(385)))))
+          .collect()(0).getLong(0)
         Seq("png_images" -> m.filter(col("fmt") === "png").count(),
           "jpeg_images" -> m.filter(col("fmt") === "jpeg").count(),
           "decoded_mb_rgb" -> px * 3 / 1000000)
       },
       meta = Seq("grid" -> "4", "dims" -> "\"128-512 px RGB\"",
         "mix" -> "\"png/jpeg 50/50\"", "jpeg_quality" -> "0.8")),
+    // The media-curation composite END-TO-END at realistic scale: the
+    // number a 100 TB image dedup actually pays — decode (the m7
+    // workload) + pooled features + centered sign-LSH near-dup pairs
+    // in ONE timed window, decode and shuffle together. The fixture's
+    // odd ids are JPEG re-encodes of their even neighbor's pixels
+    // (cross-codec near-dups, cosine ≈ 0.99 centered), so pairs out
+    // is a known quantity: ~20 K true pairs at ≥ 0.8, LSH recall
+    // ~99.9% at 12 planes × 6 tables. The untimed decode-only
+    // re-measure attributes the composite's cost: the delta over it
+    // is the entire LSH term (ScaleCheck `mediacomposite` sweeps the
+    // same split across corpus sizes — decode dominates throughout).
+    HeavyItem("m11_image_neardup_composite", Seq("documents"),
+      fn = Some { (s, d) =>
+        val media = s.read.parquet(
+          queries.LlmQueries.ensureRealisticMediaFixture(s, d))
+        val feats = graft.llm.Multimodal.extractFeaturesImage(media, grid = 4)
+          .filter(col("features").isNotNull)
+          .select(col("media_id"),
+            transform(col("features"), f => f - lit(0.5))
+              .cast("array<float>").as("features"))
+        graft.llm.Dedup.embeddingNearDupPairsLsh(feats, "media_id",
+          "features", threshold = 0.8, planes = 12, tables = 6,
+          dim = 48, maxBucketSize = Some(200))
+      },
+      paths = Some((s, d) =>
+        Seq(queries.LlmQueries.ensureRealisticMediaFixture(s, d))),
+      counts = Some { (s, d) =>
+        // Decode-only re-measure (untimed): the composite minus this
+        // is the LSH/shuffle term — the attribution that shows the
+        // composite is decode-bound, consistent with the README's
+        // budget guidance.
+        val t0 = System.nanoTime()
+        val media = s.read.parquet(
+          queries.LlmQueries.ensureRealisticMediaFixture(s, d))
+        graft.llm.Multimodal.extractFeaturesImage(media, grid = 4)
+          .filter(col("features").isNotNull)
+          .write.format("noop").mode("overwrite").save()
+        val decodeMs = (System.nanoTime() - t0) / 1000000
+        Seq("decode_only_ms" -> decodeMs,
+          "true_pairs" -> media.count() / 2)
+      },
+      meta = Seq("grid" -> "4", "threshold" -> "0.8", "planes" -> "12",
+        "tables" -> "6", "max_bucket" -> "200",
+        "pair_shape" -> "\"png vs jpeg re-encode of same pixels\"")),
     // REAL video pixel decode at scale: 2 K genuine MJPEG-AVIs (8
     // frames each at 128-256 px, JPEG q0.8 noise — 16 K frames, ~0.7
     // GB encoded) through the RIFF chunk walk + per-frame javax.imageio
@@ -1039,7 +1093,8 @@ object HeavyBench {
       // decode entries time decoding, not fixture generation.
       if (selected.exists(_.name == "m3_image_decode"))
         queries.LlmQueries.ensurePngFixture(spark, dir)
-      if (selected.exists(_.name == "m7_image_decode_realistic"))
+      if (selected.exists(i => i.name == "m7_image_decode_realistic" ||
+          i.name == "m11_image_neardup_composite"))
         queries.LlmQueries.ensureRealisticMediaFixture(spark, dir)
       if (selected.exists(_.name == "m8_video_decode"))
         queries.LlmQueries.ensureVideoFixture(spark, dir)
@@ -1129,7 +1184,20 @@ object HeavyBench {
       // their persisted stores (tokenizer/index/LM/bands) are the
       // STANDING artifacts of a previous run's fixture build, so those
       // numbers prove artifacts survive across code versions.
-      s""","heavy":{"factors":{$f},"fixture":{"layout":"$Layout","rebuilt":$lastBuildWasFresh},"queries":{${items.mkString(",")}}}"""
+      // Per-table layout stats make the fixture a CONTROLLED variable
+      // of the record: a rebuild that drifts in file count or bytes is
+      // visible in the JSON diff, not discovered by a perf swing.
+      val tableStats = Seq("documents.parquet", "lineitem.parquet",
+          "embeddings.parquet", "lowdup/documents.parquet",
+          "longdoc/documents.parquet")
+        .map { t =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+          val hfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+          val parts = hfs.listStatus(p)
+            .count(_.getPath.getName.endsWith(".parquet"))
+          f""""${t.stripSuffix(".parquet")}":{"files":$parts,"mb":${duBytes(spark, s"$dir/$t") / 1e6}%.1f}"""
+        }.mkString(",")
+      s""","heavy":{"factors":{$f},"fixture":{"layout":"$Layout","rebuilt":$lastBuildWasFresh,"tables":{$tableStats}},"queries":{${items.mkString(",")}}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] heavy block failed: ${e.getMessage}")
@@ -1279,13 +1347,31 @@ object HeavyBench {
       // single-lineage form wrote ONE file with ONE row group per
       // table — unsplittable, pinning every downstream scan to a
       // single core.
-      docs.repartition(32)
+      //
+      // DETERMINISTIC layout (v12): hash-partitioned on the table key
+      // and sorted within partitions, so the on-disk bytes are a pure
+      // function of the table's VALUES. The previous bare
+      // `repartition(32)` was round-robin — each row's file assignment
+      // inherited the SOURCE parquet's partition/row order, which the
+      // driver regenerates every round; that made row order (and with
+      // it encoding locality) an uncontrolled variable of the record
+      // of measure — the suspected driver of l2's 15.2 → 26.0 s
+      // isolated swing across the r15→r16 fixture rebuild. With the
+      // layout keyed, consecutive rebuilds from the same values are
+      // byte-identical (verified by the r17 rebuild-twice experiment;
+      // per-table file/byte stats are stamped into the heavy JSON's
+      // `fixture` block so any future drift is visible in the record).
+      def keyed(df: org.apache.spark.sql.DataFrame, key: String,
+                rest: String*): org.apache.spark.sql.DataFrame =
+        df.repartition(32, col(key))
+          .sortWithinPartitions(key, rest: _*)
+      keyed(docs, "doc_id")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      lowdup.repartition(32)
+      keyed(lowdup, "doc_id")
         .write.mode("overwrite").parquet(s"$dir/lowdup/documents.parquet")
-      longdoc.repartition(32)
+      keyed(longdoc, "doc_id")
         .write.mode("overwrite").parquet(s"$dir/longdoc/documents.parquet")
-      emb.repartition(32)
+      keyed(emb, "vec_id")
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       // The serving entry's persisted ANN artifact — built with the
       // fixture (untimed), searched by e14_store_serve.
@@ -1312,16 +1398,16 @@ object HeavyBench {
       fsDir.getFileSystem(spark.sessionState.newHadoopConf())
         .delete(fsDir, true)
       ensurePipe26Watermark(spark, s"$dir/lowdup")
-      li.repartition(32)
+      keyed(li, "l_orderkey", "l_partkey")
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       // The incremental-dedup entry's persisted artifact: the standing
       // corpus' (doc, band, bucket) table (doc_id % 16 != 0 — the
       // increment is the complement), written like a production
       // BandStore run would leave it.
-      graft.llm.Dedup.minhashBandTable(
+      keyed(graft.llm.Dedup.minhashBandTable(
           spark.read.parquet(s"$dir/lowdup/documents.parquet")
-            .filter(col("doc_id") % 16 =!= 0), "doc_id", "text")
-        .repartition(32)
+            .filter(col("doc_id") % 16 =!= 0), "doc_id", "text"),
+          "doc", "band")
         .write.mode("overwrite").parquet(s"$dir/lowdup/corpus_bands.parquet")
       val out = fs.create(sidecar, true)
       try out.write(fingerprint.getBytes("UTF-8")) finally out.close()

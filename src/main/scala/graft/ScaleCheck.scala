@@ -156,6 +156,13 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    // `mediacomposite` → the decode-vs-LSH attribution sweep for the
+    // media-curation composite (see [[mediaCompositeSweep]]).
+    if (args.headOption.contains("mediacomposite")) {
+      mediaCompositeSweep(spark)
+      spark.stop()
+      return
+    }
     // ×64 on the sf0.1 documents table is ~6.4 M docs / ~2 GB of text —
     // the "one big pass" that anchors the scaling curve beyond the
     // default sweep. Select it with SPARK_GRAFT_FACTORS=1,4,16,64 and
@@ -728,6 +735,66 @@ object ScaleCheck {
     * count, is what the ≤64-segment compact trigger bounds.
     *
     * Run: sbt "runMain graft.ScaleCheck packstore" */
+  /** The media-curation composite split across corpus sizes: for n
+    * crawl-realistic images (the heavy fixture's shape and pair
+    * structure at reduced count), time (a) decode+pool alone and
+    * (b) the full composite decode → centered features → sign-LSH
+    * near-dup pairs. The decode share is the point: the composite is
+    * DECODE-bound at every size (consistent with the README's
+    * 20-40×-the-scan-envelope budget), so a 100 TB image dedup is
+    * provisioned by decode cores, not shuffle. Pairs out doubles as a
+    * recall check (~n/2 cross-codec true pairs by construction). */
+  private[graft] def mediaCompositeSweep(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.plans.PngSynthExpr.register(spark)
+    graft.plans.JpegSynthExpr.register(spark)
+    val root = "file:" + java.nio.file.Files
+      .createTempDirectory("sc_mediacomp").toString
+    def fixture(n: Int): String = {
+      val path = s"$root/media_$n"
+      val seed = col("id") - pmod(col("id"), lit(2))
+      val w = (lit(128) + pmod(seed * 97, lit(385))).cast("int")
+      val h = (lit(128) + pmod(seed * 53, lit(385))).cast("int")
+      spark.range(0, n).select(col("id").as("media_id"),
+          when(col("id") % 2 === 0,
+            call_function(graft.plans.PngSynthExpr.Name, seed, w, h))
+          .otherwise(
+            call_function(graft.plans.JpegSynthExpr.Name, seed, w, h))
+            .as("content"))
+        .repartition(32).write.parquet(path)
+      path
+    }
+    def feats(path: String) = llm.Multimodal.extractFeaturesImage(
+        spark.read.parquet(path), grid = 4)
+      .filter(col("features").isNotNull)
+      .select(col("media_id"),
+        transform(col("features"), f => f - lit(0.5))
+          .cast("array<float>").as("features"))
+    def sec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"images"}%8s ${"decode_sec"}%10s ${"full_sec"}%9s " +
+      f"${"decode_pct"}%10s ${"pairs"}%7s")
+    for (n <- Seq(1000, 2000, 4000)) {
+      val path = fixture(n)
+      // Warm one pass (codegen + page cache), then min-of-2 each.
+      sec(feats(path).write.format("noop").mode("overwrite").save())
+      val dec = Seq.fill(2)(sec(feats(path)
+        .write.format("noop").mode("overwrite").save())).min
+      var pairs = 0L
+      val full = Seq.fill(2)(sec {
+        pairs = llm.Dedup.embeddingNearDupPairsLsh(feats(path),
+          "media_id", "features", 0.8, planes = 12, tables = 6,
+          dim = 48, maxBucketSize = Some(200)).count()
+      }).min
+      println(f"$n%8d $dec%10.2f $full%9.2f " +
+        f"${dec / full * 100}%9.1f%% $pairs%7d")
+    }
+    graft.queries.Fixtures.deleteRecursively(
+      java.nio.file.Paths.get(root.stripPrefix("file:")))
+  }
+
   private[graft] def packStoreSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
     import llm.PackStore
     val dir = "file:" + java.nio.file.Files

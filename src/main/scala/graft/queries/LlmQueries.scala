@@ -105,41 +105,57 @@ object LlmQueries {
   }
 
   /** Crawl-REALISTIC media fixture for the decode-MB/s heavy entry:
-    * 10 K images at 128–512 px per side (even ids real PNG, odd ids
+    * 40 K images at 128–512 px per side (even ids real PNG, odd ids
     * real JPEG q0.8 — the 50/50 mix a web crawl skews between),
     * avalanche-noise content so neither codec shortcuts, synthesized
     * DISTRIBUTED via `png_synth`/`jpeg_synth` under the stamped-dir
-    * convention. ~1.9 GB encoded, ~190 KB/image — the regime where
+    * convention. ~7.7 GB encoded, ~190 KB/image — the regime where
     * per-image decode cost is pixel-bound, not per-row-overhead-bound
     * (the m3 fixture's 16–23 px images measure the opposite end).
-    * Returns the parquet path. */
+    *
+    * Pixel SEEDS come in cross-codec pairs: odd ids re-encode their
+    * even neighbor's exact pixels as JPEG (seed = id − id%2, dims from
+    * the seed) — the re-encoded-copy shape a crawl image corpus
+    * actually carries, giving the corpus 20 K genuine near-dup pairs
+    * (PNG exact vs JPEG q0.8 of the same noise: pooled-feature cosine
+    * ≈ 0.99 after centering, unrelated images ≲ 0.3) for the
+    * decode→features→LSH composite entry, with the decode workload's
+    * size/format distribution unchanged. Returns the parquet path. */
   def ensureRealisticMediaFixture(s: org.apache.spark.sql.SparkSession,
                                   d: String): String = {
     // v2: avalanche-noise pixels (see PngSynthExpr) — encoded sizes
-    // are now content-honest (~3 B/px PNG, ~1 B/px JPEG q0.8).
-    val base = Fixtures.stampedDir(d, "documents", "media_realistic", 2)
+    // are content-honest (~3 B/px PNG, ~1 B/px JPEG q0.8). v3: 40 K
+    // images (the decode entry runs ~10 s, drowning cross-run
+    // page-cache noise) + the paired-seed near-dup structure. v4:
+    // written 256-way — at 32 files each row group held ~112 MB of
+    // binary rows, and 32 concurrent scan tasks materializing those
+    // batches overran an 8 GB driver heap; ~28 MB row groups keep the
+    // columnar batches bounded (rows are ~190 KB EACH — row-group
+    // size, not row count, is the memory knob for blob tables).
+    val base = Fixtures.stampedDir(d, "documents", "media_realistic", 4)
     val target = base.resolve("media")
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
       try {
         graft.plans.PngSynthExpr.register(s)
         graft.plans.JpegSynthExpr.register(s)
-        val w = (lit(128) + pmod(col("doc_id") * 97, lit(385))).cast("int")
-        val h = (lit(128) + pmod(col("doc_id") * 53, lit(385))).cast("int")
+        val seed = col("doc_id") - pmod(col("doc_id"), lit(2))
+        val w = (lit(128) + pmod(seed * 97, lit(385))).cast("int")
+        val h = (lit(128) + pmod(seed * 53, lit(385))).cast("int")
         val built = tmp.resolve("p")
         Tables.documents(s, d).select("doc_id")
-          .filter(col("doc_id") < 10000)
+          .filter(col("doc_id") < 40000)
           .select(col("doc_id").as("media_id"),
             when(col("doc_id") % 2 === 0,
-              call_function(graft.plans.PngSynthExpr.Name,
-                col("doc_id"), w, h))
+              call_function(graft.plans.PngSynthExpr.Name, seed, w, h))
             .otherwise(
-              call_function(graft.plans.JpegSynthExpr.Name,
-                col("doc_id"), w, h)).as("content"),
+              call_function(graft.plans.JpegSynthExpr.Name, seed, w, h))
+              .as("content"),
             when(col("doc_id") % 2 === 0, "png").otherwise("jpeg")
               .as("fmt"))
-          // 32-way: one lineage would write one unsplittable row group.
-          .repartition(32)
+          // 256-way: bounds each row group to ~28 MB of ~190 KB blob
+          // rows (see the v4 note above).
+          .repartition(256)
           .write.parquet(built.toString)
         Fixtures.publish(built, target)
       } finally Fixtures.deleteRecursively(tmp)
