@@ -1349,18 +1349,23 @@ object HeavyBench {
       // single core.
       //
       // DETERMINISTIC layout (v12): hash-partitioned on the table key
-      // and sorted within partitions, so the on-disk bytes are a pure
-      // function of the table's VALUES. The previous bare
+      // and sorted within partitions, so each file's LOGICAL content
+      // (row values in row order) is a pure function of the table's
+      // VALUES — verified file-by-file against an independent
+      // recompute; only physical page/row-group boundary placement
+      // wobbles across sessions (parquet-mr's concurrent-writer
+      // memory manager), which no scan observes. The previous bare
       // `repartition(32)` was round-robin — each row's file assignment
       // inherited the SOURCE parquet's partition/row order, which the
       // driver regenerates every round; that made row order (and with
-      // it encoding locality) an uncontrolled variable of the record
-      // of measure — the suspected driver of l2's 15.2 → 26.0 s
-      // isolated swing across the r15→r16 fixture rebuild. With the
-      // layout keyed, consecutive rebuilds from the same values are
-      // byte-identical (verified by the r17 rebuild-twice experiment;
-      // per-table file/byte stats are stamped into the heavy JSON's
-      // `fixture` block so any future drift is visible in the record).
+      // it sort-run locality in every key-clustered exchange, plus
+      // encoding density) an uncontrolled variable of the record of
+      // measure — the attributed driver of l2's 15.2 → 26.0 s isolated
+      // swing across the r15→r16 fixture rebuild (see README "The l2
+      // fixture-rebuild sensitivity, attributed"). With the layout
+      // keyed+sorted, l2 read 16.5/16.2 s across two consecutive
+      // rebuilds (±4%); per-table file/byte stats are stamped into the
+      // heavy JSON's `fixture` block so any future drift is visible.
       def keyed(df: org.apache.spark.sql.DataFrame, key: String,
                 rest: String*): org.apache.spark.sql.DataFrame =
         df.repartition(32, col(key))

@@ -163,6 +163,22 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    // `l2 <dir> [<dir> …]` → the licensing fixture-sensitivity probe:
+    // min-of-3 isolated l2_amsl_tag_heavy against each dir's
+    // lineitem.parquet (the same timing harness as the bench — reaped
+    // state, full hash-fold materialization). Exists to attribute
+    // layout-induced swings: point it at fixture variants (keyed-
+    // sorted vs round-robin vs shuffled row order) and read the
+    // deltas side by side.
+    if (args.headOption.contains("l2")) {
+      // The bench's heavy-block partition sizing, for an
+      // apples-to-apples number.
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
+      spark.conf.set("spark.sql.files.openCostInBytes", "512k")
+      l2Probe(spark, args.drop(1).toSeq)
+      spark.stop()
+      return
+    }
     // ×64 on the sf0.1 documents table is ~6.4 M docs / ~2 GB of text —
     // the "one big pass" that anchors the scaling curve beyond the
     // default sweep. Select it with SPARK_GRAFT_FACTORS=1,4,16,64 and
@@ -793,6 +809,26 @@ object ScaleCheck {
     }
     graft.queries.Fixtures.deleteRecursively(
       java.nio.file.Paths.get(root.stripPrefix("file:")))
+  }
+
+  /** See the `l2` arg in [[main]]. */
+  private[graft] def l2Probe(spark: org.apache.spark.sql.SparkSession,
+                             dirs: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    for (d <- dirs) {
+      def once(): Double = {
+        Bench.reap(spark)
+        val t0 = System.nanoTime()
+        val df = HeavyBench.licenseTagHeavy(spark, d)
+        df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*)
+          .as("h")).agg(expr("bit_xor(h)")).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm the plan shape
+      val samples = Seq.fill(3)(once())
+      println(f"$d l2 min ${samples.min}%.1f s samples " +
+        samples.map(s => f"$s%.1f").mkString("[", ",", "]"))
+    }
   }
 
   private[graft] def packStoreSweep(spark: org.apache.spark.sql.SparkSession): Unit = {
