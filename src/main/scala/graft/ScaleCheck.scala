@@ -781,9 +781,13 @@ object ScaleCheck {
         .repartition(32).write.parquet(path)
       path
     }
+    // No isNotNull pre-filter: it would collapse onto the projection
+    // as a SECOND decode(content) evaluation (no subexpression reuse
+    // across a CodegenFallback filter+project — measured 1.6× the
+    // decode term on the heavy composite); null features drop for
+    // free at the LSH posexplode.
     def feats(path: String) = llm.Multimodal.extractFeaturesImage(
         spark.read.parquet(path), grid = 4)
-      .filter(col("features").isNotNull)
       .select(col("media_id"),
         transform(col("features"), f => f - lit(0.5))
           .cast("array<float>").as("features"))
