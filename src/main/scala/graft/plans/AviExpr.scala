@@ -88,65 +88,73 @@ object VideoFramePoolExpr {
 }
 
 /** Distributed MJPEG-AVI fixture synthesis — the media-synth family's
-  * video member: `avi_synth(id, w, h, frames)` → a real RIFF/AVI whose
-  * `00dc` chunks are real JPEGs (q0.8) of [[ImageCodec.synthPixel]]
-  * avalanche noise (frame f salts the id as `id·1009 + f`). Fixture
+  * video member: `avi_synth(id, w, h, frames[, quality_pct])` → a real
+  * RIFF/AVI whose `00dc` chunks are real JPEGs (quality_pct/100,
+  * default 80) of [[ImageCodec.synthPixel]] avalanche noise (frame f
+  * salts the id as `id·1009 + f`). The quality knob lets a fixture
+  * express the crawl's RE-ENCODED-COPY shape: two videos built from
+  * the same id at different qualities share pixels up to quantization
+  * error — genuine content near-dups with different bytes. Fixture
   * machinery for decode-throughput benching, not an operator; like
   * `jpeg_synth` there is no exact pixel oracle (JPEG is lossy) —
   * decode correctness is gated by m6's constant-gray oracle. */
 case class AviSynthExpr(id: Expression, w: Expression, h: Expression,
-                        nFrames: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+                        nFrames: Expression, qualityPct: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression
   with CodegenFallback {
 
-  override def first: Expression = id
-  override def second: Expression = w
-  override def third: Expression = h
-  override def fourth: Expression = nFrames
+  override def children: Seq[Expression] =
+    Seq(id, w, h, nFrames, qualityPct)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val ok = id.dataType == LongType && w.dataType == IntegerType &&
-      h.dataType == IntegerType && nFrames.dataType == IntegerType
+      h.dataType == IntegerType && nFrames.dataType == IntegerType &&
+      qualityPct.dataType == IntegerType
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"avi_synth expects (long, int, int, int), got " +
+      s"avi_synth expects (long, int, int, int, int), got " +
         s"(${id.dataType.simpleString}, ${w.dataType.simpleString}, " +
-        s"${h.dataType.simpleString}, ${nFrames.dataType.simpleString})")
+        s"${h.dataType.simpleString}, ${nFrames.dataType.simpleString}, " +
+        s"${qualityPct.dataType.simpleString})")
   }
 
   override def dataType: DataType = BinaryType
   override def prettyName: String = "avi_synth"
 
-  override protected def nullSafeEval(idv: Any, wv: Any, hv: Any,
-                                      nv: Any): Any = {
+  override def nullSafeEval(idv: Any, wv: Any, hv: Any, nv: Any,
+                            qv: Any): Any = {
     val i = idv.asInstanceOf[Long]
     val ww = wv.asInstanceOf[Int]
     val hh = hv.asInstanceOf[Int]
     val n = nv.asInstanceOf[Int]
+    val q = qv.asInstanceOf[Int]
     require(ww >= 1 && hh >= 1 && ww <= 4096 && hh <= 4096 &&
-      n >= 1 && n <= 512,
-      s"avi_synth: dims/frames out of range ($ww x $hh x $n)")
+      n >= 1 && n <= 512 && q >= 1 && q <= 100,
+      s"avi_synth: dims/frames/quality out of range ($ww x $hh x $n @ $q)")
     AviCodec.encodeAviMjpeg(ww, hh, usecPerFrame = 40000L,
       (0 until n).map(f => AviCodec.encodeJpeg(ww, hh,
         (x, y) => ImageCodec.synthPixel(i * 1009L + f, ww, x, y),
-        quality = 0.8f)))
+        quality = q / 100.0f)))
   }
 
   override protected def withNewChildrenInternal(
-      a: Expression, b: Expression, c: Expression,
-      d: Expression): AviSynthExpr =
-    copy(id = a, w = b, h = c, nFrames = d)
+      newChildren: IndexedSeq[Expression]): AviSynthExpr =
+    copy(id = newChildren(0), w = newChildren(1), h = newChildren(2),
+      nFrames = newChildren(3), qualityPct = newChildren(4))
 }
 
 object AviSynthExpr {
   val Name = "avi_synth"
   private[plans] val info = new ExpressionInfo(classOf[AviSynthExpr].getName, Name)
   private[plans] val builder = (children: Seq[Expression]) => {
-    require(children.size == 4,
-      s"avi_synth expects 4 arguments (id, w, h, frames), got ${children.size}")
-    AviSynthExpr(children(0), children(1), children(2), children(3))
+    require(children.size == 4 || children.size == 5,
+      s"avi_synth expects 4 or 5 arguments (id, w, h, frames[, " +
+        s"quality_pct]), got ${children.size}")
+    AviSynthExpr(children(0), children(1), children(2), children(3),
+      children.lift(4).getOrElse(
+        org.apache.spark.sql.catalyst.expressions.Literal(80)))
   }
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry

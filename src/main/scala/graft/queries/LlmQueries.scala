@@ -164,27 +164,42 @@ object LlmQueries {
   }
 
   /** Crawl-realistic VIDEO fixture for the decode-MB/s heavy entry:
-    * 2 K genuine MJPEG-AVIs of 8 frames at 128–256 px per side
-    * (avalanche-noise JPEG q0.8 frames ≈ 40 KB each), synthesized
+    * 6 K genuine MJPEG-AVIs of 8 frames at 128–256 px per side
+    * (avalanche-noise JPEG frames ≈ 40 KB each), synthesized
     * DISTRIBUTED via `avi_synth` under the stamped-dir convention —
-    * ~16 K frames, ~0.7 GB encoded. Returns the parquet path. */
+    * ~48 K frames, ~2 GB encoded.
+    *
+    * Like the image fixture, pixel SEEDS come in cross-encode pairs:
+    * odd ids re-encode their even neighbor's exact frames at JPEG
+    * q0.7 instead of q0.8 (seed = id − id%2, dims from the seed) —
+    * the re-encoded-copy shape a crawl video corpus actually carries
+    * (pipe28's content-dup fixture at toy scale varies only container
+    * timing; THIS one re-runs the lossy codec, so the 3 K pairs are
+    * genuine NEAR-dups: per-video mean pooled-feature cosine ≈ 0.98
+    * centered, unrelated videos ≲ 0.33). Returns the parquet path. */
   def ensureVideoFixture(s: org.apache.spark.sql.SparkSession,
                          d: String): String = {
-    val base = Fixtures.stampedDir(d, "documents", "video_media", 1)
+    // v2: 6 K videos (stability + composite scale), paired-seed
+    // re-encode structure, 64-way write (≈33 MB row groups of ~350 KB
+    // blob rows — the media_realistic v4 memory discipline).
+    val base = Fixtures.stampedDir(d, "documents", "video_media", 2)
     val target = base.resolve("media")
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
       try {
         graft.plans.AviSynthExpr.register(s)
+        val seed = col("doc_id") - pmod(col("doc_id"), lit(2))
         val built = tmp.resolve("p")
         Tables.documents(s, d).select("doc_id")
-          .filter(col("doc_id") < 2000)
+          .filter(col("doc_id") < 6000)
           .select(col("doc_id").as("media_id"),
-            call_function(graft.plans.AviSynthExpr.Name, col("doc_id"),
-              (lit(128) + pmod(col("doc_id") * 97, lit(129))).cast("int"),
-              (lit(128) + pmod(col("doc_id") * 53, lit(129))).cast("int"),
-              lit(8)).as("content"))
-          .repartition(32)
+            call_function(graft.plans.AviSynthExpr.Name, seed,
+              (lit(128) + pmod(seed * 97, lit(129))).cast("int"),
+              (lit(128) + pmod(seed * 53, lit(129))).cast("int"),
+              lit(8),
+              when(col("doc_id") % 2 === 0, 80).otherwise(70)
+                .cast("int")).as("content"))
+          .repartition(64)
           .write.parquet(built.toString)
         Fixtures.publish(built, target)
       } finally Fixtures.deleteRecursively(tmp)
