@@ -337,7 +337,8 @@ object VideoCodec {
   def encodeMovMjpeg(width: Int, height: Int, usecPerFrame: Long,
                      jpegFrames: Seq[Array[Byte]],
                      timescale: Int = 1000,
-                     samplesPerChunk: Int = 0): Array[Byte] = {
+                     samplesPerChunk: Int = 0,
+                     useCo64: Boolean = false): Array[Byte] = {
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(8 + payload.length)
       b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
@@ -412,8 +413,16 @@ object VideoCodec {
           Seq(fc.toLong, sz.toLong, 1L) }: _*))
     val stsz = box("stsz",
       be32(Seq(0L, 0L, n.toLong) ++ jpegFrames.map(_.length.toLong): _*))
-    val stco = box("stco", be32(
-      Seq(0L, chunkOffsets.size.toLong) ++ chunkOffsets: _*))
+    // co64 is the 64-bit chunk-offset table large files carry (any
+    // mdat past 4 GiB forces it); same semantics, wider entries.
+    val stco =
+      if (useCo64) {
+        val b = java.nio.ByteBuffer.allocate(8 + chunkOffsets.size * 8)
+        b.putInt(0).putInt(chunkOffsets.size)
+        chunkOffsets.foreach(b.putLong)
+        box("co64", b.array())
+      } else box("stco", be32(
+        Seq(0L, chunkOffsets.size.toLong) ++ chunkOffsets: _*))
     val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
     val minf = box("minf", vmhd ++ dinf ++ stbl)
     val mdia = box("mdia", mdhd ++ hdlr ++ minf)

@@ -423,6 +423,12 @@ class MultimodalSpec extends AnyFunSuite {
       samplesPerChunk = 2)
     assert(VideoCodec.framesJpeg(mov).toSeq.map(_.toSeq) ==
       frames.map(_.toSeq))
+    // The 64-bit chunk-offset table (co64 — what any >4 GiB file
+    // carries) walks identically.
+    val mov64 = VideoCodec.encodeMovMjpeg(16, 16, 40000L, frames,
+      samplesPerChunk = 2, useCo64 = true)
+    assert(VideoCodec.framesJpeg(mov64).toSeq.map(_.toSeq) ==
+      frames.map(_.toSeq))
     // Every prefix truncation parses to null, never throws or hangs.
     for (len <- 0 until mov.length by 13)
       VideoCodec.framesJpeg(java.util.Arrays.copyOf(mov, len))
