@@ -798,8 +798,8 @@ object HeavyBench {
       meta = Seq("grid" -> "4", "threshold" -> "0.8", "planes" -> "10",
         "tables" -> "6", "max_bucket" -> "200",
         "pair_shape" -> "\"q0.7 re-encode of same frames\"")),
-    // REAL audio decode at scale: 5 K genuine PCM WAVs (2-6 s at
-    // 8 kHz, ~0.3 GB) through javax.sound.sampled + time-bucket
+    // REAL audio decode at scale: 20 K genuine PCM WAVs (2-6 s at
+    // 8 kHz, ~1.3 GB) through javax.sound.sampled + time-bucket
     // pooling. The contrast to m7/m8 is the point: PCM is
     // uncompressed, so audio "decode" is RIFF parse + sample widening
     // — expected at or near the scan envelope, i.e. audio curation is

@@ -208,15 +208,19 @@ object LlmQueries {
   }
 
   /** Crawl-realistic AUDIO fixture for the decode-MB/s heavy entry:
-    * 5 K genuine 16-bit PCM WAVs of 2–6 s at 8 kHz (16–48 K samples,
-    * 32–96 KB each — ~0.3 GB total), synthesized DISTRIBUTED via
+    * 20 K genuine 16-bit PCM WAVs of 2–6 s at 8 kHz (16–48 K samples,
+    * 32–96 KB each — ~1.3 GB total), synthesized DISTRIBUTED via
     * `wav_synth` under the stamped-dir convention. Returns the parquet
     * path. */
   def ensureAudioFixture(s: org.apache.spark.sql.SparkSession,
                          d: String): String = {
     // v2: avalanche-noise samples (see WavSynthExpr) so the on-disk
-    // bytes the MB/s is computed over match the payload decoded.
-    val base = Fixtures.stampedDir(d, "documents", "audio_media", 2)
+    // bytes the MB/s is computed over match the payload decoded. v3:
+    // 20 K clips — the ~1 s entry sat in the short-entry noise class
+    // m7 escaped by growing (±25-80% cross-run on page-cache state);
+    // at ~4 s the noise is sub-dominant. 64-way write (the blob-row
+    // row-group discipline).
+    val base = Fixtures.stampedDir(d, "documents", "audio_media", 3)
     val target = base.resolve("media")
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
@@ -224,12 +228,12 @@ object LlmQueries {
         graft.plans.WavSynthExpr.register(s)
         val built = tmp.resolve("p")
         Tables.documents(s, d).select("doc_id")
-          .filter(col("doc_id") < 5000)
+          .filter(col("doc_id") < 20000)
           .select(col("doc_id").as("media_id"),
             call_function(graft.plans.WavSynthExpr.Name, col("doc_id"),
               (lit(16000) + pmod(col("doc_id") * 97, lit(32001)))
                 .cast("int")).as("content"))
-          .repartition(32)
+          .repartition(64)
           .write.parquet(built.toString)
         Fixtures.publish(built, target)
       } finally Fixtures.deleteRecursively(tmp)
