@@ -725,14 +725,16 @@ object HeavyBench {
       meta = Seq("grid" -> "4", "threshold" -> "0.8", "planes" -> "12",
         "tables" -> "6", "max_bucket" -> "200",
         "pair_shape" -> "\"png vs jpeg re-encode of same pixels\"")),
-    // REAL video pixel decode at scale: 6 K genuine MJPEG-AVIs (8
+    // REAL video pixel decode at scale: 6 K genuine MJPEG videos (8
     // frames each at 128-256 px, JPEG q0.8/q0.7 noise — 48 K frames,
-    // ~2 GB encoded) through the RIFF chunk walk + per-frame
-    // javax.imageio decode + pooling, in the scan projection. The
-    // video sibling of m7: its mb_per_s vs the scan envelope says
-    // whether video curation is decode-bound (it is, like images —
-    // the per-frame cost IS the JPEG path m7 measures, plus the
-    // container walk).
+    // ~2 GB encoded) in a 50/50 RIFF/AVI + photo-JPEG MOV container
+    // mix, each walked by its real parser (chunk chain vs sample
+    // table) + per-frame javax.imageio decode + pooling, in the scan
+    // projection. The video sibling of m7: its mb_per_s vs the scan
+    // envelope says whether video curation is decode-bound (it is,
+    // like images — the per-frame cost IS the JPEG path m7 measures,
+    // plus the negligible container walk; the AVI/MOV split is
+    // reported so a container-walk asymmetry would be visible).
     HeavyItem("m8_video_decode", Seq("documents"),
       fn = Some { (s, d) =>
         val media = s.read.parquet(
@@ -741,16 +743,24 @@ object HeavyBench {
       },
       paths = Some((s, d) =>
         Seq(queries.LlmQueries.ensureVideoFixture(s, d))),
+      counts = Some { (s, d) =>
+        val m = s.read.parquet(
+          queries.LlmQueries.ensureVideoFixture(s, d))
+        Seq("avi_videos" -> m.filter(col("fmt") === "avi").count(),
+          "mov_videos" -> m.filter(col("fmt") === "mov").count())
+      },
       meta = Seq("grid" -> "4", "dims" -> "\"128-256 px RGB\"",
-        "frames_per_video" -> "8", "jpeg_quality" -> "0.8")),
+        "frames_per_video" -> "8", "jpeg_quality" -> "\"0.8/0.7\"",
+        "containers" -> "\"avi/mov 50/50\"")),
     // The VIDEO media-curation composite END-TO-END: decode every
     // frame of the 6 K-video corpus (the m8 workload), mean-pool the
     // per-frame features into one embedding per video, centered
     // sign-LSH near-dup pairs — the cost a real video dedup pays,
     // decode and shuffle together. The fixture's odd ids are q0.7
-    // re-encodes of their even neighbor's frames (genuine cross-
-    // encode near-dups, per-video cosine ≈ 0.98 centered), so pairs
-    // out is a known quantity: 3 K true pairs, LSH recall ~98.7% at
+    // re-encodes of their even neighbor's frames IN THE OTHER
+    // container (genuine re-encoded AND re-containered near-dups,
+    // per-video cosine ≈ 0.98 centered), so pairs out is a known
+    // quantity: 3 K true pairs, LSH recall ~98.7% at
     // 10 planes × 6 tables. (pipe28 oracle-gates content-level video
     // dedup at toy scale; this is its at-scale NEAR-dup form — the
     // d7/d13 composition over decoded video pixels.)
@@ -797,7 +807,8 @@ object HeavyBench {
       },
       meta = Seq("grid" -> "4", "threshold" -> "0.8", "planes" -> "10",
         "tables" -> "6", "max_bucket" -> "200",
-        "pair_shape" -> "\"q0.7 re-encode of same frames\"")),
+        "pair_shape" ->
+          "\"q0.7 re-encode of same frames, cross-container avi/mov\"")),
     // REAL audio decode at scale: 20 K genuine PCM WAVs (2-6 s at
     // 8 kHz, ~1.3 GB) through javax.sound.sampled + time-bucket
     // pooling. The contrast to m7/m8 is the point: PCM is

@@ -161,6 +161,78 @@ object AviSynthExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
+/** Distributed photo-JPEG MOV fixture synthesis — [[AviSynthExpr]]'s
+  * ISO-BMFF sibling: `mov_synth(id, w, h, frames[, quality_pct])` → a
+  * real QuickTime container (full `stsd('jpeg')`/`stts`/`stsc`/
+  * `stsz`/`stco` sample table via [[VideoCodec.encodeMovMjpeg]])
+  * whose samples are real JPEGs of the SAME [[ImageCodec.synthPixel]]
+  * noise and frame salting as `avi_synth` — so a fixture can pair the
+  * same content across BOTH containers (the re-containered-copy shape
+  * crawls carry). Fixture machinery; decode correctness is gated by
+  * m10's constant-gray oracle. */
+case class MovSynthExpr(id: Expression, w: Expression, h: Expression,
+                        nFrames: Expression, qualityPct: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression
+  with CodegenFallback {
+
+  override def children: Seq[Expression] =
+    Seq(id, w, h, nFrames, qualityPct)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val ok = id.dataType == LongType && w.dataType == IntegerType &&
+      h.dataType == IntegerType && nFrames.dataType == IntegerType &&
+      qualityPct.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"mov_synth expects (long, int, int, int, int), got " +
+        s"(${id.dataType.simpleString}, ${w.dataType.simpleString}, " +
+        s"${h.dataType.simpleString}, ${nFrames.dataType.simpleString}, " +
+        s"${qualityPct.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "mov_synth"
+
+  override def nullSafeEval(idv: Any, wv: Any, hv: Any, nv: Any,
+                            qv: Any): Any = {
+    val i = idv.asInstanceOf[Long]
+    val ww = wv.asInstanceOf[Int]
+    val hh = hv.asInstanceOf[Int]
+    val n = nv.asInstanceOf[Int]
+    val q = qv.asInstanceOf[Int]
+    require(ww >= 1 && hh >= 1 && ww <= 4096 && hh <= 4096 &&
+      n >= 1 && n <= 512 && q >= 1 && q <= 100,
+      s"mov_synth: dims/frames/quality out of range ($ww x $hh x $n @ $q)")
+    VideoCodec.encodeMovMjpeg(ww, hh, usecPerFrame = 40000L,
+      (0 until n).map(f => AviCodec.encodeJpeg(ww, hh,
+        (x, y) => ImageCodec.synthPixel(i * 1009L + f, ww, x, y),
+        quality = q / 100.0f)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MovSynthExpr =
+    copy(id = newChildren(0), w = newChildren(1), h = newChildren(2),
+      nFrames = newChildren(3), qualityPct = newChildren(4))
+}
+
+object MovSynthExpr {
+  val Name = "mov_synth"
+  private[plans] val info = new ExpressionInfo(classOf[MovSynthExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
+    require(children.size == 4 || children.size == 5,
+      s"mov_synth expects 4 or 5 arguments (id, w, h, frames[, " +
+        s"quality_pct]), got ${children.size}")
+    MovSynthExpr(children(0), children(1), children(2), children(3),
+      children.lift(4).getOrElse(
+        org.apache.spark.sql.catalyst.expressions.Literal(80)))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 /** Distributed WAV fixture synthesis — the media-synth family's audio
   * member: `wav_synth(id, n)` → a real RIFF/WAVE 16-bit PCM clip of
   * `n` samples. Samples are avalanche noise

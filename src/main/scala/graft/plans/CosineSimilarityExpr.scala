@@ -903,5 +903,6 @@ object GraftExtensions {
     reg(VideoFramePoolExpr.Name, VideoFramePoolExpr.info,
       VideoFramePoolExpr.builder),
     reg(AviSynthExpr.Name, AviSynthExpr.info, AviSynthExpr.builder),
+    reg(MovSynthExpr.Name, MovSynthExpr.info, MovSynthExpr.builder),
     reg(WavSynthExpr.Name, WavSynthExpr.info, WavSynthExpr.builder))
 }

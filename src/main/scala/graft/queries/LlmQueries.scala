@@ -176,29 +176,42 @@ object LlmQueries {
     * (pipe28's content-dup fixture at toy scale varies only container
     * timing; THIS one re-runs the lossy codec, so the 3 K pairs are
     * genuine NEAR-dups: per-video mean pooled-feature cosine ≈ 0.98
-    * centered, unrelated videos ≲ 0.33). Returns the parquet path. */
+    * centered, unrelated videos ≲ 0.33). CONTAINERS mix 50/50:
+    * id%4 ∈ {0,3} are RIFF/AVI, {1,2} are photo-JPEG MOV (real
+    * ISO-BMFF sample tables via `mov_synth`) — so the decode entry
+    * exercises BOTH container walks at scale and every near-dup pair
+    * ALSO crosses containers (re-encoded AND re-containered, the
+    * strongest copy shape). Returns the parquet path. */
   def ensureVideoFixture(s: org.apache.spark.sql.SparkSession,
                          d: String): String = {
     // v2: 6 K videos (stability + composite scale), paired-seed
     // re-encode structure, 64-way write (≈33 MB row groups of ~350 KB
-    // blob rows — the media_realistic v4 memory discipline).
-    val base = Fixtures.stampedDir(d, "documents", "video_media", 2)
+    // blob rows — the media_realistic v4 memory discipline). v3:
+    // 50/50 AVI / MOV container mix with every pair cross-container.
+    val base = Fixtures.stampedDir(d, "documents", "video_media", 3)
     val target = base.resolve("media")
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
       try {
         graft.plans.AviSynthExpr.register(s)
+        graft.plans.MovSynthExpr.register(s)
         val seed = col("doc_id") - pmod(col("doc_id"), lit(2))
+        val w = (lit(128) + pmod(seed * 97, lit(129))).cast("int")
+        val h = (lit(128) + pmod(seed * 53, lit(129))).cast("int")
+        val q = when(col("doc_id") % 2 === 0, 80).otherwise(70)
+          .cast("int")
         val built = tmp.resolve("p")
         Tables.documents(s, d).select("doc_id")
           .filter(col("doc_id") < 6000)
           .select(col("doc_id").as("media_id"),
-            call_function(graft.plans.AviSynthExpr.Name, seed,
-              (lit(128) + pmod(seed * 97, lit(129))).cast("int"),
-              (lit(128) + pmod(seed * 53, lit(129))).cast("int"),
-              lit(8),
-              when(col("doc_id") % 2 === 0, 80).otherwise(70)
-                .cast("int")).as("content"))
+            when(pmod(col("doc_id"), lit(4)).isin(0, 3),
+              call_function(graft.plans.AviSynthExpr.Name, seed, w, h,
+                lit(8), q))
+            .otherwise(
+              call_function(graft.plans.MovSynthExpr.Name, seed, w, h,
+                lit(8), q)).as("content"),
+            when(pmod(col("doc_id"), lit(4)).isin(0, 3), "avi")
+              .otherwise("mov").as("fmt"))
           .repartition(64)
           .write.parquet(built.toString)
         Fixtures.publish(built, target)

@@ -498,6 +498,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(viaExpr == viaDriver)
   }
 
+  test("mov_synth generates real MOVs whose decoded frames match the driver-side encoder bit-for-bit") {
+    import org.apache.spark.sql.functions.call_function
+    import graft.plans.{AviCodec, ImageCodec, MovSynthExpr, VideoCodec}
+    MovSynthExpr.register(spark)
+    val viaExpr = Multimodal.extractFrameFeaturesVideo(
+        (1L to 6L).toDF("media_id").select(col("media_id"),
+          call_function(MovSynthExpr.Name, col("media_id"), lit(24),
+            lit(16), lit(3), lit(90)).as("content")),
+        grid = 2)
+      .select("media_id", "frame_idx", "features")
+      .as[(Long, Int, Seq[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val viaDriver = (for (id <- 1L to 6L; f <- 0 until 3) yield {
+      val jpeg = AviCodec.encodeJpeg(24, 16,
+        (x, y) => ImageCodec.synthPixel(id * 1009L + f, 24, x, y),
+        quality = 0.9f)
+      (id, f) -> ImageCodec.decodeMeanPool(jpeg, 2).toSeq
+    }).toMap
+    assert(viaExpr == viaDriver)
+    // And the container really is ISO-BMFF, not AVI: the AVI walk
+    // refuses it, the sample-table walk serves it.
+    val one = VideoCodec.encodeMovMjpeg(24, 16, 40000L,
+      Seq(AviCodec.encodeJpeg(24, 16, (_, _) => 0x808080)))
+    assert(AviCodec.frames(one) == null)
+    assert(VideoCodec.framesJpeg(one) != null)
+  }
+
   test("AVI parsing refuses malformed containers without crashing: truncations, bad sizes, foreign bytes") {
     import graft.plans.AviCodec
     val good = AviCodec.encodeAviMjpeg(16, 16, 40000L,

@@ -99,7 +99,7 @@ class PlanSpec extends AnyFunSuite {
         "array_intersect_size", "funnel_gates", "ngram_hashes",
         "image_mean_pool", "image_dims", "png_synth", "jpeg_synth",
         "audio_mean_pool", "video_meta", "video_frame_pool",
-        "avi_synth", "wav_synth"))
+        "avi_synth", "mov_synth", "wav_synth"))
       assert(names.contains(want), s"missing from GraftExtensions: $want")
     // The engine's own sessions now load the surface via
     // spark.sql.extensions (Tables.localSession) — assert the shared
