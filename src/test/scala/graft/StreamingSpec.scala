@@ -89,15 +89,20 @@ class StreamingSpec extends AnyFunSuite {
 
   test("media decode runs unchanged on a stream: image pool + video frame pool match the batch path per batch") {
     implicit val sc = spark.sqlContext
-    import graft.plans.{AviCodec, ImageCodec}
-    // Real payloads: one PNG and one MJPEG-AVI per id, encoded ahead
+    import graft.plans.{AviCodec, ImageCodec, VideoCodec}
+    // Real payloads: one PNG and one MJPEG video per id, encoded ahead
     // (the stream carries bytes, exactly like a binary-file source).
+    // Odd ids ship their video as RIFF/AVI, even ids as photo-JPEG
+    // MOV — both container walks must behave identically per batch.
     def png(id: Long): Array[Byte] = ImageCodec.encodePng(8, 8,
       (x, y) => ImageCodec.synthPixel(id, 8, x, y))
     def avi(id: Long): Array[Byte] = {
       val v = (id * 41 % 256).toInt
-      AviCodec.encodeAviMjpeg(16, 16, 40000L, Seq(
-        AviCodec.encodeJpeg(16, 16, (_, _) => (v << 16) | (v << 8) | v)))
+      val frame = AviCodec.encodeJpeg(16, 16,
+        (_, _) => (v << 16) | (v << 8) | v)
+      if (id % 2 == 1)
+        AviCodec.encodeAviMjpeg(16, 16, 40000L, Seq(frame))
+      else VideoCodec.encodeMovMjpeg(16, 16, 40000L, Seq(frame))
     }
     val input = MemoryStream[(Long, Array[Byte], Array[Byte])]
     val decoded = graft.llm.Multimodal.extractFeaturesImage(
