@@ -392,6 +392,36 @@ object LlmQueries {
     rows.toDF("media_id", "content")
   }
 
+  /** [[aviDupMedia]] with the dup groups split ACROSS containers:
+    * even ids mux their frames as RIFF/AVI (timing varies per doc,
+    * like aviDupMedia), odd ids as photo-JPEG MOV — same pixel
+    * content, maximally different bytes. Content-level dedup must
+    * reunite group members regardless of which muxer wrote them. */
+  private def mixedDupMedia(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
+    val ids = Tables.documents(s, d).filter(col("doc_id") < PngMediaDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val rows = ids.map { id =>
+      val g = id % 50
+      val w = (16 + (g % 3) * 8).toInt
+      val h = (16 + (g % 2) * 8).toInt
+      val frames = (0 until (2 + g % 4).toInt).map { f =>
+        val v = ((g * 37 + f * 59) % 256).toInt
+        graft.plans.AviCodec.encodeJpeg(w, h,
+          (_, _) => (v << 16) | (v << 8) | v)
+      }
+      val bytes =
+        if (id % 2 == 0)
+          graft.plans.AviCodec.encodeAviMjpeg(w, h,
+            usecPerFrame = 40000L + id * 7, frames)
+        else graft.plans.VideoCodec.encodeMovMjpeg(w, h,
+          usecPerFrame = 40000L, frames)
+      (id, bytes)
+    }
+    import s.implicits._
+    rows.toDF("media_id", "content")
+  }
+
   def all: Seq[Q] = Seq(
 
     // Exact dedup groups by order-insensitive fingerprint.
@@ -1989,6 +2019,35 @@ object LlmQueries {
         |FROM g GROUP BY grp""".stripMargin) { (s, d) =>
       val frames = Multimodal.extractFrameFeaturesVideo(
         aviDupMedia(s, d), grid = 2)
+      val fp = frames.groupBy("media_id")
+        .agg(md5(to_json(array_sort(collect_list(
+          struct(col("frame_idx"), col("features")))))).as("fp"))
+      fp.groupBy("fp")
+        .agg(min(col("media_id")).as("canonical_id"),
+          count(lit(1)).as("group_size"),
+          array_join(transform(array_sort(collect_list(col("media_id"))),
+            _.cast("string")), ",").as("members"))
+        .select("canonical_id", "group_size", "members")
+    },
+
+    // Multimodal: CONTAINER-INVARIANT video dedup — pipe28's group
+    // structure with every dup group split ACROSS containers (even
+    // members muxed as RIFF/AVI with per-doc timing, odd members as
+    // photo-JPEG MOV): same pixels, maximally different bytes. The
+    // decoded-content fingerprint must reunite them — a container walk
+    // that leaks layout into the features (frame order, a missed
+    // sample, an extra null) splinters the groups and hash-diverges.
+    // The oracle replays the group structure from the fixture formula,
+    // which mentions no container at all: THAT is the invariance.
+    Q("pipe29_container_invariant_dedup",
+      s"""WITH g AS (SELECT doc_id % 50 AS grp, doc_id
+        |           FROM documents WHERE doc_id < $PngMediaDocs)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |       CAST(count(*) AS BIGINT) AS group_size,
+        |       array_to_string(list_sort(array_agg(doc_id)), ',') AS members
+        |FROM g GROUP BY grp""".stripMargin) { (s, d) =>
+      val frames = Multimodal.extractFrameFeaturesVideo(
+        mixedDupMedia(s, d), grid = 2)
       val fp = frames.groupBy("media_id")
         .agg(md5(to_json(array_sort(collect_list(
           struct(col("frame_idx"), col("features")))))).as("fp"))
