@@ -102,6 +102,20 @@ object Multimodal {
   def extractFeaturesAudio(media: DataFrame, dim: Int = 8): DataFrame =
     extractFeaturesWith(media, dim, decodeAudio)
 
+  /** REAL audio QUALITY stats: decode channel 0 and return exact
+    * integer amplitude statistics as a `stats` struct(n_samples, peak,
+    * sum_sq, zero_crossings) — what audio curation filters on (silence
+    * = near-zero sum_sq/n, clipping = peak pinned at full scale,
+    * stuck-DC = ~0 zero crossings). NULL stats for undecodable
+    * payloads (drop with a filter — on the STRUCT column, which is
+    * cheap; the decode ran once in this projection). */
+  def audioStats(media: DataFrame): DataFrame = {
+    graft.plans.AudioStatsExpr.register(
+      org.apache.spark.sql.SparkSession.active)
+    media.withColumn("stats",
+      call_function(graft.plans.AudioStatsExpr.Name, col("content")))
+  }
+
   /** STUB decode for video CODECS the JDK ships no decoder for
     * (H.264/VP9/AV1 … — this container has no external media
     * libraries) and for decoder-agnosticism tests. Deterministic

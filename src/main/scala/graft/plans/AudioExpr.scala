@@ -73,19 +73,85 @@ object AudioMeanPoolExpr {
       .registerFunction(FunctionIdentifier(Name), info, builder)
 }
 
+/** REAL audio QUALITY probe: `audio_stats(content)` decodes the clip
+  * (same `javax.sound.sampled` path as `audio_mean_pool`) and returns
+  * struct(n_samples, peak, sum_sq, zero_crossings) over channel 0 —
+  * the amplitude statistics audio curation filters on (a silent clip
+  * has near-zero sum_sq/n, a clipped one rides peak at 32767-32768,
+  * a DC-stuck one has ~0 zero crossings). Every field is EXACT
+  * integer arithmetic over the decoded 16-bit samples, so a DuckDB
+  * oracle replaying the fixture's sample formula matches
+  * bit-for-bit — the m4 discipline applied to quality stats. NULL
+  * for undecodable payloads. CodegenFallback: one eval per clip. */
+case class AudioStatsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"audio_stats expects binary, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    StructType(Seq(
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+  }
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = AudioCodec.decodeStats(input.asInstanceOf[Array[Byte]])
+    if (s == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](s(0), s(1), s(2), s(3)))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AudioStatsExpr = copy(child = newChild)
+}
+
+object AudioStatsExpr {
+  val Name = "audio_stats"
+  private[plans] val info = new ExpressionInfo(classOf[AudioStatsExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
+    require(children.size == 1,
+      s"audio_stats expects 1 argument (content), got ${children.size}")
+    AudioStatsExpr(children(0))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
 /** The static codec surface shared by the expression (decode) and the
   * fixture/test builders (encode). Decode is pure
   * `javax.sound.sampled` — present in every JDK, works headless; the
   * encoder writes the canonical 44-byte RIFF/WAVE PCM container. */
 object AudioCodec {
 
-  /** Decode + time-bucket mean pool; null when the bytes are not a
-    * decodable 16-bit PCM clip (or decode to zero frames). Multi-
-    * channel clips pool channel 0 — the feature contract is per-clip,
-    * not per-channel. Sums are exact integer accumulations over the
-    * signed 16-bit samples, so `sum / count / 32768.0` is reproducible
-    * bit-for-bit by any engine replaying the same bucketing. */
-  def decodeMeanPool(bytes: Array[Byte], dim: Int): Array[Double] = {
+  /** A decoded 16-bit PCM clip: raw frame bytes plus the layout needed
+    * to read channel 0 — the shared preamble of every stats/pooling
+    * pass. */
+  private final case class Pcm(frames: Int, frameBytes: Int,
+                               big: Boolean, data: Array[Byte]) {
+    /** Channel-0 sample i (exact signed 16-bit). */
+    def sample(i: Int): Int = {
+      val off = i * frameBytes
+      if (big) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort.toInt
+      else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort.toInt
+    }
+  }
+
+  /** Open + validate a payload as 16-bit PCM via `javax.sound.sampled`
+    * (WAV/AIFF/AU), or null when it is not one — the decode preamble
+    * shared by [[decodeMeanPool]] and [[decodeStats]]. */
+  private def openPcm16(bytes: Array[Byte]): Pcm = {
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(bytes))
@@ -95,16 +161,61 @@ object AudioCodec {
       }
     try {
       val fmt = in.getFormat
-      val enc = fmt.getEncoding
-      if (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+      if (fmt.getEncoding !=
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
           fmt.getSampleSizeInBits != 16) return null
       val n = in.getFrameLength
       if (n <= 0 || n > Int.MaxValue / 2) return null
       val frames = n.toInt
       val frameBytes = fmt.getFrameSize
-      val big = fmt.isBigEndian
       val data = in.readAllBytes()
       if (data.length < frames.toLong * frameBytes) return null
+      Pcm(frames, frameBytes, fmt.isBigEndian, data)
+    } catch {
+      case _: java.io.IOException => null
+    } finally in.close()
+  }
+
+  /** Exact integer amplitude statistics over channel 0 — the audio
+    * QUALITY probe (silence and clipping are the two crawl-corpus
+    * drop reasons): (n_samples, peak |s|, Σs², strict sign-change
+    * zero crossings). Every field is exact integer arithmetic over
+    * the decoded samples, so an oracle replaying the sample formula
+    * reproduces them bit-for-bit. Null for undecodable payloads. */
+  def decodeStats(bytes: Array[Byte]): Array[Long] = {
+    val pcm = openPcm16(bytes)
+    if (pcm == null) return null
+    var peak = 0L
+    var sumSq = 0L
+    var zc = 0L
+    var prev = 0
+    var i = 0
+    while (i < pcm.frames) {
+      val s = pcm.sample(i)
+      val a = math.abs(s.toLong)
+      if (a > peak) peak = a
+      sumSq += s.toLong * s
+      if (i > 0 && prev.toLong * s < 0) zc += 1
+      prev = s
+      i += 1
+    }
+    Array(pcm.frames.toLong, peak, sumSq, zc)
+  }
+
+  /** Decode + time-bucket mean pool; null when the bytes are not a
+    * decodable 16-bit PCM clip (or decode to zero frames). Multi-
+    * channel clips pool channel 0 — the feature contract is per-clip,
+    * not per-channel. Sums are exact integer accumulations over the
+    * signed 16-bit samples, so `sum / count / 32768.0` is reproducible
+    * bit-for-bit by any engine replaying the same bucketing. */
+  def decodeMeanPool(bytes: Array[Byte], dim: Int): Array[Double] = {
+    {
+      val pcm = openPcm16(bytes)
+      if (pcm == null) return null
+      val frames = pcm.frames
+      val frameBytes = pcm.frameBytes
+      val big = pcm.big
+      val data = pcm.data
       val sums = new Array[Long](dim)
       val cnts = new Array[Long](dim)
       // Bucket-outer iteration: sample i belongs to bucket
@@ -142,9 +253,7 @@ object AudioCodec {
         b += 1
       }
       out
-    } catch {
-      case _: java.io.IOException => null
-    } finally in.close()
+    }
   }
 
   /** Encode mono 16-bit PCM samples as real WAV bytes (canonical

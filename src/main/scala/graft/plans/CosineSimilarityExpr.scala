@@ -899,6 +899,7 @@ object GraftExtensions {
     reg(JpegSynthExpr.Name, JpegSynthExpr.info, JpegSynthExpr.builder),
     reg(AudioMeanPoolExpr.Name, AudioMeanPoolExpr.info,
       AudioMeanPoolExpr.builder),
+    reg(AudioStatsExpr.Name, AudioStatsExpr.info, AudioStatsExpr.builder),
     reg(VideoMetaExpr.Name, VideoMetaExpr.info, VideoMetaExpr.builder),
     reg(VideoFramePoolExpr.Name, VideoFramePoolExpr.info,
       VideoFramePoolExpr.builder),

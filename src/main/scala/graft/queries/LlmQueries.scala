@@ -1929,6 +1929,37 @@ object LlmQueries {
         .withColumn("feature", round(col("feature"), 6))
     },
 
+    // Multimodal: REAL audio QUALITY stats — the curation filter's
+    // inputs (silence ⇔ sum_sq/n ≈ 0, clipping ⇔ peak at full scale,
+    // stuck-DC ⇔ ~0 zero crossings) computed as EXACT integers over
+    // the decoded channel-0 samples, so the oracle replays the
+    // fixture's sample formula bit-for-bit: a wrong byte order,
+    // channel stride, or crossing rule diverges. The m4 pooling gate's
+    // sibling over the same real WAV payloads.
+    Q("m13_audio_quality",
+      s"""WITH m AS (SELECT doc_id, 400 + (doc_id % 7) * 50 AS n
+        |           FROM documents WHERE doc_id < $PngMediaDocs),
+        |t AS (SELECT doc_id, n, unnest(range(0, n)) AS t FROM m),
+        |s AS (SELECT doc_id, n, t,
+        |             (doc_id * 131 + t * 17) % 4001 - 2000 AS v FROM t),
+        |s2 AS (SELECT doc_id, n, t, v,
+        |              lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+        |       FROM s)
+        |SELECT doc_id AS media_id,
+        |       CAST(max(n) AS BIGINT) AS n_samples,
+        |       CAST(max(abs(v)) AS BIGINT) AS peak,
+        |       CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |       CAST(count(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0)
+        |            AS BIGINT) AS zero_crossings
+        |FROM s2 GROUP BY 1""".stripMargin) { (s, d) =>
+      Multimodal.audioStats(wavMedia(s, d))
+        .select(col("media_id"),
+          col("stats.n_samples").as("n_samples"),
+          col("stats.peak").as("peak"),
+          col("stats.sum_sq").as("sum_sq"),
+          col("stats.zero_crossings").as("zero_crossings"))
+    },
+
     // Multimodal: REAL video container metadata — genuine ISO-BMFF
     // payloads with all-null meta structs; the dims and the duration
     // the frame sampler explodes over can ONLY come from parsing the

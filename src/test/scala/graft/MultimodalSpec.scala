@@ -247,6 +247,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == out(2L))
   }
 
+  test("audio_stats: exact integer amplitude stats, full-scale peaks, byte-order parity, corrupt nulls") {
+    import graft.plans.AudioCodec
+    // Samples spanning both full-scale extremes (|MinValue| = 32768 —
+    // the abs that overflows Short must widen, not wrap), zeros (a
+    // zero breaks a sign run: strict product < 0 means no crossing
+    // through it), and ordinary values.
+    val samples = Array[Short](100, -200, 0, -300, 300, Short.MaxValue,
+      Short.MinValue, 5, 5, -1)
+    val wav = AudioCodec.encodeWavPcm16(samples)
+    val stats = AudioCodec.decodeStats(wav)
+    assert(stats(0) == 10)
+    assert(stats(1) == 32768, "|Short.MinValue| must not wrap")
+    val expectSumSq = samples.map(s => s.toLong * s).sum
+    assert(stats(2) == expectSumSq)
+    // Crossings: 100→-200, -300→300, 32767→-32768, -32768→5, 5→-1 = 5
+    // (0 breaks the -200→-300 run without adding crossings).
+    assert(stats(3) == 5)
+    // Byte-order parity: the same PCM re-containered as AIFF
+    // (big-endian) reads identical stats.
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, baos)
+    assert(AudioCodec.decodeStats(baos.toByteArray).toSeq == stats.toSeq)
+    // Corrupt payloads: null stats through the column stage, no crash.
+    val rows = Seq((1L, wav), (2L, "noise".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = Multimodal.audioStats(rows)
+      .select(col("media_id"), col("stats.peak"),
+        col("stats").isNull.as("n"))
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(32768L), false)))
+    assert(out(2L)._2, "corrupt payload must yield null stats")
+  }
+
   test("video_meta parses genuine ISO-BMFF boxes; corrupt/non-container payloads keep prior meta") {
     import graft.plans.VideoCodec
     val mp4 = VideoCodec.encodeMp4Skeleton(width = 640, height = 360,

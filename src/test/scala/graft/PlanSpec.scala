@@ -98,7 +98,7 @@ class PlanSpec extends AnyFunSuite {
         "tokens_distinct", "tokens_distinct_hashed", "simhash_fp",
         "array_intersect_size", "funnel_gates", "ngram_hashes",
         "image_mean_pool", "image_dims", "png_synth", "jpeg_synth",
-        "audio_mean_pool", "video_meta", "video_frame_pool",
+        "audio_mean_pool", "audio_stats", "video_meta", "video_frame_pool",
         "avi_synth", "mov_synth", "wav_synth"))
       assert(names.contains(want), s"missing from GraftExtensions: $want")
     // The engine's own sessions now load the surface via
