@@ -752,6 +752,63 @@ object HeavyBench {
       meta = Seq("grid" -> "4", "dims" -> "\"128-256 px RGB\"",
         "frames_per_video" -> "8", "jpeg_quality" -> "\"0.8/0.7\"",
         "containers" -> "\"avi/mov 50/50\"")),
+    // The NIGHTLY INCREMENTAL image dedup (the d12 pattern for media):
+    // yesterday's 20 K-image corpus is STANDING state — its decoded,
+    // centered, LSH-staged bucket table persisted with the fixture —
+    // and the timed window covers only what tonight pays: decode the
+    // 20 K-image increment (the JPEG re-encodes, ~2 GB), stage its
+    // buckets, prune the standing table to touched buckets, pair,
+    // verify inline. Every true pair spans corpus×increment by
+    // construction, so pairs out is the same ~20 K known quantity as
+    // the full composite — found WITHOUT re-decoding the standing
+    // corpus.
+    HeavyItem("m14_image_dedup_incremental", Seq("documents"),
+      fn = Some { (s, d) =>
+        val media = s.read.parquet(
+          queries.LlmQueries.ensureRealisticMediaFixture(s, d))
+        val inc = media.filter(col("media_id") % 2 === 1)
+        val feats = graft.llm.Multimodal.extractFeaturesImage(inc, grid = 4)
+          .select(col("media_id"),
+            transform(col("features"), f => f - lit(0.5))
+              .cast("array<float>").as("features"))
+        // The standing corpus is served ENTIRELY from the persisted
+        // bucket table (vectors ride in it); the corpus argument is
+        // unused on that path — pass the empty frame to make any
+        // accidental fallback re-decode loudly visible as zero pairs.
+        graft.llm.Dedup.embeddingNearDupPairsIncremental(
+          feats.limit(0), feats, "media_id", "features",
+          threshold = 0.8, planes = 12, tables = 6, dim = 48,
+          maxBucketSize = Some(200),
+          corpusBuckets = Some(s.read.parquet(
+            queries.LlmQueries.ensureImageBucketFixture(s, d))))
+      },
+      paths = Some { (s, d) =>
+        // Input = the increment's encoded bytes + the standing bucket
+        // artifact actually read (the decode term dominates).
+        Seq(queries.LlmQueries.ensureRealisticMediaFixture(s, d),
+          queries.LlmQueries.ensureImageBucketFixture(s, d))
+      },
+      counts = Some { (s, d) =>
+        val m = s.read.parquet(
+          queries.LlmQueries.ensureRealisticMediaFixture(s, d))
+        val inc = m.filter(col("media_id") % 2 === 1)
+        // Decode-only re-measure of the INCREMENT (the m11
+        // discipline): the entry minus this is the stage/join/pair
+        // tail a nightly run pays on top of decoding the new data.
+        val decodeMs = Seq.fill(2) {
+          Bench.reap(s)
+          val t0 = System.nanoTime()
+          graft.llm.Multimodal.extractFeaturesImage(inc, grid = 4)
+            .select(col("media_id"), col("features"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1000000
+        }.min
+        Seq("decode_only_ms" -> decodeMs,
+          "increment_images" -> inc.count())
+      },
+      meta = Seq("grid" -> "4", "threshold" -> "0.8", "planes" -> "12",
+        "tables" -> "6", "max_bucket" -> "200",
+        "increment_fraction" -> "\"1/2 (the jpeg re-encodes)\"")),
     // The VIDEO media-curation composite END-TO-END: decode every
     // frame of the 6 K-video corpus (the m8 workload), mean-pool the
     // per-frame features into one embedding per video, centered
@@ -1178,8 +1235,11 @@ object HeavyBench {
       if (selected.exists(_.name == "m3_image_decode"))
         queries.LlmQueries.ensurePngFixture(spark, dir)
       if (selected.exists(i => i.name == "m7_image_decode_realistic" ||
-          i.name == "m11_image_neardup_composite"))
+          i.name == "m11_image_neardup_composite" ||
+          i.name == "m14_image_dedup_incremental"))
         queries.LlmQueries.ensureRealisticMediaFixture(spark, dir)
+      if (selected.exists(_.name == "m14_image_dedup_incremental"))
+        queries.LlmQueries.ensureImageBucketFixture(spark, dir)
       if (selected.exists(i => i.name == "m8_video_decode" ||
           i.name == "m12_video_neardup_composite"))
         queries.LlmQueries.ensureVideoFixture(spark, dir)

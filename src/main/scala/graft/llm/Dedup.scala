@@ -945,6 +945,82 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental embedding near-dup — [[minhashLshPairsIncremental]]'s
+    * discipline applied to the sign-LSH family (the nightly MEDIA
+    * ingest shape: yesterday's corpus embeddings are standing state,
+    * only tonight's increment decodes and pairs): candidates come only
+    * from buckets the INCREMENT occupies, the standing corpus'
+    * staged (tbl, bkt, doc, v) bucket table is the persisted artifact
+    * (`corpusBuckets` — the production entry point; without it the
+    * corpus is re-staged on the fly, which re-embeds the whole corpus
+    * and is only acceptable at test scale). CONTRACT: the artifact
+    * must have been built with the SAME (planes, tables, dim) and the
+    * same feature pipeline as this call — a mismatched hash family
+    * makes the (tbl, bkt) join match nothing and increment-vs-corpus
+    * pairs silently vanish; persist the parameters next to the
+    * artifact. corpus×corpus pairs inside touched buckets are
+    * generated cap-bounded and dropped (reported when those docs
+    * arrived); verification is the same inline exact cosine as the
+    * full operator. */
+  def embeddingNearDupPairsIncremental(corpus: DataFrame,
+                                       increment: DataFrame,
+                                       id: String, vec: String,
+                                       threshold: Double,
+                                       planes: Int = 8, tables: Int = 6,
+                                       dim: Int = 64,
+                                       maxBucketSize: Option[Int] = None,
+                                       corpusBuckets: Option[DataFrame] = None)
+      : DataFrame = {
+    val spark = increment.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    def staged(df: DataFrame): DataFrame =
+      df.select(col(id).as("doc"), col(vec).as("v"),
+        posexplode(Similarity.lshBucketsAll(spark, col(vec),
+          tables, planes, dim)).as(Seq("tbl", "bkt")))
+    val bOld = corpusBuckets.getOrElse(staged(corpus))
+    // The increment's staged buckets feed TWO consumers (the touched
+    // set and the member union); left lazy, the lineage ABOVE them —
+    // which includes the increment's media DECODE when the features
+    // are decode-derived — executes once per consumer (measured: the
+    // m14 entry read 2× its decode term). cache + eager count
+    // materializes it once; the cached set is increment-bounded
+    // (rows = docs × tables, vectors included). Callers invoking this
+    // repeatedly over fresh data (a streaming loop) should
+    // materialize the result and unpersist, the
+    // minhashLshPairsIncrementalReleasable discipline.
+    val bNew = staged(increment).cache()
+    bNew.count()
+    val touched = bNew.select("tbl", "bkt").distinct()
+    val members = bOld.join(touched, Seq("tbl", "bkt"), "left_semi")
+      .withColumn("nw", lit(false))
+      .unionByName(bNew.withColumn("nw", lit(true)))
+    val grouped = members
+      .groupBy("tbl", "bkt")
+      .agg(sort_array(collect_set(
+        struct(col("doc"), col("nw"), col("v")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val capped = maxBucketSize
+      .map(cap => grouped.filter(size(col("ms")) <= cap))
+      .getOrElse(grouped)
+    // The lshVerifiedPairs pair lambda with the increment gate: a pair
+    // survives only if it touches the increment AND clears the inline
+    // cosine — both checked before the struct materializes, so the
+    // cross-table distinct shuffles survivors only.
+    val survivors = flatten(transform(col("ms"), (x, i) =>
+      filter(
+        transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+          struct(x.getField("doc").as("id_a"),
+            y.getField("doc").as("id_b"),
+            (x.getField("nw") || y.getField("nw")).as("inc"),
+            call_function(graft.plans.GraftFunctions.Name,
+              x.getField("v"), y.getField("v")).as("sim"))),
+        p => p.getField("inc") && p.getField("sim") >= threshold)))
+    capped.select(explode(survivors).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        round(col("p.sim"), 4).as("sim"))
+      .distinct()
+  }
+
   /** Portable twin of [[embeddingNearDupPairsLsh]] (the d5/d9 pattern:
     * md5-derived randomness so the ENTIRE path replays in any engine
     * with md5): hyperplane component signs come from an md5 hex digit's

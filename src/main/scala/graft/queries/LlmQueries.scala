@@ -163,6 +163,40 @@ object LlmQueries {
     target.toString
   }
 
+  /** The STANDING image-dedup state for the incremental heavy entry:
+    * the realistic fixture's even ids (yesterday's corpus — the PNG
+    * originals) decoded once, centered, and staged into the sign-LSH
+    * (tbl, bkt, doc, v) bucket table, persisted like a production
+    * nightly job would leave it. Params MUST match the incremental
+    * entry's call (planes 12 / tables 6 / dim 48 — the
+    * embeddingNearDupPairsIncremental contract). Returns the parquet
+    * path. */
+  def ensureImageBucketFixture(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    val base = Fixtures.stampedDir(d, "documents", "image_buckets", 1)
+    val target = base.resolve("buckets")
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempDirectory(base, "b.part")
+      try {
+        val media = s.read.parquet(ensureRealisticMediaFixture(s, d))
+          .filter(col("media_id") % 2 === 0)
+        val feats = graft.llm.Multimodal.extractFeaturesImage(media,
+            grid = 4)
+          .select(col("media_id").as("doc"),
+            transform(col("features"), f => f - lit(0.5))
+              .cast("array<float>").as("v"))
+        val built = tmp.resolve("p")
+        feats.select(col("doc"), col("v"),
+            posexplode(graft.llm.Similarity.lshBucketsAll(s, col("v"),
+              6, 12, 48)).as(Seq("tbl", "bkt")))
+          .repartition(32, col("tbl"), col("bkt"))
+          .write.parquet(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
   /** Crawl-realistic VIDEO fixture for the decode-MB/s heavy entry:
     * 6 K genuine MJPEG-AVIs of 8 frames at 128–256 px per side
     * (avalanche-noise JPEG frames ≈ 40 KB each), synthesized

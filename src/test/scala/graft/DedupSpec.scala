@@ -1231,4 +1231,39 @@ class DedupSpec extends AnyFunSuite {
       .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(out.map(r => r._1 -> r._4).toMap == again)
   }
+
+  test("embeddingNearDupPairsIncremental equals the full pair set restricted to increment-touching pairs; persisted buckets serve identically") {
+    import graft.llm.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, Sf).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding")).cache()
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val inc = emb.filter(col("vec_id") % 4 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim")
+        .as[(Long, Long, Double)].collect().toSet
+    val full = key(Dedup.embeddingNearDupPairsLsh(emb, "vec_id",
+      "embedding", 0.4, planes = 6, tables = 4, dim = 64))
+    val incSet = inc.select("vec_id").as[Long].collect().toSet
+    val expected = full.filter(p =>
+      incSet.contains(p._1) || incSet.contains(p._2))
+    assert(expected.nonEmpty, "fixture must yield increment-touching pairs")
+    // On-the-fly corpus staging.
+    val got = key(Dedup.embeddingNearDupPairsIncremental(corpus, inc,
+      "vec_id", "embedding", 0.4, planes = 6, tables = 4, dim = 64))
+    assert(got == expected)
+    // The production path: the standing corpus bucket table is a
+    // persisted artifact, read back from parquet.
+    val dir = java.nio.file.Files.createTempDirectory("emb-buckets")
+    try {
+      corpus.select(col("vec_id").as("doc"), col("embedding").as("v"),
+          posexplode(Similarity.lshBucketsAll(spark, col("embedding"),
+            4, 6, 64)).as(Seq("tbl", "bkt")))
+        .write.parquet(dir.resolve("b").toString)
+      val served = key(Dedup.embeddingNearDupPairsIncremental(corpus,
+        inc, "vec_id", "embedding", 0.4, planes = 6, tables = 4,
+        dim = 64, corpusBuckets =
+          Some(spark.read.parquet(dir.resolve("b").toString))))
+      assert(served == expected)
+    } finally graft.queries.Fixtures.deleteRecursively(dir)
+  }
 }
