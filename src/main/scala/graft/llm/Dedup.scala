@@ -969,14 +969,22 @@ object Dedup {
                                        planes: Int = 8, tables: Int = 6,
                                        dim: Int = 64,
                                        maxBucketSize: Option[Int] = None,
-                                       corpusBuckets: Option[DataFrame] = None)
+                                       corpusBuckets: Option[DataFrame] = None,
+                                       portable: Boolean = false)
       : DataFrame = {
     val spark = increment.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    // `portable` swaps the native sign-LSH for the md5-derived
+    // engine-replayable bucketing (the d5/d9/d13 twin pattern) so the
+    // whole incremental path can sit under a DuckDB oracle; production
+    // keeps the fused native expression.
     def staged(df: DataFrame): DataFrame =
       df.select(col(id).as("doc"), col(vec).as("v"),
-        posexplode(Similarity.lshBucketsAll(spark, col(vec),
-          tables, planes, dim)).as(Seq("tbl", "bkt")))
+        posexplode(
+          if (portable) Similarity.portableLshBuckets(col(vec),
+            tables, planes, dim)
+          else Similarity.lshBucketsAll(spark, col(vec),
+            tables, planes, dim)).as(Seq("tbl", "bkt")))
     val bOld = corpusBuckets.getOrElse(staged(corpus))
     // The increment's staged buckets feed TWO consumers (the touched
     // set and the member union); left lazy, the lineage ABOVE them —

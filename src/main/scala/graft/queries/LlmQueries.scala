@@ -865,6 +865,57 @@ object LlmQueries {
         "vec_id", "embedding", 0.3, planes = 4)
     },
 
+    // The INCREMENTAL embedding near-dup under a full oracle — the
+    // nightly media-ingest operator (corpus buckets standing, only
+    // the increment stages and pairs) in its portable-bucket form.
+    // The oracle is d13's complete LSH replay (quantized sign test,
+    // md5 hyperplanes, bucket equi-join, exact cosine verify) plus the
+    // increment restriction: incremental output ≡ the full pair set
+    // restricted to increment-touching pairs (DedupSpec pins that
+    // equality on the native path too), so a lost touched-bucket, a
+    // leaked corpus×corpus pair, or a wrong gate hash-diverges.
+    Q("d19_embedding_incremental_portable",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 300),
+        |w AS (SELECT vec_id,
+        |        list_transform(v, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS wv
+        |      FROM e),
+        |grid AS (SELECT t.t, p.p
+        |         FROM (SELECT unnest(range(0, 6)) AS t) t
+        |         CROSS JOIN (SELECT unnest(range(0, 4)) AS p) p),
+        |signs AS (SELECT t, p,
+        |            list_transform(range(0, 64), i -> CASE
+        |              WHEN CAST(('0x' || substr(md5(
+        |                     CAST(t AS VARCHAR) || ',' || CAST(p AS VARCHAR)
+        |                       || ',' || CAST(i AS VARCHAR)), 1, 1)) AS BIGINT)
+        |                   % 2 = 1
+        |              THEN 1 ELSE -1 END) AS s
+        |          FROM grid),
+        |dots AS (SELECT w.vec_id, g.t, g.p,
+        |           list_sum(list_transform(range(0, 64),
+        |             i -> wv[i + 1] * g.s[i + 1])) AS dot
+        |         FROM w CROSS JOIN signs g),
+        |bk AS (SELECT vec_id, t,
+        |         sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS bkt
+        |       FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM bk a JOIN bk b
+        |           ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id)
+        |SELECT c.id_a, c.id_b,
+        |       round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+        |FROM cand c
+        |JOIN e ea ON c.id_a = ea.vec_id
+        |JOIN e eb ON c.id_b = eb.vec_id
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
+        |  AND (c.id_a % 4 = 0 OR c.id_b % 4 = 0)""".stripMargin) {
+      (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      Dedup.embeddingNearDupPairsIncremental(
+        emb.filter(col("vec_id") % 4 =!= 0),
+        emb.filter(col("vec_id") % 4 === 0),
+        "vec_id", "embedding", 0.3, planes = 4, portable = true)
+    },
+
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
     // k-means buckets the corpus, pairwise cosine runs only WITHIN a
     // cluster, and each near-dup pair drops its (centroid_sim, id)-
