@@ -971,7 +971,27 @@ object Dedup {
                                        maxBucketSize: Option[Int] = None,
                                        corpusBuckets: Option[DataFrame] = None,
                                        portable: Boolean = false)
-      : DataFrame = {
+      : DataFrame =
+    embeddingNearDupPairsIncrementalReleasable(corpus, increment, id,
+      vec, threshold, planes, tables, dim, maxBucketSize, corpusBuckets,
+      portable)._1
+
+  /** [[embeddingNearDupPairsIncremental]] plus a release handle that
+    * unpersists the operator's internal staged-increment cache — the
+    * [[minhashLshPairsIncrementalReleasable]] discipline: a caller
+    * invoking the operator repeatedly over FRESH data (a streaming
+    * loop runs it once per micro-batch) must materialize the result
+    * and call the handle, or the CacheManager pins one new dataset per
+    * invocation forever. Re-invocations over IDENTICAL inputs
+    * (Verify/Bench re-running a registered query) are deduplicated on
+    * the canonicalized plan and stay safe through the plain variant. */
+  def embeddingNearDupPairsIncrementalReleasable(
+      corpus: DataFrame, increment: DataFrame,
+      id: String, vec: String, threshold: Double,
+      planes: Int = 8, tables: Int = 6, dim: Int = 64,
+      maxBucketSize: Option[Int] = None,
+      corpusBuckets: Option[DataFrame] = None,
+      portable: Boolean = false): (DataFrame, () => Unit) = {
     val spark = increment.sparkSession
     graft.plans.GraftFunctions.register(spark)
     // `portable` swaps the native sign-LSH for the md5-derived
@@ -1023,10 +1043,11 @@ object Dedup {
             call_function(graft.plans.GraftFunctions.Name,
               x.getField("v"), y.getField("v")).as("sim"))),
         p => p.getField("inc") && p.getField("sim") >= threshold)))
-    capped.select(explode(survivors).as("p"))
+    val pairs = capped.select(explode(survivors).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         round(col("p.sim"), 4).as("sim"))
       .distinct()
+    (pairs, () => { bNew.unpersist(blocking = false); () })
   }
 
   /** Portable twin of [[embeddingNearDupPairsLsh]] (the d5/d9 pattern:

@@ -87,4 +87,23 @@ object MediaCodecProps extends Properties("MediaCodec") {
         math.min(len, validAvi.length)))
       true
     }
+
+  // The audio decoders share the contract: junk, corruption, and
+  // truncation of a valid WAV parse to null or a value, never throw;
+  // and stats/pooling agree on validity (both null or both present).
+  private val validWav: Array[Byte] = graft.plans.AudioCodec
+    .encodeWavPcm16(Array.tabulate(300)(t => ((t * 131) % 4001 - 2000).toShort))
+
+  property("audio decoders are total and agree on validity") =
+    Prop.forAll(junk, Gen.chooseNum(0, validWav.length - 1),
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) { (bytes, pos, b) =>
+      import graft.plans.AudioCodec
+      (AudioCodec.decodeStats(bytes) == null) ==
+        (AudioCodec.decodeMeanPool(bytes, 4) == null) && {
+        val w = validWav.clone(); w(pos) = b.toByte
+        AudioCodec.decodeStats(w); AudioCodec.decodeMeanPool(w, 4)
+        AudioCodec.decodeStats(java.util.Arrays.copyOf(validWav, pos))
+        true
+      }
+    }
 }

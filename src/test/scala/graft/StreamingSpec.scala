@@ -224,6 +224,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(Set(2L, 4L, 5L).forall(id => gotMap(id).isEmpty))
   }
 
+  test("streaming incremental embedding dedup serves the persisted bucket store per batch, batch-equal") {
+    implicit val sc = spark.sqlContext
+    import graft.llm.{Dedup, Similarity}
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .filter(col("vec_id") < 2000).select("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-sed")
+    corpus.select(col("vec_id").as("doc"), col("embedding").as("v"),
+        posexplode(Similarity.lshBucketsAll(spark, col("embedding"),
+          4, 6, 64)).as(Seq("tbl", "bkt")))
+      .write.parquet(base.resolve("buckets").toString)
+    try {
+      val buckets = spark.read.parquet(base.resolve("buckets").toString)
+      // The RELEASABLE form — a streaming loop runs the operator once
+      // per micro-batch over fresh data, so each invocation's internal
+      // cache must be released after materialization or the
+      // CacheManager pins one dataset per batch forever.
+      def incOpCollect(df: org.apache.spark.sql.DataFrame)
+          : Seq[(Long, Long, Double)] = {
+        val (pairs, release) =
+          Dedup.embeddingNearDupPairsIncrementalReleasable(df.limit(0),
+            df, "vec_id", "embedding", 0.4, planes = 6, tables = 4,
+            dim = 64, corpusBuckets = Some(buckets))
+        try pairs.as[(Long, Long, Double)].collect().toSeq
+        finally release()
+      }
+      val rows = emb.filter(col("vec_id") % 4 === 0)
+        .as[(Long, Seq[Float])].collect().toSeq
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = input.toDF().toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val p = incOpCollect(batch)
+            got.synchronized { got ++= p }
+            ()
+        }.start()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      // Batch-equal per batch: each micro-batch pairs against the SAME
+      // standing store a batch run would, so the union over batches
+      // equals the union of per-split batch runs.
+      def toDf(s: Seq[(Long, Seq[Float])]) =
+        s.toDF("vec_id", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>"))
+      val expected =
+        incOpCollect(toDf(b1)).toSet ++ incOpCollect(toDf(b2)).toSet
+      assert(got.toSet == expected && expected.nonEmpty)
+    } finally graft.queries.Fixtures.deleteRecursively(base)
+  }
+
   test("streaming incremental dedup over two rounds equals the full batch pair set") {
     implicit val sc = spark.sqlContext
     val all = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 120)
