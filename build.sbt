@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bare stdout for forked mains: the bench/verify summary lines must
+// reach a tail-capturing harness as genuine last lines — without
+// sbt's "[info] " log prefix on every forked-process line (r13-r17:
+// the driver's BENCH_r*.json carried "parsed": null because the JSON
+// summary arrived decorated and followed by "[success] Total time").
+// StdoutOutput pipes the forked JVM's stdout/stderr straight through;
+// Global/showSuccess drops the trailing "[success]" line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another task —
+// silence the false-positive unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -176,7 +176,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(!_._3)
     val total = results.filter(_._3).map(_._2).sum
-    val sfJson = sfDir.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sfJson = jsonEscape(sfDir)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"min$nPasses","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}"""
     println(line)
@@ -200,10 +200,26 @@ object Bench {
     // round). This line carries the totals plus as many per-query
     // seconds as fit a 1900-char budget, slowest first (the ones a
     // reader triages), and names the committed full record.
-    println(compactSummary(results, total, nPasses, failed, sfJson,
-      heavyJson, outPath))
-    spark.stop()
+    // Built before stop, printed after: session shutdown can emit
+    // stderr of its own, and under a `2>&1` capture that would land
+    // AFTER the summary — the line must be genuinely last.
+    val summary = compactSummary(results, total, nPasses, failed, sfDir,
+      heavyJson, outPath)
+    try spark.stop() catch { case _: Throwable => () }
+    println(summary)
+    System.out.flush()
   }
+
+  /** Minimal JSON string escaping for interpolated values (paths, SF
+    * dirs): quotes, backslashes, and control chars — the three ways an
+    * interpolated string can break the line's parseability. */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** One JSON line ≤ ~1900 chars: totals, then per-query seconds
     * slowest-first until the budget is spent. `dropped` counts the
@@ -215,6 +231,11 @@ object Bench {
       fullPath: String): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // `sfJson`/`fullPath` arrive RAW (an env-supplied path can carry
+    // quotes or backslashes); escape here so a hostile path cannot
+    // produce the unparseable line this summary exists to prevent.
+    val sfEsc = jsonEscape(sfJson)
+    val fullEsc = jsonEscape(fullPath)
     // Heavy block total from its own JSON (sum of "sec" fields) so the
     // compact line carries both blocks' headline numbers.
     val heavySecs = """"sec":(-?[0-9.]+)""".r
@@ -224,7 +245,7 @@ object Bench {
       s""""unit":"sec","timing":"min$nPasses",""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
       s""""heavy_total_sec":${fmt(heavyTotal)},""" +
-      s""""sf":"$sfJson","full":"$fullPath","queries":{"""
+      s""""sf":"$sfEsc","full":"$fullEsc","queries":{"""
     val budget = 1900
     val entries = results.filter(_._3).sortBy(-_._2)
       .map { case (k, v, _) => s""""$k":${fmt(v)}""" }

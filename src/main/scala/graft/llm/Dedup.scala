@@ -1042,7 +1042,14 @@ object Dedup {
             (x.getField("nw") || y.getField("nw")).as("inc"),
             call_function(graft.plans.GraftFunctions.Name,
               x.getField("v"), y.getField("v")).as("sim"))),
-        p => p.getField("inc") && p.getField("sim") >= threshold)))
+        // id_a =!= id_b: a doc present in BOTH corpus and increment
+        // (e.g. a stale persisted corpusBuckets artifact still holding
+        // a doc now re-ingested) occupies the same bucket twice with
+        // nw=false and nw=true, and the i<j lambda would pair the two
+        // copies into a self-pair at sim 1.0.
+        p => p.getField("inc") &&
+          p.getField("id_a") =!= p.getField("id_b") &&
+          p.getField("sim") >= threshold)))
     val pairs = capped.select(explode(survivors).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         round(col("p.sim"), 4).as("sim"))

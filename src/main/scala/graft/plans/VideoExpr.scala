@@ -79,6 +79,12 @@ object VideoMetaExpr {
   * the same byte layout any MP4 muxer emits for these fields). */
 object VideoCodec {
 
+  /** Recursion bound for the box walks: legal ISO-BMFF nests
+    * moov>trak>mdia>minf>stbl ~5 deep; anything deeper is a crafted
+    * or bit-rotted chain and parses to null rather than recursing
+    * toward StackOverflowError. */
+  private[plans] val MaxBoxDepth = 16
+
   final case class Meta(width: Int, height: Int, durationMs: Long)
 
   /** Container metadata, or null when the bytes are neither ISO-BMFF
@@ -103,9 +109,14 @@ object VideoCodec {
       new String(bytes, off, 4, "US-ASCII")
 
     // Walk the box chain in [start, end); returns false on a malformed
-    // chain (a size that escapes the window or loops).
+    // chain (a size that escapes the window or loops). Depth is capped:
+    // legal files nest moov>trak>mdia>minf>stbl ~5 deep, and without a
+    // cap a crafted payload of a few thousand self-nested 8-byte boxes
+    // recurses into StackOverflowError — an Error nothing catches —
+    // violating the parse-or-null totality contract.
     def walk(start: Int, end: Int, depth: Int,
              inMoov: Boolean, inTrak: Boolean): Boolean = {
+      if (depth > VideoCodec.MaxBoxDepth) return false
       var p = start
       while (p + 8 <= end) {
         val size0 = u32(p)
@@ -200,6 +211,7 @@ object VideoCodec {
 
     def walk(start: Int, end: Int, depth: Int, inMoov: Boolean,
              cur: Trak): Boolean = {
+      if (depth > MaxBoxDepth) return false // see parseMeta's walk
       var p = start
       while (p + 8 <= end) {
         val size0 = u32(p)

@@ -121,6 +121,15 @@ object LlmQueries {
     * ≈ 0.99 after centering, unrelated images ≲ 0.3) for the
     * decode→features→LSH composite entry, with the decode workload's
     * size/format distribution unchanged. Returns the parquet path. */
+  /** Logic version of [[ensureRealisticMediaFixture]]'s content.
+    * Folded into DERIVED fixtures' stamps too (the image bucket
+    * table below derives from this fixture's bytes): bumping the
+    * media fixture must invalidate everything computed from it, or a
+    * stale standing-bucket artifact silently serves pairs for pixels
+    * that no longer exist — the silent-vanish failure the incremental
+    * operator's own contract warns about. */
+  private val MediaFixtureVersion = 4
+
   def ensureRealisticMediaFixture(s: org.apache.spark.sql.SparkSession,
                                   d: String): String = {
     // v2: avalanche-noise pixels (see PngSynthExpr) — encoded sizes
@@ -132,7 +141,8 @@ object LlmQueries {
     // batches overran an 8 GB driver heap; ~28 MB row groups keep the
     // columnar batches bounded (rows are ~190 KB EACH — row-group
     // size, not row count, is the memory knob for blob tables).
-    val base = Fixtures.stampedDir(d, "documents", "media_realistic", 4)
+    val base = Fixtures.stampedDir(d, "documents", "media_realistic",
+      MediaFixtureVersion)
     val target = base.resolve("media")
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
@@ -173,7 +183,11 @@ object LlmQueries {
     * path. */
   def ensureImageBucketFixture(s: org.apache.spark.sql.SparkSession,
                                d: String): String = {
-    val base = Fixtures.stampedDir(d, "documents", "image_buckets", 1)
+    // The media fixture's logic version is part of THIS stamp's kind:
+    // the buckets are computed FROM those bytes, so a media bump must
+    // invalidate them (see MediaFixtureVersion).
+    val base = Fixtures.stampedDir(d, "documents",
+      s"image_buckets_m$MediaFixtureVersion", 1)
     val target = base.resolve("buckets")
     if (!java.nio.file.Files.exists(target)) {
       val tmp = java.nio.file.Files.createTempDirectory(base, "b.part")

@@ -1266,4 +1266,22 @@ class DedupSpec extends AnyFunSuite {
       assert(served == expected)
     } finally graft.queries.Fixtures.deleteRecursively(dir)
   }
+
+  test("embeddingNearDupPairsIncremental emits no self-pairs when a doc sits in both corpus and increment") {
+    import graft.llm.Dedup
+    // A stale persisted corpusBuckets artifact can still hold a doc
+    // now re-ingested in the increment: the doc then occupies its
+    // buckets twice (nw=false and nw=true) and the pair lambda would
+    // pair the two copies into (id, id, 1.0) without the id_a=!=id_b
+    // survivor filter.
+    val emb = Tables.embeddings(spark, Sf).filter(col("vec_id") < 1000)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb // ALL docs standing…
+    val inc = emb.filter(col("vec_id") % 4 === 0) // …some re-ingested
+    val got = Dedup.embeddingNearDupPairsIncremental(corpus, inc,
+        "vec_id", "embedding", 0.4, planes = 6, tables = 4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.forall { case (a, b) => a != b },
+      s"self-pairs leaked: ${got.filter(p => p._1 == p._2).take(5).toSeq}")
+  }
 }

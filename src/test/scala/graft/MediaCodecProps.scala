@@ -88,6 +88,36 @@ object MediaCodecProps extends Properties("MediaCodec") {
       true
     }
 
+  // The recursion bound: a crafted chain of thousands of self-nested
+  // 8-byte boxes (well under 100 KB of payload) must parse to null,
+  // not recurse into StackOverflowError — an Error nothing in a Spark
+  // task catches, so without the depth cap this input kills the task
+  // and violates the parse-or-null totality contract. The junk
+  // generator above maxes at 512 bytes and cannot observe this.
+  property("deeply self-nested box chains parse to null, never overflow") =
+    Prop.forAll(Gen.chooseNum(2000, 12000)) { depth =>
+      def bomb(inner: String): Array[Byte] = {
+        val total = 8 * (depth + 2)
+        val buf = java.nio.ByteBuffer.allocate(total)
+        def put(size: Int, typ: String): Unit = {
+          buf.putInt(size); buf.put(typ.getBytes("US-ASCII")); ()
+        }
+        put(total, "moov")
+        put(total - 8, "trak")
+        var rem = total - 16
+        while (rem >= 8) { put(rem, inner); rem -= 8 }
+        buf.array()
+      }
+      // parseMeta recurses on nested trak; framesJpeg on mdia/minf/stbl
+      // under a trak — exercise both walks' recursive cases. The
+      // non-recursive nestings (mdia under parseMeta, trak-in-trak
+      // under framesJpeg) are skipped-whole and only need totality.
+      VideoCodec.parseMeta(bomb("trak")) == null &&
+        VideoCodec.framesJpeg(bomb("mdia")) == null &&
+        VideoCodec.framesJpeg(bomb("trak")) == null &&
+        { VideoCodec.parseMeta(bomb("mdia")); true }
+    }
+
   // The audio decoders share the contract: junk, corruption, and
   // truncation of a valid WAV parse to null or a value, never throw;
   // and stats/pooling agree on validity (both null or both present).
