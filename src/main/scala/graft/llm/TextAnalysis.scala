@@ -497,6 +497,72 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** HTML → main-content text extraction (the crawl front door;
+    * contract and stage definitions in [[graft.plans.HtmlText]]).
+    * Returns the input frame plus `text` REPLACED by the extracted
+    * main content and `n_lines_kept` / `n_lines_dropped` (bigint) —
+    * feed the result straight into the funnel/dedup/lang operators.
+    *
+    * `native = true` swaps the per-line HOF lambdas for the fused
+    * single-pass [[graft.plans.HtmlExtractExpr]] (one compiled eval
+    * per document — HOF lambdas evaluate interpreted, per char/word);
+    * the two forms share the stage-A/B patterns by construction and
+    * TextAnalysisSpec pins them equal on adversarial fragments. The
+    * declarative form exists because every stage is DuckDB-replayable
+    * — it IS the oracle's spelling (t16). */
+  def htmlExtractStats(df: DataFrame, html: String,
+                       native: Boolean = false): DataFrame = {
+    import graft.plans.HtmlText
+    val passthrough = df.columns.filter(_ != html).map(col).toSeq
+    if (native) {
+      graft.plans.HtmlExtractExpr.register(df.sparkSession)
+      // Generator barrier (the funnelStats discipline): one eval per
+      // row, field reads bind the attribute.
+      df.withColumn("__hx", explode(array(call_function(
+          graft.plans.HtmlExtractExpr.Name, col(html)))))
+        .select(passthrough ++ Seq(
+          col("__hx.text").as("text"),
+          col("__hx.n_lines_kept").cast("long").as("n_lines_kept"),
+          col("__hx.n_lines_dropped").cast("long").as("n_lines_dropped")): _*)
+    } else {
+      val marker = HtmlText.Marker.toString
+      // Stages A-D: the shared pattern chain (see HtmlText scaladoc).
+      val stripped = Seq(HtmlText.CommentPat -> "",
+          HtmlText.ScriptPat -> "", HtmlText.StylePat -> "",
+          HtmlText.AnchorPat -> marker, HtmlText.BlockPat -> "\n",
+          HtmlText.TagPat -> "")
+        .foldLeft(col(html)) { case (acc, (pat, rep)) =>
+          regexp_replace(acc, lit(pat), lit(rep)) }
+      val decoded = HtmlText.Entities
+        .foldLeft(stripped) { case (acc, (ent, ch)) =>
+          replace(acc, lit(ent), lit(ch)) }
+      val collapsed = regexp_replace(decoded, lit("[ \\t\\r]+"), lit(" "))
+      // Stage E: per-line keep decision + cleanup, behind a generator
+      // barrier so the line array materializes once.
+      val lines = transform(split(collapsed, "\n"), l => trim(l))
+      def words(l: Column) =
+        filter(split(replace(l, lit(marker), lit("")), " "),
+          w => w =!= "")
+      def keepLine(l: Column) = {
+        val ws = words(l)
+        val nw = size(ws)
+        val links = length(l) - length(replace(l, lit(marker), lit("")))
+        val alpha = size(filter(ws, w => w.rlike("\\p{L}")))
+        nw >= 3 && links * 2 <= nw && alpha * 2 >= nw
+      }
+      df.withColumn("__hl", explode(array(struct(
+          filter(lines, l => l =!= "" && keepLine(l)).as("kept"),
+          size(filter(lines, l => l =!= "")).as("n_content")))))
+        .select(passthrough ++ Seq(
+          array_join(transform(col("__hl.kept"), l =>
+            trim(regexp_replace(replace(l, lit(marker), lit("")),
+              lit(" +"), lit(" ")))), "\n").as("text"),
+          size(col("__hl.kept")).cast("long").as("n_lines_kept"),
+          (col("__hl.n_content") - size(col("__hl.kept")))
+            .cast("long").as("n_lines_dropped")): _*)
+    }
+  }
+
   /** Benchmark decontamination — per-document n-gram overlap against a
     * held-out set (the standard train/test contamination check a
     * training-data pipeline runs before every release: a document

@@ -891,6 +891,7 @@ object GraftExtensions {
     reg(ArrayIntersectSizeExpr.Name, ArrayIntersectSizeExpr.info,
       ArrayIntersectSizeExpr.builder),
     reg(FunnelGatesExpr.Name, FunnelGatesExpr.info, FunnelGatesExpr.builder),
+    reg(HtmlExtractExpr.Name, HtmlExtractExpr.info, HtmlExtractExpr.builder),
     reg(NgramHashesExpr.Name, NgramHashesExpr.info, NgramHashesExpr.builder),
     reg(ImageMeanPoolExpr.Name, ImageMeanPoolExpr.info,
       ImageMeanPoolExpr.builder),

@@ -1494,6 +1494,23 @@ object LlmQueries {
           "stop_hits", "keep")
     },
 
+    // HTML→text main-content extraction (the crawl front door; stage
+    // contract in graft.plans.HtmlText). The fixture wraps each
+    // document's text in a realistic page — head with title/style/
+    // script, a nav link menu, a heading crumb, conditional list /
+    // link-bearing / entity-bearing / comment-adjacent blocks, and an
+    // unclosed-script tail every 11th doc (crawl truncation) — and
+    // BOTH engines replay the identical stage chain on it. Registered
+    // through the NATIVE single-pass expression, so the DuckDB hash
+    // oracle gates the production code path directly (the declarative
+    // twin is additionally spec-pinned equal in HtmlExtractSpec).
+    Q("t16_html_extract", t16OracleSql) { (s, d) =>
+      TextAnalysis.htmlExtractStats(
+          Tables.documents(s, d).select(col("doc_id"), t16Html.as("html")),
+          "html", native = true)
+        .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+    },
+
     // Linear quality-classifier inference (the fastText-style filter
     // serving shape, FineWeb-Edu / CCNet): hashed bag-of-words counts
     // × a broadcast integer-quantized weight table → exact integer
@@ -2264,6 +2281,122 @@ object LlmQueries {
     * MATERIALIZED: each round references its predecessor three times,
     * and inlined CTEs re-evaluate the whole chain exponentially
     * (measured: >120 s inlined vs 0.23 s materialized at sf0.001). */
+  /** t16's synthesized page: deterministic HTML around each document's
+    * text. The five conditional blocks exercise every stage rule —
+    * letterless list rows, link density, entity decode, comment
+    * adjacency, unclosed-at-EOF script. Must stay in lockstep with
+    * [[t16HtmlSql]], its DuckDB spelling. */
+  private[queries] def t16Html: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), id.cast("string"),
+      lit(" overview page</title>"),
+      lit("<style>body { color: #222; }</style>"),
+      lit("<script>var n = 1 < 2 && 3 > 2;</script></head>"),
+      lit("<body><nav><a href='/'>Home</a> <a href='/d'>Docs</a> " +
+        "<a href='/c'>Contact</a></nav>"),
+      lit("<h1>Document "), id.cast("string"), lit("</h1>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      when(id % 3 === 0,
+        "<ul><li>alpha beta gamma delta</li><li>7 8 9 10 11</li></ul>")
+        .otherwise(""),
+      when(id % 4 === 0,
+        "<div>read the manual <a href='/m'>here</a> any time</div>")
+        .otherwise(""),
+      when(id % 5 === 0,
+        "<p>Tom &amp; Jerry &lt;3 &quot;quotes&quot; &apos;here&apos; now</p>")
+        .otherwise(""),
+      when(id % 7 === 0,
+        "<!-- hidden <p>ghost block</p> --><p>visible after the comment</p>")
+        .otherwise(""),
+      when(id % 11 === 0, "<script>unclosed tail swallows the rest")
+        .otherwise("</body></html>"))
+  }
+
+  /** [[t16Html]] in DuckDB SQL (single-quoted literals, '' escapes). */
+  private def t16HtmlSql: String =
+    """'<!DOCTYPE html><html><head><title>Doc ' || doc_id ||
+      |' overview page</title>' ||
+      |'<style>body { color: #222; }</style>' ||
+      |'<script>var n = 1 < 2 && 3 > 2;</script></head>' ||
+      |'<body><nav><a href=''/''>Home</a> <a href=''/d''>Docs</a> ' ||
+      |'<a href=''/c''>Contact</a></nav>' ||
+      |'<h1>Document ' || doc_id || '</h1>' ||
+      |'<p>' || text || '</p>' ||
+      |CASE WHEN doc_id % 3 = 0
+      |  THEN '<ul><li>alpha beta gamma delta</li><li>7 8 9 10 11</li></ul>'
+      |  ELSE '' END ||
+      |CASE WHEN doc_id % 4 = 0
+      |  THEN '<div>read the manual <a href=''/m''>here</a> any time</div>'
+      |  ELSE '' END ||
+      |CASE WHEN doc_id % 5 = 0
+      |  THEN '<p>Tom &amp; Jerry &lt;3 &quot;quotes&quot; &apos;here&apos; now</p>'
+      |  ELSE '' END ||
+      |CASE WHEN doc_id % 7 = 0
+      |  THEN '<!-- hidden <p>ghost block</p> --><p>visible after the comment</p>'
+      |  ELSE '' END ||
+      |CASE WHEN doc_id % 11 = 0
+      |  THEN '<script>unclosed tail swallows the rest'
+      |  ELSE '</body></html>' END""".stripMargin
+
+  /** The [[graft.plans.HtmlText]] stage chain as a DuckDB CTE body
+    * over the t16 fixture — the regex patterns are rendered FROM the
+    * shared constants (RE2 spelling via HtmlText.re2), the entity
+    * chain from HtmlText.Entities, so the two sides cannot drift.
+    * Per-line signals ride a struct_pack so each line's word list is
+    * computed once. `carry` threads extra document columns (e.g.
+    * ", lang") through every stage; the final CTE is
+    * `xt(doc_id[, carry], text, n_lines_kept, n_lines_dropped)` —
+    * t16 selects from it directly, pipe30 stacks the curation funnel
+    * on top. */
+  private[queries] def htmlExtractCtes(carry: String): String = {
+    import graft.plans.HtmlText
+    val ent = HtmlText.Entities.foldLeft("s") { case (acc, (e, c)) =>
+      s"replace($acc, '$e', '${c.replace("'", "''")}')"
+    }
+    s"""h AS (SELECT doc_id$carry, $t16HtmlSql AS html FROM documents),
+       |hc1 AS (SELECT doc_id$carry, regexp_replace(html,
+       |  '${HtmlText.re2(HtmlText.CommentPat)}', '', 'gs') AS s FROM h),
+       |hc2 AS (SELECT doc_id$carry, regexp_replace(s,
+       |  '${HtmlText.re2(HtmlText.ScriptPat)}', '', 'gis') AS s FROM hc1),
+       |hc3 AS (SELECT doc_id$carry, regexp_replace(s,
+       |  '${HtmlText.re2(HtmlText.StylePat)}', '', 'gis') AS s FROM hc2),
+       |hb1 AS (SELECT doc_id$carry, regexp_replace(s,
+       |  '${HtmlText.re2(HtmlText.AnchorPat)}', chr(1), 'gi') AS s FROM hc3),
+       |hb2 AS (SELECT doc_id$carry, regexp_replace(s,
+       |  '${HtmlText.re2(HtmlText.BlockPat)}', chr(10), 'gi') AS s FROM hb1),
+       |hb3 AS (SELECT doc_id$carry, regexp_replace(s,
+       |  '${HtmlText.TagPat}', '', 'g') AS s FROM hb2),
+       |he AS (SELECT doc_id$carry, $ent AS s FROM hb3),
+       |hw AS (SELECT doc_id$carry,
+       |  regexp_replace(s, '[ \\t\\r]+', ' ', 'g') AS s FROM he),
+       |hl AS (SELECT doc_id$carry,
+       |  list_filter(list_transform(string_split(s, chr(10)),
+       |    x -> trim(x)), x -> x <> '') AS ls FROM hw),
+       |hk AS (SELECT doc_id$carry, list_transform(ls, x -> struct_pack(
+       |    txt := trim(regexp_replace(replace(x, chr(1), ''),
+       |                               ' +', ' ', 'g')),
+       |    nw := len(list_filter(string_split(replace(x, chr(1), ''),
+       |      ' '), t -> t <> '')),
+       |    na := len(list_filter(list_filter(string_split(
+       |      replace(x, chr(1), ''), ' '), t -> t <> ''),
+       |      t -> regexp_matches(t, '\\p{L}'))),
+       |    nl := length(x) - length(replace(x, chr(1), ''))))
+       |  AS st FROM hl),
+       |hf AS (SELECT doc_id$carry, st, list_filter(st, r ->
+       |    r.nw >= 3 AND 2*r.nl <= r.nw AND 2*r.na >= r.nw) AS kept
+       |  FROM hk),
+       |xt AS (SELECT doc_id$carry,
+       |  array_to_string(list_transform(kept, r -> r.txt), chr(10)) AS text,
+       |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       |  CAST(len(st) - len(kept) AS BIGINT) AS n_lines_dropped
+       |FROM hf)""".stripMargin
+  }
+
+  private def t16OracleSql: String =
+    s"""WITH ${htmlExtractCtes("")}
+       |SELECT doc_id, text, n_lines_kept, n_lines_dropped FROM xt""".stripMargin
+
   private def bpeOracleSql(merges: Int): String = {
     def iteration(k: Int): String = {
       val p = k - 1

@@ -172,7 +172,34 @@ object PipelineQueries {
       curationFunnel(s, d, portableCov = true)
     },
 
+    // The crawl-native end-to-end: HTML pages → main-content
+    // extraction (t16's native single-pass expression, same scan) →
+    // the pipe17 curation funnel over the EXTRACTED text. Extracted
+    // lines re-join on a space for the funnel (its tokenizer and its
+    // oracle split on single spaces; the extractor's \n is a line
+    // separator, not a token one). This is the shape a web-crawl
+    // pipeline actually runs: one pass from raw page bytes to the
+    // curated, deduped, quota'd corpus — no intermediate
+    // materialization, extraction rides inside the scan stage.
+    Q("pipe30_html_curation", Pipe30OracleSql) { (s, d) =>
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), LlmQueries.t16Html.as("html"))
+      val extracted = graft.llm.TextAnalysis
+        .htmlExtractStats(pages, "html", native = true)
+        .select(col("doc_id"), col("lang"),
+          replace(col("text"), lit("\n"), lit(" ")).as("text"))
+      curationFunnelOf(extracted, portableCov = true)
+    },
+
     pipe24, pipe25, pipe26, pipe27)
+
+  /** pipe30's oracle: the HTML-extraction CTE chain (lang carried
+    * through) feeding the funnel oracle, lines flattened to spaces. */
+  private lazy val Pipe30OracleSql: String =
+    curationOracleSqlOver(
+      LlmQueries.htmlExtractCtes(", lang") + ",",
+      "(SELECT doc_id, lang, replace(text, chr(10), ' ') AS text FROM xt)",
+      "TRUE")
 
   /** pipe17's funnel oracle verbatim — also the curation stage of
     * pipe24's corpus-build oracle (embedded as a nested WITH, so its
@@ -185,9 +212,17 @@ object PipelineQueries {
     * replays it once for the standing corpus and once for the
     * increment (nightly batches gate within themselves). */
   private[queries] def curationOracleSqlWhere(pred: String): String =
-      s"""WITH base AS (
+    curationOracleSqlOver("", "documents", pred)
+
+  /** The funnel oracle over an arbitrary source relation with optional
+    * leading CTEs (`prelude` — "" or "a AS (…), b AS (…),") — pipe30
+    * stacks it on the HTML-extraction chain. */
+  private[queries] def curationOracleSqlOver(prelude: String,
+                                             source: String,
+                                             pred: String): String =
+      s"""WITH $prelude base AS (
          |  SELECT doc_id, lang, text, string_split(trim(text), ' ') AS toks
-         |  FROM documents WHERE $pred),
+         |  FROM $source WHERE $pred),
          |q AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
