@@ -1511,6 +1511,23 @@ object LlmQueries {
         .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
     },
 
+    // URL normalization + registered-domain extraction (crawl
+    // curation's per-domain key; contract in functions/Urls.scala).
+    // The fixture synthesizes adversarial-but-real URL shapes from
+    // doc_id: uppercase schemes/hosts, userinfo, default and
+    // non-default ports, trailing-dot hosts, fragments, query
+    // strings, and hosts across the public-suffix rule classes
+    // (multi-label ccSLD, private registry, unknown single-label).
+    Q("t17_url_normalize", t17OracleSql) { (s, d) =>
+      import graft.functions.Urls
+      Tables.documents(s, d)
+        .select(col("doc_id"), t17Url.as("url"))
+        .select(col("doc_id"),
+          Urls.urlNormalize(col("url")).as("url_norm"),
+          Urls.urlHost(col("url")).as("host"),
+          Urls.urlRegisteredDomain(col("url")).as("domain"))
+    },
+
     // Linear quality-classifier inference (the fastText-style filter
     // serving shape, FineWeb-Edu / CCNet): hashed bag-of-words counts
     // × a broadcast integer-quantized weight table → exact integer
@@ -2391,6 +2408,54 @@ object LlmQueries {
        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
        |  CAST(len(st) - len(kept) AS BIGINT) AS n_lines_dropped
        |FROM hf)""".stripMargin
+  }
+
+  /** t17's host classes — one per public-suffix rule class: plain
+    * gTLD (case-mangled), ccSLD multi-label, deeper ccSLD, ccTLD,
+    * private registry, unknown single-label, deep subdomain chain. */
+  private val T17Hosts: Seq[String] = Seq(
+    "Example.COM", "news.example.co.uk", "sub.a.example.com.au",
+    "www.test.de", "blog.github.io", "weird", "x.y.z.example.org")
+
+  /** t17/pipe31's synthesized URL (Spark side; [[t17UrlSql]] is the
+    * DuckDB spelling — keep in lockstep). */
+  private[queries] def t17Url: org.apache.spark.sql.Column = {
+    val id = col("doc_id")
+    concat(
+      when(id % 3 === 0, "HTTPS").otherwise("http"), lit("://"),
+      when(id % 13 === 0, "user:pw@").otherwise(""),
+      element_at(typedLit(T17Hosts), (id % 7 + 1).cast("int")),
+      when(id % 11 === 0, ".").otherwise(""),
+      when(id % 4 === 0, ":443")
+        .when(id % 4 === 1, ":8080").otherwise(""),
+      lit("/p/"), id.cast("string"),
+      when(id % 5 === 0, "?q=1&u=2").otherwise(""),
+      when(id % 6 === 0, "#frag").otherwise(""))
+  }
+
+  private[queries] def t17UrlSql: String = {
+    val hostCase = T17Hosts.zipWithIndex
+      .map { case (h, i) => s"WHEN $i THEN '$h'" }.mkString(" ")
+    s"""CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+       |CASE WHEN doc_id % 13 = 0 THEN 'user:pw@' ELSE '' END ||
+       |CASE doc_id % 7 $hostCase END ||
+       |CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END ||
+       |CASE WHEN doc_id % 4 = 0 THEN ':443'
+       |     WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END ||
+       |'/p/' || doc_id ||
+       |CASE WHEN doc_id % 5 = 0 THEN '?q=1&u=2' ELSE '' END ||
+       |CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END""".stripMargin
+  }
+
+  private def t17OracleSql: String = {
+    import graft.functions.Urls
+    s"""WITH u AS (SELECT doc_id, $t17UrlSql AS url FROM documents),
+       |hh AS (SELECT doc_id, url, ${Urls.hostSql("url")} AS host FROM u)
+       |SELECT doc_id,
+       |  ${Urls.normalizeSql("url")} AS url_norm,
+       |  host,
+       |  ${Urls.registeredDomainSql("host")} AS domain
+       |FROM hh""".stripMargin
   }
 
   private def t16OracleSql: String =

@@ -191,6 +191,24 @@ object PipelineQueries {
       curationFunnelOf(extracted, portableCov = true)
     },
 
+    // Per-domain document caps (RefinedWeb §3.1: no registered domain
+    // may dominate the corpus): URL → registered domain (t17's
+    // operators) → deterministic stable-hash quota per domain (c5's
+    // stratifiedQuota — the domain IS a stratum). Null domains
+    // (suffix-only or unparseable hosts — crawls carry both) bucket
+    // under a sentinel so they are capped too, not silently kept.
+    // At 100 TB: one scan projection + one window over the domain key.
+    Q("pipe31_domain_quota", Pipe31OracleSql) { (s, d) =>
+      import graft.functions.Urls
+      val withDom = Tables.documents(s, d)
+        .select(col("doc_id"), LlmQueries.t17Url.as("url"))
+        .select(col("doc_id"),
+          coalesce(Urls.urlRegisteredDomain(col("url")), lit("__none__"))
+            .as("domain"))
+      Corpus.stratifiedQuota(withDom, "doc_id", "domain", 20, "dom")
+        .select("doc_id", "domain")
+    },
+
     pipe24, pipe25, pipe26, pipe27)
 
   /** pipe30's oracle: the HTML-extraction CTE chain (lang carried
@@ -200,6 +218,23 @@ object PipelineQueries {
       LlmQueries.htmlExtractCtes(", lang") + ",",
       "(SELECT doc_id, lang, replace(text, chr(10), ' ') AS text FROM xt)",
       "TRUE")
+
+  /** pipe31's oracle: the t17 URL chain → registered domain → the c5
+    * stable-hash windowed cut, 20 per domain. */
+  private lazy val Pipe31OracleSql: String = {
+    import graft.functions.Urls
+    s"""WITH u AS (SELECT doc_id, ${LlmQueries.t17UrlSql} AS url
+       |           FROM documents),
+       |hh AS (SELECT doc_id, ${Urls.hostSql("url")} AS host FROM u),
+       |dm AS (SELECT doc_id,
+       |  coalesce(${Urls.registeredDomainSql("host")}, '__none__')
+       |    AS domain FROM hh)
+       |SELECT doc_id, domain FROM (
+       |  SELECT doc_id, domain, row_number() OVER (PARTITION BY domain
+       |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |      || ':dom'), 1, 10)) AS BIGINT), doc_id) AS rk
+       |  FROM dm) WHERE rk <= 20""".stripMargin
+  }
 
   /** pipe17's funnel oracle verbatim — also the curation stage of
     * pipe24's corpus-build oracle (embedded as a nested WITH, so its

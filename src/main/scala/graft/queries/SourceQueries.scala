@@ -30,6 +30,7 @@ object SourceQueries {
     zipFixture(s, sfDir)
     tarFixture(s, sfDir)
     xmlFixture(s, sfDir)
+    warcFixture(s, sfDir)
   }
 
   /** Shared stamped cache dir (see [[Fixtures.stampedDir]]): source
@@ -80,6 +81,44 @@ object SourceQueries {
         tout.closeArchiveEntry()
       }
       tout.close()
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp) }
+    }
+    path.toString
+  }
+
+  /** One .warc.gz (each record its OWN gzip member — the ISO 28500
+    * annex-D layout) holding: a leading warcinfo record, one HTTP
+    * response record per documents row with doc_id < 150 (404 every
+    * 7th — crawls carry error pages too), and a request record every
+    * 5th (the capture-pair shape heritrix writes). */
+  private def warcFixture(s: SparkSession, d: String): String = {
+    import graft.sources.Warc
+    val path = fixtureDir(d).resolve("docs.warc.gz")
+    if (!Files.exists(path)) {
+      val rows = Tables.documents(s, d).filter(col("doc_id") < 150)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+      val tmp = Files.createTempFile(fixtureDir(d), "docs", ".warc.gz.part")
+      val out = Files.newOutputStream(tmp)
+      out.write(Warc.gzipMember(Warc.encodeRecord("warcinfo", null,
+        "application/warc-fields",
+        "software: graft-warc/1.0".getBytes("UTF-8"), "info-0")))
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val uri = s"http://example.org/doc/$id"
+        val (status, reason) =
+          if (id % 7 == 0) (404, "Not Found") else (200, "OK")
+        out.write(Warc.gzipMember(Warc.encodeRecord("response", uri,
+          "application/http;msgtype=response",
+          Warc.encodeHttpResponse(status, reason, "text/html",
+            r.getString(1).getBytes("UTF-8")), s"resp-$id")))
+        if (id % 5 == 0)
+          out.write(Warc.gzipMember(Warc.encodeRecord("request", uri,
+            "application/http;msgtype=request",
+            (s"GET /doc/$id HTTP/1.1\r\nHost: example.org\r\n\r\n")
+              .getBytes("UTF-8"), s"req-$id")))
+      }
+      out.close()
       try Files.move(tmp, path)
       catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp) }
     }
@@ -153,6 +192,31 @@ object SourceQueries {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS size
         |FROM documents WHERE doc_id >= 200 AND doc_id < 400""".stripMargin) { (s, d) =>
       Archives.tarMembers(s, tarFixture(s, d)).select("member", "size")
+    },
+
+    // S14 — WARC record scan (ISO 28500; see sources/Warc.scala): the
+    // crawl container split into typed records, HTTP messages split
+    // into status/content-type/body. The oracle reconstructs every
+    // record the muxed fixture carries from the documents table —
+    // a hash match certifies the whole gzip-member + record-split +
+    // HTTP-parse chain.
+    Q("s14_warc_scan",
+      """SELECT 'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+        |  CAST(NULL AS INT) AS http_status,
+        |  'application/warc-fields' AS content_type,
+        |  'software: graft-warc/1.0' AS body
+        |UNION ALL
+        |SELECT 'response', 'http://example.org/doc/' || doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT),
+        |  'text/html', text
+        |FROM documents WHERE doc_id < 150
+        |UNION ALL
+        |SELECT 'request', 'http://example.org/doc/' || doc_id,
+        |  CAST(NULL AS INT), CAST(NULL AS VARCHAR), ''
+        |FROM documents WHERE doc_id < 150 AND doc_id % 5 = 0""".stripMargin) { (s, d) =>
+      graft.sources.Warc.records(s, warcFixture(s, d))
+        .select(col("warc_type"), col("target_uri"), col("http_status"),
+          col("content_type"), col("payload").cast("string").as("body"))
     },
 
     // S9 — MARC codec round-trip: synthesize MARCXML in-plan, decode

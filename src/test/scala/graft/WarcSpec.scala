@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Warc
+
+/** The WARC codec contract (ISO 28500): mux→parse round-trip, HTTP
+  * message splitting, gzip-member chunking through the Spark scan,
+  * and parse-or-stop totality on truncation/corruption (crawl files
+  * truncate; a task must never die on one). */
+class WarcSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def respRecord(id: Long, status: Int, body: String) =
+    Warc.encodeRecord("response", s"http://example.org/doc/$id",
+      "application/http;msgtype=response",
+      Warc.encodeHttpResponse(status, if (status == 200) "OK" else "Not Found",
+        "text/html", body.getBytes("UTF-8")), s"r-$id")
+
+  test("mux→parse round-trip: types, uris, statuses, bodies exact") {
+    val bytes =
+      Warc.encodeRecord("warcinfo", null, "application/warc-fields",
+        "software: x".getBytes("UTF-8"), "i") ++
+        respRecord(1, 200, "hello body one") ++
+        Warc.encodeRecord("request", "http://example.org/doc/1",
+          "application/http;msgtype=request",
+          "GET /doc/1 HTTP/1.1\r\nHost: example.org\r\n\r\n"
+            .getBytes("UTF-8"), "q-1") ++
+        respRecord(2, 404, "missing page two")
+    val recs = Warc.parse(bytes)
+    assert(recs.map(_.warcType) ==
+      Seq("warcinfo", "response", "request", "response"))
+    assert(recs(0).targetUri == null &&
+      recs(0).contentType == "application/warc-fields" &&
+      recs(0).httpStatus == -1 &&
+      new String(recs(0).payload, "UTF-8") == "software: x")
+    assert(recs(1).httpStatus == 200 && recs(1).contentType == "text/html" &&
+      new String(recs(1).payload, "UTF-8") == "hello body one" &&
+      recs(1).targetUri == "http://example.org/doc/1")
+    assert(recs(2).httpStatus == -1 && recs(2).contentType == null &&
+      recs(2).payload.isEmpty)
+    assert(recs(3).httpStatus == 404 &&
+      new String(recs(3).payload, "UTF-8") == "missing page two")
+  }
+
+  test("a record whose Content-Length escapes the buffer is dropped; prior records survive") {
+    val good = respRecord(1, 200, "complete first record body")
+    val bad = respRecord(2, 200, "this one will be cut")
+    val truncated = good ++ bad.dropRight(12)
+    val recs = Warc.parse(truncated)
+    assert(recs.length == 1)
+    assert(new String(recs.head.payload, "UTF-8") ==
+      "complete first record body")
+    // Totality at EVERY truncation length of the two-record stream.
+    val full = good ++ bad
+    (0 to full.length).foreach { len =>
+      val r = Warc.parse(java.util.Arrays.copyOf(full, len))
+      assert(r.length <= 2)
+    }
+  }
+
+  test("single-byte corruption never throws (parse-or-stop)") {
+    val full = respRecord(1, 200, "some body text here") ++
+      respRecord(2, 404, "and a second one")
+    (0 until full.length).foreach { pos =>
+      val m = full.clone(); m(pos) = (m(pos) ^ 0x5a).toByte
+      Warc.parse(m) // any prefix of records, never a throw
+    }
+    // Junk that leads with the magic but degenerates.
+    assert(Warc.parse("WARC/1.0\r\nContent-Length: 999\r\n\r\nxx"
+      .getBytes("UTF-8")).isEmpty)
+    assert(Warc.parse("WARC/1.0 no headers at all".getBytes("UTF-8")).isEmpty)
+    assert(Warc.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("gzip-member chunking: per-member .warc.gz reads whole through the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("warc")
+    try {
+      val f = dir.resolve("two.warc.gz")
+      val out = java.nio.file.Files.newOutputStream(f)
+      out.write(Warc.gzipMember(respRecord(7, 200, "first gzip member")))
+      out.write(Warc.gzipMember(respRecord(8, 200, "second gzip member")))
+      out.close()
+      val rows = Warc.records(spark, f.toString)
+        .select("target_uri", "http_status")
+        .collect().map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+      assert(rows == Seq(("http://example.org/doc/7", 200),
+        ("http://example.org/doc/8", 200)))
+    } finally graft.queries.Fixtures.deleteRecursively(dir)
+  }
+}
