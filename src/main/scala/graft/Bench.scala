@@ -273,6 +273,20 @@ object Bench {
     * a session with zero prior timed queries and 46.9 s after a single
     * light pass; blocking unpersist + cache clear restores the
     * isolated number inside a full run. */
+  /** The JDK-17 --add-opens set Spark 4 needs when a SparkSession is
+    * created outside spark-submit (matches
+    * org.apache.spark.launcher.JavaModuleOptions; build.sbt passes the
+    * same list to THIS JVM) — forked heavy children need it too. */
+  private[graft] val Jdk17Opens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
   private[graft] def reap(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
@@ -1232,42 +1246,152 @@ object HeavyBench {
     if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0")) return ""
     val selected = Items.filter(i => only.forall(_.contains(i.name)))
     if (selected.isEmpty) return ""
-    // Partition sizing scoped to THIS block: the heavy tables are
-    // ~8-57 MB compressed but compute-dense (≈500 MB of text), and at
-    // the defaults (128 MB target, 4 MB open cost) a whole table packs
-    // into ONE scan partition — every scan-rooted heavy pipeline ran on
-    // one core (measured: the minhash band table 12 s single-threaded
-    // vs 1.0 s spread). The light passes keep the defaults (their
-    // sub-MB inputs would only gain task-scheduling overhead), and a
-    // real 100 TB deployment keeps them too — its scans have thousands
-    // of partitions regardless.
+    // Fork-per-entry is the DEFAULT (SPARK_GRAFT_HEAVY_FORK=0 opts
+    // out): the driver's combined pass and the sole-workload record
+    // must be the same measurement by construction (r17: combined
+    // read l2 at 3× its record on identical code+fixture).
+    if (sys.env.get("SPARK_GRAFT_HEAVY_FORK").contains("0"))
+      runInline(spark, sfDir, selected)
+    else {
+      val forked = runForked(spark, sfDir, selected)
+      // Defense in depth: an environment where children cannot launch
+      // (classpath/binary oddities) degrades to the inline mode
+      // rather than silently dropping the whole heavy block.
+      if (forked.contains(""""queries":{}""") || forked.isEmpty) {
+        System.err.println("[bench] forked heavy yielded nothing — falling back inline")
+        runInline(spark, sfDir, selected)
+      } else forked
+    }
+  }
+
+  /** Partition sizing scoped to the heavy block: the heavy tables are
+    * ~8-57 MB compressed but compute-dense (≈500 MB of text), and at
+    * the defaults (128 MB target, 4 MB open cost) a whole table packs
+    * into ONE scan partition — every scan-rooted heavy pipeline ran on
+    * one core (measured: the minhash band table 12 s single-threaded
+    * vs 1.0 s spread). The light passes keep the defaults (their
+    * sub-MB inputs would only gain task-scheduling overhead), and a
+    * real 100 TB deployment keeps them too — its scans have thousands
+    * of partitions regardless. */
+  private def withHeavyConf[T](spark: SparkSession)(body: => T): T = {
     val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
     val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4m")
     spark.conf.set("spark.sql.files.openCostInBytes", "512k")
+    try body
+    finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
+
+  /** Build the heavy dir and every per-entry fixture the selection
+    * needs (all stamped/idempotent — a second caller just reads).
+    * Untimed by construction: runs before any timed window. */
+  private def prepare(spark: SparkSession, sfDir: String,
+                      selected: Seq[HeavyItem]): String = {
+    val dir = ensureHeavyDir(spark, sfDir)
+    // Graph fixtures derive from the heavy dir's lineitem — prebuilt
+    // here so the first graph query isn't charged for fixture prep.
+    if (selected.exists(_.tables.contains("lineitem")))
+      queries.GraphQueries.ensureCitationFixture(spark, dir)
+    // The media fixtures likewise: synthesized once, untimed, so the
+    // decode entries time decoding, not fixture generation.
+    if (selected.exists(_.name == "m3_image_decode"))
+      queries.LlmQueries.ensurePngFixture(spark, dir)
+    if (selected.exists(i => i.name == "m7_image_decode_realistic" ||
+        i.name == "m11_image_neardup_composite" ||
+        i.name == "m14_image_dedup_incremental"))
+      queries.LlmQueries.ensureRealisticMediaFixture(spark, dir)
+    if (selected.exists(_.name == "m14_image_dedup_incremental"))
+      queries.LlmQueries.ensureImageBucketFixture(spark, dir)
+    if (selected.exists(i => i.name == "m8_video_decode" ||
+        i.name == "m12_video_neardup_composite"))
+      queries.LlmQueries.ensureVideoFixture(spark, dir)
+    if (selected.exists(_.name == "m9_audio_decode"))
+      queries.LlmQueries.ensureAudioFixture(spark, dir)
+    dir
+  }
+
+  private def runInline(spark: SparkSession, sfDir: String,
+                        selected: Seq[HeavyItem]): String =
+    withHeavyConf(spark) {
+      try {
+        val dir = prepare(spark, sfDir, selected)
+        val items = selected.flatMap(measureItem(spark, dir, _))
+        assemble(spark, dir, items, forked = false)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] heavy block failed: ${e.getMessage}")
+          ""
+      }
+    }
+
+  /** Contention-immune mode (`SPARK_GRAFT_HEAVY_FORK=1`): every heavy
+    * entry runs in a FRESH forked JVM — fresh codegen cache, fresh
+    * allocator, fresh block manager — so in-pass inflation from a
+    * prior entry's JVM wake is structurally impossible, not just
+    * reaped away (r17: the driver's combined pass read l2 at 3× its
+    * sole-workload record on identical code and fixture; this mode
+    * makes the combined pass AND the sole-workload record the same
+    * measurement by construction, retiring the isolated_sec
+    * cross-check). Fixtures are built once here in the parent (all
+    * stamped); children run sequentially and only read. */
+  private def runForked(spark: SparkSession, sfDir: String,
+                        selected: Seq[HeavyItem]): String =
     try {
-      val dir = ensureHeavyDir(spark, sfDir)
-      // Graph fixtures derive from the heavy dir's lineitem — prebuilt
-      // here so the first graph query isn't charged for fixture prep.
-      if (selected.exists(_.tables.contains("lineitem")))
-        queries.GraphQueries.ensureCitationFixture(spark, dir)
-      // The media fixtures likewise: synthesized once, untimed, so the
-      // decode entries time decoding, not fixture generation.
-      if (selected.exists(_.name == "m3_image_decode"))
-        queries.LlmQueries.ensurePngFixture(spark, dir)
-      if (selected.exists(i => i.name == "m7_image_decode_realistic" ||
-          i.name == "m11_image_neardup_composite" ||
-          i.name == "m14_image_dedup_incremental"))
-        queries.LlmQueries.ensureRealisticMediaFixture(spark, dir)
-      if (selected.exists(_.name == "m14_image_dedup_incremental"))
-        queries.LlmQueries.ensureImageBucketFixture(spark, dir)
-      if (selected.exists(i => i.name == "m8_video_decode" ||
-          i.name == "m12_video_neardup_composite"))
-        queries.LlmQueries.ensureVideoFixture(spark, dir)
-      if (selected.exists(_.name == "m9_audio_decode"))
-        queries.LlmQueries.ensureAudioFixture(spark, dir)
-      val byName = SparkEntry.registry.map(q => q.name -> q.fn).toMap
-      val items = selected.flatMap { item =>
+      val dir = withHeavyConf(spark) { prepare(spark, sfDir, selected) }
+      val items = selected.flatMap(i => spawnEntry(sfDir, i.name))
+      withHeavyConf(spark) { assemble(spark, dir, items, forked = true) }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] forked heavy block failed: ${e.getMessage}")
+        ""
+    }
+
+  /** Run one entry in a child JVM (same classpath/opens/memory as this
+    * one) and collect its JSON fragment from the marker line; child
+    * stderr streams through for progress. */
+  private def spawnEntry(sfDir: String, name: String): Option[String] = {
+    val java = sys.props("java.home") + "/bin/java"
+    val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val cmd = Seq(java) ++ Bench.Jdk17Opens ++ Seq(
+      s"-Xmx$mem", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.HeavyEntryMain", sfDir, name)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val lines = scala.io.Source
+      .fromInputStream(p.getInputStream, "UTF-8").getLines().toList
+    val code = p.waitFor()
+    val frag = lines.reverseIterator.collectFirst {
+      case l if l.startsWith(FragmentMarker) =>
+        l.stripPrefix(FragmentMarker)
+    }.filter(_.nonEmpty)
+    if (code != 0 || frag.isEmpty)
+      System.err.println(s"[bench] forked heavy $name yielded nothing (exit $code)")
+    frag
+  }
+
+  private[graft] val FragmentMarker = "GRAFT_HEAVY_FRAGMENT:"
+
+  /** The child side: prepare (a stamped no-op after the parent's) +
+    * measure exactly one entry under the heavy confs. */
+  private[graft] def runSingle(spark: SparkSession, sfDir: String,
+                               name: String): Option[String] =
+    withHeavyConf(spark) {
+      val selected = Items.filter(_.name == name)
+      val dir = prepare(spark, sfDir, selected)
+      selected.headOption.flatMap(measureItem(spark, dir, _))
+    }
+
+  /** Warm, sample, and report one heavy entry; returns its
+    * `"name":{…}` JSON fragment. */
+  private def measureItem(spark: SparkSession, dir: String,
+                          item: HeavyItem): Option[String] = {
+        val byName = SparkEntry.registry.map(q => q.name -> q.fn).toMap
         val fn = item.fn.orElse(byName.get(item.name))
         fn.map { f =>
           System.err.println(s"[bench] heavy ${item.name}")
@@ -1344,7 +1468,11 @@ object HeavyBench {
             }).mkString(",", ",", "").stripSuffix(",")
           f""""${item.name}":{"sec":$sec%.3f,"samples":$samplesJson,"spread":$spread%.2f$warmupJson,"input_mb":${bytes / 1e6}%.1f,"input_rows":$rows,"mb_per_s":$mbps%.1f,"rows_per_s":$rps%.0f$extraJson}"""
         }
-      }
+  }
+
+  /** The combined heavy JSON around the per-entry fragments. */
+  private def assemble(spark: SparkSession, dir: String,
+                       items: Seq[String], forked: Boolean): String = {
       val f = Factors.map { case (k, v) => s""""$k":$v""" }.mkString(",")
       // rebuilt=false is the evidentiary bit for the serving entries:
       // their persisted stores (tokenizer/index/LM/bands) are the
@@ -1363,15 +1491,7 @@ object HeavyBench {
             .count(_.getPath.getName.endsWith(".parquet"))
           f""""${t.stripSuffix(".parquet")}":{"files":$parts,"mb":${duBytes(spark, s"$dir/$t") / 1e6}%.1f}"""
         }.mkString(",")
-      s""","heavy":{"factors":{$f},"fixture":{"layout":"$Layout","rebuilt":$lastBuildWasFresh,"tables":{$tableStats}},"queries":{${items.mkString(",")}}}"""
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] heavy block failed: ${e.getMessage}")
-        ""
-    } finally {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
-    }
+      s""","heavy":{"factors":{$f},"forked":$forked,"fixture":{"layout":"$Layout","rebuilt":$lastBuildWasFresh,"tables":{$tableStats}},"queries":{${items.mkString(",")}}}"""
   }
 
   /** Times one full materialization; returns (seconds, result rows).
@@ -1584,5 +1704,32 @@ object HeavyBench {
       try out.write(fingerprint.getBytes("UTF-8")) finally out.close()
     }
     dir
+  }
+}
+
+/** Child main for SPARK_GRAFT_HEAVY_FORK=1: measure exactly ONE heavy
+  * entry in a fresh JVM and print its JSON fragment behind the marker
+  * line. A fresh JVM per entry makes the measurement immune by
+  * construction to the previous entries' wake (codegen-class count,
+  * old-gen fragmentation, block-manager residue) — the failure mode
+  * the reap()/min-of-N/isolated_sec machinery could only mitigate. */
+object HeavyEntryMain {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, name) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val frag = HeavyBench.runSingle(spark, sfDir, name)
+    try spark.stop() catch { case _: Throwable => () }
+    println(HeavyBench.FragmentMarker + frag.getOrElse(""))
+    System.out.flush()
   }
 }
