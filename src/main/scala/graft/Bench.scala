@@ -613,6 +613,28 @@ object HeavyBench {
         queries.PipelineQueries.curationFunnel(s, d, portableCov = false,
           maxMeanWordLen = 20.0, minStopHits = 0, quota = 5000)),
       meta = Seq("quota" -> "5000")),
+    // HTML→text extraction throughput (the crawl front door): the
+    // registered native single-pass expression over 320 K synthesized
+    // pages (~1.5 KB html each). Decode-free pure scan work — the
+    // number to read is MB/s over the page bytes.
+    HeavyItem("t16_html_extract", Seq("documents")),
+    // Crawl-native end-to-end: extraction fused into the production
+    // (native-expression) curation funnel on the same scan — pages in,
+    // curated corpus out. The pipe17 heavy entry's funnel settings.
+    HeavyItem("pipe30_html_curation", Seq("documents"),
+      fn = Some((s, d) => {
+        val pages = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            queries.LlmQueries.t16Html.as("html"))
+        val extracted = graft.llm.TextAnalysis
+          .htmlExtractStats(pages, "html", native = true)
+          .select(col("doc_id"), col("lang"),
+            replace(col("text"), lit("\n"), lit(" ")).as("text"))
+        queries.PipelineQueries.curationFunnelOf(extracted,
+          portableCov = false, maxMeanWordLen = 20.0, minStopHits = 0,
+          quota = 5000)
+      }),
+      meta = Seq("quota" -> "5000")),
     // CCNet bucketing end-to-end: per-language bigram LMs trained on
     // the src0 reference slice (~1/20 of the corpus), all 320 K docs
     // scored by quantized log-likelihood and percentile-bucketed from

@@ -2303,7 +2303,7 @@ object LlmQueries {
     * letterless list rows, link density, entity decode, comment
     * adjacency, unclosed-at-EOF script. Must stay in lockstep with
     * [[t16HtmlSql]], its DuckDB spelling. */
-  private[queries] def t16Html: org.apache.spark.sql.Column = {
+  private[graft] def t16Html: org.apache.spark.sql.Column = {
     val id = col("doc_id")
     concat(
       lit("<!DOCTYPE html><html><head><title>Doc "), id.cast("string"),
