@@ -615,13 +615,23 @@ object HeavyBench {
       meta = Seq("quota" -> "5000")),
     // HTML→text extraction throughput (the crawl front door): the
     // registered native single-pass expression over 320 K synthesized
-    // pages (~1.5 KB html each). Decode-free pure scan work — the
-    // number to read is MB/s over the page bytes.
-    HeavyItem("t16_html_extract", Seq("documents")),
+    // pages (~1.5 KB html each). The table's parquet MB understates
+    // the work — the untimed html_bytes count carries the actual page
+    // bytes the extractor scanned, the honest MB/s denominator.
+    HeavyItem("t16_html_extract", Seq("documents"),
+      counts = Some((s, d) => Seq("html_bytes" ->
+        Tables.documents(s, d)
+          .select(queries.LlmQueries.t16Html.as("h"))
+          .agg(sum(length(col("h")))).collect()(0).getLong(0)))),
     // Crawl-native end-to-end: extraction fused into the production
     // (native-expression) curation funnel on the same scan — pages in,
-    // curated corpus out. The pipe17 heavy entry's funnel settings.
+    // curated corpus out. Runs on the lowdup corpus with the pipe17
+    // heavy entry's funnel settings (the ×64 replicated main corpus
+    // trips the cross-doc coverage gate corpus-wide by construction —
+    // every doc would gate out and the quota stage would run on
+    // nothing).
     HeavyItem("pipe30_html_curation", Seq("documents"),
+      subdir = Some("lowdup"),
       fn = Some((s, d) => {
         val pages = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
@@ -634,6 +644,10 @@ object HeavyBench {
           portableCov = false, maxMeanWordLen = 20.0, minStopHits = 0,
           quota = 5000)
       }),
+      counts = Some((s, d) => Seq("html_bytes" ->
+        Tables.documents(s, d)
+          .select(queries.LlmQueries.t16Html.as("h"))
+          .agg(sum(length(col("h")))).collect()(0).getLong(0))),
       meta = Seq("quota" -> "5000")),
     // CCNet bucketing end-to-end: per-language bigram LMs trained on
     // the src0 reference slice (~1/20 of the corpus), all 320 K docs

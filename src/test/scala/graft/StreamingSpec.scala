@@ -721,6 +721,47 @@ class StreamingSpec extends AnyFunSuite {
     graft.queries.Fixtures.deleteRecursively(base)
   }
 
+  test("streaming HTML extraction equals the batch operator per micro-batch") {
+    implicit val sc = spark.sqlContext
+    import graft.llm.TextAnalysis
+    val pages = Tables.documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>Doc overview page</title>"),
+        lit("<script>var x = 1 < 2;</script></head><body>"),
+        lit("<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+          "<a href='/b'>More</a></nav>"),
+        lit("<p>"), col("text"), lit("</p></body></html>")).as("html"))
+      .as[(Long, String)].collect().toSeq
+    val (s1, s2) = pages.partition(_._1 % 2 == 0)
+    assert(s1.nonEmpty && s2.nonEmpty)
+    val expected = TextAnalysis.htmlExtractStats(
+        pages.toDF("doc_id", "html"), "html", native = true)
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val got =
+      scala.collection.mutable.Map.empty[Long, (Long, String, Long, Long)]
+    val base = java.nio.file.Files.createTempDirectory("graft-shtml")
+    def round(ckpt: String, rows: Seq[(Long, String)]): Unit = {
+      val input = MemoryStream[(Long, String)]
+      input.addData(rows: _*)
+      val q = graft.streaming.StreamingHtml.start(
+        input.toDF().toDF("doc_id", "html"), "html",
+        base.resolve(ckpt).toString) { (ex, _) =>
+        got.synchronized {
+          got ++= ex
+            .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+            .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r)
+        }
+      }
+      q.awaitTermination()
+    }
+    round("c1", s1)
+    round("c2", s2)
+    assert(got.toMap == expected)
+    graft.queries.Fixtures.deleteRecursively(base)
+  }
+
   test("pipe26 streaming round-trip: increments append from the watermark; standing placements never move") {
     import graft.llm.{Corpus, TokenizerStore}
     import graft.queries.PipelineQueries
