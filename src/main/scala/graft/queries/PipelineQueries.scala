@@ -209,6 +209,39 @@ object PipelineQueries {
         .select("doc_id", "domain")
     },
 
+    // THE crawl pipeline, end-to-end from container bytes: a .warc.gz
+    // of captured pages → record split (s14's scan) → keep HTTP-200
+    // responses → HTML main-content extraction (t16's native
+    // expression) → registered domain from the capture URI (t17's
+    // operators) → the pipe17 curation funnel with the DOMAIN as the
+    // quota stratum (RefinedWeb's order: extract, filter, dedup, cap
+    // per domain). One oracle replays the whole chain — the WARC
+    // fixture's records reconstruct from documents, so the oracle
+    // mentions no container at all. At 100 TB: binaryFile scan tasks
+    // per warc file, extraction/domain in the scan projection, then
+    // the funnel's two hash-keyed aggs + one window — nothing new
+    // moves; the container adds zero shuffles.
+    Q("pipe32_warc_curation", Pipe32OracleSql) { (s, d) =>
+      import graft.functions.Urls
+      import graft.llm.TextAnalysis
+      val pages = graft.sources.Warc
+        .records(s, SourceQueries.warcPagesFixture(s, d))
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(
+          regexp_extract(col("target_uri"), "/p/([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          coalesce(Urls.urlRegisteredDomain(col("target_uri")),
+            lit("__none__")).as("lang"), // domain AS the funnel stratum
+          col("payload").cast("string").as("html"))
+      val extracted = TextAnalysis
+        .htmlExtractStats(pages, "html", native = true)
+        .select(col("doc_id"), col("lang"),
+          replace(col("text"), lit("\n"), lit(" ")).as("text"))
+      curationFunnelOf(extracted, portableCov = true)
+        .select(col("doc_id"), col("lang").as("domain"), col("quality"))
+    },
+
     pipe24, pipe25, pipe26, pipe27)
 
   /** pipe30's oracle: the HTML-extraction CTE chain (lang carried
@@ -234,6 +267,30 @@ object PipelineQueries {
        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
        |      || ':dom'), 1, 10)) AS BIGINT), doc_id) AS rk
        |  FROM dm) WHERE rk <= 20""".stripMargin
+  }
+
+  /** pipe32's oracle: URL→domain CTEs (pu/ph/pd — names disjoint from
+    * the extraction chain's h/hc…/xt), the t16 extraction chain, the
+    * 404-page drop (every 9th fixture page), domain riding as the
+    * funnel's stratum column, and a final rename back to `domain`. */
+  private lazy val Pipe32OracleSql: String = {
+    import graft.functions.Urls
+    val prelude =
+      s"""pu AS (SELECT doc_id, ${LlmQueries.t17UrlSql} AS url
+         |       FROM documents),
+         |ph AS (SELECT doc_id, ${Urls.hostSql("url")} AS host FROM pu),
+         |pd AS (SELECT doc_id,
+         |  coalesce(${Urls.registeredDomainSql("host")}, '__none__')
+         |    AS domain FROM ph),
+         |${LlmQueries.htmlExtractCtes("")},""".stripMargin
+    val source =
+      """(SELECT x.doc_id, pd.domain AS lang,
+        |  replace(x.text, chr(10), ' ') AS text
+        | FROM xt x JOIN pd ON x.doc_id = pd.doc_id
+        | WHERE x.doc_id % 9 <> 0)""".stripMargin
+    s"""SELECT doc_id, lang AS domain, quality FROM (
+       |${curationOracleSqlOver(prelude, source, "TRUE")}
+       |)""".stripMargin
   }
 
   /** pipe17's funnel oracle verbatim — also the curation stage of

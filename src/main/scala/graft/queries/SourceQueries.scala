@@ -31,6 +31,7 @@ object SourceQueries {
     tarFixture(s, sfDir)
     xmlFixture(s, sfDir)
     warcFixture(s, sfDir)
+    warcPagesFixture(s, sfDir)
   }
 
   /** Shared stamped cache dir (see [[Fixtures.stampedDir]]): source
@@ -117,6 +118,47 @@ object SourceQueries {
             "application/http;msgtype=request",
             (s"GET /doc/$id HTTP/1.1\r\nHost: example.org\r\n\r\n")
               .getBytes("UTF-8"), s"req-$id")))
+      }
+      out.close()
+      try Files.move(tmp, path)
+      catch { case _: java.nio.file.FileAlreadyExistsException => Files.delete(tmp) }
+    }
+    path.toString
+  }
+
+  /** One .warc.gz of CRAWLED PAGES for the end-to-end crawl composite
+    * (pipe32): per documents row one HTTP response whose body is the
+    * t16 synthesized HTML page and whose target URI is the t17
+    * adversarial URL (so the composite exercises record split, HTML
+    * extraction, AND URL→domain on one artifact); every 9th page is a
+    * 404 with a junk body (crawls carry error pages — the composite
+    * must drop them by status, not by luck). */
+  private[queries] def warcPagesFixture(s: SparkSession, d: String): String = {
+    import graft.sources.Warc
+    // v1 in the name = the t16Html/t17Url logic version (the image
+    // bucket fixture lesson: content derived from another builder's
+    // logic must fold that logic's version into its own stamp — bump
+    // this when either column changes).
+    val path = fixtureDir(d).resolve("pages_v1.warc.gz")
+    if (!Files.exists(path)) {
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), LlmQueries.t17Url.as("url"),
+          LlmQueries.t16Html.as("html"))
+        .orderBy("doc_id").collect()
+      val tmp = Files.createTempFile(fixtureDir(d), "pages", ".warc.gz.part")
+      val out = Files.newOutputStream(tmp)
+      out.write(Warc.gzipMember(Warc.encodeRecord("warcinfo", null,
+        "application/warc-fields",
+        "software: graft-warc/1.0".getBytes("UTF-8"), "info-0")))
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val body =
+          if (id % 9 == 0) (404, "Not Found", "<p>gone</p>")
+          else (200, "OK", r.getString(2))
+        out.write(Warc.gzipMember(Warc.encodeRecord("response",
+          r.getString(1), "application/http;msgtype=response",
+          Warc.encodeHttpResponse(body._1, body._2, "text/html",
+            body._3.getBytes("UTF-8")), s"page-$id")))
       }
       out.close()
       try Files.move(tmp, path)

@@ -74,4 +74,41 @@ object NativeScanProps extends Properties("NativeScan") {
     Prop.forAll(Gen.listOfN(5, text), Gen.chooseNum(2, 4)) { (texts, n) =>
       ngrams(texts, n, native = true) == ngrams(texts, n, native = false)
     }
+
+  // Random tag soup for the HTML extractor: unbalanced/open-ended
+  // tags, stray angle brackets, entities (incl. double-escapes),
+  // comments/scripts that may never close, sentinel chars in source
+  // text, tabs/CRs/newlines — the crawl reality the fixed fragments
+  // in HtmlExtractSpec can't enumerate.
+  private val soupPiece: Gen[String] = Gen.oneOf(
+    token, sep,
+    Gen.oneOf("<p>", "</p>", "<div class='a'>", "</div>", "<br/>",
+      "<li>", "</li>", "<h2>", "</h2>", "<td>", "</td>",
+      "<a href='/x'>", "<a>", "</a>", "<b>", "</b>", "<span x>",
+      "</span>", "<P >", "</ P>", "<!doctype html>",
+      "<script>", "</script>", "<style>", "</style>",
+      "<!--", "-->", "<", ">", "</", "/>",
+      "&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&amp;lt;", "&bogus;",
+      "\u0001", "\t", "\r", "\n"))
+  private val soup: Gen[String] = Gen.chooseNum(0, 40)
+    .flatMap(n => Gen.listOfN(n, soupPiece).map(_.mkString))
+
+  property("html extractor is total on tag soup") =
+    Prop.forAll(soup) { html =>
+      val r = graft.plans.HtmlText.extract(html) // must not throw
+      r.kept >= 0 && r.dropped >= 0 &&
+        (r.text.isEmpty || r.kept > 0) // emitted text implies kept lines
+    }
+
+  private def extract(htmls: Seq[String], native: Boolean) =
+    TextAnalysis.htmlExtractStats(
+        htmls.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+          .toDF("doc_id", "html"), "html", native = native)
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+
+  property("html_extract bit-equals the declarative htmlExtractStats") =
+    Prop.forAll(Gen.listOfN(5, soup)) { htmls =>
+      extract(htmls, native = true) == extract(htmls, native = false)
+    }
 }
