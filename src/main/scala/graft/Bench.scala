@@ -372,7 +372,10 @@ object HeavyBench {
       // fixture OUTSIDE the heavy tables (the media entries): the
       // reported MB/s must be over the bytes actually decoded, not a
       // proxy table.
-      paths: Option[(SparkSession, String) => Seq[String]] = None)
+      paths: Option[(SparkSession, String) => Seq[String]] = None,
+      // Override for input_rows when `paths` is not parquet (the WARC
+      // entry): the default counter reads each path as parquet.
+      inputRows: Option[(SparkSession, String) => Long] = None)
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
@@ -649,6 +652,29 @@ object HeavyBench {
           .select(queries.LlmQueries.t16Html.as("h"))
           .agg(sum(length(col("h")))).collect()(0).getLong(0))),
       meta = Seq("quota" -> "5000")),
+    // WARC container scan throughput: 32 .warc.gz files (one scan
+    // task each — crawl-delivery layout) holding 320 K page captures;
+    // the timed plan splits records, parses the HTTP messages, and
+    // hashes every field including the payload, so the number is
+    // container+gzip+HTTP parse MB/s over the compressed input.
+    HeavyItem("s14_warc_scan", Seq("documents"),
+      fn = Some((s, d) => {
+        val w = queries.SourceQueries.ensureWarcPagesDir(s, d)
+        graft.sources.Warc.records(s, w + "/*.warc.gz")
+          .select(col("warc_type"), col("target_uri"),
+            col("http_status"), col("content_type"),
+            xxhash64(col("payload")).as("payload_hash"))
+      }),
+      paths = Some((s, d) =>
+        Seq(queries.SourceQueries.ensureWarcPagesDir(s, d))),
+      inputRows = Some((s, d) => graft.sources.Warc.records(s,
+        queries.SourceQueries.ensureWarcPagesDir(s, d) + "/*.warc.gz")
+        .count())),
+    // Per-domain caps at corpus scale: URL → registered domain → the
+    // stratified window cut over 320 K rows (7 strata — the window's
+    // per-stratum single-task shape is the thing to watch; at 100 TB
+    // the domain key has millions of strata and spreads instead).
+    HeavyItem("pipe31_domain_quota", Seq("documents")),
     // CCNet bucketing end-to-end: per-language bigram LMs trained on
     // the src0 reference slice (~1/20 of the corpus), all 320 K docs
     // scored by quantized log-likelihood and percentile-bucketed from
@@ -1346,6 +1372,8 @@ object HeavyBench {
       queries.LlmQueries.ensureVideoFixture(spark, dir)
     if (selected.exists(_.name == "m9_audio_decode"))
       queries.LlmQueries.ensureAudioFixture(spark, dir)
+    if (selected.exists(_.name == "s14_warc_scan"))
+      queries.SourceQueries.ensureWarcPagesDir(spark, dir)
     dir
   }
 
@@ -1435,8 +1463,8 @@ object HeavyBench {
           val srcPaths = item.paths.map(_(spark, d))
             .getOrElse(item.tables.map(t => s"$d/$t.parquet"))
           val bytes = srcPaths.map(p => duBytes(spark, p)).sum
-          val rows = srcPaths.map(p =>
-            spark.read.parquet(p).count()).sum
+          val rows = item.inputRows.map(_(spark, d)).getOrElse(
+            srcPaths.map(p => spark.read.parquet(p).count()).sum)
           // Min over N samples (default 3): each heavy item is timed
           // once per sample from reaped state, but single samples still
           // swing 2-4× WITHIN one run (r11 driver-like pass: d17

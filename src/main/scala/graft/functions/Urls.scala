@@ -73,21 +73,34 @@ object Urls {
         when(rest === "", "/").otherwise(rest)))
   }
 
-  /** Registered (pay-level) domain of a lowercased host: the first
+  /** Registered (pay-level) domain of a lowercased host: the longest
     * matching rule in [[PublicSuffixes]] plus one label; a host that
     * IS a public suffix has no registered domain (null); a host
     * matching no rule falls back to its last two labels (the PSL "*"
-    * default — unknown TLDs are their own suffix). */
+    * default — unknown TLDs are their own suffix).
+    *
+    * Shape note: expressed as FOUR set-membership branches over the
+    * host's label tails rather than a per-rule when-chain — a chain
+    * over the rule table builds an expression tree proportional to
+    * the table (the full publicsuffix.org list is ~9 K rules) and
+    * already fell out of codegen at 40 rules (pipe31's heavy window
+    * read 1.7 spread on the interpreted tree); `isin` compiles to one
+    * hash-set probe regardless of table size. Relies on every
+    * multi-label rule having exactly 2 labels — enforced, and true of
+    * the curated table; a 3-label registry rule adds one more
+    * tail+branch, same shape. */
   def registeredDomain(host: Column): Column = {
-    val two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val fallback = when(two === "", lit(null).cast("string")).otherwise(two)
-    PublicSuffixes.foldRight(fallback) { case (r, acc) =>
-      val esc = r.replace(".", "\\.")
-      when(host === r, lit(null).cast("string"))
-        .when(host.endsWith("." + r),
-          regexp_extract(host, "([^.]+\\." + esc + ")$", 1))
-        .otherwise(acc)
-    }
+    val (multi, single) = PublicSuffixes.partition(_.contains("."))
+    require(multi.forall(_.count(_ == '.') == 1),
+      "multi-label public-suffix rules must be exactly 2 labels")
+    val last2 = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val last3 = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    def nn(c: Column) =
+      when(c === "", lit(null).cast("string")).otherwise(c)
+    when(host.isin(multi: _*), lit(null).cast("string"))
+      .when(last2.isin(multi: _*), nn(last3))
+      .when(host.isin(single: _*), lit(null).cast("string"))
+      .otherwise(nn(last2))
   }
 
   /** [[registeredDomain]] of a raw URL. */

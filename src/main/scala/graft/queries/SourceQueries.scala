@@ -167,6 +167,52 @@ object SourceQueries {
     path.toString
   }
 
+  /** A DIRECTORY of .warc.gz page captures for the heavy scan entry —
+    * written DISTRIBUTED (one warc per partition, a task per file on
+    * read: the layout a real crawl delivery has, where binaryFile
+    * parallelism is file-granular). Bodies are the t16 HTML pages,
+    * URIs the t17 URLs (the v1 suffix = their logic version, the
+    * derived-fixture stamp lesson). Local-FS writes are fine here:
+    * this is a bench fixture builder for local[n]; a cluster build
+    * would mux to a shared FS the same way. */
+  private[graft] def ensureWarcPagesDir(s: SparkSession, d: String): String = {
+    val base = Fixtures.stampedDir(d, "documents", "warc_pages_v1", 1)
+    val target = base.resolve("warcs")
+    if (!Files.exists(target)) {
+      val tmp = Files.createTempDirectory(base, "w.part")
+      val tmpStr = tmp.toString // Path is not Serializable
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), LlmQueries.t17Url.as("url"),
+          LlmQueries.t16Html.as("html"))
+        .repartition(32, col("doc_id"))
+        .as[(Long, String, String)]
+        .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+          import graft.sources.Warc
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = java.nio.file.Paths.get(tmpStr)
+            .resolve(f"part-$pid%05d.warc.gz")
+          val out = Files.newOutputStream(f)
+          try {
+            out.write(Warc.gzipMember(Warc.encodeRecord("warcinfo", null,
+              "application/warc-fields",
+              "software: graft-warc/1.0".getBytes("UTF-8"), s"info-$pid")))
+            it.foreach { case (id, url, html) =>
+              val (st, reason, body) =
+                if (id % 9 == 0) (404, "Not Found", "<p>gone</p>")
+                else (200, "OK", html)
+              out.write(Warc.gzipMember(Warc.encodeRecord("response", url,
+                "application/http;msgtype=response",
+                Warc.encodeHttpResponse(st, reason, "text/html",
+                  body.getBytes("UTF-8")), s"page-$id")))
+            }
+          } finally out.close()
+        }
+      Fixtures.publish(tmp, target)
+    }
+    target.toString
+  }
+
   /** One OAI-ish XML collection file holding a <record> per documents
     * row with doc_id < 150 (CDATA exercises the splitter's lexical
     * handling on every run). */
