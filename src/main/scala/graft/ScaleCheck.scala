@@ -399,6 +399,26 @@ object ScaleCheck {
       Op("funnel_scan_native", n =>
         llm.TextAnalysis.funnelStats(replicateDocs(docs0, n), "text",
           minWords = 40, minStopHits = 1, native = true).count()),
+      // HTML→text extraction (t16's native single-pass expression)
+      // over synthesized pages: pure scan work, the bar is strictly
+      // linear (constant pages/s) — any curve means the expression
+      // fell out of the scan stage.
+      Op("html_extract_native", n =>
+        llm.TextAnalysis.htmlExtractStats(
+          replicateDocs(docs0, n)
+            .select(col("doc_id"), queries.LlmQueries.t16Html.as("html")),
+          "html", native = true).count()),
+      // URL→registered-domain + per-domain quota (pipe31's shape):
+      // one scan projection + one window over the domain. Linear with
+      // the set-membership probes; the retired per-rule when-chain
+      // form was rule-table-dependent and interpreted (r18: 4.4× on
+      // the heavy entry from the rewrite alone).
+      Op("url_domain_quota", n =>
+        llm.Corpus.stratifiedQuota(
+          replicateDocs(docs0, n).select(col("doc_id"),
+            coalesce(graft.functions.Urls.urlRegisteredDomain(
+              queries.LlmQueries.t17Url), lit("__none__")).as("domain")),
+          "doc_id", "domain", 20, "dom").count()),
       // The END-TO-END corpus build (pipe24): native funnel scan +
       // coverage gate, per-lang quota cut, BPE token budgets served
       // from a FIXED prebuilt tokenizer artifact, sequence packing.

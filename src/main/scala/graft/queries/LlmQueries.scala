@@ -2419,7 +2419,7 @@ object LlmQueries {
 
   /** t17/pipe31's synthesized URL (Spark side; [[t17UrlSql]] is the
     * DuckDB spelling — keep in lockstep). */
-  private[queries] def t17Url: org.apache.spark.sql.Column = {
+  private[graft] def t17Url: org.apache.spark.sql.Column = {
     val id = col("doc_id")
     concat(
       when(id % 3 === 0, "HTTPS").otherwise("http"), lit("://"),

@@ -179,9 +179,17 @@ object Warc {
     * Output: path, warc_type, target_uri, http_status (nullable int),
     * content_type, payload (binary). */
   def records(spark: SparkSession, path: String,
-              gzipped: Boolean = true): DataFrame = {
+              gzipped: Boolean = true): DataFrame =
+    recordsOf(spark.read.format("binaryFile").load(path), gzipped)
+
+  /** The record split over an already-loaded binaryFile frame
+    * (`path`, `content` columns) — shared by [[records]] and the
+    * streaming ingestion ([[graft.streaming.StreamingWarc]]), so the
+    * two paths cannot drift. */
+  def recordsOf(files: DataFrame, gzipped: Boolean = true): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, raw) =>

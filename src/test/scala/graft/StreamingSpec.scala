@@ -721,6 +721,47 @@ class StreamingSpec extends AnyFunSuite {
     graft.queries.Fixtures.deleteRecursively(base)
   }
 
+  test("streaming WARC ingestion equals the batch scan; landed files process exactly once") {
+    import graft.sources.Warc
+    val base = java.nio.file.Files.createTempDirectory("graft-swarc")
+    val dir = base.resolve("drop"); java.nio.file.Files.createDirectory(dir)
+    def resp(id: Long, body: String) =
+      Warc.gzipMember(Warc.encodeRecord("response",
+        s"http://example.org/doc/$id", "application/http;msgtype=response",
+        Warc.encodeHttpResponse(200, "OK", "text/html",
+          body.getBytes("UTF-8")), s"r-$id"))
+    def drop(name: String, ids: Seq[Long]): Unit = {
+      val out = java.nio.file.Files.newOutputStream(dir.resolve(name))
+      try ids.foreach(i => out.write(resp(i, s"body of capture $i here")))
+      finally out.close()
+    }
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]
+    def round(): Unit = {
+      val q = graft.streaming.StreamingWarc.start(spark, dir.toString,
+        base.resolve("ckpt").toString) { (recs, _) =>
+        got.synchronized {
+          got ++= recs.select("target_uri", "http_status")
+            .collect().map(r => (r.getString(0), 0L, r.getInt(1)))
+        }
+      }
+      q.awaitTermination()
+    }
+    drop("a.warc.gz", Seq(1L, 2L))
+    round()
+    assert(got.map(_._1).sorted.toSeq == Seq(1L, 2L)
+      .map(i => s"http://example.org/doc/$i"))
+    // Second drop: only the NEW file's records arrive (the first file
+    // is in the checkpointed file log — exactly-once discovery).
+    drop("b.warc.gz", Seq(3L))
+    round()
+    assert(got.size == 3 && got.forall(_._3 == 200))
+    // And the union equals the batch scan of the same directory.
+    val batch = Warc.records(spark, dir.toString + "/*.warc.gz")
+      .select("target_uri").as[String].collect().sorted.toSeq
+    assert(got.map(_._1).sorted.toSeq == batch)
+    graft.queries.Fixtures.deleteRecursively(base)
+  }
+
   test("streaming HTML extraction equals the batch operator per micro-batch") {
     implicit val sc = spark.sqlContext
     import graft.llm.TextAnalysis
