@@ -892,6 +892,7 @@ object GraftExtensions {
       ArrayIntersectSizeExpr.builder),
     reg(FunnelGatesExpr.Name, FunnelGatesExpr.info, FunnelGatesExpr.builder),
     reg(HtmlExtractExpr.Name, HtmlExtractExpr.info, HtmlExtractExpr.builder),
+    reg(TextDecodeExpr.Name, TextDecodeExpr.info, TextDecodeExpr.builder),
     reg(NgramHashesExpr.Name, NgramHashesExpr.info, NgramHashesExpr.builder),
     reg(ImageMeanPoolExpr.Name, ImageMeanPoolExpr.info,
       ImageMeanPoolExpr.builder),

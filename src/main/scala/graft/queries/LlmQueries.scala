@@ -1528,6 +1528,32 @@ object LlmQueries {
           Urls.urlRegisteredDomain(col("url")).as("domain"))
     },
 
+    // Charset detection + repair (plans/TextDecodeExpr): crawl bodies
+    // are routinely mislabeled, and a blind UTF-8 decode turns every
+    // Latin-1 high byte into U+FFFD before the funnel ever sees the
+    // text. The fixture ENCODES a non-ASCII suffix through both
+    // charsets in-plan (Spark `encode`), so the operator must detect
+    // well-formed-UTF-8 vs not and decode accordingly; the oracle
+    // knows every expected string by construction and never touches
+    // bytes.
+    Q("t18_charset_decode",
+      """SELECT doc_id, text || ' naïve café' AS text,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1' ELSE 'utf-8' END
+        |    AS charset
+        |FROM documents""".stripMargin) { (s, d) =>
+      graft.plans.TextDecodeExpr.register(s)
+      val suffixed = concat(col("text"), lit(" naïve café"))
+      val payload = when(col("doc_id") % 3 === 0,
+          encode(suffixed, "ISO-8859-1"))
+        .otherwise(encode(suffixed, "UTF-8"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), payload.as("p"))
+        .withColumn("__d", explode(array(
+          call_function(graft.plans.TextDecodeExpr.Name, col("p")))))
+        .select(col("doc_id"), col("__d.text").as("text"),
+          col("__d.charset").as("charset"))
+    },
+
     // Linear quality-classifier inference (the fastText-style filter
     // serving shape, FineWeb-Edu / CCNet): hashed bag-of-words counts
     // × a broadcast integer-quantized weight table → exact integer

@@ -224,6 +224,7 @@ object PipelineQueries {
     Q("pipe32_warc_curation", Pipe32OracleSql) { (s, d) =>
       import graft.functions.Urls
       import graft.llm.TextAnalysis
+      graft.plans.TextDecodeExpr.register(s)
       val pages = graft.sources.Warc
         .records(s, SourceQueries.warcPagesFixture(s, d))
         .filter(col("warc_type") === "response" &&
@@ -233,7 +234,12 @@ object PipelineQueries {
             .cast("long").as("doc_id"),
           coalesce(Urls.urlRegisteredDomain(col("target_uri")),
             lit("__none__")).as("lang"), // domain AS the funnel stratum
-          col("payload").cast("string").as("html"))
+          // t18's charset repair, not a blind cast: a mislabeled
+          // Latin-1 body decodes losslessly instead of growing U+FFFD
+          // holes (this fixture's pages are UTF-8, so the oracle is
+          // charset-invariant by construction).
+          call_function(graft.plans.TextDecodeExpr.Name, col("payload"))
+            .getField("text").as("html"))
       val extracted = TextAnalysis
         .htmlExtractStats(pages, "html", native = true)
         .select(col("doc_id"), col("lang"),

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TextDecodeExpr
+
+/** Charset detection/repair contract (plans/TextDecodeExpr): strict
+  * RFC 3629 well-formedness drives the branch, ISO-8859-1 is the
+  * never-lossy fallback. The cross-engine truth is t18's oracle; this
+  * is the local truth for the malformation classes the fixture can't
+  * carry (overlongs, surrogates, out-of-range, truncation). */
+class TextDecodeSpec extends AnyFunSuite {
+
+  private def d(bytes: Int*): (String, String) =
+    TextDecodeExpr.decode(bytes.map(_.toByte).toArray)
+
+  test("well-formed UTF-8 decodes as UTF-8") {
+    assert(d() == ("", "utf-8"))
+    assert(d(0x61, 0x62) == ("ab", "utf-8"))
+    assert(d(0xC3, 0xA9) == ("é", "utf-8")) // 2-byte
+    assert(d(0xE2, 0x82, 0xAC) == ("€", "utf-8")) // 3-byte
+    assert(d(0xF0, 0x9F, 0x98, 0x80)._2 == "utf-8") // 4-byte emoji
+    assert(d(0xED, 0x9F, 0xBF)._2 == "utf-8") // U+D7FF, just below surrogates
+    assert(d(0xF4, 0x8F, 0xBF, 0xBF)._2 == "utf-8") // U+10FFFF, the max
+  }
+
+  test("malformed UTF-8 falls back to ISO-8859-1 (never lossy)") {
+    // Bare high byte (the classic mislabeled-Latin-1 page).
+    assert(d(0x63, 0x61, 0x66, 0xE9) == ("café", "iso-8859-1"))
+    // Overlong encodings are rejected even though structurally paired.
+    assert(d(0xC0, 0x80)._2 == "iso-8859-1") // overlong NUL
+    assert(d(0xE0, 0x9F, 0xBF)._2 == "iso-8859-1") // overlong 3-byte
+    assert(d(0xF0, 0x8F, 0xBF, 0xBF)._2 == "iso-8859-1") // overlong 4-byte
+    // Surrogate range and beyond-U+10FFFF.
+    assert(d(0xED, 0xA0, 0x80)._2 == "iso-8859-1") // U+D800
+    assert(d(0xF4, 0x90, 0x80, 0x80)._2 == "iso-8859-1") // U+110000
+    assert(d(0xF5, 0x80, 0x80, 0x80)._2 == "iso-8859-1") // F5 lead
+    // Truncated sequences at EOF.
+    assert(d(0x61, 0xC3)._2 == "iso-8859-1")
+    assert(d(0xE2, 0x82)._2 == "iso-8859-1")
+    // Bare continuation byte.
+    assert(d(0x80)._2 == "iso-8859-1")
+  }
+
+  test("decode is byte-reversible through the reported charset") {
+    // The property that makes the fallback SAFE: whatever branch
+    // fires, re-encoding the text in the reported charset returns the
+    // exact input bytes — nothing is ever lost, only relabeled.
+    val rnd = new scala.util.Random(7)
+    (0 until 2000).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)
+      val (text, cs) = TextDecodeExpr.decode(bytes)
+      assert(java.util.Arrays.equals(text.getBytes(cs), bytes),
+        bytes.map(b => f"${b & 0xFF}%02x").mkString(" "))
+    }
+  }
+}
