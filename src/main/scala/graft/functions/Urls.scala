@@ -50,18 +50,32 @@ object Urls {
   private def hostPort(url: Column): Column =
     regexp_replace(regexp_extract(url, AuthRe, 1), "^[^@]*@", "")
 
+  // Bracketed IPv6 literals ([::1], [2001:db8::1]:8080) carry colons
+  // INSIDE the host, so the bare trailing-port regex would amputate
+  // the address's last group; the bracket branch reads the host as
+  // the [...] span and the port only after the closing bracket. RE2
+  // has no lookbehind, so this is a branch, not a cleverer regex —
+  // and it must stay a branch in the SQL spellings below too.
+  private def portOf(hp: Column): Column =
+    when(hp.startsWith("["), regexp_extract(hp, "\\]:([0-9]+)$", 1))
+      .otherwise(regexp_extract(hp, ":([0-9]+)$", 1))
+  private def hostOf(hp: Column): Column =
+    when(hp.startsWith("["),
+      lower(regexp_extract(hp, "^(\\[[^\\]]*\\])", 1)))
+      .otherwise(lower(regexp_replace(
+        regexp_replace(hp, ":[0-9]+$", ""), "\\.+$", "")))
+
   /** Lowercased host: userinfo and port dropped, trailing dots
-    * stripped. Empty string when `url` is not absolute. */
-  def urlHost(url: Column): Column =
-    lower(regexp_replace(regexp_replace(hostPort(url), ":[0-9]+$", ""),
-      "\\.+$", ""))
+    * stripped; bracketed IPv6 literals keep their brackets (the URL
+    * serialization form). Empty string when `url` is not absolute. */
+  def urlHost(url: Column): Column = hostOf(hostPort(url))
 
   /** Normalized URL per the contract above; null for non-absolute
     * input. */
   def urlNormalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, SchemeRe, 1))
     val hp = hostPort(url)
-    val port = regexp_extract(hp, ":([0-9]+)$", 1)
+    val port = portOf(hp)
     val host = urlHost(url)
     val rest = regexp_extract(url, RestRe, 1)
     val portPart = when(port === "" ||
@@ -113,23 +127,35 @@ object Urls {
   // constants so the two sides cannot drift. `u` is a SQL expression
   // yielding the url (or host) string. ----
 
-  def hostSql(u: String): String =
-    s"lower(regexp_replace(regexp_replace(regexp_replace(" +
-      s"regexp_extract($u, '$AuthRe', 1), '^[^@]*@', ''), " +
-      "':[0-9]+$', ''), '\\.+$', ''))"
+  private def hpSql(u: String): String =
+    s"regexp_replace(regexp_extract($u, '$AuthRe', 1), '^[^@]*@', '')"
+
+  private def portSql(hp: String): String =
+    s"""CASE WHEN starts_with($hp, '[')
+       |  THEN regexp_extract($hp, '\\]:([0-9]+)${"$"}', 1)
+       |  ELSE regexp_extract($hp, ':([0-9]+)${"$"}', 1) END""".stripMargin
+
+  def hostSql(u: String): String = {
+    val hp = hpSql(u)
+    s"""CASE WHEN starts_with($hp, '[')
+       |  THEN lower(regexp_extract($hp, '^(\\[[^\\]]*\\])', 1))
+       |  ELSE lower(regexp_replace(regexp_replace($hp,
+       |    ':[0-9]+${"$"}', ''), '\\.+${"$"}', '')) END""".stripMargin
+  }
 
   def normalizeSql(u: String): String = {
-    val hp = s"regexp_replace(regexp_extract($u, '$AuthRe', 1), '^[^@]*@', '')"
+    val hp = hpSql(u)
+    val port = portSql(hp)
     s"""CASE WHEN lower(regexp_extract($u, '$SchemeRe', 1)) = ''
        |  OR ${hostSql(u)} = '' THEN NULL
        |ELSE lower(regexp_extract($u, '$SchemeRe', 1)) || '://' ||
        |  ${hostSql(u)} ||
-       |  CASE WHEN regexp_extract($hp, ':([0-9]+)${"$"}', 1) = ''
+       |  CASE WHEN ($port) = ''
        |    OR (lower(regexp_extract($u, '$SchemeRe', 1)) = 'http'
-       |        AND regexp_extract($hp, ':([0-9]+)${"$"}', 1) = '80')
+       |        AND ($port) = '80')
        |    OR (lower(regexp_extract($u, '$SchemeRe', 1)) = 'https'
-       |        AND regexp_extract($hp, ':([0-9]+)${"$"}', 1) = '443')
-       |    THEN '' ELSE ':' || regexp_extract($hp, ':([0-9]+)${"$"}', 1) END ||
+       |        AND ($port) = '443')
+       |    THEN '' ELSE ':' || ($port) END ||
        |  CASE WHEN regexp_extract($u, '$RestRe', 1) = '' THEN '/'
        |    ELSE regexp_extract($u, '$RestRe', 1) END
        |END""".stripMargin

@@ -42,6 +42,14 @@ class UrlsSpec extends AnyFunSuite {
     assert(r(4)._3 == null) // single label, no registrable domain
   }
 
+  test("bracketed IPv6 hosts: colons inside brackets are not ports") {
+    val r = run(Seq("http://[2001:db8::1]/x", "http://[::1]:8080/y",
+      "HTTPS://[2001:DB8::1]:443/z"))
+    assert(r(0) == (("http://[2001:db8::1]/x", "[2001:db8::1]", null)))
+    assert(r(1) == (("http://[::1]:8080/y", "[::1]", null)))
+    assert(r(2) == (("https://[2001:db8::1]/z", "[2001:db8::1]", null)))
+  }
+
   test("registered domain: longest rule wins; unknown TLD falls back to two labels") {
     val r = run(Seq("http://a.b.example.co.uk/", "http://x.blogspot.com/",
       "http://deep.sub.example.zz/", "http://example.zz/"))
