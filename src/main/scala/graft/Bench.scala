@@ -375,7 +375,14 @@ object HeavyBench {
       paths: Option[(SparkSession, String) => Seq[String]] = None,
       // Override for input_rows when `paths` is not parquet (the WARC
       // entry): the default counter reads each path as parquet.
-      inputRows: Option[(SparkSession, String) => Long] = None)
+      inputRows: Option[(SparkSession, String) => Long] = None,
+      // Per-item minimum sample count (0 = the env/default). The
+      // JIT-heaviest plans keep compiling through the first timed
+      // samples of a FRESH JVM (fork mode): l2's five samples read
+      // 19.0/18.0/16.7/16.1/17.2 s — converging down — so min-of-3
+      // after one warm-up visit catches the early-JIT phase and
+      // overstates the steady state ~1.5×. Five samples reach it.
+      minSamples: Int = 0)
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
@@ -527,7 +534,8 @@ object HeavyBench {
             licenseHoldings(s).values.map(_.count()).sum)
       },
       meta = Seq("isils" -> "20", "holdings_tables" -> "30",
-        "amsl_rows" -> "105", "as_of" -> "\"1998-06-01\"")),
+        "amsl_rows" -> "105", "as_of" -> "\"1998-06-01\""),
+      minSamples = 5),
     // span-oa-filter at production shape: whitelist ∪ rule minus
     // blacklist over the same 9.6 M records — scan + two broadcast
     // semi-probes, zero shuffles. The reference bar is 2.5 M recs/min.
@@ -760,7 +768,8 @@ object HeavyBench {
           "decoded_mb_rgb" -> px * 3 / 1000000)
       },
       meta = Seq("grid" -> "4", "dims" -> "\"128-512 px RGB\"",
-        "mix" -> "\"png/jpeg 50/50\"", "jpeg_quality" -> "0.8")),
+        "mix" -> "\"png/jpeg 50/50\"", "jpeg_quality" -> "0.8"),
+      minSamples = 5),
     // The media-curation composite END-TO-END at realistic scale: the
     // number a 100 TB image dedup actually pays — decode (the m7
     // workload) + pooled features + centered sign-LSH near-dup pairs
@@ -821,7 +830,8 @@ object HeavyBench {
       },
       meta = Seq("grid" -> "4", "threshold" -> "0.8", "planes" -> "12",
         "tables" -> "6", "max_bucket" -> "200",
-        "pair_shape" -> "\"png vs jpeg re-encode of same pixels\"")),
+        "pair_shape" -> "\"png vs jpeg re-encode of same pixels\""),
+      minSamples = 5),
     // REAL video pixel decode at scale: 6 K genuine MJPEG videos (8
     // frames each at 128-256 px, JPEG q0.8/q0.7 noise — 48 K frames,
     // ~2 GB encoded) in a 50/50 RIFF/AVI + photo-JPEG MOV container
@@ -1144,7 +1154,8 @@ object HeavyBench {
         Seq("vocab_words" -> w.count(),
           "vocab_kept" -> w.filter(col("c") >= 8).count())
       },
-      meta = Seq("merges" -> "1000", "min_count" -> "8")),
+      meta = Seq("merges" -> "1000", "min_count" -> "8"),
+      minSamples = 5),
     // TOKENIZING from the persisted artifact: t13 times what a
     // vocabulary rebuild pays; this times what every nightly batch
     // pays — read the store (params-checked, structure-verified), one
@@ -1169,7 +1180,8 @@ object HeavyBench {
         graft.llm.TokenizerStore.tokenIds(s, s"$d/bpe_tokenizer",
           HeavyTokParams, docs(s, d), "doc_id", "text")
       },
-      meta = Seq("merges" -> "1000", "min_count" -> "8")),
+      meta = Seq("merges" -> "1000", "min_count" -> "8"),
+      minSamples = 5),
     // MATERIALIZING the training batches: every token id placed at its
     // (shard, sequence, offset) under 2048-token concat-and-chunk —
     // pipe25's production shape. On top of the encode this pays ONE
@@ -1183,7 +1195,8 @@ object HeavyBench {
           budgetTokens = 2048)
       },
       meta = Seq("merges" -> "1000", "shards" -> "32",
-        "budget_tokens" -> "2048")),
+        "budget_tokens" -> "2048"),
+      minSamples = 5),
     // The END-TO-END corpus build at production shape: pipe17's funnel
     // (stringless coverage, Gopher thresholds FIT to this corpus —
     // measured 11.8 chars/word and zero English stopwords, so
@@ -1474,7 +1487,8 @@ object HeavyBench {
           // number (the r10 d3-at-93-s README discrepancy); a third
           // sample costs ~2 min over the block and tightens the min to
           // the steady-state number the 100 TB sizing uses.
-          val nSamples = sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "3").toInt
+          val nSamples = math.max(item.minSamples,
+            sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "3").toInt)
           // One UNTIMED warm-up visit before the timed samples: the
           // biggest JIT-heavy plans (l2 licensing, t13 BPE, d3 bands)
           // never reached steady state inside a contended min-of-3 —
