@@ -683,6 +683,43 @@ object HeavyBench {
     // per-stratum single-task shape is the thing to watch; at 100 TB
     // the domain key has millions of strata and spreads instead).
     HeavyItem("pipe31_domain_quota", Seq("documents")),
+    // THE crawl pipeline end-to-end at scale: 320 K captured pages in
+    // 32 .warc.gz files → record split → HTTP-200 filter → charset
+    // repair → HTML extraction → registered domain from the capture
+    // URI → the native curation funnel with the DOMAIN as the quota
+    // stratum — container bytes in, curated corpus out, ONE timed
+    // window. Runs on the lowdup corpus (pipe30's rationale: the ×64
+    // replicated main corpus trips the coverage gate corpus-wide).
+    HeavyItem("pipe32_warc_curation", Seq("documents"),
+      subdir = Some("lowdup"),
+      fn = Some { (s, d) =>
+        import graft.functions.Urls
+        graft.plans.TextDecodeExpr.register(s)
+        val pages = graft.sources.Warc.records(s,
+            queries.SourceQueries.ensureWarcPagesDir(s, d) + "/*.warc.gz")
+          .filter(col("warc_type") === "response" &&
+            col("http_status") === 200)
+          .select(
+            regexp_extract(col("target_uri"), "/p/([0-9]+)", 1)
+              .cast("long").as("doc_id"),
+            coalesce(Urls.urlRegisteredDomain(col("target_uri")),
+              lit("__none__")).as("lang"),
+            call_function(graft.plans.TextDecodeExpr.Name, col("payload"))
+              .getField("text").as("html"))
+        val extracted = graft.llm.TextAnalysis
+          .htmlExtractStats(pages, "html", native = true)
+          .select(col("doc_id"), col("lang"),
+            replace(col("text"), lit("\n"), lit(" ")).as("text"))
+        queries.PipelineQueries.curationFunnelOf(extracted,
+          portableCov = false, maxMeanWordLen = 20.0, minStopHits = 0,
+          quota = 5000)
+      },
+      paths = Some((s, d) =>
+        Seq(queries.SourceQueries.ensureWarcPagesDir(s, d))),
+      inputRows = Some((s, d) => graft.sources.Warc.records(s,
+        queries.SourceQueries.ensureWarcPagesDir(s, d) + "/*.warc.gz")
+        .count()),
+      meta = Seq("quota" -> "5000")),
     // CCNet bucketing end-to-end: per-language bigram LMs trained on
     // the src0 reference slice (~1/20 of the corpus), all 320 K docs
     // scored by quantized log-likelihood and percentile-bucketed from
@@ -1387,6 +1424,8 @@ object HeavyBench {
       queries.LlmQueries.ensureAudioFixture(spark, dir)
     if (selected.exists(_.name == "s14_warc_scan"))
       queries.SourceQueries.ensureWarcPagesDir(spark, dir)
+    if (selected.exists(_.name == "pipe32_warc_curation"))
+      queries.SourceQueries.ensureWarcPagesDir(spark, s"$dir/lowdup")
     dir
   }
 
