@@ -282,6 +282,36 @@ object SourceQueries {
       Archives.tarMembers(s, tarFixture(s, d)).select("member", "size")
     },
 
+    // S15 — WARC round-trip: documents → response records → the
+    // DISTRIBUTED sink (one gzip-member .warc.gz per partition) →
+    // read back through the record scan. A hash match certifies the
+    // write half against the read half — the s10 NDJSON round-trip
+    // discipline applied to the crawl container. The temp dir is
+    // per-invocation (cheap at this size), so the query is
+    // self-contained and idempotent.
+    Q("s15_warc_roundtrip",
+      """SELECT 'http://example.org/doc/' || doc_id AS target_uri,
+        |  CAST(200 AS INT) AS http_status, 'text/plain' AS content_type,
+        |  text AS body
+        |FROM documents WHERE doc_id >= 150 AND doc_id < 300""".stripMargin) { (s, d) =>
+      import graft.sources.Warc
+      val out = java.nio.file.Files
+        .createTempDirectory("s15-warc").toString
+      Warc.writeResponses(
+        Tables.documents(s, d)
+          .filter(col("doc_id") >= 150 && col("doc_id") < 300)
+          .select(
+            concat(lit("http://example.org/doc/"), col("doc_id"))
+              .as("target_uri"),
+            lit(200).as("http_status"),
+            lit("text/plain").as("content_type"),
+            encode(col("text"), "UTF-8").as("body")),
+        out)
+      Warc.records(s, out + "/*.warc.gz")
+        .select(col("target_uri"), col("http_status"),
+          col("content_type"), col("payload").cast("string").as("body"))
+    },
+
     // S14 — WARC record scan (ISO 28500; see sources/Warc.scala): the
     // crawl container split into typed records, HTTP messages split
     // into status/content-type/body. The oracle reconstructs every

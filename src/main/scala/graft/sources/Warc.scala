@@ -175,6 +175,43 @@ object Warc {
     bos.toByteArray
   }
 
+  /** WARC SINK — the write half of the S-family symmetry (a curation
+    * pipeline re-emits its filtered crawl as WARC for the next
+    * consumer): one `.warc.gz` per partition, each record its own
+    * gzip member (the annex-D layout [[records]] reads back), written
+    * DISTRIBUTED via foreachPartition. Input columns: `target_uri`
+    * (string), `http_status` (int), `content_type` (string), `body`
+    * (binary). Record ids derive from partition/row position —
+    * deterministic under a fixed partitioning. Local-FS semantics
+    * like every fixture writer here; a cluster deployment points
+    * `dir` at a shared FS. */
+  def writeResponses(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col("target_uri"), col("http_status"), col("content_type"),
+        col("body"))
+      .as[(String, Int, String, Array[Byte])]
+      .foreachPartition {
+        (it: Iterator[(String, Int, String, Array[Byte])]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = java.nio.file.Paths.get(dir)
+            .resolve(f"part-$pid%05d.warc.gz")
+          val out = java.nio.file.Files.newOutputStream(f)
+          try {
+            var i = 0
+            it.foreach { case (uri, status, ct, body) =>
+              val reason = if (status == 200) "OK" else "S" + status
+              out.write(gzipMember(encodeRecord("response", uri,
+                "application/http;msgtype=response",
+                encodeHttpResponse(status, reason, ct, body),
+                f"w-$pid%d-$i%d")))
+              i += 1
+            }
+          } finally out.close()
+      }
+  }
+
   /** All records of every .warc(.gz) under `path`, with provenance.
     * Output: path, warc_type, target_uri, http_status (nullable int),
     * content_type, payload (binary). */

@@ -72,6 +72,28 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.parse(Array.emptyByteArray).isEmpty)
   }
 
+  test("distributed sink round-trips through the scan across partitions") {
+    import org.apache.spark.sql.functions._
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warcw")
+    try {
+      val in = (1L to 20L).map(i =>
+        (s"http://x.org/p/$i", if (i % 5 == 0) 404 else 200,
+          "text/plain", s"payload number $i".getBytes("UTF-8")))
+        .toDF("target_uri", "http_status", "content_type", "body")
+        .repartition(3)
+      Warc.writeResponses(in, dir.toString)
+      // one file per non-empty partition, each read back whole
+      val back = Warc.records(spark, dir.toString + "/*.warc.gz")
+        .select(col("target_uri"), col("http_status"),
+          col("payload").cast("string"))
+        .as[(String, Int, String)].collect().toSet
+      assert(back == (1L to 20L).map(i =>
+        (s"http://x.org/p/$i", if (i % 5 == 0) 404 else 200,
+          s"payload number $i")).toSet)
+    } finally graft.queries.Fixtures.deleteRecursively(dir)
+  }
+
   test("gzip-member chunking: per-member .warc.gz reads whole through the scan") {
     val dir = java.nio.file.Files.createTempDirectory("warc")
     try {
