@@ -140,19 +140,24 @@ object Warc {
   // ---- muxer (fixtures/tests): genuine ISO 28500 bytes ----
 
   /** One record's bytes: version line, headers, CRLF CRLF, payload,
-    * CRLF CRLF trailer. */
+    * CRLF CRLF trailer. Header VALUES are CR/LF-sanitized: a hostile
+    * target URI embedding a line break would otherwise inject headers
+    * and desynchronize the whole file (the payload is length-framed
+    * and carries anything; headers must stay single-line). */
   def encodeRecord(warcType: String, targetUri: String,
                    contentType: String, payload: Array[Byte],
                    recordId: String): Array[Byte] = {
+    def clean(v: String): String =
+      v.replace("\r", "").replace("\n", "")
     val sb = new StringBuilder
     sb.append("WARC/1.0").append(Crlf)
-    sb.append("WARC-Type: ").append(warcType).append(Crlf)
-    sb.append("WARC-Record-ID: <urn:uuid:").append(recordId)
+    sb.append("WARC-Type: ").append(clean(warcType)).append(Crlf)
+    sb.append("WARC-Record-ID: <urn:uuid:").append(clean(recordId))
       .append(">").append(Crlf)
     sb.append("WARC-Date: 2026-01-01T00:00:00Z").append(Crlf)
     if (targetUri != null)
-      sb.append("WARC-Target-URI: ").append(targetUri).append(Crlf)
-    sb.append("Content-Type: ").append(contentType).append(Crlf)
+      sb.append("WARC-Target-URI: ").append(clean(targetUri)).append(Crlf)
+    sb.append("Content-Type: ").append(clean(contentType)).append(Crlf)
     sb.append("Content-Length: ").append(payload.length).append(Crlf)
     sb.append(Crlf)
     val head = sb.toString.getBytes("ISO-8859-1")
