@@ -893,6 +893,8 @@ object GraftExtensions {
     reg(FunnelGatesExpr.Name, FunnelGatesExpr.info, FunnelGatesExpr.builder),
     reg(HtmlExtractExpr.Name, HtmlExtractExpr.info, HtmlExtractExpr.builder),
     reg(TextDecodeExpr.Name, TextDecodeExpr.info, TextDecodeExpr.builder),
+    reg(PdfTextExpr.Name, PdfTextExpr.info, PdfTextExpr.builder),
+    reg(PdfSynthExpr.Name, PdfSynthExpr.info, PdfSynthExpr.builder),
     reg(NgramHashesExpr.Name, NgramHashesExpr.info, NgramHashesExpr.builder),
     reg(ImageMeanPoolExpr.Name, ImageMeanPoolExpr.info,
       ImageMeanPoolExpr.builder),

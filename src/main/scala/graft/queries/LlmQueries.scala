@@ -2049,6 +2049,36 @@ object LlmQueries {
     // real; the oracle replays the pooling arithmetic from the pixel
     // formula — a wrong decode (wrong pixel, wrong channel order,
     // wrong cell split) hash-diverges immediately.
+    // REAL PDF text extraction (plans/PdfExpr): genuine multi-page
+    // PDFs synthesized in-plan (pdf_synth — header/page-tree/Flate
+    // content streams/xref, opens in any reader), then decoded for
+    // real: inflate + content-stream operator parse (Tj/TJ/escapes).
+    // The oracle replays the page split from the documents text —
+    // a wrong inflate, wrong escape, or wrong operator handling
+    // hash-diverges immediately (the m1/m6 media-decode discipline
+    // applied to the documents modality).
+    Q("m15_pdf_text",
+      """SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    range(0, CAST(ceil(length(text)/150.0) AS BIGINT)),
+        |    i -> substr(text, CAST(i*150+1 AS INT), 150)), chr(10))
+        |    AS text,
+        |  CAST(ceil(length(text)/150.0) AS INT) AS n_pages,
+        |  '1.4' AS version
+        |FROM documents""".stripMargin) { (s, d) =>
+      graft.plans.PdfSynthExpr.register(s)
+      graft.plans.PdfTextExpr.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          call_function(graft.plans.PdfSynthExpr.Name, col("text"),
+            lit(150)).as("pdf"))
+        .withColumn("__p", explode(array(
+          call_function(graft.plans.PdfTextExpr.Name, col("pdf")))))
+        .select(col("doc_id"), col("__p.text").as("text"),
+          col("__p.n_pages").as("n_pages"),
+          col("__p.version").as("version"))
+    },
+
     Q("m1_media_features",
       s"""WITH m AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
         |           FROM documents WHERE doc_id < $PngMediaDocs),
