@@ -660,6 +660,21 @@ object HeavyBench {
           .select(queries.LlmQueries.t16Html.as("h"))
           .agg(sum(length(col("h")))).collect()(0).getLong(0))),
       meta = Seq("quota" -> "5000")),
+    // PDF text-extraction throughput (the documents-modality decode:
+    // inflate + content-stream operator parse over 320 K genuine
+    // multi-page Flate PDFs). The m3/m7 discipline: fixture untimed,
+    // the timed window is the decode.
+    HeavyItem("m15_pdf_text", Seq("documents"),
+      fn = Some { (s, d) =>
+        graft.plans.PdfTextExpr.register(s)
+        val media = s.read.parquet(queries.LlmQueries.ensurePdfFixture(s, d))
+        media.withColumn("__p", explode(array(
+            call_function(graft.plans.PdfTextExpr.Name, col("content")))))
+          .select(col("media_id"), col("__p.text").as("text"),
+            col("__p.n_pages").as("n_pages"))
+      },
+      paths = Some((s, d) =>
+        Seq(queries.LlmQueries.ensurePdfFixture(s, d)))),
     // WARC container scan throughput: 32 .warc.gz files (one scan
     // task each — crawl-delivery layout) holding 320 K page captures;
     // the timed plan splits records, parses the HTTP messages, and
@@ -1426,6 +1441,8 @@ object HeavyBench {
       queries.SourceQueries.ensureWarcPagesDir(spark, dir)
     if (selected.exists(_.name == "pipe32_warc_curation"))
       queries.SourceQueries.ensureWarcPagesDir(spark, s"$dir/lowdup")
+    if (selected.exists(_.name == "m15_pdf_text"))
+      queries.LlmQueries.ensurePdfFixture(spark, dir)
     dir
   }
 

@@ -334,6 +334,19 @@ object ScaleCheck {
         llm.Multimodal.extractFeaturesImage(media, grid = 2)
           .filter(col("features").isNotNull).count()
       }),
+      // PDF sibling (r18): pdf_synth → inflate + content-stream
+      // operator parse — per-row scan work like the other decoders;
+      // time must track document count ~linearly.
+      Op("pdf_text_extract(real)", { n =>
+        graft.plans.PdfSynthExpr.register(spark)
+        graft.plans.PdfTextExpr.register(spark)
+        replicateDocs(docs0, n).select(col("doc_id"),
+            call_function(graft.plans.PdfSynthExpr.Name, col("text"),
+              lit(150)).as("content"))
+          .select(col("doc_id"), call_function(
+            graft.plans.PdfTextExpr.Name, col("content")).as("p"))
+          .filter(col("p").isNotNull).count()
+      }),
       // Video sibling of the image op: avi_synth → RIFF walk +
       // per-frame javax.imageio decode + pool — per-row scan work, no
       // shuffle; time must track video count exactly.

@@ -104,6 +104,33 @@ object LlmQueries {
     target.toString
   }
 
+  /** PDF fixture for the extraction-throughput heavy entry: one
+    * genuine multi-page Flate PDF per heavy-corpus document (320 K
+    * docs → ~1.3 K chars each → ~9 pages at 150 chars/page),
+    * synthesized DISTRIBUTED via `pdf_synth` under the stamped-dir
+    * convention so the timed entry measures inflate + operator parse,
+    * not synthesis. */
+  def ensurePdfFixture(s: org.apache.spark.sql.SparkSession,
+                       d: String): String = {
+    val base = Fixtures.stampedDir(d, "documents", "pdf_media", 1)
+    val target = base.resolve("media")
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = java.nio.file.Files.createTempDirectory(base, "media.part")
+      try {
+        graft.plans.PdfSynthExpr.register(s)
+        val built = tmp.resolve("p")
+        Tables.documents(s, d).select(
+            col("doc_id").as("media_id"),
+            call_function(graft.plans.PdfSynthExpr.Name, col("text"),
+              lit(150)).as("content"))
+          .repartition(32)
+          .write.parquet(built.toString)
+        Fixtures.publish(built, target)
+      } finally Fixtures.deleteRecursively(tmp)
+    }
+    target.toString
+  }
+
   /** Crawl-REALISTIC media fixture for the decode-MB/s heavy entry:
     * 40 K images at 128–512 px per side (even ids real PNG, odd ids
     * real JPEG q0.8 — the 50/50 mix a web crawl skews between),
