@@ -18,14 +18,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * U+FFFD — text the funnel then scores and dedups WRONG, silently.
   *
   * Policy (deliberately deterministic, no statistical guessing):
+  *  - a UTF-16 BOM (FE FF / FF FE) whose payload is well-formed
+  *    UTF-16 (even length, no unpaired surrogates) decodes as
+  *    "utf-16be"/"utf-16le" — the legacy-Windows-site crawl class;
+  *    a BOM over a MALFORMED stream falls through (reversibility);
   *  - bytes that ARE well-formed UTF-8 (RFC 3629: correct
   *    continuation structure, no overlongs, no surrogates, max
-  *    U+10FFFF) decode as UTF-8, charset = "utf-8";
+  *    U+10FFFF) decode as UTF-8, charset = "utf-8" (a BOM byte is
+  *    never valid UTF-8, so the branches cannot overlap);
   *  - anything else decodes as ISO-8859-1, charset = "iso-8859-1" —
   *    the fallback that never loses bytes (every byte maps to exactly
   *    one code point, reversibly), which is why it is THE standard
   *    crawl fallback: wrong-but-recoverable beats U+FFFD holes.
   *  - null input → null struct; empty → ("", "utf-8").
+  * Every branch is byte-reversible: text re-encoded in the reported
+  * charset (BOM restored for the utf-16 pair) returns the input.
   *
   * ASCII-only bodies are valid UTF-8 and take the first branch — the
   * common case costs one linear scan with no allocation beyond the
@@ -98,8 +105,40 @@ object TextDecodeExpr {
     true
   }
 
+  /** BOM-marked UTF-16 (the legacy-Windows-site crawl class): taken
+    * only when the payload is WELL-FORMED UTF-16 after the BOM (even
+    * byte count, no unpaired surrogates) — a malformed stream falls
+    * through to the UTF-8/Latin-1 logic so the byte-reversibility
+    * guarantee (re-encoding the text in the reported charset, BOM
+    * restored, returns the exact input) holds on every branch. */
+  private[plans] def validUtf16(b: Array[Byte], be: Boolean): Boolean = {
+    if ((b.length - 2) % 2 != 0) return false
+    var i = 2
+    var expectLow = false
+    while (i + 1 < b.length) {
+      val u =
+        if (be) ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+        else ((b(i + 1) & 0xFF) << 8) | (b(i) & 0xFF)
+      if (expectLow) {
+        if (u < 0xDC00 || u > 0xDFFF) return false
+        expectLow = false
+      } else if (u >= 0xD800 && u <= 0xDBFF) expectLow = true
+      else if (u >= 0xDC00 && u <= 0xDFFF) return false
+      i += 2
+    }
+    !expectLow
+  }
+
   def decode(bytes: Array[Byte]): (String, String) =
-    if (isValidUtf8(bytes))
+    if (bytes.length >= 2 && bytes(0) == 0xFE.toByte &&
+      bytes(1) == 0xFF.toByte && validUtf16(bytes, be = true))
+      (new String(bytes, 2, bytes.length - 2,
+        StandardCharsets.UTF_16BE), "utf-16be")
+    else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte &&
+      bytes(1) == 0xFE.toByte && validUtf16(bytes, be = false))
+      (new String(bytes, 2, bytes.length - 2,
+        StandardCharsets.UTF_16LE), "utf-16le")
+    else if (isValidUtf8(bytes))
       (new String(bytes, StandardCharsets.UTF_8), "utf-8")
     else
       (new String(bytes, StandardCharsets.ISO_8859_1), "iso-8859-1")

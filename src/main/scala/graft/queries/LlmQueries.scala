@@ -1565,13 +1565,17 @@ object LlmQueries {
     // bytes.
     Q("t18_charset_decode",
       """SELECT doc_id, text || ' naïve café' AS text,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'iso-8859-1' ELSE 'utf-8' END
-        |    AS charset
+        |  CASE WHEN doc_id % 5 = 1 THEN 'utf-16be'
+        |       WHEN doc_id % 3 = 0 THEN 'iso-8859-1'
+        |       ELSE 'utf-8' END AS charset
         |FROM documents""".stripMargin) { (s, d) =>
       graft.plans.TextDecodeExpr.register(s)
       val suffixed = concat(col("text"), lit(" naïve café"))
-      val payload = when(col("doc_id") % 3 === 0,
-          encode(suffixed, "ISO-8859-1"))
+      // Java's "UTF-16" charset writes a big-endian BOM — the
+      // legacy-Windows page class the utf-16be branch detects.
+      val payload = when(col("doc_id") % 5 === 1,
+          encode(suffixed, "UTF-16"))
+        .when(col("doc_id") % 3 === 0, encode(suffixed, "ISO-8859-1"))
         .otherwise(encode(suffixed, "UTF-8"))
       Tables.documents(s, d)
         .select(col("doc_id"), payload.as("p"))

@@ -41,16 +41,50 @@ class TextDecodeSpec extends AnyFunSuite {
     assert(d(0x80)._2 == "iso-8859-1")
   }
 
+  test("BOM-marked well-formed UTF-16 decodes; malformed falls through") {
+    val be = "x café".getBytes("UTF-16") // Java UTF-16 = BE BOM
+    assert(TextDecodeExpr.decode(be) == ("x café", "utf-16be"))
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      "hi é".getBytes("UTF-16LE")
+    assert(TextDecodeExpr.decode(le) == ("hi é", "utf-16le"))
+    // odd byte count after the BOM: not UTF-16, falls through
+    assert(TextDecodeExpr.decode(be.dropRight(1))._2 == "iso-8859-1")
+    // unpaired surrogate: not well-formed, falls through
+    val lone = Array[Byte](0xFE.toByte, 0xFF.toByte,
+      0xD8.toByte, 0x00.toByte, 0x00.toByte, 0x41.toByte)
+    assert(TextDecodeExpr.decode(lone)._2 == "iso-8859-1")
+    // a bare BOM is an empty utf-16 document
+    assert(TextDecodeExpr.decode(Array(0xFE.toByte, 0xFF.toByte)) ==
+      ("", "utf-16be"))
+  }
+
   test("decode is byte-reversible through the reported charset") {
     // The property that makes the fallback SAFE: whatever branch
-    // fires, re-encoding the text in the reported charset returns the
-    // exact input bytes — nothing is ever lost, only relabeled.
+    // fires, re-encoding the text in the reported charset (BOM
+    // restored for the utf-16 pair) returns the exact input bytes —
+    // nothing is ever lost, only relabeled.
+    def roundTrip(bytes: Array[Byte]): Unit = {
+      val (text, cs) = TextDecodeExpr.decode(bytes)
+      val back = cs match {
+        case "utf-16be" =>
+          Array(0xFE.toByte, 0xFF.toByte) ++ text.getBytes("UTF-16BE")
+        case "utf-16le" =>
+          Array(0xFF.toByte, 0xFE.toByte) ++ text.getBytes("UTF-16LE")
+        case _ => text.getBytes(cs)
+      }
+      assert(java.util.Arrays.equals(back, bytes),
+        bytes.map(b => f"${b & 0xFF}%02x").mkString(" "))
+    }
     val rnd = new scala.util.Random(7)
     (0 until 2000).foreach { _ =>
-      val bytes = Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte)
-      val (text, cs) = TextDecodeExpr.decode(bytes)
-      assert(java.util.Arrays.equals(text.getBytes(cs), bytes),
-        bytes.map(b => f"${b & 0xFF}%02x").mkString(" "))
+      roundTrip(Array.fill(rnd.nextInt(40))(rnd.nextInt(256).toByte))
+    }
+    // And adversarially BOM-led random payloads (the utf-16 branches'
+    // own fall-through classes).
+    (0 until 2000).foreach { _ =>
+      val bom = if (rnd.nextBoolean()) Array(0xFE.toByte, 0xFF.toByte)
+        else Array(0xFF.toByte, 0xFE.toByte)
+      roundTrip(bom ++ Array.fill(rnd.nextInt(20))(rnd.nextInt(256).toByte))
     }
   }
 }
