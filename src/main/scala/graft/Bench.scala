@@ -44,6 +44,73 @@ object Bench {
     val selected = SparkEntry.registry
       .filter(q => only.forall(_.contains(q.name)))
 
+    // Crash-proof artifact discipline (the r18 rc=124 lesson: the
+    // driver killed the run mid-light-pass-1 and the official artifact
+    // carried NO numbers). Three layers: (1) partial results flush to
+    // SPARK_GRAFT_BENCH_OUT after EVERY light timing and heavy
+    // fragment; (2) a JVM shutdown hook prints the current compact
+    // summary (tagged "partial":true) so even a SIGTERM'd run ends in
+    // a parseable last line; (3) lights run before forked heavy so the
+    // headline total lands early.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    // Accumulated state the flusher renders from.
+    val lightSamples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val heavyFrags = scala.collection.mutable.ArrayBuffer.empty[String]
+    def currentResults(): Seq[(String, Double, Boolean)] =
+      selected.flatMap { q =>
+        lightSamples.get(q.name).map { ss =>
+          val ok = ss.filter(_ >= 0)
+          if (ok.isEmpty) (q.name, -1.0, false) else (q.name, ok.min, true)
+        }
+      }
+    def render(heavyJson: String, partial: Boolean): (String, String) = {
+      val results = currentResults()
+      val qs = results
+        .map { case (k, v, _) =>
+          "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+            Double.box(v))
+        }
+        .mkString("{", ",", "}")
+      val failed = results.count(!_._3)
+      val total = results.filter(_._3).map(_._2).sum
+      val sfJson = jsonEscape(sfDir)
+      val partJson = if (partial) """"partial":true,""" else ""
+      val line =
+        s"""{$partJson"metric":"total","value":$total,"unit":"sec","timing":"min$nPasses","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}"""
+      val summary = compactSummary(results, total, nPasses, failed, sfDir,
+        heavyJson, outPath, partial)
+      (line, summary)
+    }
+    def interimHeavyJson(): String =
+      if (heavyFrags.isEmpty) ""
+      else s""","heavy":{"partial":true,"queries":{${heavyFrags.mkString(",")}}}"""
+    def writeOut(line: String): Unit =
+      try {
+        val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+        try w.println(line) finally w.close()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cannot write $outPath: ${e.getMessage}")
+      }
+    def flushPartial(): Unit = {
+      val (line, summary) = render(interimHeavyJson(), partial = true)
+      writeOut(line)
+      Bench.partialSummary = Some(summary)
+    }
+    // The hook prints the LAST flushed state — no Spark work, just the
+    // cached string — so a driver-side `timeout` SIGTERM still leaves a
+    // parseable final stdout line and a readable partial artifact.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!Bench.completedNormally) Bench.partialSummary.foreach { s =>
+        println(s)
+        System.out.flush()
+      }
+    }))
+    // Seed the partial state NOW: a kill during the (minutes-long)
+    // warmup phase must still end in a parseable zero-queries line,
+    // not empty stdout.
+    flushPartial()
+
     // Warm up before timing: first uses of expression families carry
     // multi-second one-time JVM costs (e.g. `lower` triggers collation/
     // ICU init ~7 s; first window/join/codegen paths similar) that would
@@ -92,21 +159,26 @@ object Bench {
       System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
     }
 
-    // The heavy block runs FIRST, straight after warmup: its queries
-    // are timed once each, so unlike the light passes there is no
-    // min-over-passes to absorb session wake — and a full light sweep
-    // (~420 timed queries) leaves wake the reaper cannot return:
-    // hundreds of generated codegen classes and a grown, fragmented
-    // old gen (measured: heavy g8_pagerank 14.7 s straight after
+    // Heavy-block ordering depends on the mode. FORKED (the default):
+    // every heavy entry runs in its own fresh JVM, structurally immune
+    // to this session's wake — so the heavy block runs LAST and the
+    // light headline total lands early (the r18 rc=124 artifact died
+    // with zero numbers because forked heavy ran first and blew the
+    // driver's window). INLINE (SPARK_GRAFT_HEAVY_FORK=0): the heavy
+    // timings share this JVM, and a full light sweep leaves wake the
+    // reaper cannot return (hundreds of codegen classes, fragmented
+    // old gen — measured: heavy g8_pagerank 14.7 s straight after
     // warmup vs 25.1 s after two light passes WITH blocking unpersist
-    // between every query). Light passes follow; their min-of-N
-    // absorbs their own ordering effects.
-    val heavyJson = HeavyBench.run(spark, sfDir, only)
-    // The heavy block reaps BEFORE each of its timings, not after its
-    // last one — without this the first light-pass query runs in the
-    // final heavy query's wake (measured: a 3× first-sample outlier
-    // that min-of-N then has to absorb).
-    reap(spark)
+    // between every query), so inline heavy still runs FIRST.
+    val forkedHeavy = !sys.env.get("SPARK_GRAFT_HEAVY_FORK").contains("0")
+    var heavyJson = ""
+    if (!forkedHeavy) {
+      heavyJson = HeavyBench.run(spark, sfDir, only)
+      // Reap so the first light-pass query does not run in the final
+      // heavy query's wake (measured: a 3× first-sample outlier that
+      // min-of-N then has to absorb).
+      reap(spark)
+    }
 
     // Each query is timed once per FULL pass and the per-query MIN over
     // two separated passes reported. Back-to-back min-of-2 (the old
@@ -136,8 +208,7 @@ object Bench {
     // permutations keeps the inflated number (r9: untouched queries
     // read 2-3× their isolated cost; the GC hook above removes the
     // systematic part, a third sample tightens what remains).
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
-    val passes: Seq[Map[String, Double]] = (1 to nPasses).map { pass =>
+    (1 to nPasses).foreach { pass =>
       // Permute the execution order per pass (deterministic seed): with
       // a FIXED order, a query sitting directly after a heavyweight
       // neighbor inherits its GC/shuffle-churn wake in BOTH passes, and
@@ -147,51 +218,40 @@ object Bench {
       // give every query two different predecessors, so the min over
       // passes approximates the isolated steady-state number.
       val order = new scala.util.Random(1000003L * pass).shuffle(selected)
-      order.map { q =>
-        try {
-          val sec = timeOne(q)
-          // Per-sample line (the JSON carries only the min): makes
-          // pass-position contention visible when passes disagree.
-          System.err.println(
-            f"[bench] pass $pass ${q.name} ${sec}%.3f s")
-          q.name -> sec
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-            q.name -> -1.0
-        }
-      }.toMap
+      order.foreach { q =>
+        val sec =
+          try {
+            val t = timeOne(q)
+            // Per-sample line (the JSON carries only the min): makes
+            // pass-position contention visible when passes disagree.
+            System.err.println(
+              f"[bench] pass $pass ${q.name} ${t}%.3f s")
+            t
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+              -1.0
+          }
+        lightSamples(q.name) = sec :: lightSamples.getOrElse(q.name, Nil)
+        flushPartial()
+      }
     }
-    val results: Seq[(String, Double, Boolean)] =
-      selected.map { q =>
-        val ts = passes.map(_(q.name)).filter(_ >= 0)
-        if (ts.isEmpty) (q.name, -1.0, false) else (q.name, ts.min, true)
-      }
 
-    val qs = results
-      .map { case (k, v, _) =>
-        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
-          Double.box(v))
-      }
-      .mkString("{", ",", "}")
-    val failed = results.count(!_._3)
-    val total = results.filter(_._3).map(_._2).sum
-    val sfJson = jsonEscape(sfDir)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min$nPasses","queries":$qs,"failed":$failed,"sf":"$sfJson"$heavyJson}"""
+    if (forkedHeavy) {
+      heavyJson = HeavyBench.run(spark, sfDir, only, frag => {
+        heavyFrags += frag
+        flushPartial()
+      })
+    }
+
+    val (line, summary) = render(heavyJson, partial = false)
     println(line)
     // Persist the COMPLETE per-query JSON next to the repo's round
     // reports: the driver keeps only a truncated tail of stdout, which
     // has hidden heavy-entry failures before (r13: e14's crash was
     // invisible). A committed file is the measurement of record.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    try {
-      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
-      try w.println(line) finally w.close()
-      System.err.println(s"[bench] full JSON written to $outPath")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] cannot write $outPath: ${e.getMessage}")
-    }
+    writeOut(line)
+    System.err.println(s"[bench] full JSON written to $outPath")
     // LAST stdout line: a compact summary guaranteed to fit a
     // truncated tail capture. The full line above runs ~15 KB (166
     // queries + the heavy block's samples/meta) and a harness that
@@ -203,12 +263,17 @@ object Bench {
     // Built before stop, printed after: session shutdown can emit
     // stderr of its own, and under a `2>&1` capture that would land
     // AFTER the summary — the line must be genuinely last.
-    val summary = compactSummary(results, total, nPasses, failed, sfDir,
-      heavyJson, outPath)
     try spark.stop() catch { case _: Throwable => () }
+    Bench.completedNormally = true
     println(summary)
     System.out.flush()
   }
+
+  /** Shutdown-hook state: the last flushed compact summary (tagged
+    * partial), printed on abnormal exit so a killed run's stdout still
+    * ends in a parseable line. */
+  @volatile private[graft] var partialSummary: Option[String] = None
+  @volatile private[graft] var completedNormally: Boolean = false
 
   /** Minimal JSON string escaping for interpolated values (paths, SF
     * dirs): quotes, backslashes, and control chars — the three ways an
@@ -228,7 +293,7 @@ object Bench {
   private[graft] def compactSummary(
       results: Seq[(String, Double, Boolean)], total: Double,
       nPasses: Int, failed: Int, sfJson: String, heavyJson: String,
-      fullPath: String): String = {
+      fullPath: String, partial: Boolean = false): String = {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     // `sfJson`/`fullPath` arrive RAW (an env-supplied path can carry
@@ -241,7 +306,8 @@ object Bench {
     val heavySecs = """"sec":(-?[0-9.]+)""".r
       .findAllMatchIn(heavyJson).map(_.group(1).toDouble).filter(_ >= 0)
     val heavyTotal = heavySecs.sum
-    val head = s"""{"metric":"total","value":${fmt(total)},""" +
+    val partJson = if (partial) """"partial":true,""" else ""
+    val head = s"""{$partJson"metric":"total","value":${fmt(total)},""" +
       s""""unit":"sec","timing":"min$nPasses",""" +
       s""""n_queries":${results.size},"failed":$failed,""" +
       s""""heavy_total_sec":${fmt(heavyTotal)},""" +
@@ -1368,8 +1434,8 @@ object HeavyBench {
       meta = Seq("threshold" -> "0.8", "max_bucket" -> "100",
         "increment_fraction" -> "\"1/16\"")))
 
-  def run(spark: SparkSession, sfDir: String,
-          only: Option[Set[String]]): String = {
+  def run(spark: SparkSession, sfDir: String, only: Option[Set[String]],
+          onFragment: String => Unit = _ => ()): String = {
     if (sys.env.get("SPARK_GRAFT_HEAVY").contains("0")) return ""
     val selected = Items.filter(i => only.forall(_.contains(i.name)))
     if (selected.isEmpty) return ""
@@ -1380,7 +1446,7 @@ object HeavyBench {
     if (sys.env.get("SPARK_GRAFT_HEAVY_FORK").contains("0"))
       runInline(spark, sfDir, selected)
     else {
-      val forked = runForked(spark, sfDir, selected)
+      val forked = runForked(spark, sfDir, selected, onFragment)
       // Defense in depth: an environment where children cannot launch
       // (classpath/binary oddities) degrades to the inline mode
       // rather than silently dropping the whole heavy block.
@@ -1471,10 +1537,15 @@ object HeavyBench {
     * cross-check). Fixtures are built once here in the parent (all
     * stamped); children run sequentially and only read. */
   private def runForked(spark: SparkSession, sfDir: String,
-                        selected: Seq[HeavyItem]): String =
+                        selected: Seq[HeavyItem],
+                        onFragment: String => Unit): String =
     try {
       val dir = withHeavyConf(spark) { prepare(spark, sfDir, selected) }
-      val items = selected.flatMap(i => spawnEntry(sfDir, i.name))
+      val items = selected.flatMap { i =>
+        val frag = spawnEntry(sfDir, i.name)
+        frag.foreach(onFragment) // flush the partial artifact per entry
+        frag
+      }
       withHeavyConf(spark) { assemble(spark, dir, items, forked = true) }
     } catch {
       case e: Throwable =>
@@ -1484,11 +1555,16 @@ object HeavyBench {
 
   /** Run one entry in a child JVM (same classpath/opens/memory as this
     * one) and collect its JSON fragment from the marker line; child
-    * stderr streams through for progress. */
+    * stderr streams through for progress. Bounded by a generous
+    * per-entry ceiling (SPARK_GRAFT_HEAVY_TIMEOUT_SEC, default 900 s —
+    * the slowest record-mode entry finishes in ~3 min): a wedged child
+    * (e.g. a Spark deadlock) is force-killed and the entry degrades
+    * like the empty-fragment path instead of stalling the whole bench
+    * indefinitely. */
   private def spawnEntry(sfDir: String, name: String): Option[String] = {
-    val java = sys.props("java.home") + "/bin/java"
+    val javaBin = sys.props("java.home") + "/bin/java"
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
-    val cmd = Seq(java) ++ Bench.Jdk17Opens ++ Seq(
+    val cmd = Seq(javaBin) ++ Bench.Jdk17Opens ++ Seq(
       s"-Xmx$mem", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
@@ -1496,10 +1572,30 @@ object HeavyBench {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val p = pb.start()
-    val lines = scala.io.Source
-      .fromInputStream(p.getInputStream, "UTF-8").getLines().toList
-    val code = p.waitFor()
-    val frag = lines.reverseIterator.collectFirst {
+    // Stdout drains on a daemon thread so waitFor can carry the
+    // timeout (a blocked pipe would otherwise wedge the child too).
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      try scala.io.Source.fromInputStream(p.getInputStream, "UTF-8")
+        .getLines().foreach(lines.add)
+      catch { case _: Throwable => () }
+    }, s"heavy-stdout-$name")
+    reader.setDaemon(true)
+    reader.start()
+    val limitSec =
+      sys.env.getOrElse("SPARK_GRAFT_HEAVY_TIMEOUT_SEC", "900").toLong
+    val finished =
+      p.waitFor(limitSec, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      System.err.println(
+        s"[bench] forked heavy $name exceeded $limitSec s — killing")
+      p.destroyForcibly()
+      p.waitFor()
+    }
+    reader.join(5000)
+    val code = p.exitValue()
+    import scala.jdk.CollectionConverters._
+    val frag = lines.asScala.toList.reverseIterator.collectFirst {
       case l if l.startsWith(FragmentMarker) =>
         l.stripPrefix(FragmentMarker)
     }.filter(_.nonEmpty)
@@ -1534,17 +1630,23 @@ object HeavyBench {
           val bytes = srcPaths.map(p => duBytes(spark, p)).sum
           val rows = item.inputRows.map(_(spark, d)).getOrElse(
             srcPaths.map(p => spark.read.parquet(p).count()).sum)
-          // Min over N samples (default 3): each heavy item is timed
-          // once per sample from reaped state, but single samples still
-          // swing 2-4× WITHIN one run (r11 driver-like pass: d17
-          // 60.0/13.6 s, g8 20.5/10.1 s, pipe17 21.9/10.7 s back to
-          // back) — GC/allocator state the reaper cannot fully return.
-          // With 2 samples an item unlucky twice keeps the inflated
-          // number (the r10 d3-at-93-s README discrepancy); a third
-          // sample costs ~2 min over the block and tightens the min to
-          // the steady-state number the 100 TB sizing uses.
-          val nSamples = math.max(item.minSamples,
-            sys.env.getOrElse("SPARK_GRAFT_HEAVY_PASSES", "3").toInt)
+          // Sample count: the DEFAULT (env unset) is ONE timed sample
+          // after the untimed warm-up — fork isolation already kills
+          // cross-entry contention, and the r18 driver run proved that
+          // 44 entries × min-of-3/5 no longer fits the driver's bench
+          // window (rc=124, zero numbers). The committed record
+          // (BENCH_full.json) is refreshed with
+          // SPARK_GRAFT_HEAVY_PASSES=3 (5 for the JIT-heaviest entries
+          // via minSamples — l2's fresh-JVM samples read
+          // 19.0/18.0/16.7/16.1/17.2 s, converging down, so min-of-3
+          // after one warm-up still overstates ~1.2×), where the
+          // in-run sample swing evidence (r11: d17 60.0/13.6 s, g8
+          // 20.5/10.1 s back to back) says a single sample is not a
+          // record-grade number.
+          val nSamples = sys.env.get("SPARK_GRAFT_HEAVY_PASSES") match {
+            case Some(n) => math.max(item.minSamples, n.toInt)
+            case None => 1
+          }
           // One UNTIMED warm-up visit before the timed samples: the
           // biggest JIT-heavy plans (l2 licensing, t13 BPE, d3 bands)
           // never reached steady state inside a contended min-of-3 —
@@ -1591,8 +1693,17 @@ object HeavyBench {
             else String.format(java.util.Locale.ROOT,
               ""","warmup_sec":%.3f""", Double.box(warmup))
           // Extra counts are untimed: they re-run the candidate stage
-          // on its own, after the timed window.
-          val extras = item.counts.map(_(spark, d)).getOrElse(Nil) ++
+          // on its own, after the timed window. They are part of the
+          // committed record (HEAVY_PASSES set, or HEAVY_EXTRAS=1),
+          // NOT the driver's window-bounded default run — some re-run
+          // whole stages (m11's decode-only min-of-2, d17's four-way
+          // assignment profile) and together cost minutes the default
+          // artifact does not need: the record already carries them.
+          val wantExtras = sys.env.contains("SPARK_GRAFT_HEAVY_PASSES") ||
+            sys.env.get("SPARK_GRAFT_HEAVY_EXTRAS").contains("1")
+          val extras =
+            (if (wantExtras) item.counts.map(_(spark, d)).getOrElse(Nil)
+             else Nil) ++
             (if (outRows >= 0) Seq("out_rows" -> outRows) else Nil)
           val extraJson = (item.meta.map { case (k, v) => s""""$k":$v""" } ++
             extras.map { case (k, v) =>
