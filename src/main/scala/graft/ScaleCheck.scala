@@ -163,6 +163,14 @@ object ScaleCheck {
       spark.stop()
       return
     }
+    // `warcsplit [1,4,16]` → the WARC record-split member-count sweep
+    // (see [[warcSplitSweep]]).
+    if (args.headOption.contains("warcsplit")) {
+      warcSplitSweep(spark, args.lift(1).getOrElse("1,4,16")
+        .split(",").map(_.trim.toInt).toSeq)
+      spark.stop()
+      return
+    }
     // `l2 <dir> [<dir> …]` → the licensing fixture-sensitivity probe:
     // min-of-3 isolated l2_amsl_tag_heavy against each dir's
     // lineitem.parquet (the same timing harness as the bench — reaped
@@ -979,6 +987,59 @@ object ScaleCheck {
       val (sec, rows) = run(m)
       val loop = sec - baseSec
       println(f"$m%8d $rows%8d $sec%8.2f $loop%9.2f ${loop * 1000 / m}%9.3f")
+    }
+  }
+
+  /** The WARC record-split scaling sweep: per factor, n×20 K records
+    * muxed UNTIMED into 8 per-member .warc.gz files, then the
+    * paths-listing scan ([[graft.sources.Warc.records]]) timed over
+    * the dir — full materialization (payload hash fold), the bench
+    * discipline. The split is one sequential streaming pass per file
+    * with O(record) memory, so the bar is strictly LINEAR in member
+    * count (flat recs/s and MB/s across factors); a rising per-record
+    * cost would mean whole-file buffering crept back into the path.
+    *
+    * Run: sbt "runMain graft.ScaleCheck warcsplit 1,4,16" */
+  private[graft] def warcSplitSweep(spark: org.apache.spark.sql.SparkSession,
+                                    factors: Seq[Int]): Unit = {
+    import graft.sources.Warc
+    def timeDir(n: Int): (Double, Long, Long) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"warcsweep$n")
+      try {
+        val files = 8
+        val perFile = 20000L * n / files
+        (0 until files).foreach { f =>
+          val out = java.nio.file.Files.newOutputStream(
+            dir.resolve(f"part-$f%02d.warc.gz"))
+          try {
+            var i = 0L
+            while (i < perFile) {
+              val id = f * perFile + i
+              out.write(Warc.gzipMember(Warc.encodeRecord("response",
+                s"http://example.org/p/$id",
+                "application/http;msgtype=response",
+                Warc.encodeHttpResponse(200, "OK", "text/html",
+                  (s"<html><body>page $id " + ("lorem ipsum dolor " * 20) +
+                    "</body></html>").getBytes("UTF-8")),
+                s"w-$id")))
+              i += 1
+            }
+          } finally out.close()
+        }
+        val bytes = java.nio.file.Files.list(dir).toArray.map(p =>
+          java.nio.file.Files.size(p.asInstanceOf[java.nio.file.Path])).sum
+        val t0 = System.nanoTime()
+        val row = Warc.records(spark, dir.toString + "/*.warc.gz")
+          .select(xxhash64(col("payload")).as("h"))
+          .agg(expr("bit_xor(h)"), count(lit(1))).collect()(0)
+        ((System.nanoTime() - t0) / 1e9, row.getLong(1), bytes)
+      } finally queries.Fixtures.deleteRecursively(dir)
+    }
+    timeDir(1) // warm the scan path
+    println(f"${"factor"}%7s ${"records"}%9s ${"gz_mb"}%7s ${"sec"}%7s ${"recs/s"}%9s ${"mb/s"}%7s")
+    factors.foreach { n =>
+      val (sec, recs, bytes) = timeDir(n)
+      println(f"$n%7d $recs%9d ${bytes / 1e6}%7.1f $sec%7.2f ${recs / sec}%9.0f ${bytes / 1e6 / sec}%7.1f")
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
 import java.util.zip.GZIPInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
 /** S14 — WARC record scan (ISO 28500, the container every web-crawl
   * corpus ships in: Common Crawl, heritrix output, wget --warc). The
   * S5/S6 archive discipline applied to the crawl container: one task
-  * per .warc(.gz) file via the binaryFile source, per-partition
-  * streaming record split, plain DataFrame from there on — pairs with
-  * the HTML extractor (t16/pipe30) to make the engine crawl-native
-  * end-to-end: WARC bytes → records → html_extract → funnel.
+  * per .warc(.gz) file (paths-listing scan, a stream opened in the
+  * task), a LAZY per-gzip-member record split with peak memory
+  * O(largest record) — production containers are ~1 GB gz / 3-5 GB
+  * raw, past any whole-file JVM array — and a plain DataFrame from
+  * there on. Pairs with the HTML extractor (t16/pipe30) to make the
+  * engine crawl-native end-to-end: WARC bytes → records →
+  * html_extract → funnel.
   *
   * Format facts used (ISO 28500 §4): a record is a version line
   * `WARC/1.x`, CRLF-separated named headers, CRLF CRLF, then EXACTLY
@@ -48,63 +51,129 @@ object Warc {
 
   private val Crlf = "\r\n"
 
+  /** Record heads are tiny (a dozen short header lines); a "head"
+    * that grows past this without its closing CRLF CRLF is junk, and
+    * the scan stops rather than buffering an unbounded stream. */
+  private val MaxHeadBytes = 1 << 20
+
   /** Parse every complete record in `bytes` (already decompressed).
     * Total: malformed or truncated input yields the records parsed
-    * before the fault, never a throw. */
-  def parse(bytes: Array[Byte]): Seq[Rec] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
-    var pos = 0
-    val n = bytes.length
+    * before the fault, never a throw. Delegates to [[streamRecords]]
+    * — one parser for the array and streaming paths. */
+  def parse(bytes: Array[Byte]): Seq[Rec] =
+    streamRecords(new ByteArrayInputStream(bytes), gzipped = false).toSeq
 
-    def findCrlfCrlf(from: Int): Int = {
-      var i = from
-      while (i + 3 < n) {
-        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
-        i += 1
+  /** THE record split, streaming: a lazy iterator over `raw` that
+    * inflates and parses ONE record at a time — peak memory O(largest
+    * record), NOT O(file). This is what lets the scan read
+    * production-size containers (a standard crawl WARC is ~1 GB
+    * compressed / 3-5 GB raw — far past any whole-file JVM array):
+    * `.warc.gz` compresses each record as its own gzip member
+    * (ISO 28500 annex D) and GZIPInputStream walks concatenated
+    * members incrementally, so the iterator's working set is one
+    * record's head + payload.
+    *
+    * Totality, same contract as the array path and extended to the
+    * gzip layer: a malformed head, a payload that ends early, or a
+    * gzip fault mid-member (crawl truncation) yields the records
+    * parsed BEFORE the fault, never a throw — the already-emitted
+    * prefix survives. The caller owns closing `raw`. */
+  def streamRecords(raw: InputStream, gzipped: Boolean): Iterator[Rec] =
+    new Iterator[Rec] {
+      private var in: InputStream = null
+      private var nextRec: Rec = null
+      private var done = false
+
+      private def init(): Unit =
+        in = new BufferedInputStream(
+          if (gzipped) new GZIPInputStream(raw, 64 * 1024) else raw,
+          64 * 1024)
+
+      /** Read exactly `len` bytes or return null (truncation). */
+      private def readFully(len: Int): Array[Byte] = {
+        val buf = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          val k = in.read(buf, off, len - off)
+          if (k < 0) return null
+          off += k
+        }
+        buf
       }
-      -1
-    }
 
-    var ok = true
-    while (ok) {
-      // Inter-record padding: the spec's two CRLFs, tolerantly any run.
-      while (pos < n && (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
-      val he = if (pos + 5 <= n &&
-        new String(bytes, pos, 5, "ISO-8859-1") == "WARC/")
-        findCrlfCrlf(pos) else -1
-      if (he < 0) ok = false
-      else {
-        val head = new String(bytes, pos, he - pos, "ISO-8859-1")
-        val lines = head.split(Crlf)
-        def header(name: String): Option[String] = lines.iterator.drop(1)
-          .map(_.split(":", 2))
-          .collectFirst {
-            case Array(k, v) if k.trim.equalsIgnoreCase(name) => v.trim
+      private def advance(): Unit = {
+        nextRec = null
+        if (done) return
+        try {
+          if (in == null) init()
+          // Inter-record padding: the spec's two CRLFs, tolerantly
+          // any run of CR/LF bytes.
+          var b = in.read()
+          while (b == '\r' || b == '\n') b = in.read()
+          if (b < 0) { done = true; return }
+          // Head: bytes up to CRLF CRLF. The version-line check fires
+          // as soon as five bytes are in, so junk streams stop without
+          // being scanned to EOF.
+          val head = new java.io.ByteArrayOutputStream(512)
+          head.write(b)
+          var tail = b & 0xFF // rolling last-4-bytes window
+          var t2 = 0; var t3 = 0; var t4 = 0
+          var headEnd = false
+          while (!headEnd) {
+            if (head.size == 5 &&
+              !new String(head.toByteArray, "ISO-8859-1").startsWith("WARC/")) {
+              done = true; return
+            }
+            val c = in.read()
+            if (c < 0 || head.size >= MaxHeadBytes) { done = true; return }
+            head.write(c)
+            t4 = t3; t3 = t2; t2 = tail; tail = c
+            headEnd = t4 == '\r' && t3 == '\n' && t2 == '\r' && tail == '\n'
           }
-        val lenOk = header("Content-Length").flatMap(_.toLongOption)
-          .filter(l => l >= 0 && he + 4 + l <= n)
-        lenOk match {
-          case None => ok = false // missing/bad/escaping length: stop
-          case Some(len) =>
-            val bodyStart = he + 4
-            val block = java.util.Arrays.copyOfRange(
-              bytes, bodyStart, bodyStart + len.toInt)
-            val warcCt = header("Content-Type").getOrElse("")
-            val rec =
-              if (warcCt.startsWith("application/http"))
-                parseHttp(header("WARC-Type").getOrElse(""),
-                  header("WARC-Target-URI").orNull, block)
-              else Rec(header("WARC-Type").getOrElse(""),
-                header("WARC-Target-URI").orNull,
-                if (warcCt.isEmpty) null else warcCt, -1, block)
-            out += rec
-            pos = bodyStart + len.toInt
+          val headStr = new String(head.toByteArray, 0, head.size - 4,
+            "ISO-8859-1")
+          if (!headStr.startsWith("WARC/")) { done = true; return }
+          val lines = headStr.split(Crlf)
+          def header(name: String): Option[String] = lines.iterator.drop(1)
+            .map(_.split(":", 2))
+            .collectFirst {
+              case Array(k, v) if k.trim.equalsIgnoreCase(name) => v.trim
+            }
+          header("Content-Length").flatMap(_.toLongOption)
+            .filter(l => l >= 0 && l <= Int.MaxValue - 8) match {
+            case None => done = true // missing/bad/giant length: stop
+            case Some(len) =>
+              val block = readFully(len.toInt)
+              if (block == null) done = true // truncated payload: drop
+              else {
+                val warcCt = header("Content-Type").getOrElse("")
+                nextRec =
+                  if (warcCt.startsWith("application/http"))
+                    parseHttp(header("WARC-Type").getOrElse(""),
+                      header("WARC-Target-URI").orNull, block)
+                  else Rec(header("WARC-Type").getOrElse(""),
+                    header("WARC-Target-URI").orNull,
+                    if (warcCt.isEmpty) null else warcCt, -1, block)
+              }
+          }
+        } catch {
+          // Gzip/IO fault mid-record (truncated final member, bad
+          // magic, CRC mismatch): stop, keeping the emitted prefix.
+          case _: java.io.IOException => done = true
         }
       }
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): Rec = {
+        if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+        val r = nextRec
+        nextRec = null
+        r
+      }
     }
-    out.toSeq
-  }
 
   /** Split an application/http block: head up to CRLF CRLF (or the
     * whole block when absent — a truncated message is all head),
@@ -199,10 +268,19 @@ object Warc {
       .as[(String, Int, String, Array[Byte])]
       .foreachPartition {
         (it: Iterator[(String, Int, String, Array[Byte])]) =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val f = java.nio.file.Paths.get(dir)
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          // Write under an ATTEMPT-unique temp name, then atomically
+          // rename onto the partition's final name: two concurrent
+          // attempts of one partition (speculative execution, or a
+          // retry racing a zombie) each build a complete private file
+          // and the rename publishes whichever finishes — never an
+          // interleaved, corrupt .warc.gz.
+          val finalF = java.nio.file.Paths.get(dir)
             .resolve(f"part-$pid%05d.warc.gz")
-          val out = java.nio.file.Files.newOutputStream(f)
+          val tmpF = java.nio.file.Paths.get(dir)
+            .resolve(f"part-$pid%05d.warc.gz.${tc.taskAttemptId()}%d.tmp")
+          val out = java.nio.file.Files.newOutputStream(tmpF)
           try {
             var i = 0
             it.foreach { case (uri, status, ct, body) =>
@@ -214,44 +292,98 @@ object Warc {
               i += 1
             }
           } finally out.close()
+          java.nio.file.Files.move(tmpF, finalF,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
       }
   }
 
-  /** All records of every .warc(.gz) under `path`, with provenance.
-    * Output: path, warc_type, target_uri, http_status (nullable int),
-    * content_type, payload (binary). */
+  /** All records of every .warc(.gz) under `path` (a file, a glob, or
+    * a directory), with provenance. Output: path, warc_type,
+    * target_uri, http_status (nullable int), content_type, payload
+    * (binary).
+    *
+    * SCALE SHAPE: this is a paths-listing scan — the driver resolves
+    * the file list, each task OPENS A STREAM on its file and runs the
+    * per-gzip-member [[streamRecords]] split — so a task's working set
+    * is one record, not one file. The binaryFile source (whole-file
+    * `content` column, hard 2 GiB cap) is deliberately NOT on this
+    * path: a standard crawl container is ~1 GB gz / 3-5 GB raw, which
+    * the streamed split handles and a materialized byte array cannot.
+    * Parallelism is file-granular either way (the crawl-delivery
+    * layout: many ~1 GB containers). */
   def records(spark: SparkSession, path: String,
-              gzipped: Boolean = true): DataFrame =
-    recordsOf(spark.read.format("binaryFile").load(path), gzipped)
+              gzipped: Boolean = true): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+      else Seq(st)
+    }.map(_.getPath.toString).sorted
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    import spark.implicits._
+    val pathsDs = spark.createDataset(
+      spark.sparkContext.parallelize(files, math.max(1, files.size)))
+    recordRows(pathsDs.flatMap { p =>
+      val fp = new org.apache.hadoop.fs.Path(p)
+      val in = fp.getFileSystem(conf.value).open(fp)
+      // Close on task completion, not iterator exhaustion: a limit()
+      // or failure downstream may abandon the iterator mid-file.
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+      streamRecords(in, gzipped).map(r => (p, r.warcType, r.targetUri,
+        if (r.httpStatus < 0) None else Some(r.httpStatus),
+        Option(r.contentType), r.payload))
+    })
+  }
 
   /** The record split over an already-loaded binaryFile frame
-    * (`path`, `content` columns) — shared by [[records]] and the
-    * streaming ingestion ([[graft.streaming.StreamingWarc]]), so the
-    * two paths cannot drift. */
+    * (`path`, `content` columns) — the STREAMING ingestion's shape
+    * ([[graft.streaming.StreamingWarc]] rides the streaming file
+    * source, which delivers whole-file content per micro-batch file).
+    * The split itself is [[streamRecords]] verbatim — decompression
+    * and parsing stay one-record-at-a-time over the byte array — so
+    * the batch and streaming paths cannot drift. */
   def recordsOf(files: DataFrame, gzipped: Boolean = true): DataFrame = {
     val spark = files.sparkSession
     import spark.implicits._
-    files
+    recordRows(files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, raw) =>
-        val bytes =
-          if (gzipped) {
-            // Multi-member gzip: GZIPInputStream consumes every member.
-            try {
-              val buf = new java.io.ByteArrayOutputStream()
-              val in = new GZIPInputStream(new ByteArrayInputStream(raw))
-              val chunk = new Array[Byte](64 * 1024)
-              Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
-                .foreach(k => buf.write(chunk, 0, k))
-              buf.toByteArray
-            } catch { case _: java.io.IOException => Array.emptyByteArray }
-          } else raw
-        parse(bytes).map(r => (p, r.warcType, r.targetUri,
-          if (r.httpStatus < 0) None else Some(r.httpStatus),
-          Option(r.contentType), r.payload))
-      }
-      .toDF("path", "warc_type", "target_uri", "http_status",
-        "content_type", "payload")
+        streamRecords(new ByteArrayInputStream(raw), gzipped)
+          .map(r => (p, r.warcType, r.targetUri,
+            if (r.httpStatus < 0) None else Some(r.httpStatus),
+            Option(r.contentType), r.payload))
+      })
+  }
+
+  private def recordRows(
+      ds: org.apache.spark.sql.Dataset[(String, String, String,
+        Option[Int], Option[String], Array[Byte])]): DataFrame =
+    ds.toDF("path", "warc_type", "target_uri", "http_status",
+      "content_type", "payload")
+}
+
+/** Hadoop Configuration is not Serializable; this carries it to tasks
+  * via its own writable form (the standard wrapper pattern) so the
+  * paths-listing scan keeps the session's filesystem settings —
+  * credentials, FS implementations — instead of a blank task-side
+  * Configuration. */
+private[sources] class SerializableHadoopConf(
+    @transient var value: org.apache.hadoop.conf.Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
   }
 }

@@ -94,6 +94,65 @@ class WarcSpec extends AnyFunSuite {
     } finally graft.queries.Fixtures.deleteRecursively(dir)
   }
 
+  test("the split is LAZY: the first record is served before the file is fully read") {
+    // 1000 gzip members (large enough that the split's fixed 64 KB
+    // readahead buffers are a small fraction of the file); a counting
+    // stream under the split observes how many compressed bytes the
+    // iterator actually pulled. Consuming one record must NOT have
+    // read the whole container — the O(largest-record) memory
+    // contract the 1 GB-gz production WARC size depends on (a
+    // whole-file split would read to EOF first).
+    val bos = new java.io.ByteArrayOutputStream()
+    (1 to 1000).foreach(i =>
+      bos.write(Warc.gzipMember(respRecord(i, 200, s"body $i " * 50))))
+    val all = bos.toByteArray
+    var readSoFar = 0L
+    val counting = new java.io.FilterInputStream(
+      new java.io.ByteArrayInputStream(all)) {
+      override def read(): Int = {
+        val b = super.read(); if (b >= 0) readSoFar += 1; b
+      }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        val k = super.read(buf, off, len); if (k > 0) readSoFar += k; k
+      }
+    }
+    val it = Warc.streamRecords(counting, gzipped = true)
+    val first = it.next()
+    assert(first.targetUri == "http://example.org/doc/1")
+    assert(readSoFar < all.length / 2,
+      s"read $readSoFar of ${all.length} compressed bytes for one record")
+    // and the rest still arrive complete
+    assert(it.size == 999)
+  }
+
+  test("gzip truncation keeps the already-parsed prefix (annex-D member semantics)") {
+    val m1 = Warc.gzipMember(respRecord(1, 200, "first member body"))
+    val m2 = Warc.gzipMember(respRecord(2, 200, "second member body"))
+    val m3 = Warc.gzipMember(respRecord(3, 200, "third member body"))
+    val full = m1 ++ m2 ++ m3
+    // Cut anywhere inside member 3: members 1-2 must still parse.
+    // (A cut inside m3's 8-byte gzip TRAILER can still yield record 3
+    // — its deflate data completed before the fault; parse-or-stop
+    // guarantees the prefix, it does not promise to discard a payload
+    // that arrived whole.)
+    Seq(1, m3.length / 2, m3.length - 1).foreach { cut =>
+      val trunc = java.util.Arrays.copyOf(full, m1.length + m2.length + cut)
+      val recs = Warc.streamRecords(
+        new java.io.ByteArrayInputStream(trunc), gzipped = true).toSeq
+      assert(recs.length >= 2 && recs.length <= 3 &&
+        recs.map(_.targetUri).take(2) == Seq("http://example.org/doc/1",
+          "http://example.org/doc/2"), s"cut=$cut got ${recs.length}")
+    }
+    // Truncation at EVERY byte length never throws and never emits
+    // more records than completed members.
+    (0 to full.length).foreach { len =>
+      val recs = Warc.streamRecords(
+        new java.io.ByteArrayInputStream(java.util.Arrays.copyOf(full, len)),
+        gzipped = true).toSeq
+      assert(recs.length <= 3)
+    }
+  }
+
   test("gzip-member chunking: per-member .warc.gz reads whole through the scan") {
     val dir = java.nio.file.Files.createTempDirectory("warc")
     try {
