@@ -1585,6 +1585,52 @@ object LlmQueries {
           col("__d.charset").as("charset"))
     },
 
+    // Legacy-CJK charset detection (the t18 seam filled: GBK /
+    // Shift_JIS / EUC-JP / Big5 are a large share of real crawls, and
+    // the Latin-1 fallback turned those pages into scoreable-looking
+    // mojibake). The fixture appends a constant CJK suffix ENCODED
+    // THROUGH EACH CODEPAGE (driver-side constant byte literals —
+    // Spark's `encode` whitelists only the UTF family) onto the
+    // UTF-8 ASCII body; the operator must route each payload through
+    // the byte-shape probes + strict round-trip to the right branch,
+    // including the contrast case of the SAME CJK text correctly
+    // shipped as UTF-8. The oracle knows every decoded string by
+    // construction and never touches bytes.
+    Q("t19_charset_cjk",
+      """SELECT doc_id,
+        |  text || CASE WHEN doc_id % 5 IN (1, 2)
+        |               THEN ' 日本語テキスト'
+        |               WHEN doc_id % 5 = 3
+        |               THEN ' 這是中文資料'
+        |               ELSE ' 中文数据处理'
+        |          END AS text,
+        |  CASE WHEN doc_id % 5 = 1 THEN 'shift_jis'
+        |       WHEN doc_id % 5 = 2 THEN 'euc-jp'
+        |       WHEN doc_id % 5 = 3 THEN 'big5'
+        |       WHEN doc_id % 5 = 4 THEN 'gbk'
+        |       ELSE 'utf-8' END AS charset
+        |FROM documents""".stripMargin) { (s, d) =>
+      graft.plans.TextDecodeExpr.register(s)
+      // Japanese (kana signal), traditional (low-trail signal),
+      // simplified (GB2312-zone pairs) — one constant per codepage.
+      val jp = "日本語テキスト"
+      val trad = "這是中文資料"
+      val simp = "中文数据处理"
+      val suffix = when(col("doc_id") % 5 === 1,
+          lit((" " + jp).getBytes("Shift_JIS")))
+        .when(col("doc_id") % 5 === 2, lit((" " + jp).getBytes("EUC-JP")))
+        .when(col("doc_id") % 5 === 3, lit((" " + trad).getBytes("Big5")))
+        .when(col("doc_id") % 5 === 4, lit((" " + simp).getBytes("GBK")))
+        .otherwise(lit((" " + simp).getBytes("UTF-8")))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(encode(col("text"), "UTF-8"), suffix).as("p"))
+        .withColumn("__d", explode(array(
+          call_function(graft.plans.TextDecodeExpr.Name, col("p")))))
+        .select(col("doc_id"), col("__d.text").as("text"),
+          col("__d.charset").as("charset"))
+    },
+
     // Linear quality-classifier inference (the fastText-style filter
     // serving shape, FineWeb-Edu / CCNet): hashed bag-of-words counts
     // × a broadcast integer-quantized weight table → exact integer

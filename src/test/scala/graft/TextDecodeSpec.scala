@@ -58,6 +58,31 @@ class TextDecodeSpec extends AnyFunSuite {
       ("", "utf-16be"))
   }
 
+  test("legacy CJK codepages route by shape + signal, not guessing") {
+    val jp = "ascii prefix 日本語テキスト tail"
+    val trad = "ascii prefix 這是中文資料 tail"
+    val simp = "ascii prefix 中文数据处理 tail"
+    def dec(s: String, cs: String) = TextDecodeExpr.decode(s.getBytes(cs))
+    assert(dec(jp, "Shift_JIS") == ((jp, "shift_jis")))
+    assert(dec(jp, "EUC-JP") == ((jp, "euc-jp")))
+    assert(dec(trad, "Big5") == ((trad, "big5")))
+    assert(dec(simp, "GBK") == ((simp, "gbk")))
+    // The same CJK text properly shipped as UTF-8 stays utf-8.
+    assert(dec(simp, "UTF-8") == ((simp, "utf-8")))
+    // Documented precedence corners: pure-kana bytes are IDENTICAL in
+    // EUC-JP and GB2312 (ISO-2022 heritage) — euc-jp wins by order;
+    // half-width katakana (the 0x8E plane) is EUC-JP's own signal.
+    assert(dec("こんにちは", "EUC-JP")._2 == "euc-jp")
+    assert(dec("ｶﾀｶﾅ", "EUC-JP")._2 == "euc-jp")
+    // A Latin-1 page with stray high bytes must NOT be claimed by any
+    // CJK probe (unpaired high byte breaks every shape walk).
+    assert(TextDecodeExpr.decode(
+      Array[Byte]('a', 0xE9.toByte, 'b')) == (("aéb", "iso-8859-1")))
+    // GB2312-zone pairs are structurally valid Big5/EUC but carry
+    // neither the kana signal nor a low trail — GBK claims them.
+    assert(dec("汉字内容", "GBK")._2 == "gbk")
+  }
+
   test("decode is byte-reversible through the reported charset") {
     // The property that makes the fallback SAFE: whatever branch
     // fires, re-encoding the text in the reported charset (BOM
