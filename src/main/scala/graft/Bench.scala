@@ -38,6 +38,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.silenceBoundedWindowWarnings()
 
     // Optional comma-separated name filter for iterating on one query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -1972,6 +1973,7 @@ object HeavyEntryMain {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.silenceBoundedWindowWarnings()
     val frag = HeavyBench.runSingle(spark, sfDir, name)
     try spark.stop() catch { case _: Throwable => () }
     println(HeavyBench.FragmentMarker + frag.getOrElse(""))

@@ -137,6 +137,20 @@ object Tables {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    silenceBoundedWindowWarnings()
     spark
   }
+
+  /** The engine's only unkeyed windows rank BOUNDED model tables (the
+    * BPE vocabulary's id assignment, PQ's `limit(k)` seed ranking) —
+    * O(vocab)/O(k) rows by construction — but WindowExec warns
+    * "Moving all data to a single partition" on every such plan,
+    * dozens of times per bench/verify run, drowning driver captures.
+    * Silence that one logger; every data-scale window in this engine
+    * is keyed, so the warning carries no signal here. */
+  def silenceBoundedWindowWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging backend absent: cosmetic
 }

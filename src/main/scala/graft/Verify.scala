@@ -16,6 +16,7 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.silenceBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // Dev-only iteration filter (driver sets no env → all queries run).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -28,7 +28,7 @@ object NativeScanProps extends Properties("NativeScan") {
   // Separators: every regex-\s char plus runs; texts may lead/trail
   // with them (the leading-""-token / trailing-empty-line edges).
   private val sep: Gen[String] = Gen.chooseNum(1, 3).flatMap(n =>
-    Gen.listOfN(n, Gen.oneOf(" ", "\t", "\n", "", "\f", "\r"))
+    Gen.listOfN(n, Gen.oneOf(" ", "\t", "\n", "\u000b", "\f", "\r"))
       .map(_.mkString))
   private val text: Gen[String] = for {
     lead <- Gen.oneOf(Gen.const(""), sep)
