@@ -315,18 +315,21 @@ object Warc {
     * layout: many ~1 GB containers). */
   def records(spark: SparkSession, path: String,
               gzipped: Boolean = true): DataFrame = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-      else Seq(st)
-    }.map(_.getPath.toString).sorted
     val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     import spark.implicits._
-    val pathsDs = spark.createDataset(
-      spark.sparkContext.parallelize(files, math.max(1, files.size)))
-    recordRows(pathsDs.flatMap { p =>
+    // The binaryFile source does the LISTING (files/globs/dirs, one
+    // non-splittable task per file — crawl-delivery granularity) but
+    // only `path` is projected, so file CONTENT is never materialized
+    // and its 2 GiB array cap never applies; the tasks open their own
+    // streams below. Listing through a file source keeps honest
+    // byte-size statistics on the scan leaf — join strategy downstream
+    // stays stats-driven exactly as over parquet (broadcast the
+    // derived small side at fixture scale, shuffle at crawl scale),
+    // where a plain parallelized path list reports unknown size and
+    // forces every downstream join to sort-merge regardless of data.
+    val paths = spark.read.format("binaryFile").load(path)
+      .select(col("path")).as[String]
+    recordRows(paths.flatMap { p =>
       val fp = new org.apache.hadoop.fs.Path(p)
       val in = fp.getFileSystem(conf.value).open(fp)
       // Close on task completion, not iterator exhaustion: a limit()
