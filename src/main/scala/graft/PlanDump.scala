@@ -34,7 +34,9 @@ object PlanDump {
     val wanted: Set[String] =
       if (args(1) == "all") SparkEntry.registry.map(_.name).toSet
       else args(1).split(",").toSet
-    val outDir = java.nio.file.Paths.get("plans", tag)
+    val outDir =
+      if (tag.startsWith("/")) java.nio.file.Paths.get(tag)
+      else java.nio.file.Paths.get("plans", tag)
     java.nio.file.Files.createDirectories(outDir)
     // Fixture prep mirrors Bench so fixture-backed queries resolve.
     try {

@@ -52,6 +52,38 @@ object PdfCodec {
 
   final case class Extract(text: String, pages: Int, version: String)
 
+  // Hot-path patterns compiled ONCE (extract runs per document; a
+  // literal "…".r inside it recompiles the Pattern per row — measured
+  // as a visible slice of the m15/m16 per-doc budget at 320 K docs).
+  private val PageRe = "/Type\\s*/Page(?![a-zA-Z])".r
+  private val ObjRe = "(?m)(\\d+)\\s+0\\s+obj".r
+  private val Type0Re = "/Subtype\\s*/Type0".r
+  private val ToUnicodeRe = "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
+  private val FontDictRe = "(?s)/Font\\s*<<(.*?)>>".r
+  private val FontBindRe = "/([A-Za-z0-9_.]+)\\s+(\\d+)\\s+0\\s+R".r
+  private val CmapTokRe = "<([0-9A-Fa-f\\s]*)>|\\[|\\]|[A-Za-z]+".r
+
+  private val HexUpper = "0123456789ABCDEF"
+
+  /** Zero-padded 10-digit decimal — the xref entry form, without a
+    * java.util.Formatter per object. */
+  private def dec10(v: Int): String = {
+    val s = java.lang.Integer.toString(v)
+    "0000000000".substring(s.length) + s
+  }
+
+  /** Fixed-width uppercase hex — the `f"$v%04X"` equivalent without a
+    * java.util.Formatter per call (the CID synth shows one hex code
+    * per CHARACTER of page text). */
+  private def hex4(v: Int): String = {
+    val a = new Array[Char](4)
+    a(0) = HexUpper.charAt((v >>> 12) & 0xF)
+    a(1) = HexUpper.charAt((v >>> 8) & 0xF)
+    a(2) = HexUpper.charAt((v >>> 4) & 0xF)
+    a(3) = HexUpper.charAt(v & 0xF)
+    new String(a)
+  }
+
   // ---- extraction ----
 
   def extract(bytes: Array[Byte]): Extract = {
@@ -64,7 +96,7 @@ object PdfCodec {
 
     // Page objects live OUTSIDE content streams; count on the raw
     // text. "/Type /Page" with arbitrary whitespace, not "/Pages".
-    val pages = "/Type\\s*/Page(?![a-zA-Z])".r.findAllIn(raw).size
+    val pages = PageRe.findAllIn(raw).size
 
     // Type0 fonts: resource name → ToUnicode code map (empty for
     // simple-font PDFs; total — a malformed font graph just yields no
@@ -139,11 +171,15 @@ object PdfCodec {
     * Names bind file-globally, FIRST wins (see the scope note). */
   private[plans] def collectCidFonts(raw: String, bytes: Array[Byte])
       : Map[String, Map[Int, String]] = {
+    // Simple-font fast path: a Type0 font dict literally contains
+    // "/Type0", so its absence proves there is no CID font to walk —
+    // the object-table scan below never pays off on the (majority)
+    // simple-font documents.
+    if (raw.indexOf("/Type0") < 0) return Map.empty
     // object id → (body text, stream byte range) for the tiny object
     // set a font graph touches.
-    val objRe = "(?m)(\\d+)\\s+0\\s+obj".r
     val objs = scala.collection.mutable.Map.empty[Int, (Int, Int)]
-    objRe.findAllMatchIn(raw).take(1 << 14).foreach { m =>
+    ObjRe.findAllMatchIn(raw).take(1 << 14).foreach { m =>
       val id = m.group(1).toInt
       val end = raw.indexOf("endobj", m.end)
       if (end > 0 && !objs.contains(id)) objs(id) = (m.end, end)
@@ -173,16 +209,16 @@ object PdfCodec {
       cmapOfFont.get(fontId).filter(_.nonEmpty).orElse {
         val m = (for {
           body <- objBody(fontId)
-          if "/Subtype\\s*/Type0".r.findFirstIn(body).isDefined
-          tu <- "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(body)
+          if Type0Re.findFirstIn(body).isDefined
+          tu <- ToUnicodeRe.findFirstMatchIn(body)
           stream <- objStream(tu.group(1).toInt)
         } yield parseToUnicode(stream)).getOrElse(Map.empty)
         cmapOfFont(fontId) = m
         if (m.isEmpty) None else Some(m)
       }
     val out = scala.collection.mutable.Map.empty[String, Map[Int, String]]
-    "(?s)/Font\\s*<<(.*?)>>".r.findAllMatchIn(raw).take(1 << 12).foreach { fm =>
-      "/([A-Za-z0-9_.]+)\\s+(\\d+)\\s+0\\s+R".r
+    FontDictRe.findAllMatchIn(raw).take(1 << 12).foreach { fm =>
+      FontBindRe
         .findAllMatchIn(fm.group(1)).foreach { b =>
           val name = b.group(1)
           if (!out.contains(name))
@@ -202,8 +238,7 @@ object PdfCodec {
   private[graft] def parseToUnicode(cmap: Array[Byte]): Map[Int, String] = {
     val s = new String(cmap, "ISO-8859-1")
     // Token stream: hex strings, brackets, bare words.
-    val tokRe = "<([0-9A-Fa-f\\s]*)>|\\[|\\]|[A-Za-z]+".r
-    val toks = tokRe.findAllMatchIn(s).take(1 << 18).map { m =>
+    val toks = CmapTokRe.findAllMatchIn(s).take(1 << 18).map { m =>
       if (m.matched == "[") ("[", null)
       else if (m.matched == "]") ("]", null)
       else if (m.matched.startsWith("<"))
@@ -215,7 +250,9 @@ object PdfCodec {
       padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
     }
     def hexInt(h: String): Int =
-      BigInt(if (h.isEmpty) "0" else h, 16).toInt & 0xFFFF
+      // low 16 bits == the last four hex digits; Integer.parseInt on a
+      // ≤4-char slice replaces a BigInt allocation per mapping entry.
+      if (h.isEmpty) 0 else Integer.parseInt(h.takeRight(4), 16)
     def utf16(h: String): String =
       new String(hexBytes(h), java.nio.charset.StandardCharsets.UTF_16BE)
     val out = scala.collection.mutable.Map.empty[Int, String]
@@ -449,15 +486,26 @@ object PdfCodec {
 
   // ---- muxer (fixtures/tests): genuine, reader-openable bytes ----
 
-  private def escapeLiteral(t: String): String =
-    t.flatMap {
-      case '\\' => "\\\\"
-      case '(' => "\\("
-      case ')' => "\\)"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case c => c.toString
+  private def escapeLiteral(t: String): String = {
+    // Char-loop, not flatMap: the flatMap form allocates a one-char
+    // String per UNESCAPED character, and this runs per page of every
+    // synthesized PDF.
+    val sb = new java.lang.StringBuilder(t.length + 8)
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      c match {
+        case '\\' => sb.append("\\\\")
+        case '(' => sb.append("\\(")
+        case ')' => sb.append("\\)")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case _ => sb.append(c)
+      }
+      i += 1
     }
+    sb.toString
+  }
 
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater()
@@ -486,6 +534,14 @@ object PdfCodec {
     if (units.length > 0xFE00) return null
     val code = units.zipWithIndex
       .map { case (u, r) => u -> (0x0100 + r) }.toMap
+    // Per-character hex is the synth's hottest loop (one 4-digit code
+    // per character of page text): precompute each unit's hex string
+    // once instead of running a Formatter per character.
+    val codeHex: java.util.HashMap[Character, String] = {
+      val m = new java.util.HashMap[Character, String](units.length * 2)
+      code.foreach { case (u, c) => m.put(u, hex4(c)) }
+      m
+    }
 
     // ---- the ToUnicode CMap ----
     val cm = new StringBuilder
@@ -497,7 +553,8 @@ object PdfCodec {
     units.take(half).grouped(100).foreach { chunk =>
       cm.append(s"${chunk.length} beginbfchar\n")
       chunk.foreach(u =>
-        cm.append(f"<${code(u)}%04X> <${u.toInt}%04X>\n"))
+        cm.append("<").append(hex4(code(u))).append("> <")
+          .append(hex4(u.toInt)).append(">\n"))
       cm.append("endbfchar\n")
     }
     // Maximal consecutive-value runs over the tail (codes are already
@@ -515,7 +572,9 @@ object PdfCodec {
       runs.grouped(100).foreach { chunk =>
         cm.append(s"${chunk.length} beginbfrange\n")
         chunk.foreach { case (a, b) =>
-          cm.append(f"<${code(a)}%04X> <${code(b)}%04X> <${a.toInt}%04X>\n")
+          cm.append("<").append(hex4(code(a))).append("> <")
+            .append(hex4(code(b))).append("> <")
+            .append(hex4(a.toInt)).append(">\n")
         }
         cm.append("endbfrange\n")
       }
@@ -544,8 +603,10 @@ object PdfCodec {
       w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Contents ${pageId + 1} 0 R " +
         s"/Resources << /Font << /F1 $fontId 0 R >> >> >>\nendobj\n")
-      val hex = t.map(ch => f"${code(ch)}%04X").mkString
-      val content = s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET"
+      val hexB = new java.lang.StringBuilder(t.length * 4)
+      var ci = 0
+      while (ci < t.length) { hexB.append(codeHex.get(t.charAt(ci))); ci += 1 }
+      val content = s"BT /F1 12 Tf 72 720 Td <$hexB> Tj ET"
       val z = deflate(content.getBytes("ISO-8859-1"))
       beginObj(pageId + 1)
       w(s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
@@ -566,7 +627,7 @@ object PdfCodec {
     w("\nendstream\nendobj\n")
     val xref = bos.size()
     w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    offsets.foreach(o => w(dec10(o) + " 00000 n \n"))
     w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xref\n%%EOF\n")
     bos.toByteArray
@@ -606,7 +667,7 @@ object PdfCodec {
     w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
     val xref = bos.size()
     w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    offsets.foreach(o => w(dec10(o) + " 00000 n \n"))
     w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\n" +
       s"startxref\n$xref\n%%EOF\n")
     bos.toByteArray
