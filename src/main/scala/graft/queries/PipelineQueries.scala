@@ -618,6 +618,13 @@ object PipelineQueries {
           dir, params, numShards = 4, budgetTokens = 256)
         .select("doc_id", "lang", "n_bpe_tokens", "shard", "seq_idx",
           "tok_offset")
+        // Materialize the standing pack ONCE: it feeds both the final
+        // union AND (through the watermark aggregate) the increment's
+        // pack window, so without the checkpoint the whole base
+        // funnel+tokenize+pack lineage executes twice in one plan
+        // (plan diff: 18 Exchanges -> 12). Placements are quota-
+        // bounded narrow rows, so the materialization is tiny.
+        .localCheckpoint()
       // The persisted pack state an append resumes from: one tiny
       // aggregate over the standing placements (numShards rows).
       val watermark = Corpus.packWatermark(basePacked,
@@ -679,71 +686,101 @@ object PipelineQueries {
     val base = java.nio.file.Files.createTempDirectory("graft-takedown")
     def dirOf(n: String) = "file:" + base.resolve(n).toString
     try {
+      // The five store families are fully independent (disjoint temp
+      // dirs, shared inputs already checkpointed), but each is a chain
+      // of small jobs whose tails leave most executors idle — run them
+      // as CONCURRENT jobs from a small pool so the next family's
+      // tasks back-fill the current one's stragglers (the scheduler
+      // runs concurrent actions FIFO; ~2-3 in flight fills the tail).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      import scala.concurrent.{Await, Future}
+
       // Bands.
-      val bp = BandStore.Params(shingleN = 1, bands = 8, rowsPerBand = 4,
-        portable = false)
-      BandStore.build(docs, "doc_id", "text", dirOf("bands"), bp)
-      BandStore.delete(s, dirOf("bands"),
-        removed.select(col("doc_id").as("doc")))
-      val bandIds = BandStore.read(s, dirOf("bands"), bp)
-        .select(col("doc").as("doc_id")).distinct()
-        .collect().map(_.getLong(0))
+      val bandsF = Future {
+        val bp = BandStore.Params(shingleN = 1, bands = 8, rowsPerBand = 4,
+          portable = false)
+        BandStore.build(docs, "doc_id", "text", dirOf("bands"), bp)
+        BandStore.delete(s, dirOf("bands"),
+          removed.select(col("doc_id").as("doc")))
+        BandStore.read(s, dirOf("bands"), bp)
+          .select(col("doc").as("doc_id")).distinct()
+          .collect().map(_.getLong(0))
+      }
 
       // ANN index (synthetic 8-dim vectors — takedown is id-level).
-      val vecs = docs.select(col("doc_id"),
-        transform(sequence(lit(0), lit(7)), j =>
-          (pmod(col("doc_id") * 31 + j * 17, lit(100)).cast("double")
-            / 50.0 - 1.0).cast("float")).as("v"))
-      val ip = IndexStore.Params(dim = 8, clusters = 4, m = 4, k = 8)
-      IndexStore.build(vecs, "doc_id", "v", dirOf("index"), ip, iters = 1)
-      IndexStore.delete(s, dirOf("index"), removed.select("doc_id"))
-      val indexIds = IndexStore.read(s, dirOf("index"), ip).codes
-        .select(col("id").as("doc_id")).distinct()
-        .collect().map(_.getLong(0))
+      val indexF = Future {
+        val vecs = docs.select(col("doc_id"),
+          transform(sequence(lit(0), lit(7)), j =>
+            (pmod(col("doc_id") * 31 + j * 17, lit(100)).cast("double")
+              / 50.0 - 1.0).cast("float")).as("v"))
+        val ip = IndexStore.Params(dim = 8, clusters = 4, m = 4, k = 8)
+        IndexStore.build(vecs, "doc_id", "v", dirOf("index"), ip, iters = 1)
+        IndexStore.delete(s, dirOf("index"), removed.select("doc_id"))
+        IndexStore.read(s, dirOf("index"), ip).codes
+          .select(col("id").as("doc_id")).distinct()
+          .collect().map(_.getLong(0))
+      }
 
       // LM counts: subtract is append's exact inverse, so the store
       // must score IDENTICALLY (integer columns) to a model freshly
       // trained on the survivors alone.
-      val lp = LmStore.Params(langCol = None, hashed = false)
-      LmStore.build(docs, "doc_id", "text", dirOf("lm"), lp)
-      LmStore.subtract(removed, "doc_id", "text", dirOf("lm"), lp)
-      // Probe bound 40, not all survivors: the real assertion is the
-      // integer-identity filter below (post-subtract scores ==
-      // fresh-survivor-model scores, exact), and every probe scores
-      // against the WHOLE subtracted model — 40 docs just bounds the
-      // oracle's row volume; more probes re-check the same model rows.
-      val probes = survivors.filter(col("doc_id") < 40)
-      val fromStore = LmStore.score(s, dirOf("lm"), lp, probes,
-        "doc_id", "text")
-      val fresh = graft.llm.Corpus.lmScoreWith(probes, "doc_id", "text",
-        graft.llm.Corpus.lmTrain(survivors, "doc_id", "text"))
-      val lmIds = fromStore.alias("a")
-        .join(fresh.alias("b"), Seq("doc_id"))
-        .filter(col("a.n_bigrams") === col("b.n_bigrams") &&
-          col("a.lp_sum_e6") === col("b.lp_sum_e6"))
-        .select("doc_id").distinct().collect().map(_.getLong(0))
+      val lmF = Future {
+        val lp = LmStore.Params(langCol = None, hashed = false)
+        LmStore.build(docs, "doc_id", "text", dirOf("lm"), lp)
+        LmStore.subtract(removed, "doc_id", "text", dirOf("lm"), lp)
+        // Probe bound 40, not all survivors: the real assertion is the
+        // integer-identity filter below (post-subtract scores ==
+        // fresh-survivor-model scores, exact), and every probe scores
+        // against the WHOLE subtracted model — 40 docs just bounds the
+        // oracle's row volume; more probes re-check the same model rows.
+        val probes = survivors.filter(col("doc_id") < 40)
+        val fromStore = LmStore.score(s, dirOf("lm"), lp, probes,
+          "doc_id", "text")
+        val fresh = graft.llm.Corpus.lmScoreWith(probes, "doc_id", "text",
+          graft.llm.Corpus.lmTrain(survivors, "doc_id", "text"))
+        fromStore.alias("a")
+          .join(fresh.alias("b"), Seq("doc_id"))
+          .filter(col("a.n_bigrams") === col("b.n_bigrams") &&
+            col("a.lp_sum_e6") === col("b.lp_sum_e6"))
+          .select("doc_id").distinct().collect().map(_.getLong(0))
+      }
 
       // Streaming corpus store (two batch members, like the stream
       // writes them), then the id-level delete.
-      docs.filter(col("doc_id") < 100)
-        .write.parquet(dirOf("corpus") + "/run=aaaa11_batch=0")
-      docs.filter(col("doc_id") >= 100)
-        .write.parquet(dirOf("corpus") + "/run=aaaa11_batch=1")
-      CorpusStore.delete(s, dirOf("corpus"), "doc_id",
-        removed.select("doc_id"))
-      val corpusIds = CorpusStore.readDocs(s, dirOf("corpus"), docs.schema)
-        .select("doc_id").distinct().collect().map(_.getLong(0))
+      val corpusF = Future {
+        docs.filter(col("doc_id") < 100)
+          .write.parquet(dirOf("corpus") + "/run=aaaa11_batch=0")
+        docs.filter(col("doc_id") >= 100)
+          .write.parquet(dirOf("corpus") + "/run=aaaa11_batch=1")
+        CorpusStore.delete(s, dirOf("corpus"), "doc_id",
+          removed.select("doc_id"))
+        CorpusStore.readDocs(s, dirOf("corpus"), docs.schema)
+          .select("doc_id").distinct().collect().map(_.getLong(0))
+      }
 
       // Packed placements: tombstone, serve view drops the doc.
-      val pp = PackStore.Params(numShards = 4, budgetTokens = 256)
-      PackStore.write(Corpus.packSequences(
-          docs.withColumn("n", length(col("text"))), "doc_id",
-          col("n"), pp.numShards, pp.budgetTokens, seed = "pt")
-        .select("doc_id", "shard", "seq_idx", "tok_offset"),
-        dirOf("pack"), pp)
-      PackStore.tombstone(s, dirOf("pack"), removed.select("doc_id"))
-      val packIds = PackStore.serve(s, dirOf("pack"), pp)
-        .select("doc_id").distinct().collect().map(_.getLong(0))
+      val packF = Future {
+        val pp = PackStore.Params(numShards = 4, budgetTokens = 256)
+        PackStore.write(Corpus.packSequences(
+            docs.withColumn("n", length(col("text"))), "doc_id",
+            col("n"), pp.numShards, pp.budgetTokens, seed = "pt")
+          .select("doc_id", "shard", "seq_idx", "tok_offset"),
+          dirOf("pack"), pp)
+        PackStore.tombstone(s, dirOf("pack"), removed.select("doc_id"))
+        PackStore.serve(s, dirOf("pack"), pp)
+          .select("doc_id").distinct().collect().map(_.getLong(0))
+      }
+
+      val (bandIds, indexIds, lmIds, corpusIds, packIds) =
+        try {
+          import scala.concurrent.duration._
+          val all = Future.sequence(
+            Seq(bandsF, indexF, lmF, corpusF, packF))
+          val Seq(b, ix, lm, c, p) = Await.result(all, 600.seconds)
+          (b, ix, lm, c, p)
+        } finally pool.shutdown()
 
       import s.implicits._
       (bandIds.map(("bands", _)) ++ corpusIds.map(("corpus", _)) ++
