@@ -177,10 +177,14 @@ object PipelineQueries {
     // the pipe17 curation funnel over the EXTRACTED text. Extracted
     // lines re-join on a space for the funnel (its tokenizer and its
     // oracle split on single spaces; the extractor's \n is a line
-    // separator, not a token one). This is the shape a web-crawl
-    // pipeline actually runs: one pass from raw page bytes to the
-    // curated, deduped, quota'd corpus — no intermediate
-    // materialization, extraction rides inside the scan stage.
+    // separator, not a token one). The extracted text is materialized
+    // ONCE before the funnel: the funnel consumes its input in two
+    // branches (coverage windows + the row-gate scoring scan) plus the
+    // join-back, and without the checkpoint each branch re-runs the
+    // page scan INCLUDING the main-content extraction expression
+    // (measured plan: 4 scan subtrees each carrying html_extract).
+    // Extraction rides inside the one materialization scan; everything
+    // downstream reads the (much smaller) extracted text.
     Q("pipe30_html_curation", Pipe30OracleSql) { (s, d) =>
       val pages = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), LlmQueries.t16Html.as("html"))
@@ -188,6 +192,7 @@ object PipelineQueries {
         .htmlExtractStats(pages, "html", native = true)
         .select(col("doc_id"), col("lang"),
           replace(col("text"), lit("\n"), lit(" ")).as("text"))
+        .localCheckpoint()
       curationFunnelOf(extracted, portableCov = true)
     },
 
@@ -220,7 +225,11 @@ object PipelineQueries {
     // mentions no container at all. At 100 TB: binaryFile scan tasks
     // per warc file, extraction/domain in the scan projection, then
     // the funnel's two hash-keyed aggs + one window — nothing new
-    // moves; the container adds zero shuffles.
+    // moves; the container adds zero shuffles. The extracted text is
+    // materialized ONCE before the funnel (same rationale as pipe30,
+    // with a bigger payoff: each funnel branch otherwise re-runs the
+    // container gunzip + record split + charset repair + extraction —
+    // measured plan: 4 binaryFile scan subtrees).
     Q("pipe32_warc_curation", Pipe32OracleSql) { (s, d) =>
       import graft.functions.Urls
       import graft.llm.TextAnalysis
@@ -244,6 +253,7 @@ object PipelineQueries {
         .htmlExtractStats(pages, "html", native = true)
         .select(col("doc_id"), col("lang"),
           replace(col("text"), lit("\n"), lit(" ")).as("text"))
+        .localCheckpoint()
       curationFunnelOf(extracted, portableCov = true)
         .select(col("doc_id"), col("lang").as("domain"), col("quality"))
     },
