@@ -718,6 +718,10 @@ object HeavyBench {
           .htmlExtractStats(pages, "html", native = true)
           .select(col("doc_id"), col("lang"),
             replace(col("text"), lit("\n"), lit(" ")).as("text"))
+          // Materialize extraction once (the registered query's shape:
+          // each funnel branch otherwise re-runs the page scan
+          // including the extraction expression chain).
+          .localCheckpoint()
         queries.PipelineQueries.curationFunnelOf(extracted,
           portableCov = false, maxMeanWordLen = 20.0, minStopHits = 0,
           quota = 5000)
@@ -792,6 +796,10 @@ object HeavyBench {
           .htmlExtractStats(pages, "html", native = true)
           .select(col("doc_id"), col("lang"),
             replace(col("text"), lit("\n"), lit(" ")).as("text"))
+          // Materialize extraction once (the registered query's shape:
+          // each funnel branch otherwise re-runs the page scan
+          // including the extraction expression chain).
+          .localCheckpoint()
         queries.PipelineQueries.curationFunnelOf(extracted,
           portableCov = false, maxMeanWordLen = 20.0, minStopHits = 0,
           quota = 5000)
