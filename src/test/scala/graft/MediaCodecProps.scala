@@ -136,4 +136,70 @@ object MediaCodecProps extends Properties("MediaCodec") {
         true
       }
     }
+
+  // The PNG fast path (inflate+unfilter, no BufferedImage) must pool
+  // BIT-IDENTICALLY to the ImageIO reference on every filter type the
+  // encoder can choose. Pixel patterns steer the adaptive filter
+  // choice: flat images favor Up/Sub, gradients Average/Paeth, random
+  // None — together they exercise all unfilter branches.
+  private def imageIoPool(bytes: Array[Byte], grid: Int): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    val cells = grid * grid
+    val sums = new Array[Long](cells * 3)
+    val cnts = new Array[Long](cells)
+    val rowBuf = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * grid + x * grid / w
+        val rgb = rowBuf(x)
+        sums(cell * 3) += (rgb >>> 16) & 0xFF
+        sums(cell * 3 + 1) += (rgb >>> 8) & 0xFF
+        sums(cell * 3 + 2) += rgb & 0xFF
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(cells * 3)(i =>
+      if (cnts(i / 3) == 0) 0.0 else sums(i).toDouble / cnts(i / 3) / 255.0)
+  }
+
+  private val pngPattern: Gen[(Int, Int, (Int, Int) => Int)] = for {
+    w <- Gen.chooseNum(1, 70)
+    h <- Gen.chooseNum(1, 70)
+    seed <- Gen.chooseNum(0L, 1L << 40)
+    kind <- Gen.chooseNum(0, 3)
+  } yield (w, h, (x: Int, y: Int) => kind match {
+    case 0 => ImageCodec.synthPixel(seed, w, x, y) // incompressible
+    case 1 => 0x334455 // flat
+    case 2 => ((x * 3) & 0xFF) << 16 | ((x * 5) & 0xFF) << 8 | (x & 0xFF)
+    case _ => ((y * 7) & 0xFF) << 16 | (((x + y) * 2) & 0xFF) << 8 | (y & 0xFF)
+  })
+
+  property("PNG fast-path pooling bit-equals the ImageIO reference") =
+    Prop.forAll(pngPattern, Gen.chooseNum(1, 5)) { case ((w, h, px), grid) =>
+      val png = ImageCodec.encodePng(w, h, px)
+      val fast = ImageCodec.decodeMeanPool(png, grid)
+      val ref = imageIoPool(png, grid)
+      fast != null && fast.sameElements(ref)
+    }
+
+  property("PNG fast path is total: junk, truncation, corruption") =
+    Prop.forAll(junk, Gen.chooseNum(0, 1000),
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) { (bytes, pos, b) =>
+      ImageCodec.decodeMeanPool(bytes, 4) // null or value, never throws
+      val png = ImageCodec.encodePng(9, 7, (x, y) => (x * 31 + y) & 0xFFFFFF)
+      val p = pos % png.length
+      val m = png.clone(); m(p) = b.toByte
+      ImageCodec.decodeMeanPool(m, 4)
+      ImageCodec.decodeMeanPool(java.util.Arrays.copyOf(png, p), 4)
+      true
+    }
 }
