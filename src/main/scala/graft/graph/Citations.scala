@@ -114,10 +114,20 @@ object Citations {
     // members materializes as a single unspillable aggregation buffer
     // (the heavy bench's hub-hot ×16 graph pushes EVERY cited key past
     // the cap, so it paid the whole collect for an empty result). The
-    // explicit repartition on `key` puts the count, the semi-join
-    // probe, and the collect on ONE reused exchange of the raw edge
-    // table. The screened key set is vertex-bounded but NOT assumed
+    // screened key set is vertex-bounded but NOT assumed
     // broadcastable — AQE picks the join strategy.
+    //
+    // Measured and rejected (r19): the two branches below do NOT share
+    // one exchange — their shuffles canonicalize differently
+    // (REPARTITION_BY_COL vs ENSURE_REQUIREMENTS, different project
+    // orders), so the raw dump is scanned+parsed twice. Materializing
+    // byKey with localCheckpoint fixes that on paper but SERIALIZES
+    // the pipeline behind a barrier, and local mode pays more for the
+    // barrier than for the concurrent second scan (same-window
+    // min-of-4: g6 3.19 s → 4.09 s); a SHUFFLE_HASH hint on the
+    // semi-join alone read parity (3.41 vs 3.19). Both reverted. At
+    // 100 TB, where the dump lives on object storage and a scan is two
+    // container decompressions, revisit with a durable-dir checkpoint.
     val byKey = assignments.select(col(key), col(member))
       .repartition(col(key))
     val ok = byKey.groupBy(key)
