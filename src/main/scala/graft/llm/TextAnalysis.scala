@@ -1053,23 +1053,34 @@ object TextAnalysis {
       transform(sequence(lit(1), length(col("w"))),
         i => substring(col("w"), i, lit(1))),
       array(lit("</w>")))
-    val segged = dw
-      .join(broadcast(words.select(col("w"), col("s"))), Seq("w"), "left")
-      .withColumn("__syms", coalesce(col("s"), charSyms))
     // `withIndex` adds tidx, the doc-level running token index — the
     // batch-layout key (pipe25). Computed as a WORD-level prefix sum
     // (one shuffle/sort of the word stream, ~4-5× fewer rows than the
     // token stream) plus the in-word offset; identical to
     // row_number() - 1 over (wpos, spos) at a fraction of the
     // exchange volume (measured 261 → 80 s on the ×64 batch entry).
+    // The window's exchange carries only (id, carry, wpos, w) plus an
+    // int symbol COUNT — never the symbol arrays: the count is
+    // size(s) for trained words and codepoints+1 for the OOV
+    // char-fallback (== size(charSyms) by construction), and the
+    // arrays are re-attached AFTER the window by the same broadcast
+    // join, map-side, no second shuffle.
+    val segJoin = broadcast(words.select(col("w"), col("s")))
     val indexed =
-      if (!withIndex) segged
+      if (!withIndex)
+        dw.join(segJoin, Seq("w"), "left")
+          .withColumn("__syms", coalesce(col("s"), charSyms))
       else {
         val wWin = org.apache.spark.sql.expressions.Window
           .partitionBy(col(id)).orderBy("wpos")
-        segged.withColumn("__wstart",
-          sum(size(col("__syms")).cast("long")).over(wWin) -
-            size(col("__syms")).cast("long"))
+        val nsyms = coalesce(col("__segn"), length(col("w")) + 1)
+          .cast("long")
+        dw.join(broadcast(words.select(col("w"),
+              size(col("s")).as("__segn"))), Seq("w"), "left")
+          .withColumn("__wstart", sum(nsyms).over(wWin) - nsyms)
+          .drop("__segn")
+          .join(segJoin, Seq("w"), "left")
+          .withColumn("__syms", coalesce(col("s"), charSyms))
       }
     val syms = indexed
       .select(col(id) +: carry.map(col) ++: (col("wpos") +:
