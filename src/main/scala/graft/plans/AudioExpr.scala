@@ -139,19 +139,70 @@ object AudioCodec {
     * to read channel 0 — the shared preamble of every stats/pooling
     * pass. */
   private final case class Pcm(frames: Int, frameBytes: Int,
-                               big: Boolean, data: Array[Byte]) {
+                               big: Boolean, data: Array[Byte],
+                               base: Int = 0) {
     /** Channel-0 sample i (exact signed 16-bit). */
     def sample(i: Int): Int = {
-      val off = i * frameBytes
+      val off = base + i * frameBytes
       if (big) ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort.toInt
       else ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort.toInt
     }
   }
 
-  /** Open + validate a payload as 16-bit PCM via `javax.sound.sampled`
-    * (WAV/AIFF/AU), or null when it is not one — the decode preamble
-    * shared by [[decodeMeanPool]] and [[decodeStats]]. */
+  /** RIFF/WAVE plain-PCM16 fast path: the canonical crawl shape (and
+    * everything [[encodeWavPcm16]] emits) parsed directly — format
+    * tag 1, 16-bit, fmt before data, even-padded chunk walk — with
+    * the Pcm view pointing INTO the original payload (no SPI provider
+    * scan, no stream stack, no readAllBytes copy; measured ~8 ms/clip
+    * of pure preamble on the m9 fixture). Anything else (AIFF, AU,
+    * a-law, extensible-format WAVs, structural oddities) returns null
+    * and the caller falls back to `javax.sound.sampled`, so behavior
+    * on the long tail is unchanged. Frame count comes from the data
+    * chunk HEADER, null when the payload is shorter — the same
+    * truncation contract as the readAllBytes check below. */
+  private def wavPcm16(bytes: Array[Byte]): Pcm = {
+    if (bytes.length < 44) return null
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xFFL)) | ((bytes(o + 1) & 0xFFL) << 8) |
+        ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def tag(o: Int, t: String): Boolean =
+      bytes(o) == t.charAt(0).toByte && bytes(o + 1) == t.charAt(1).toByte &&
+        bytes(o + 2) == t.charAt(2).toByte && bytes(o + 3) == t.charAt(3).toByte
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    var off = 12
+    var frameBytes = 0
+    var haveFmt = false
+    while (off + 8 <= bytes.length) {
+      val len = u32(off + 4)
+      if (len < 0 || len > Int.MaxValue) return null
+      val body = off + 8
+      if (tag(off, "fmt ")) {
+        if (len < 16 || body + 16 > bytes.length) return null
+        if (u16(body) != 1 || u16(body + 14) != 16) return null // PCM16 only
+        frameBytes = u16(body + 12) // block align
+        if (frameBytes < 2) return null
+        haveFmt = true
+      } else if (tag(off, "data")) {
+        if (!haveFmt) return null // fmt must precede data (spec order)
+        val dataLen = len.toInt
+        val frames = dataLen / frameBytes
+        if (frames <= 0) return null
+        if (body + frames.toLong * frameBytes > bytes.length) return null
+        return Pcm(frames, frameBytes, big = false, bytes, base = body)
+      }
+      off = body + len.toInt + (len.toInt & 1) // chunks pad to even
+    }
+    null
+  }
+
+  /** Open + validate a payload as 16-bit PCM — the plain-WAV fast
+    * path first, then `javax.sound.sampled` (WAV/AIFF/AU) for
+    * everything else; null when neither decodes it. The decode
+    * preamble shared by [[decodeMeanPool]] and [[decodeStats]]. */
   private def openPcm16(bytes: Array[Byte]): Pcm = {
+    val fast = try wavPcm16(bytes) catch { case _: Exception => null }
+    if (fast != null) return fast
     val in =
       try javax.sound.sampled.AudioSystem.getAudioInputStream(
         new ByteArrayInputStream(bytes))
@@ -216,6 +267,7 @@ object AudioCodec {
       val frameBytes = pcm.frameBytes
       val big = pcm.big
       val data = pcm.data
+      val base = pcm.base
       val sums = new Array[Long](dim)
       val cnts = new Array[Long](dim)
       // Bucket-outer iteration: sample i belongs to bucket
@@ -233,11 +285,11 @@ object AudioCodec {
         var sum = 0L
         var i = start
         if (big) while (i < end) {
-          val off = i * frameBytes // channel 0 leads each frame
+          val off = base + i * frameBytes // channel 0 leads each frame
           sum += ((data(off) << 8) | (data(off + 1) & 0xFF)).toShort
           i += 1
         } else while (i < end) {
-          val off = i * frameBytes
+          val off = base + i * frameBytes
           sum += ((data(off + 1) << 8) | (data(off) & 0xFF)).toShort
           i += 1
         }

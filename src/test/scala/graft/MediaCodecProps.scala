@@ -191,6 +191,36 @@ object MediaCodecProps extends Properties("MediaCodec") {
       fast != null && fast.sameElements(ref)
     }
 
+  // The WAV fast path (direct RIFF walk, no javax.sound) must decode
+  // encodeWavPcm16's canonical bytes LOSSLESSLY: stats and pooling
+  // reproduce the ground-truth samples' exact integer accumulations.
+  property("WAV fast-path decode is lossless against the sample formula") =
+    Prop.forAll(Gen.chooseNum(1, 2000), Gen.chooseNum(0L, 1L << 30),
+      Gen.chooseNum(1, 8)) { (n, seed, dim) =>
+      import graft.plans.AudioCodec
+      val samples = Array.tabulate(n)(t =>
+        (((seed + t * 131) % 4001) - 2000).toShort)
+      val wav = AudioCodec.encodeWavPcm16(samples)
+      val st = AudioCodec.decodeStats(wav)
+      var peak = 0L; var sq = 0L; var zc = 0L
+      var prev = 0
+      samples.zipWithIndex.foreach { case (s, i) =>
+        peak = math.max(peak, math.abs(s.toLong)); sq += s.toLong * s
+        if (i > 0 && prev.toLong * s < 0) zc += 1
+        prev = s
+      }
+      val pool = AudioCodec.decodeMeanPool(wav, dim)
+      val expect = Array.tabulate(dim) { b =>
+        val start = ((b.toLong * n + dim - 1) / dim).toInt
+        val end = (((b + 1).toLong * n + dim - 1) / dim).toInt
+        if (end == start) 0.0
+        else samples.slice(start, end).map(_.toLong).sum.toDouble /
+          (end - start) / 32768.0
+      }
+      st.sameElements(Array(n.toLong, peak, sq, zc)) &&
+        pool.sameElements(expect)
+    }
+
   property("PNG fast path is total: junk, truncation, corruption") =
     Prop.forAll(junk, Gen.chooseNum(0, 1000),
       Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) { (bytes, pos, b) =>
