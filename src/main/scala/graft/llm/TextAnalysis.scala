@@ -1000,6 +1000,28 @@ object TextAnalysis {
     * character segmentation (code points + the `</w>` marker). */
   def bpeTokenCountsWith(docs: DataFrame, id: String, text: String,
                          words: DataFrame): DataFrame = {
+    val model = bpeServeModel(words)
+    graft.plans.BpeEncodeExpr.withBound(docs.sparkSession, model) {
+      (_, seglen) =>
+        val counts = docs
+          .select(col(id).as("__id"),
+            explode(Scalars.tokens(col(text))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("__id").agg(
+            sum(seglen(col("w")).cast("long")).as("n_bpe_tokens"))
+        docs.select(col(id).as("__id"), lit(0L).as("n_bpe_tokens"))
+          .unionByName(counts)
+          .groupBy("__id").agg(sum("n_bpe_tokens").as("n_bpe_tokens"))
+          .withColumnRenamed("__id", id)
+    }
+  }
+
+  /** The retained JOIN-BASED token-count serve — the pre-r20 shape
+    * (per-word broadcast join + coalesce fallback), kept as the
+    * parity twin BpeNativeSpec pins [[bpeTokenCountsWith]] against. */
+  private[graft] def bpeTokenCountsJoin(docs: DataFrame, id: String,
+                                        text: String,
+                                        words: DataFrame): DataFrame = {
     val lens = words.select(col("w"), size(col("s")).cast("long").as("n"))
     val counts = docs
       .select(col(id).as("__id"), explode(Scalars.tokens(col(text))).as("w"))
@@ -1012,6 +1034,32 @@ object TextAnalysis {
       .unionByName(counts)
       .groupBy("__id").agg(sum("n_bpe_tokens").as("n_bpe_tokens"))
       .withColumnRenamed("__id", id)
+  }
+
+  /** Collect the vocabulary-bounded segmentation table and broadcast
+    * it as the native serve model — the same driver-bounded-model
+    * discipline as [[bpeTrainFull]]'s vocabulary collect (and the
+    * manual-broadcast pattern of the optimization guide §3.2); the
+    * [[BpeMaxVocab]] ceiling bounds the driver heap exactly as there.
+    * One Broadcast ships the table once per executor, replacing the
+    * BroadcastExchange the join-based serve paid per query. */
+  private def bpeServeModel(words: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[graft.plans.BpeTokenTable] = {
+    val rows = words.select(col("w"), col("s")).collect()
+    require(rows.length <= BpeMaxVocab,
+      s"bpe serve: segmentation table (${rows.length} words) exceeds " +
+        s"the $BpeMaxVocab driver bound — raise the training minCount")
+    val ws = new Array[String](rows.length)
+    val segs = new Array[Array[String]](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ws(i) = rows(i).getString(0)
+      val s = rows(i).getSeq[String](1)
+      segs(i) = if (s == null) null else s.toArray
+      i += 1
+    }
+    words.sparkSession.sparkContext.broadcast(
+      new graft.plans.BpeTokenTable(ws, segs))
   }
 
   /** The per-symbol TOKEN-ID stream under a trained segmentation —
@@ -1035,6 +1083,54 @@ object TextAnalysis {
                       words: DataFrame,
                       withIndex: Boolean = false,
                       carry: Seq[String] = Nil): DataFrame = {
+    val model = bpeServeModel(words)
+    graft.plans.BpeEncodeExpr.withBound(docs.sparkSession, model) {
+      (enc, seglen) =>
+        val toks = filter(Scalars.tokens(col(text)), w => length(w) > 0)
+        val dw = docs.select(col(id) +: carry.map(col) :+
+          posexplode(toks).as(Seq("wpos", "w")): _*)
+        // `withIndex` adds tidx, the doc-level running token index —
+        // the batch-layout key (pipe25), computed as a WORD-level
+        // prefix sum plus the in-word offset (one shuffle/sort of the
+        // word stream, ~4-5× fewer rows than the token stream). The
+        // window's count input is one bpe_seglen hash probe — count
+        // and symbols now come from ONE model table, so they cannot
+        // disagree (the two-joins-must-agree hazard of the join-based
+        // path is structurally gone).
+        val indexed =
+          if (!withIndex) dw
+          else {
+            val wWin = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(id)).orderBy("wpos")
+            val nsyms = seglen(col("w")).cast("long")
+            dw.withColumn("__wstart", sum(nsyms).over(wWin) - nsyms)
+          }
+        // ONE compiled lookup per word emits the whole (sym, token_id)
+        // segmentation array — the explode survives (the output IS
+        // per-symbol rows) but the two per-symbol broadcast joins and
+        // the Catalyst char-split OOV fallback are gone.
+        val syms = indexed
+          .select(col(id) +: carry.map(col) ++: (col("wpos") +:
+            (if (withIndex) Seq(col("__wstart")) else Nil)) :+
+            posexplode(enc(col("w"))).as(Seq("spos", "__tok")): _*)
+        val base = Seq(col(id)) ++ carry.map(col) ++ Seq(col("wpos"),
+          col("spos"), col("__tok.sym").as("sym"),
+          col("__tok.token_id").as("token_id"))
+        if (withIndex)
+          syms.select(base :+ (col("__wstart") + col("spos")).as("tidx"): _*)
+        else
+          syms.select(base: _*)
+    }
+  }
+
+  /** The retained JOIN-BASED encode — the pre-r20 serve shape (two
+    * per-symbol broadcast joins + the Catalyst char-split fallback),
+    * kept as the parity twin BpeNativeSpec pins [[bpeTokenIdsWith]]
+    * against, OOV words and supplementary-plane characters included. */
+  private[graft] def bpeTokenIdsJoin(docs: DataFrame, id: String,
+                                     text: String, words: DataFrame,
+                                     withIndex: Boolean = false,
+                                     carry: Seq[String] = Nil): DataFrame = {
     val vocab = words.select(explode(col("s")).as("sym")).distinct()
       .withColumn("token_id",
         row_number().over(org.apache.spark.sql.expressions.Window
