@@ -281,7 +281,12 @@ object ImageCodec {
     * equality). Any other chunk set, depth, color type, or a JPEG
     * falls through to the ImageIO path unchanged. */
   def decodeMeanPool(bytes: Array[Byte], grid: Int): Array[Double] = {
-    val fast = pngRawRgb(bytes)
+    // Totality guard mirroring the WAV path (AudioExpr.openPcm16): a
+    // malformed container that slips past the structural checks must
+    // fall back to ImageIO, never crash the task.
+    val fast =
+      try pngRawRgb(bytes)
+      catch { case scala.util.control.NonFatal(_) => null }
     if (fast != null)
       return poolRawRgb(fast.w, fast.h, fast.channels, fast.rows, grid)
     val img =
@@ -353,7 +358,12 @@ object ImageCodec {
       if (off + 12 > bytes.length) return null // truncated chunk frame
       val len = u32(off)
       val typ = u32(off + 4)
-      if (len < 0 || off + 12 + len > bytes.length) return null
+      // Overflow-safe bound: `off + 12 + len > bytes.length` wraps
+      // negative for len near Int.MaxValue and would let a crafted
+      // chunk length through to idat.write. The subtraction form
+      // cannot overflow (off + 12 <= bytes.length is established
+      // above, so the RHS is >= 0).
+      if (len < 0 || len > bytes.length - off - 12) return null
       typ match {
         case 0x49484452 => // IHDR
           if (len < 13) return null

@@ -706,9 +706,20 @@ object PipelineQueries {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       import scala.concurrent.{Await, Future}
+      // One cancellable job group spans every store family: if one
+      // future fails, the siblings' Spark jobs are cancelled BEFORE
+      // the outer finally deletes the temp dirs they are still
+      // reading/writing (job groups are thread-local, so each pool
+      // thread tags its own jobs).
+      val groupId = "pipe27-takedown-" + java.util.UUID.randomUUID()
+      def inGroup[T](body: => T): T = {
+        s.sparkContext.setJobGroup(groupId, "pipe27 takedown store",
+          interruptOnCancel = true)
+        try body finally s.sparkContext.clearJobGroup()
+      }
 
       // Bands.
-      val bandsF = Future {
+      val bandsF = Future { inGroup {
         val bp = BandStore.Params(shingleN = 1, bands = 8, rowsPerBand = 4,
           portable = false)
         BandStore.build(docs, "doc_id", "text", dirOf("bands"), bp)
@@ -717,10 +728,10 @@ object PipelineQueries {
         BandStore.read(s, dirOf("bands"), bp)
           .select(col("doc").as("doc_id")).distinct()
           .collect().map(_.getLong(0))
-      }
+      } }
 
       // ANN index (synthetic 8-dim vectors — takedown is id-level).
-      val indexF = Future {
+      val indexF = Future { inGroup {
         val vecs = docs.select(col("doc_id"),
           transform(sequence(lit(0), lit(7)), j =>
             (pmod(col("doc_id") * 31 + j * 17, lit(100)).cast("double")
@@ -731,12 +742,12 @@ object PipelineQueries {
         IndexStore.read(s, dirOf("index"), ip).codes
           .select(col("id").as("doc_id")).distinct()
           .collect().map(_.getLong(0))
-      }
+      } }
 
       // LM counts: subtract is append's exact inverse, so the store
       // must score IDENTICALLY (integer columns) to a model freshly
       // trained on the survivors alone.
-      val lmF = Future {
+      val lmF = Future { inGroup {
         val lp = LmStore.Params(langCol = None, hashed = false)
         LmStore.build(docs, "doc_id", "text", dirOf("lm"), lp)
         LmStore.subtract(removed, "doc_id", "text", dirOf("lm"), lp)
@@ -755,11 +766,11 @@ object PipelineQueries {
           .filter(col("a.n_bigrams") === col("b.n_bigrams") &&
             col("a.lp_sum_e6") === col("b.lp_sum_e6"))
           .select("doc_id").distinct().collect().map(_.getLong(0))
-      }
+      } }
 
       // Streaming corpus store (two batch members, like the stream
       // writes them), then the id-level delete.
-      val corpusF = Future {
+      val corpusF = Future { inGroup {
         docs.filter(col("doc_id") < 100)
           .write.parquet(dirOf("corpus") + "/run=aaaa11_batch=0")
         docs.filter(col("doc_id") >= 100)
@@ -768,10 +779,10 @@ object PipelineQueries {
           removed.select("doc_id"))
         CorpusStore.readDocs(s, dirOf("corpus"), docs.schema)
           .select("doc_id").distinct().collect().map(_.getLong(0))
-      }
+      } }
 
       // Packed placements: tombstone, serve view drops the doc.
-      val packF = Future {
+      val packF = Future { inGroup {
         val pp = PackStore.Params(numShards = 4, budgetTokens = 256)
         PackStore.write(Corpus.packSequences(
             docs.withColumn("n", length(col("text"))), "doc_id",
@@ -781,7 +792,7 @@ object PipelineQueries {
         PackStore.tombstone(s, dirOf("pack"), removed.select("doc_id"))
         PackStore.serve(s, dirOf("pack"), pp)
           .select("doc_id").distinct().collect().map(_.getLong(0))
-      }
+      } }
 
       val (bandIds, indexIds, lmIds, corpusIds, packIds) =
         try {
@@ -790,6 +801,18 @@ object PipelineQueries {
             Seq(bandsF, indexF, lmF, corpusF, packF))
           val Seq(b, ix, lm, c, p) = Await.result(all, 600.seconds)
           (b, ix, lm, c, p)
+        } catch {
+          case e: Throwable =>
+            // One family failed: stop the SIBLINGS' in-flight Spark
+            // jobs and wait for the pool threads to unwind before the
+            // outer finally deletes the temp dirs they are still
+            // using (otherwise the cleanup races running tasks and
+            // produces confusing secondary failures).
+            try s.sparkContext.cancelJobGroup(groupId)
+            catch { case _: Throwable => () }
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            throw e
         } finally pool.shutdown()
 
       import s.implicits._
