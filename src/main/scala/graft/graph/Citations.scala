@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Citation edge-list operators — the OpenCitations (OCI) feed plus the
   * graph analytics a corpus team runs on top of it.
@@ -218,7 +219,7 @@ object Citations {
       case Some(dir) =>
         edges.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      case None => df => df.truncateLineage()
     }
     // The edge list is laid out by `citing` BEFORE materialization so
     // every iteration's contribution join reads it in place — the
@@ -239,6 +240,17 @@ object Citations {
     // it should. The cache lives until the session reaps it — the
     // standard end-of-job unpersist discipline applies to callers
     // embedding this in a long-lived session.
+    // Measured and rejected (r20, same-window min-of-3 light+heavy):
+    // folding the out-degree INTO the materialized edge table (setup
+    // agg + SHUFFLE_HASH-hinted attach join, partition-local after the
+    // repartition) to drop the per-iteration ⋈outdeg. Light 2.88 →
+    // 3.14 s, heavy 8.85 → 9.39 s. The fold widens every iteration's
+    // edges⋈ranks exchange payload by a long per edge and pays a setup
+    // join, while the broadcast outdeg build it removes was already
+    // reused across iterations within each executed plan (the
+    // DataFrame is defined once, so its exchange subtree is
+    // canonically identical every round). The r19 window-count variant
+    // lost the same way plus a per-partition sort.
     val e = persist(edges.select(col("citing"), col("cited")).distinct()
       .repartition(col("citing")))
     val verts = allDoisUnique(e).cache()

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Scalars
+import graft.Checkpoints.TruncateOps
 
 /** Deduplication ops for training-data pipelines.
   *
@@ -1219,10 +1220,10 @@ object Dedup {
     val edges = pairs.select(col(idA).as("s"), col(idB).as("d"))
       .union(pairs.select(col(idB).as("s"), col(idA).as("d")))
       .distinct()
-      .localCheckpoint()
+      .truncateLineage()
     var labels = edges.select(col("s").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .truncateLineage()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -1237,7 +1238,7 @@ object Dedup {
         .join(reduced.select(col("node").as("label"), col("label").as("__l2")),
           Seq("label"))
         .select(col("node"), col("__l2").as("label"))
-        .localCheckpoint()
+        .truncateLineage()
       changed = newLabels
         .join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).count()

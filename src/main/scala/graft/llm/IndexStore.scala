@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Persisted vector-index artifacts for the ANN family — the
   * [[BandStore]] contract applied to IVF-PQ: production ANN serves
@@ -185,7 +186,7 @@ object IndexStore {
     // Materialized once: the assignment feeds both the codebook
     // training branch and the encode branch (the e12 discipline).
     val assign = Similarity.assignToCentroids(emb, id, vec, cents)
-      .localCheckpoint()
+      .truncateLineage()
     val withC = emb.join(assign, Seq(id))
     val cbTrain =
       if (trainPct >= 100) withC

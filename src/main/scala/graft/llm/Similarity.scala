@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Checkpoints.TruncateOps
 
 /** Similarity search over an embedding column (array<float>).
   *
@@ -220,7 +221,7 @@ object Similarity {
     val asDouble = transform(col(vec), _.cast("double"))
     var centroids = train.orderBy(col(id)).limit(k)
       .select(col(id).cast("string").as("cluster"), asDouble.as("centroid"))
-      .localCheckpoint()
+      .truncateLineage()
     for (_ <- 1 until iters) {
       val a = assignToCentroids(train, id, vec, centroids)
         .select(col(id).as("__id"), col("cluster").as("__c"))
@@ -241,7 +242,7 @@ object Similarity {
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     // Return the model as a LocalRelation (collect + recreate), not the
     // checkpointed frame: a k×dim centroid table is driver-bounded by
@@ -738,13 +739,13 @@ object Similarity {
     // 28 s re-deriving assignments inside codebook training). The
     // training set is a sample (thousands of rows × m subvectors), so
     // the materialization is small by design.
-    val sv = subvectors(emb, id, vec, m, dim).localCheckpoint()
+    val sv = subvectors(emb, id, vec, m, dim).truncateLineage()
     val seeds = emb.orderBy(col(id)).limit(k)
       .select(col(id).as("__id"),
         (row_number().over(Window.orderBy(col(id))) - 1).as("code"))
     var centroids = sv.join(broadcast(seeds), Seq("__id"))
       .select(col("subspace"), col("code"), col("sv").as("centroid"))
-      .localCheckpoint()
+      .truncateLineage()
     for (_ <- 1 until iters) {
       val a = pqAssign(sv, centroids)
       centroids = sv.join(a, Seq("__id", "subspace"))
@@ -758,7 +759,7 @@ object Similarity {
         .groupBy("subspace", "code")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
           s => s.getField("mn")).as("centroid"))
-        .localCheckpoint()
+        .truncateLineage()
     }
     centroids
   }

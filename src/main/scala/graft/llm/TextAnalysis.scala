@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Scalars
+import graft.Checkpoints.TruncateOps
 
 /** Text-analysis ops for training-data pipelines: token counting,
   * quality scoring, language-ID heuristic, document fingerprinting.
@@ -716,7 +717,7 @@ object TextAnalysis {
         pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
           lit(buckets.toLong)).as("feature"))
       .groupBy("__id", "__y", "feature").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .truncateLineage()
     val w = Array.fill(buckets)(0L)
     for (_ <- 1 to iters) {
       val wDf = w.toSeq.zipWithIndex
@@ -943,7 +944,7 @@ object TextAnalysis {
       .filter(col("c") >= minCount)
       .select(col("w"), col("c"),
         concat(split(col("w"), ""), array(lit("</w>"))).as("s"))
-      .localCheckpoint()
+      .truncateLineage()
     val out = scala.collection.mutable.Buffer.empty[
       (Int, String, String, String, Long)]
     var k = 1
@@ -970,7 +971,7 @@ object TextAnalysis {
               concat(slice(acc, lit(1), size(acc) - 1),
                 array(lit(l + r))))
               .otherwise(concat(acc, array(x)))))
-          .localCheckpoint()
+          .truncateLineage()
         k += 1
       }
     }

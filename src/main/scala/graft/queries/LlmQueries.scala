@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Scalars
 import graft.llm.{Dedup, IndexStore, Multimodal, Similarity, TextAnalysis, TokenizerStore}
+import graft.Checkpoints.TruncateOps
 
 /** LLM-training-data pipeline ops over `documents` and `embeddings`:
   * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
@@ -2057,7 +2058,7 @@ object LlmQueries {
       // the checkpoint each branch re-runs the broadcast-centroid
       // assignment over the full corpus.
       val assign = Similarity.assignToCentroids(emb, "vec_id", "embedding",
-        cents).localCheckpoint()
+        cents).truncateLineage()
       val withC = emb.join(assign, Seq("vec_id"))
       val cb = Similarity.ivfpqTrainLocal(
         graft.llm.Corpus.hashSample(withC, "vec_id", 25, "ivfpqtrain"),

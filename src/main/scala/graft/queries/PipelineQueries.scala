@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.llm.{Corpus, Dedup, TextAnalysis, TokenizerStore}
+import graft.Checkpoints.TruncateOps
 
 /** Composite pipeline-shaped queries: the end-to-end flows a user of
   * the engine actually runs, each still oracle-checkable. */
@@ -192,7 +193,7 @@ object PipelineQueries {
         .htmlExtractStats(pages, "html", native = true)
         .select(col("doc_id"), col("lang"),
           replace(col("text"), lit("\n"), lit(" ")).as("text"))
-        .localCheckpoint()
+        .truncateLineage()
       curationFunnelOf(extracted, portableCov = true)
     },
 
@@ -253,7 +254,7 @@ object PipelineQueries {
         .htmlExtractStats(pages, "html", native = true)
         .select(col("doc_id"), col("lang"),
           replace(col("text"), lit("\n"), lit(" ")).as("text"))
-        .localCheckpoint()
+        .truncateLineage()
       curationFunnelOf(extracted, portableCov = true)
         .select(col("doc_id"), col("lang").as("domain"), col("quality"))
     },
@@ -634,7 +635,7 @@ object PipelineQueries {
         // funnel+tokenize+pack lineage executes twice in one plan
         // (plan diff: 18 Exchanges -> 12). Placements are quota-
         // bounded narrow rows, so the materialization is tiny.
-        .localCheckpoint()
+        .truncateLineage()
       // The persisted pack state an append resumes from: one tiny
       // aggregate over the standing placements (numShards rows).
       val watermark = Corpus.packWatermark(basePacked,
@@ -690,7 +691,7 @@ object PipelineQueries {
     import graft.llm.{BandStore, IndexStore, LmStore, PackStore}
     import graft.streaming.CorpusStore
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
-      .select("doc_id", "text").localCheckpoint()
+      .select("doc_id", "text").truncateLineage()
     val removed = docs.filter(col("doc_id") % 5 === 0)
     val survivors = docs.filter(col("doc_id") % 5 =!= 0)
     val base = java.nio.file.Files.createTempDirectory("graft-takedown")
@@ -853,7 +854,7 @@ object PipelineQueries {
       watermark: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     val curated = broadcast(
-      curated0.select("doc_id", "lang").localCheckpoint())
+      curated0.select("doc_id", "lang").truncateLineage())
     val curatedDocs = docs.select("doc_id", "text")
       .join(broadcast(curated.select("doc_id")), Seq("doc_id"))
     val budgets = TokenizerStore.tokenCounts(docs.sparkSession, storeDir,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.llm.{BandStore, Dedup}
+import graft.Checkpoints.TruncateOps
 
 /** Streaming near-dup detection — the continuous form of the nightly
   * incremental dedup: documents arrive as a stream, each micro-batch
@@ -84,7 +85,7 @@ object StreamingDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
-        val batchDocs = batch.select(col(id), col(text)).localCheckpoint()
+        val batchDocs = batch.select(col(id), col(text)).truncateLineage()
         val bandsRoot = s"$corpusDir/$BandsSubdir"
         BandStore.ensureParams(session, bandsRoot,
           BandStore.Params(shingleN, bands, rowsPerBand, portable = false))
@@ -116,7 +117,7 @@ object StreamingDedup {
         val (incPairs, release) = Dedup.minhashLshPairsIncrementalReleasable(
           corpus, batchDocs, id, text, threshold, shingleN, bands,
           rowsPerBand, maxBucketSize, corpusBands = Some(corpusBands))
-        val pairs = try incPairs.localCheckpoint() finally release()
+        val pairs = try incPairs.truncateLineage() finally release()
         sink(pairs, batchId)
         batchDocs.write.mode("overwrite")
           .parquet(s"$corpusDir/run=${ns}_batch=$batchId")
