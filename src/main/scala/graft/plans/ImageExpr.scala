@@ -289,6 +289,17 @@ object ImageCodec {
       catch { case scala.util.control.NonFatal(_) => null }
     if (fast != null)
       return poolRawRgb(fast.w, fast.h, fast.channels, fast.rows, grid)
+    // Measured and rejected (r20): a JPEG sibling of the PNG fast path
+    // (baseline Huffman + libjpeg islow IDCT + fancy upsampling +
+    // integer YCbCr→RGB in pure JVM, bit-exact vs ImageIO on a
+    // 228-case pixel-identity pin). Same-window A-B-A heavy min-of-3:
+    // m7 7.95 → 6.63 → 7.48 s, m8 4.47 → 4.06, m14 15.36 → 11.47 —
+    // the JVM port LOSES 15-30% to the ImageIO path, because this
+    // JDK's JPEG plugin delegates to the system libjpeg-turbo whose
+    // SIMD IDCT/upsample/color kernels a scalar JVM loop cannot match
+    // (the PNG win was Java-vs-Java; JPEG is Java-vs-native). Keep
+    // ImageIO for JPEG; revisit only if a deployment JRE loses the
+    // native codec.
     val img =
       try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: java.io.IOException => null }
