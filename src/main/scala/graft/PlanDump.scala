@@ -10,13 +10,13 @@ import org.apache.spark.sql.SparkSession
   * Usage: `sbt "runMain graft.PlanDump <suffix> <name>[,<name>...]"`
   * with the same SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS contract as
   * Bench; `<suffix>` is `before` or `after`; the tag defaults to
-  * SPARK_GRAFT_PLAN_TAG or `r19`. Pass `all` to dump every query.
+  * SPARK_GRAFT_PLAN_TAG or `r20`. Pass `all` to dump every query.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: PlanDump <suffix> <names|all>")
     val suffix = args(0)
-    val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "r19")
+    val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "r20")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -606,8 +606,18 @@ object Dedup {
     // the signature pass itself). Limiting the raw (id, text) rows
     // keeps the scan-side work trivial and tokenizes exactly
     // sampleDocs docs once, post-limit.
+    // coalesce(1) BEFORE the limit (r20): a bare limit still plans
+    // LocalLimit-per-partition + a single-partition Exchange, so every
+    // scan partition READS up to sampleDocs full text rows and ships
+    // them — O(sampleDocs × partitions) scan+shuffle bytes (measured
+    // 5-8 s of the longdoc profile run at 89 partitions, ~1 s of the
+    // heavy entry at 3). Coalesced first, the LocalLimit pulls exactly
+    // sampleDocs rows through one lazy scan task and nothing shuffles;
+    // the probe only feeds a log warning, so the sample-identity shift
+    // (first rows of one split vs a per-split mix) changes no query
+    // output.
     val mean = shingleArrays(docs.select(col(id), col(text))
-        .limit(sampleDocs), id, text, shingleN)
+        .coalesce(1).limit(sampleDocs), id, text, shingleN)
       .agg(avg(size(col("toks")))).collect()(0)
     if (mean.isNullAt(0)) None
     else ophRegimeWarning(mean.getDouble(0), bins)
