@@ -107,37 +107,41 @@ object Citations {
   private def coOccurrencePairs(assignments: DataFrame, key: String,
                                 member: String, minShared: Int,
                                 maxGroupSize: Int): DataFrame = {
-    // Count-FIRST hub screening: the group-size cap is decided from a
-    // spill-safe countDistinct before any member array exists, and
-    // collect_set runs only over the survivors (semi-join). Collecting
-    // first and filtering on size(ms) — the previous shape — builds
-    // the one array the cap exists to forbid: a hub with millions of
-    // members materializes as a single unspillable aggregation buffer
-    // (the heavy bench's hub-hot ×16 graph pushes EVERY cited key past
-    // the cap, so it paid the whole collect for an empty result). The
-    // screened key set is vertex-bounded but NOT assumed
-    // broadcastable — AQE picks the join strategy.
-    //
-    // Measured and rejected (r19): the two branches below do NOT share
-    // one exchange — their shuffles canonicalize differently
-    // (REPARTITION_BY_COL vs ENSURE_REQUIREMENTS, different project
-    // orders), so the raw dump is scanned+parsed twice. Materializing
-    // byKey with localCheckpoint fixes that on paper but SERIALIZES
-    // the pipeline behind a barrier, and local mode pays more for the
-    // barrier than for the concurrent second scan (same-window
-    // min-of-4: g6 3.19 s → 4.09 s); a SHUFFLE_HASH hint on the
-    // semi-join alone read parity (3.41 vs 3.19). Both reverted. At
-    // 100 TB, where the dump lives on object storage and a scan is two
-    // container decompressions, revisit with a durable-dir checkpoint.
-    val byKey = assignments.select(col(key), col(member))
-      .repartition(col(key))
-    val ok = byKey.groupBy(key)
-      .agg(countDistinct(col(member)).as("__n"))
-      .filter(col("__n").between(2, maxGroupSize))
-      .select(col(key))
-    byKey.join(ok, Seq(key), "left_semi")
+    // Hub screening and member collection in ONE aggregation (r20):
+    // `collect_set_capped` accumulates the distinct member set only
+    // while it stays ≤ maxGroupSize and evaluates to NULL the moment
+    // a hub exceeds the cap — the aggregation buffer is bounded at
+    // cap elements by construction (a hub with millions of members
+    // never materializes), and partial aggregation dedupes+caps
+    // map-side, so hub keys ship at most cap+ε rows per map task.
+    // This replaces the r17-r19 count-FIRST shape (countDistinct
+    // screen + left-semi join back + collect_set over survivors),
+    // whose two branches could not share an exchange (their shuffles
+    // canonicalize differently), so the raw dump was scanned+PARSED
+    // twice — at 100 TB two full container decompressions.
+    // Materializing byKey to fix that was measured-and-rejected in
+    // r19 (localCheckpoint barrier cost > the concurrent second scan:
+    // g6 3.19 → 4.09 s); the capped aggregate removes the second scan
+    // WITHOUT the barrier. Same-window min-of-3 A/B (r20): heavy
+    // g6_coupling 4.72 → 3.30 s, heavy g6_coupling_midhub
+    // 6.62 → 5.71 s, light g5 2.27/1.93 → 1.80/1.56 s; light g6 reads
+    // ~0.5 s WORSE (3.30/3.48 → 4.01) — at fixture scale the old
+    // shape's duplicate scan ran concurrently for near-free while the
+    // capped partial agg pays real map-side hash-set work, but the
+    // pair total is parity and the heavy (scale-shaped) entries win
+    // 14-30%, which is the trade the 100 TB shape wants. Plan diff
+    // (plans/r20/g6_coupling_*): scan subtrees 2 → 1, Exchanges
+    // 3 → 2, SortMergeJoin 1 → 0, the countDistinct HashAggregate
+    // pair and the semi-join gone. Output is pinned equal by
+    // construction: capped(m, cap) IS NULL ⇔ countDistinct(m) > cap,
+    // else the array equals sort_array(collect_set(m)) (GraphSpec
+    // pins the saturation boundary; oracle green).
+    graft.plans.CollectSetCappedAgg.register(assignments.sparkSession)
+    assignments.select(col(key), col(member))
       .groupBy(key)
-      .agg(sort_array(collect_set(col(member))).as("ms"))
+      .agg(sort_array(call_function(graft.plans.CollectSetCappedAgg.Name,
+        col(member), lit(maxGroupSize))).as("ms"))
+      .filter(col("ms").isNotNull && size(col("ms")) >= 2)
       // Explicit fan-out before the pair explosion: the member-array
       // table is tiny in BYTES (one compact array per key), so AQE's
       // byte-targeted coalescing would pack it into a handful of

@@ -60,6 +60,55 @@ class GraphSpec extends AnyFunSuite {
     assert(pairs == Set(("r1", "r2", 2L)))
   }
 
+  test("collect_set_capped equals the countDistinct-screened collect_set") {
+    // The one-pass capped aggregate behind coOccurrencePairs must
+    // agree with the two-pass shape it replaced on BOTH sides of the
+    // saturation boundary: exactly cap distinct members (kept, sorted,
+    // duplicates folded), cap+1 (NULL), merge-across-partitions
+    // (members of one key spread over many input partitions), and
+    // null members ignored.
+    graft.plans.CollectSetCappedAgg.register(spark)
+    val cap = 3
+    val rows = Seq(
+      // key "edge": exactly cap distinct (with dup + null noise)
+      "edge" -> "m1", "edge" -> "m2", "edge" -> "m3", "edge" -> "m2",
+      // key "hub": cap+1 distinct -> NULL
+      "hub" -> "a", "hub" -> "b", "hub" -> "c", "hub" -> "d",
+      // key "solo": below any screen, still collected (caller filters)
+      "solo" -> "only"
+    ).toDF("k", "m")
+      .union(Seq(("edge", null.asInstanceOf[String])).toDF("k", "m"))
+      .repartition(7) // force partial buffers + merges
+    val got = rows.groupBy("k")
+      .agg(sort_array(call_function(
+        graft.plans.CollectSetCappedAgg.Name, col("m"), lit(cap))).as("ms"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[String](1)))
+      .toMap
+    assert(got("edge") == Some(Seq("m1", "m2", "m3")))
+    assert(got("hub").isEmpty)
+    assert(got("solo") == Some(Seq("only")))
+    // And the reference equivalence on a randomized table: capped
+    // NULL <=> countDistinct > cap, else == sort_array(collect_set).
+    val rand = spark.range(3000).select(
+      (col("id") % 37).cast("string").as("k"),
+      concat(lit("m"), pmod(col("id") * 7919, lit(97))).as("m"))
+    val capped = rand.groupBy("k")
+      .agg(sort_array(call_function(
+        graft.plans.CollectSetCappedAgg.Name, col("m"), lit(50))).as("c"))
+    val ref = rand.groupBy("k")
+      .agg(sort_array(collect_set(col("m"))).as("s"),
+        countDistinct(col("m")).as("n"))
+    val joined = capped.join(ref, Seq("k")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val c = Option(r.getSeq[String](1))
+      val s = r.getSeq[String](2)
+      val n = r.getLong(3)
+      if (n > 50) assert(c.isEmpty, s"key ${r.getString(0)}")
+      else assert(c.contains(s), s"key ${r.getString(0)}")
+    }
+  }
+
   test("couplingPairs is the transpose of coCitedPairs") {
     val e = edges("a" -> "x", "b" -> "x", "a" -> "y", "b" -> "y", "c" -> "y")
     val pairs = Citations.couplingPairs(e, minShared = 2)
