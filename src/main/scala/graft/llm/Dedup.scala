@@ -72,14 +72,33 @@ object Dedup {
   private[graft] def bucketPairs(assignments: DataFrame, keyCols: Seq[String],
                                doc: String,
                                maxBucketSize: Option[Int]): DataFrame = {
-    val grouped = assignments
-      .groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_set(col(doc))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val capped = maxBucketSize
-      .map(cap => grouped.filter(size(col("ds")) <= cap))
-      .getOrElse(grouped)
-    capped
+    // With a cap, the collect and the cap screen are ONE bounded
+    // aggregation (collect_set_capped, r20): the former
+    // collect-then-filter shape built the unbounded member array the
+    // cap exists to forbid — a hub bucket with millions of members
+    // lived in a single unspillable aggregation buffer before the
+    // size filter threw it away, and every one of its members crossed
+    // the shuffle. Capped, the buffer tops out at cap elements and
+    // partial aggregation dedupes+caps map-side. NULL ⇔ over-cap is
+    // pinned equal to the filter shape (GraphSpec); same-window
+    // min-of-3 reads parity on the dense generator (heavy d3 3.5-4.0 s
+    // both halves, overlapping samples; light d3 1.54 → 1.36 s) and a
+    // real win where buckets run hot (light d12 incremental
+    // 3.53 → 2.77 s) — plus the bounded memory at hub-hot scale.
+    val grouped = (maxBucketSize match {
+      case Some(cap) =>
+        graft.plans.CollectSetCappedAgg.register(assignments.sparkSession)
+        assignments
+          .groupBy(keyCols.map(col): _*)
+          .agg(sort_array(call_function(graft.plans.CollectSetCappedAgg.Name,
+            col(doc), lit(cap))).as("ds"))
+          .filter(col("ds").isNotNull)
+      case None =>
+        assignments
+          .groupBy(keyCols.map(col): _*)
+          .agg(sort_array(collect_set(col(doc))).as("ds"))
+    }).filter(size(col("ds")) >= 2)
+    grouped
       .select(sortedMemberPairs(col("ds")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
@@ -418,13 +437,21 @@ object Dedup {
       .withColumn("nw", lit(false))
       .unionByName(bNew.withColumn("nw", lit(true)))
 
-    val grouped = members.groupBy("band", "bucket")
-      .agg(sort_array(collect_set(struct(col("doc"), col("nw")))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-    val capped = maxBucketSize
-      .map(cap => grouped.filter(size(col("ms")) <= cap))
-      .getOrElse(grouped)
-    val pairs = capped
+    // Same bounded-buffer collect as bucketPairs (collect_set_capped,
+    // r20): a hub bucket never materializes its member array just to
+    // be size-filtered away.
+    val grouped = (maxBucketSize match {
+      case Some(cap) =>
+        graft.plans.CollectSetCappedAgg.register(members.sparkSession)
+        members.groupBy("band", "bucket")
+          .agg(sort_array(call_function(graft.plans.CollectSetCappedAgg.Name,
+            struct(col("doc"), col("nw")), lit(cap))).as("ms"))
+          .filter(col("ms").isNotNull)
+      case None =>
+        members.groupBy("band", "bucket")
+          .agg(sort_array(collect_set(struct(col("doc"), col("nw")))).as("ms"))
+    }).filter(size(col("ms")) >= 2)
+    val pairs = grouped
       .select(sortedMemberPairs(col("ms")).as("p"))
       // corpus×corpus pairs inside touched buckets are generated (the
       // member arrays carry them; fan-out stays cap-bounded) and
